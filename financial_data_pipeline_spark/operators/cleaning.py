@@ -1,0 +1,365 @@
+"""Cleaning / validation transforms (SURVEY.md §2.2–§2.4).
+
+Re-expresses the reference's fixed 13-step ``validate_and_clean``
+sequence (``src/data_etl/processing/data_cleaner.py:56-173``) and the
+three validator variants (``validation/{simple_validator,
+data_validator,data_processor}.py``) as one composable transform suite
+with a strictness knob:
+
+- ``mode="strict"``  → invalid rows are dropped (simple_validator
+  semantics, ``simple_validator.py:74-91``)
+- ``mode="repair"``  → invalid rows are repaired/clipped
+  (EnhancedDataValidator semantics, ``data_cleaner.py:218-269``)
+
+Every transform is ``DataFrame -> DataFrame``, lazy, and partitions all
+window work by ``symbol`` so the plan scales horizontally: no global
+shuffles except where the reference's semantics genuinely demand global
+state (none do — every cleaning rule is per-symbol or per-row).
+
+Stage ORDER IS SEMANTICALLY SIGNIFICANT (SURVEY.md §4.2): dedup →
+ts-convert → coerce → impute → drop-negatives → IQR-clip → OHLC-repair;
+e.g. quantiles are computed after negative-row removal. ``clean_ohlcv``
+freezes that order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.functions.timefeatures import (
+    epoch_to_timestamp,
+    with_time_features,
+)
+from financial_data_pipeline_spark.schema import (
+    OHLCV_COLUMNS,
+    PRICE_COLUMNS,
+    REQUIRED_COLUMNS,
+)
+
+# ---------------------------------------------------------------------------
+# Projections / renames (P1, P2)
+# ---------------------------------------------------------------------------
+
+
+def lowercase_columns(df: DataFrame) -> DataFrame:
+    """Case-normalize column names at ingest (``data_cleaner.py:92``)."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def require_columns(df: DataFrame, required: list[str] | None = None) -> DataFrame:
+    """Raise on missing required columns (``data_cleaner.py:95-102``)."""
+    required = required or REQUIRED_COLUMNS
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(f"missing required columns: {missing}")
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Deterministic keep-first dedup (P10) — custom component #2 (SURVEY §4.3)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    order_by: list[str] | None = None,
+) -> DataFrame:
+    """Drop duplicate keys keeping the FIRST row in ``order_by`` order.
+
+    The reference relies on pandas ``drop_duplicates(keep="first")``
+    after a sort (``data_cleaner.py:104-112,313-322``); Spark's
+    ``dropDuplicates`` keeps an *arbitrary* row, so determinism needs an
+    explicit ``row_number`` window. Scales: the window shuffles once on
+    the dedup keys — the same shuffle an aggregation would need.
+    """
+    keys = keys or ["symbol", "timestamp"]
+    order_by = order_by or ["timestamp"]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type coercion / timestamp normalization (F1, F2, P9)
+# ---------------------------------------------------------------------------
+
+
+def coerce_numeric(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """``pd.to_numeric(errors="coerce")`` analog: junk → null
+    (``data_cleaner.py:117-118``)."""
+    cols = cols or [c for c in OHLCV_COLUMNS if c in df.columns]
+    return df.withColumns({c: F.col(c).cast("double") for c in cols})
+
+
+def normalize_timestamp(
+    df: DataFrame, ts: str = "timestamp", epoch_unit: str = "s"
+) -> DataFrame:
+    """Normalize ``ts`` to a UTC timestamp column (``data_cleaner.py:175-189``).
+
+    Numeric / numeric-string input is treated as epoch in ``epoch_unit``;
+    other strings parse as datetime literals; invalid → null (dropped by
+    ``drop_invalid_timestamps``).
+    """
+    dtype = dict(df.dtypes)[ts]
+    col = F.col(ts)
+    if dtype.startswith("timestamp"):
+        out = col
+    elif dtype in ("bigint", "int", "double", "float", "decimal"):
+        out = epoch_to_timestamp(col, epoch_unit)
+    else:
+        # String: epoch-looking strings use the configured unit, else ISO parse.
+        out = F.when(
+            col.rlike(r"^\s*\d+(\.\d+)?\s*$"), epoch_to_timestamp(col, epoch_unit)
+        ).otherwise(F.to_timestamp(col))
+    return df.withColumn(ts, out)
+
+
+def drop_invalid_timestamps(df: DataFrame, ts: str = "timestamp") -> DataFrame:
+    """Drop rows whose timestamp failed to parse (``data_cleaner.py:663-688``)."""
+    return df.na.drop(subset=[ts])
+
+
+# ---------------------------------------------------------------------------
+# Imputation (F4): ffill then bfill per symbol in time order
+# ---------------------------------------------------------------------------
+
+
+def ffill(
+    df: DataFrame,
+    cols: list[str],
+    partition_by: list[str] = ("symbol",),
+    order_by: str = "timestamp",
+) -> DataFrame:
+    """Forward-fill nulls (``fillna(method="ffill")``, ``data_cleaner.py:191-205``)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in cols})
+
+
+def bfill(
+    df: DataFrame,
+    cols: list[str],
+    partition_by: list[str] = ("symbol",),
+    order_by: str = "timestamp",
+) -> DataFrame:
+    """Backward-fill nulls (``fillna(method="bfill")``)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_by)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return df.withColumns({c: F.first(c, ignorenulls=True).over(w) for c in cols})
+
+
+def impute_ffill_bfill(
+    df: DataFrame, cols: list[str] | None = None, partition_by: list[str] = ("symbol",)
+) -> DataFrame:
+    """ffill → bfill per numeric column (``data_cleaner.py:191-205``)."""
+    cols = cols or [c for c in OHLCV_COLUMNS if c in df.columns]
+    return bfill(ffill(df, cols, partition_by), cols, partition_by)
+
+
+# ---------------------------------------------------------------------------
+# Predicates / filters (P3–P8)
+# ---------------------------------------------------------------------------
+
+
+def drop_negative_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Drop rows with any negative numeric value (``data_cleaner.py:207-216``)."""
+    cols = cols or [c for c in OHLCV_COLUMNS if c in df.columns]
+    cond = None
+    for c in cols:
+        term = F.col(c).isNull() | (F.col(c) >= 0)
+        cond = term if cond is None else (cond & term)
+    return df.filter(cond)
+
+
+def nullify_negatives(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Nullify (not drop) negatives — ``data_validator.py:73-79`` variant."""
+    cols = cols or [c for c in OHLCV_COLUMNS if c in df.columns]
+    return df.withColumns(
+        {c: F.when(F.col(c) >= 0, F.col(c)) for c in cols}
+    )
+
+
+def ohlc_consistent(tolerance: float = 0.0) -> Column:
+    """OHLC consistency predicate (P5/P6).
+
+    Strict (``simple_validator.py:83-91``): high >= low/open/close and
+    low <= open/close. With ``tolerance`` t (``data_cleaner.py:238-269``,
+    default 5% there): high*(1+t) >= x and low*(1-t) <= x.
+    """
+    h, l, o, c = (F.col(x) for x in ("high", "low", "open", "close"))
+    hi = h * (1.0 + tolerance)
+    lo = l * (1.0 - tolerance)
+    return (hi >= l) & (hi >= o) & (hi >= c) & (lo <= o) & (lo <= c)
+
+
+def filter_valid_ohlc(df: DataFrame, tolerance: float = 0.0) -> DataFrame:
+    """Drop OHLC-inconsistent rows (strict-mode path)."""
+    return df.filter(ohlc_consistent(tolerance))
+
+
+def filter_positive_prices(df: DataFrame) -> DataFrame:
+    """Positive prices, non-negative volume (``simple_validator.py:74-81``)."""
+    cond = F.col("volume") >= 0
+    for c in PRICE_COLUMNS:
+        cond = cond & (F.col(c) > 0)
+    return df.filter(cond)
+
+
+def repair_ohlc(df: DataFrame, tolerance: float = 0.0) -> DataFrame:
+    """Repair inconsistent rows: ``high := max(open,close,high)``,
+    ``low := min(open,close,low)`` (``data_cleaner.py:251-263``)."""
+    bad = ~ohlc_consistent(tolerance)
+    return df.withColumns(
+        {
+            "high": F.when(bad, F.greatest("open", "close", "high")).otherwise(
+                F.col("high")
+            ),
+            "low": F.when(bad, F.least("open", "close", "low")).otherwise(F.col("low")),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# IQR clip (F5 + A6) — aggregate-then-apply staging (2 jobs by necessity:
+# quantiles are data-dependent scalars; SURVEY §4.2)
+# ---------------------------------------------------------------------------
+
+
+def iqr_clip(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    factor: float = 1.5,
+    per_symbol: bool = True,
+) -> DataFrame:
+    """Winsorize outliers to ``[Q1 - f*IQR, Q3 + f*IQR]``
+    (``data_cleaner.py:218-236``).
+
+    Exact percentiles (linear interpolation — matches pandas
+    ``quantile`` and DuckDB ``quantile_cont``). Implemented as a
+    broadcast join of the tiny per-symbol bounds table against the fact
+    — no second shuffle of the fact table.
+    """
+    cols = cols or [c for c in OHLCV_COLUMNS if c in df.columns]
+    keys = ["symbol"] if per_symbol and "symbol" in df.columns else []
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.percentile(F.col(c), F.lit(0.25)).alias(f"__q1_{c}"),
+            F.percentile(F.col(c), F.lit(0.75)).alias(f"__q3_{c}"),
+        ]
+    bounds = df.groupBy(*keys).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(bounds), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    updates = {}
+    for c in cols:
+        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
+        iqr = q3 - q1
+        lower, upper = q1 - factor * iqr, q3 + factor * iqr
+        updates[c] = F.when(
+            F.col(c).isNotNull(), F.greatest(lower, F.least(upper, F.col(c)))
+        )
+    out = joined.withColumns(updates)
+    return out.drop(*[f"__{q}_{c}" for c in cols for q in ("q1", "q3")])
+
+
+def zscore_outlier_clean(
+    df: DataFrame,
+    price_cols: list[str] | None = None,
+    volume_col: str = "volume",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Z-score variant (``validation/data_processor.py:86-123``): price
+    outliers → null then ffill; volume outliers → per-symbol median."""
+    price_cols = price_cols or [c for c in PRICE_COLUMNS if c in df.columns]
+    keys = ["symbol"] if "symbol" in df.columns else []
+    aggs = []
+    for c in price_cols + [volume_col]:
+        aggs += [
+            F.avg(c).alias(f"__mu_{c}"),
+            F.stddev_samp(c).alias(f"__sd_{c}"),
+        ]
+    aggs.append(F.median(volume_col).alias("__med_vol"))
+    stats = df.groupBy(*keys).agg(*aggs)
+    joined = (
+        df.join(F.broadcast(stats), on=keys, how="left")
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+
+    def is_outlier(c: str) -> Column:
+        sd = F.col(f"__sd_{c}")
+        z = F.abs((F.col(c) - F.col(f"__mu_{c}")) / sd)
+        return sd.isNotNull() & (sd != 0) & (z > threshold)
+
+    joined = joined.withColumns(
+        {c: F.when(~is_outlier(c), F.col(c)) for c in price_cols}
+        | {
+            volume_col: F.when(~is_outlier(volume_col), F.col(volume_col)).otherwise(
+                F.col("__med_vol")
+            )
+        }
+    )
+    joined = ffill(joined, price_cols, keys or [F.lit(1)])
+    drop = [f"__mu_{c}" for c in price_cols + [volume_col]]
+    drop += [f"__sd_{c}" for c in price_cols + [volume_col]]
+    return joined.drop(*drop, "__med_vol")
+
+
+# ---------------------------------------------------------------------------
+# Full cleaning pipeline (E1 step 4) — frozen stage order
+# ---------------------------------------------------------------------------
+
+
+def clean_ohlcv(
+    df: DataFrame,
+    mode: str = "repair",
+    epoch_unit: str = "s",
+    iqr_factor: float = 1.5,
+    price_tolerance: float = 0.0,
+    add_time_features: bool = True,
+) -> DataFrame:
+    """The 13-step ``validate_and_clean`` sequence
+    (``data_cleaner.py:56-173``) as one lazy plan.
+
+    lowercase → require → ts-normalize → drop-bad-ts → keep-first dedup
+    → numeric coerce → impute → drop negatives → IQR clip → OHLC
+    repair/drop → time features. Report counters are computed separately
+    by :mod:`financial_data_pipeline_spark.plans.report` as aggregates
+    over the before/after plans.
+    """
+    if mode not in ("repair", "strict"):
+        raise ValueError(f"mode must be 'repair' or 'strict', got {mode!r}")
+    df = lowercase_columns(df)
+    df = require_columns(df)
+    if "symbol" not in df.columns:
+        df = df.withColumn("symbol", F.lit("UNKNOWN"))
+    df = normalize_timestamp(df, epoch_unit=epoch_unit)
+    df = drop_invalid_timestamps(df)
+    df = dedup_keep_first(df, keys=["symbol", "timestamp"], order_by=["timestamp"])
+    df = coerce_numeric(df)
+    df = impute_ffill_bfill(df)
+    df = drop_negative_rows(df)
+    if mode == "repair":
+        df = iqr_clip(df, factor=iqr_factor)
+        df = repair_ohlc(df, tolerance=price_tolerance)
+    else:
+        df = filter_positive_prices(df)
+        df = filter_valid_ohlc(df, tolerance=price_tolerance)
+        df = df.na.drop(subset=OHLCV_COLUMNS)
+    if add_time_features:
+        df = with_time_features(df)
+    return df

@@ -1,0 +1,255 @@
+"""Technical indicators (SURVEY.md §2.5 W1–W10).
+
+Re-expresses ``TechnicalIndicators``
+(``src/data_etl/processing/technical_indicators.py``) as Spark window
+expressions partitioned by ``symbol`` (the reference is single-series;
+partitioning generalizes it). All rolling ops reproduce pandas
+``rolling(n)`` default ``min_periods=n`` via a row-count mask (NaN/null
+head), and ``rolling(...).std()`` is the SAMPLE stddev (ddof=1) →
+``stddev_samp``.
+
+EMA (``ewm(span, adjust=False)``) is a first-order recurrence with no
+closed-form SQL window — custom component #4 (SURVEY.md §4.3): an
+Arrow-batched grouped-map pandas UDF running the exact recurrence per
+symbol. Scale note: one task per symbol; symbol-skew is the known risk
+(SURVEY.md §7.4 item 1) — acceptable because EMA state is O(1), so a
+chunked/streaming evaluation is the documented 100 TB path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(by: list[str], ts: str) -> Window:
+    return Window.partitionBy(*by).orderBy(ts)
+
+
+def _rolling(by: list[str], ts: str, n: int):
+    return _w(by, ts).rowsBetween(-(n - 1), 0)
+
+
+def sma(col: str | Column, n: int, by: list[str] = ("symbol",), ts: str = "timestamp") -> Column:
+    """Simple moving average with pandas min_periods=n null head (W1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    win = _rolling(list(by), ts, n)
+    return F.when(F.count(c).over(win) >= n, F.avg(c).over(win))
+
+
+def rolling_std(col: str | Column, n: int, by: list[str] = ("symbol",), ts: str = "timestamp") -> Column:
+    """Rolling sample stddev (ddof=1, pandas default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    win = _rolling(list(by), ts, n)
+    return F.when(F.count(c).over(win) >= n, F.stddev_samp(c).over(win))
+
+
+def lag_col(col: str | Column, by: list[str] = ("symbol",), ts: str = "timestamp", offset: int = 1) -> Column:
+    """``shift()`` / ``diff()`` building block (W7)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lag(c, offset).over(_w(list(by), ts))
+
+
+def pct_change(col: str | Column, by: list[str] = ("symbol",), ts: str = "timestamp") -> Column:
+    """``Series.pct_change()`` (F8)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c / lag_col(c, by, ts) - 1.0
+
+
+def rsi(col: str | Column, n: int = 14, by: list[str] = ("symbol",), ts: str = "timestamp") -> Column:
+    """RSI over rolling-mean gains/losses (``technical_indicators.py:22-29``).
+
+    gain = max(delta, 0), loss = max(-delta, 0) (the pandas
+    ``delta.where(delta > 0, 0)`` form), both SMA(n); rs = gain/loss;
+    rsi = 100 - 100/(1+rs). Parity subtlety: ``delta.where(delta > 0, 0)``
+    maps the first row's NaN delta to **0** (NaN > 0 is False), so the
+    null head is n−1 rows, not n — the unconditional ``otherwise(0)``
+    below reproduces that.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    delta = c - lag_col(c, by, ts)
+    gain = F.when(delta > 0, delta).otherwise(F.lit(0.0))
+    loss = F.when(delta < 0, -delta).otherwise(F.lit(0.0))
+    win = _rolling(list(by), ts, n)
+    avg_gain = F.when(F.count(gain).over(win) >= n, F.avg(gain).over(win))
+    avg_loss = F.when(F.count(loss).over(win) >= n, F.avg(loss).over(win))
+    rs = avg_gain / avg_loss
+    # pandas edge parity: loss==0 & gain>0 → rs=inf → rsi=100;
+    # loss==0 & gain==0 → 0/0=NaN → rsi NaN (null here).
+    return F.when(
+        (avg_loss == 0) & (avg_gain > 0), F.lit(100.0)
+    ).when(
+        (avg_loss == 0) & (avg_gain == 0), F.lit(None).cast("double")
+    ).otherwise(100.0 - (100.0 / (1.0 + rs)))
+
+
+def bollinger(
+    col: str | Column, n: int = 20, num_std: float = 2.0,
+    by: list[str] = ("symbol",), ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Bollinger bands (``technical_indicators.py:49-59``)."""
+    mid = sma(col, n, by, ts)
+    sd = rolling_std(col, n, by, ts)
+    return {
+        "bb_middle": mid,
+        "bb_upper": mid + sd * num_std,
+        "bb_lower": mid - sd * num_std,
+    }
+
+
+def true_range(by: list[str] = ("symbol",), ts: str = "timestamp") -> Column:
+    """TR = max(h−l, |h−prev_c|, |l−prev_c|) (``technical_indicators.py:61-71``).
+
+    ``greatest`` skips nulls exactly like the pandas row-wise
+    ``concat(axis=1).max(axis=1)`` skips NaN, so the first row falls
+    back to high−low in both engines.
+    """
+    prev_c = lag_col("close", by, ts)
+    return F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_c),
+        F.abs(F.col("low") - prev_c),
+    )
+
+
+def atr(n: int = 14, by: list[str] = ("symbol",), ts: str = "timestamp") -> Column:
+    """ATR = SMA(TR, n)."""
+    tr = true_range(by, ts)
+    win = _rolling(list(by), ts, n)
+    return F.when(F.count(tr).over(win) >= n, F.avg(tr).over(win))
+
+
+# ---------------------------------------------------------------------------
+# EMA family — exact ewm(span, adjust=False) recurrence via grouped-map
+# pandas UDF (W2, W4)
+# ---------------------------------------------------------------------------
+
+
+def with_ema(
+    df: DataFrame,
+    col: str = "close",
+    spans: list[int] = (12, 26),
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+    out_prefix: str = "ema_",
+) -> DataFrame:
+    """Add ``{out_prefix}{span}`` EMA columns, exact pandas parity."""
+    from pyspark.sql import types as T
+
+    spans = list(spans)
+    by = list(by)
+    out_cols = [f"{out_prefix}{s}" for s in spans]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType(), True) for c in out_cols]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        for s, out in zip(spans, out_cols):
+            pdf[out] = pdf[col].ewm(span=s, adjust=False).mean()
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(kernel, schema=schema)
+
+
+def with_macd(
+    df: DataFrame,
+    col: str = "close",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """MACD line / signal / histogram (``technical_indicators.py:31-47``)."""
+    from pyspark.sql import types as T
+
+    by = list(by)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("macd", T.DoubleType(), True),
+            T.StructField("macd_signal", T.DoubleType(), True),
+            T.StructField("macd_hist", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        exp1 = pdf[col].ewm(span=fast, adjust=False).mean()
+        exp2 = pdf[col].ewm(span=slow, adjust=False).mean()
+        macd_line = exp1 - exp2
+        pdf["macd"] = macd_line
+        pdf["macd_signal"] = macd_line.ewm(span=signal, adjust=False).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(kernel, schema=schema)
+
+
+def calculate_all(
+    df: DataFrame, by: list[str] = ("symbol",), ts: str = "timestamp"
+) -> DataFrame:
+    """All 13 indicator columns in one pass
+    (``technical_indicators.py:83-122`` column contract: sma_20/50/200,
+    ema_12/26, rsi, macd, macd_signal, macd_hist, bb_middle/upper/lower,
+    atr). Window expressions share one (symbol-partitioned) sort; the
+    EMA kernel adds a single grouped-map stage.
+    """
+    by = list(by)
+    bb = bollinger("close", 20, 2.0, by, ts)
+    df = df.withColumns(
+        {
+            "sma_20": sma("close", 20, by, ts),
+            "sma_50": sma("close", 50, by, ts),
+            "sma_200": sma("close", 200, by, ts),
+            "rsi": rsi("close", 14, by, ts),
+            "bb_middle": bb["bb_middle"],
+            "bb_upper": bb["bb_upper"],
+            "bb_lower": bb["bb_lower"],
+            "atr": atr(14, by, ts),
+        }
+    )
+    df = with_ema(df, "close", [12, 26], by, ts)
+    return with_macd(df, "close", by=by, ts=ts)
+
+
+def volume_profile(
+    df: DataFrame,
+    price_col: str = "close",
+    volume_col: str = "volume",
+    bins: int = 100,
+    by: list[str] = (),
+) -> DataFrame:
+    """Volume-weighted price histogram (A12,
+    ``technical_indicators.py:73-81``): np.histogram(price, bins,
+    weights=volume) → (price_level = bin center, volume = weighted count).
+
+    Distributed form: one agg for min/max → bucket id arithmetic →
+    groupBy(bucket). numpy puts the max value into the LAST bin
+    (right-inclusive), reproduced with ``least(bins-1, ...)``.
+    """
+    by = list(by)
+    p, v = F.col(price_col), F.col(volume_col)
+    rng = df.groupBy(*by).agg(F.min(p).alias("__pmin"), F.max(p).alias("__pmax"))
+    joined = df.join(F.broadcast(rng), on=by) if by else df.crossJoin(F.broadcast(rng))
+    width = (F.col("__pmax") - F.col("__pmin")) / F.lit(bins)
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.floor((p - F.col("__pmin")) / width).cast("int"),
+    ).alias("__bucket")
+    out = (
+        joined.select(*by, bucket, v.alias("__v"), F.col("__pmin"), width.alias("__w"))
+        .groupBy(*by, "__bucket", "__pmin", "__w")
+        .agg(F.sum("__v").alias("volume"))
+        .select(
+            *by,
+            (F.col("__pmin") + (F.col("__bucket") + 0.5) * F.col("__w")).alias(
+                "price_level"
+            ),
+            "volume",
+        )
+    )
+    return out

@@ -1,0 +1,99 @@
+"""Normalization + inverse (SURVEY.md F10–F12).
+
+Re-expresses ``DataNormalizer``
+(``src/data_etl/processing/data_normalizer.py:43-102``): z-score,
+min-max, and log1p normalization with saved scaler parameters enabling
+an exact round-trip denormalize (the reference's own test invariant:
+round-trip ≈ original, rtol 1e-10 — ``tests/units/test_processing.py``).
+
+Spark design: scaler parameters are a tiny per-group aggregate
+(``fit``), broadcast-joined back for ``transform``/``inverse`` — the
+fact table is never shuffled, only scanned. ``.std()`` in pandas is the
+SAMPLE stddev (ddof=1) → ``stddev_samp`` (SURVEY.md A8 trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+METHODS = ("zscore", "minmax", "log")
+
+
+def fit_scalers(
+    df: DataFrame, cols: list[str], method: str, by: list[str] = ("symbol",)
+) -> DataFrame:
+    """Compute scaler parameters per group: a small dimension DataFrame
+    with columns ``by* , __p1_<col>, __p2_<col>`` where (p1, p2) is
+    (mean, std) for zscore and (min, max) for minmax."""
+    if method not in METHODS:
+        raise ValueError(f"unknown method {method!r}; use one of {METHODS}")
+    by = [c for c in by if c in df.columns]
+    if method == "log":
+        # log1p is stateless; emit an empty param frame for API symmetry.
+        return df.select(*by).distinct()
+    aggs = []
+    for c in cols:
+        if method == "zscore":
+            aggs += [F.avg(c).alias(f"__p1_{c}"), F.stddev_samp(c).alias(f"__p2_{c}")]
+        else:
+            aggs += [F.min(c).alias(f"__p1_{c}"), F.max(c).alias(f"__p2_{c}")]
+    return df.groupBy(*by).agg(*aggs)
+
+
+def _with_params(df: DataFrame, scalers: DataFrame, by: list[str]) -> DataFrame:
+    by = [c for c in by if c in df.columns and c in scalers.columns]
+    return (
+        df.join(F.broadcast(scalers), on=by, how="left")
+        if by
+        else df.crossJoin(F.broadcast(scalers))
+    )
+
+
+def normalize(
+    df: DataFrame,
+    cols: list[str],
+    method: str = "zscore",
+    by: list[str] = ("symbol",),
+    scalers: DataFrame | None = None,
+) -> DataFrame:
+    """Normalize ``cols`` in place (``data_normalizer.py:43-63``).
+
+    zscore: (x−mean)/std; minmax: (x−min)/(max−min); log: log1p(x).
+    Pass a pre-fit ``scalers`` frame to reuse train-set parameters.
+    """
+    if method == "log":
+        return df.withColumns({c: F.log1p(F.col(c)) for c in cols})
+    scalers = scalers if scalers is not None else fit_scalers(df, cols, method, by)
+    out = _with_params(df, scalers, list(by))
+    updates = {}
+    for c in cols:
+        p1, p2 = F.col(f"__p1_{c}"), F.col(f"__p2_{c}")
+        if method == "zscore":
+            updates[c] = (F.col(c) - p1) / p2
+        else:
+            updates[c] = (F.col(c) - p1) / (p2 - p1)
+    out = out.withColumns(updates)
+    return out.drop(*[f"__p{i}_{c}" for c in cols for i in (1, 2)])
+
+
+def denormalize(
+    df: DataFrame,
+    cols: list[str],
+    scalers: DataFrame,
+    method: str = "zscore",
+    by: list[str] = ("symbol",),
+) -> DataFrame:
+    """Inverse transform (``data_normalizer.py:85-102``)."""
+    if method == "log":
+        return df.withColumns({c: F.expm1(F.col(c)) for c in cols})
+    out = _with_params(df, scalers, list(by))
+    updates = {}
+    for c in cols:
+        p1, p2 = F.col(f"__p1_{c}"), F.col(f"__p2_{c}")
+        if method == "zscore":
+            updates[c] = F.col(c) * p2 + p1
+        else:
+            updates[c] = F.col(c) * (p2 - p1) + p1
+    out = out.withColumns(updates)
+    return out.drop(*[f"__p{i}_{c}" for c in cols for i in (1, 2)])

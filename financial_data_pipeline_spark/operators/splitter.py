@@ -1,0 +1,144 @@
+"""Train/val/test splits + ML sliding windows (SURVEY.md §2.8 SP1–SP5, W9).
+
+Re-expresses ``DataSplitter`` (``src/data_etl/processing/data_splitter.py``).
+
+Scale note (SURVEY.md §7.4 item 4): chronological splits need a global
+row order. At fixture scale a global ``row_number`` window (single
+reduce partition) is fine; ``chronological_split`` therefore computes
+only the per-row rank lazily and the caller gets two filtered plans off
+one ranked base. The 100 TB path is a timestamp-quantile cutoff
+(``approx_percentile`` on the timestamp) — provided as
+``chronological_split_by_quantile`` — which needs no global sort at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ranked(df: DataFrame, ts: str) -> DataFrame:
+    w = Window.orderBy(F.col(ts).asc(), *[F.col(c) for c in df.columns if c != ts])
+    total = df.count()
+    return df.withColumn("__rn", F.row_number().over(w)), total
+
+
+def chronological_split(
+    df: DataFrame, test_size: float = 0.2, ts: str = "timestamp"
+) -> tuple[DataFrame, DataFrame]:
+    """SP1 (``data_splitter.py:32-64``): sort by ts; first
+    ``floor(n*(1-test_size))`` rows train, rest test."""
+    ranked, n = _ranked(df, ts)
+    n_train = int(n * (1 - test_size))
+    train = ranked.filter(F.col("__rn") <= n_train).drop("__rn")
+    test = ranked.filter(F.col("__rn") > n_train).drop("__rn")
+    return train, test
+
+
+def split_time_series(
+    df: DataFrame,
+    train_ratio: float = 0.7,
+    val_ratio: float = 0.15,
+    ts: str = "timestamp",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SP3 (``data_splitter.py:158-189``): chronological 3-way by row fraction."""
+    ranked, n = _ranked(df, ts)
+    n_train = int(n * train_ratio)
+    n_val = int(n * (train_ratio + val_ratio))
+    rn = F.col("__rn")
+    return (
+        ranked.filter(rn <= n_train).drop("__rn"),
+        ranked.filter((rn > n_train) & (rn <= n_val)).drop("__rn"),
+        ranked.filter(rn > n_val).drop("__rn"),
+    )
+
+
+def random_split(
+    df: DataFrame,
+    test_size: float = 0.2,
+    val_ratio: float = 0.0,
+    seed: int = 42,
+) -> tuple[DataFrame, ...]:
+    """SP2 (``data_splitter.py:66-72,112-156``).
+
+    The reference delegates to sklearn's shuffled split; Spark's
+    ``randomSplit`` is a different RNG, so parity is on the split
+    PROPERTIES (sizes within tolerance, disjointness, union = input) —
+    exactly what the reference's own tests assert. ``val_ratio`` follows
+    the reference's renormalization ``val/(1-test)``.
+    """
+    if val_ratio:
+        train_frac = (1 - test_size) * (1 - val_ratio)
+        val_frac = (1 - test_size) * val_ratio
+        return tuple(df.randomSplit([train_frac, val_frac, test_size], seed=seed))
+    return tuple(df.randomSplit([1 - test_size, test_size], seed=seed))
+
+
+def split_by_date(
+    df: DataFrame, split_date: str, ts: str = "timestamp"
+) -> tuple[DataFrame, DataFrame]:
+    """U2 (``data_splitter.py:82-110``): before/after a date; the
+    before-part is inclusive of the cutoff."""
+    c = F.col(ts)
+    return df.filter(c <= F.lit(split_date)), df.filter(c > F.lit(split_date))
+
+
+def split_by_time(
+    df: DataFrame, train_end: str, val_end: str, ts: str = "timestamp"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SP4 (``data_splitter.py:191-228``): date-cutoff 3-way, ends inclusive."""
+    c = F.col(ts)
+    return (
+        df.filter(c <= F.lit(train_end)),
+        df.filter((c > F.lit(train_end)) & (c <= F.lit(val_end))),
+        df.filter(c > F.lit(val_end)),
+    )
+
+
+def chronological_split_by_quantile(
+    df: DataFrame, test_size: float = 0.2, ts: str = "timestamp", accuracy: int = 10000
+) -> tuple[DataFrame, DataFrame]:
+    """Scale path for SP1: cut at the (1−test_size) timestamp quantile —
+    no global sort, one approx-percentile pass + two pushed-down filters."""
+    cutoff = df.select(
+        F.approx_percentile(F.unix_micros(F.col(ts)), F.lit(1 - test_size), F.lit(accuracy))
+    ).first()[0]
+    c = F.unix_micros(F.col(ts))
+    return df.filter(c <= cutoff), df.filter(c > cutoff)
+
+
+def sliding_windows(
+    df: DataFrame,
+    feature_cols: list[str],
+    window_size: int,
+    target_size: int = 1,
+    stride: int = 1,
+    by: list[str] = (),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """W9 / SP5 (``data_splitter.py:230-263``): strided (X, y) windows.
+
+    Output: one row per window start with ``x`` =
+    array of the next ``window_size`` feature-structs and ``y`` = the
+    following ``target_size`` structs. Distributed form: a forward
+    ``collect_list`` window + size filter + stride filter on the row
+    rank — no driver-side numpy striding.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts) if by else Window.orderBy(ts)
+    span = window_size + target_size
+    fwd = w.rowsBetween(0, span - 1)
+    feat = F.struct(*[F.col(c) for c in feature_cols])
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__span", F.collect_list(feat).over(fwd))
+        .filter(F.size("__span") == span)
+        .filter(((F.col("__rn") - 1) % stride) == 0)
+        .select(
+            *by,
+            F.col(ts).alias("window_start"),
+            F.slice("__span", 1, window_size).alias("x"),
+            F.slice("__span", window_size + 1, target_size).alias("y"),
+        )
+    )
+    return out

@@ -1,0 +1,174 @@
+"""Aggregations / statistics / quality metrics (SURVEY.md §2.4, §2.6).
+
+A3 symbol stats, A4 latest-timestamp cursor, A5 date range, A9 null
+counts, A10 interval mode, A11 weighted quality score, A13 group
+counts / greatest-per-group. All single-pass ``groupBy().agg`` plans
+with map-side partial aggregation; nothing here needs more than one
+shuffle on its grouping key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.schema import OHLCV_COLUMNS, PRICE_COLUMNS
+
+
+def symbol_stats(df: DataFrame, by: list[str] = ("symbol",)) -> DataFrame:
+    """Per-symbol summary (``timeseries_db.py:349-397``,
+    ``postgresql_storage.py:156-197``): count, first/last timestamp,
+    min/max/avg close, total volume."""
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("record_count"),
+        F.min("timestamp").alias("first_timestamp"),
+        F.max("timestamp").alias("last_timestamp"),
+        F.min("close").alias("min_close"),
+        F.max("close").alias("max_close"),
+        F.avg("close").alias("avg_close"),
+        F.sum("volume").alias("total_volume"),
+    )
+
+
+def latest_timestamp(df: DataFrame, symbol: str) -> "object":
+    """Incremental-ingest cursor (``timeseries_db.py:313-347``)."""
+    row = df.filter(F.col("symbol") == symbol).agg(F.max("timestamp")).first()
+    return row[0] if row else None
+
+
+def date_range(df: DataFrame, ts: str = "timestamp") -> tuple:
+    """Global min/max timestamp (``enhanced_metadata_manager.py:174-189``)."""
+    row = df.agg(F.min(ts), F.max(ts)).first()
+    return (row[0], row[1]) if row else (None, None)
+
+
+def null_counts(df: DataFrame, cols: list[str] | None = None) -> dict[str, int]:
+    """Per-column + total null counts in ONE pass (``data_cleaner.py:120,162``)."""
+    cols = cols or df.columns
+    row = df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
+    ).first()
+    out = {c: int(row[c] or 0) for c in cols}
+    out["__total__"] = sum(out.values())
+    return out
+
+
+def interval_mode(
+    df: DataFrame, by: list[str] = ("symbol",), ts: str = "timestamp"
+) -> DataFrame:
+    """Most common inter-row interval (seconds) + irregular count per
+    group (A10, ``data_cleaner.py:323-337``). Ties break on the smaller
+    interval (numpy ``argmax`` keeps the first of a sorted-unique array).
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    iv = (
+        df.withColumn(
+            "__iv", (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) / 1e6
+        )
+        .filter(F.col("__iv").isNotNull())
+    )
+    counts = iv.groupBy(*by, "__iv").count()
+    wmode = Window.partitionBy(*by).orderBy(F.desc("count"), F.asc("__iv"))
+    mode = (
+        counts.withColumn("__rn", F.row_number().over(wmode))
+        .filter(F.col("__rn") == 1)
+        .select(*by, F.col("__iv").alias("most_common_interval_seconds"))
+    )
+    return (
+        iv.join(F.broadcast(mode), on=by)
+        .groupBy(*by, "most_common_interval_seconds")
+        .agg(
+            F.sum(
+                (F.col("__iv") != F.col("most_common_interval_seconds")).cast("long")
+            ).alias("irregular_intervals")
+        )
+    )
+
+
+def quality_score_expr(expected_interval_seconds: int = 60) -> list[Column]:
+    """The four A11 component fractions (``data_validator.py:135-186``)
+    as aggregate expressions over a frame that already has ``__iv``
+    (interval seconds, null on each group's first row):
+
+    completeness (non-null fraction over OHLCV cells), OHLC validity,
+    temporal continuity (interval <= expected), positive volume.
+    """
+    cells = [F.col(c) for c in OHLCV_COLUMNS]
+    n = F.count(F.lit(1))
+    completeness = 1.0 - sum(
+        F.sum(c.isNull().cast("double")) for c in cells
+    ) / (n * len(cells))
+    h, l, o, c = (F.col(x) for x in ("high", "low", "open", "close"))
+    ohlc_valid = F.avg(
+        ((h >= l) & (o >= l) & (o <= h) & (c >= l) & (c <= h)).cast("double")
+    )
+    continuity = (
+        F.sum((F.col("__iv") <= expected_interval_seconds).cast("double")) / n
+    )
+    vol_valid = F.avg((F.col("volume") > 0).cast("double"))
+    return [
+        completeness.alias("completeness"),
+        ohlc_valid.alias("ohlc_valid"),
+        continuity.alias("temporal_continuity"),
+        vol_valid.alias("volume_valid"),
+        (
+            completeness * 0.3 + ohlc_valid * 0.3 + continuity * 0.2 + vol_valid * 0.2
+        ).alias("quality_score"),
+    ]
+
+
+def quality_score(
+    df: DataFrame,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+    expected_interval_seconds: int = 60,
+) -> DataFrame:
+    """Weighted quality score per group, weights .3/.3/.2/.2 (A11)."""
+    by = [c for c in list(by) if c in df.columns]
+    w = Window.partitionBy(*by).orderBy(ts)
+    with_iv = df.withColumn(
+        "__iv", (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) / 1e6
+    )
+    return with_iv.groupBy(*by).agg(*quality_score_expr(expected_interval_seconds))
+
+
+def greatest_per_group(
+    df: DataFrame, keys: list[str], order_col: str
+) -> DataFrame:
+    """Latest-row-per-group (A13 ``MAX(id) GROUP BY`` pattern,
+    ``metadata_db.py:517-530``) via a rank window — one shuffle."""
+    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def zero_extreme_counts(
+    df: DataFrame,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+    extreme_threshold: float = 0.2,
+) -> DataFrame:
+    """P11 report counters per group in one pass: zero-price rows, zero-
+    volume rows, extreme close-to-close moves (> threshold), time gaps
+    (> 6× median interval) (``data_cleaner.py:271-285,343-398``)."""
+    by = [c for c in list(by) if c in df.columns]
+    w = Window.partitionBy(*by).orderBy(ts)
+    iv = (F.unix_micros(F.col(ts)) - F.unix_micros(F.lag(ts).over(w))) / 1e6
+    chg = F.abs(F.col("close") / F.lag("close").over(w) - 1.0)
+    base = df.withColumns({"__iv": iv, "__chg": chg})
+    med = base.groupBy(*by).agg(F.median("__iv").alias("__med_iv"))
+    base = base.join(F.broadcast(med), on=by) if by else base.crossJoin(F.broadcast(med))
+    zero_price = F.greatest(*[(F.col(c) == 0).cast("int") for c in PRICE_COLUMNS])
+    return base.groupBy(*by).agg(
+        F.sum(zero_price.cast("long")).alias("zero_price_rows"),
+        F.sum((F.col("volume") == 0).cast("long")).alias("zero_volume_rows"),
+        F.sum((F.col("__chg") > extreme_threshold).cast("long")).alias(
+            "extreme_price_changes"
+        ),
+        F.sum((F.col("__iv") > 6 * F.col("__med_iv")).cast("long")).alias("time_gaps"),
+        F.count(F.lit(1)).alias("valid_records"),
+    )

@@ -1,0 +1,89 @@
+"""Sources (SURVEY.md §2.1 S5, S8, S11, S15).
+
+Thin, schema-enforcing readers. The reference's manual month-directory
+walk for archive retrieval (``data_storage_manager.py:147-254``) is
+replaced by Hive-partitioned parquet + Catalyst partition pruning: a
+filter on year/month/symbol prunes directories, a filter on timestamp
+prunes row groups via parquet min/max stats — no custom code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S8: parquet scan (filters/projection push down automatically)."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S5: CSV with declared schema (or header inference for fixtures)."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_archive(
+    spark: SparkSession,
+    root: str,
+    symbol: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """S11: archive retrieval with partition pruning.
+
+    The reference enumerates ``archives/{year}/{month:02d}/{symbol}/``
+    directories in the requested range by hand
+    (``data_storage_manager.py:175-199``); here the same layout is a
+    partitioned parquet dataset and Catalyst prunes partitions from the
+    year/month/symbol predicates derived from the timestamp range.
+    """
+    df = spark.read.parquet(root)
+    if symbol is not None:
+        df = df.filter(F.col("symbol") == symbol)
+    if start is not None:
+        s = F.lit(start).cast("timestamp")
+        df = df.filter(
+            (F.col("timestamp") >= s)
+            & (
+                (F.col("year") > F.year(s))
+                | ((F.col("year") == F.year(s)) & (F.col("month") >= F.month(s)))
+            )
+        )
+    if end is not None:
+        e = F.lit(end).cast("timestamp")
+        df = df.filter(
+            (F.col("timestamp") <= e)
+            & (
+                (F.col("year") < F.year(e))
+                | ((F.col("year") == F.year(e)) & (F.col("month") <= F.month(e)))
+            )
+        )
+    return df
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    predicates: list[str] | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """S15: JDBC scan; WHERE/LIMIT filters push down to the database."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    for p in predicates or []:
+        df = df.filter(p)
+    return df
