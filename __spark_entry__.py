@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (SURVEY.md §7.2 minimum E2E
+slice) at sf0.001; ``queries()`` / ``oracle_sql()`` expose the operator
+inventory with DuckDB oracle twins (see
+``financial_data_pipeline_spark/plans/driver_queries.py``).
 """
 
 from __future__ import annotations
@@ -15,24 +14,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: events ticks → hourly
+    OHLCV bars → validate/clean (repair mode) → per-symbol summary
+    stats over cleaned 1h bars (SURVEY.md §7.2)."""
+    from financial_data_pipeline_spark.operators import cleaning, stats
+    from financial_data_pipeline_spark.sources.adapters import events_as_ohlcv
+
+    bars = events_as_ohlcv(spark, "/root/testdata/sf0.001")
+    cleaned = cleaning.clean_ohlcv(bars, mode="repair", price_tolerance=0.05)
+    return stats.symbol_stats(cleaned)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from financial_data_pipeline_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -129,16 +129,20 @@ def drop_invalid_timestamps(df: DataFrame, ts: str = "timestamp") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _order_cols(order_by) -> list:
+    return [order_by] if isinstance(order_by, str) else list(order_by)
+
+
 def ffill(
     df: DataFrame,
     cols: list[str],
     partition_by: list[str] = ("symbol",),
-    order_by: str = "timestamp",
+    order_by="timestamp",
 ) -> DataFrame:
     """Forward-fill nulls (``fillna(method="ffill")``, ``data_cleaner.py:191-205``)."""
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(order_by)
+        .orderBy(*_order_cols(order_by))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in cols})
@@ -148,12 +152,12 @@ def bfill(
     df: DataFrame,
     cols: list[str],
     partition_by: list[str] = ("symbol",),
-    order_by: str = "timestamp",
+    order_by="timestamp",
 ) -> DataFrame:
     """Backward-fill nulls (``fillna(method="bfill")``)."""
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(order_by)
+        .orderBy(*_order_cols(order_by))
         .rowsBetween(0, Window.unboundedFollowing)
     )
     return df.withColumns({c: F.first(c, ignorenulls=True).over(w) for c in cols})

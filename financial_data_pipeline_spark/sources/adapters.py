@@ -29,7 +29,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000)))
+            # Integer `div`, not `/`: nanos ≈ 1.7e18 exceeds double's 2^53
+            # mantissa, so float division would be off by ±1 µs.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry in ``__spark_entry__`` against its
+``oracle_sql()`` twin via DuckDB at the given SF dir and compares
+row count + (sorted) schema + order-insensitive values. Exits nonzero
+on any mismatch. Usage::
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(name: str, sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(sp) != len(ora):
+        return [f"rowcount {len(sp)} vs {len(ora)}"]
+    if sorted(sp.columns) != sorted(ora.columns):
+        return [f"columns {sorted(sp.columns)} vs {sorted(ora.columns)}"]
+    a, b = canon(sp), canon(ora)
+    for c in a.columns:
+        av, bv = a[c].values, b[c].values
+        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(
+            b[c].dtype, np.floating
+        ):
+            ok = np.allclose(
+                av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True
+            )
+            if not ok:
+                d = np.abs(av.astype(float) - bv.astype(float))
+                errs.append(f"col {c}: maxdiff {np.nanmax(d)}")
+        else:
+            if not (av == bv).all():
+                i = int(np.argmax(av != bv))
+                errs.append(f"col {c}: first diff row {i}: {av[i]!r} vs {bv[i]!r}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entry
+    from financial_data_pipeline_spark import get_spark
+
+    spark = get_spark(shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sp = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sp)} rows")
+            continue
+        try:
+            ora = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"[FAIL] {name}: oracle error: {e}")
+            failures += 1
+            continue
+        errs = compare(name, sp, ora)
+        if errs:
+            print(f"[FAIL] {name}: " + "; ".join(errs))
+            failures += 1
+        else:
+            print(f"[OK]   {name}: {len(sp)} rows")
+    print(f"\n{len(qs)} queries, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
