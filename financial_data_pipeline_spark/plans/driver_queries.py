@@ -436,3 +436,422 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-function indicators (W1, W3, W5, W6) — SQL-expressible subset
+# ---------------------------------------------------------------------------
+
+_IND_WINDOW = """
+WINDOW w AS (PARTITION BY symbol ORDER BY timestamp),
+       w20 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "sma_bollinger",
+    BARS_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END, 6) AS sma_20,
+       round(CASE WHEN count(close) OVER w20 >= 20
+             THEN avg(close) OVER w20 + 2.0 * stddev_samp(close) OVER w20 END, 6) AS bb_upper,
+       round(CASE WHEN count(close) OVER w20 >= 20
+             THEN avg(close) OVER w20 - 2.0 * stddev_samp(close) OVER w20 END, 6) AS bb_lower
+FROM bars
+"""
+    + _IND_WINDOW,
+)
+def q_sma_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + W5: SMA(20) and Bollinger(20, 2σ) with pandas NaN-head."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    bb = indicators.bollinger("close", 20, 2.0)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.sma("close", 20), 6).alias("sma_20"),
+        F.round(bb["bb_upper"], 6).alias("bb_upper"),
+        F.round(bb["bb_lower"], 6).alias("bb_lower"),
+    )
+
+
+@query(
+    "rsi_14",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp) AS delta
+  FROM bars
+), gl AS (
+  SELECT symbol, timestamp,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+  FROM d
+), r AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(gain) OVER w14 >= 14 THEN avg(gain) OVER w14 END AS ag,
+         CASE WHEN count(loss) OVER w14 >= 14 THEN avg(loss) OVER w14 END AS al
+  FROM gl
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN al = 0 AND ag > 0 THEN 100.0
+                  WHEN al = 0 AND ag = 0 THEN NULL
+                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+FROM r
+""",
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: RSI(14) over rolling-mean gains/losses."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.rsi("close", 14), 6).alias("rsi"),
+    )
+
+
+@query(
+    "atr_14",
+    BARS_CTE
+    + """
+, tr AS (
+  SELECT symbol, timestamp,
+         greatest(high - low,
+                  abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(tr) OVER w14 >= 14 THEN avg(tr) OVER w14 END, 6) AS atr
+FROM tr
+WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: ATR(14); `greatest` ignores nulls in both engines, so the
+    first row's true range falls back to high−low."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.atr(14), 6).alias("atr"),
+    )
+
+
+@query("ema_macd")  # recursive ewm — not SQL-expressible; rows-only check
+def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 + W4: exact ewm(adjust=False) EMA(12/26) + MACD via the
+    grouped-map pandas-UDF kernel. Verified against pandas in
+    tests/test_indicators.py; the driver records a rows-only check."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.with_macd(indicators.with_ema(bars))
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("ema_12", 6).alias("ema_12"),
+        F.round("ema_26", 6).alias("ema_26"),
+        F.round("macd", 6).alias("macd"),
+        F.round("macd_signal", 6).alias("macd_signal"),
+        F.round("macd_hist", 6).alias("macd_hist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / greatest-per-group (O2, A13, A4, A5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_orders",
+    """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: ORDER BY … DESC LIMIT n — Spark executes as TakeOrdered
+    (top-k per partition + merge, no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "latest_per_customer",
+    """
+SELECT o_custkey, o_orderkey AS latest_orderkey, epoch_us(o_orderdate) AS latest_order_us
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+""",
+)
+def q_latest_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 greatest-per-group (`MAX(id) GROUP BY` pattern) via rank window."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.unix_micros("o_orderdate").alias("latest_order_us"),
+        )
+    )
+
+
+@query(
+    "latest_timestamp",
+    """
+SELECT event_type AS symbol, epoch_us(max(ts)) AS latest_ts_us
+FROM events GROUP BY 1
+""",
+)
+def q_latest_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: incremental-ingest cursor (max ts per symbol)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.unix_micros(F.max("ts")).alias("latest_ts_us")
+    )
+
+
+@query(
+    "date_range_null_counts",
+    """
+SELECT epoch_us(min(ts)) AS min_ts_us, epoch_us(max(ts)) AS max_ts_us,
+       sum((value IS NULL)::INT)::BIGINT AS null_values,
+       sum((props IS NULL)::INT)::BIGINT AS null_props,
+       count(*) AS total_rows
+FROM events
+""",
+)
+def q_date_range_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + A9: global date range and null counters in one agg pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Splits (SP1, SP4) + volume profile (A12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chronological_split",
+    BARS_CTE
+    + """
+, ranked AS (
+  SELECT symbol, timestamp, close,
+         row_number() OVER (ORDER BY timestamp, symbol) AS rn,
+         count(*) OVER () AS n
+  FROM bars
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us, close,
+       CASE WHEN rn <= (n * 0.8)::BIGINT THEN 'train' ELSE 'test' END AS split
+FROM ranked
+""",
+)
+def q_chronological_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP1: 80/20 chronological split (global order by (ts, symbol));
+    emitted as a split-label column so one result covers both halves."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    n = bars.count()
+    w = Window.orderBy("timestamp", "symbol")
+    return (
+        bars.withColumn("__rn", F.row_number().over(w))
+        .select(
+            "symbol",
+            _ts_us().alias("ts_us"),
+            "close",
+            F.when(F.col("__rn") <= int(n * 0.8), F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+
+
+@query(
+    "split_by_time",
+    BARS_CTE
+    + """
+SELECT CASE WHEN timestamp <= TIMESTAMP '2024-01-10 00:00:00' THEN 'train'
+            WHEN timestamp <= TIMESTAMP '2024-01-20 00:00:00' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS rows,
+       round(sum(volume), 4) AS total_volume
+FROM bars GROUP BY 1
+""",
+)
+def q_split_by_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP4: date-cutoff 3-way split (inclusive ends), summarized."""
+    from financial_data_pipeline_spark.operators.splitter import split_by_time
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    tr, va, te = split_by_time(bars, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    parts = [
+        tr.withColumn("split", F.lit("train")),
+        va.withColumn("split", F.lit("val")),
+        te.withColumn("split", F.lit("test")),
+    ]
+    un = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return un.groupBy("split").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("volume"), 4).alias("total_volume"),
+    )
+
+
+@query(
+    "volume_profile",
+    """
+WITH rng AS (
+  SELECT min(l_extendedprice) AS pmin, max(l_extendedprice) AS pmax FROM lineitem
+), b AS (
+  SELECT least(99, floor((l_extendedprice - rng.pmin) / ((rng.pmax - rng.pmin) / 100))::INT) AS bucket,
+         l_quantity, rng.pmin, (rng.pmax - rng.pmin) / 100 AS w
+  FROM lineitem, rng
+)
+SELECT (pmin + (bucket + 0.5) * w) AS price_level, round(sum(l_quantity), 4) AS volume
+FROM b GROUP BY bucket, pmin, w
+""",
+)
+def q_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: volume-weighted price histogram (100 bins) on lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = indicators.volume_profile(li, "l_extendedprice", "l_quantity", bins=100)
+    return out.select("price_level", F.round("volume", 4).alias("volume"))
+
+
+# ---------------------------------------------------------------------------
+# Joins + classic aggs on the TPC-H-ish star (J1 shape, scale proof)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical wide-agg scale benchmark; predicate
+    pushes to the parquet scan, agg is map-side partial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "revenue_by_nation",
+    """
+SELECT n.n_name AS nation, r.r_name AS region,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS order_count
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+""",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shaped dimension joins: fact ⋈ customer ⋈ nation ⋈ region with
+    explicit broadcast of the small dims (no fact shuffle for the join)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+@query(
+    "lineage_join",
+    """
+SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
+       c.c_name AS customer_name, s.s_name AS supplier_name,
+       round(l.l_extendedprice * (1 - l.l_discount), 4) AS net_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE o.o_orderstatus = 'F' AND l.l_quantity > 45
+""",
+)
+def q_lineage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: multi-hop equi-join lineage walk (lineitem→orders→customer,
+    lineitem→supplier), selective predicates pushed below the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .join(o.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("c_name").alias("customer_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("net_price"),
+        )
+    )

@@ -28,10 +28,18 @@ TS_COLUMNS: dict[str, list[str]] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
             # Integer `div`, not `/`: nanos ≈ 1.7e18 exceeds double's 2^53
             # mantissa, so float division would be off by ±1 µs.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # µs-precision files read as NTZ; session TZ is UTC so the
+            # cast is a wall-clock identity, and downstream unix_micros
+            # (which rejects NTZ) works uniformly.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
