@@ -1,0 +1,300 @@
+"""Document deduplication at scale (beyond-reference scope).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection over
+a document corpus — the core LLM training-data pipeline operators the
+north star adds on top of the reference's surface.
+
+Design for 100 TB:
+
+- Everything is expressed with JVM-side built-ins (split / explode /
+  aggregate / groupBy) — no Python UDFs, so the hot path stays in
+  whole-stage codegen and Tungsten.
+- Hashes are md5-prefix based (``_hash60``): deterministic, portable to
+  the DuckDB oracle, and uniformly distributed. (At pure-throughput
+  scale ``xxhash64`` is the faster choice; md5 keeps the correctness
+  gate cross-engine — swap via ``hash_fn`` if oracle parity is not
+  needed.)
+- MinHash+LSH is the scale path: candidate generation touches only
+  (doc, band) pairs — the O(n²) document self-join never materializes.
+  The n-gram-Jaccard verifier runs only on LSH candidates (or small
+  corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: int(md5(x)[:15], 16).
+
+    DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (contiguous token n-grams)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
+    )
+    return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id document per exact content hash.
+
+    One shuffle on the 60-bit content hash (not the full text — at
+    100 TB the shuffle payload is the id + 8-byte key).
+    """
+    h = _hash60(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return keep
+
+
+def exact_dedup_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Return df minus exact duplicates (keeps lowest id per hash)."""
+    keep = exact_dedup(df, text_col, id_col).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_perm: int = 16, k: int = 3) -> Column:
+    """num_perm-wide MinHash signature over k-shingles.
+
+    Permutation i is simulated by hashing ``i || '|' || shingle``; the
+    signature element is the min over shingles — computed with the
+    ``transform``/``array_min`` higher-order functions, fully JVM-side.
+    """
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s, i=i: _hash60(F.concat(F.lit(f"{i}|"), s))
+                )
+            ).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH (id_a < id_b).
+
+    rows_per_band = num_perm // bands; two docs are candidates iff some
+    band of their signatures matches exactly. The join is on the band
+    bucket key — shuffle size O(n · bands), never O(n²).
+    """
+    rows = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, k)
+    with_sig = df.select(F.col(id_col), sig.alias("sig"))
+    band_rows = with_sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.slice("sig", b * rows + 1, rows)[r].cast("string") for r in range(rows)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verifier / small-corpus path)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    Without ``candidates``: blocked self-join on shared shingles (the
+    inverted-index trick — only docs sharing ≥1 shingle ever meet).
+    With ``candidates`` (e.g. from LSH): verifies only those pairs.
+    Output: id_a, id_b, jaccard (rounded 6).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 60) -> Column:
+    """SimHash (≤60 bits, from the 60-bit token hash) over tokens.
+
+    Per bit b: sign of Σ_tokens (±1 by token-hash bit b). Bit shifts
+    must be literal in Spark, so the per-bit counter is an ``aggregate``
+    higher-order fold per bit — `bits` scans of the in-row token array,
+    no shuffle, still whole-stage codegen. (Alternative at extreme doc
+    lengths: explode tokens + one groupBy with `bits` conditional sums.)
+    """
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: _hash60(t))
+
+    def bit_fold(i: int):
+        # closure (not a default arg): PySpark passes an index column to
+        # lambdas with >2 params, which would clobber `i`.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) != 0, 1
+        ).otherwise(-1)
+
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        counter = F.aggregate(th, F.lit(0), bit_fold(i))
+        fp = fp.bitwiseOR(
+            F.when(counter > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 60,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on 4 16-bit chunks of the fingerprint (a pair
+    within distance ≤3 must agree on ≥1 chunk — pigeonhole), then
+    verify with ``bit_count(xor)``. Avoids the O(n²) join.
+    """
+    fp = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("fp"))
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("fp", i * 15)
+                        .bitwiseAND(F.lit((1 << 15) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "fp", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,160 @@
+"""Text analysis for LLM training-data pipelines (beyond-reference scope).
+
+The reference has no text operators; these are the standard large-scale
+corpus-prep primitives (language ID, quality scoring, token counting,
+fingerprinting) the north star asks for, built entirely on JVM-side
+``pyspark.sql.functions`` — no Python UDFs in any hot path, so every
+expression stays inside whole-stage codegen and scales linearly with
+partitions.
+
+Runs against the driver ``documents`` table
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Deliberately small + deterministic so the
+# DuckDB oracle can replicate them verbatim.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+# A BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+ENGLISH_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+]
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count; empty/blank text → 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via the word/number/symbol regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def word_count_marker(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whitespace-delimited token."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    # (len(s) - len(replace(s, needle, ''))) / len(needle) counts
+    # non-overlapping occurrences — portable to any SQL engine.
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit score per language (the n-gram heuristic)."""
+    return {
+        lang: sum(word_count_marker(text, w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: Column) -> Column:
+    """argmax of language_scores; ties and zero-hits → 'und'.
+
+    Deterministic tiebreak: language name ascending among max scores.
+    """
+    scores = language_scores(text)
+    langs = sorted(scores)
+    # struct compare: score first, then priority (higher = alphabetically
+    # earlier) so ties resolve to the first language in sorted order —
+    # same as an ordered SQL CASE chain.
+    pairs = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("score"),
+                F.lit(len(langs) - 1 - i).alias("pri"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: lengths, token counts, punctuation /
+    digit / uppercase / stopword ratios, mean word length.
+
+    All ratios are over character or token counts as appropriate;
+    denominators guarded against zero (empty docs score 0).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count_ws(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    n_stop = sum(word_count_marker(t, w) for w in ENGLISH_STOPWORDS)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    return df.withColumns(
+        {
+            "n_chars_computed": n_chars,
+            "n_tokens": n_tokens,
+            "n_tokens_bpe": token_count_bpe(t),
+            "punct_ratio": n_punct / safe_chars,
+            "digit_ratio": n_digit / safe_chars,
+            "upper_ratio": n_upper / safe_chars,
+            "stopword_ratio": n_stop / safe_tokens,
+            "mean_word_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: rewards stopword presence and
+    moderate length; penalizes punctuation/digit excess. Weights are
+    fixed and documented so the oracle can reproduce them."""
+    df = quality_features(df, text_col)
+    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 4.0)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") * 4.0)
+    return df.withColumn(
+        "quality",
+        len_score * 0.3 + stop_score * 0.3 + punct_pen * 0.2 + digit_pen * 0.2,
+    )
+
+
+FINGERPRINT_MOD = 2147483647  # 2^31 − 1: keeps h*31 + tok < 2^63 in any engine
+
+
+def doc_fingerprint(text: Column, mod: int = FINGERPRINT_MOD) -> Column:
+    """Polynomial rolling hash over whitespace tokens (document
+    fingerprint): fold(h = (h*31 + md5_60(token) % mod) % mod).
+
+    Uses ``aggregate`` (higher-order fn, JVM-side) over the token array
+    — no UDF. The md5-prefix token hash and the small modulus keep the
+    arithmetic portable (no int64 overflow, identical in DuckDB:
+    ``list_reduce`` with the same fold).
+    """
+    tokens = F.split(F.trim(text), r"\s+")
+    tok_hash = lambda x: (
+        F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long") % F.lit(mod)
+    )
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(31) + tok_hash(x)) % F.lit(mod),
+    )

@@ -855,3 +855,281 @@ def q_lineage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("net_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: text analysis (beyond-reference; north star)
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment counting whitespace-delimited occurrences of a marker
+# word — the replace-length trick, identical to text.word_count_marker.
+def _sql_count_word(w: str) -> str:
+    pad = f"(' ' || lower(text) || ' ')"
+    return (
+        f"((length({pad}) - length(replace({pad}, ' {w} ', ''))) / {len(w) + 2})::INT"
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    from financial_data_pipeline_spark.operators.text import LANG_MARKERS
+
+    return " + ".join(_sql_count_word(w) for w in LANG_MARKERS[lang])
+
+
+def _lang_detect_sql() -> str:
+    from financial_data_pipeline_spark.operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(f"{_sql_lang_score(la)} AS s_{la}" for la in langs)
+    m = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN s_{la} = m THEN '{la}'" for la in langs)
+    return f"""
+WITH sc AS (SELECT doc_id, lang, {scores} FROM documents),
+mx AS (SELECT *, {m} AS m FROM sc)
+SELECT doc_id, lang AS lang_actual,
+       CASE WHEN m <= 0 THEN 'und' {case} END AS lang_pred
+FROM mx
+"""
+
+
+@query(
+    "text_stats",
+    r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         ("""
+    + " + ".join(
+        "((length((' ' || lower(text) || ' ')) - length(replace((' ' || lower(text) || ' '), ' %s ', ''))) / %d)::INT"
+        % (w, len(w) + 2)
+        for w in [
+            "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+        ]
+    )
+    + r""") AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_tokens_bpe,
+       round(n_punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+       round(n_digit / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
+       round(n_stop / greatest(n_tokens, 1)::DOUBLE, 6) AS stopword_ratio,
+       round(least(n_tokens / 64.0, 1.0) * 0.3
+             + least((n_stop / greatest(n_tokens, 1)::DOUBLE) * 4.0, 1.0) * 0.3
+             + greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1)::DOUBLE) * 4.0) * 0.2
+             + greatest(0.0, 1.0 - (n_digit / greatest(n_chars, 1)::DOUBLE) * 4.0) * 0.2, 6) AS quality
+FROM t
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token counts (whitespace + BPE-ish regex),
+    punctuation/digit/stopword ratios, composite quality score."""
+    from financial_data_pipeline_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quality_score(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+    )
+
+
+@query("lang_detect", _lang_detect_sql())
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via per-language stopword-marker scoring with a
+    deterministic alphabetical tiebreak."""
+    from financial_data_pipeline_spark.operators.text import detect_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        detect_language(F.col("text")).alias("lang_pred"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [ (('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)
+             for t in regexp_split_to_array(trim(text), '\s+') ]),
+         (acc, x) -> (acc * 31 + x) % 2147483647
+       ) AS fingerprint
+FROM documents
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (portable md5-based)."""
+    from financial_data_pipeline_spark.operators.text import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: deduplication (beyond-reference; north star)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup",
+    """
+SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash,
+       min(doc_id) AS doc_id,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy keeping the lowest doc_id."""
+    from financial_data_pipeline_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("content_hash", "doc_id", "dup_count")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    r"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (x.sz + y.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE i / (x.sz + y.sz - i)::DOUBLE >= 0.5
+""",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs (≥0.5) via the inverted-index
+    blocked self-join."""
+    from financial_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+@query("minhash_lsh_pairs")  # rows-only: verified vs jaccard in pytest
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8-band LSH candidates, verified with exact Jaccard
+    ≥0.5 — the 100 TB dedup path (candidates O(n·bands), not O(n²))."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = lsh_candidates(docs, num_perm=16, bands=8)
+    return jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+
+
+@query("simhash_pairs")  # rows-only: bit-level fold checked in pytest
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) with 16-bit-chunk blocking."""
+    from financial_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: similarity search (beyond-reference; north star)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+@query(
+    "embedding_topk",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
+LIMIT 10
+""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (exact ANN baseline)."""
+    from financial_data_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query(
+    "embedding_pairs",
+    """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+""",
+)
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pair join (cosine ≥ 0.45)."""
+    from financial_data_pipeline_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.45)
+
+
+@query("ivf_topk")  # rows-only: recall vs brute force asserted in pytest
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label-partition centroids, probe 3 cells, exact search
+    within — the pruned-scan scale path."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb)
+    return ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=10, nprobe=3)
+
+
+@query("multimodal_features")  # rows-only: stubbed decode (no codecs here)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text payloads as binary media columns →
+    typed metadata struct → Arrow-batched mapInPandas feature decode
+    (deterministic fake decoder; see operators.multimodal)."""
+    from financial_data_pipeline_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    meta = attach_media_meta(docs)
+    feats = decode_features(meta)
+    return feats.join(
+        meta.select("doc_id", F.col("media_meta.size_bytes").alias("size_bytes")),
+        "doc_id",
+    ).select("doc_id", "size_bytes", "decode_ok", F.round(F.element_at("features", 1), 6).alias("f0"))
