@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced with the noop sink (computes the full result,
+no collect/transfer cost). A warmup query amortizes JVM/session start
+out of the per-query numbers; total excludes session startup too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Heavy-path representative subset of the driver-contract inventory.
+HEADLINE = [
+    "ohlcv_bars",
+    "symbol_stats",
+    "resample_4h_filled",
+    "sma_bollinger",
+    "rsi_14",
+    "atr_14",
+    "ema_macd",
+    "dedup_keep_first",
+    "ffill_impute",
+    "iqr_clip",
+    "normalize_zscore",
+    "quality_score",
+    "chronological_split",
+    "volume_profile",
+    "pricing_summary",
+    "revenue_by_nation",
+    "lineage_join",
+    "top_orders",
+    "text_stats",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "embedding_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from financial_data_pipeline_spark import get_spark
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    spark = get_spark(app_name="fdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("symbol_stats")  # warmup: JIT + parquet footer cache
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        per_query[name] = round(run(name), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

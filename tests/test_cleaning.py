@@ -1,0 +1,96 @@
+"""Cleaning-suite invariants + pandas differential checks
+(reference test model: ``tests/units/test_data_processor.py``)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from financial_data_pipeline_spark.operators import cleaning
+
+
+def test_lowercase_and_require(spark):
+    df = spark.createDataFrame([(1.0,)], ["CLOSE"])
+    out = cleaning.lowercase_columns(df)
+    assert out.columns == ["close"]
+
+
+def test_dedup_keep_first_deterministic(spark):
+    rows = [("A", 1, 10.0), ("A", 1, 20.0), ("A", 2, 30.0), ("B", 1, 40.0)]
+    df = spark.createDataFrame(rows, ["symbol", "ts", "v"])
+    out = cleaning.dedup_keep_first(df, keys=["symbol", "ts"], order_by=["ts", "v"])
+    got = {(r.symbol, r.ts): r.v for r in out.collect()}
+    # keep-first by (ts, v): the 10.0 row wins over 20.0
+    assert got == {("A", 1): 10.0, ("A", 2): 30.0, ("B", 1): 40.0}
+
+
+def test_clean_ohlcv_repair_removes_all_defects(spark, dirty_pdf):
+    df = spark.createDataFrame(dirty_pdf)
+    out = cleaning.clean_ohlcv(df, mode="repair", price_tolerance=0.0).toPandas()
+    # no duplicate keys
+    assert not out.duplicated(subset=["symbol", "timestamp"]).any()
+    # no nulls in OHLCV after impute
+    assert out[["open", "high", "low", "close", "volume"]].notna().all().all()
+    # no negatives
+    assert (out[["open", "high", "low", "close", "volume"]] >= 0).all().all()
+    # OHLC consistency repaired
+    assert (out.high >= out[["open", "close", "low"]].max(axis=1) - 1e-9).all()
+    assert (out.low <= out[["open", "close", "high"]].min(axis=1) + 1e-9).all()
+    # time features added with pandas dayofweek encoding
+    assert (out.day_of_week == out.timestamp.dt.dayofweek).all()
+    assert (out.hour == out.timestamp.dt.hour).all()
+
+
+def test_clean_ohlcv_strict_drops(spark, dirty_pdf):
+    df = spark.createDataFrame(dirty_pdf)
+    out = cleaning.clean_ohlcv(df, mode="strict").toPandas()
+    assert (out.high >= out.low).all()
+    assert (out[["open", "high", "low", "close"]] > 0).all().all()
+    assert (out.volume >= 0).all()
+
+
+def test_iqr_clip_matches_pandas(spark, ohlcv_pdf):
+    pdf = ohlcv_pdf[ohlcv_pdf.symbol == "BTCUSDT"].copy()
+    # inject outliers
+    pdf.loc[pdf.index[:5], "close"] = 1e6
+    df = spark.createDataFrame(pdf)
+    got = (
+        cleaning.iqr_clip(df, cols=["close"], factor=1.5)
+        .orderBy("timestamp")
+        .toPandas()["close"]
+        .values
+    )
+    q1, q3 = pdf["close"].quantile(0.25), pdf["close"].quantile(0.75)
+    iqr = q3 - q1
+    want = pdf.sort_values("timestamp")["close"].clip(
+        q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    ).values
+    assert np.allclose(got, want, rtol=1e-12)
+
+
+def test_impute_ffill_bfill(spark):
+    rows = [
+        ("A", 1, None), ("A", 2, 5.0), ("A", 3, None), ("A", 4, 7.0), ("A", 5, None),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+    out = (
+        cleaning.impute_ffill_bfill(df, cols=["close"])
+        .orderBy("timestamp")
+        .toPandas()["close"]
+        .tolist()
+    )
+    assert out == [5.0, 5.0, 5.0, 7.0, 7.0]
+
+
+def test_coerce_numeric_junk_to_null(spark):
+    df = spark.createDataFrame([("1.5",), ("junk",), ("2",)], ["close"])
+    out = cleaning.coerce_numeric(df, ["close"]).toPandas()["close"]
+    assert out[0] == 1.5 and np.isnan(out[1]) and out[2] == 2.0
+
+
+def test_normalize_timestamp_epoch_and_iso(spark):
+    df = spark.createDataFrame(
+        [("1704067200",), ("2024-01-01 00:00:00",), ("garbage",)], ["timestamp"]
+    )
+    out = cleaning.normalize_timestamp(df, epoch_unit="s").toPandas()["timestamp"]
+    assert str(out[0]) == "2024-01-01 00:00:00"
+    assert str(out[1]) == "2024-01-01 00:00:00"
+    assert out[2] is None or str(out[2]) == "NaT"

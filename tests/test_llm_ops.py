@@ -1,0 +1,187 @@
+"""LLM-data operator tests: dedup recall, ANN recall, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from financial_data_pipeline_spark.operators import dedup, similarity, text
+from financial_data_pipeline_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_features,
+    frame_sample,
+)
+from financial_data_pipeline_spark.sources.adapters import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.dup_count for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_count(spark):
+    df = spark.createDataFrame([("a b c d e",)], ["text"])
+    out = df.select(dedup.shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert out == ["a b c", "b c d", "c d e"]
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
+    """LSH candidates must recover (here: all) true near-dup pairs."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    cand = dedup.lsh_candidates(docs, num_perm=16, bands=8)
+    via_lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(
+            docs, k=3, threshold=0.5, candidates=cand
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup documents"
+    recall = len(via_lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again!"),
+            (3, "completely different words about spark query engines at scale"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", dedup.simhash(F.col("text")).alias("fp")).collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+
+
+def test_brute_force_topk_self_first(spark, emb):
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = similarity.brute_force_topk(emb, q, k=5).collect()
+    assert top[0].vec_id == 0
+    assert abs(top[0].cos_sim - 1.0) < 1e-6
+    sims = [r.cos_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    brute = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    cents = similarity.ivf_build_centroids(emb)
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(emb, cents, q, k=10, nprobe=3).collect()
+    ]
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.5, f"IVF nprobe=3 recall {recall}"
+
+
+def test_cosine_matches_numpy(spark, emb):
+    rows = emb.orderBy("vec_id").limit(2).collect()
+    a = np.array(rows[0]["embedding"], dtype=np.float64)
+    b = np.array(rows[1]["embedding"], dtype=np.float64)
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    got = (
+        spark.createDataFrame(
+            [(rows[0]["embedding"], rows[1]["embedding"])], ["a", "b"]
+        )
+        .select(similarity.cosine(F.col("a"), F.col("b")).alias("c"))
+        .first()["c"]
+    )
+    assert abs(got - want) < 1e-9
+
+
+def test_token_counts_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, ""), (3, "12 foo-bar!")],
+        ["doc_id", "text"],
+    )
+    out = text.quality_score(df).orderBy("doc_id").toPandas()
+    assert out["n_tokens"].tolist() == [6, 0, 2]
+    # "12 foo-bar!" → [12][foo][-][bar][!]
+    assert out["n_tokens_bpe"].tolist()[2] == 5
+    assert out["quality"].between(0, 1).all()
+    assert out.loc[0, "stopword_ratio"] == pytest.approx(2 / 6)
+
+
+def test_detect_language_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "el perro y la casa de que y el"),
+            (3, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id", text.detect_language(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "es", 3: "und"}
+
+
+def test_doc_fingerprint_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", text.doc_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_decode_plumbing(spark, docs):
+    media = docs.withColumn("payload", F.encode("text", "UTF-8"))
+    meta = attach_media_meta(media)
+    r = meta.select("media_meta.*").first()
+    assert r.media_type == "image" and r.size_bytes > 0
+    feats = decode_features(meta, n_features=8).toPandas()
+    assert len(feats) == docs.count()
+    assert all(len(f) == 8 for f in feats["features"])
+    assert feats["decode_ok"].all()
+    # deterministic: same payload → same features
+    f2 = decode_features(meta, n_features=8).toPandas()
+    merged = feats.merge(f2, on="doc_id")
+    assert all(
+        list(a) == list(b) for a, b in zip(merged["features_x"], merged["features_y"])
+    )
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    media = docs.limit(2).withColumn("payload", F.encode("text", "UTF-8"))
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_features(media, fake=False).collect()
+
+
+def test_frame_sample_calendar(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xx"), 3500)], ["doc_id", "payload", "duration_ms"]
+    )
+    out = frame_sample(df, every_ms=1000).toPandas()
+    assert out["frame_ms"].tolist() == [0, 1000, 2000, 3000]

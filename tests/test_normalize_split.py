@@ -1,0 +1,83 @@
+"""Normalizer round-trips and split invariants
+(reference model: ``tests/units/test_processing.py:28-70``,
+``tests/units/test_data_splitter.py``)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from financial_data_pipeline_spark.operators import normalize, splitter
+
+
+def test_zscore_mean0_std1(spark, ohlcv_df):
+    out = normalize.normalize(ohlcv_df, ["close"], "zscore")
+    agg = out.groupBy("symbol").agg(
+        F.avg("close").alias("mu"), F.stddev_samp("close").alias("sd")
+    )
+    for r in agg.collect():
+        assert abs(r.mu) < 1e-9
+        assert abs(r.sd - 1.0) < 1e-9
+
+
+def test_minmax_in_unit_interval(spark, ohlcv_df):
+    out = normalize.normalize(ohlcv_df, ["close"], "minmax")
+    r = out.agg(F.min("close"), F.max("close")).first()
+    assert r[0] == 0.0 and r[1] == 1.0
+
+
+@pytest.mark.parametrize("method", ["zscore", "minmax", "log"])
+def test_roundtrip_denormalize(spark, ohlcv_df, method):
+    scalers = normalize.fit_scalers(ohlcv_df, ["close", "volume"], method)
+    nz = normalize.normalize(
+        ohlcv_df, ["close", "volume"], method, scalers=scalers
+    )
+    back = normalize.denormalize(nz, ["close", "volume"], scalers, method)
+    a = ohlcv_df.orderBy("symbol", "timestamp").toPandas()
+    b = back.orderBy("symbol", "timestamp").toPandas()
+    assert np.allclose(a["close"], b["close"], rtol=1e-10)
+    assert np.allclose(a["volume"], b["volume"], rtol=1e-10)
+
+
+def test_chronological_split_sizes_and_order(spark, ohlcv_df):
+    train, test = splitter.chronological_split(ohlcv_df, test_size=0.25)
+    n, ntr, nte = ohlcv_df.count(), train.count(), test.count()
+    assert ntr + nte == n
+    assert ntr == int(n * 0.75)
+    assert train.agg(F.max("timestamp")).first()[0] <= test.agg(
+        F.min("timestamp")
+    ).first()[0]
+
+
+def test_split_time_series_three_way(spark, ohlcv_df):
+    tr, va, te = splitter.split_time_series(ohlcv_df, 0.7, 0.15)
+    n = ohlcv_df.count()
+    assert tr.count() + va.count() + te.count() == n
+    assert tr.count() == int(n * 0.7)
+
+
+def test_random_split_properties(spark, ohlcv_df):
+    tr, te = splitter.random_split(ohlcv_df, test_size=0.2, seed=42)
+    n, ntr, nte = ohlcv_df.count(), tr.count(), te.count()
+    assert ntr + nte == n
+    assert abs(nte / n - 0.2) < 0.05  # size tolerance, not membership (SP2)
+
+
+def test_split_by_time_inclusive_bounds(spark, ohlcv_df):
+    tr, va, te = splitter.split_by_time(
+        ohlcv_df, "2025-01-01 12:00:00", "2025-01-02 00:00:00"
+    )
+    assert tr.count() + va.count() + te.count() == ohlcv_df.count()
+    assert tr.agg(F.max("timestamp")).first()[0].isoformat() <= "2025-01-01T12:00:00"
+    assert va.filter(F.col("timestamp") <= "2025-01-01 12:00:00").count() == 0
+
+
+def test_sliding_windows_shapes(spark, ohlcv_df):
+    df = ohlcv_df.filter("symbol = 'BTCUSDT'").limit(100)
+    out = splitter.sliding_windows(
+        df, ["close", "volume"], window_size=10, target_size=2, stride=3
+    ).toPandas()
+    n = 100
+    expected = len([i for i in range(0, n - 12 + 1) if i % 3 == 0])
+    assert len(out) == expected
+    assert all(len(x) == 10 for x in out["x"])
+    assert all(len(y) == 2 for y in out["y"])

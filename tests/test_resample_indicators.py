@@ -1,0 +1,136 @@
+"""Resample + indicator parity vs pandas reference semantics
+(reference model: ``tests/units/test_processing.py:73-174``)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from financial_data_pipeline_spark.operators import indicators, resample
+
+
+def _pandas_resample(pdf: pd.DataFrame, freq: str) -> pd.DataFrame:
+    out = (
+        pdf.set_index("timestamp")
+        .groupby("symbol")
+        .resample(freq)
+        .agg(
+            {
+                "open": "first",
+                "high": "max",
+                "low": "min",
+                "close": "last",
+                "volume": "sum",
+            }
+        )
+    )
+    # reference ffills after resample (timeframe_aggregator.py:76-77)
+    out = out.groupby("symbol").ffill()
+    return out.reset_index()
+
+
+@pytest.mark.parametrize("tf,freq", [("5m", "5min"), ("1h", "1h"), ("1d", "1D")])
+def test_resample_matches_pandas(spark, ohlcv_pdf, tf, freq):
+    # drop a block of rows to create gaps (tests the calendar fill)
+    pdf = ohlcv_pdf.drop(ohlcv_pdf.index[500:700]).reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    got = (
+        resample.resample_ohlcv(df, tf, fill_gaps=True)
+        .orderBy("symbol", "bucket_ts")
+        .toPandas()
+    )
+    want = _pandas_resample(pdf, freq).sort_values(["symbol", "timestamp"])
+    assert len(got) == len(want)
+    for c in ["open", "high", "low", "close", "volume"]:
+        assert np.allclose(
+            got[c].values, want[c].values, rtol=1e-12, equal_nan=True
+        ), c
+    assert (got["bucket_ts"].values == want["timestamp"].values).all()
+
+
+def test_resample_validates_timeframe(spark, ohlcv_df):
+    with pytest.raises(ValueError, match="Invalid timeframe"):
+        resample.resample_ohlcv(ohlcv_df, "42x")
+
+
+def test_resample_ohlc_invariants(spark, ohlcv_df):
+    out = resample.resample_ohlcv(ohlcv_df, "1h").toPandas()
+    assert (out.high >= out.low).all()
+    assert (out.high >= out.open).all() and (out.high >= out.close).all()
+
+
+def test_multi_timeframe_row_monotonicity(spark, ohlcv_df):
+    outs = resample.generate_multiple_timeframes(ohlcv_df, ["5m", "15m", "1h"])
+    n5, n15, n1h = (outs[t].count() for t in ["5m", "15m", "1h"])
+    assert n5 >= n15 >= n1h
+
+
+def test_calculate_all_matches_pandas(spark, ohlcv_pdf):
+    pdf = ohlcv_pdf[ohlcv_pdf.symbol == "BTCUSDT"].iloc[:400].reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    got = indicators.calculate_all(df).orderBy("timestamp").toPandas()
+    close = pdf["close"]
+    checks = {
+        "sma_20": close.rolling(20).mean(),
+        "sma_50": close.rolling(50).mean(),
+        "sma_200": close.rolling(200).mean(),
+        "ema_12": close.ewm(span=12, adjust=False).mean(),
+        "ema_26": close.ewm(span=26, adjust=False).mean(),
+    }
+    delta = close.diff()
+    gain = delta.where(delta > 0, 0).rolling(14).mean()
+    loss = (-delta.where(delta < 0, 0)).rolling(14).mean()
+    checks["rsi"] = 100 - 100 / (1 + gain / loss)
+    e1 = checks["ema_12"]
+    e2 = checks["ema_26"]
+    macd = e1 - e2
+    checks["macd"] = macd
+    checks["macd_signal"] = macd.ewm(span=9, adjust=False).mean()
+    checks["macd_hist"] = macd - checks["macd_signal"]
+    mid = close.rolling(20).mean()
+    sd = close.rolling(20).std()
+    checks["bb_middle"] = mid
+    checks["bb_upper"] = mid + 2 * sd
+    checks["bb_lower"] = mid - 2 * sd
+    hl = pdf["high"] - pdf["low"]
+    hc = (pdf["high"] - close.shift()).abs()
+    lc = (pdf["low"] - close.shift()).abs()
+    checks["atr"] = pd.concat([hl, hc, lc], axis=1).max(axis=1).rolling(14).mean()
+    for name, want in checks.items():
+        assert np.allclose(
+            got[name].values, want.values, rtol=1e-9, atol=1e-12, equal_nan=True
+        ), name
+
+
+def test_sma_nan_head_length(spark, ohlcv_df):
+    out = (
+        ohlcv_df.filter("symbol = 'BTCUSDT'")
+        .select("timestamp", indicators.sma("close", 20).alias("s"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    assert out["s"].isna().sum() == 19
+    assert out["s"].iloc[19:].notna().all()
+
+
+def test_rsi_bounds(spark, ohlcv_df):
+    out = (
+        ohlcv_df.select(indicators.rsi("close", 14).alias("r"))
+        .toPandas()["r"]
+        .dropna()
+    )
+    assert ((out >= 0) & (out <= 100)).all()
+
+
+def test_volume_profile_matches_numpy(spark, ohlcv_pdf):
+    pdf = ohlcv_pdf[ohlcv_pdf.symbol == "BTCUSDT"]
+    df = spark.createDataFrame(pdf)
+    got = (
+        indicators.volume_profile(df, "close", "volume", bins=50)
+        .orderBy("price_level")
+        .toPandas()
+    )
+    hist, edges = np.histogram(pdf["close"], bins=50, weights=pdf["volume"])
+    centers = (edges[:-1] + edges[1:]) / 2
+    nz = hist > 0
+    assert np.allclose(got["volume"].values, hist[nz], rtol=1e-9)
+    assert np.allclose(got["price_level"].values, centers[nz], rtol=1e-9)
