@@ -38,15 +38,72 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(F.lower(text)), r"\s+")
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (contiguous token n-grams)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles from a *materialized* token array column.
+
+    ``slice`` + ``array_join`` per window — one in-memory array scan per
+    shingle. Pass an attribute reference (a column produced by a prior
+    projection), NOT an inline ``split(...)``: higher-order-function
+    lambdas get no subexpression elimination, so an inline token
+    expression would re-split the text once per shingle (measured 20×
+    slower at sf0.1).
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - k)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
-    )
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
         F.array(F.concat_ws(" ", toks))
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (contiguous token n-grams).
+
+    Convenience for small frames/tests. In operator plans prefer
+    ``shingle_rows`` (two-step projection — see ``shingles_from_tokens``).
+    """
+    return shingles_from_tokens(tokens(text), k)
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh) exploded distinct-shingle rows, tokenizing ONCE per doc.
+
+    The token array is materialized in its own projection so the
+    Generate stage references an attribute, keeping the split out of the
+    per-shingle lambda (CollapseProject keeps the barrier: the alias is
+    non-cheap and multiply-referenced).
+    """
+    with_toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    return with_toks.select(
+        id_col,
+        F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("sh"),
+    )
+
+
+def _sized_hashed_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, sz, shh) rows: per-doc shingle-set size + 64-bit shingle hash.
+
+    The set size is computed in the SAME projection the explode reads —
+    it rides along with every shingle row, so downstream pair
+    aggregation needs no separate sizes pass/join (each extra pass
+    re-tokenizes the corpus). The join key is ``xxhash64`` of the
+    shingle — 8-byte shuffle payload instead of the string.
+    """
+    with_toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    with_arr = with_toks.select(
+        id_col, shingles_from_tokens(F.col("__toks"), k).alias("__sh")
+    )
+    return with_arr.select(
+        id_col,
+        F.size("__sh").alias("sz"),
+        F.explode(F.transform("__sh", lambda s: F.xxhash64(s))).alias("shh"),
     )
 
 
@@ -101,9 +158,7 @@ def minhash_signatures(
     by project-collapsing into an exponentially duplicated expression
     tree — measured 100×+ slower at sf0.1.)
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
-    )
+    sh = shingle_rows(df, text_col, id_col, k)
     # One xxhash64 per shingle, then num_perm universal-hash permutations
     # h_i = (a_i·h + b_i) mod p as pure integer arithmetic — ~30× cheaper
     # than per-permutation cryptographic hashing (measured at sf0.1).
@@ -195,10 +250,7 @@ def jaccard_pairs(
     With ``candidates`` (e.g. from LSH): verifies only those pairs.
     Output: id_a, id_b, jaccard (rounded 6).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("sh")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh = _sized_hashed_shingle_rows(df, text_col, id_col, k)
     if candidates is not None:
         # Verify ONLY candidate pairs: semi-restrict each shingle side to
         # ids appearing in the candidate list before the equi-join — the
@@ -214,39 +266,33 @@ def jaccard_pairs(
             on=id_col,
             how="left_semi",
         ).alias("b")
-        inter = (
-            sh_a.join(
-                sh_b,
-                (F.col("a.sh") == F.col("b.sh"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("inter"))
-            .join(candidates, on=["id_a", "id_b"], how="left_semi")
-        )
     else:
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.sh") == F.col("b.sh"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("inter"))
+        sh_a, sh_b = sh.alias("a"), sh.alias("b")
+    # Per-doc sizes ride along on every shingle row (see
+    # _sized_hashed_shingle_rows), so the pair aggregation computes
+    # intersection AND both set sizes in ONE groupBy — no sizes join,
+    # no extra corpus pass. Identical a/b subtrees shuffle on the same
+    # key → ReuseExchange computes the shingle pass once.
+    inter = (
+        sh_a.join(
+            sh_b,
+            (F.col("a.shh") == F.col("b.shh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
@@ -255,7 +301,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -263,17 +308,16 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column, bits: int = 60) -> Column:
-    """SimHash (≤60 bits, from the 60-bit token hash) over tokens.
+def simhash_from_hashes(th: Column, bits: int = 60) -> Column:
+    """SimHash fingerprint from a token-hash array column.
 
     Per bit b: sign of Σ_tokens (±1 by token-hash bit b). Bit shifts
     must be literal in Spark, so the per-bit counter is an ``aggregate``
-    higher-order fold per bit — `bits` scans of the in-row token array,
-    no shuffle, still whole-stage codegen. (Alternative at extreme doc
-    lengths: explode tokens + one groupBy with `bits` conditional sums.)
+    higher-order fold per bit — `bits` scans of the in-row hash array,
+    no shuffle. Pass a MATERIALIZED array column: the fold references
+    ``th`` once per bit, so an inline ``transform(split(...))`` would
+    re-tokenize and re-hash the text `bits` times per row.
     """
-    toks = tokens(text)
-    th = F.transform(toks, lambda t: _hash60(t))
 
     def bit_fold(i: int):
         # closure (not a default arg): PySpark passes an index column to
@@ -293,6 +337,16 @@ def simhash(text: Column, bits: int = 60) -> Column:
     return fp
 
 
+def simhash(text: Column, bits: int = 60) -> Column:
+    """SimHash (≤60 bits, from the 60-bit token hash) over tokens.
+
+    Convenience for small frames/tests — re-tokenizes per bit; operator
+    plans use ``token_hashes`` + ``simhash_from_hashes`` (see
+    ``simhash_pairs``).
+    """
+    return simhash_from_hashes(F.transform(tokens(text), _hash60), bits)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -306,7 +360,13 @@ def simhash_pairs(
     within distance ≤3 must agree on ≥1 chunk — pigeonhole), then
     verify with ``bit_count(xor)``. Avoids the O(n²) join.
     """
-    fp = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("fp"))
+    with_th = df.select(
+        F.col(id_col),
+        F.transform(tokens(F.col(text_col)), _hash60).alias("__th"),
+    )
+    fp = with_th.select(
+        F.col(id_col), simhash_from_hashes(F.col("__th"), bits).alias("fp")
+    )
     chunks = fp.select(
         id_col,
         "fp",
