@@ -1,0 +1,209 @@
+"""Provider ingest adapters (SURVEY.md §2.1 S1–S3, S19).
+
+REST kline ingestion is inherently driver-side (a paginated HTTP cursor
+loop — ``bybit_downloader.py:81-146``, ``binance_provider.py:36-133``);
+it is NOT a cluster scan and never will be: the API caps pages at 1000
+rows and rate-limits. The Spark boundary is ``klines_to_df``: raw pages
+become a typed DataFrame once, and everything downstream is
+distributed.
+
+Network access is injected (``fetch=``): the real HTTP callables are
+gated behind a ``requests`` import-try, tests drive the pagination /
+typing logic with fakes, and the retry/backoff/rate-limit wrapper (S19,
+``data_cleaner.py:458-531``) is a pure driver utility.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Sequence
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw kline page schemas (string-typed, as the APIs return them).
+# Bybit /v5/market/kline: 7 fields (``bybit_downloader.py:126-137``);
+# Binance klines: 12 fields, 6 kept (``binance_provider.py:102-126``).
+BYBIT_COLS = ["timestamp", "open", "high", "low", "close", "volume", "turnover"]
+BINANCE_COLS_KEPT = ["timestamp", "open", "high", "low", "close", "volume"]
+
+
+def _to_ms(d: str | datetime | None, default_days_back: int = 30) -> int:
+    if d is None:
+        d = datetime.now(timezone.utc) - timedelta(days=default_days_back)
+    if isinstance(d, str):
+        d = datetime.strptime(d, "%Y-%m-%d").replace(tzinfo=timezone.utc)
+    elif d.tzinfo is None:
+        d = d.replace(tzinfo=timezone.utc)
+    return int(d.timestamp() * 1000)
+
+
+def klines_to_df(
+    spark: SparkSession,
+    rows: Sequence[Sequence],
+    columns: list[str],
+    symbol: str | None = None,
+    epoch_unit: str = "ms",
+) -> DataFrame:
+    """Typed DataFrame from raw kline rows: epoch→UTC timestamp, numeric
+    casts (string junk → null, pandas-coerce parity), optional symbol.
+    """
+    if not rows:
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in columns]
+        )
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.createDataFrame(
+            [[str(v) for v in r[: len(columns)]] for r in rows], columns
+        )
+    epoch = F.col("timestamp").cast("double")
+    ts = (
+        F.timestamp_millis(epoch.cast("long"))
+        if epoch_unit == "ms"
+        else F.timestamp_seconds(epoch)
+    )
+    out = df.withColumn("timestamp", ts)
+    for c in columns:
+        if c != "timestamp":
+            out = out.withColumn(c, F.col(c).cast("double"))
+    if symbol is not None:
+        out = out.withColumn("symbol", F.lit(symbol))
+    return out
+
+
+def paginate_klines(
+    fetch: Callable[[int], Sequence[Sequence]],
+    start_ms: int,
+    end_ms: int,
+    pause_s: float = 0.0,
+    cursor_next: Callable[[int], int] = lambda last: last,
+) -> list:
+    """Cursor pagination: call ``fetch(cursor)`` until the page is empty,
+    the cursor stops advancing, or the last row passes ``end_ms``.
+
+    Exactly the reference's loop (``bybit_downloader.py:107-122``;
+    Binance advances the cursor to last+1, ``binance_provider.py:95`` —
+    pass ``cursor_next=lambda t: t + 1``). ``fetch`` returns rows whose
+    field 0 is an epoch-ms timestamp.
+    """
+    out: list = []
+    cursor = start_ms
+    while cursor < end_ms:
+        page = list(fetch(cursor))
+        if not page:
+            break
+        out.extend(page)
+        last = int(page[-1][0])
+        nxt = cursor_next(last)
+        if nxt <= cursor:
+            break
+        cursor = nxt
+        if last >= end_ms:
+            break
+        if pause_s:
+            time.sleep(pause_s)
+    return out
+
+
+def download_history(
+    spark: SparkSession,
+    symbol: str,
+    fetch: Callable[[int], Sequence[Sequence]],
+    start: str | datetime | None = None,
+    end: str | datetime | None = None,
+    columns: list[str] | None = None,
+    pause_s: float = 0.0,
+    cursor_next: Callable[[int], int] = lambda last: last,
+) -> DataFrame:
+    """S2/S3: paginated download → typed DataFrame, trimmed to the exact
+    [start, end] range (``bybit_downloader.py:143``)."""
+    start_ms, end_ms = _to_ms(start), _to_ms(end, default_days_back=0)
+    rows = paginate_klines(fetch, start_ms, end_ms, pause_s, cursor_next)
+    df = klines_to_df(spark, rows, columns or BYBIT_COLS, symbol=symbol)
+    lo = F.timestamp_millis(F.lit(start_ms))
+    hi = F.timestamp_millis(F.lit(end_ms))
+    return df.filter(F.col("timestamp").between(lo, hi))
+
+
+def bybit_fetch(
+    symbol: str, interval: str, limit: int = 1000, category: str = "spot"
+) -> Callable[[int], list]:
+    """S1: real Bybit kline fetcher (gated on ``requests``)."""
+    try:
+        import requests
+    except ImportError as exc:  # pragma: no cover - not installed here
+        raise NotImplementedError(
+            "requests is not available; inject a fetch callable"
+        ) from exc
+
+    def fetch(start_ms: int) -> list:  # pragma: no cover - network
+        resp = requests.get(
+            "https://api.bybit.com/v5/market/kline",
+            params={
+                "category": category,
+                "symbol": symbol,
+                "interval": interval,
+                "start": start_ms,
+                "limit": limit,
+            },
+            timeout=30,
+        )
+        resp.raise_for_status()
+        rows = resp.json().get("result", {}).get("list", [])
+        return sorted(rows, key=lambda r: int(r[0]))
+
+    return fetch
+
+
+# ---------------------------------------------------------------------------
+# S19: retry / backoff / rate limit (driver-side ingest resilience)
+# ---------------------------------------------------------------------------
+
+
+def with_retry(
+    fn: Callable[[], object],
+    retries: int = 3,
+    backoff_s: float = 1.0,
+    backoff_factor: float = 2.0,
+    retry_on: tuple[type[Exception], ...] = (Exception,),
+    sleep: Callable[[float], None] = time.sleep,
+) -> object:
+    """Exponential-backoff retry (``data_cleaner.py:458-531``): attempt
+    up to 1+retries times, sleeping backoff·factor^i between failures."""
+    delay = backoff_s
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except retry_on:
+            if attempt == retries:
+                raise
+            sleep(delay)
+            delay *= backoff_factor
+    raise AssertionError("unreachable")
+
+
+class RateLimiter:
+    """Per-endpoint min-interval limiter (``data_cleaner.py:555-595``)."""
+
+    def __init__(
+        self,
+        min_interval_s: float = 1.0,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.min_interval_s = min_interval_s
+        self._clock = clock
+        self._sleep = sleep
+        self._last: dict[str, float] = {}
+
+    def wait(self, endpoint: str = "") -> None:
+        now = self._clock()
+        last = self._last.get(endpoint)
+        if last is not None:
+            remaining = self.min_interval_s - (now - last)
+            if remaining > 0:
+                self._sleep(remaining)
+        self._last[endpoint] = self._clock()

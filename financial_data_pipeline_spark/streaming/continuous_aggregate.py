@@ -1,0 +1,105 @@
+"""Structured Streaming continuous-aggregate analog (SURVEY.md §2.10).
+
+The reference's only streaming-shaped artifact is the TimescaleDB
+continuous aggregate: a 1-hour OHLCV materialized view refreshed hourly
+with a 3h→1h lag window (``timescaledb_schema.sql:49-66``). The Spark
+rendering is a Structured Streaming job: file/kafka source → watermark
+(the refresh-lag analog: how long to wait for late bars before a bucket
+is final) → tumbling-window OHLCV aggregation → append-mode sink.
+
+The aggregation expressions are IDENTICAL to the batch resample
+(``operators/resample.py``) — same min_by/max_by/sum per (symbol,
+window) — so batch and streaming produce the same bars for the same
+input; the test drives ``Trigger.AvailableNow`` over a file directory
+and diffs against the batch operator.
+
+Scale notes: state is one row per open (symbol, bucket) window and is
+dropped once the watermark passes — bounded by symbol-count ×
+(watermark / timeframe). No custom stateful operator is needed; tumbling
+windows only, exactly the reference's semantics (no session/sliding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OHLCV_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.DoubleType()),
+    ]
+)
+
+
+def read_bar_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType = OHLCV_EVENT_SCHEMA,
+) -> DataFrame:
+    """File-source stream of OHLCV bars (new files = new micro-batch)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def continuous_ohlcv(
+    stream: DataFrame,
+    timeframe: str = "1 hour",
+    watermark: str = "3 hours",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Windowed OHLCV rollup with late-data watermark.
+
+    ``watermark`` mirrors the continuous aggregate's ``start_offset``
+    (3 h): buckets stay open for that long past max-seen event time,
+    then finalize and emit (append mode) — the same "refresh with lag"
+    contract, but event-driven instead of cron.
+    """
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col("symbol"), F.window(F.col(ts), timeframe))
+        .agg(
+            F.min_by("open", ts).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", ts).alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+        .select(
+            "symbol",
+            F.col("window.start").alias("bucket_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain everything currently in the source into the in-memory table
+    ``query_name`` and stop — the batch-refresh analog, used by tests.
+
+    Complete output mode: with AvailableNow the watermark never
+    advances past the final micro-batch, so append mode would hold the
+    tail buckets back; complete emits every bucket, which is exactly
+    the materialized-view refresh semantics.
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,146 @@
+"""Metadata store (S17/S18), E1 orchestrator, and the Structured
+Streaming continuous-aggregate analog (§2.10)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.metadata import (
+    DatasetMetadata,
+    MetadataStore,
+    compute_metadata,
+    metadata_table,
+    sha256_file,
+)
+from financial_data_pipeline_spark.operators.resample import resample_ohlcv
+from financial_data_pipeline_spark.plans.pipeline import (
+    PipelineConfig,
+    run_pipeline,
+    run_pipeline_single,
+)
+from financial_data_pipeline_spark.sources import synthetic
+from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+    continuous_ohlcv,
+    read_bar_stream,
+    run_available_now,
+)
+
+
+# ---------------------------------------------------------------------------
+# Metadata
+# ---------------------------------------------------------------------------
+
+
+def test_compute_metadata_single_pass(spark, ohlcv_df):
+    md = compute_metadata(ohlcv_df, "BTCUSDT", "1m", data_source="fixture")
+    assert md.num_records == ohlcv_df.count()
+    assert md.start_date.startswith("2025-01-01")
+    assert md.missing_pct == 0.0 and md.quality_score == 100.0
+    assert md.columns == ohlcv_df.columns
+
+    with_nulls = ohlcv_df.withColumn(
+        "close", F.when(F.col("volume") > 50, None).otherwise(F.col("close"))
+    )
+    md2 = compute_metadata(with_nulls, "BTCUSDT", "1m")
+    assert md2.missing_pct > 0 and md2.quality_score < 100.0
+
+
+def test_metadata_store_round_trip(tmp_path):
+    store = MetadataStore(str(tmp_path))
+    md = DatasetMetadata(symbol="BTCUSDT", interval="1h", num_records=42)
+    path = store.save(md)
+    assert json.load(open(path))["num_records"] == 42
+    got = store.load("BTCUSDT", "1h")
+    assert got == md
+    assert store.list_keys() == ["BTCUSDT_1h"]
+    # index is re-derivable from the files alone
+    (tmp_path / "index.json").unlink()
+    assert "BTCUSDT_1h" in store.rebuild_index()
+    # file hashing (F13) is stable
+    assert sha256_file(path) == sha256_file(path)
+
+
+def test_metadata_table_relational_twin(spark):
+    mds = [
+        DatasetMetadata("BTCUSDT", "1h", num_records=10, extra_fields={"a": 1}),
+        DatasetMetadata("ETHUSDT", "4h", num_records=20),
+    ]
+    df = metadata_table(spark, mds)
+    assert df.count() == 2
+    row = df.filter(F.col("symbol") == "BTCUSDT").first()
+    assert json.loads(row["extra_fields"]) == {"a": 1}
+
+
+# ---------------------------------------------------------------------------
+# E1 orchestrator
+# ---------------------------------------------------------------------------
+
+
+def test_run_pipeline_single_e2e(spark, tmp_path):
+    source = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT"], "2025-01-01", "2025-01-05", 60, seed=11
+    ).drop("hour", "day_of_week", "month", "year")
+    cfg = PipelineConfig(
+        resample_to=["4h"],
+        output_dir=str(tmp_path),
+        output_formats=["parquet", "csv"],
+    )
+    res = run_pipeline_single(spark, cfg, source, "BTCUSDT")
+    d = res["datasets"]
+    # split conserves rows (reference test_data_splitter.py:13-50)
+    assert d["train"] + d["test"] == d["full"]
+    assert d["train"] == int(d["full"] * 0.8)
+    assert d["resampled_4h"] > 0
+    # sinks actually wrote
+    assert spark.read.parquet(str(tmp_path / "BTCUSDT" / "full.parquet")).count() == d["full"]
+    assert (tmp_path / "BTCUSDT" / "train.csv").exists()
+    # metadata manifest saved
+    store = MetadataStore(str(tmp_path / "_metadata"))
+    assert store.load("BTCUSDT", "1h").num_records == d["full"]
+
+
+def test_run_pipeline_fanout_isolates_failures(spark):
+    good = synthetic.synthetic_ohlcv(
+        spark, ["ETHUSDT"], "2025-01-01", "2025-01-02", 60
+    )
+    bad = good.drop("close")  # fails require_columns
+    cfg = PipelineConfig(save_metadata=False)
+    res = run_pipeline(spark, cfg, {"ETHUSDT": good, "BROKEN": bad})
+    assert "error" in res["BROKEN"]
+    assert res["ETHUSDT"]["datasets"]["full"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming continuous aggregate
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_matches_batch_resample(spark, tmp_path):
+    bars = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT", "ETHUSDT"], "2025-01-01", "2025-01-03", 15, seed=5
+    ).select("timestamp", "symbol", "open", "high", "low", "close", "volume")
+    src = tmp_path / "stream_in"
+    # two file drops = two micro-batches
+    bars.filter(F.col("timestamp") < "2025-01-02").write.parquet(
+        str(src / "batch1")
+    )
+    bars.filter(F.col("timestamp") >= "2025-01-02").write.parquet(
+        str(src / "batch2")
+    )
+
+    stream = read_bar_stream(spark, str(src / "*"))
+    result = continuous_ohlcv(stream, "1 hour", watermark="3 hours")
+    run_available_now(result, "cagg", str(tmp_path / "ckpt"))
+    got = spark.table("cagg")
+
+    expected = resample_ohlcv(bars, "1h", fill_gaps=False)
+    merged = got.alias("g").join(
+        expected.alias("e"), on=["symbol", "bucket_ts"], how="full"
+    )
+    assert merged.count() == got.count() == expected.count()
+    diffs = merged.filter(
+        (F.abs(F.col("g.close") - F.col("e.close")) > 1e-9)
+        | (F.abs(F.col("g.volume") - F.col("e.volume")) > 1e-9)
+        | (F.abs(F.col("g.open") - F.col("e.open")) > 1e-9)
+    )
+    assert diffs.count() == 0
