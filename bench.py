@@ -25,6 +25,9 @@ HEADLINE = [
     "rsi_14",
     "atr_14",
     "ema_macd",
+    "calculate_all",
+    "zscore_outlier_clean",
+    "sliding_windows",
     "dedup_keep_first",
     "ffill_impute",
     "iqr_clip",

@@ -1133,3 +1133,243 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.select("doc_id", F.col("media_meta.size_bytes").alias("size_bytes")),
         "doc_id",
     ).select("doc_id", "size_bytes", "decode_ok", F.round(F.element_at("features", 1), 6).alias("f0"))
+
+
+# ---------------------------------------------------------------------------
+# Extended coverage: z-score clean (F6), splits (U2/SP2), composite
+# indicators (W10), multi-timeframe fan-out (A2), trunc-mode resample
+# (A1 calendar path), sliding windows (W9), denormalize round-trip (F10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "zscore_outlier_clean",
+    BARS_CTE
+    + """
+, st AS (
+  SELECT symbol, avg(close) AS mu, stddev_samp(close) AS sd,
+         avg(volume) AS muv, stddev_samp(volume) AS sdv,
+         median(volume) AS med
+  FROM bars GROUP BY symbol
+), marked AS (
+  SELECT b.symbol, b.timestamp,
+         CASE WHEN st.sd IS NOT NULL AND st.sd != 0
+                   AND abs((b.close - st.mu) / st.sd) > 3 THEN NULL
+              ELSE b.close END AS close_n,
+         CASE WHEN st.sdv IS NOT NULL AND st.sdv != 0
+                   AND abs((b.volume - st.muv) / st.sdv) > 3 THEN st.med
+              ELSE b.volume END AS volume_c
+  FROM bars b JOIN st USING (symbol)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(last_value(close_n IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY timestamp
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close_clean,
+       round(volume_c, 6) AS volume_clean
+FROM marked
+""",
+)
+def q_zscore_outlier_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (``data_processor.py:86-123``): |z|>3 prices → null + ffill;
+    outlier volumes → per-symbol median."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = cleaning.zscore_outlier_clean(bars, price_cols=["close"])
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("close", 6).alias("close_clean"),
+        F.round("volume", 6).alias("volume_clean"),
+    )
+
+
+@query(
+    "split_by_date",
+    BARS_CTE
+    + """
+SELECT part, count(*) AS n, epoch_us(min(timestamp)) AS min_ts_us,
+       epoch_us(max(timestamp)) AS max_ts_us
+FROM (
+  SELECT CASE WHEN timestamp <= TIMESTAMP '2024-01-15' THEN 'before'
+              ELSE 'after' END AS part, timestamp
+  FROM bars
+) GROUP BY part
+""",
+)
+def q_split_by_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (``data_splitter.py:82-110``): complementary before/after
+    filters off one plan; cutoff inclusive on the before side."""
+    from financial_data_pipeline_spark.operators.splitter import split_by_date
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    before, after = split_by_date(bars, "2024-01-15")
+    parts = [("before", before), ("after", after)]
+    out = None
+    for name, df in parts:
+        agg = df.agg(
+            F.lit(name).alias("part"),
+            F.count(F.lit(1)).alias("n"),
+            F.unix_micros(F.min("timestamp")).alias("min_ts_us"),
+            F.unix_micros(F.max("timestamp")).alias("max_ts_us"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+@query(
+    "random_split_props",
+    BARS_CTE
+    + """
+SELECT count(*) AS n_total, 0 AS overlap FROM bars
+""",
+)
+def q_random_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2 property check (SURVEY.md §7.4: Spark's randomSplit RNG ≠
+    sklearn's, so the oracle asserts the INVARIANTS the reference's own
+    tests assert: sizes sum to the input, splits are disjoint)."""
+    from financial_data_pipeline_spark.operators.splitter import random_split
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    train, test = random_split(bars, test_size=0.25, seed=42)
+    keys = ["symbol", "timestamp"]
+    overlap = train.select(keys).join(test.select(keys), on=keys).count()
+    return spark.createDataFrame(
+        [(train.count() + test.count(), overlap)], "n_total long, overlap int"
+    )
+
+
+@query("calculate_all")  # rows-only: includes EMA/MACD (pytest-verified)
+def q_calculate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 composite: all 13 indicator columns in one pass
+    (``technical_indicators.py:83-122``)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.calculate_all(bars)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        *[
+            F.round(c, 6).alias(c)
+            for c in (
+                "sma_20", "sma_50", "sma_200", "ema_12", "ema_26", "rsi",
+                "macd", "macd_signal", "macd_hist",
+                "bb_middle", "bb_upper", "bb_lower", "atr",
+            )
+        ],
+    )
+
+
+@query(
+    "resample_1w",
+    BARS_CTE
+    + """
+SELECT symbol, epoch_us(date_trunc('week', timestamp)) AS bucket_us,
+       arg_min(open, epoch_us(timestamp)) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, epoch_us(timestamp)) AS close,
+       round(sum(volume), 4) AS volume
+FROM bars GROUP BY 1, 2
+""",
+)
+def q_resample_1w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 calendar-bucket path: weekly bars via date_trunc (the
+    trunc-mode half of TIMEFRAMES; 4h covers the duration mode)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = resample.resample_ohlcv(bars, "1w", fill_gaps=False)
+    return out.select(
+        "symbol",
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+    )
+
+
+@query(
+    "multi_timeframe_counts",
+    BARS_CTE
+    + """
+SELECT '4h' AS timeframe, count(*) AS n_bars FROM (
+  SELECT DISTINCT symbol, (epoch_us(timestamp) // 14400000000) FROM bars)
+UNION ALL
+SELECT '1d', count(*) FROM (
+  SELECT DISTINCT symbol, (epoch_us(timestamp) // 86400000000) FROM bars)
+UNION ALL
+SELECT '1w', count(*) FROM (
+  SELECT DISTINCT symbol, date_trunc('week', timestamp) FROM bars)
+""",
+)
+def q_multi_timeframe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 fan-out (``timeframe_aggregator.py:97-115``): one cached base,
+    N lazy resample plans; emitted as (timeframe, bar count)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    fanout = resample.generate_multiple_timeframes(
+        bars, ["4h", "1d", "1w"], fill_gaps=False
+    )
+    out = None
+    for tf, df in fanout.items():
+        agg = df.agg(
+            F.lit(tf).alias("timeframe"), F.count(F.lit(1)).alias("n_bars")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+@query(
+    "sliding_windows",
+    BARS_CTE
+    + """
+, w AS (
+  SELECT symbol, timestamp, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY timestamp) AS rn,
+         list(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                           ROWS BETWEEN CURRENT ROW AND 24 FOLLOWING) AS span
+  FROM bars
+)
+SELECT symbol, epoch_us(timestamp) AS window_start_us,
+       round(span[1], 6) AS x_first, round(span[24], 6) AS x_last,
+       round(span[25], 6) AS y_close
+FROM w WHERE len(span) = 25 AND (rn - 1) % 6 = 0
+""",
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9/SP5 (``data_splitter.py:230-263``): strided (X, y) windows,
+    window=24, target=1, stride=6; flattened edge values for the hash."""
+    from financial_data_pipeline_spark.operators.splitter import sliding_windows
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = sliding_windows(
+        bars, ["close"], window_size=24, target_size=1, stride=6, by=["symbol"]
+    )
+    return out.select(
+        "symbol",
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.round(F.element_at("x", 1)["close"], 6).alias("x_first"),
+        F.round(F.element_at("x", 24)["close"], 6).alias("x_last"),
+        F.round(F.element_at("y", 1)["close"], 6).alias("y_close"),
+    )
+
+
+@query(
+    "denormalize_roundtrip",
+    BARS_CTE
+    + """
+SELECT symbol, 0.0 AS max_err FROM bars GROUP BY symbol
+""",
+)
+def q_denormalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 inverse (``data_normalizer.py:85-90``; reference test
+    ``test_processing.py:28-70`` round-trip rtol 1e-10): normalize →
+    denormalize with the SAME fitted scalers recovers the input."""
+    bars = events_as_ohlcv(spark, sf_dir).withColumn(
+        "close_orig", F.col("close")
+    )
+    scalers = normalize.fit_scalers(bars, ["close"], "zscore")
+    normed = normalize.normalize(bars, ["close"], "zscore", scalers=scalers)
+    denormed = normalize.denormalize(normed, ["close"], scalers, "zscore")
+    return denormed.groupBy("symbol").agg(
+        F.round(F.max(F.abs(F.col("close") - F.col("close_orig"))), 6).alias(
+            "max_err"
+        )
+    )
