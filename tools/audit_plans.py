@@ -1,0 +1,127 @@
+"""Physical-plan audit over the driver-contract query inventory.
+
+For every ``queries()`` entry, captures the AQE-final executed plan and
+extracts the execution-shape facts that matter at 100 TB: shuffle
+count, join strategies, Python-eval stages, whole-stage-codegen spans,
+scan pushdown. Flags antipatterns:
+
+- CartesianProduct / BroadcastNestedLoopJoin (O(n·m) blowup)
+- Exchange SinglePartition under a Window (global sort serializes)
+- BatchEvalPython (row-at-a-time Python UDF — never in a hot path;
+  Arrow-batched ArrowEvalPython / FlatMapGroupsInPandas are the
+  sanctioned Python stages)
+- parquet scans with no pushed filters AND no column pruning
+
+Writes PLANS.md (one row per query + flag details). Run:
+    python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_string(df) -> str:
+    qe = df._jdf.queryExecution()
+    return qe.executedPlan().toString()
+
+
+def audit(name: str, df, full_schema_cols: int = 12) -> dict:
+    p = plan_string(df)
+    facts = {
+        "query": name,
+        "shuffles": len(re.findall(r"Exchange hashpartitioning", p)),
+        "single_part": len(re.findall(r"Exchange SinglePartition", p)),
+        "range_part": len(re.findall(r"Exchange rangepartitioning", p)),
+        "bhj": len(re.findall(r"BroadcastHashJoin", p)),
+        "smj": len(re.findall(r"SortMergeJoin", p)),
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", p))),
+        "arrow_py": len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", p)),
+    }
+    flags = []
+    if re.search(r"CartesianProduct", p):
+        flags.append("CARTESIAN")
+    if re.search(r"BroadcastNestedLoopJoin", p):
+        flags.append("NESTED_LOOP_JOIN")
+    if re.search(r"BatchEvalPython", p):
+        flags.append("ROW_PYTHON_UDF")
+    if facts["single_part"] and re.search(r"Window", p):
+        flags.append("GLOBAL_WINDOW")
+    # scan discipline: every parquet scan should prune columns.
+    # ReadSchema lines can be truncated ("...") — skip those, they
+    # prove nothing either way.
+    for m in re.finditer(r"ReadSchema: struct<([^>\n]*)>", p):
+        body = m.group(1)
+        if "..." in body:
+            continue
+        ncols = len(body.split(",")) if body else 0
+        if ncols >= full_schema_cols:
+            flags.append(f"WIDE_SCAN({ncols}c)")
+            break
+    facts["flags"] = ",".join(flags) or "-"
+    return facts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from financial_data_pipeline_spark import get_spark
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    spark = get_spark(app_name="fdp-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+            # Execute THIS df object (write/noop would clone the plan and
+            # leave this one's AQE un-finalized): collect is safe at
+            # sf0.01 — every inventory query returns small results.
+            df.collect()
+            rows.append(audit(name, df))
+        except Exception as exc:  # noqa: BLE001
+            rows.append({"query": name, "flags": f"ERROR:{exc}"[:60]})
+
+    cols = ["query", "shuffles", "single_part", "bhj", "smj", "codegen", "arrow_py", "flags"]
+    out = ["# PLANS — physical-plan audit of the driver-contract queries",
+           "",
+           f"Captured from the AQE-final executed plan at `{sf_dir}` on "
+           "local[*]. Columns: hash-shuffle count, single-partition "
+           "exchanges, broadcast-hash joins, sort-merge joins, "
+           "whole-stage-codegen spans, Arrow Python stages, antipattern "
+           "flags (see tools/audit_plans.py docstring).",
+           "",
+           "| " + " | ".join(cols) + " |",
+           "|" + "---|" * len(cols)]
+    for r in rows:
+        out.append("| " + " | ".join(str(r.get(c, "")) for c in cols) + " |")
+    flagged = [r for r in rows if r.get("flags", "-") not in ("-",)]
+    out += [
+        "",
+        f"Flagged: {len(flagged)}/{len(rows)}.",
+        "",
+        "## Known, intentional flags",
+        "",
+        "- `chronological_split` GLOBAL_WINDOW: SP1's contract is a global",
+        "  row-order split (`data_splitter.py:32-64`), which serializes one",
+        "  window stage. The 100 TB path is",
+        "  `splitter.chronological_split_by_quantile` (timestamp-quantile",
+        "  cutoff, no global sort) — kept separate so the parity query",
+        "  matches the reference exactly (SURVEY.md §7.4 item 4).",
+        "- `volume_profile` NESTED_LOOP_JOIN: a broadcast crossJoin of the",
+        "  ONE-row global (min, max) price range onto the facts — O(n·1),",
+        "  the standard two-pass histogram shape, not a pair blowup.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    for r in rows:
+        print(r)
+
+
+if __name__ == "__main__":
+    main()
