@@ -172,3 +172,31 @@ def zero_extreme_counts(
         F.sum((F.col("__iv") > 6 * F.col("__med_iv")).cast("long")).alias("time_gaps"),
         F.count(F.lit(1)).alias("valid_records"),
     )
+
+
+def query_ohlcv(
+    df: DataFrame,
+    symbol: str | None = None,
+    start=None,
+    end=None,
+    limit: int | None = None,
+    ts: str = "timestamp",
+) -> DataFrame:
+    """E3 read-side query (``timeseries_db.py:252-311``): symbol +
+    time-range predicates, newest-first, optional LIMIT.
+
+    Over the parquet lake the predicates push down to the scan and
+    ``orderBy(desc).limit(n)`` executes as a distributed top-k
+    (TakeOrderedAndProject) — no global sort materializes (O2).
+    """
+    out = df
+    if symbol is not None:
+        out = out.filter(F.col("symbol") == symbol)
+    if start is not None:
+        out = out.filter(F.col(ts) >= F.lit(start).cast("timestamp"))
+    if end is not None:
+        out = out.filter(F.col(ts) <= F.lit(end).cast("timestamp"))
+    out = out.orderBy(F.col(ts).desc())
+    if limit is not None:
+        out = out.limit(limit)
+    return out

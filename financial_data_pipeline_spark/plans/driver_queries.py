@@ -1373,3 +1373,23 @@ def q_denormalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_err"
         )
     )
+
+
+@query(
+    "query_ohlcv_desc_limit",
+    BARS_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us, open, high, low, close
+FROM bars
+WHERE symbol = 'click' AND timestamp >= TIMESTAMP '2024-01-10'
+ORDER BY timestamp DESC LIMIT 24
+""",
+)
+def q_query_ohlcv_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/O2 (``timeseries_db.py:252-311``): symbol + range predicates
+    (pushed to the scan), newest-first top-k via TakeOrdered."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = stats.query_ohlcv(bars, symbol="click", start="2024-01-10", limit=24)
+    return out.select(
+        "symbol", _ts_us().alias("ts_us"), "open", "high", "low", "close"
+    )

@@ -222,3 +222,44 @@ def test_with_retry_and_rate_limiter():
     rl.wait("ep")  # 0.3s since last → sleep 0.7
     rl.wait("ep")  # 5.0s since last → no sleep
     assert waits == pytest.approx([0.7])
+
+
+# ---------------------------------------------------------------------------
+# S16/S17 DDL builders + E3 read-side query
+# ---------------------------------------------------------------------------
+
+
+def test_ddl_statements():
+    from financial_data_pipeline_spark.sources import ddl
+
+    ht = ddl.ohlcv_hypertable_ddl()
+    assert "create_hypertable('ohlcv_data'" in ht[1]
+    assert any("compress_segmentby = 'symbol'" in s for s in ht)
+    assert any("add_retention_policy" in s for s in ht)
+    assert ddl.ohlcv_hypertable_ddl(retain_for=None)[-1].startswith(
+        "SELECT add_compression_policy"
+    )
+    ca = ddl.continuous_aggregate_ddl()
+    assert "timescaledb.continuous" in ca[0]
+    assert "time_bucket(INTERVAL '1 hour'" in ca[0]
+    md = ddl.metadata_tables_ddl()
+    assert len(md) == 8 and "JSONB" in md[0]
+
+    ran = []
+    ddl.run_ddl("dsn", ht, executor=lambda dsn, stmts: ran.extend(stmts))
+    assert ran == ht
+
+
+def test_query_ohlcv_is_topk(spark, ohlcv_df):
+    from financial_data_pipeline_spark.operators.stats import query_ohlcv
+
+    out = query_ohlcv(
+        ohlcv_df, symbol="BTCUSDT", start="2025-01-02", limit=10
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    ts = [r["timestamp"] for r in rows]
+    assert ts == sorted(ts, reverse=True)
+    assert all(r["symbol"] == "BTCUSDT" for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
