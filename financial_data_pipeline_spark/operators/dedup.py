@@ -407,3 +407,78 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified-pair graph
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components of the near-dup pair
+    graph; cluster_id = min doc id in the component.
+
+    The step a real dedup pipeline needs after pair verification: dup
+    GROUPS, so one canonical doc survives per group. Distributed
+    min-label propagation: each round every node takes the min label in
+    its neighborhood (one join + one groupBy per round); rounds needed
+    = graph diameter, and near-dup components are tiny (chains of a few
+    docs), so this converges in a handful of rounds even at 100 TB.
+    ``localCheckpoint`` truncates the growing plan lineage each round —
+    without it the iteration re-executes all prior rounds.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """df minus near-duplicates: within each pair-graph component only
+    the min-id doc survives; unpaired docs pass through untouched."""
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -1393,3 +1393,48 @@ def q_query_ohlcv_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol", _ts_us().alias("ts_us"), "open", "high", "low", "close"
     )
+
+
+_DEDUP_CLUSTERS_SQL = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+  WHERE i / (x.sz + y.sz - i)::DOUBLE >= 0.5
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+FROM reach GROUP BY s
+"""
+
+
+@query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: jaccard-verified pairs → connected
+    components by distributed min-label propagation (cluster_id = min
+    doc id per component). Oracle: recursive-CTE transitive closure."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5)
+    return dedup_clusters(pairs)

@@ -185,3 +185,73 @@ def test_frame_sample_calendar(spark):
     )
     out = frame_sample(df, every_ms=1000).toPandas()
     assert out["frame_ms"].tolist() == [0, 1000, 2000, 3000]
+
+
+def test_dedup_clusters_and_canonical(spark):
+    from financial_data_pipeline_spark.operators import dedup
+
+    # components: {1,2,3,4} (chain), {10,11}, singletons 20 (self-loop-free)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 20]],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.keep_canonical(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 20]
+
+
+def test_backup_manager_round_trip(tmp_path):
+    from datetime import datetime, timedelta, timezone
+
+    from financial_data_pipeline_spark.sources.backup import BackupManager
+
+    src = tmp_path / "data.csv"
+    src.write_text("a,b\n1,2\n")
+    now = datetime(2025, 6, 1, tzinfo=timezone.utc)
+    ticks = [now + timedelta(seconds=i) for i in range(10)]
+    bm = BackupManager(str(tmp_path / "bk"), clock=lambda: ticks.pop(0))
+
+    meta = bm.create_backup(str(src), "first")
+    assert bm.verify_backup(meta["timestamp"])
+    # corrupt the original, restore, verify content
+    src.write_text("corrupted")
+    bm.restore_backup(meta["timestamp"])
+    assert src.read_text() == "a,b\n1,2\n"
+
+    # compressed variant round-trips too
+    meta_gz = bm.create_backup(str(src), compress=True)
+    out = tmp_path / "restored.csv"
+    bm.restore_backup(meta_gz["timestamp"], str(out))
+    assert out.read_text() == "a,b\n1,2\n"
+
+    assert bm.list_backups()[0]["timestamp"] == meta_gz["timestamp"]
+
+
+def test_backup_retention(tmp_path):
+    from datetime import datetime, timedelta, timezone
+
+    from financial_data_pipeline_spark.sources.backup import BackupManager
+
+    src = tmp_path / "f.txt"
+    src.write_text("x")
+    base = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    # 6 old backups (40+ days before "now"), then cleanup at `now`
+    times = [base + timedelta(minutes=i) for i in range(6)] + [
+        base + timedelta(days=40)
+    ]
+    bm = BackupManager(str(tmp_path / "bk"), clock=lambda: times.pop(0))
+    stamps = [bm.create_backup(str(src))["timestamp"] for _ in range(6)]
+    deleted = bm.cleanup(keep_days=30, minimum_keep=5)
+    # oldest beyond the minimum-keep 5 is deleted, newest 5 survive
+    assert deleted == [stamps[0]]
+    assert len(bm.list_backups()) == 5
