@@ -154,6 +154,52 @@ def with_ema(
     return df.groupBy(*by).applyInPandas(kernel, schema=schema)
 
 
+def with_ema_macd(
+    df: DataFrame,
+    col: str = "close",
+    spans: list[int] = (12, 26),
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """EMA columns + MACD line/signal/histogram in ONE grouped-map pass.
+
+    ``with_ema`` + ``with_macd`` chained would shuffle and cross the
+    Python boundary twice and compute the fast/slow EWMs twice; the
+    whole family shares one per-symbol sort, so fuse it (used by
+    ``calculate_all``).
+    """
+    from pyspark.sql import types as T
+
+    spans = list(spans)
+    by = list(by)
+    ema_cols = [f"ema_{s}" for s in spans]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(c, T.DoubleType(), True) for c in ema_cols]
+        + [
+            T.StructField("macd", T.DoubleType(), True),
+            T.StructField("macd_signal", T.DoubleType(), True),
+            T.StructField("macd_hist", T.DoubleType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        ewms = {s: pdf[col].ewm(span=s, adjust=False).mean() for s in {*spans, fast, slow}}
+        for s, out in zip(spans, ema_cols):
+            pdf[out] = ewms[s]
+        macd_line = ewms[fast] - ewms[slow]
+        pdf["macd"] = macd_line
+        pdf["macd_signal"] = macd_line.ewm(span=signal, adjust=False).mean()
+        pdf["macd_hist"] = pdf["macd"] - pdf["macd_signal"]
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(kernel, schema=schema)
+
+
 def with_macd(
     df: DataFrame,
     col: str = "close",
@@ -212,8 +258,7 @@ def calculate_all(
             "atr": atr(14, by, ts),
         }
     )
-    df = with_ema(df, "close", [12, 26], by, ts)
-    return with_macd(df, "close", by=by, ts=ts)
+    return with_ema_macd(df, "close", [12, 26], by=by, ts=ts)
 
 
 def volume_profile(

@@ -548,7 +548,7 @@ def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-map pandas-UDF kernel. Verified against pandas in
     tests/test_indicators.py; the driver records a rows-only check."""
     bars = events_as_ohlcv(spark, sf_dir)
-    out = indicators.with_macd(indicators.with_ema(bars))
+    out = indicators.with_ema_macd(bars)
     return out.select(
         "symbol",
         _ts_us().alias("ts_us"),

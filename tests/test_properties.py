@@ -1,0 +1,144 @@
+"""Property-based invariants (hypothesis) + skew utilities.
+
+The reference's tests assert properties, not golden files
+(SURVEY.md §5.1); these push the same invariants over generated inputs:
+resample OHLC algebra, volume conservation, normalize round-trip,
+dedup determinism, salted-join equivalence.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, values, n_sym=2):
+    n = len(values)
+    pdf = pd.DataFrame(
+        {
+            "timestamp": pd.to_datetime(
+                [pd.Timestamp("2025-01-01") + pd.Timedelta(minutes=7 * i) for i in range(n)]
+            ),
+            "symbol": [f"S{i % n_sym}" for i in range(n)],
+            # per-row OHLC-consistent: low ≤ open, close ≤ high
+            "open": values,
+            "high": [v + 1.0 for v in values],
+            "low": [v - 1.0 for v in values],
+            "close": [v + 0.5 for v in values],
+            "volume": [abs(v) + 0.5 for v in values],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+values_st = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=4,
+    max_size=40,
+)
+
+
+@settings(**SETTINGS)
+@given(values=values_st)
+def test_resample_ohlc_algebra_and_volume_conservation(spark, values):
+    from financial_data_pipeline_spark.operators.resample import resample_ohlcv
+
+    df = _frame(spark, values)
+    out = resample_ohlcv(df, "1h", fill_gaps=False).toPandas()
+    # bucket high is the max of everything in the bucket; low the min
+    assert (out["high"] >= out[["open", "close", "low"]].max(axis=1) - 1e-9).all()
+    assert (out["low"] <= out[["open", "close", "high"]].min(axis=1) + 1e-9).all()
+    # volume is conserved exactly across re-bucketing
+    assert out["volume"].sum() == pytest.approx(
+        sum(abs(v) + 0.5 for v in values), rel=1e-12
+    )
+    # gap-filling only ADDS buckets, never changes aggregated ones
+    filled = resample_ohlcv(df, "1h", fill_gaps=True).toPandas()
+    assert len(filled) >= len(out)
+    assert filled["volume"].sum() == pytest.approx(out["volume"].sum(), rel=1e-12)
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(
+        st.floats(min_value=0.125, max_value=1e5, allow_nan=False, width=32),
+        min_size=5,
+        max_size=30,
+    ),
+    method=st.sampled_from(["zscore", "minmax", "log"]),
+)
+def test_normalize_round_trip(spark, values, method):
+    from financial_data_pipeline_spark.operators.normalize import (
+        denormalize,
+        fit_scalers,
+        normalize,
+    )
+
+    if len(set(values)) < 3:
+        return  # degenerate: zero variance/range makes the inverse undefined
+    df = _frame(spark, values, n_sym=1)
+    scalers = fit_scalers(df, ["close"], method)
+    normed = normalize(df, ["close"], method, scalers=scalers)
+    back = denormalize(normed, ["close"], scalers, method).toPandas()
+    orig = df.toPandas()
+    merged = orig.merge(back, on="timestamp", suffixes=("", "_rt"))
+    np.testing.assert_allclose(
+        merged["close_rt"], merged["close"], rtol=1e-7, atol=1e-9
+    )
+
+
+@settings(**SETTINGS)
+@given(values=values_st, dup_every=st.integers(min_value=2, max_value=5))
+def test_dedup_keep_first_deterministic(spark, values, dup_every):
+    from financial_data_pipeline_spark.operators.cleaning import dedup_keep_first
+
+    df = _frame(spark, values)
+    dup = df.union(df.limit(len(values) // dup_every))
+    out = dedup_keep_first(dup, keys=["symbol", "timestamp"], order_by=["timestamp"])
+    # exactly one row per key, and rows are a subset of the input
+    assert out.count() == df.select("symbol", "timestamp").distinct().count()
+    assert out.exceptAll(df).count() == 0
+    # running twice yields the identical result (determinism, P10)
+    again = dedup_keep_first(dup, keys=["symbol", "timestamp"], order_by=["timestamp"])
+    assert out.exceptAll(again).count() == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from financial_data_pipeline_spark.operators.scale import salted_join
+
+    # skewed fact: 90% of rows share one key
+    fact = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = fact.join(dim, on=["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+    salted = salted_join(fact, dim, on=["k"], buckets=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s")
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_write_removes_exchange(spark, tmp_path):
+    from financial_data_pipeline_spark.operators.scale import bucketed_write
+
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    spark.sql("DROP TABLE IF EXISTS bt")
+    bucketed_write(df, "bt", ["k"], num_buckets=8, path=str(tmp_path / "bt"))
+    agg = spark.table("bt").groupBy("k").agg(F.sum("v").alias("s"))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # bucketing pre-shuffled
+    assert agg.count() == 50
