@@ -144,3 +144,82 @@ def test_streaming_matches_batch_resample(spark, tmp_path):
         | (F.abs(F.col("g.open") - F.col("e.open")) > 1e-9)
     )
     assert diffs.count() == 0
+
+
+def test_streaming_ema_matches_batch_kernel(spark, tmp_path):
+    from financial_data_pipeline_spark.operators.indicators import with_ema
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        OHLCV_EVENT_SCHEMA,
+    )
+    from financial_data_pipeline_spark.streaming.stateful import streaming_ema
+
+    bars = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT", "ETHUSDT"], "2025-01-01", "2025-01-04", 60, seed=9
+    ).select("timestamp", "symbol", "open", "high", "low", "close", "volume")
+    src = tmp_path / "ema_in"
+    # two chronological file drops = state must carry across micro-batches
+    bars.filter(F.col("timestamp") < "2025-01-02").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    bars.filter(F.col("timestamp") >= "2025-01-02").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(OHLCV_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force one file per micro-batch
+        .load(str(src / "*"))
+    )
+    q = (
+        streaming_ema(stream)
+        .writeStream.format("memory")
+        .queryName("sema")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ema_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sema")
+
+    expected = with_ema(bars).select("symbol", "timestamp", "ema_12", "ema_26")
+    merged = got.alias("g").join(expected.alias("e"), on=["symbol", "timestamp"])
+    assert merged.count() == bars.count() == got.count()
+    diffs = merged.filter(
+        (F.abs(F.col("g.ema_12") - F.col("e.ema_12")) > 1e-9)
+        | (F.abs(F.col("g.ema_26") - F.col("e.ema_26")) > 1e-9)
+    )
+    assert diffs.count() == 0
+
+
+def test_incremental_append_cursor(spark, tmp_path):
+    from financial_data_pipeline_spark.sources.incremental import (
+        incremental_append,
+        latest_cursors,
+    )
+
+    lake = str(tmp_path / "lake")
+    bars = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT"], "2025-01-01", "2025-01-03", 60, seed=2
+    )
+    day1 = bars.filter(F.col("timestamp") < "2025-01-02")
+    assert incremental_append(spark, lake, day1) == day1.count()
+    # replaying the same page is a no-op (idempotent ingest)
+    assert incremental_append(spark, lake, day1) == 0
+    # overlapping batch: only strictly-newer rows land
+    n_before = spark.read.parquet(lake).count()
+    assert (
+        incremental_append(spark, lake, bars)
+        == bars.count() - day1.count()
+    )
+    assert spark.read.parquet(lake).count() == n_before + bars.count() - day1.count()
+    # no duplicate (symbol, timestamp) keys after all appends
+    lk = spark.read.parquet(lake)
+    assert lk.count() == lk.select("symbol", "timestamp").distinct().count()
+    # a brand-new symbol has no cursor and passes whole
+    eth = synthetic.synthetic_ohlcv(
+        spark, ["ETHUSDT"], "2025-01-01", "2025-01-02", 60, seed=3
+    )
+    assert incremental_append(spark, lake, eth) == eth.count()
+    cur = {r["symbol"]: r["__cursor"] for r in latest_cursors(spark, lake).collect()}
+    assert str(cur["BTCUSDT"]).startswith("2025-01-03")
