@@ -76,6 +76,23 @@ def test_simhash_near_dups_have_small_hamming(spark):
     assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
 
 
+def test_simhash_kernel_matches_sql_fold(spark, docs):
+    """The Arrow numpy kernel must be bit-identical to the pure-SQL
+    higher-order-aggregate specification (same token hash, same ±1
+    fold, same >0 tie rule)."""
+    via_kernel = dedup.simhash_fingerprints(docs)
+    via_fold = docs.select(
+        "doc_id", dedup.simhash(F.col("text")).alias("fp")
+    )
+    mismatches = (
+        via_kernel.alias("a")
+        .join(via_fold.alias("b"), "doc_id")
+        .filter(F.col("a.fp") != F.col("b.fp"))
+        .count()
+    )
+    assert mismatches == 0
+
+
 def test_brute_force_topk_self_first(spark, emb):
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     top = similarity.brute_force_topk(emb, q, k=5).collect()
