@@ -191,3 +191,41 @@ def lsh_bucket(
         pl = F.array(*[F.lit(float(x)) for x in p])
         bucket = bucket + F.when(dot(vec, pl) >= 0, F.lit(1 << i)).otherwise(0)
     return bucket
+
+
+def seeded_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded to 6 decimals so the
+    identical literals can be embedded in an oracle SQL string (both
+    engines then fold the same doubles in the same order — the
+    sign(dot) bucketing is bit-reproducible)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    planes: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket.
+
+    The scale path for similarity search without a labeled partition
+    (cf. ``ivf_topk``): the bucket predicate is an ordinary column
+    filter, so at 100 TB the scan prunes to ~1/2^planes of the corpus
+    before any distance math; TakeOrdered(k) on the survivors — no
+    shuffle of the embedding column. Recall is tunable via multi-probe
+    (union of neighboring buckets) — single-probe here.
+    """
+    qb = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
+            qb |= 1 << i
+    bucketed = df.filter(lsh_bucket(F.col(vec_col), planes) == F.lit(qb))
+    return brute_force_topk(bucketed, query_vec, k, vec_col, id_col)

@@ -1100,6 +1100,46 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.45)
 
 
+def _lsh_planes() -> list[list[float]]:
+    from financial_data_pipeline_spark.operators.similarity import seeded_planes
+
+    return seeded_planes(6, 64, seed=7)
+
+
+def _lsh_ann_sql() -> str:
+    """Oracle twin of ``lsh_ann_topk``: identical plane literals, so
+    both engines fold the same doubles in the same order and the
+    sign(dot) buckets agree bit-for-bit."""
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
+            lits=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(_lsh_planes())
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bb AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM b
+), q AS (SELECT v AS qv, bucket AS qbucket FROM bb WHERE vec_id = 0)
+SELECT bb.vec_id, round(list_cosine_similarity(bb.v, q.qv), 6) AS cos_sim
+FROM bb, q WHERE bb.bucket = q.qbucket
+ORDER BY list_cosine_similarity(bb.v, q.qv) DESC, bb.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("lsh_ann_topk", _lsh_ann_sql())
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 6 seeded hyperplanes → 64 buckets; cosine
+    top-10 within the query's bucket. The unlabeled-corpus scale path —
+    the bucket predicate prunes the scan before any distance math."""
+    from financial_data_pipeline_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, _lsh_planes(), _query_vec(spark, sf_dir), k=10)
+
+
 @query("ivf_topk")  # rows-only: recall vs brute force asserted in pytest
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: label-partition centroids, probe 3 cells, exact search
@@ -1395,7 +1435,7 @@ def q_query_ohlcv_desc_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CLUSTERS_SQL = r"""
+_PAIR_GRAPH_CTE = r"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, unnest(list_distinct(
     CASE WHEN len(toks) >= 3
@@ -1420,9 +1460,25 @@ inter AS (
   UNION
   SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
 )
+"""
+
+_DEDUP_CLUSTERS_SQL = (
+    _PAIR_GRAPH_CTE
+    + """
 SELECT s AS doc_id, least(s, min(d)) AS cluster_id
 FROM reach GROUP BY s
 """
+)
+
+_KEEP_CANONICAL_SQL = (
+    _PAIR_GRAPH_CTE
+    + """
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) < s
+)
+"""
+)
 
 
 @query("dedup_clusters", _DEDUP_CLUSTERS_SQL)
@@ -1438,3 +1494,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, k=3, threshold=0.5)
     return dedup_clusters(pairs)
+
+
+@query("keep_canonical_docs", _KEEP_CANONICAL_SQL)
+def q_keep_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup verb: corpus minus near-duplicates — only
+    the min-id doc of each jaccard≥0.5 component survives (left-anti
+    join against the non-canonical cluster members)."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        keep_canonical,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5)
+    return keep_canonical(docs, pairs).select("doc_id")

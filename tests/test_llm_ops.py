@@ -102,6 +102,27 @@ def test_brute_force_topk_self_first(spark, emb):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_lsh_ann_self_first_and_bucket_restricted(spark, emb):
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    planes = similarity.seeded_planes(6, 64, seed=7)
+    top = similarity.lsh_ann_topk(emb, planes, q, k=5).collect()
+    assert top[0].vec_id == 0 and abs(top[0].cos_sim - 1.0) < 1e-6
+    qb = {
+        r.vec_id
+        for r in emb.select(
+            "vec_id", similarity.lsh_bucket(F.col("embedding"), planes).alias("b")
+        )
+        .filter(
+            F.col("b")
+            == emb.select(
+                similarity.lsh_bucket(F.col("embedding"), planes)
+            ).filter("vec_id = 0").first()[0]
+        )
+        .collect()
+    }
+    assert {r.vec_id for r in top} <= qb
+
+
 def test_ivf_recall_vs_brute_force(spark, emb):
     q = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
     brute = [r.vec_id for r in similarity.brute_force_topk(emb, q, k=10).collect()]
