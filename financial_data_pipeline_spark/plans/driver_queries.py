@@ -821,6 +821,106 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shipping_priority",
+    """
+SELECT l.l_orderkey AS order_key,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       epoch_us(o.o_orderdate) AS odate_us
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+         l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q3-shaped plan: selective segment/date filters pushed to
+    all three scans, the big lineitem⋈orders join shuffles on orderkey,
+    and customer (1/5 after the segment filter) rides AQE's
+    broadcast-or-SMJ decision. Top-10 by revenue with a rounded,
+    engine-stable sort key + orderkey tiebreak."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev.alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            "revenue",
+            F.unix_micros(F.col("o_orderdate")).alias("odate_us"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+@query(
+    "returned_revenue_by_customer",
+    """
+SELECT c.c_custkey AS custkey, c.c_name AS customer_name,
+       n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS lost_revenue,
+       count(*) AS returned_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+         c.c_custkey ASC
+LIMIT 20
+""",
+)
+def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10-shaped plan: returnflag + order-date-window filters
+    below the joins, fact⋈fact shuffle on orderkey, explicit broadcast
+    of the tiny nation dim. Top-20 by lost revenue (rounded sort key,
+    custkey tiebreak)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("lost_revenue"), F.count(F.lit(1)).alias("returned_lines"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation"),
+            "lost_revenue",
+            "returned_lines",
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "lineage_join",
     """
 SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
