@@ -223,3 +223,79 @@ def test_incremental_append_cursor(spark, tmp_path):
     assert incremental_append(spark, lake, eth) == eth.count()
     cur = {r["symbol"]: r["__cursor"] for r in latest_cursors(spark, lake).collect()}
     assert str(cur["BTCUSDT"]).startswith("2025-01-03")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (north-star ingest path)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_stream_drops_exact_dups_across_microbatches(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from financial_data_pipeline_spark.streaming.dedup_stream import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows1 = [
+        (t0, 1, "alpha beta gamma"),
+        (t0 + dt.timedelta(minutes=1), 2, "delta epsilon"),
+        (t0 + dt.timedelta(minutes=2), 3, "alpha beta gamma"),  # in-batch dup
+    ]
+    rows2 = [
+        (t0 + dt.timedelta(minutes=3), 4, "delta epsilon"),  # cross-batch dup
+        (t0 + dt.timedelta(minutes=4), 5, "zeta eta theta"),
+    ]
+    src = tmp_path / "docs_in"
+    spark.createDataFrame(rows1, schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    result = dedup_stream(stream, watermark="10 minutes")
+    (
+        result.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = spark.table("dedup_out")
+    # one survivor per distinct content, all within the watermark horizon
+    assert got.count() == 3
+    assert got.select("content_hash").distinct().count() == 3
+    surviving_texts = {r.text for r in got.collect()}
+    assert surviving_texts == {"alpha beta gamma", "delta epsilon", "zeta eta theta"}
+
+
+def test_dedup_against_history_anti_join(spark):
+    from financial_data_pipeline_spark.operators.dedup import exact_dedup
+    from financial_data_pipeline_spark.streaming.dedup_stream import (
+        dedup_against_history,
+    )
+
+    history_docs = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], ["doc_id", "text"]
+    )
+    history = exact_dedup(history_docs).select("content_hash")
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup vs history -> dropped
+            (11, "brand new"),
+            (12, "brand new"),     # in-batch dup -> keep lowest id
+            (13, "also seen"),     # dup vs history -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup_against_history(batch, history)
+    assert {r.doc_id for r in out.collect()} == {11}
+    # keep-lowest-id within batch: 11 survives, 12 dropped
