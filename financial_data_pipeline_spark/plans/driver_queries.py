@@ -921,6 +921,44 @@ def q_returned_revenue_by_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "asof_join_events_bars",
+    "WITH bars AS ("
+    + events_as_ohlcv_sql(240).strip()
+    + """)
+SELECT e.event_id, e.event_type AS symbol, epoch_us(e.ts) AS ts_us, e.value,
+       b.close AS bar_close, epoch_us(b.timestamp) AS bar_ts_us
+FROM events e ASOF LEFT JOIN bars b
+  ON e.event_type = b.symbol AND e.ts >= b.timestamp
+""",
+)
+def q_asof_join_events_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every raw event gets the close of the latest
+    4h bar at-or-before it. Executed as the union+window merge-join
+    composition (ONE shuffle on the by-key, no join operator — see
+    operators/asof.py); oracle is DuckDB's native ASOF JOIN."""
+    from financial_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", F.col("event_type").alias("symbol"), "ts", "value"
+    )
+    bars = events_as_ohlcv(spark, sf_dir, 240).select(
+        "symbol",
+        F.col("timestamp").alias("ts"),
+        F.col("close").alias("bar_close"),
+    )
+    j = asof_join(left, bars, on="ts", by="symbol", matched_ts_col="bar_ts")
+    return j.select(
+        "event_id",
+        "symbol",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "bar_close",
+        F.unix_micros("bar_ts").alias("bar_ts_us"),
+    )
+
+
+@query(
     "lineage_join",
     """
 SELECT o.o_orderkey AS order_id, l.l_linenumber AS line_no,
