@@ -38,6 +38,9 @@ HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
     "lineage_join",
+    "shipping_priority",
+    "returned_revenue_by_customer",
+    "asof_join_events_bars",
     "top_orders",
     "text_stats",
     "exact_dedup",
@@ -45,7 +48,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "dedup_clusters",
+    "keep_canonical_docs",
     "embedding_topk",
+    "lsh_ann_topk",
     "embedding_pairs",
 ]
 
