@@ -201,12 +201,8 @@ def lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"mh_{b * rows + r}").cast("string")
-                                for r in range(rows)
-                            ],
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -214,18 +210,30 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    # Candidate pairs via one groupBy per (band, bucket) + in-array pair
+    # expansion (sorted ids, positional i<j) — the signature pass runs
+    # once and only ids shuffle, vs twice + a self-join. Bucket key is
+    # xxhash64 of the band's signature slice (8 bytes), not a string
+    # concat. Same hot-bucket caveat as the other blockers: B docs in a
+    # band bucket expand to B²/2 id pairs in one row.
+    buckets = (
+        band_rows.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    xs = F.col("xs")
+    pair_arr = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.size(xs)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
