@@ -142,3 +142,58 @@ def test_bucketed_write_removes_exchange(spark, tmp_path):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan  # bucketing pre-shuffled
     assert agg.count() == 50
+
+
+# ---------------------------------------------------------------------------
+# As-of join ≡ pandas merge_asof on arbitrary inputs
+# ---------------------------------------------------------------------------
+
+
+@settings(**SETTINGS)
+@given(
+    l_offsets=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    r_offsets=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, l_offsets, r_offsets):
+    from financial_data_pipeline_spark.operators.asof import asof_join
+
+    base = pd.Timestamp("2025-01-01")
+    lp = pd.DataFrame(
+        {
+            "symbol": [f"S{i % 2}" for i in range(len(l_offsets))],
+            "timestamp": [base + pd.Timedelta(seconds=o) for o in l_offsets],
+            "left_id": range(len(l_offsets)),
+        }
+    )
+    # right side must be unique per (symbol, ts) for determinism
+    rp = pd.DataFrame(
+        {
+            "symbol": [f"S{i % 2}" for i in range(len(r_offsets))],
+            "timestamp": [base + pd.Timedelta(seconds=o) for o in r_offsets],
+        }
+    ).drop_duplicates(["symbol", "timestamp"])
+    rp["px"] = rp["timestamp"].astype("int64").astype("float64") % 1e6
+
+    got = (
+        asof_join(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            on="timestamp",
+            by="symbol",
+        )
+        .toPandas()
+        .sort_values(["symbol", "timestamp", "left_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            lp.sort_values("timestamp", kind="stable"),
+            rp.sort_values("timestamp", kind="stable"),
+            on="timestamp",
+            by="symbol",
+            direction="backward",
+        )
+        .sort_values(["symbol", "timestamp", "left_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
