@@ -384,7 +384,11 @@ def simhash(text: Column, bits: int = 60) -> Column:
 
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    token_hash: str = "md5",
 ) -> DataFrame:
     """(id, fp) SimHash fingerprints via a vectorized Arrow kernel.
 
@@ -396,8 +400,15 @@ def simhash_fingerprints(
     collapse inlines the whole fold into every downstream reference.
     The UDF is also a plan barrier: downstream chunk explodes reference
     the materialized fp column, not the fold. Bit-identical to
-    ``simhash_from_hashes`` (pinned in tests); per-partition numpy, no
-    shuffle, so it scales linearly with executors at 100 TB.
+    ``simhash_from_hashes`` over the same token hashes (pinned in
+    tests); per-partition numpy, no shuffle, so it scales linearly with
+    executors at 100 TB.
+
+    ``token_hash``: "md5" (default) = the portable ``_hash60`` token
+    hash, reproducible in the DuckDB oracle (the whole simhash query is
+    then SQL-checkable); "xx" = ``xxhash64`` masked to `bits` — ~one
+    JVM intrinsic per token, for pure-throughput runs where cross-
+    engine parity is not needed.
     """
     import numpy as np
     import pandas as pd
@@ -417,11 +428,15 @@ def simhash_fingerprints(
 
     _kernel = F.pandas_udf(_kernel_fn, LongType())
 
+    if token_hash == "md5":
+        th_fn = _hash60
+    elif token_hash == "xx":
+        th_fn = lambda t: _token_hash_fast(t, bits)  # noqa: E731
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     with_th = df.select(
         F.col(id_col),
-        F.transform(tokens(F.col(text_col)), lambda t: _token_hash_fast(t, bits)).alias(
-            "__th"
-        ),
+        F.transform(tokens(F.col(text_col)), th_fn).alias("__th"),
     )
     return with_th.select(id_col, _kernel(F.col("__th")).alias("fp"))
 
@@ -432,14 +447,17 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bits: int = 60,
+    token_hash: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Scale path: block on 4 16-bit chunks of the fingerprint (a pair
-    within distance ≤3 must agree on ≥1 chunk — pigeonhole), then
-    verify with ``bit_count(xor)``. Avoids the O(n²) join.
+    Scale path: block on 4 15-bit chunks of the fingerprint (a pair
+    within distance ≤3 must agree on ≥1 chunk — pigeonhole, lossless),
+    then verify with ``bit_count(xor)``. Avoids the O(n²) join; the
+    DuckDB oracle runs the unblocked quadratic twin and must produce
+    the identical pair set.
     """
-    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    fp = simhash_fingerprints(df, text_col, id_col, bits, token_hash)
     chunks = fp.select(
         id_col,
         "fp",

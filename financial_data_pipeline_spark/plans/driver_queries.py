@@ -1184,9 +1184,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
 
 
-@query("simhash_pairs")  # rows-only: bit-level fold checked in pytest
+def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """Unblocked quadratic twin of ``simhash_pairs``: same md5 token
+    hash, same ±1 per-bit fold, same >0 tie rule — the Spark side's
+    chunk blocking is lossless for hamming ≤ 3, so the pair sets must
+    be identical."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((th >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
+), sums AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp_expr} AS fp FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+@query("simhash_pairs", _simhash_sql())
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3) with 16-bit-chunk blocking."""
+    """SimHash near-dup pairs (Hamming ≤ 3) with 15-bit-chunk blocking;
+    oracle is the unblocked quadratic join over md5-token fingerprints."""
     from financial_data_pipeline_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1292,11 +1320,23 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, cents, _query_vec(spark, sf_dir), k=10, nprobe=3)
 
 
-@query("multimodal_features")  # rows-only: stubbed decode (no codecs here)
+@query(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS size_bytes,
+       TRUE AS decode_ok,
+       round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6) AS f0
+FROM documents
+""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text payloads as binary media columns →
-    typed metadata struct → Arrow-batched mapInPandas feature decode
-    (deterministic fake decoder; see operators.multimodal)."""
+    typed metadata struct → Arrow-batched mapInPandas feature decode.
+    The deterministic fake decoder (sha256-digest features — see
+    operators.multimodal) is reproducible in SQL, so even the stubbed
+    path is oracle-checked end-to-end: byte sizes, decode status, and
+    the first feature value."""
     from financial_data_pipeline_spark.operators.multimodal import (
         attach_media_meta,
         decode_features,

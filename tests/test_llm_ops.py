@@ -80,7 +80,7 @@ def test_simhash_kernel_matches_sql_fold(spark, docs):
     """The Arrow numpy kernel must be bit-identical to the pure-SQL
     higher-order-aggregate specification (same token hash, same ±1
     fold, same >0 tie rule)."""
-    via_kernel = dedup.simhash_fingerprints(docs)
+    via_kernel = dedup.simhash_fingerprints(docs, token_hash="xx")
     via_fold = docs.select(
         "doc_id", dedup.simhash(F.col("text")).alias("fp")
     )
