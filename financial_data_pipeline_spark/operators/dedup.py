@@ -142,12 +142,28 @@ def exact_dedup_filter(
 # ---------------------------------------------------------------------------
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: (h·a + b) < 2^62, no overflow
+
+
+def minhash_coeffs(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i) mod
+    MINHASH_P, a_i ≠ 0. Pure integer formulas so the DuckDB oracle can
+    embed the identical literals."""
+    out = []
+    for i in range(num_perm):
+        a = ((2 * i + 1) * 0x9E3779B9) % MINHASH_P or 1
+        b = (i * 0x85EBCA6B + 0xC2B2AE35) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 16,
     k: int = 3,
+    shingle_hash: str = "md5",
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}) MinHash signatures over k-shingles.
 
@@ -157,23 +173,29 @@ def minhash_signatures(
     ``array_min(transform(shingles(...)))`` per permutation gets inlined
     by project-collapsing into an exponentially duplicated expression
     tree — measured 100×+ slower at sf0.1.)
+
+    Permutations are universal hashes h_i = (a_i·h + b_i) mod 2^31-1
+    over the base shingle hash — pure integer arithmetic, ~30× cheaper
+    than per-permutation cryptographic hashing, and overflow-free in
+    ordinary 64-bit ints (h, a < 2^31 → product < 2^62), so the DuckDB
+    oracle reproduces it exactly. ``shingle_hash``: "md5" (portable
+    ``_hash60``, oracle-reproducible, the default) or "xx" (xxhash64,
+    fastest, no SQL twin).
     """
     sh = shingle_rows(df, text_col, id_col, k)
-    # One xxhash64 per shingle, then num_perm universal-hash permutations
-    # h_i = (a_i·h + b_i) mod p as pure integer arithmetic — ~30× cheaper
-    # than per-permutation cryptographic hashing (measured at sf0.1).
-    p = (1 << 61) - 1
-    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 % p for i in range(num_perm)]
-    rng_b = [(i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) % p for i in range(num_perm)]
-    h = F.abs(F.xxhash64("sh")) % F.lit(p)
+    if shingle_hash == "md5":
+        h = _hash60(F.col("sh")) % F.lit(MINHASH_P)
+    elif shingle_hash == "xx":
+        h = F.abs(F.xxhash64("sh")) % F.lit(MINHASH_P)
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
     hashed = sh.select(id_col, h.alias("h"))
     return hashed.groupBy(id_col).agg(
         *[
-            F.min(
-                (F.col("h") % F.lit(p)) * F.lit(a % (1 << 31)) % F.lit(p)
-                + F.lit(b % (1 << 31))
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(zip(rng_a, rng_b))
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"mh_{i}"
+            )
+            for i, (a, b) in enumerate(minhash_coeffs(num_perm))
         ]
     )
 
@@ -185,6 +207,7 @@ def lsh_candidates(
     num_perm: int = 16,
     bands: int = 8,
     k: int = 3,
+    shingle_hash: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (id_a < id_b).
 
@@ -193,7 +216,7 @@ def lsh_candidates(
     bucket — shuffle size O(n · bands), never O(n²).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k)
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, shingle_hash)
     band_rows = sigs.select(
         id_col,
         F.explode(

@@ -1170,10 +1170,63 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, k=3, threshold=0.5)
 
 
-@query("minhash_lsh_pairs")  # rows-only: verified vs jaccard in pytest
+def _minhash_lsh_sql(num_perm: int = 16, bands: int = 8) -> str:
+    """Full SQL twin of MinHash+LSH+verify: same md5 shingle hash, same
+    (a·h+b) mod 2^31-1 permutations (identical literals from
+    ``minhash_coeffs``), band-match candidate join, exact-Jaccard
+    verification at 0.5 — pair sets must match exactly."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_perm))
+    )
+    band_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh_{bd * rows + r} = b.mh_{bd * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for bd in range(bands)
+    )
+    return rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+), hh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS h, s
+  FROM sh
+), sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_match}
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a JOIN sh y
+    ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE i / (sa.sz + sb.sz - i)::DOUBLE >= 0.5
+"""
+
+
+@query("minhash_lsh_pairs", _minhash_lsh_sql())
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 8-band LSH candidates, verified with exact Jaccard
-    ≥0.5 — the 100 TB dedup path (candidates O(n·bands), not O(n²))."""
+    ≥0.5 — the 100 TB dedup path (candidates O(n·bands), not O(n²));
+    oracle recomputes the identical signatures/bands quadratically."""
     from financial_data_pipeline_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidates,
