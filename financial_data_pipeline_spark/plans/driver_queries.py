@@ -1359,10 +1359,33 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, _lsh_planes(), _query_vec(spark, sf_dir), k=10)
 
 
-@query("ivf_topk")  # rows-only: recall vs brute force asserted in pytest
+@query(
+    "ivf_topk",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), comp AS (SELECT label, pos, avg(x) AS c FROM exploded GROUP BY 1, 2),
+cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+probe AS (
+  SELECT label FROM cents, q
+  ORDER BY list_cosine_similarity(centroid, q.qv) DESC LIMIT 3
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.label IN (SELECT label FROM probe)
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: label-partition centroids, probe 3 cells, exact search
-    within — the pruned-scan scale path."""
+    within — the pruned-scan scale path. Oracle recomputes centroids,
+    probe selection, and the pruned exact search in SQL (probe ranking
+    is stable: per-label centroid cosines are far outside float noise)."""
     from financial_data_pipeline_spark.operators.similarity import (
         ivf_build_centroids,
         ivf_topk,
