@@ -52,6 +52,11 @@ HEADLINE = [
     "embedding_topk",
     "lsh_ann_topk",
     "embedding_pairs",
+    "gopher_quality_flags",
+    "pii_redaction",
+    "contamination_check",
+    "stratified_sample_docs",
+    "domain_mixture_plan",
 ]
 
 

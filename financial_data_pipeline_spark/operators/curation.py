@@ -1,0 +1,349 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(beyond-reference scope).
+
+The reference has no corpus operators; these are the standard
+large-scale curation verbs — rule-based quality filtering (the
+Gopher-style heuristics of Rae et al. 2021, public paper), PII
+redaction, benchmark-contamination detection, deterministic stratified
+sampling, and domain-mixture planning. Everything is JVM-side
+``pyspark.sql.functions`` (whole-stage codegen, no Python UDFs), and
+every numeric recipe is integer/md5-portable so the DuckDB oracle can
+reproduce it bit-for-bit.
+
+Runs against the driver ``documents`` table
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.operators.text import (
+    ENGLISH_STOPWORDS,
+    token_count_ws,
+)
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filter
+# ---------------------------------------------------------------------------
+
+#: Rule thresholds (Gopher table A1 shape; bounds tuned to the corpus
+#: scale of the test tables — the *rules* are what matters, the bounds
+#: are config).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' and '...' per word
+GOPHER_MAX_BULLET_FRAC = 0.9  # lines starting with a bullet
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3  # lines ending with '...'
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring —
+    (len(s) − len(replace(s, needle, ''))) / len(needle); portable to
+    any SQL engine (no regex)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    max_words: int = GOPHER_MAX_WORDS,
+) -> DataFrame:
+    """Per-document rule flags + composite ``keep`` for the Gopher-style
+    quality filter.
+
+    Adds: ``n_words``, ``mean_word_len``, ``symbol_ratio``,
+    ``bullet_frac``, ``ellipsis_frac``, ``stopword_hits`` and the
+    boolean rule columns ``rule_word_count``, ``rule_word_len``,
+    ``rule_symbol``, ``rule_bullet``, ``rule_ellipsis``, ``keep``.
+
+    ``keep`` is the conjunction of the five structural rules. The
+    stopword rule is reported (``stopword_hits``) but not part of
+    ``keep`` by default: the driver corpus is synthetic-vocabulary text
+    where English stopwords are legitimately absent.
+
+    Zero shuffles, zero UDFs — the filter is a pure row-local
+    expression and scales embarrassingly at 100 TB. The token and line
+    arrays are materialized in their own projection first: higher-order
+    lambdas get no subexpression elimination, so inline ``split(...)``
+    would re-split once per referencing expression (same barrier trick
+    as ``dedup.shingle_rows``).
+    """
+    df = df.withColumns(
+        {
+            "__toks": F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            "__lines": F.split(F.col(text_col), r"\n"),
+        }
+    )
+    t = F.col(text_col)
+    toks = F.col("__toks")
+    n_words = token_count_ws(t)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    # exact mean word length: sum of token lengths / token count
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = tok_chars.cast("double") / safe_words
+    symbol_ratio = (
+        (_occurrences(t, "#") + _occurrences(t, "...")).cast("double") / safe_words
+    )
+    lines = F.col("__lines")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("- ")
+                | ln.startswith("* ")
+                | ln.startswith("• "),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("double")
+        / n_lines
+    )
+    stop_hits = sum(
+        F.array_contains(toks, w).cast("int") for w in ENGLISH_STOPWORDS
+    )
+    out = df.withColumns(
+        {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": mean_word_len,
+            "symbol_ratio": symbol_ratio,
+            "bullet_frac": bullet_frac,
+            "ellipsis_frac": ellipsis_frac,
+            "stopword_hits": stop_hits.cast("int"),
+        }
+    )
+    return out.withColumns(
+        {
+            "rule_word_count": (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words),
+            "rule_word_len": (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN),
+            "rule_symbol": F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO,
+            "rule_bullet": F.col("bullet_frac") < GOPHER_MAX_BULLET_FRAC,
+            "rule_ellipsis": F.col("ellipsis_frac") < GOPHER_MAX_ELLIPSIS_FRAC,
+        }
+    ).withColumn(
+        "keep",
+        F.col("rule_word_count")
+        & F.col("rule_word_len")
+        & F.col("rule_symbol")
+        & F.col("rule_bullet")
+        & F.col("rule_ellipsis"),
+    ).drop("__toks", "__lines")
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text", **kw) -> DataFrame:
+    """``df`` minus documents failing the Gopher-style rules."""
+    flagged = gopher_rules(df, text_col, **kw)
+    return flagged.filter(F.col("keep")).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: RE2-and-Java-compatible patterns (no lookaround, no backrefs) so the
+#: identical literals run in Spark (Java regex) and DuckDB (RE2).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d[\d ]{5,14}\d"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (before redaction)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0))),
+        "n_phones": F.size(
+            F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0))
+        ),
+    }
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails → ``<EMAIL>``, IPv4s → ``<IP>``, then phone-shaped
+    ``+``-digit runs → ``<PHONE>``, in that order (emails and IPs are
+    swallowed before the looser phone pattern can touch their digits).
+
+    Adds ``n_emails``/``n_ips``/``n_phones`` match counts and replaces
+    ``text_col`` with the redacted text. Pure row-local regex — zero
+    shuffles; at 100 TB this is a map-only pass that scales with
+    partitions.
+    """
+    t = F.col(text_col)
+    counts = pii_counts(t)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return df.withColumns({**counts, text_col: red})
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check (n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, n_overlap): corpus documents sharing ≥1 distinct k-gram
+    with the benchmark set, with the count of distinct shared k-grams.
+
+    The decontamination primitive: train docs overlapping an eval set
+    must be dropped. Both sides shingle once; the join key is the
+    portable 60-bit md5 shingle hash (8-byte shuffle payload — the
+    oracle reproduces the same hash, so even collisions agree). The
+    benchmark k-gram set is tiny relative to the corpus → Catalyst
+    broadcasts it; the corpus side never shuffles.
+    """
+    from financial_data_pipeline_spark.operators.dedup import (
+        _hash60,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    def kgram_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        with_toks = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        cols = [id_col] if keep_id else []
+        return with_toks.select(
+            *cols,
+            F.explode(shingles_from_tokens(F.col("__toks"), k)).alias("__sh"),
+        ).select(*cols, _hash60(F.col("__sh")).alias("shh"))
+
+    bench_grams = kgram_hashes(benchmark, keep_id=False).distinct()
+    # No corpus-side distinct() and a plain count(*): per-doc shingles
+    # are already distinct strings (array_distinct in
+    # shingles_from_tokens), so the joined rows are an identical
+    # multiset in any engine — count(*) needs ONE exchange where
+    # count(DISTINCT shh) plans two. n_overlap counts a doc's distinct
+    # k-grams that hit the benchmark (intra-doc 60-bit hash collisions
+    # could double-count a gram; at ~10² grams/doc over a 2^60 space
+    # that is ~1e-14 per doc, and the oracle counts identically).
+    corpus_grams = kgram_hashes(corpus, keep_id=True)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="shh", how="inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """``corpus`` minus documents with ≥ ``min_overlap`` distinct
+    k-grams shared with ``benchmark`` (left-anti against the overlap)."""
+    hits = contamination_overlap(corpus, benchmark, text_col, id_col, k).filter(
+        F.col("n_overlap") >= min_overlap
+    )
+    return corpus.join(hits.select(id_col), on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling + domain mixture planning
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 1_000_000
+
+
+def _sample_bucket(id_col: Column) -> Column:
+    """Stable per-row sample bucket in [0, SAMPLE_MOD): md5-prefix hash
+    of the id string — portable (DuckDB twin:
+    ``('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT % 1000000``),
+    deterministic across runs/engines, uniform enough for rate
+    sampling. No RNG → resumable and exactly reproducible, unlike
+    ``df.sample`` whose seed is partition-layout-dependent.
+    """
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10)
+    return h.cast("long") % F.lit(SAMPLE_MOD)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep each row iff hash_bucket(id) < rate(stratum) · SAMPLE_MOD —
+    per-stratum Bernoulli sampling with a deterministic hash instead of
+    an RNG.
+
+    Exactly reproducible on any engine and under any partitioning
+    (membership depends only on the id), so the oracle checks row-level
+    membership, not just sizes. Pure filter: no shuffle, fully pushed
+    past the scan when ``strata_col`` is a partition key.
+
+    Rate → threshold conversion happens driver-side in INTEGER space
+    (``int(round(rate · SAMPLE_MOD))``): engines disagree on
+    double→int cast rounding (Spark truncates, DuckDB rounds), so no
+    float ever reaches the comparison.
+    """
+    threshold = F.lit(int(round(float(default_rate) * SAMPLE_MOD)))
+    for s, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == s, F.lit(int(round(float(r) * SAMPLE_MOD)))
+        ).otherwise(threshold)
+    return df.filter(_sample_bucket(F.col(id_col)) < threshold)
+
+
+def mixture_plan(
+    df: DataFrame,
+    target_weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixing plan: per stratum — available docs/tokens, the
+    sampling ``rate`` that hits ``token_budget · weight`` tokens, and
+    the resulting ``expected_tokens``.
+
+    rate = min(1, budget·w / available): strata with fewer tokens than
+    their target are taken whole (the standard epoch-repeat decision is
+    left to the caller). One groupBy over (stratum) — a tiny aggregate
+    even at 100 TB (partial aggregation map-side; |strata| rows).
+    """
+    weights = sorted(target_weights.items())
+    w_col = F.lit(None).cast("double")
+    for s, w in weights:
+        w_col = F.when(F.col(strata_col) == s, F.lit(float(w))).otherwise(w_col)
+    agg = (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws(F.col(text_col))).alias("tokens"),
+        )
+        .withColumn("weight", w_col)
+        .filter(F.col("weight").isNotNull())
+    )
+    target = F.col("weight") * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), target / F.col("tokens").cast("double"))
+    return agg.select(
+        strata_col,
+        "n_docs",
+        "tokens",
+        F.round(rate, 6).alias("rate"),
+        F.round(rate * F.col("tokens"), 2).alias("expected_tokens"),
+    )

@@ -1763,3 +1763,217 @@ def q_keep_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, k=3, threshold=0.5)
     return keep_canonical(docs, pairs).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (beyond-reference: quality filter, PII, contamination,
+# sampling, domain mixing) — operators/curation.py
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gopher_quality_flags",
+    r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         str_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    list_sum([len(x) for x in toks])::DOUBLE / greatest(len(toks), 1) AS mwl,
+    ((len(text) - len(replace(text, '#', '')))
+     + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
+      / greatest(len(toks), 1) AS sym,
+    len([ln for ln in lines if starts_with(ln, '- ') OR starts_with(ln, '* ')
+         OR starts_with(ln, '• ')])::DOUBLE / greatest(len(lines), 1) AS bullet,
+    len([ln for ln in lines if ends_with(ln, '...')])::DOUBLE
+      / greatest(len(lines), 1) AS ell,
+    (list_contains(toks, 'the')::INT + list_contains(toks, 'and')::INT
+     + list_contains(toks, 'of')::INT + list_contains(toks, 'to')::INT
+     + list_contains(toks, 'a')::INT + list_contains(toks, 'in')::INT
+     + list_contains(toks, 'is')::INT + list_contains(toks, 'it')::INT
+     + list_contains(toks, 'that')::INT + list_contains(toks, 'for')::INT
+    ) AS stopword_hits
+  FROM base
+)
+SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio, stopword_hits,
+       (n_words BETWEEN 20 AND 100000) AS rule_word_count,
+       (mwl BETWEEN 3.0 AND 10.0) AS rule_word_len,
+       (sym < 0.1) AS rule_symbol,
+       (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+         AND (sym < 0.1) AND (bullet < 0.9) AND (ell < 0.3) AS keep
+FROM m
+""",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021): per-doc
+    word-count / mean-word-length / symbol-ratio / bullet / ellipsis
+    rules + composite keep. Pure row-local expressions — map-only."""
+    from financial_data_pipeline_spark.operators.curation import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_rules(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        "stopword_hits",
+        "rule_word_count",
+        "rule_word_len",
+        "rule_symbol",
+        "keep",
+    )
+
+
+_PII_AUG_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id"
+    " || '@example.com from 10.0.' || (doc_id % 256) || '.7 call"
+    " +1 555 000 ' || (doc_id % 10000) ELSE text END"
+)
+
+
+@query(
+    "pii_redaction",
+    rf"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+  len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ips,
+  len(regexp_extract_all(text, '\+\d[\d ]{{5,14}}\d')) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+    '\+\d[\d ]{{5,14}}\d', '<PHONE>', 'g') AS redacted
+FROM aug
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails / IPv4s / phone-shaped digit runs →
+    typed placeholders, with per-class match counts. Deterministic PII
+    is planted on every 3rd doc (identical expression in the oracle) so
+    the redaction logic is exercised on real matches; the full redacted
+    text is value-compared."""
+    from financial_data_pipeline_spark.operators.curation import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 call +1 555 000 "),
+                (F.col("doc_id") % 10000).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = pii_redact(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones", F.col("text").alias("redacted")
+    )
+
+
+@query(
+    "contamination_check",
+    r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shh
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(toks) >= 3
+           THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END)) AS s
+    FROM toks)
+), bench AS (SELECT DISTINCT shh FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, shh FROM sh WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, count(*) AS n_overlap
+FROM corpus c JOIN bench b ON c.shh = b.shh
+GROUP BY 1
+""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: corpus docs sharing ≥1
+    distinct 3-gram with a held-out benchmark set (doc_id % 97 here) +
+    the distinct-overlap count (k=3 on the short synthetic docs ≈ the
+    8-gram check on real corpora). Benchmark gram set broadcasts; the
+    corpus side never shuffles its text."""
+    from financial_data_pipeline_spark.operators.curation import (
+        contamination_overlap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_overlap(corpus, bench, k=3)
+
+
+@query(
+    "stratified_sample_docs",
+    """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      < CASE source WHEN 'src0' THEN 200000 WHEN 'src1' THEN 500000
+                    WHEN 'src2' THEN 800000 ELSE 300000 END
+""",
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sampling via the portable
+    md5 bucket hash — row-level membership is engine- and
+    partitioning-independent, so the oracle checks exact membership,
+    not just sizes."""
+    from financial_data_pipeline_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        rates={"src0": 0.2, "src1": 0.5, "src2": 0.8},
+        default_rate=0.3,
+    )
+    return out.select("doc_id", "source")
+
+
+@query(
+    "domain_mixture_plan",
+    r"""
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS tokens,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 END AS weight
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, tokens,
+       round(least(1.0, weight * 20000 / tokens::DOUBLE), 6) AS rate,
+       round(least(1.0, weight * 20000 / tokens::DOUBLE) * tokens, 2)
+         AS expected_tokens
+FROM agg WHERE weight IS NOT NULL
+""",
+)
+def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing plan: per-source token inventory + the sampling
+    rate that hits a 20k-token budget at 50/30/20 target weights
+    (strata smaller than their target taken whole). One tiny groupBy —
+    |strata| rows out even at 100 TB."""
+    from financial_data_pipeline_spark.operators.curation import mixture_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs,
+        target_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_budget=20000,
+    )

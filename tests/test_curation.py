@@ -1,0 +1,161 @@
+"""Corpus-curation operator tests: Gopher-style quality rules, PII
+redaction, contamination check, stratified sampling, mixture planning."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from financial_data_pipeline_spark.operators.curation import (
+    SAMPLE_MOD,
+    contamination_overlap,
+    decontaminate,
+    gopher_filter,
+    gopher_rules,
+    mixture_plan,
+    pii_redact,
+    stratified_sample,
+)
+from financial_data_pipeline_spark.sources.adapters import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_rules_flag_crafted_docs(spark):
+    good = "alpha " * 30  # 30 words, mean len 5
+    short = "tiny doc"  # fails word count
+    symbols = "# " * 40  # symbol per word → fails symbol ratio
+    long_words = "extraordinarily " * 25  # mean word len 16 → fails
+    bullets = "\n".join("- item %d" % i for i in range(10))  # all bullets
+    df = _doc_df(
+        spark,
+        [(0, good), (1, short), (2, symbols), (3, long_words), (4, bullets)],
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["rule_word_count"]
+    assert not out[2]["rule_symbol"]
+    assert not out[3]["rule_word_len"]
+    assert not out[4]["rule_bullet"] and not out[4]["keep"]
+    kept = gopher_filter(df).select("doc_id").collect()
+    assert [r.doc_id for r in kept] == [0]
+    # no temp columns leak
+    assert set(gopher_filter(df).columns) == {"doc_id", "text"}
+
+
+def test_gopher_mean_word_len_exact(spark):
+    df = _doc_df(spark, [(0, "ab abcd abcdef")])  # lens 2,4,6 → mean 4
+    row = gopher_rules(df, min_words=1).first()
+    assert row["mean_word_len"] == pytest.approx(4.0)
+    assert row["n_words"] == 3
+
+
+def test_pii_redact_all_classes(spark):
+    df = _doc_df(
+        spark,
+        [
+            (0, "mail a.user+x@sub.example.org now"),
+            (1, "host 192.168.001.1 up"),
+            (2, "call +44 20 7946 0958 today"),
+            (3, "clean text only"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_redact(df).collect()}
+    assert out[0]["n_emails"] == 1 and "<EMAIL>" in out[0]["text"]
+    assert "@" not in out[0]["text"]
+    assert out[1]["n_ips"] == 1 and out[1]["text"] == "host <IP> up"
+    assert out[2]["n_phones"] == 1 and out[2]["text"] == "call <PHONE> today"
+    assert out[3]["text"] == "clean text only"
+    assert (out[3]["n_emails"], out[3]["n_ips"], out[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_pii_email_swallowed_before_phone(spark):
+    # digits inside an email must not survive as a phone match
+    df = _doc_df(spark, [(0, "x +1234567890@example.com y")])
+    row = pii_redact(df).first()
+    assert row["text"] == "x <EMAIL> y"
+
+
+def test_contamination_overlap_and_decontaminate(spark):
+    bench = _doc_df(spark, [(100, "the quick brown fox jumps high")])
+    corpus = _doc_df(
+        spark,
+        [
+            (0, "a quick brown fox appears"),  # shares 'quick brown fox'
+            (1, "totally unrelated words here"),
+            (2, "the quick brown fox jumps high again"),  # shares many
+        ],
+    )
+    hits = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination_overlap(corpus, bench, k=3).collect()
+    }
+    assert hits[0] == 1
+    assert hits[2] >= 3
+    assert 1 not in hits
+    clean = decontaminate(corpus, bench, k=3)
+    assert [r.doc_id for r in clean.select("doc_id").collect()] == [1]
+
+
+def test_stratified_sample_membership_and_rates(docs):
+    rates = {"src0": 0.0, "src1": 1.0}
+    out = stratified_sample(docs, rates, default_rate=0.5)
+    pdf = out.select("doc_id", "source").toPandas()
+    assert (pdf["source"] != "src0").all()
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert (pdf["source"] == "src1").sum() == n_src1
+    # determinism: same membership on re-run
+    pdf2 = stratified_sample(docs, rates, default_rate=0.5).toPandas()
+    assert sorted(pdf["doc_id"]) == sorted(pdf2["doc_id"])
+    # monotonicity: higher rate ⊇ lower rate per stratum
+    lo = stratified_sample(docs, {}, default_rate=0.2)
+    hi = stratified_sample(docs, {}, default_rate=0.6)
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids <= hi_ids
+
+
+def test_stratified_sample_no_shuffle(docs):
+    plan = (
+        stratified_sample(docs, {"src0": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_mixture_plan_rates(docs):
+    out = mixture_plan(
+        docs, {"src0": 0.7, "src1": 0.3}, token_budget=100
+    ).toPandas()
+    assert set(out["source"]) == {"src0", "src1"}
+    out = out.set_index("source")
+    for s, w in [("src0", 0.7), ("src1", 0.3)]:
+        tokens = out.loc[s, "tokens"]
+        expect = min(1.0, w * 100 / tokens)
+        assert out.loc[s, "rate"] == pytest.approx(expect, abs=1e-6)
+        assert out.loc[s, "expected_tokens"] == pytest.approx(
+            expect * tokens, abs=0.01
+        )
+    # huge budget → whole stratum taken (rate capped at 1)
+    capped = mixture_plan(docs, {"src0": 1.0}, token_budget=10**9).toPandas()
+    assert (capped["rate"] == 1.0).all()
+    assert (capped["expected_tokens"] == capped["tokens"]).all()
+
+
+def test_sample_bucket_range(docs):
+    from financial_data_pipeline_spark.operators.curation import _sample_bucket
+
+    row = docs.select(
+        F.min(_sample_bucket(F.col("doc_id"))).alias("lo"),
+        F.max(_sample_bucket(F.col("doc_id"))).alias("hi"),
+    ).first()
+    assert 0 <= row["lo"] and row["hi"] < SAMPLE_MOD
