@@ -57,6 +57,8 @@ HEADLINE = [
     "contamination_check",
     "stratified_sample_docs",
     "domain_mixture_plan",
+    "user_sessions",
+    "user_session_stats",
 ]
 
 

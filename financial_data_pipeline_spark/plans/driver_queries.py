@@ -1977,3 +1977,78 @@ def q_domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
         token_budget=20000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (beyond-reference: event analytics) — operators/sessionize.py
+# ---------------------------------------------------------------------------
+
+_SESSIONS_CTE = r"""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS newf
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sess AS (
+  SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
+         epoch_us(max(ts)) AS session_end_us,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+  FROM s GROUP BY user_id, sid
+)
+"""
+
+
+@query(
+    "user_sessions",
+    _SESSIONS_CTE
+    + """
+SELECT user_id, session_start_us, session_end_us, n_events, total_value
+FROM sess
+""",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via native ``session_window`` (30-min inactivity
+    gap): one row per user session with bounds, event count, value sum.
+    Oracle: gaps-and-islands twin with the boundary-inclusive merge
+    (new session strictly AFTER prev + gap) matching Spark's
+    session_window semantics."""
+    from financial_data_pipeline_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+@query(
+    "user_session_stats",
+    _SESSIONS_CTE
+    + """
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       round(avg(session_end_us - session_start_us) / 1000000.0, 6)
+         AS avg_session_sec
+FROM sess GROUP BY user_id
+""",
+)
+def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement rollup over sessions: session count, total
+    events, mean session duration (seconds)."""
+    from financial_data_pipeline_spark.operators.sessionize import (
+        session_stats,
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap="30 minutes"))
