@@ -59,6 +59,7 @@ HEADLINE = [
     "domain_mixture_plan",
     "user_sessions",
     "user_session_stats",
+    "ngram_vocab",
 ]
 
 

@@ -38,6 +38,7 @@ GOPHER_MAX_MEAN_WORD_LEN = 10.0
 GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' and '...' per word
 GOPHER_MAX_BULLET_FRAC = 0.9  # lines starting with a bullet
 GOPHER_MAX_ELLIPSIS_FRAC = 0.3  # lines ending with '...'
+GOPHER_MAX_DUP_LINE_FRAC = 0.3  # within-doc duplicate lines
 
 
 def _occurrences(text: Column, needle: str) -> Column:
@@ -60,11 +61,12 @@ def gopher_rules(
     quality filter.
 
     Adds: ``n_words``, ``mean_word_len``, ``symbol_ratio``,
-    ``bullet_frac``, ``ellipsis_frac``, ``stopword_hits`` and the
-    boolean rule columns ``rule_word_count``, ``rule_word_len``,
-    ``rule_symbol``, ``rule_bullet``, ``rule_ellipsis``, ``keep``.
+    ``bullet_frac``, ``ellipsis_frac``, ``dup_line_frac``,
+    ``stopword_hits`` and the boolean rule columns
+    ``rule_word_count``, ``rule_word_len``, ``rule_symbol``,
+    ``rule_bullet``, ``rule_ellipsis``, ``rule_dup_lines``, ``keep``.
 
-    ``keep`` is the conjunction of the five structural rules. The
+    ``keep`` is the conjunction of the six structural rules. The
     stopword rule is reported (``stopword_hits``) but not part of
     ``keep`` by default: the driver corpus is synthetic-vocabulary text
     where English stopwords are legitimately absent.
@@ -111,6 +113,11 @@ def gopher_rules(
         F.size(F.filter(lines, lambda ln: ln.endswith("..."))).cast("double")
         / n_lines
     )
+    # within-doc repetition: fraction of lines that duplicate an
+    # earlier line (Gopher's duplicate-line-fraction rule)
+    dup_line_frac = (
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("double") / n_lines
+    )
     stop_hits = sum(
         F.array_contains(toks, w).cast("int") for w in ENGLISH_STOPWORDS
     )
@@ -121,6 +128,7 @@ def gopher_rules(
             "symbol_ratio": symbol_ratio,
             "bullet_frac": bullet_frac,
             "ellipsis_frac": ellipsis_frac,
+            "dup_line_frac": dup_line_frac,
             "stopword_hits": stop_hits.cast("int"),
         }
     )
@@ -133,6 +141,7 @@ def gopher_rules(
             "rule_symbol": F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO,
             "rule_bullet": F.col("bullet_frac") < GOPHER_MAX_BULLET_FRAC,
             "rule_ellipsis": F.col("ellipsis_frac") < GOPHER_MAX_ELLIPSIS_FRAC,
+            "rule_dup_lines": F.col("dup_line_frac") < GOPHER_MAX_DUP_LINE_FRAC,
         }
     ).withColumn(
         "keep",
@@ -140,7 +149,8 @@ def gopher_rules(
         & F.col("rule_word_len")
         & F.col("rule_symbol")
         & F.col("rule_bullet")
-        & F.col("rule_ellipsis"),
+        & F.col("rule_ellipsis")
+        & F.col("rule_dup_lines"),
     ).drop("__toks", "__lines")
 
 

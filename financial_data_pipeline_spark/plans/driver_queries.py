@@ -1790,6 +1790,8 @@ WITH base AS (
          OR starts_with(ln, '• ')])::DOUBLE / greatest(len(lines), 1) AS bullet,
     len([ln for ln in lines if ends_with(ln, '...')])::DOUBLE
       / greatest(len(lines), 1) AS ell,
+    (len(lines) - len(list_distinct(lines)))::DOUBLE
+      / greatest(len(lines), 1) AS dupl,
     (list_contains(toks, 'the')::INT + list_contains(toks, 'and')::INT
      + list_contains(toks, 'of')::INT + list_contains(toks, 'to')::INT
      + list_contains(toks, 'a')::INT + list_contains(toks, 'in')::INT
@@ -1804,7 +1806,8 @@ SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
        (mwl BETWEEN 3.0 AND 10.0) AS rule_word_len,
        (sym < 0.1) AS rule_symbol,
        (n_words BETWEEN 20 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
-         AND (sym < 0.1) AND (bullet < 0.9) AND (ell < 0.3) AS keep
+         AND (sym < 0.1) AND (bullet < 0.9) AND (ell < 0.3)
+         AND (dupl < 0.3) AS keep
 FROM m
 """,
 )
@@ -2052,3 +2055,37 @@ def q_user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return session_stats(sessionize(ev, gap="30 minutes"))
+
+
+@query(
+    "ngram_vocab",
+    r"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+)
+SELECT s AS ngram, count(*) AS doc_freq
+FROM sh GROUP BY s
+ORDER BY doc_freq DESC, ngram ASC LIMIT 100
+""",
+)
+def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram vocabulary: top-100 3-grams by document frequency
+    (per-doc distinct shingles → groupBy count → TakeOrdered top-k,
+    deterministic (freq desc, ngram asc) tie-break). The vocab-building
+    / stopword-mining primitive; top-k executes as TakeOrdered, never a
+    global sort."""
+    from financial_data_pipeline_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "text", "doc_id", k=3)
+    return (
+        sh.groupBy(F.col("sh").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(100)
+    )

@@ -34,9 +34,11 @@ def test_gopher_rules_flag_crafted_docs(spark):
     symbols = "# " * 40  # symbol per word → fails symbol ratio
     long_words = "extraordinarily " * 25  # mean word len 16 → fails
     bullets = "\n".join("- item %d" % i for i in range(10))  # all bullets
+    repeated = "\n".join(["same line here"] * 10)  # 90% dup lines
     df = _doc_df(
         spark,
-        [(0, good), (1, short), (2, symbols), (3, long_words), (4, bullets)],
+        [(0, good), (1, short), (2, symbols), (3, long_words), (4, bullets),
+         (5, repeated)],
     )
     out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
     assert out[0]["keep"]
@@ -44,6 +46,8 @@ def test_gopher_rules_flag_crafted_docs(spark):
     assert not out[2]["rule_symbol"]
     assert not out[3]["rule_word_len"]
     assert not out[4]["rule_bullet"] and not out[4]["keep"]
+    assert not out[5]["rule_dup_lines"] and not out[5]["keep"]
+    assert out[5]["dup_line_frac"] == pytest.approx(0.9)
     kept = gopher_filter(df).select("doc_id").collect()
     assert [r.doc_id for r in kept] == [0]
     # no temp columns leak
