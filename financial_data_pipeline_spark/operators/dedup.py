@@ -107,6 +107,43 @@ def _sized_hashed_shingle_rows(
     )
 
 
+def dual_hashed_shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sz, shh, h): ONE tokenize+shingle+explode pass emitting both
+    downstream hash keys — ``shh`` (xxhash64, the jaccard bucket key)
+    and ``h`` (portable md5-60 mod 2³¹−1, the minhash base).
+
+    For pipelines that need LSH candidates AND jaccard verification,
+    ``.persist()`` this and pass it to
+    ``lsh_candidates(shingle_rows_df=...)`` and
+    ``jaccard_pairs(shingle_rows_df=...)`` — the corpus is tokenized
+    once instead of twice. Values are identical to the per-operator
+    passes, so oracle parity is unaffected.
+
+    MEASURED TRADEOFF (sf0.1, local[32]): the persisted share is ~2×
+    SLOWER than recomputing — InMemoryTableScan's columnar↔row
+    conversion costs more than re-running the tokenize inside two
+    fused whole-stage-codegen pipelines. Use the share only when the
+    text column is expensive to RE-READ (e.g. remote object store at
+    100 TB, where scan cost dominates CPU) or the storage level is
+    DISK_ONLY on fast local SSD; default plans recompute.
+    """
+    with_toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    with_arr = with_toks.select(
+        id_col, shingles_from_tokens(F.col("__toks"), k).alias("__sh")
+    )
+    exploded = with_arr.select(
+        id_col, F.size("__sh").alias("sz"), F.explode("__sh").alias("sh")
+    )
+    return exploded.select(
+        id_col,
+        "sz",
+        F.xxhash64("sh").alias("shh"),
+        (_hash60(F.col("sh")) % F.lit(MINHASH_P)).alias("h"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -164,8 +201,13 @@ def minhash_signatures(
     num_perm: int = 16,
     k: int = 3,
     shingle_hash: str = "md5",
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{n-1}) MinHash signatures over k-shingles.
+
+    ``shingle_rows_df``: optional precomputed
+    ``dual_hashed_shingle_rows`` frame (columns incl. ``h``) to share
+    the shingle pass with a downstream jaccard verify.
 
     Plan shape matters here: shingles are EXPLODED to rows once and the
     per-permutation mins are ``num_perm`` aggregates in ONE groupBy —
@@ -182,14 +224,17 @@ def minhash_signatures(
     ``_hash60``, oracle-reproducible, the default) or "xx" (xxhash64,
     fastest, no SQL twin).
     """
-    sh = shingle_rows(df, text_col, id_col, k)
-    if shingle_hash == "md5":
-        h = _hash60(F.col("sh")) % F.lit(MINHASH_P)
-    elif shingle_hash == "xx":
-        h = F.abs(F.xxhash64("sh")) % F.lit(MINHASH_P)
+    if shingle_rows_df is not None:
+        hashed = shingle_rows_df.select(id_col, "h")
     else:
-        raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
-    hashed = sh.select(id_col, h.alias("h"))
+        sh = shingle_rows(df, text_col, id_col, k)
+        if shingle_hash == "md5":
+            h = _hash60(F.col("sh")) % F.lit(MINHASH_P)
+        elif shingle_hash == "xx":
+            h = F.abs(F.xxhash64("sh")) % F.lit(MINHASH_P)
+        else:
+            raise ValueError(f"unknown shingle_hash {shingle_hash!r}")
+        hashed = sh.select(id_col, h.alias("h"))
     return hashed.groupBy(id_col).agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(
@@ -208,6 +253,7 @@ def lsh_candidates(
     bands: int = 8,
     k: int = 3,
     shingle_hash: str = "md5",
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (id_a < id_b).
 
@@ -216,7 +262,9 @@ def lsh_candidates(
     bucket — shuffle size O(n · bands), never O(n²).
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, k, shingle_hash)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, k, shingle_hash, shingle_rows_df
+    )
     band_rows = sigs.select(
         id_col,
         F.explode(
@@ -273,8 +321,13 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingle_rows_df: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
+
+    ``shingle_rows_df``: optional precomputed
+    ``dual_hashed_shingle_rows`` frame (columns incl. ``sz``, ``shh``)
+    sharing the shingle pass with candidate generation.
 
     Without ``candidates``: inverted-index blocking — only docs sharing
     ≥1 shingle ever meet. With ``candidates`` (e.g. from LSH): verifies
@@ -292,7 +345,10 @@ def jaccard_pairs(
     one row — cap or drop degenerate buckets (stopword shingles) if the
     corpus has giant cohorts; at the test SFs max B is 25.
     """
-    sh = _sized_hashed_shingle_rows(df, text_col, id_col, k)
+    if shingle_rows_df is not None:
+        sh = shingle_rows_df.select(id_col, "sz", "shh")
+    else:
+        sh = _sized_hashed_shingle_rows(df, text_col, id_col, k)
     if candidates is not None:
         # Verify ONLY candidate pairs: semi-restrict the shingle rows to
         # ids appearing in the candidate list before bucketing — the

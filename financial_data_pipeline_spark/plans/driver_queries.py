@@ -1233,6 +1233,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Deliberately NOT sharing a persisted shingle pass between the two
+    # phases (dual_hashed_shingle_rows exists for it): measured 2×
+    # SLOWER at sf0.1 — InMemoryTableScan's columnar↔row overhead costs
+    # more than re-tokenizing inside two fused codegen stages.
     cand = lsh_candidates(docs, num_perm=16, bands=8)
     return jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
 

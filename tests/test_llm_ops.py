@@ -293,3 +293,22 @@ def test_backup_retention(tmp_path):
     # oldest beyond the minimum-keep 5 is deleted, newest 5 survive
     assert deleted == [stamps[0]]
     assert len(bm.list_backups()) == 5
+
+
+def test_shared_shingle_pass_matches_default(docs):
+    """dual_hashed_shingle_rows-fed LSH+jaccard ≡ the default two-pass
+    plans (same candidate pairs, same verified pairs)."""
+    sh = dedup.dual_hashed_shingle_rows(docs)
+    cand_default = dedup.lsh_candidates(docs, num_perm=16, bands=8)
+    cand_shared = dedup.lsh_candidates(
+        docs, num_perm=16, bands=8, shingle_rows_df=sh
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    assert as_set(cand_default) == as_set(cand_shared)
+    ver_default = dedup.jaccard_pairs(
+        docs, k=3, threshold=0.3, candidates=cand_default
+    )
+    ver_shared = dedup.jaccard_pairs(
+        docs, k=3, threshold=0.3, candidates=cand_shared, shingle_rows_df=sh
+    )
+    assert as_set(ver_default) == as_set(ver_shared)
