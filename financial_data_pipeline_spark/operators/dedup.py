@@ -598,21 +598,53 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _union_find_labels(edge_rows) -> dict:
+    """Driver-side union-find (path compression + min-root union) →
+    {node: min id of its component}. Deterministic regardless of edge
+    order: the final root is always the component minimum."""
+    parent: dict = {}
+    nodes: set = set()
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in nodes}
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components of the near-dup pair
     graph; cluster_id = min doc id in the component.
 
     The step a real dedup pipeline needs after pair verification: dup
-    GROUPS, so one canonical doc survives per group. Distributed
-    min-label propagation: each round every node takes the min label in
-    its neighborhood (one join + one groupBy per round); rounds needed
-    = graph diameter, and near-dup components are tiny (chains of a few
-    docs), so this converges in a handful of rounds even at 100 TB.
+    GROUPS, so one canonical doc survives per group.
+
+    Execution is size-adaptive: verified near-dup PAIRS are a vanishing
+    fraction of the corpus even at 100 TB, so when the edge list fits
+    the driver (≤ ``driver_threshold`` directed edges ≈ tens of MB) the
+    components come from a driver union-find — O(E α(E)), one job,
+    no iteration. Past the threshold: distributed min-label
+    propagation — each round every node takes the min label in its
+    neighborhood (one join + one groupBy per round); rounds needed =
+    graph diameter, and near-dup components are tiny (chains of a few
+    docs), so this converges in a handful of rounds.
     ``localCheckpoint`` truncates the growing plan lineage each round —
     without it the iteration re-executes all prior rounds.
     """
@@ -620,6 +652,25 @@ def dedup_clusters(
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    if edges.count() <= driver_threshold:
+        from pyspark.sql.types import StructField, StructType
+
+        # collect the CHECKPOINTED edges (collecting fwd would re-run
+        # the whole upstream pair plan); duplicate reverse edges are
+        # harmless to union-find
+        labels_map = _union_find_labels(
+            (r["src"], r["dst"]) for r in edges.collect()
+        )
+        id_type = pairs.schema[id_a].dataType
+        schema = StructType(
+            [
+                StructField("doc_id", id_type),
+                StructField("cluster_id", id_type),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(
+            sorted(labels_map.items()), schema
+        )
     # Round 0 fused into initialization: label = min(id, min neighbor id)
     # — one groupBy over the edge list, no separate identity-label pass.
     labels = (

@@ -312,3 +312,17 @@ def test_shared_shingle_pass_matches_default(docs):
         docs, k=3, threshold=0.3, candidates=cand_shared, shingle_rows_df=sh
     )
     assert as_set(ver_default) == as_set(ver_shared)
+
+
+def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (5, 3)],
+        "id_a long, id_b long",
+    )
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    driver = dedup.dedup_clusters(pairs)  # under threshold → union-find
+    dist = dedup.dedup_clusters(pairs, driver_threshold=0)  # force loop
+    assert as_set(driver) == as_set(dist)
+    # component minima are the labels
+    got = dict(sorted(as_set(driver)))
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
