@@ -60,6 +60,8 @@ HEADLINE = [
     "user_sessions",
     "user_session_stats",
     "ngram_vocab",
+    "exact_k_sample",
+    "corpus_length_stats",
 ]
 
 

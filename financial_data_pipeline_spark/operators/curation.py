@@ -357,3 +357,44 @@ def mixture_plan(
         F.round(rate, 6).alias("rate"),
         F.round(rate * F.col("tokens"), 2).alias("expected_tokens"),
     )
+
+
+def exact_k_sample(
+    df: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly-k uniform sample without replacement: the k rows with
+    the smallest portable id-hash (ties broken by id). Deterministic
+    across engines/partitionings, and executes as TakeOrdered (top-k
+    heap per partition + driver merge) — never a global sort, so it
+    scales to any corpus size. The distributed stand-in for reservoir
+    sampling when the sample must be reproducible.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        df.withColumn("__rank", h)
+        .orderBy(F.asc("__rank"), F.asc(id_col))
+        .limit(k)
+        .drop("__rank")
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    percentiles: tuple = (0.5, 0.95),
+) -> DataFrame:
+    """Per-stratum token-count distribution: n_docs + exact interpolated
+    percentiles (p<NN> columns) — the corpus length-profile report that
+    drives curation thresholds. Exact ``percentile`` for oracle parity;
+    swap to ``percentile_approx`` at 100 TB (documented tolerance)."""
+    n_tokens = token_count_ws(F.col(text_col))
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for p in percentiles:
+        name = f"p{int(p * 100)}"
+        aggs.append(
+            F.round(F.percentile(n_tokens, F.lit(p)), 6).alias(name)
+        )
+    return df.groupBy(strata_col).agg(*aggs)

@@ -2093,3 +2093,40 @@ def q_ngram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("ngram"))
         .limit(100)
     )
+
+
+@query(
+    "exact_k_sample",
+    """
+SELECT doc_id, source FROM documents
+ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+LIMIT 50
+""",
+)
+def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 deterministic uniform sample: smallest portable
+    id-hash wins; TakeOrdered execution (no global sort)."""
+    from financial_data_pipeline_spark.operators.curation import exact_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_k_sample(docs, k=50).select("doc_id", "source")
+
+
+@query(
+    "corpus_length_stats",
+    r"""
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.5), 6) AS p50,
+       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.95), 6) AS p95
+FROM documents GROUP BY source
+""",
+)
+def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length profile (exact interpolated p50/p95) —
+    the length-distribution report curation thresholds come from."""
+    from financial_data_pipeline_spark.operators.curation import (
+        length_percentiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_percentiles(docs)

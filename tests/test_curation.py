@@ -163,3 +163,39 @@ def test_sample_bucket_range(docs):
         F.max(_sample_bucket(F.col("doc_id"))).alias("hi"),
     ).first()
     assert 0 <= row["lo"] and row["hi"] < SAMPLE_MOD
+
+
+def test_exact_k_sample_deterministic_topk(docs):
+    from financial_data_pipeline_spark.operators.curation import exact_k_sample
+
+    s1 = [r.doc_id for r in exact_k_sample(docs, 20).select("doc_id").collect()]
+    s2 = [r.doc_id for r in exact_k_sample(docs, 20).select("doc_id").collect()]
+    assert s1 == s2 and len(s1) == 20 == len(set(s1))
+    # nested: top-10 is a prefix of top-20 (hash ranking is global)
+    s_small = [
+        r.doc_id for r in exact_k_sample(docs, 10).select("doc_id").collect()
+    ]
+    assert s1[:10] == s_small
+    # executes as top-k, not a global sort
+    plan = (
+        exact_k_sample(docs, 20)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_length_percentiles_matches_pandas(docs):
+    from financial_data_pipeline_spark.operators.curation import (
+        length_percentiles,
+    )
+
+    out = length_percentiles(docs).toPandas().set_index("source")
+    pdf = docs.select("source", "text").toPandas()
+    pdf["n_tokens"] = pdf["text"].str.strip().str.split().str.len()
+    for src, grp in pdf.groupby("source"):
+        assert out.loc[src, "n_docs"] == len(grp)
+        assert out.loc[src, "p50"] == pytest.approx(
+            grp["n_tokens"].quantile(0.5), abs=1e-6
+        )
+        assert out.loc[src, "p95"] == pytest.approx(
+            grp["n_tokens"].quantile(0.95), abs=1e-6
+        )
