@@ -62,6 +62,9 @@ HEADLINE = [
     "ngram_vocab",
     "exact_k_sample",
     "corpus_length_stats",
+    "events_type_pivot",
+    "orders_priority_rollup",
+    "customer_spend_rank",
 ]
 
 

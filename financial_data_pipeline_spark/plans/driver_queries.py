@@ -2130,3 +2130,92 @@ def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return length_percentiles(docs)
+
+
+# ---------------------------------------------------------------------------
+# Relational operator classes beyond the reference: pivot, rollup
+# (grouping sets), ranking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_type_pivot",
+    """
+SELECT hour(ts) AS hour,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY 1
+""",
+)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): events per hour-of-day × event_type. Explicit
+    pivot value list — with it Spark skips the extra distinct-values
+    job and plans ONE aggregation; oracle is the portable CASE-sum
+    rendering."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.hour("ts").alias("hour"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves missing cells null; the CASE twin yields 0
+    return out.select(
+        "hour", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query(
+    "orders_priority_rollup",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def q_orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (grouping sets): order counts + revenue at
+    (status, priority), (status), and grand-total levels in ONE pass —
+    Spark's Expand operator feeds a single aggregation, vs three
+    scans for three separate groupBys. Null markers for rolled-up
+    levels match ANSI ROLLUP in any engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "customer_spend_rank",
+    """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total_spend,
+       rank() OVER (ORDER BY total_spend DESC, o_custkey) AS spend_rank,
+       ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+FROM spend
+QUALIFY spend_rank <= 100
+""",
+)
+def q_customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking functions: top-100 customers by total spend with rank()
+    and ntile(10) decile (deterministic tie-break on custkey). The
+    global window is computed over the already-aggregated per-customer
+    frame (|customers| rows), not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("spend_rank", F.rank().over(w))
+        .withColumn("decile", F.ntile(10).over(w))
+        .filter(F.col("spend_rank") <= 100)
+    )

@@ -115,6 +115,11 @@ def main() -> None:
         "- `volume_profile` NESTED_LOOP_JOIN: a broadcast crossJoin of the",
         "  ONE-row global (min, max) price range onto the facts — O(n·1),",
         "  the standard two-pass histogram shape, not a pair blowup.",
+        "- `customer_spend_rank` GLOBAL_WINDOW: rank()/ntile() over the",
+        "  whole customer set is inherently a total order; the window runs",
+        "  on the already-aggregated per-customer frame (|customers| rows,",
+        "  orders of magnitude smaller than the fact table), never on the",
+        "  facts.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
