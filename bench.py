@@ -65,6 +65,8 @@ HEADLINE = [
     "events_type_pivot",
     "orders_priority_rollup",
     "customer_spend_rank",
+    "funnel_conversion",
+    "next_day_retention",
 ]
 
 

@@ -2219,3 +2219,77 @@ def q_customer_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("decile", F.ntile(10).over(w))
         .filter(F.col("spend_rank") <= 100)
     )
+
+
+@query(
+    "funnel_conversion",
+    """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(t_view) AS n_view,
+       sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+                THEN 1 ELSE 0 END) AS n_purchase
+FROM stages
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users reaching view → first-click-after-view →
+    first-purchase-after-click. ONE groupBy (earliest ts per stage per
+    user via conditional min) + a global 3-counter agg — two shuffles
+    total, no joins, no per-event state."""
+    ev = load_table(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))
+    stages = ev.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("t_view").alias("n_view"),
+        F.sum(
+            (F.col("t_view") < F.col("t_click")).cast("long")
+        ).alias("n_click"),
+        F.sum(
+            (
+                (F.col("t_view") < F.col("t_click"))
+                & (F.col("t_click") < F.col("t_purchase"))
+            ).cast("long")
+        ).alias("n_purchase"),
+    )
+
+
+@query(
+    "next_day_retention",
+    """
+WITH active AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+SELECT a.d::VARCHAR AS day, count(*) AS n_active,
+       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained
+FROM active a LEFT JOIN active b
+  ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+GROUP BY a.d
+""",
+)
+def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: per day, active users and how many return
+    the following day. Distinct (user, day) grid self-left-joined on
+    (user, day+1) — the join key carries both columns so it's ONE
+    hash-partitioned equi-join (day+1 folded into the key), then a
+    per-day count."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    nxt = active.select(
+        "user_id", F.date_sub(F.col("d"), 1).alias("d"), F.lit(1).alias("ret")
+    )
+    joined = active.join(nxt, on=["user_id", "d"], how="left")
+    return joined.groupBy(F.col("d").cast("string").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.coalesce(F.col("ret"), F.lit(0))).alias("n_retained"),
+    )
