@@ -67,6 +67,7 @@ HEADLINE = [
     "customer_spend_rank",
     "funnel_conversion",
     "next_day_retention",
+    "events_props_json",
 ]
 
 

@@ -2293,3 +2293,25 @@ def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_active"),
         F.sum(F.coalesce(F.col("ret"), F.lit(0))).alias("n_retained"),
     )
+
+
+@query(
+    "events_props_json",
+    """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+         AS avg_k
+FROM events GROUP BY event_type
+""",
+)
+def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    string per event and aggregate per type. ``get_json_object`` is a
+    JVM-side path expression (codegen, no UDF); at scale, promote hot
+    JSON fields to columns at ingest — this is the query-time fallback."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+    )
