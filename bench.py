@@ -68,6 +68,10 @@ HEADLINE = [
     "funnel_conversion",
     "next_day_retention",
     "events_props_json",
+    "lapsed_customers",
+    "returned_orders_semi",
+    "distinct_users_daily",
+    "events_dow_cube",
 ]
 
 

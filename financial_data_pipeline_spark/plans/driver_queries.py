@@ -2315,3 +2315,127 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 6).alias("avg_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins + distinct aggregation + CUBE (beyond-reference
+# relational classes: EXISTS / NOT EXISTS, COUNT(DISTINCT), grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lapsed_customers",
+    """
+SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 4) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1998-01-01')
+""",
+)
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (TPC-H q22 shape): customers with
+    no order since the cutoff. The date filter is pushed to the orders
+    scan and only ``o_custkey`` survives the projection, so the
+    anti-join build carries 8 bytes/row off the fact table; AQE
+    upgrades to broadcast when the key set fits."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    lapsed = cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return lapsed.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 4).alias("acctbal"),
+    )
+
+
+@query(
+    "returned_orders_semi",
+    """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+)
+def q_returned_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join (TPC-H q4 shape): orders containing at
+    least one returned line. The returnflag filter is pushed to the
+    lineitem scan and only ``l_orderkey`` survives the projection, so
+    the semi-join build side is the minimal key set."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    hit = orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+@query(
+    "distinct_users_daily",
+    """
+SELECT ts::DATE::VARCHAR AS day,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per day. Spark plans this as a two-level
+    aggregate: partial dedup of (day, user) map-side, then the distinct
+    count — no row ever carries a full user set. At 100 TB swap in
+    ``approx_count_distinct`` (HyperLogLog++, fixed 8 KB state per
+    group) when a ~2% error is acceptable; kept exact here for the
+    oracle hash."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").cast("string").alias("day")).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_dow_cube",
+    """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, -1) AS dow,
+       count(*) AS n, round(sum(value), 4) AS value_sum
+FROM (SELECT event_type, (isodow(ts) - 1)::INT AS dow, value FROM events)
+GROUP BY CUBE (event_type, dow)
+""",
+)
+def q_events_dow_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets in
+    ONE Expand + single aggregation pass (no union of groupBys, one
+    shuffle). Null grouping keys are coalesced to sentinels so the
+    subtotal rows hash identically in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        day_of_week_pandas(F.col("ts")).alias("dow"),
+        "value",
+    )
+    out = ev.cube("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("dow", F.lit(-1)).alias("dow"),
+        "n",
+        "value_sum",
+    )
