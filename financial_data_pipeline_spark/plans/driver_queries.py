@@ -1283,9 +1283,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    """The fixed ANN query point (vec_id=0), memoized per sf_dir: it is
+    a query *parameter* shared by three queries, and re-collecting it
+    would bill one extra Spark job to every embedding query."""
+    if sf_dir not in _QUERY_VEC_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _QUERY_VEC_CACHE[sf_dir] = [
+            float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+    return _QUERY_VEC_CACHE[sf_dir]
 
 
 @query(
