@@ -72,6 +72,8 @@ HEADLINE = [
     "returned_orders_semi",
     "distinct_users_daily",
     "events_dow_cube",
+    "purchase_signup_days_intersect",
+    "purchase_no_view_days_except",
 ]
 
 

@@ -2449,3 +2449,67 @@ def q_events_dow_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (beyond-reference; SURVEY §2.7
+# notes the reference has none)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_signup_days_intersect",
+    """
+(SELECT DISTINCT user_id, ts::DATE::VARCHAR AS day
+ FROM events WHERE event_type = 'purchase')
+INTERSECT
+(SELECT DISTINCT user_id, ts::DATE::VARCHAR AS day
+ FROM events WHERE event_type = 'signup')
+""",
+)
+def q_purchase_signup_days_intersect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERSECT at the (user, day) grain: days a user both purchased
+    and signed up. Spark plans set-intersect as an aggregate + left-semi
+    hash join on the full row key — one shuffle per side, no sort. The
+    type filters are pushed into both scans of the same parquet file."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def grain(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.to_date("ts").cast("string").alias("day"))
+            .distinct()
+        )
+
+    return grain("purchase").intersect(grain("signup"))
+
+
+@query(
+    "purchase_no_view_days_except",
+    """
+(SELECT DISTINCT user_id, ts::DATE::VARCHAR AS day
+ FROM events WHERE event_type = 'purchase')
+EXCEPT
+(SELECT DISTINCT user_id, ts::DATE::VARCHAR AS day
+ FROM events WHERE event_type = 'view')
+""",
+)
+def q_purchase_no_view_days_except(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXCEPT at the (user, day) grain: purchase days with no view
+    activity (blind-spot detection). Plans as aggregate + left-anti
+    hash join — the same shape as the NOT EXISTS query but keyed on
+    the whole row."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def grain(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.to_date("ts").cast("string").alias("day"))
+            .distinct()
+        )
+
+    return grain("purchase").subtract(grain("view"))
