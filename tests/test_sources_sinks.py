@@ -263,3 +263,73 @@ def test_query_ohlcv_is_topk(spark, ohlcv_df):
     assert all(r["symbol"] == "BTCUSDT" for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+# ---------------------------------------------------------------------------
+# Archive maintenance: retention + compaction
+# ---------------------------------------------------------------------------
+
+
+def test_archive_retention_drops_old_partitions(spark, tmp_path):
+    from financial_data_pipeline_spark.sources import maintenance
+
+    df = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT", "ETHUSDT"], "2025-01-15", "2025-04-15", 360, seed=4
+    )
+    root = str(tmp_path / "arch_ret")
+    sinks.write_archive(df, root)
+    before = maintenance.list_month_partitions(spark, root)
+    assert [(p.year, p.month) for p in before] == [
+        (2025, 1), (2025, 2), (2025, 3), (2025, 4)
+    ]
+
+    deleted = maintenance.apply_retention(spark, root, 2025, 3)
+    assert len(deleted) == 2  # Jan + Feb dropped
+    after = maintenance.list_month_partitions(spark, root)
+    assert [(p.year, p.month) for p in after] == [(2025, 3), (2025, 4)]
+
+    # manifest rewritten to match the surviving partitions
+    manifest = spark.read.parquet(f"{root}/_manifest")
+    assert manifest.filter(F.col("month") < 3).count() == 0
+    assert manifest.count() == 2 * 2  # Mar, Apr × 2 symbols
+
+    # surviving data still reads correctly (pruned scan)
+    got = read_archive(spark, root, symbol="BTCUSDT", start="2025-03-01",
+                       end="2025-04-30")
+    expect = df.filter(
+        (F.col("symbol") == "BTCUSDT")
+        & F.col("timestamp").between("2025-03-01", "2025-04-30")
+    )
+    assert got.count() == expect.count()
+
+
+def test_archive_compaction_merges_small_files(spark, tmp_path):
+    from financial_data_pipeline_spark.sources import maintenance
+
+    root = str(tmp_path / "arch_cmp")
+    df = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT"], "2025-01-01", "2025-01-20", 60, seed=5
+    )
+    # five appends = five small files per leaf partition
+    for i in range(5):
+        sinks.write_archive(df, root)
+    leaf_before = maintenance._leaf_partitions(spark, root)
+    assert all(p.n_files >= 5 for p in leaf_before)
+    total_before = spark.read.parquet(root).count()
+
+    results = maintenance.compact_archive(spark, root, min_files=1)
+    assert results  # something was compacted
+    for before_n, after_n in results.values():
+        assert after_n < before_n
+
+    # row-level content unchanged; partition columns still directory-encoded
+    compacted = spark.read.parquet(root)
+    assert compacted.count() == total_before
+    assert {"year", "month", "symbol"} <= set(compacted.columns)
+    one = (
+        compacted.filter(F.col("timestamp") == df.first()["timestamp"])
+        .groupBy("timestamp")
+        .count()
+        .first()
+    )
+    assert one["count"] == 5  # the 5 duplicate appends survive compaction
