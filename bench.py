@@ -74,6 +74,8 @@ HEADLINE = [
     "events_dow_cube",
     "purchase_signup_days_intersect",
     "purchase_no_view_days_except",
+    "big_ticket_orders",
+    "rich_lapsed_by_segment",
 ]
 
 

@@ -2513,3 +2513,89 @@ def q_purchase_no_view_days_except(
         )
 
     return grain("purchase").subtract(grain("view"))
+
+
+# ---------------------------------------------------------------------------
+# HAVING on aggregate + scalar-subquery threshold (beyond-reference joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "big_ticket_orders",
+    """
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS order_date_us,
+       round(o.o_totalprice, 4) AS totalprice,
+       round(q.total_qty, 4) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 120) q
+JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def q_big_ticket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18-shaped: orders whose summed line quantity exceeds a
+    threshold, joined back to orders + customer. The HAVING filter runs
+    map-side-partial then post-agg, so only the heavy tail reaches the
+    joins; at 100 TB the agg output is the sole orderkey-shuffle and
+    AQE picks broadcast vs shuffle join from its runtime size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    return (
+        heavy.join(orders, heavy.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("order_date_us"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "rich_lapsed_by_segment",
+    """
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY c_mktsegment
+""",
+)
+def q_rich_lapsed_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22-shaped: scalar-subquery threshold (global average
+    balance) + NOT EXISTS anti join, aggregated per market segment.
+    The scalar is a one-row broadcast cross join (stays lazy, no
+    driver collect); the anti join builds on the key-only filtered
+    orders side. Both sides prune to the scanned columns."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 4).alias("bal"),
+        )
+    )
