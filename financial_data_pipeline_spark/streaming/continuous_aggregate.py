@@ -103,3 +103,29 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def drain_to_parquet(
+    result: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain the currently-available source into an append-mode parquet
+    sink and stop — the restartable production shape.
+
+    Restart with the SAME ``checkpoint_dir`` and the query resumes
+    exactly where it left off: source offsets (files already ingested),
+    the event-time watermark, and open-window aggregation state are all
+    restored from the checkpoint, and the file sink's ``_spark_metadata``
+    manifest makes output exactly-once (readers see only committed
+    files). This is the fault-tolerance contract a 1000-executor ingest
+    job relies on; ``tests/test_stream_recovery.py`` proves it across a
+    stop/restart cycle.
+    """
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
