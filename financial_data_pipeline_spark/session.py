@@ -28,6 +28,12 @@ _DEFAULTS = {
     # whole-file zlib/lzma/bz2 (SURVEY.md S21) on both ratio and scan speed.
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",
+    # Write timestamps as INT64 TIMESTAMP_MICROS, not the legacy INT96:
+    # INT96 columns carry NO parquet min/max statistics, so every
+    # timestamp range scan would read every row group — with MICROS the
+    # sorted archive files (sinks.write_archive) prune at row-group
+    # granularity, the lake-side analog of the reference's time index.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # The driver testdata writes INT64 TIMESTAMP(NANOS) parquet, which
     # vanilla Spark rejects; read as long and convert at the adapter
     # (same ns→µs truncation DuckDB applies when it reads the files).

@@ -57,6 +57,8 @@ def write_archive(
     codec: str = "zstd",
     mode: str = "append",
     ts: str = "timestamp",
+    sort_by_time: bool = True,
+    writer_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """S10: Hive-partitioned archive writer + manifest.
 
@@ -68,15 +70,27 @@ def write_archive(
     count metadata (``data_storage_manager.py:125-139``) becomes a
     manifest table at ``root/_manifest`` with per-partition row counts
     and value ranges; returns the manifest rows written.
+
+    ``sort_by_time`` extends the dynamic-partition writer's required
+    sort key (year, month, symbol) with ``ts``: the writer sorts each
+    task's rows on the partition columns anyway, so appending the
+    timestamp costs nothing extra and clusters every output file by
+    time — parquet row-group min/max stats become tight,
+    non-overlapping ranges, and timestamp-predicate scans skip whole
+    row groups (the lake-side analog of the reference's
+    ``(symbol, time DESC)`` index, ``timescaledb_schema.sql:24-27``).
     """
     out = df
     if "year" not in out.columns:
         out = out.withColumn("year", F.year(ts))
     if "month" not in out.columns:
         out = out.withColumn("month", F.month(ts))
-    out.write.option("compression", codec).mode(mode).partitionBy(
-        "year", "month", "symbol"
-    ).parquet(root)
+    if sort_by_time:
+        out = out.sortWithinPartitions("year", "month", "symbol", ts)
+    writer = out.write.option("compression", codec)
+    for k, v in (writer_options or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).partitionBy("year", "month", "symbol").parquet(root)
     manifest = out.groupBy("year", "month", "symbol").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min(ts).alias("min_ts"),
