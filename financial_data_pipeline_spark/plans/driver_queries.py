@@ -2599,3 +2599,22 @@ def q_rich_lapsed_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("bal"),
         )
     )
+
+
+@query("distinct_users_daily_approx")  # HLL values ≉ DuckDB's sketch: rows-only
+def q_distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap for exact COUNT(DISTINCT): HyperLogLog++
+    (``approx_count_distinct``, default rsd 5%). One shuffle of
+    fixed-size sketches instead of the exact path's two-level
+    distinct expansion — state per (day) group is O(sketch), not
+    O(distinct users). Relative-error bound asserted against the
+    exact count in ``tests/test_sessionize.py``; the driver records a
+    rows-only check (sketch estimates differ across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -95,3 +95,23 @@ def test_sessionize_works_on_stream(spark, tmp_path):
         "n_events",
         "total_value",
     ]
+
+
+def test_approx_distinct_within_rsd(spark):
+    """HLL++ daily distinct-user estimates stay within the configured
+    5% relative standard deviation of the exact counts (the documented
+    100 TB swap for exact COUNT(DISTINCT))."""
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    approx = {
+        r["day"]: r["n_users_approx"]
+        for r in QUERIES["distinct_users_daily_approx"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["day"]: r["n_users"]
+        for r in QUERIES["distinct_users_daily"](spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(0.15 * n, 5)  # 3×rsd slack

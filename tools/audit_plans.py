@@ -120,6 +120,10 @@ def main() -> None:
         "  on the already-aggregated per-customer frame (|customers| rows,",
         "  orders of magnitude smaller than the fact table), never on the",
         "  facts.",
+        "- `rich_lapsed_by_segment` NESTED_LOOP_JOIN: the scalar subquery",
+        "  (global average balance) is a ONE-row broadcast crossJoin onto",
+        "  customer — O(n·1), same shape as `volume_profile`; keeps the",
+        "  scalar lazy instead of a driver collect.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
