@@ -76,6 +76,9 @@ HEADLINE = [
     "purchase_no_view_days_except",
     "big_ticket_orders",
     "rich_lapsed_by_segment",
+    "purchase_view_full_outer",
+    "rolling_24h_volume",
+    "edit_distance_pairs",
 ]
 
 

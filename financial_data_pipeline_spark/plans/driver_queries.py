@@ -2618,3 +2618,130 @@ def q_distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count("*").alias("n_events"),
         )
     )
+
+
+@query(
+    "purchase_view_full_outer",
+    """
+SELECT coalesce(p.user_id, v.user_id) AS user_id,
+       coalesce(p.day, v.day) AS day,
+       coalesce(p.n, 0) AS n_purchases,
+       coalesce(v.n, 0) AS n_views
+FROM (SELECT user_id, ts::DATE::VARCHAR AS day, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
+FULL OUTER JOIN (SELECT user_id, ts::DATE::VARCHAR AS day, count(*) AS n
+                 FROM events WHERE event_type = 'view' GROUP BY 1, 2) v
+ON p.user_id = v.user_id AND p.day = v.day
+""",
+)
+def q_purchase_view_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join at the (user, day) grain: purchase activity vs
+    view activity with unmatched rows kept on BOTH sides (zero-filled).
+    Plans as one shuffle per pre-aggregated side on the same
+    (user_id, day) key, then a shuffled full-outer hash join — both
+    sides arrive already reduced, so the join input is the aggregate
+    row count, not the event count."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def daily(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                "user_id", F.to_date("ts").cast("string").alias("day")
+            )
+            .agg(F.count("*").alias("n"))
+        )
+
+    p, v = daily("purchase").alias("p"), daily("view").alias("v")
+    return (
+        p.join(
+            v,
+            (F.col("p.user_id") == F.col("v.user_id"))
+            & (F.col("p.day") == F.col("v.day")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("p.user_id", "v.user_id").alias("user_id"),
+            F.coalesce("p.day", "v.day").alias("day"),
+            F.coalesce("p.n", F.lit(0)).alias("n_purchases"),
+            F.coalesce("v.n", F.lit(0)).alias("n_views"),
+        )
+    )
+
+
+@query(
+    "rolling_24h_volume",
+    BARS_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sum(volume) OVER (
+           PARTITION BY symbol ORDER BY timestamp
+           RANGE BETWEEN INTERVAL 86400 SECONDS PRECEDING AND CURRENT ROW
+       ), 6) AS vol_24h,
+       count(*) OVER (
+           PARTITION BY symbol ORDER BY timestamp
+           RANGE BETWEEN INTERVAL 86400 SECONDS PRECEDING AND CURRENT ROW
+       ) AS n_bars_24h
+FROM bars
+""",
+)
+def q_rolling_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (time-based, not row-count-based): trailing
+    24-hour volume per symbol. Unlike the ROW frame of
+    ``sliding_windows``, the frame is bounded by event-time distance,
+    so it is gap-aware — missing bars shrink the window instead of
+    silently widening the lookback. One hash-partition shuffle per
+    symbol; the frame scan is a single ordered pass per partition."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy(F.unix_timestamp("timestamp"))
+        .rangeBetween(-86400, 0)
+    )
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(F.sum("volume").over(w), 6).alias("vol_24h"),
+        F.count(F.lit(1)).over(w).alias("n_bars_24h"),
+    )
+
+
+@query(
+    "edit_distance_pairs",
+    """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) AS edit_dist
+FROM documents a
+JOIN documents b
+  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+ AND a.doc_id < b.doc_id
+""",
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification with prefix blocking: docs
+    sharing a 16-char prefix are candidates (equi-join on the blocking
+    key — a plain hash join, no quadratic pass), then Levenshtein runs
+    only on candidate pairs, capped at 256 chars so the O(n*m) kernel
+    is constant-bounded per pair. The blocking-key join is the same
+    shape the LSH family uses: candidate generation is an equi-join,
+    expensive verification touches candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 16).alias("block"),
+        F.substring("text", 1, 256).alias("head_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 16).alias("block"),
+        F.substring("text", 1, 256).alias("head_b"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("head_a", "head_b").alias("edit_dist"),
+        )
+    )
