@@ -15,8 +15,10 @@ and diffs against the batch operator.
 
 Scale notes: state is one row per open (symbol, bucket) window and is
 dropped once the watermark passes — bounded by symbol-count ×
-(watermark / timeframe). No custom stateful operator is needed; tumbling
-windows only, exactly the reference's semantics (no session/sliding).
+(watermark / timeframe). No custom stateful operator is needed. The
+reference's semantics are tumbling-only; ``hopping_volume`` adds the
+overlapping-window variant (beyond-reference, see its docstring),
+and sessions live in ``operators/sessionize.py``.
 """
 
 from __future__ import annotations
@@ -129,3 +131,42 @@ def drain_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def hopping_volume(
+    stream: DataFrame,
+    window: str = "2 hours",
+    slide: str = "30 minutes",
+    watermark: str = "3 hours",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Hopping (sliding) window aggregate: every bar lands in
+    ``window/slide`` overlapping buckets, giving a smoothed trailing
+    volume/high/low series per symbol — the streaming twin of the
+    batch ROW/RANGE-frame windows.
+
+    State per symbol is (window/slide) × open-bucket rows and is
+    evicted at the watermark like the tumbling case; Spark expands each
+    event to its owning buckets before the shuffle, so the shuffle
+    carries (window/slide)× rows — keep the ratio small (4 here) at
+    100 TB, or pre-aggregate to coarse tumbling buckets first and hop
+    over those.
+    """
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col("symbol"), F.window(F.col(ts), window, slide))
+        .agg(
+            F.sum("volume").alias("volume"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .select(
+            "symbol",
+            F.col("window.start").alias("bucket_ts"),
+            "volume",
+            "high",
+            "low",
+            "n_bars",
+        )
+    )

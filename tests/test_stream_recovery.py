@@ -126,3 +126,94 @@ def test_dedup_state_survives_restart(spark, tmp_path):
     assert got.count() == 3  # dup dropped ACROSS the restart
     assert {r["doc_id"] for r in got.collect()} == {1, 2, 4}
     assert got.filter(F.col("text") == "alpha beta").count() == 1
+
+
+def test_hopping_window_stream_matches_batch(spark, tmp_path):
+    """Streaming hopping-window aggregate == the identical batch
+    groupBy(window(ts, size, slide)) — every bar contributes to
+    window/slide overlapping buckets in both engines."""
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        hopping_volume,
+    )
+
+    t = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        _bar(t + dt.timedelta(minutes=m), 100.0 + m, float(m + 1))
+        for m in range(0, 300, 7)
+    ]
+    src = tmp_path / "hop_src"
+    spark.createDataFrame(rows, OHLCV_EVENT_SCHEMA).write.parquet(str(src / "b1"))
+
+    stream = read_bar_stream(spark, str(src / "*"))
+    q = (
+        hopping_volume(stream, window="2 hours", slide="30 minutes")
+        .writeStream.format("memory")
+        .queryName("hop_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_df = spark.createDataFrame(rows, OHLCV_EVENT_SCHEMA)
+    expect = (
+        batch_df.groupBy("symbol", F.window("timestamp", "2 hours", "30 minutes"))
+        .agg(
+            F.sum("volume").alias("volume"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .select(
+            "symbol", F.col("window.start").alias("bucket_ts"),
+            "volume", "high", "low", "n_bars",
+        )
+    )
+    got = {tuple(r) for r in spark.table("hop_out").collect()}
+    want = {tuple(r) for r in expect.collect()}
+    assert got == want
+    # each bar lands in window/slide = 4 buckets
+    n_buckets = len({r[1] for r in want})
+    assert n_buckets > 4
+
+
+def test_stream_upsert_reemits_changed_windows(spark, tmp_path):
+    """UPDATE-mode windowed agg → foreachBatch keyed upsert: a window
+    that receives late rows in a second run is re-emitted and
+    overwrites its serving-store row (idempotent re-delivery), instead
+    of appending a duplicate."""
+    from financial_data_pipeline_spark.streaming.serving import stream_upsert
+
+    src = tmp_path / "serve_src"
+    ckpt = str(tmp_path / "serve_ckpt")
+    rec = tmp_path / "upserts.txt"
+
+    def executor(dsn, sql, rows, page_size):
+        with open(rec, "a") as f:
+            for r in rows:
+                f.write(repr(r) + "\n")
+        assert "ON CONFLICT" in sql and "DO UPDATE" in sql
+
+    t = dt.datetime(2025, 1, 1, 0, 0, 0)
+    rows1 = [_bar(t + dt.timedelta(minutes=10), 100.0, 10.0)]
+    spark.createDataFrame(rows1, OHLCV_EVENT_SCHEMA).write.parquet(str(src / "b1"))
+    agg = continuous_ohlcv(
+        read_bar_stream(spark, str(src / "*")), "1 hour", "3 hours"
+    )
+    stream_upsert(agg, "dsn://x", "bars_1h", ["symbol", "bucket_ts"], ckpt,
+                  executor=executor)
+
+    # run 2: another row in the SAME window — update mode re-emits it
+    rows2 = [_bar(t + dt.timedelta(minutes=40), 101.0, 5.0)]
+    spark.createDataFrame(rows2, OHLCV_EVENT_SCHEMA).write.parquet(str(src / "b2"))
+    agg2 = continuous_ohlcv(
+        read_bar_stream(spark, str(src / "*")), "1 hour", "3 hours"
+    )
+    stream_upsert(agg2, "dsn://x", "bars_1h", ["symbol", "bucket_ts"], ckpt,
+                  executor=executor)
+
+    emitted = rec.read_text().strip().splitlines()
+    assert len(emitted) == 2  # same window emitted once per run
+    # final emission carries the merged aggregate (volume 10 + 5)
+    assert "15.0" in emitted[-1]
