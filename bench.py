@@ -79,6 +79,8 @@ HEADLINE = [
     "purchase_view_full_outer",
     "rolling_24h_volume",
     "edit_distance_pairs",
+    "bar_gaps",
+    "vwap_daily",
 ]
 
 

@@ -2745,3 +2745,69 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("head_a", "head_b").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "bar_gaps",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp,
+         lag(timestamp) OVER (PARTITION BY symbol ORDER BY timestamp) AS prev_ts
+  FROM bars
+)
+SELECT symbol, epoch_us(prev_ts) AS gap_start_us, epoch_us(timestamp) AS gap_end_us,
+       CAST(date_diff('second', prev_ts, timestamp) AS BIGINT) AS gap_seconds
+FROM d
+WHERE prev_ts IS NOT NULL
+  AND date_diff('second', prev_ts, timestamp) > 5400
+""",
+)
+def q_bar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gap listing (the row-level twin of validation_counters'
+    time_gaps COUNT, ``data_cleaner.py:334-344``): consecutive-bar
+    deltas via lag() per symbol, keeping deltas > 1.5× the 1h bar
+    interval. One hash shuffle on symbol; the window is a single
+    ordered pass per symbol partition (no global sort)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    prev = F.lag("timestamp").over(w)
+    delta = F.unix_timestamp("timestamp") - F.unix_timestamp(prev)
+    return (
+        bars.select(
+            "symbol",
+            F.unix_micros(prev).alias("gap_start_us"),
+            _ts_us().alias("gap_end_us"),
+            delta.alias("gap_seconds"),
+        )
+        .filter(F.col("gap_start_us").isNotNull() & (F.col("gap_seconds") > 5400))
+    )
+
+
+@query(
+    "vwap_daily",
+    BARS_CTE
+    + """
+SELECT symbol, timestamp::DATE::VARCHAR AS day,
+       round(sum(close * volume) / sum(volume), 6) AS vwap,
+       round(sum(volume), 6) AS volume
+FROM bars GROUP BY 1, 2
+""",
+)
+def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume-weighted average price per symbol — the standard
+    financial rollup the reference's indicator set stops short of.
+    Plain two-accumulator agg (sum of price×volume, sum of volume):
+    map-side partial combine, one shuffle on (symbol, day)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return (
+        bars.groupBy(
+            "symbol", F.to_date("timestamp").cast("string").alias("day")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("close") * F.col("volume")) / F.sum("volume"), 6
+            ).alias("vwap"),
+            F.round(F.sum("volume"), 6).alias("volume"),
+        )
+    )
