@@ -81,6 +81,9 @@ HEADLINE = [
     "edit_distance_pairs",
     "bar_gaps",
     "vwap_daily",
+    "nation_trade_volume",
+    "promo_revenue_share",
+    "small_quantity_revenue",
 ]
 
 

@@ -2811,3 +2811,115 @@ def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("volume"), 6).alias("volume"),
         )
     )
+
+
+@query(
+    "nation_trade_volume",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS yr,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7-shaped: cross-border trade volume by (supplier nation,
+    customer nation, year). The nation dim joins TWICE in different
+    roles (supplier side vs customer side) — both broadcast; the only
+    shuffles are the fact⋈fact orderkey join and the final group-by.
+    The inequality filter runs on broadcast-joined key columns before
+    the aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+SELECT CAST(year(l.l_shipdate) AS INT) AS yr,
+       round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14-shaped: promo revenue percentage per year — a
+    conditional numerator and unconditional denominator computed in
+    the SAME single aggregation pass (no second scan, no join of two
+    aggregates). part broadcasts; one shuffle on the year key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    """
+SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr
+      FROM lineitem GROUP BY l_partkey) t
+  ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.qty_thr
+""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17-shaped: revenue from below-average-quantity line items
+    — the correlated per-group scalar subquery decorrelated into an
+    aggregate + self-join on the grouping key. One shuffle computes the
+    per-part thresholds, the self-join reuses the same partkey
+    partitioning, and AQE broadcasts the (|parts|-row) threshold side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.join(thr, li.l_partkey == thr.pk)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
