@@ -312,18 +312,23 @@ FROM bars
 """,
 )
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F10/F11/F12: z-score, min-max and log1p in one projection."""
+    """F10/F11/F12: z-score, min-max and log1p in one projection.
+
+    Composed sequentially on ONE fact lineage: each normalize() adds a
+    tiny per-symbol fit aggregate broadcast back onto the same frame —
+    the fact table is never joined to itself (the previous version
+    built three full-fact frames and re-joined them on
+    (symbol, timestamp): two wide fact⋈fact joins for nothing)."""
     bars = events_as_ohlcv(spark, sf_dir)
-    z = normalize.normalize(bars, ["close"], "zscore").select(
-        "symbol", "timestamp", F.col("close").alias("close_z")
+    prepped = bars.select(
+        "symbol",
+        "timestamp",
+        F.col("close").alias("close_z"),
+        F.col("volume").alias("volume_mm"),
+        F.log1p("close").alias("close_log1p"),
     )
-    mm = normalize.normalize(bars, ["volume"], "minmax").select(
-        "symbol", "timestamp", F.col("volume").alias("volume_mm")
-    )
-    lg = normalize.normalize(bars, ["close"], "log").select(
-        "symbol", "timestamp", F.col("close").alias("close_log1p")
-    )
-    out = z.join(mm, ["symbol", "timestamp"]).join(lg, ["symbol", "timestamp"])
+    out = normalize.normalize(prepped, ["close_z"], "zscore")
+    out = normalize.normalize(out, ["volume_mm"], "minmax")
     return out.select(
         "symbol",
         _ts_us().alias("ts_us"),
