@@ -84,6 +84,7 @@ HEADLINE = [
     "nation_trade_volume",
     "promo_revenue_share",
     "small_quantity_revenue",
+    "scd2_customer_segments",
 ]
 
 

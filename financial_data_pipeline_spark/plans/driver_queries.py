@@ -2928,3 +2928,66 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
+
+
+@query(
+    "scd2_customer_segments",
+    """
+WITH cur AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         TIMESTAMP '1995-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+  FROM customer
+), upd AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         CASE WHEN c_acctbal > 7500 THEN 'UPGRADED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       epoch_us(c.valid_from) AS valid_from_us,
+       -1 AS valid_to_us, 1 AS is_current
+FROM cur c JOIN upd u USING (c_custkey)
+WHERE u.c_mktsegment = c.c_mktsegment
+UNION ALL
+SELECT c.c_custkey, c.c_mktsegment, epoch_us(c.valid_from),
+       epoch_us(TIMESTAMP '2000-06-01'), 0
+FROM cur c JOIN upd u USING (c_custkey)
+WHERE u.c_mktsegment <> c.c_mktsegment
+UNION ALL
+SELECT u.c_custkey, u.c_mktsegment, epoch_us(TIMESTAMP '2000-06-01'), -1, 1
+FROM cur c JOIN upd u USING (c_custkey)
+WHERE u.c_mktsegment <> c.c_mktsegment
+""",
+)
+def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge (``operators/scd.py``): bootstrap the
+    customer dim as-of 1995, apply an update snapshot (high-balance
+    customers re-segmented) effective 2000-06-01, and emit the full
+    versioned table — changed keys carry a closed row + a new open row,
+    unchanged keys pass through. The update snapshot broadcasts; the
+    dimension is never shuffled. Oracle is the three-branch UNION of
+    the same merge semantics."""
+    from financial_data_pipeline_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = scd2_init(cust, "1995-01-01")
+    updates = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") > 7500, F.lit("UPGRADED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    merged = scd2_merge(
+        current, updates, ["c_custkey"], ["c_mktsegment"], "2000-06-01"
+    )
+    return merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.coalesce(F.unix_micros("valid_to"), F.lit(-1)).alias("valid_to_us"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )

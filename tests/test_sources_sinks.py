@@ -383,3 +383,61 @@ def test_archive_sorted_write_clusters_row_groups(spark, tmp_path):
         F.col("timestamp").between("2025-01-10", "2025-01-11")
     )
     assert got.count() == expect.count()
+
+
+def test_refresh_aggregate_swaps_only_touched_partitions(spark, tmp_path):
+    """Batch continuous-aggregate refresh: late data in one month
+    triggers a window refresh that rewrites ONLY that month's
+    partitions of the aggregate table (dynamic partition overwrite);
+    untouched months keep their exact files, and the refreshed table
+    equals a full recompute."""
+    import glob as globmod
+
+    from financial_data_pipeline_spark.operators import resample
+    from financial_data_pipeline_spark.operators.refresh import (
+        refresh_aggregate,
+    )
+
+    arch = str(tmp_path / "arch")
+    agg = str(tmp_path / "agg")
+    df = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT", "ETHUSDT"], "2025-01-01", "2025-03-31", 60, seed=9
+    )
+    sinks.write_archive(df, arch)
+    refresh_aggregate(spark, arch, agg, "4h")  # initial materialization
+    jan_before = sorted(globmod.glob(f"{agg}/year=2025/month=1/*.parquet"))
+    assert jan_before
+
+    # late bars land in February only → refresh just that window
+    late = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT"], "2025-02-10", "2025-02-12", 60, seed=10
+    )
+    sinks.write_archive(late, arch)
+    refresh_aggregate(
+        spark, arch, agg, "4h",
+        start="2025-02-01", end="2025-02-28 23:59:59",
+    )
+
+    # January's files are byte-identical — never rewritten
+    assert sorted(globmod.glob(f"{agg}/year=2025/month=1/*.parquet")) == jan_before
+
+    # refreshed aggregate == full recompute from the (new) archive
+    got = spark.read.parquet(agg).drop("year", "month")
+    expect = resample.resample_ohlcv(
+        spark.read.parquet(arch).select(
+            "timestamp", "symbol", "open", "high", "low", "close", "volume"
+        ),
+        "4h",
+        fill_gaps=False,
+    )
+    key = ["symbol", "bucket_ts"]
+    assert got.count() == expect.count()
+    diff = (
+        got.alias("g")
+        .join(expect.alias("e"), key)
+        .filter(
+            (F.col("g.volume") != F.col("e.volume"))
+            | (F.col("g.high") != F.col("e.high"))
+        )
+    )
+    assert diff.count() == 0
