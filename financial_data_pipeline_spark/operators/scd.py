@@ -76,21 +76,25 @@ def scd2_merge(
     closed_history = current.filter(~F.col("is_current"))
     open_rows = current.filter(F.col("is_current"))
 
+    # LEFT join keeps the (huge) dimension un-shuffled when the delta
+    # broadcasts — a full-outer here would force a wide sort-merge
+    # shuffle of every open row just to find the handful of new keys.
     on = [open_rows[k] == upd[f"__u_{k}"] for k in keys]
-    joined = open_rows.join(upd, on, "full_outer")
+    joined = open_rows.join(upd, on, "left")
 
+    matched = F.col(f"__u_{keys[0]}").isNotNull()
     changed = F.lit(False)
     for c in tracked:
         changed = changed | ~(
             F.col(c).eqNullSafe(F.col(f"__u_{c}"))
         )
-    matched = F.col(keys[0]).isNotNull() & F.col(f"__u_{keys[0]}").isNotNull()
+    # NB: an unmatched row evaluates `changed` true (null ≠ value), so
+    # every branch guards with `matched` first.
 
     # open rows with no update, or update identical on tracked cols
-    unchanged_open = joined.filter(
-        (F.col(f"__u_{keys[0]}").isNull())
-        | (matched & ~changed)
-    ).select(*[F.col(c) for c in current.columns])
+    unchanged_open = joined.filter(~matched | ~changed).select(
+        *[F.col(c) for c in current.columns]
+    )
 
     # open rows whose update differs: close them at as_of
     closed_now = (
@@ -103,17 +107,27 @@ def scd2_merge(
         )
     )
 
-    # new version for changed keys + brand-new keys, open from as_of
-    fresh = (
-        joined.filter(
-            (matched & changed) | F.col(keys[0]).isNull()
-        )
-        .select(
-            *[F.col(f"__u_{c}").alias(c) for c in attr_cols],
-            as_of_ts.alias("valid_from"),
-            F.lit(None).cast("timestamp").alias("valid_to"),
-            F.lit(True).alias("is_current"),
-        )
+    # new version for changed keys, open from as_of
+    new_versions = (
+        joined.filter(matched & changed)
+        .select(*[F.col(f"__u_{c}").alias(c) for c in attr_cols])
+    )
+
+    # brand-new keys: anti join of the delta against the KEY-ONLY
+    # projection of the open rows — the dimension side shuffles two
+    # narrow columns at most (and nothing when the delta broadcasts
+    # the other way at small scale).
+    open_keys = open_rows.select(*keys)
+    anti_on = [upd[f"__u_{k}"] == open_keys[k] for k in keys]
+    brand_new = upd.join(open_keys, anti_on, "left_anti").select(
+        *[F.col(f"__u_{c}").alias(c) for c in attr_cols]
+    )
+
+    fresh = new_versions.unionByName(brand_new).select(
+        "*",
+        as_of_ts.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
     )
 
     return closed_history.unionByName(
