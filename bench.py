@@ -85,6 +85,7 @@ HEADLINE = [
     "promo_revenue_share",
     "small_quantity_revenue",
     "scd2_customer_segments",
+    "tfidf_top_terms",
 ]
 
 

@@ -2991,3 +2991,65 @@ def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.unix_micros("valid_to"), F.lit(-1)).alias("valid_to_us"),
         F.col("is_current").cast("int").alias("is_current"),
     )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, t AS token
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+  WHERE length(t) >= 3
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf)
+SELECT doc_id, token, tfidf, rnk FROM (
+  SELECT tf.doc_id, tf.token,
+         round(tf.tf * ln(n.n_docs / dfreq.df), 6) AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY round(tf.tf * ln(n.n_docs / dfreq.df), 6)
+                                     DESC, tf.token) AS rnk
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+) WHERE rnk <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document.
+
+    Corpus path: tokenize (JVM split/explode — no Python), term
+    frequency per (doc, token), document frequency as a rollup OF the
+    tf frame (never re-scans the corpus), corpus size as a one-row
+    broadcast. Ranking is a per-doc window on the tf frame — partition
+    by doc_id, never a global sort. Ties break on the token so the
+    result is deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = tf.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )

@@ -49,7 +49,13 @@ def audit(name: str, df, full_schema_cols: int = 12) -> dict:
         flags.append("NESTED_LOOP_JOIN")
     if re.search(r"BatchEvalPython", p):
         flags.append("ROW_PYTHON_UDF")
-    if facts["single_part"] and re.search(r"Window", p):
+    # A window is global only when its own input collapses to one
+    # partition: Window → (Sort/AQE wrappers) → Exchange SinglePartition
+    # within a few plan lines. A one-row global aggregate elsewhere in
+    # the same plan (count/avg scalars) must NOT flag.
+    if re.search(
+        r"Window [^\n]*\n(?:[^\n]*\n){0,3}?[^\n]*Exchange SinglePartition", p
+    ):
         flags.append("GLOBAL_WINDOW")
     # scan discipline: every parquet scan should prune columns.
     # ReadSchema lines can be truncated ("...") — skip those, they
@@ -124,6 +130,9 @@ def main() -> None:
         "  (global average balance) is a ONE-row broadcast crossJoin onto",
         "  customer — O(n·1), same shape as `volume_profile`; keeps the",
         "  scalar lazy instead of a driver collect.",
+        "- `tfidf_top_terms` NESTED_LOOP_JOIN: the corpus size n_docs is",
+        "  a ONE-row broadcast crossJoin onto the tf frame — O(n·1)",
+        "  scalar distribution, same pattern as above.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
