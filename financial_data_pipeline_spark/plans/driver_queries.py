@@ -3053,3 +3053,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf", "rnk")
     )
+
+
+@query("corpus_length_stats_approx")  # sketch quantiles ≉ DuckDB: rows-only
+def q_corpus_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap for exact interpolated percentiles:
+    ``percentile_approx`` (Greenwald-Khanna sketch, accuracy 1/1e4).
+    Sketches merge associatively, so the shuffle carries fixed-size
+    state per (source) group instead of every length value — the same
+    trade as approx_count_distinct vs exact COUNT(DISTINCT). Accuracy
+    vs the exact query is pytest-asserted (`tests/test_curation.py`);
+    the driver records a rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.percentile_approx(n_tokens, 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx(n_tokens, 0.95, 10000).alias("p95_approx"),
+        )
+    )

@@ -199,3 +199,25 @@ def test_length_percentiles_matches_pandas(docs):
         assert out.loc[src, "p95"] == pytest.approx(
             grp["n_tokens"].quantile(0.95), abs=1e-6
         )
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    """percentile_approx per-source length quantiles land within 5% of
+    the exact interpolated percentiles (the documented 100 TB swap)."""
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {
+        r["source"]: r
+        for r in QUERIES["corpus_length_stats"](spark, sf_dir).collect()
+    }
+    approx = {
+        r["source"]: r
+        for r in QUERIES["corpus_length_stats_approx"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for src, e in exact.items():
+        a = approx[src]
+        assert a["n_docs"] == e["n_docs"]
+        for pa, pe in (("p50_approx", "p50"), ("p95_approx", "p95")):
+            assert abs(a[pa] - e[pe]) <= max(0.05 * e[pe], 2.0)
