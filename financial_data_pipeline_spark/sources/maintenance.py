@@ -27,6 +27,7 @@ import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -219,3 +220,44 @@ def compact_archive(
         if leaf.n_files > max(min_files, n_target):
             results[leaf.path] = _compact_leaf(spark, leaf, target_bytes)
     return results
+
+
+def missing_partitions(
+    spark: SparkSession,
+    root: str,
+    start: str,
+    end: str,
+    symbols: list[str] | None = None,
+) -> DataFrame:
+    """Backfill planner: the (symbol, year, month) partitions the
+    archive SHOULD hold for ``[start, end]`` but doesn't.
+
+    Expected = month calendar (``sequence`` + ``explode`` — generated
+    distributed, no driver loop) × symbol list (defaults to the symbols
+    present in the manifest). Actual = the manifest table — O(partitions)
+    rows, so the anti join is a broadcast no matter how big the archive
+    data is. Feed the result to the provider backfill loop
+    (``providers.download_history`` per row) or to ``refresh_aggregate``
+    windows.
+    """
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.trunc(F.lit(start).cast("date"), "month"),
+                F.trunc(F.lit(end).cast("date"), "month"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("m")
+    ).select(F.year("m").alias("year"), F.month("m").alias("month"))
+
+    manifest = spark.read.parquet(f"{root}/_manifest")
+    syms = (
+        spark.createDataFrame([(s,) for s in symbols], ["symbol"])
+        if symbols
+        else manifest.select("symbol").distinct()
+    )
+    expected = months.crossJoin(syms)
+    actual = manifest.select("year", "month", "symbol").distinct()
+    return expected.join(
+        actual, ["year", "month", "symbol"], "left_anti"
+    ).orderBy("symbol", "year", "month")

@@ -441,3 +441,36 @@ def test_refresh_aggregate_swaps_only_touched_partitions(spark, tmp_path):
         )
     )
     assert diff.count() == 0
+
+
+def test_missing_partitions_backfill_plan(spark, tmp_path):
+    """The backfill planner reports exactly the (symbol, year, month)
+    partitions absent from the manifest for the requested window."""
+    from financial_data_pipeline_spark.sources import maintenance
+
+    root = str(tmp_path / "arch_bf")
+    # archive holds Jan and Mar for BTC, Jan only for ETH — Feb is a hole
+    for sym, months in [("BTCUSDT", ["2025-01", "2025-03"]),
+                        ("ETHUSDT", ["2025-01"])]:
+        for m in months:
+            df = synthetic.synthetic_ohlcv(
+                spark, [sym], f"{m}-05", f"{m}-10", 360, seed=11
+            )
+            sinks.write_archive(df, root)
+
+    plan = maintenance.missing_partitions(
+        spark, root, "2025-01-01", "2025-03-31"
+    ).collect()
+    got = {(r["symbol"], r["year"], r["month"]) for r in plan}
+    assert got == {
+        ("BTCUSDT", 2025, 2),
+        ("ETHUSDT", 2025, 2),
+        ("ETHUSDT", 2025, 3),
+    }
+
+    # explicit symbol list extends the expectation to unseen symbols
+    plan2 = maintenance.missing_partitions(
+        spark, root, "2025-01-01", "2025-01-31", symbols=["BTCUSDT", "XRPUSDT"]
+    ).collect()
+    got2 = {(r["symbol"], r["year"], r["month"]) for r in plan2}
+    assert got2 == {("XRPUSDT", 2025, 1)}
