@@ -20,11 +20,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_csv(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
-    """S5: CSV with declared schema (or header inference for fixtures)."""
+    """S5: CSV with declared schema (or header inference for fixtures).
+
+    ``corrupt_col``: quarantine column for malformed rows (PERMISSIVE
+    mode). A 100 TB ingest must not die on one bad line (the
+    reference's posture too — ``pd.to_numeric(errors="coerce")``,
+    ``data_cleaner.py:117-118``): unparseable fields null out, the raw
+    line lands in ``corrupt_col``, and the caller splits clean rows
+    from the quarantine with one filter instead of a re-read.
+    """
     reader = spark.read.option("header", True)
     if schema is not None:
+        if corrupt_col is not None:
+            schema = T.StructType(
+                [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+            )
+            reader = (
+                reader.option("mode", "PERMISSIVE")
+                .option("columnNameOfCorruptRecord", corrupt_col)
+            )
         reader = reader.schema(schema)
     else:
         reader = reader.option("inferSchema", True)
@@ -37,6 +56,7 @@ def read_archive(
     symbol: str | None = None,
     start: str | None = None,
     end: str | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """S11: archive retrieval with partition pruning.
 
@@ -45,8 +65,15 @@ def read_archive(
     (``data_storage_manager.py:175-199``); here the same layout is a
     partitioned parquet dataset and Catalyst prunes partitions from the
     year/month/symbol predicates derived from the timestamp range.
+
+    ``merge_schema=True`` unions the footers of every file so columns
+    added later in the archive's life appear (null-filled for old
+    files) — schema evolution without rewriting history. Off by
+    default: footer-merging lists every file's metadata, which costs
+    real time on a large lake, and the common read path trusts the
+    latest schema.
     """
-    df = spark.read.parquet(root)
+    df = spark.read.option("mergeSchema", merge_schema).parquet(root)
     if symbol is not None:
         df = df.filter(F.col("symbol") == symbol)
     if start is not None:

@@ -474,3 +474,57 @@ def test_missing_partitions_backfill_plan(spark, tmp_path):
     ).collect()
     got2 = {(r["symbol"], r["year"], r["month"]) for r in plan2}
     assert got2 == {("XRPUSDT", 2025, 1)}
+
+
+def test_read_csv_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE ingest: malformed lines null out and land in the
+    quarantine column instead of failing the job (or being silently
+    dropped); clean rows parse normally."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "timestamp,open,close\n"
+        "2025-01-01T00:00:00,100.0,101.0\n"
+        "2025-01-01T01:00:00,not_a_number,102.0\n"
+        "2025-01-01T02:00:00,103.0,104.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema, corrupt_col="_bad").cache()
+    assert df.count() == 3  # nothing dropped
+    bad = df.filter(F.col("_bad").isNotNull()).collect()
+    assert len(bad) == 1
+    assert "not_a_number" in bad[0]["_bad"]
+    assert bad[0]["open"] is None  # coerced, pandas-errors="coerce" parity
+    clean = df.filter(F.col("_bad").isNull())
+    assert clean.count() == 2
+    assert {r["open"] for r in clean.collect()} == {100.0, 103.0}
+    df.unpersist()
+
+
+def test_read_archive_merge_schema_evolution(spark, tmp_path):
+    """A column added later in the archive's life is visible with
+    merge_schema=True (null-filled for history) and invisible on the
+    default fast path that trusts the latest write's schema."""
+    root = str(tmp_path / "arch_evo")
+    old = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT"], "2025-01-05", "2025-01-08", 360, seed=12
+    )
+    sinks.write_archive(old, root)
+    new = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT"], "2025-02-05", "2025-02-08", 360, seed=13
+    ).withColumn("turnover", F.col("volume") * F.col("close"))
+    sinks.write_archive(new, root)
+
+    evolved = read_archive(spark, root, merge_schema=True)
+    assert "turnover" in evolved.columns
+    jan = evolved.filter(F.col("month") == 1)
+    feb = evolved.filter(F.col("month") == 2)
+    assert jan.filter(F.col("turnover").isNotNull()).count() == 0  # history null-filled
+    assert feb.filter(F.col("turnover").isNull()).count() == 0
