@@ -86,6 +86,10 @@ HEADLINE = [
     "small_quantity_revenue",
     "scd2_customer_segments",
     "tfidf_top_terms",
+    "corpus_length_stats_approx",
+    "distinct_users_daily_approx",
+    "embedding_dim_stats",
+    "doc_chunks",
 ]
 
 

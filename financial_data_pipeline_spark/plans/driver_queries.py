@@ -3074,3 +3074,81 @@ def q_corpus_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx(n_tokens, 0.95, 10000).alias("p95_approx"),
         )
     )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+WITH flat AS (
+  SELECT unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+SELECT CAST(pos AS INT) AS pos, count(*) AS n,
+       round(avg(val), 6) AS avg_v,
+       round(stddev_samp(val), 6) AS std_v,
+       round(min(val), 6) AS min_v, round(max(val), 6) AS max_v
+FROM flat GROUP BY 1
+""",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (the drift /
+    normalization check an embedding pipeline runs before indexing):
+    ``posexplode`` flattens each vector to (pos, val) rows JVM-side —
+    no Python — and one groupBy on the 64 dimension keys computes the
+    moments. The shuffle carries 64 × partial-agg rows per task, not
+    the flattened data (map-side combine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select("pos", F.col("val").cast("double").alias("val"))
+    return flat.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("val"), 6).alias("avg_v"),
+        F.round(F.stddev_samp("val"), 6).alias("std_v"),
+        F.round(F.min("val"), 6).alias("min_v"),
+        F.round(F.max("val"), 6).alias("max_v"),
+    )
+
+
+@query(
+    "doc_chunks",
+    """
+WITH chunks AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(length(text) - 100, 1), 400)) AS off,
+         text
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, CAST(off AS INT) AS chunk_off,
+       CAST(length(substr(text, CAST(off AS INT) + 1, 500)) AS INT) AS chunk_len,
+       md5(substr(text, CAST(off AS INT) + 1, 500)) AS chunk_md5
+FROM chunks
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (size 500 chars, overlap
+    100 — the sequence-prep step before tokenize/pack in a training
+    pipeline). Offsets come from ``sequence`` + ``explode`` computed
+    per row JVM-side (no Python, no join): a map-only operator whose
+    output is ~len/stride rows per doc. The md5 content address per
+    chunk is what downstream exact-dedup keys on."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    stride, size, overlap = 400, 500, 100
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - overlap, F.lit(1)) - 1,
+        F.lit(stride),
+    )
+    chunk = F.substring(F.col("text"), F.col("off") + 1, size)
+    return (
+        docs.select("doc_id", "text", F.explode(offs).alias("off"))
+        .select(
+            "doc_id",
+            F.col("off").cast("int").alias("chunk_off"),
+            F.length(chunk).cast("int").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
