@@ -73,3 +73,38 @@ def interval_join_streams(
         )
     )
     return lw.alias("l").join(rw.alias("r"), cond, "inner")
+
+
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    interval: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of the interval join: left rows that never
+    find a right match are STILL emitted (right side null) — but only
+    once the watermark proves no match can arrive anymore, i.e. after
+    the right watermark passes ``left_ts + interval``. Unmatched
+    emission is therefore delayed by the watermark by design: the
+    engine cannot know "no match" earlier without risking a wrong
+    null. Use for must-not-drop pipelines (every order event flows
+    downstream, quote-enriched when possible).
+
+    Same bounded state as the inner variant; the outer side's state
+    additionally holds matched-bits until eviction.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{left_ts}") >= F.col(f"r.{right_ts}"))
+        & (
+            F.col(f"l.{left_ts}")
+            < F.col(f"r.{right_ts}") + F.expr(f"INTERVAL {interval}")
+        )
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, "left_outer")

