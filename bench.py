@@ -90,6 +90,8 @@ HEADLINE = [
     "distinct_users_daily_approx",
     "embedding_dim_stats",
     "doc_chunks",
+    "customer_running_spend",
+    "ohlc_unpivot",
 ]
 
 

@@ -3152,3 +3152,74 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+@query(
+    "customer_running_spend",
+    """
+SELECT o_custkey,
+       epoch_us(o_orderdate) AS order_date_us,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS spend_to_date,
+       o_orderkey
+FROM orders
+""",
+)
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) total per customer: an UNBOUNDED PRECEDING
+    ROWS frame partitioned on the customer key — one hash shuffle, one
+    ordered pass per partition, never a global sort. Tie-break on
+    orderkey makes the prefix sums deterministic for same-day orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        F.unix_micros("o_orderdate").alias("order_date_us"),
+        F.round(F.sum("o_totalprice").over(w), 4).alias("spend_to_date"),
+        "o_orderkey",
+    )
+
+
+@query(
+    "ohlc_unpivot",
+    BARS_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us, field,
+       round(price, 6) AS price
+FROM (
+  SELECT symbol, timestamp, 'open' AS field, open AS price FROM bars
+  UNION ALL
+  SELECT symbol, timestamp, 'high', high FROM bars
+  UNION ALL
+  SELECT symbol, timestamp, 'low', low FROM bars
+  UNION ALL
+  SELECT symbol, timestamp, 'close', close FROM bars
+)
+""",
+)
+def q_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long): the four price columns melt into (field,
+    price) rows — the shape chart/feature pipelines consume. Spark's
+    native unpivot plans as a single Expand (one pass, 4× output
+    rows), not four scans+union."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return (
+        bars.unpivot(
+            ["symbol", "timestamp"],
+            ["open", "high", "low", "close"],
+            "field",
+            "price",
+        )
+        .select(
+            "symbol",
+            _ts_us().alias("ts_us"),
+            "field",
+            F.round("price", 6).alias("price"),
+        )
+    )
