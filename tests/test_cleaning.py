@@ -94,3 +94,34 @@ def test_normalize_timestamp_epoch_and_iso(spark):
     assert str(out[0]) == "2024-01-01 00:00:00"
     assert str(out[1]) == "2024-01-01 00:00:00"
     assert out[2] is None or str(out[2]) == "NaT"
+
+
+def test_core_operators_accept_empty_input(spark):
+    """Every day-1 production incident: an empty partition / day / symbol
+    slice flows through the pipeline. Core operators must return empty
+    frames with the right schema — never raise, never produce rows."""
+    from financial_data_pipeline_spark.operators import (
+        cleaning as cl,
+        indicators,
+        normalize,
+        resample,
+        stats,
+    )
+    from financial_data_pipeline_spark.schema import OHLCV_SCHEMA
+
+    empty = spark.createDataFrame([], OHLCV_SCHEMA)
+
+    cleaned = cl.clean_ohlcv(empty, mode="repair")
+    assert cleaned.count() == 0
+
+    res = resample.resample_ohlcv(empty, "4h", fill_gaps=False)
+    assert res.count() == 0
+
+    ind = indicators.calculate_all(empty)
+    assert ind.count() == 0
+
+    norm = normalize.normalize(empty, ["close"], "zscore")
+    assert norm.count() == 0
+
+    st = stats.symbol_stats(empty)
+    assert st.count() == 0
