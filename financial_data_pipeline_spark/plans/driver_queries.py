@@ -3019,12 +3019,30 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document.
 
     Corpus path: tokenize (JVM split/explode — no Python), term
-    frequency per (doc, token), document frequency as a rollup OF the
-    tf frame (never re-scans the corpus), corpus size as a one-row
-    broadcast. Ranking is a per-doc window on the tf frame — partition
-    by doc_id, never a global sort. Ties break on the token so the
-    result is deterministic across engines."""
+    frequency per (doc, token), then document frequency as a COUNT
+    window partitioned on the token — an agg-then-join here would fork
+    the DAG and tokenize the corpus twice (each branch re-runs the
+    explode); the window keeps ONE tf materialization flowing through
+    token-shuffle → doc-shuffle. Corpus size comes from a map-only
+    scan of the documents table (no explode), one-row broadcast.
+    Ranking is a per-doc window — never a global sort; ties break on
+    the token so the result is deterministic across engines."""
     docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        F.sum(
+            (
+                F.size(
+                    F.filter(
+                        F.split(F.lower("text"), "[^a-z]+"),
+                        lambda t: F.length(t) >= 3,
+                    )
+                )
+                > 0
+            ).cast("long")
+        )
+        .cast("double")
+        .alias("n_docs")
+    )
     tok = (
         docs.select(
             "doc_id",
@@ -3033,12 +3051,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("token") >= 3)
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n = tf.agg(
-        F.countDistinct("doc_id").cast("double").alias("n_docs")
-    )
+    w_df = Window.partitionBy("token")
     scored = (
-        tf.join(dfreq, "token")
+        tf.withColumn("df", F.count("*").over(w_df))
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
