@@ -197,3 +197,73 @@ def test_asof_join_matches_pandas_merge_asof(spark, l_offsets, r_offsets):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge vs a sequential python reference
+# ---------------------------------------------------------------------------
+
+
+def _scd2_reference(snapshots, t0, times):
+    """Oracle model: dict key -> list of [value, valid_from, valid_to,
+    is_current], applying each snapshot sequentially."""
+    state: dict[int, list] = {}
+    for k, v in snapshots[0].items():
+        state[k] = [[v, t0, None, True]]
+    for snap, ts in zip(snapshots[1:], times):
+        for k, v in snap.items():
+            if k not in state:
+                state[k] = [[v, ts, None, True]]
+            else:
+                cur = state[k][-1]
+                if cur[0] != v:
+                    cur[2], cur[3] = ts, False
+                    state[k].append([v, ts, None, True])
+    return state
+
+
+@settings(**SETTINGS)
+@given(
+    snaps=st.lists(
+        st.dictionaries(
+            st.integers(min_value=1, max_value=6),
+            st.sampled_from(["A", "B", "C"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_scd2_merge_matches_sequential_reference(spark, snaps):
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    times = [t0 + dt.timedelta(days=i + 1) for i in range(len(snaps) - 1)]
+
+    cur = scd2_init(
+        spark.createDataFrame(
+            sorted(snaps[0].items()), ["k", "v"]
+        ),
+        t0,
+    )
+    for snap, ts in zip(snaps[1:], times):
+        upd = spark.createDataFrame(sorted(snap.items()), ["k", "v"])
+        cur = scd2_merge(cur, upd, ["k"], ["v"], ts)
+
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in cur.collect()
+    }
+    ref_state = _scd2_reference(snaps, t0, times)
+    want = {
+        (k, v, vf, vt, cur_flag)
+        for k, rows in ref_state.items()
+        for v, vf, vt, cur_flag in rows
+    }
+    assert got == want
