@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_chunks",
     "customer_running_spend",
     "ohlc_unpivot",
+    "chunk_packing_plan",
 ]
 
 

@@ -3238,3 +3238,68 @@ def q_ohlc_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("price", 6).alias("price"),
         )
     )
+
+
+@query(
+    "chunk_packing_plan",
+    """
+WITH chunks AS (
+  SELECT d.doc_id, d.source,
+         unnest(range(0, greatest(length(d.text) - 100, 1), 400)) AS off,
+         d.text
+  FROM documents d WHERE length(d.text) > 0
+), sized AS (
+  SELECT doc_id, source, CAST(off AS INT) AS chunk_off,
+         length(substr(text, CAST(off AS INT) + 1, 500)) AS chunk_len
+  FROM chunks
+)
+SELECT doc_id, chunk_off, source,
+       CAST((sum(chunk_len) OVER (
+           PARTITION BY source ORDER BY doc_id, chunk_off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) - chunk_len) // 2000 AS INT) AS bin_id
+FROM sized
+""",
+)
+def q_chunk_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: assign each 500-char chunk to a
+    fixed-budget training bin (2000 chars) via a prefix-sum window per
+    source stratum — the deterministic, shuffle-once alternative to
+    greedy first-fit (a bin may straddle a boundary by at most one
+    chunk; acceptable for packing efficiency and fully parallel).
+    Composes the chunker (sequence+explode, map-only) with a
+    per-stratum cumulative window — no global sort, no Python."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    stride, size, overlap, budget = 400, 500, 100, 2000
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - overlap, F.lit(1)) - 1,
+        F.lit(stride),
+    )
+    chunk = F.substring(F.col("text"), F.col("off") + 1, size)
+    sized = docs.select(
+        "doc_id", "source", F.explode(offs).alias("off"), "text"
+    ).select(
+        "doc_id",
+        "source",
+        F.col("off").cast("int").alias("chunk_off"),
+        F.length(chunk).alias("chunk_len"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_off")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.select(
+        "doc_id",
+        "chunk_off",
+        "source",
+        (
+            (F.sum("chunk_len").over(w) - F.col("chunk_len"))
+            / F.lit(budget)
+        )
+        .cast("int")
+        .alias("bin_id"),
+    )
