@@ -384,6 +384,30 @@ def test_archive_sorted_write_clusters_row_groups(spark, tmp_path):
     )
     assert got.count() == expect.count()
 
+    # and the scan PROVABLY skipped row groups: its numOutputRows metric
+    # counts rows in non-skipped groups only, a small fraction of total
+    total = spark.read.parquet(root).count()
+    narrow = spark.read.parquet(root).filter(
+        F.col("timestamp").between("2025-01-10", "2025-01-11")
+    )
+    n_filtered = len(narrow.collect())
+    scans = []
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            m = node.metrics()
+            it = m.keysIterator()
+            while it.hasNext():
+                k = it.next()
+                if k == "numOutputRows":
+                    scans.append(m.apply(k).value())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(narrow._jdf.queryExecution().executedPlan())
+    assert scans and n_filtered <= scans[0] < total / 4
+
 
 def test_refresh_aggregate_swaps_only_touched_partitions(spark, tmp_path):
     """Batch continuous-aggregate refresh: late data in one month
