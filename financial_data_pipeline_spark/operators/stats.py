@@ -68,20 +68,21 @@ def interval_mode(
         )
         .filter(F.col("__iv").isNotNull())
     )
+    # One pass over the facts: the irregular count is derivable from
+    # the per-interval counts alone (total intervals − mode count), so
+    # there is no join back onto the fact frame — the earlier version
+    # forked the lag-window pass into two branches and re-ran it.
     counts = iv.groupBy(*by, "__iv").count()
     wmode = Window.partitionBy(*by).orderBy(F.desc("count"), F.asc("__iv"))
-    mode = (
-        counts.withColumn("__rn", F.row_number().over(wmode))
-        .filter(F.col("__rn") == 1)
-        .select(*by, F.col("__iv").alias("most_common_interval_seconds"))
-    )
+    wtot = Window.partitionBy(*by)
     return (
-        iv.join(F.broadcast(mode), on=by)
-        .groupBy(*by, "most_common_interval_seconds")
-        .agg(
-            F.sum(
-                (F.col("__iv") != F.col("most_common_interval_seconds")).cast("long")
-            ).alias("irregular_intervals")
+        counts.withColumn("__rn", F.row_number().over(wmode))
+        .withColumn("__tot", F.sum("count").over(wtot))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *by,
+            F.col("__iv").alias("most_common_interval_seconds"),
+            (F.col("__tot") - F.col("count")).alias("irregular_intervals"),
         )
     )
 
