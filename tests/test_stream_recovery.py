@@ -217,3 +217,54 @@ def test_stream_upsert_reemits_changed_windows(spark, tmp_path):
     assert len(emitted) == 2  # same window emitted once per run
     # final emission carries the merged aggregate (volume 10 + 5)
     assert "15.0" in emitted[-1]
+
+
+def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
+    """The batch curation operators compose unchanged onto a stream:
+    ingest → exact dedup (stateful) → Gopher quality filter → PII
+    redaction (both map-only) in ONE streaming query, checkpointed to
+    a parquet sink. Ingest-time curation, not a post-hoc batch sweep."""
+    from financial_data_pipeline_spark.operators.curation import (
+        gopher_rules,
+        pii_redact,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good = (
+        "The quarterly report shows steady growth across regions. "
+        "Management expects the trend to continue through next year. "
+    ) * 4
+    t0 = dt.datetime(2025, 1, 1, 9, 0, 0)
+    rows = [
+        (t0, 1, good + "Contact: alice@example.com"),
+        (t0 + dt.timedelta(minutes=1), 2, good + "Contact: alice@example.com"),  # dup
+        (t0 + dt.timedelta(minutes=2), 3, "too short"),  # fails Gopher min_words
+        (t0 + dt.timedelta(minutes=3), 4, good + "Server 10.0.0.1 responded."),
+    ]
+    src = tmp_path / "cur_src"
+    spark.createDataFrame(rows, schema).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+    deduped = dedup_stream(stream, watermark="30 minutes")
+    curated = pii_redact(
+        gopher_rules(deduped).filter(F.col("keep")).drop("keep")
+    )
+    out = str(tmp_path / "cur_out")
+    drain_to_parquet(curated, out, str(tmp_path / "cur_ckpt"))
+
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.collect()}
+    # exactly ONE of the identical docs survives (in-batch winner is
+    # arbitrary for dropDuplicatesWithinWatermark), low-quality 3 drops
+    assert len(ids & {1, 2}) == 1 and 3 not in ids and 4 in ids
+    texts = {r["doc_id"]: r["text"] for r in got.collect()}
+    dup_id = (ids & {1, 2}).pop()
+    assert "<EMAIL>" in texts[dup_id]
+    assert "alice@example.com" not in texts[dup_id]
+    assert "<IP>" in texts[4] and "10.0.0.1" not in texts[4]
