@@ -398,3 +398,44 @@ def length_percentiles(
             F.round(F.percentile(n_tokens, F.lit(p)), 6).alias(name)
         )
     return df.groupBy(strata_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (sequence prep)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    size: int = 500,
+    overlap: int = 100,
+) -> DataFrame:
+    """Overlapping-window chunking: every position of ``text_col`` is
+    covered by at least one chunk, consecutive chunks share ``overlap``
+    characters, and no chunk exceeds ``size``.
+
+    Map-only: offsets come from a per-row ``sequence`` + ``explode``
+    (stride = size − overlap), the chunk text from ``substring`` — no
+    shuffle, no Python, output ≈ len/stride rows per doc. Adds
+    ``chunk_off`` (0-based), ``chunk_text``, ``chunk_len``; empty
+    documents produce no rows.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    offs = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text_col) - overlap, F.lit(1)) - 1,
+        F.lit(stride),
+    )
+    out = df.filter(F.length(text_col) > 0).select(
+        "*", F.explode(offs).alias("__off")
+    )
+    chunk = F.substring(F.col(text_col), F.col("__off") + 1, size)
+    return out.select(
+        *[c for c in df.columns],
+        F.col("__off").cast("int").alias("chunk_off"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+    )

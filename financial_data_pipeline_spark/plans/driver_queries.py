@@ -3148,24 +3148,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     per row JVM-side (no Python, no join): a map-only operator whose
     output is ~len/stride rows per doc. The md5 content address per
     chunk is what downstream exact-dedup keys on."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
+    from financial_data_pipeline_spark.operators.curation import (
+        chunk_documents,
     )
-    stride, size, overlap = 400, 500, 100
-    offs = F.sequence(
-        F.lit(0),
-        F.greatest(F.length("text") - overlap, F.lit(1)) - 1,
-        F.lit(stride),
-    )
-    chunk = F.substring(F.col("text"), F.col("off") + 1, size)
-    return (
-        docs.select("doc_id", "text", F.explode(offs).alias("off"))
-        .select(
-            "doc_id",
-            F.col("off").cast("int").alias("chunk_off"),
-            F.length(chunk).cast("int").alias("chunk_len"),
-            F.md5(chunk).alias("chunk_md5"),
-        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, size=500, overlap=100).select(
+        "doc_id",
+        "chunk_off",
+        "chunk_len",
+        F.md5("chunk_text").alias("chunk_md5"),
     )
 
 
@@ -3269,23 +3261,16 @@ def q_chunk_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk; acceptable for packing efficiency and fully parallel).
     Composes the chunker (sequence+explode, map-only) with a
     per-stratum cumulative window — no global sort, no Python."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") > 0
+    from financial_data_pipeline_spark.operators.curation import (
+        chunk_documents,
     )
-    stride, size, overlap, budget = 400, 500, 100, 2000
-    offs = F.sequence(
-        F.lit(0),
-        F.greatest(F.length("text") - overlap, F.lit(1)) - 1,
-        F.lit(stride),
+
+    budget = 2000
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
-    chunk = F.substring(F.col("text"), F.col("off") + 1, size)
-    sized = docs.select(
-        "doc_id", "source", F.explode(offs).alias("off"), "text"
-    ).select(
-        "doc_id",
-        "source",
-        F.col("off").cast("int").alias("chunk_off"),
-        F.length(chunk).alias("chunk_len"),
+    sized = chunk_documents(docs, size=500, overlap=100).select(
+        "doc_id", "source", "chunk_off", "chunk_len"
     )
     w = (
         Window.partitionBy("source")

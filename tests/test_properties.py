@@ -267,3 +267,52 @@ def test_scd2_merge_matches_sequential_reference(spark, snaps):
         for v, vf, vt, cur_flag in rows
     }
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=1400,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    size=st.integers(min_value=8, max_value=600),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_covers_every_position(spark, texts, size, overlap_frac):
+    """Chunk invariants over generated docs and window geometries:
+    full coverage (concatenating chunks at their offsets rebuilds the
+    text), consecutive-chunk overlap, and the size bound."""
+    from financial_data_pipeline_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    overlap = int(size * overlap_frac)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    chunks = chunk_documents(df, size=size, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        if not t:
+            assert i not in by_doc  # empty docs produce no chunks
+            continue
+        rows = sorted(by_doc[i], key=lambda r: r["chunk_off"])
+        stride = size - overlap
+        # offsets are the exact arithmetic progression
+        assert [r["chunk_off"] for r in rows] == list(
+            range(0, max(len(t) - overlap, 1), stride)
+        )
+        rebuilt = {}
+        for r in rows:
+            assert 1 <= r["chunk_len"] <= size
+            assert r["chunk_text"] == t[r["chunk_off"]:r["chunk_off"] + size]
+            for pos in range(r["chunk_off"], r["chunk_off"] + r["chunk_len"]):
+                rebuilt[pos] = t[pos]
+        assert len(rebuilt) == len(t)  # every position covered
