@@ -93,6 +93,7 @@ HEADLINE = [
     "customer_running_spend",
     "ohlc_unpivot",
     "chunk_packing_plan",
+    "embedding_norms",
 ]
 
 

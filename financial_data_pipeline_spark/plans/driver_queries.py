@@ -3288,3 +3288,40 @@ def q_chunk_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bin_id"),
     )
+
+
+@query(
+    "embedding_norms",
+    """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+                                          x -> CAST(x AS DOUBLE) * x))), 6) AS l2,
+       round(list_sum(list_transform(embedding,
+                                     x -> CAST(abs(x) AS DOUBLE))), 6) AS l1,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v
+FROM embeddings
+""",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector norm audit via JVM higher-order array functions —
+    ``transform`` + ``aggregate`` fold inside whole-stage codegen, no
+    explode (zero row amplification), no Python. The l2≈1 check is the
+    normalization gate an ANN index build runs on its input; l1 and
+    max catch degenerate/clipped vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    abs_sum = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2"),
+        F.round(abs_sum, 6).alias("l1"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+    )
