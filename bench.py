@@ -94,6 +94,7 @@ HEADLINE = [
     "ohlc_unpivot",
     "chunk_packing_plan",
     "embedding_norms",
+    "video_frame_calendar",
 ]
 
 

@@ -3325,3 +3325,35 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(abs_sum, 6).alias("l1"),
         F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
     )
+
+
+@query(
+    "video_frame_calendar",
+    """
+SELECT doc_id,
+       CAST(unnest(range(0, n_chars * 10 + 1, 1000)) AS BIGINT) AS frame_ms,
+       CAST(length(text) AS BIGINT) AS size_bytes
+FROM documents WHERE length(text) > 0
+""",
+)
+def q_video_frame_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan over synthetic media metadata (duration
+    derived deterministically from doc length — the container has no
+    codecs, SURVEY.md multimodal note): one row per sampled frame
+    timestamp via ``operators.multimodal.frame_sample`` (sequence +
+    explode, fully JVM-side — the decode of each sampled frame is the
+    stubbed Arrow-UDF step in `multimodal_features`)."""
+    from financial_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.col("text").alias("payload"),
+            (F.col("n_chars") * 10).alias("duration_ms"),
+        )
+    )
+    return frame_sample(docs, payload_col="payload", every_ms=1000)
