@@ -125,3 +125,17 @@ def test_core_operators_accept_empty_input(spark):
 
     st = stats.symbol_stats(empty)
     assert st.count() == 0
+
+
+def test_greatest_per_group_latest_row(spark):
+    """A13 latest-row-per-group: one surviving row per key, the one
+    with the max order column (metadata_db.py:517-530 pattern)."""
+    from financial_data_pipeline_spark.operators.stats import (
+        greatest_per_group,
+    )
+
+    rows = [(1, 10, "a"), (1, 30, "b"), (2, 20, "c"), (2, 5, "d"), (3, 1, "e")]
+    df = spark.createDataFrame(rows, ["k", "v", "tag"])
+    got = {r["k"]: (r["v"], r["tag"])
+           for r in greatest_per_group(df, ["k"], "v").collect()}
+    assert got == {1: (30, "b"), 2: (20, "c"), 3: (1, "e")}

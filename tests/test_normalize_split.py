@@ -81,3 +81,23 @@ def test_sliding_windows_shapes(spark, ohlcv_df):
     assert len(out) == expected
     assert all(len(x) == 10 for x in out["x"])
     assert all(len(y) == 2 for y in out["y"])
+
+
+def test_chronological_split_by_quantile_scale_path(spark, ohlcv_df):
+    """The documented 100 TB path for SP1: cut at the timestamp
+    quantile — proportions approximate the exact split, both sides are
+    time-disjoint, and the plan has NO single-partition exchange (the
+    thing the exact global-order split cannot avoid)."""
+    from financial_data_pipeline_spark.operators.splitter import (
+        chronological_split_by_quantile,
+    )
+
+    train, test = chronological_split_by_quantile(ohlcv_df, test_size=0.2)
+    n, n_test = ohlcv_df.count(), test.count()
+    assert train.count() + n_test == n  # partition of the input
+    assert abs(n_test / n - 0.2) < 0.05  # approx quantile ≈ exact cut
+    t_max = train.agg(F.max("timestamp")).first()[0]
+    s_min = test.agg(F.min("timestamp")).first()[0]
+    assert t_max < s_min  # strictly time-disjoint
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan  # no global sort
