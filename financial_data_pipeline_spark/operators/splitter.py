@@ -17,18 +17,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _ranked(df: DataFrame, ts: str) -> DataFrame:
+def _ranked(df: DataFrame, ts: str, total: int | None = None) -> DataFrame:
     w = Window.orderBy(F.col(ts).asc(), *[F.col(c) for c in df.columns if c != ts])
-    total = df.count()
+    total = df.count() if total is None else total
     return df.withColumn("__rn", F.row_number().over(w)), total
 
 
 def chronological_split(
-    df: DataFrame, test_size: float = 0.2, ts: str = "timestamp"
+    df: DataFrame,
+    test_size: float = 0.2,
+    ts: str = "timestamp",
+    total: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """SP1 (``data_splitter.py:32-64``): sort by ts; first
-    ``floor(n*(1-test_size))`` rows train, rest test."""
-    ranked, n = _ranked(df, ts)
+    ``floor(n*(1-test_size))`` rows train, rest test.
+
+    ``total`` lets a caller that already counted the input (e.g. the
+    pipeline, which derives split sizes from one count) skip the extra
+    count job."""
+    ranked, n = _ranked(df, ts, total)
     n_train = int(n * (1 - test_size))
     train = ranked.filter(F.col("__rn") <= n_train).drop("__rn")
     test = ranked.filter(F.col("__rn") > n_train).drop("__rn")

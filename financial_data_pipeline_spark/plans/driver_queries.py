@@ -3357,3 +3357,225 @@ def q_video_frame_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return frame_sample(docs, payload_col="payload", every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# Validation report (§1.3) — the full report dict as one comparable row
+# ---------------------------------------------------------------------------
+
+# Deterministic dirt over the hourly bars, keyed on the hour index so
+# BOTH engines inject identical defects: null timestamps (dropped),
+# null open/close (imputed), negative volume (row dropped), high below
+# low (repaired), zero volume, plus exact-copy duplicate rows.
+_DIRTY_BARS_SQL = """
+, b0 AS (
+  SELECT symbol, timestamp, open, high, low, close, volume,
+         (epoch_us(timestamp) // 3600000000) AS bkt
+  FROM bars
+), d0 AS (
+  SELECT symbol,
+         CASE WHEN bkt % 37 = 13 THEN NULL ELSE timestamp END AS timestamp,
+         CASE WHEN bkt % 13 = 5 THEN NULL ELSE open END AS open,
+         CASE WHEN bkt % 19 = 2 THEN low * 0.5 ELSE high END AS high,
+         low,
+         CASE WHEN bkt % 11 = 3 THEN NULL ELSE close END AS close,
+         CASE WHEN bkt % 23 = 7 THEN -(volume + 1.0)
+              WHEN bkt % 31 = 9 THEN 0.0
+              ELSE volume END AS volume,
+         bkt
+  FROM b0
+), dirty AS (
+  SELECT symbol, timestamp, open, high, low, close, volume FROM d0
+  UNION ALL
+  SELECT symbol, timestamp, open, high, low, close, volume
+  FROM d0 WHERE bkt % 10 = 0
+)
+"""
+
+_REPORT_ORACLE = (
+    BARS_CTE
+    + _DIRTY_BARS_SQL
+    + """
+, v AS (SELECT * FROM dirty WHERE timestamp IS NOT NULL),
+dd AS (
+  SELECT * FROM v
+  QUALIFY row_number() OVER (PARTITION BY symbol, timestamp ORDER BY timestamp) = 1
+),
+f1 AS (
+  SELECT symbol, timestamp,
+         last_value(open IGNORE NULLS) OVER w AS open,
+         last_value(high IGNORE NULLS) OVER w AS high,
+         last_value(low IGNORE NULLS) OVER w AS low,
+         last_value(close IGNORE NULLS) OVER w AS close,
+         last_value(volume IGNORE NULLS) OVER w AS volume
+  FROM dd
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+f2 AS (
+  SELECT symbol, timestamp,
+         first_value(open IGNORE NULLS) OVER wf AS open,
+         first_value(high IGNORE NULLS) OVER wf AS high,
+         first_value(low IGNORE NULLS) OVER wf AS low,
+         first_value(close IGNORE NULLS) OVER wf AS close,
+         first_value(volume IGNORE NULLS) OVER wf AS volume
+  FROM f1
+  WINDOW wf AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+nn AS (
+  SELECT * FROM f2
+  WHERE (open IS NULL OR open >= 0) AND (high IS NULL OR high >= 0)
+    AND (low IS NULL OR low >= 0) AND (close IS NULL OR close >= 0)
+    AND (volume IS NULL OR volume >= 0)
+),
+q AS (
+  SELECT symbol,
+         quantile_cont(open, 0.25) AS q1_open, quantile_cont(open, 0.75) AS q3_open,
+         quantile_cont(high, 0.25) AS q1_high, quantile_cont(high, 0.75) AS q3_high,
+         quantile_cont(low, 0.25) AS q1_low, quantile_cont(low, 0.75) AS q3_low,
+         quantile_cont(close, 0.25) AS q1_close, quantile_cont(close, 0.75) AS q3_close,
+         quantile_cont(volume, 0.25) AS q1_volume, quantile_cont(volume, 0.75) AS q3_volume
+  FROM nn GROUP BY symbol
+),
+j AS (SELECT nn.*, q.q1_open, q.q3_open, q.q1_high, q.q3_high, q.q1_low, q.q3_low,
+             q.q1_close, q.q3_close, q.q1_volume, q.q3_volume
+      FROM nn JOIN q USING (symbol)),
+outs AS (
+  SELECT
+    sum((open < q1_open - 1.5*(q3_open-q1_open) OR open > q3_open + 1.5*(q3_open-q1_open))::INT)::BIGINT AS outliers_open,
+    sum((high < q1_high - 1.5*(q3_high-q1_high) OR high > q3_high + 1.5*(q3_high-q1_high))::INT)::BIGINT AS outliers_high,
+    sum((low < q1_low - 1.5*(q3_low-q1_low) OR low > q3_low + 1.5*(q3_low-q1_low))::INT)::BIGINT AS outliers_low,
+    sum((close < q1_close - 1.5*(q3_close-q1_close) OR close > q3_close + 1.5*(q3_close-q1_close))::INT)::BIGINT AS outliers_close,
+    sum((volume < q1_volume - 1.5*(q3_volume-q1_volume) OR volume > q3_volume + 1.5*(q3_volume-q1_volume))::INT)::BIGINT AS outliers_volume
+  FROM j
+),
+cl AS (
+  SELECT symbol, timestamp,
+    CASE WHEN open IS NULL THEN NULL ELSE greatest(q1_open - 1.5*(q3_open-q1_open), least(q3_open + 1.5*(q3_open-q1_open), open)) END AS open,
+    CASE WHEN high IS NULL THEN NULL ELSE greatest(q1_high - 1.5*(q3_high-q1_high), least(q3_high + 1.5*(q3_high-q1_high), high)) END AS high,
+    CASE WHEN low IS NULL THEN NULL ELSE greatest(q1_low - 1.5*(q3_low-q1_low), least(q3_low + 1.5*(q3_low-q1_low), low)) END AS low,
+    CASE WHEN close IS NULL THEN NULL ELSE greatest(q1_close - 1.5*(q3_close-q1_close), least(q3_close + 1.5*(q3_close-q1_close), close)) END AS close,
+    CASE WHEN volume IS NULL THEN NULL ELSE greatest(q1_volume - 1.5*(q3_volume-q1_volume), least(q3_volume + 1.5*(q3_volume-q1_volume), volume)) END AS volume
+  FROM j
+),
+a_ohlc AS (
+  SELECT sum((NOT (high >= low AND high >= open AND high >= close
+                   AND low <= open AND low <= close))::INT)::BIGINT AS invalid_ohlc
+  FROM cl
+),
+rp AS (
+  SELECT symbol, timestamp, open, close, volume,
+    CASE WHEN NOT (high >= low AND high >= open AND high >= close AND low <= open AND low <= close)
+         THEN greatest(open, close, high) ELSE high END AS high,
+    CASE WHEN NOT (high >= low AND high >= open AND high >= close AND low <= open AND low <= close)
+         THEN least(open, close, low) ELSE low END AS low
+  FROM cl
+),
+ivt AS (
+  SELECT symbol, open, high, low, close, volume,
+         (epoch_us(timestamp) - epoch_us(lag(timestamp) OVER w)) / 1000000.0 AS iv_s,
+         abs(close / lag(close) OVER w - 1.0) AS chg
+  FROM rp
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+),
+medt AS (SELECT symbol, quantile_cont(iv_s, 0.5) AS med_iv FROM ivt GROUP BY symbol),
+fin AS (
+  SELECT
+    sum((ivt.open = 0 OR ivt.high = 0 OR ivt.low = 0 OR ivt.close = 0)::INT)::BIGINT AS zero_price_rows,
+    sum((ivt.volume = 0)::INT)::BIGINT AS zero_volume_rows,
+    sum((ivt.chg > 0.2)::INT)::BIGINT AS extreme_price_changes,
+    sum((ivt.iv_s > 6 * medt.med_iv)::INT)::BIGINT AS time_gaps,
+    count(*)::BIGINT AS final_rows,
+    (sum((ivt.open IS NULL)::INT) + sum((ivt.high IS NULL)::INT) + sum((ivt.low IS NULL)::INT)
+     + sum((ivt.close IS NULL)::INT) + sum((ivt.volume IS NULL)::INT))::BIGINT AS nans_after
+  FROM ivt JOIN medt USING (symbol)
+),
+md AS (
+  SELECT iv_s AS most_common_interval_seconds, n, sum(n) OVER () AS tot
+  FROM (SELECT iv_s, count(*) AS n FROM ivt WHERE iv_s IS NOT NULL GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY n DESC, iv_s ASC) = 1
+),
+a_ts AS (
+  SELECT count(*)::BIGINT AS total_records,
+         (count(*) - count(timestamp))::BIGINT AS invalid_timestamps
+  FROM dirty
+),
+a_dup AS (
+  SELECT (count(*) - (SELECT count(*) FROM (SELECT DISTINCT symbol, timestamp FROM v)))::BIGINT
+           AS duplicates_removed
+  FROM v
+),
+a_nan AS (
+  SELECT (sum((open IS NULL)::INT) + sum((high IS NULL)::INT) + sum((low IS NULL)::INT)
+          + sum((close IS NULL)::INT) + sum((volume IS NULL)::INT))::BIGINT AS initial_nans
+  FROM dd
+),
+a_neg AS (
+  SELECT sum((open < 0 OR high < 0 OR low < 0 OR close < 0 OR volume < 0)::INT)::BIGINT
+           AS negative_rows
+  FROM f2
+)
+SELECT a_ts.total_records, a_ts.invalid_timestamps, a_dup.duplicates_removed,
+       a_nan.initial_nans, a_neg.negative_rows,
+       outs.outliers_open, outs.outliers_high, outs.outliers_low,
+       outs.outliers_close, outs.outliers_volume,
+       (coalesce(outs.outliers_open, 0) + coalesce(outs.outliers_high, 0)
+        + coalesce(outs.outliers_low, 0) + coalesce(outs.outliers_close, 0)
+        + coalesce(outs.outliers_volume, 0))::BIGINT AS outliers_fixed,
+       a_ohlc.invalid_ohlc,
+       fin.zero_price_rows, fin.zero_volume_rows, fin.extreme_price_changes,
+       fin.time_gaps, md.most_common_interval_seconds,
+       (md.tot - md.n)::BIGINT AS irregular_intervals,
+       fin.final_rows, fin.nans_after,
+       fin.final_rows AS valid_records,
+       fin.final_rows > 0 AS is_valid,
+       true AS time_features_added
+FROM a_ts, a_dup, a_nan, a_neg, outs, a_ohlc, fin, md
+"""
+)
+
+
+def _dirty_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_DIRTY_BARS_SQL`` — identical dirt, same order."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    b0 = bars.withColumn("bkt", F.expr("unix_micros(timestamp) div 3600000000"))
+    bkt = F.col("bkt")
+    d0 = b0.select(
+        "symbol",
+        F.when(bkt % 37 == 13, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("timestamp"))
+        .alias("timestamp"),
+        F.when(bkt % 13 == 5, F.lit(None).cast("double"))
+        .otherwise(F.col("open"))
+        .alias("open"),
+        F.when(bkt % 19 == 2, F.col("low") * 0.5)
+        .otherwise(F.col("high"))
+        .alias("high"),
+        "low",
+        F.when(bkt % 11 == 3, F.lit(None).cast("double"))
+        .otherwise(F.col("close"))
+        .alias("close"),
+        F.when(bkt % 23 == 7, -(F.col("volume") + 1.0))
+        .when(bkt % 31 == 9, F.lit(0.0))
+        .otherwise(F.col("volume"))
+        .alias("volume"),
+        "bkt",
+    )
+    dirty = d0.unionAll(d0.filter(bkt % 10 == 0))
+    return dirty.drop("bkt")
+
+
+@query("validation_report", _REPORT_ORACLE)
+def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3 validation report: the full ``validate_and_clean`` report
+    dict (``data_cleaner.py:82-167``) as ONE comparable row of counters
+    over deterministically-dirtied bars — every cleaning stage's delta
+    (dups, nans, negatives, per-column IQR outliers, OHLC violations,
+    gaps, zeros, extremes) checked value-for-value against a DuckDB
+    replica of the whole staged pipeline."""
+    from financial_data_pipeline_spark.plans.report import report_counters
+
+    return report_counters(
+        _dirty_bars(spark, sf_dir), mode="repair", price_tolerance=0.0
+    )

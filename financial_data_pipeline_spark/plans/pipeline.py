@@ -27,6 +27,7 @@ from financial_data_pipeline_spark.metadata import (
 from financial_data_pipeline_spark.operators import cleaning, normalize as norm
 from financial_data_pipeline_spark.operators import resample as rs
 from financial_data_pipeline_spark.operators import splitter
+from financial_data_pipeline_spark.plans.report import validation_report
 from financial_data_pipeline_spark.sources import sinks
 
 
@@ -51,6 +52,7 @@ class PipelineConfig:
     output_dir: str | None = None
     output_formats: list[str] = field(default_factory=lambda: ["parquet"])
     save_metadata: bool = True
+    include_report: bool = True  # validate_and_clean's report dict (§1.3)
 
     def with_overrides(self, **kwargs) -> "PipelineConfig":
         return replace(self, **kwargs)
@@ -80,28 +82,53 @@ def run_pipeline_single(
     # Several datasets read the cleaned plan (splits, resamples, metadata
     # aggregates) — cache it once, exactly the SURVEY.md §7.4(6) note.
     cleaned = cleaned.cache()
+    # One count of the cleaned frame; split sizes derive from it below
+    # instead of one count job per split dataset (the splits partition
+    # the input, so the arithmetic is exact).
+    n_full = cleaned.count()
 
     datasets: dict[str, DataFrame] = {"full": cleaned}
+    counts: dict[str, int] = {"full": n_full}
     for tf in config.resample_to:
         datasets[f"resampled_{tf}"] = rs.resample_ohlcv(cleaned, tf)
 
     if config.split_method == "chronological":
-        train, test = splitter.chronological_split(cleaned, config.test_size)
+        train, test = splitter.chronological_split(
+            cleaned, config.test_size, total=n_full
+        )
+        n_train = int(n_full * (1 - config.test_size))
         datasets |= {"train": train, "test": test}
+        counts |= {"train": n_train, "test": n_full - n_train}
     elif config.split_method == "random":
         train, test = splitter.random_split(cleaned, config.test_size)
         datasets |= {"train": train, "test": test}
+        n_test = test.count()  # randomSplit partitions exactly; train = rest
+        counts |= {"train": n_full - n_test, "test": n_test}
     elif config.split_method == "by_time":
         train, val, test = splitter.split_by_time(
             cleaned, config.split_train_end, config.split_val_end
         )
         datasets |= {"train": train, "val": val, "test": test}
+        n_train, n_val = train.count(), val.count()
+        counts |= {
+            "train": n_train,
+            "val": n_val,
+            "test": n_full - n_train - n_val,
+        }
     else:
         raise ValueError(f"unknown split_method {config.split_method!r}")
 
     result: dict = {"symbol": symbol, "datasets": {}, "paths": {}}
+    if config.include_report:
+        result["validation_report"] = validation_report(
+            source,
+            mode=config.clean_mode,
+            price_tolerance=config.price_tolerance,
+        )
     for name, df in datasets.items():
-        result["datasets"][name] = df.count()
+        result["datasets"][name] = (
+            counts[name] if name in counts else df.count()
+        )
         if config.output_dir:
             for fmt in config.output_formats:
                 path = os.path.join(

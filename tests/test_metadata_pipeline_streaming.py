@@ -97,6 +97,10 @@ def test_run_pipeline_single_e2e(spark, tmp_path):
     # metadata manifest saved
     store = MetadataStore(str(tmp_path / "_metadata"))
     assert store.load("BTCUSDT", "1h").num_records == d["full"]
+    # validation report rides along (crypto_pipeline.py:480-489)
+    rep = res["validation_report"]
+    assert rep["is_valid"] and rep["valid_records"] == d["full"]
+    assert rep["duplicates_removed"] == 0 and rep["negative_rows"] == 0
 
 
 def test_run_pipeline_fanout_isolates_failures(spark):
