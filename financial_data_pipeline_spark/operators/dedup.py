@@ -245,6 +245,36 @@ def minhash_signatures(
     )
 
 
+def capped_buckets(
+    buckets: DataFrame,
+    max_bucket_size: int,
+    observation=None,
+) -> DataFrame:
+    """Enforce the hot-bucket cap on a blocked frame with an ``xs``
+    doc-array column: buckets holding more than ``max_bucket_size``
+    docs are DROPPED before pair expansion (a bucket of B docs expands
+    to B²/2 pairs *inside one row* — a stopword shingle or degenerate
+    LSH band at 100 TB is otherwise a guaranteed executor OOM).
+
+    ``observation`` (a ``pyspark.sql.Observation``) surfaces the drop:
+    metrics ``dropped_buckets`` / ``max_bucket_docs`` become available
+    after the first action on the result — callers log them rather
+    than silently truncating. (Caveat: if the action's final result is
+    completely empty, AQE's empty-relation propagation can skip the
+    observed stage and the metrics never materialize — read them only
+    after an action that produced work.)
+    """
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum(
+                (F.size("xs") > max_bucket_size).cast("long")
+            ).alias("dropped_buckets"),
+            F.max(F.size("xs")).alias("max_bucket_docs"),
+        )
+    return buckets.filter(F.size("xs") <= max_bucket_size)
+
+
 def lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -254,12 +284,20 @@ def lsh_candidates(
     k: int = 3,
     shingle_hash: str = "md5",
     shingle_rows_df: DataFrame | None = None,
+    max_bucket_size: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH (id_a < id_b).
 
     rows_per_band = num_perm // bands; two docs are candidates iff some
     band of their signatures matches exactly. The join key is the band
     bucket — shuffle size O(n · bands), never O(n²).
+
+    Buckets larger than ``max_bucket_size`` are dropped (see
+    ``capped_buckets``); for candidate GENERATION this is a recall
+    trade only — a band bucket shared by thousands of docs is
+    signature-degenerate and its pairs would be rejected by the
+    verifier anyway.
     """
     rows = num_perm // bands
     sigs = minhash_signatures(
@@ -285,13 +323,13 @@ def lsh_candidates(
     # expansion (sorted ids, positional i<j) — the signature pass runs
     # once and only ids shuffle, vs twice + a self-join. Bucket key is
     # xxhash64 of the band's signature slice (8 bytes), not a string
-    # concat. Same hot-bucket caveat as the other blockers: B docs in a
-    # band bucket expand to B²/2 id pairs in one row.
+    # concat. Hot buckets (B²/2 pairs in one row) are capped below.
     buckets = (
         band_rows.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("xs"))
         .filter(F.size("xs") > 1)
     )
+    buckets = capped_buckets(buckets, max_bucket_size, observation)
     xs = F.col("xs")
     pair_arr = F.flatten(
         F.transform(
@@ -322,6 +360,8 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     shingle_rows_df: DataFrame | None = None,
+    max_bucket_size: int = 1000,
+    observation=None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with shingle-set Jaccard ≥ threshold.
 
@@ -340,10 +380,17 @@ def jaccard_pairs(
     ReuseExchange'd self-join at sf0.1, with one corpus pass instead of
     two. Per-doc set sizes ride along on every shingle row (see
     ``_sized_hashed_shingle_rows``), so the pair aggregation computes
-    intersection AND both sizes in one groupBy — no sizes join. Note
-    for 100 TB: a hot shingle with B docs expands to B²/2 structs in
-    one row — cap or drop degenerate buckets (stopword shingles) if the
-    corpus has giant cohorts; at the test SFs max B is 25.
+    intersection AND both sizes in one groupBy — no sizes join.
+
+    Hot-bucket cap (the 100 TB guard): a shingle shared by B docs
+    expands to B²/2 structs in ONE row, so shingle buckets larger than
+    ``max_bucket_size`` are dropped before expansion (see
+    ``capped_buckets``; ``observation`` surfaces the dropped count).
+    Dropping a stopword shingle slightly UNDERestimates Jaccard for
+    pairs that shared it (their intersection loses one near-universal,
+    zero-signal shingle) — the standard trade. The default cap (1000)
+    is far above any bucket at the test SFs (max 25), so oracle
+    results are exact there.
     """
     if shingle_rows_df is not None:
         sh = shingle_rows_df.select(id_col, "sz", "shh")
@@ -369,6 +416,7 @@ def jaccard_pairs(
         )
         .filter(F.size("xs") > 1)
     )
+    buckets = capped_buckets(buckets, max_bucket_size, observation)
     xs = F.col("xs")
     pair_arr = F.flatten(
         F.transform(

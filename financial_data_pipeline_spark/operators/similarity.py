@@ -110,42 +110,10 @@ def ivf_topk(
     )
 
 
-def cosine_pairs(
-    df: DataFrame,
-    threshold: float = 0.95,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    block_col: str | None = None,
-) -> DataFrame:
-    """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
-
-    Execution: the comparison side is collected to a (normalized) numpy
-    matrix and broadcast; each Arrow batch of the scan side computes one
-    BLAS matrix product and emits only the above-threshold pairs — the
-    O(n²) flops run vectorized, and the pair table is never materialized
-    below the threshold. With ``block_col`` (an LSH bucket / IVF cell)
-    the broadcast side shrinks to per-block matrices — the 100 TB path
-    is block first, then this kernel per block.
-
-    (A per-pair ``zip_with``/``aggregate`` expression join evaluates the
-    dot product row-at-a-time — measured ~100× slower at 2k vectors.)
-    """
-    import numpy as np
-    import pandas as pd
+def _pair_schema():
     from pyspark.sql import types as T
 
-    cols = [id_col, vec_col] + ([block_col] if block_col else [])
-    side = df.select(*cols).toPandas()
-    ids_b = side[id_col].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in side[vec_col]])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    blocks_b = side[block_col].to_numpy() if block_col else None
-    sc = df.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids_b)
-    b_mat = sc.broadcast(mat)
-    b_blk = sc.broadcast(blocks_b)
-
-    out_schema = T.StructType(
+    return T.StructType(
         [
             T.StructField("id_a", T.LongType(), False),
             T.StructField("id_b", T.LongType(), False),
@@ -153,19 +121,92 @@ def cosine_pairs(
         ]
     )
 
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    max_side_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    Two execution paths:
+
+    - ``block_col`` given (LSH bucket / IVF cell — the 100 TB path):
+      one shuffle on the block key, then each block computes its own
+      normalized-matrix BLAS product via ``applyInPandas`` — nothing is
+      collected to the driver and nothing is broadcast; pairs are only
+      sought within a block. Rows sharing exactly one block produce no
+      duplicate pairs.
+    - no ``block_col`` (exact all-pairs — small corpora only): the
+      comparison side is collected to a normalized numpy matrix and
+      broadcast; each Arrow batch of the scan side computes one BLAS
+      product and emits only above-threshold pairs. Guarded by
+      ``max_side_rows``: collecting more raises instead of silently
+      OOMing the driver — callers past the cap must supply a
+      ``block_col``.
+
+    (A per-pair ``zip_with``/``aggregate`` expression join evaluates the
+    dot product row-at-a-time — measured ~100× slower at 2k vectors.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    def to_unit_matrix(series) -> "np.ndarray":
+        m = np.array([np.asarray(v, dtype=np.float64) for v in series])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return m
+
+    if block_col is not None:
+
+        def block_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {"id_a": pd.Series(dtype="int64"),
+                     "id_b": pd.Series(dtype="int64"),
+                     "cos_sim": pd.Series(dtype="float64")}
+                )
+            ids = pdf[id_col].to_numpy()
+            mat = to_unit_matrix(pdf[vec_col])
+            sims = mat @ mat.T
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bj = np.nonzero(mask)
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ai],
+                    "id_b": ids[bj],
+                    "cos_sim": np.round(sims[ai, bj], 6),
+                }
+            )
+
+        return (
+            df.select(id_col, vec_col, block_col)
+            .groupBy(block_col)
+            .applyInPandas(block_kernel, _pair_schema())
+        )
+
+    side = df.select(id_col, vec_col).limit(max_side_rows + 1).toPandas()
+    if len(side) > max_side_rows:
+        raise ValueError(
+            f"cosine_pairs comparison side exceeds max_side_rows="
+            f"{max_side_rows}; supply block_col (e.g. an lsh_bucket "
+            f"column) for the blocked scale path"
+        )
+    ids_b = side[id_col].to_numpy()
+    mat = to_unit_matrix(side[vec_col])
+    sc = df.sparkSession.sparkContext
+    b_ids = sc.broadcast(ids_b)
+    b_mat = sc.broadcast(mat)
+
     def kernel(batches):
-        ids2, mat2, blk2 = b_ids.value, b_mat.value, b_blk.value
+        ids2, mat2 = b_ids.value, b_mat.value
         for pdf in batches:
             a_ids = pdf[id_col].to_numpy()
-            a_mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            a_mat = to_unit_matrix(pdf[vec_col])
             sims = a_mat @ mat2.T
             mask = (sims >= threshold) & (a_ids[:, None] < ids2[None, :])
-            if blk2 is not None:
-                a_blk = pdf[block_col].to_numpy()
-                mask &= a_blk[:, None] == blk2[None, :]
             ai, bj = np.nonzero(mask)
             yield pd.DataFrame(
                 {
@@ -175,7 +216,7 @@ def cosine_pairs(
                 }
             )
 
-    return df.select(*cols).mapInPandas(kernel, out_schema)
+    return df.select(id_col, vec_col).mapInPandas(kernel, _pair_schema())
 
 
 def lsh_bucket(

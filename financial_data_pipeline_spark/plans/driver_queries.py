@@ -1331,11 +1331,56 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """,
 )
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pair join (cosine ≥ 0.45)."""
+    """Embedding near-dup pair join (cosine ≥ 0.45) — exact all-pairs
+    baseline; the broadcast side is guarded by ``max_side_rows`` (past
+    the cap the operator raises and demands a block column — see
+    ``embedding_pairs_blocked`` for the scale plan)."""
     from financial_data_pipeline_spark.operators.similarity import cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.45)
+
+
+def _pair_block_planes() -> list[list[float]]:
+    from financial_data_pipeline_spark.operators.similarity import seeded_planes
+
+    return seeded_planes(4, 64, seed=7)
+
+
+def _blocked_pairs_sql() -> str:
+    """Oracle twin of the LSH-blocked pair join: identical plane
+    literals → identical buckets; pairs restricted to same-bucket."""
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
+            lits=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(_pair_block_planes())
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, v, {bucket} AS bucket FROM b)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.v, c.v) >= 0.45
+"""
+
+
+@query("embedding_pairs_blocked", _blocked_pairs_sql())
+def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup pair plan: LSH-bucket the corpus (4 seeded
+    hyperplanes → 16 blocks), then per-block BLAS pair kernels via
+    ``applyInPandas`` — one shuffle on the bucket key, no driver
+    collect, no broadcast, never all-pairs across blocks."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    )
+    return cosine_pairs(emb, threshold=0.45, block_col="bucket")
 
 
 def _lsh_planes() -> list[list[float]]:

@@ -59,6 +59,45 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, docs):
     assert recall >= 0.9, f"LSH recall {recall}"
 
 
+def test_hot_bucket_cap_bounds_planted_stopword_blowup(spark):
+    """A shingle planted into EVERY doc creates one bucket of size n →
+    n²/2 pairs without the cap. With the cap, the degenerate bucket is
+    dropped (surfaced via Observation) and the pair count stays at
+    what the distinct texts alone produce."""
+    from pyspark.sql import Observation
+
+    n = 80
+    boiler = " ".join(f"common{j}" for j in range(10))
+    rows = [
+        # 10-token boilerplate (8 shared shingles) + per-doc unique tail
+        (i, f"{boiler} unique{i}")
+        for i in range(n)
+    ]
+    # one genuine near-dup pair in a small (uncapped) bucket
+    rows += [(900, "rare alpha beta gamma"), (901, "rare alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # threshold 0: every pair sharing >=1 shingle is emitted
+    uncapped = dedup.jaccard_pairs(df, k=3, threshold=0.0).count()
+    assert uncapped == n * (n - 1) / 2 + 1  # the blowup + the real pair
+    obs = Observation()
+    capped = dedup.jaccard_pairs(
+        df, k=3, threshold=0.0, max_bucket_size=10, observation=obs
+    ).collect()
+    # the planted stopword buckets are gone; the real pair survives
+    assert {(r.id_a, r.id_b) for r in capped} == {(900, 901)}
+    assert obs.get["dropped_buckets"] >= 1
+    assert obs.get["max_bucket_docs"] == n
+
+    # candidate generation: degenerate band buckets likewise capped
+    obs2 = Observation()
+    cands = dedup.lsh_candidates(
+        df, num_perm=16, bands=8, max_bucket_size=10, observation=obs2
+    ).count()
+    uncapped_cands = dedup.lsh_candidates(df, num_perm=16, bands=8).count()
+    assert cands < uncapped_cands
+    assert obs2.get["dropped_buckets"] >= 1
+
+
 def test_simhash_near_dups_have_small_hamming(spark):
     df = spark.createDataFrame(
         [
@@ -133,6 +172,37 @@ def test_ivf_recall_vs_brute_force(spark, emb):
     ]
     recall = len(set(brute) & set(ivf)) / 10
     assert recall >= 0.5, f"IVF nprobe=3 recall {recall}"
+
+
+def test_cosine_pairs_blocked_matches_exact_within_blocks(spark, emb):
+    """The applyInPandas block path must equal the exact all-pairs
+    result restricted to same-bucket pairs — no lost or invented
+    pairs, identical rounded similarities."""
+    planes = similarity.seeded_planes(4, 64, seed=7)
+    bucketed = emb.withColumn(
+        "bucket", similarity.lsh_bucket(F.col("embedding"), planes)
+    )
+    blocked = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.cosine_pairs(
+            bucketed, threshold=0.4, block_col="bucket"
+        ).collect()
+    }
+    bucket_of = {
+        r.vec_id: r.b
+        for r in bucketed.select("vec_id", F.col("bucket").alias("b")).collect()
+    }
+    exact_same_bucket = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+        if bucket_of[r.id_a] == bucket_of[r.id_b]
+    }
+    assert blocked == exact_same_bucket and len(blocked) > 0
+
+
+def test_cosine_pairs_side_cap_raises(spark, emb):
+    with pytest.raises(ValueError, match="max_side_rows"):
+        similarity.cosine_pairs(emb, threshold=0.4, max_side_rows=10)
 
 
 def test_cosine_matches_numpy(spark, emb):
