@@ -547,11 +547,65 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ema_macd")  # recursive ewm — not SQL-expressible; rows-only check
+# The ewm(adjust=False) recurrence e' = (1-α)·e + α·x IS expressible in
+# SQL as a recursive CTE stepping row-rank per symbol (one iteration per
+# bar index, all symbols advance together). The arithmetic mirrors the
+# pandas kernel op-for-op — verified bit-exact against pandas ewm on the
+# driver data before rounding, so the 6-decimal rounding has ~1e-13 of
+# headroom.
+_EMA_STEP_12 = "(1.0 - 2.0/13.0) * r.ema_12 + (2.0/13.0) * b.close"
+_EMA_STEP_26 = "(1.0 - 2.0/27.0) * r.ema_26 + (2.0/27.0) * b.close"
+_MACD_STEP = f"(({_EMA_STEP_12}) - ({_EMA_STEP_26}))"
+
+_EMA_REC_CTE = (
+    "WITH RECURSIVE bars AS ("
+    + events_as_ohlcv_sql(60).strip()
+    + """
+), base AS (
+  SELECT symbol, timestamp, high, low, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY timestamp) AS rn
+  FROM bars
+), rec AS (
+  SELECT symbol, timestamp, close, rn,
+         close AS ema_12, close AS ema_26,
+         0.0::DOUBLE AS macd, 0.0::DOUBLE AS macd_signal
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.timestamp, b.close, b.rn,
+         """
+    + _EMA_STEP_12
+    + """ AS ema_12,
+         """
+    + _EMA_STEP_26
+    + """ AS ema_26,
+         """
+    + _MACD_STEP
+    + """ AS macd,
+         (1.0 - 2.0/10.0) * r.macd_signal + (2.0/10.0) * """
+    + _MACD_STEP
+    + """ AS macd_signal
+  FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+"""
+)
+
+
+@query(
+    "ema_macd",
+    _EMA_REC_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(ema_12, 6) AS ema_12, round(ema_26, 6) AS ema_26,
+       round(macd, 6) AS macd, round(macd_signal, 6) AS macd_signal,
+       round(macd - macd_signal, 6) AS macd_hist
+FROM rec
+""",
+)
 def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 + W4: exact ewm(adjust=False) EMA(12/26) + MACD via the
-    grouped-map pandas-UDF kernel. Verified against pandas in
-    tests/test_indicators.py; the driver records a rows-only check."""
+    grouped-map pandas-UDF kernel, value-checked against a DuckDB
+    recursive-CTE twin of the recurrence (plus the pandas differential
+    in tests/test_resample_indicators.py)."""
     bars = events_as_ohlcv(spark, sf_dir)
     out = indicators.with_ema_macd(bars)
     return out.select(
@@ -1595,10 +1649,76 @@ def q_random_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("calculate_all")  # rows-only: includes EMA/MACD (pytest-verified)
+@query(
+    "calculate_all",
+    _EMA_REC_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp) AS delta
+  FROM bars
+), gl AS (
+  SELECT symbol, timestamp,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+  FROM d
+), rsit AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(gain) OVER w14 >= 14 THEN avg(gain) OVER w14 END AS ag,
+         CASE WHEN count(loss) OVER w14 >= 14 THEN avg(loss) OVER w14 END AS al
+  FROM gl
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), trt AS (
+  SELECT symbol, timestamp,
+         greatest(high - low, abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), atrt AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(tr) OVER w14t >= 14 THEN avg(tr) OVER w14t END AS atr
+  FROM trt
+  WINDOW w14t AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), win AS (
+  SELECT symbol, timestamp,
+    CASE WHEN count(close) OVER w20 >= 20 THEN avg(close) OVER w20 END AS sma_20,
+    CASE WHEN count(close) OVER w50 >= 50 THEN avg(close) OVER w50 END AS sma_50,
+    CASE WHEN count(close) OVER w200 >= 200 THEN avg(close) OVER w200 END AS sma_200,
+    CASE WHEN count(close) OVER w20 >= 20
+         THEN avg(close) OVER w20 + 2.0 * stddev_samp(close) OVER w20 END AS bb_upper,
+    CASE WHEN count(close) OVER w20 >= 20
+         THEN avg(close) OVER w20 - 2.0 * stddev_samp(close) OVER w20 END AS bb_lower
+  FROM bars
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w50 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+         w200 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+)
+SELECT rec.symbol, epoch_us(rec.timestamp) AS ts_us,
+       round(win.sma_20, 6) AS sma_20,
+       round(win.sma_50, 6) AS sma_50,
+       round(win.sma_200, 6) AS sma_200,
+       round(rec.ema_12, 6) AS ema_12,
+       round(rec.ema_26, 6) AS ema_26,
+       round(CASE WHEN rsit.al = 0 AND rsit.ag > 0 THEN 100.0
+                  WHEN rsit.al = 0 AND rsit.ag = 0 THEN NULL
+                  ELSE 100.0 - 100.0 / (1.0 + rsit.ag / rsit.al) END, 6) AS rsi,
+       round(rec.macd, 6) AS macd,
+       round(rec.macd_signal, 6) AS macd_signal,
+       round(rec.macd - rec.macd_signal, 6) AS macd_hist,
+       round(win.sma_20, 6) AS bb_middle,
+       round(win.bb_upper, 6) AS bb_upper,
+       round(win.bb_lower, 6) AS bb_lower,
+       round(atrt.atr, 6) AS atr
+FROM rec
+JOIN win USING (symbol, timestamp)
+JOIN rsit USING (symbol, timestamp)
+JOIN atrt USING (symbol, timestamp)
+""",
+)
 def q_calculate_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W10 composite: all 13 indicator columns in one pass
-    (``technical_indicators.py:83-122``)."""
+    (``technical_indicators.py:83-122``). Oracle = the windowed-SQL
+    twins of the rolling family joined with the recursive-CTE EMA twin
+    — every column value-checked."""
     bars = events_as_ohlcv(spark, sf_dir)
     out = indicators.calculate_all(bars)
     return out.select(
