@@ -205,6 +205,44 @@ def metadata_table(
     return spark.createDataFrame(rows, schema)
 
 
+def pipeline_status(
+    spark: SparkSession, data_dir: str, store: "MetadataStore | None" = None
+) -> dict:
+    """Overall pipeline status summary
+    (``pipeline_status_report.py:176-216``): processed parquet files +
+    record totals under ``data_dir``, manifest record totals from the
+    metadata store, and coverage (manifest / files). One Spark job per
+    distinct file set (the reference loops pandas ``read_parquet`` per
+    file); corrupt/unreadable files are skipped, as there.
+    """
+    import glob as _glob
+
+    paths = sorted(
+        _glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+    )
+    total_records = 0
+    readable = []
+    for p in paths:
+        try:
+            total_records += spark.read.parquet(p).count()
+            readable.append(p)
+        except Exception:  # noqa: BLE001 - mirror the reference's skip
+            continue
+    manifest_records = 0
+    if store is not None:
+        manifest_records = sum(
+            int(v.get("num_records") or 0) for v in store._load_index().values()
+        )
+    out = {
+        "total_files": len(readable),
+        "total_records": total_records,
+        "manifest_records": manifest_records,
+    }
+    if manifest_records > 0 and total_records > 0:
+        out["coverage_pct"] = round(manifest_records / total_records * 100, 1)
+    return out
+
+
 def lineage_upstream(
     lineage: DataFrame, metadata: DataFrame, target_id
 ) -> DataFrame:

@@ -175,6 +175,26 @@ def zero_extreme_counts(
     )
 
 
+def status_report(df: DataFrame, by: list[str] = ("symbol",)) -> DataFrame:
+    """Per-symbol status summary (``pipeline_status_report.py:96-131``):
+    records, earliest/latest timestamp, min/max close, avg volume —
+    the exact column set the reference's report query emits, one
+    grouped pass, ordered by symbol for display parity."""
+    by = list(by)
+    return (
+        df.groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.min("timestamp").alias("earliest"),
+            F.max("timestamp").alias("latest"),
+            F.min("close").alias("min_price"),
+            F.max("close").alias("max_price"),
+            F.avg("volume").alias("avg_volume"),
+        )
+        .orderBy(*by)
+    )
+
+
 def query_ohlcv(
     df: DataFrame,
     symbol: str | None = None,

@@ -3524,6 +3524,36 @@ def q_video_frame_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(docs, payload_col="payload", every_ms=1000)
 
 
+@query(
+    "status_report",
+    BARS_CTE
+    + """
+SELECT symbol, count(*) AS records,
+       epoch_us(min(timestamp)) AS earliest_us,
+       epoch_us(max(timestamp)) AS latest_us,
+       min(close) AS min_price, max(close) AS max_price,
+       round(avg(volume), 6) AS avg_volume
+FROM bars GROUP BY symbol
+""",
+)
+def q_status_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol pipeline status summary
+    (``pipeline_status_report.py:96-131``): record totals, date range,
+    price range, average volume per symbol in one grouped pass."""
+    from financial_data_pipeline_spark.operators.stats import status_report
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    return status_report(bars).select(
+        "symbol",
+        "records",
+        F.unix_micros("earliest").alias("earliest_us"),
+        F.unix_micros("latest").alias("latest_us"),
+        "min_price",
+        "max_price",
+        F.round("avg_volume", 6).alias("avg_volume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Validation report (§1.3) — the full report dict as one comparable row
 # ---------------------------------------------------------------------------

@@ -9,8 +9,10 @@ optimizes across stage boundaries (e.g. a sink's column pruning reaches
 the source scan).
 
 Config mirrors ``PipelineConfig`` defaults + file + overrides
-(``pipelines/config_manager.py:17-89``) as a plain dataclass — no env
-magic; callers merge dicts explicitly.
+(``pipelines/config_manager.py:17-89``): the typed dataclass below is
+the run contract; :mod:`financial_data_pipeline_spark.plans.config`
+provides the defaults → env → JSON deep-merge front door
+(``PipelineConfig.from_file``).
 """
 
 from __future__ import annotations
@@ -56,6 +58,21 @@ class PipelineConfig:
 
     def with_overrides(self, **kwargs) -> "PipelineConfig":
         return replace(self, **kwargs)
+
+    @classmethod
+    def from_file(cls, config_file: str | None = None, **overrides) -> "PipelineConfig":
+        """defaults → env → JSON file → overrides (the reference's
+        ``config_manager.py:17-28`` merge order; see plans.config)."""
+        from financial_data_pipeline_spark.plans.config import (
+            pipeline_config_from_file,
+        )
+
+        return pipeline_config_from_file(config_file, **overrides)
+
+    @classmethod
+    def from_env(cls, **overrides) -> "PipelineConfig":
+        """Env-aware defaults only (no file)."""
+        return cls.from_file(None, **overrides)
 
 
 def run_pipeline_single(

@@ -101,6 +101,64 @@ def test_run_pipeline_single_e2e(spark, tmp_path):
     rep = res["validation_report"]
     assert rep["is_valid"] and rep["valid_records"] == d["full"]
     assert rep["duplicates_removed"] == 0 and rep["negative_rows"] == 0
+    # status summary over the written archive + manifest
+    # (pipeline_status_report.py:176-216)
+    from financial_data_pipeline_spark.metadata import pipeline_status
+
+    status = pipeline_status(spark, str(tmp_path), store)
+    assert status["total_files"] >= 4  # full/train/test/resampled_4h
+    assert status["manifest_records"] == d["full"]
+    assert status["total_records"] >= d["full"] * 2  # full + splits
+    assert "coverage_pct" in status
+
+
+def test_run_pipeline_from_json_config(spark, tmp_path):
+    """E1 from a reference-shaped JSON config file
+    (``config/pipeline_config.json:1-30`` → ``config_manager.py:17-89``
+    merge order: defaults → env → file)."""
+    import json
+
+    from financial_data_pipeline_spark.plans.config import ConfigManager
+    from financial_data_pipeline_spark.plans.pipeline import PipelineConfig
+
+    cfg_file = tmp_path / "pipeline_config.json"
+    cfg_file.write_text(
+        json.dumps(
+            {
+                "pipeline": "crypto",
+                "data_dir": str(tmp_path / "out"),
+                "pipeline_config": {
+                    "provider": "bybit",
+                    "assets": [{"symbol": "ETHUSDT", "timeframe": "1h"}],
+                    "save_files": True,
+                    "splits": {
+                        "train_test_split": {
+                            "test_size": 0.25,
+                            "method": "chronological",
+                        }
+                    },
+                },
+            }
+        )
+    )
+    cfg = PipelineConfig.from_file(str(cfg_file), save_metadata=False)
+    assert cfg.symbols == ["ETHUSDT"]
+    assert cfg.test_size == 0.25
+    assert cfg.output_dir == str(tmp_path / "out")
+    source = synthetic.synthetic_ohlcv(
+        spark, ["ETHUSDT"], "2025-01-01", "2025-01-03", 60, seed=5
+    )
+    res = run_pipeline(spark, cfg, {"ETHUSDT": source})["ETHUSDT"]
+    d = res["datasets"]
+    assert d["train"] == int(d["full"] * 0.75)
+    assert d["train"] + d["test"] == d["full"]
+    assert (tmp_path / "out" / "ETHUSDT" / "full.parquet").exists()
+
+    # dict manager parity: dot access + deep merge (file wins)
+    mgr = ConfigManager(str(cfg_file))
+    assert mgr.get("pipeline_config.splits.train_test_split.test_size") == 0.25
+    assert mgr.get("storage_config.file_format") == "parquet"  # default kept
+    assert mgr.validate_config()["is_valid"]
 
 
 def test_run_pipeline_fanout_isolates_failures(spark):
