@@ -95,6 +95,9 @@ HEADLINE = [
     "chunk_packing_plan",
     "embedding_norms",
     "video_frame_calendar",
+    "validation_report",
+    "status_report",
+    "embedding_pairs_blocked",
 ]
 
 

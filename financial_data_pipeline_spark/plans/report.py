@@ -30,12 +30,19 @@ Counter → stage map (mirrors ``clean_ohlcv``'s frozen order):
   ``nans_after`` / ``valid_records`` / ``is_valid`` — final frame
   (``data_cleaner.py:271-285,294-398,161-166``)
 
-Scale note: the branches share one lineage and the heavy ones reuse the
-same ``symbol``-hash shuffle (dedup window, impute windows, lag
-windows). Catalyst does not share subplans across crossJoin branches,
-so :func:`validation_report` (the eager dict collector) caches the
-coerced base once; :func:`report_counters` stays pure-lazy for the
-driver's oracle comparison, which materializes it exactly once anyway.
+Scale design — ONE pass builds a *flag frame*, few passes aggregate it:
+instead of materializing (or lazily re-deriving) each cleaning stage
+per counter, every stage's effect is computed as per-row FLAG/VALUE
+columns over a single frame whose windows all partition by ``symbol``
+— one hash shuffle total, reused by the dedup-tie detection, the
+masked ffill/bfill, and the final lag windows (Catalyst reuses the
+exchange across the downstream aggregates). The only extra passes are
+the inherently scalar-dependent ones: IQR bounds, per-symbol median
+interval, and the global interval-mode rollup — each a tiny aggregate
+over the same cached flag frame, broadcast back. The reference makes
+~10 eager pandas passes for the same counters
+(``data_cleaner.py:82-167``); at 100 TB this plan is one wide scan +
+one shuffle + four cheap re-aggregations of a cached columnar frame.
 """
 
 from __future__ import annotations
@@ -74,102 +81,191 @@ REPORT_COLUMNS = [
 ]
 
 
-def _staged(
-    df: DataFrame,
-    mode: str,
-    epoch_unit: str,
-    iqr_factor: float,
-    price_tolerance: float,
-) -> dict[str, DataFrame]:
-    """The ``clean_ohlcv`` stage frames, kept addressable so counters
-    can aggregate the exact lineage the cleaning plan executes."""
+def _flag_frame(df: DataFrame, epoch_unit: str) -> DataFrame:
+    """ONE frame carrying every stage's effect as per-row columns.
+
+    All windows partition by ``symbol`` and order by ``timestamp`` —
+    one hash shuffle, one sort, shared by dedup-tie detection, the
+    masked ffill/bfill, and (downstream) the final lag windows.
+
+    Columns: ``__valid`` (parseable timestamp), ``__kept`` (valid and
+    first of its (symbol, ts) tie group — the keep-first dedup as a
+    lag-equality test), ``__c_<col>`` (coerced raw value), ``__i_<col>``
+    (imputed value: ffill-then-bfill over KEPT rows only, via
+    null-masked window aggregates), ``__nonneg`` (row survives the
+    negative filter), ``__kept2`` (kept ∧ nonneg).
+    """
     df = cleaning.lowercase_columns(df)
     df = cleaning.require_columns(df)
     if "symbol" not in df.columns:
         df = df.withColumn("symbol", F.lit("UNKNOWN"))
-    ts_f = cleaning.normalize_timestamp(df, epoch_unit=epoch_unit)
-    valid = cleaning.drop_invalid_timestamps(ts_f)
-    deduped = cleaning.dedup_keep_first(
-        valid, keys=["symbol", "timestamp"], order_by=["timestamp"]
+    df = cleaning.normalize_timestamp(df, epoch_unit=epoch_unit)
+    cols = [c for c in OHLCV_COLUMNS if c in df.columns]
+
+    w = Window.partitionBy("symbol").orderBy(F.col("timestamp").asc_nulls_last())
+    valid = F.col("timestamp").isNotNull()
+    dup = valid & (F.col("timestamp") == F.lag("timestamp").over(w))
+    out = df.withColumns(
+        {
+            "__valid": valid,
+            "__dup": F.coalesce(dup, F.lit(False)),
+        }
+        | {f"__c_{c}": F.col(c).cast("double") for c in cols}
+    ).withColumn("__kept", F.col("__valid") & ~F.col("__dup"))
+    # masked ffill: last non-null KEPT value at or before the row
+    wff = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = out.withColumns(
+        {
+            f"__ff_{c}": F.last(
+                F.when(F.col("__kept"), F.col(f"__c_{c}")), ignorenulls=True
+            ).over(wff)
+            for c in cols
+        }
     )
-    coerced = cleaning.coerce_numeric(deduped)
-    imputed = cleaning.impute_ffill_bfill(coerced)
-    nonneg = cleaning.drop_negative_rows(imputed)
-    if mode == "repair":
-        pre_repair = cleaning.iqr_clip(nonneg, factor=iqr_factor)
-        final = cleaning.repair_ohlc(pre_repair, tolerance=price_tolerance)
-    else:
-        pre_repair = cleaning.filter_positive_prices(nonneg)
-        final = cleaning.filter_valid_ohlc(pre_repair, tolerance=price_tolerance)
-        final = final.na.drop(subset=OHLCV_COLUMNS)
-    return {
-        "ts": ts_f,
-        "valid": valid,
-        "coerced": coerced,
-        "imputed": imputed,
-        "nonneg": nonneg,
-        "pre_repair": pre_repair,
-        "final": final,
-    }
-
-
-def _outlier_counts(nonneg: DataFrame, factor: float) -> DataFrame:
-    """Per-column IQR-violation counts (pre-clip), one row.
-
-    Bounds are the same exact percentiles ``iqr_clip`` uses, computed
-    per symbol and broadcast back — counts sum across symbols (the
-    reference is single-symbol; per-symbol bounds are this engine's
-    documented multi-asset generalization, SURVEY.md §4.2).
-    """
-    cols = [c for c in OHLCV_COLUMNS if c in nonneg.columns]
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.percentile(F.col(c), F.lit(0.25)).alias(f"__q1_{c}"),
-            F.percentile(F.col(c), F.lit(0.75)).alias(f"__q3_{c}"),
-        ]
-    bounds = nonneg.groupBy("symbol").agg(*aggs)
-    joined = nonneg.join(F.broadcast(bounds), on="symbol", how="left")
-    outs = []
-    for c in cols:
-        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
-        iqr = q3 - q1
-        out_of_bounds = (F.col(c) < q1 - factor * iqr) | (
-            F.col(c) > q3 + factor * iqr
-        )
-        outs.append(
-            F.sum(out_of_bounds.cast("long")).alias(f"outliers_{c}")
-        )
-    row = joined.agg(*outs)
-    total = reduce(
-        lambda a, b: a + b, [F.coalesce(F.col(f"outliers_{c}"), F.lit(0)) for c in cols]
+    # masked bfill of the ffilled series: first non-null KEPT ffill
+    # value at or after the row
+    wbf = w.rowsBetween(0, Window.unboundedFollowing)
+    out = out.withColumns(
+        {
+            f"__i_{c}": F.first(
+                F.when(F.col("__kept"), F.col(f"__ff_{c}")), ignorenulls=True
+            ).over(wbf)
+            for c in cols
+        }
     )
-    return row.withColumn("outliers_fixed", total)
+    nonneg = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__i_{c}").isNull() | (F.col(f"__i_{c}") >= 0)
+            for c in cols
+        ],
+    )
+    return out.withColumn("__nonneg", nonneg).withColumn(
+        "__kept2", F.col("__kept") & nonneg
+    )
 
 
-def _final_counters(
-    final: DataFrame, extreme_change_threshold: float
+def _counters_from_flags(
+    flags: DataFrame,
+    mode: str,
+    iqr_factor: float,
+    price_tolerance: float,
+    extreme_change_threshold: float,
+    add_time_features: bool,
 ) -> DataFrame:
-    """Post-clean counters in one grouped pass + a tiny broadcast of
-    per-symbol median intervals (``data_cleaner.py:271-285,343-398``)."""
-    w = Window.partitionBy("symbol").orderBy("timestamp")
-    iv = (
-        F.unix_micros(F.col("timestamp")) - F.unix_micros(F.lag("timestamp").over(w))
-    ) / 1e6
-    chg = F.abs(F.col("close") / F.lag("close").over(w) - 1.0)
-    base = final.withColumns({"__iv": iv, "__chg": chg})
-    med = base.groupBy("symbol").agg(F.median("__iv").alias("__med_iv"))
-    base = base.join(F.broadcast(med), on="symbol", how="left")
-    zero_price = reduce(
-        lambda a, b: a | b, [(F.col(c) == 0) for c in PRICE_COLUMNS]
-    )
+    cols = [c for c in OHLCV_COLUMNS if f"__i_{c}" in flags.columns]
+    kept, kept2 = F.col("__kept"), F.col("__kept2")
+
+    # P1 — every pre-outlier counter in one aggregate pass
     nan_cells = reduce(
         lambda a, b: a + b,
-        [F.sum(F.col(c).isNull().cast("long")) for c in OHLCV_COLUMNS],
+        [
+            F.sum((kept & F.col(f"__c_{c}").isNull()).cast("long"))
+            for c in cols
+        ],
     )
-    return base.agg(
+    a_stage = flags.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.sum((~F.col("__valid")).cast("long")).alias("invalid_timestamps"),
+        F.sum(F.col("__dup").cast("long")).alias("duplicates_removed"),
+        nan_cells.alias("initial_nans"),
+        F.sum((kept & ~F.col("__nonneg")).cast("long")).alias("negative_rows"),
+    )
+
+    # P2 — IQR bounds over surviving rows (scalar-dependent: own pass)
+    b_aggs = []
+    for c in cols:
+        masked = F.when(kept2, F.col(f"__i_{c}"))
+        b_aggs += [
+            F.percentile(masked, F.lit(0.25)).alias(f"__q1_{c}"),
+            F.percentile(masked, F.lit(0.75)).alias(f"__q3_{c}"),
+        ]
+    bounds = flags.groupBy("symbol").agg(*b_aggs)
+
+    # P3 — survivors joined with bounds: outlier flags, clipped values,
+    # repair, final-frame lag counters, all coexisting per row
+    surv = flags.filter(kept2).join(F.broadcast(bounds), on="symbol", how="left")
+    clip_cols, out_flags = {}, {}
+    for c in cols:
+        v = F.col(f"__i_{c}")
+        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
+        iqr = q3 - q1
+        lo, hi = q1 - iqr_factor * iqr, q3 + iqr_factor * iqr
+        out_flags[c] = (v < lo) | (v > hi)
+        clip_cols[f"__cl_{c}"] = (
+            F.when(v.isNotNull(), F.greatest(lo, F.least(hi, v)))
+            if mode == "repair"
+            else v
+        )
+    surv = surv.withColumns(
+        {f"__o_{c}": out_flags[c] for c in cols} | clip_cols
+    )
+    h, l, o, c_ = (F.col(f"__cl_{x}") for x in ("high", "low", "open", "close"))
+    hi_t, lo_t = h * (1.0 + price_tolerance), l * (1.0 - price_tolerance)
+    consistent = (hi_t >= l) & (hi_t >= o) & (hi_t >= c_) & (lo_t <= o) & (lo_t <= c_)
+    bad = ~consistent
+    if mode == "repair":
+        surv = surv.withColumns(
+            {
+                "__bad": bad,
+                "__f_high": F.when(bad, F.greatest(o, c_, h)).otherwise(h),
+                "__f_low": F.when(bad, F.least(o, c_, l)).otherwise(l),
+                "__f_open": o,
+                "__f_close": c_,
+                "__f_volume": F.col("__cl_volume"),
+                "__final": F.lit(True),
+            }
+        )
+    else:
+        positive = reduce(
+            lambda a, b: a & b, [(F.col(f"__cl_{x}") > 0) for x in PRICE_COLUMNS]
+        ) & (F.col("__cl_volume") >= 0)
+        no_null = reduce(
+            lambda a, b: a & b,
+            [F.col(f"__cl_{x}").isNotNull() for x in cols],
+        )
+        surv = surv.withColumns(
+            {
+                "__bad": bad,
+                "__f_high": h,
+                "__f_low": l,
+                "__f_open": o,
+                "__f_close": c_,
+                "__f_volume": F.col("__cl_volume"),
+                # strict: drop positive-price failures, OHLC violations,
+                # remaining nulls (clean_ohlcv strict order)
+                "__final": F.coalesce(positive & consistent & no_null, F.lit(False)),
+            }
+        )
+    fin = surv.filter(F.col("__final"))
+    wf = Window.partitionBy("symbol").orderBy("timestamp")
+    fin = fin.withColumns(
+        {
+            "__iv": (
+                F.unix_micros(F.col("timestamp"))
+                - F.unix_micros(F.lag("timestamp").over(wf))
+            )
+            / 1e6,
+            "__chg": F.abs(
+                F.col("__f_close") / F.lag("__f_close").over(wf) - 1.0
+            ),
+        }
+    )
+    med = fin.groupBy("symbol").agg(F.median("__iv").alias("__med_iv"))
+    fin = fin.join(F.broadcast(med), on="symbol", how="left")
+
+    zero_price = reduce(
+        lambda a, b: a | b, [(F.col(f"__f_{x}") == 0) for x in PRICE_COLUMNS]
+    )
+    nans_after = reduce(
+        lambda a, b: a + b,
+        [F.sum(F.col(f"__f_{c}").isNull().cast("long")) for c in cols],
+    )
+    a_final = fin.agg(
+        *[F.sum(F.col(f"__o_{c}").cast("long")).alias(f"outliers_{c}") for c in cols],
+        F.sum(F.col("__bad").cast("long")).alias("invalid_ohlc"),
         F.sum(zero_price.cast("long")).alias("zero_price_rows"),
-        F.sum((F.col("volume") == 0).cast("long")).alias("zero_volume_rows"),
+        F.sum((F.col("__f_volume") == 0).cast("long")).alias("zero_volume_rows"),
         F.sum((F.col("__chg") > extreme_change_threshold).cast("long")).alias(
             "extreme_price_changes"
         ),
@@ -177,31 +273,13 @@ def _final_counters(
             "time_gaps"
         ),
         F.count(F.lit(1)).alias("final_rows"),
-        nan_cells.alias("nans_after"),
+        nans_after.alias("nans_after"),
     )
 
-
-def _interval_mode_global(final: DataFrame) -> DataFrame:
-    """Global most-common interval + irregular count
-    (``data_cleaner.py:323-337`` — the reference is single-symbol, so
-    "global" and "per-symbol" coincide there; intervals here are still
-    computed within symbol, then pooled)."""
-    w = Window.partitionBy("symbol").orderBy("timestamp")
-    iv = (
-        final.withColumn(
-            "__iv",
-            (
-                F.unix_micros(F.col("timestamp"))
-                - F.unix_micros(F.lag("timestamp").over(w))
-            )
-            / 1e6,
-        )
-        .filter(F.col("__iv").isNotNull())
-        .select("__iv")
-    )
-    counts = iv.groupBy("__iv").count()
+    # P4 — global interval mode over the (tiny) distinct-interval counts
+    counts = fin.filter(F.col("__iv").isNotNull()).groupBy("__iv").count()
     wmode = Window.orderBy(F.desc("count"), F.asc("__iv"))
-    return (
+    a_mode = (
         counts.withColumn("__rn", F.row_number().over(wmode))
         .withColumn("__tot", F.sum("count").over(Window.partitionBy()))
         .filter(F.col("__rn") == 1)
@@ -209,6 +287,33 @@ def _interval_mode_global(final: DataFrame) -> DataFrame:
             F.col("__iv").alias("most_common_interval_seconds"),
             (F.col("__tot") - F.col("count")).alias("irregular_intervals"),
         )
+    )
+
+    row = a_stage.crossJoin(a_final).crossJoin(a_mode)
+    outliers_total = reduce(
+        lambda a, b: a + b,
+        [F.coalesce(F.col(f"outliers_{c}"), F.lit(0)) for c in cols],
+    )
+    return row.select(
+        "total_records",
+        "invalid_timestamps",
+        "duplicates_removed",
+        "initial_nans",
+        "negative_rows",
+        *[f"outliers_{c}" for c in cols],
+        outliers_total.alias("outliers_fixed"),
+        "invalid_ohlc",
+        "zero_price_rows",
+        "zero_volume_rows",
+        "extreme_price_changes",
+        "time_gaps",
+        "most_common_interval_seconds",
+        "irregular_intervals",
+        "final_rows",
+        "nans_after",
+        F.col("final_rows").alias("valid_records"),
+        (F.col("final_rows") > 0).alias("is_valid"),
+        F.lit(bool(add_time_features)).alias("time_features_added"),
     )
 
 
@@ -223,57 +328,21 @@ def report_counters(
 ) -> DataFrame:
     """The full validation report as ONE one-row DataFrame.
 
-    Pure-lazy twin of ``validate_and_clean``'s report dict
-    (``data_cleaner.py:82-167``): every counter is an aggregate over
-    the corresponding ``clean_ohlcv`` stage frame, cross-joined into a
-    single row (each branch is itself a one-row aggregate, so the
-    crossJoins are trivial)."""
+    Lazy twin of ``validate_and_clean``'s report dict
+    (``data_cleaner.py:82-167``): one flag-frame pass (single symbol
+    shuffle) + three scalar-dependent re-aggregations (IQR bounds,
+    median interval, interval mode). See the module docstring for the
+    counter → stage map; semantics are pinned by the driver oracle and
+    the pandas differential in ``tests/test_report.py``."""
     if mode not in ("repair", "strict"):
         raise ValueError(f"mode must be 'repair' or 'strict', got {mode!r}")
-    s = _staged(df, mode, epoch_unit, iqr_factor, price_tolerance)
-
-    a_ts = s["ts"].agg(
-        F.count(F.lit(1)).alias("total_records"),
-        (F.count(F.lit(1)) - F.count("timestamp")).alias("invalid_timestamps"),
-    )
-    a_dup = s["valid"].agg(
-        (
-            F.count(F.lit(1)) - F.countDistinct("symbol", "timestamp")
-        ).alias("duplicates_removed")
-    )
-    nan_cells = reduce(
-        lambda a, b: a + b,
-        [F.sum(F.col(c).isNull().cast("long")) for c in OHLCV_COLUMNS],
-    )
-    a_nan = s["coerced"].agg(nan_cells.alias("initial_nans"))
-    any_neg = reduce(
-        lambda a, b: a | b, [(F.col(c) < 0) for c in OHLCV_COLUMNS]
-    )
-    a_neg = s["imputed"].agg(
-        F.sum(any_neg.cast("long")).alias("negative_rows")
-    )
-    a_out = _outlier_counts(s["nonneg"], iqr_factor)
-    a_ohlc = s["pre_repair"].agg(
-        F.sum(
-            (~cleaning.ohlc_consistent(price_tolerance)).cast("long")
-        ).alias("invalid_ohlc")
-    )
-    a_fin = _final_counters(s["final"], extreme_change_threshold)
-    a_mode = _interval_mode_global(s["final"])
-
-    row = reduce(
-        lambda a, b: a.crossJoin(b),
-        [a_ts, a_dup, a_nan, a_neg, a_out, a_ohlc, a_fin, a_mode],
-    )
-    return row.select(
-        *[
-            c
-            for c in REPORT_COLUMNS
-            if c not in ("valid_records", "is_valid", "time_features_added")
-        ],
-        F.col("final_rows").alias("valid_records"),
-        (F.col("final_rows") > 0).alias("is_valid"),
-        F.lit(bool(add_time_features)).alias("time_features_added"),
+    return _counters_from_flags(
+        _flag_frame(df, epoch_unit),
+        mode,
+        iqr_factor,
+        price_tolerance,
+        extreme_change_threshold,
+        add_time_features,
     )
 
 
@@ -292,25 +361,26 @@ def validation_report(
     ``crypto_pipeline.py:480-489``): nested ``outliers_detected``
     per-column map, top-level counters, ``is_valid`` flag.
 
-    ``cache=True`` persists the raw input for the duration of the
-    multi-branch aggregate (8 branches share the scan + symbol
-    shuffle); callers holding an already-cached frame pass False.
+    ``cache=True`` persists the FLAG FRAME (post-window, one shuffle)
+    for the duration of the scalar-dependent re-aggregations — the
+    source is scanned and shuffled exactly once; pass False to keep
+    the plan fully lazy (e.g. when the caller manages persistence).
     """
+    flags = _flag_frame(df, epoch_unit)
     if cache:
-        df = df.cache()
+        flags = flags.cache()
     try:
-        row = report_counters(
-            df,
-            mode=mode,
-            epoch_unit=epoch_unit,
-            iqr_factor=iqr_factor,
-            price_tolerance=price_tolerance,
-            extreme_change_threshold=extreme_change_threshold,
-            add_time_features=add_time_features,
+        row = _counters_from_flags(
+            flags,
+            mode,
+            iqr_factor,
+            price_tolerance,
+            extreme_change_threshold,
+            add_time_features,
         ).first()
     finally:
         if cache:
-            df.unpersist()
+            flags.unpersist()
     d = row.asDict()
     outliers = {c: int(d[f"outliers_{c}"] or 0) for c in OHLCV_COLUMNS}
     report = {
