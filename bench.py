@@ -98,6 +98,8 @@ HEADLINE = [
     "validation_report",
     "status_report",
     "embedding_pairs_blocked",
+    "lineitems_in_order_windows",
+    "knn_join_top5",
 ]
 
 

@@ -219,6 +219,84 @@ def cosine_pairs(
     return df.select(id_col, vec_col).mapInPandas(kernel, _pair_schema())
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_query_rows: int = 10_000,
+) -> DataFrame:
+    """Batch k-NN join: the top-k corpus neighbors for EVERY query row.
+
+    Output: (query_id, neighbor_id, cos_sim rounded 6), ≤ k rows per
+    query, ranked by (rounded cos desc, neighbor_id asc) — rounding
+    BEFORE ranking makes the tie-break reproducible across engines
+    (same trick as ``brute_force_topk``).
+
+    Execution: the query side is collected (guarded by
+    ``max_query_rows``) and broadcast as one normalized matrix; each
+    Arrow batch of the corpus computes a batch × |Q| BLAS product and
+    emits only its LOCAL top-k per query; a final window keeps the
+    global top-k. Shuffled rows are O(batches · k · |Q|) — the full
+    similarity matrix never materializes, and the corpus is scanned
+    once with no shuffle of the embedding column.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qside = queries.select(id_col, vec_col).limit(max_query_rows + 1).toPandas()
+    if len(qside) > max_query_rows:
+        raise ValueError(
+            f"knn_join query side exceeds max_query_rows={max_query_rows}; "
+            f"split the query set or use an ANN index (ivf_topk/lsh_ann_topk)"
+        )
+    q_ids = qside[id_col].to_numpy()
+    q_mat = np.array([np.asarray(v, dtype=np.float64) for v in qside[vec_col]])
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_qids, b_qmat = sc.broadcast(q_ids), sc.broadcast(q_mat)
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        qids, qmat = b_qids.value, b_qmat.value
+        nq = len(qids)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ qmat.T, 6)  # (batch, nq), rank on rounded
+            kk = min(k, len(ids))
+            # per query: local top-k by (sim desc, id asc)
+            order = np.lexsort((ids[:, None].repeat(nq, 1), -sims), axis=0)[:kk]
+            rows = {
+                "query_id": np.repeat(qids[None, :], kk, 0).ravel(),
+                "neighbor_id": ids[order].ravel(),
+                "cos_sim": np.take_along_axis(sims, order, axis=0).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def lsh_bucket(
     vec: Column, planes: list[list[float]]
 ) -> Column:

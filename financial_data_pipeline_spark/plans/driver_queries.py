@@ -1437,6 +1437,31 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.45, block_col="bucket")
 
 
+@query(
+    "knn_join_top5",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(cv, qv), 6) AS cos_sim
+      FROM q, c)
+SELECT query_id, neighbor_id, cos_sim FROM s
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id ASC) <= 5
+""",
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-5 corpus neighbors for each of 20 query
+    vectors in ONE corpus scan (broadcast query matrix, per-batch BLAS
+    + local top-k, global window top-k — candidate rows shuffled, never
+    the similarity matrix)."""
+    from financial_data_pipeline_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 def _lsh_planes() -> list[list[float]]:
     from financial_data_pipeline_spark.operators.similarity import seeded_planes
 
@@ -3522,6 +3547,49 @@ def q_video_frame_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return frame_sample(docs, payload_col="payload", every_ms=1000)
+
+
+@query(
+    "lineitems_in_order_windows",
+    """
+SELECT o.o_orderkey AS order_id,
+       count(*) AS n_shipped,
+       round(sum(l.l_extendedprice), 4) AS shipped_value
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 5 DAY
+WHERE o.o_totalprice > 480000
+GROUP BY 1
+""",
+)
+def q_lineitems_in_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi key): lineitems shipped inside ANY
+    high-value order's 5-day window. Naive Spark plan is a
+    BroadcastNestedLoopJoin theta join; ``rangejoin.interval_join``
+    bucketizes time (bucket = window length → ≤2 buckets/interval) so
+    it runs as an ordinary hash join — shuffle O(n), never O(n·m)."""
+    from financial_data_pipeline_spark.operators.rangejoin import interval_join
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    windows = o.filter(F.col("o_totalprice") > 480000).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("w_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 5 DAYS")).alias("w_end"),
+    )
+    pts = li.select("l_shipdate", "l_extendedprice")
+    joined = interval_join(
+        pts,
+        windows,
+        point_ts="l_shipdate",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=5 * 86_400,
+    )
+    return joined.groupBy("order_id").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.round(F.sum("l_extendedprice"), 4).alias("shipped_value"),
+    )
 
 
 @query(

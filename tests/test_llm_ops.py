@@ -205,6 +205,31 @@ def test_cosine_pairs_side_cap_raises(spark, emb):
         similarity.cosine_pairs(emb, threshold=0.4, max_side_rows=10)
 
 
+def test_knn_join_matches_per_query_brute_force(spark, emb):
+    """knn_join's batched kernel must agree with brute_force_topk run
+    per query (self-neighbor included, cos 1.0, k rows each)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.knn_join(emb, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.neighbor_id, r.cos_sim))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        assert len(rows) == 4
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        brute = [
+            (r.vec_id, r.cos_sim)
+            for r in similarity.brute_force_topk(emb, qv, k=4).collect()
+        ]
+        assert sorted(rows) == sorted(brute), f"query {qid}"
+        assert (qid, 1.0) in rows  # self neighbor
+
+
+def test_knn_join_query_cap_raises(spark, emb):
+    with pytest.raises(ValueError, match="max_query_rows"):
+        similarity.knn_join(emb, emb, k=3, max_query_rows=10)
+
+
 def test_cosine_matches_numpy(spark, emb):
     rows = emb.orderBy("vec_id").limit(2).collect()
     a = np.array(rows[0]["embedding"], dtype=np.float64)
