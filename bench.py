@@ -100,6 +100,7 @@ HEADLINE = [
     "embedding_pairs_blocked",
     "lineitems_in_order_windows",
     "knn_join_top5",
+    "text_cleaning",
 ]
 
 

@@ -92,6 +92,34 @@ def detect_language(text: Column) -> Column:
     return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
 
 
+# Markup/whitespace normalization — the ingest-time text scrub every
+# web-scrape corpus needs before tokenization. Patterns live in the
+# Java-regex ∩ RE2 intersection (same discipline as the PII regexes in
+# curation.py) so the DuckDB oracle applies the identical pipeline.
+HTML_TAG_RE = r"<[^>]+>"
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+WS_RUN_RE = r"\s+"
+
+
+def clean_text_expr(text: Column) -> Column:
+    """Markup-strip + control-char-strip + whitespace-collapse + trim,
+    in that order (tag removal inserts a space so `a<br>b` keeps its
+    word boundary; the collapse then canonicalizes)."""
+    t = F.regexp_replace(text, HTML_TAG_RE, " ")
+    t = F.regexp_replace(t, CONTROL_CHAR_RE, "")
+    t = F.regexp_replace(t, WS_RUN_RE, " ")
+    return F.trim(t)
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Map-only text normalization (pure codegen, no shuffle, no UDF).
+
+    ``out_col=None`` rewrites ``text_col`` in place."""
+    return df.withColumn(out_col or text_col, clean_text_expr(F.col(text_col)))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality signals: lengths, token counts, punctuation /
     digit / uppercase / stopword ratios, mean word length.

@@ -1438,6 +1438,54 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_cleaning",
+    r"""
+WITH dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN ' <p>' || text || '</p>' || chr(9) || '<br>  tail '
+              ELSE text END AS text
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+              text, '<[^>]+>', ' ', 'g'),
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              '\s+', ' ', 'g')) AS text_clean
+  FROM dirty
+)
+SELECT doc_id, text_clean,
+       length(text) AS n_before, length(text_clean) AS n_after
+FROM cleaned
+""",
+)
+def q_text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time text scrub (markup strip → control-char strip →
+    whitespace collapse → trim) over deterministically-dirtied docs —
+    map-only codegen, the full cleaned text value-compared."""
+    from financial_data_pipeline_spark.operators.text import clean_text_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" <p>"), F.col("text"), F.lit("</p>\t<br>  tail ")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dirty.select(
+        "doc_id",
+        clean_text_expr(F.col("text")).alias("text_clean"),
+        F.length("text").alias("n_before"),
+        F.length(clean_text_expr(F.col("text"))).alias("n_after"),
+    )
+
+
+@query(
     "knn_join_top5",
     """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -245,6 +245,25 @@ def test_cosine_matches_numpy(spark, emb):
     assert abs(got - want) < 1e-9
 
 
+def test_clean_text_normalizes_markup_and_whitespace(spark):
+    rows = [
+        (1, "<p>Hello <b>world</b></p>"),
+        (2, "a<br>b"),                      # tag is a word boundary
+        (3, "  spaced\t\tout\n\nlines  "),
+        (4, "ctrl\x00char\x1fhere"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.text for r in text.clean_text(df).collect()}
+    assert got == {
+        1: "Hello world",
+        2: "a b",
+        3: "spaced out lines",
+        4: "ctrlcharhere",
+        5: "",
+    }
+
+
 def test_token_counts_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat"), (2, ""), (3, "12 foo-bar!")],
