@@ -101,6 +101,7 @@ HEADLINE = [
     "lineitems_in_order_windows",
     "knn_join_top5",
     "text_cleaning",
+    "ema_truncated",
 ]
 
 

@@ -154,6 +154,44 @@ def with_ema(
     return df.groupBy(*by).applyInPandas(kernel, schema=schema)
 
 
+def ema_truncated(
+    col: str,
+    span: int,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+    window: int | None = None,
+) -> Column:
+    """EMA(span) to full double precision WITHOUT Python — the
+    chunked-scan alternative the risk register asks for (SURVEY.md
+    §7.4 item 1).
+
+    ``ewm(adjust=False)`` weights decay as (1−α)^j, so terms older
+    than W = ceil(−53·ln2 / ln(1−α)) rows are below one double ULP of
+    the result: folding only the last W values with the exact
+    recurrence (seeded with the window's oldest value) reproduces the
+    sequential kernel to < 1e-12 relative — and for rows earlier than
+    W it IS exact, because the fold seeds with x₀. Executes as a
+    bounded ROWS window + ``aggregate`` higher-order fold — stays in
+    codegen, shuffles once on the group key, and has no
+    one-giant-symbol sequential task. Trade: O(W) work per row
+    (W≈250 for span 12, ≈480 for span 26), vs the Arrow kernel's
+    O(1)-per-row sequential pass — pick per deployment.
+    """
+    import math
+
+    a = 2.0 / (span + 1.0)
+    W = window or math.ceil(-53.0 * math.log(2.0) / math.log(1.0 - a))
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts).rowsBetween(-(W - 1), 0)
+    arr = F.collect_list(F.col(col).cast("double")).over(w)
+    tail = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+    return F.aggregate(
+        tail,
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + F.lit(a) * x,
+    )
+
+
 def with_ema_macd(
     df: DataFrame,
     col: str = "close",

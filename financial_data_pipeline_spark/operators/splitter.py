@@ -114,6 +114,73 @@ def chronological_split_by_quantile(
     return df.filter(c <= cutoff), df.filter(c > cutoff)
 
 
+def global_row_index(
+    df: DataFrame, order_by: list[str], partitions: int | None = None
+) -> DataFrame:
+    """Exact 1-based global rank in ``order_by`` order WITHOUT a
+    single-partition window — the distributed form of the reference's
+    ``reset_index`` rank (risk register SURVEY.md §7.4 item 4).
+
+    Range-partition on the sort key, count rows per partition (tiny
+    collect — one row per partition), then local ``row_number`` +
+    partition offset. Every partition ranks independently: the plan has
+    one range exchange + one hash exchange on the partition id, never
+    an ``Exchange SinglePartition``. Returns ``(df + __rn, total)``.
+    """
+    cols = [F.col(c) for c in order_by]
+    rp = df.repartitionByRange(
+        partitions or df.sparkSession.sparkContext.defaultParallelism, *cols
+    ).withColumn("__pid", F.spark_partition_id())
+    # PERSIST IS CORRECTNESS, not an optimization: repartitionByRange
+    # samples its boundaries per materialization, so without pinning
+    # the exchange, the size-count job and the caller's downstream
+    # actions could see DIFFERENT partitionings and the offsets would
+    # be stale. (RDD.zipWithIndex relies on the same materialize-then-
+    # count contract.)
+    rp = rp.persist()
+    sizes = dict(
+        rp.groupBy("__pid").count().collect()
+    )  # |partitions| rows — driver-side cumsum is O(partitions)
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = rp.withColumn(
+        "__rn", F.row_number().over(w) + off[F.col("__pid")]
+    ).drop("__pid")
+    return ranked, acc
+
+
+def chronological_split_distributed(
+    df: DataFrame,
+    test_size: float = 0.2,
+    ts: str = "timestamp",
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """EXACT SP1 semantics (row-count split in global time order) with
+    no global-sort bottleneck: ``global_row_index`` ranks via
+    range-partition + per-partition offsets, then the same
+    ``floor(n·(1−test_size))`` cut as ``chronological_split``.
+
+    Same result as the parity operator (asserted in tests); use this
+    when the frame is too large for a one-partition window and the
+    approximate timestamp-quantile cut (``chronological_split_by_
+    quantile``) is not acceptable because of heavy timestamp ties or a
+    strict row-count contract.
+    """
+    order_by = [ts, *[c for c in df.columns if c != ts]]
+    ranked, total = global_row_index(df, order_by, partitions)
+    n_train = int(total * (1 - test_size))
+    return (
+        ranked.filter(F.col("__rn") <= n_train).drop("__rn"),
+        ranked.filter(F.col("__rn") > n_train).drop("__rn"),
+    )
+
+
 def sliding_windows(
     df: DataFrame,
     feature_cols: list[str],

@@ -619,6 +619,30 @@ def q_ema_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ema_truncated",
+    _EMA_REC_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(ema_12, 6) AS ema_12, round(ema_26, 6) AS ema_26
+FROM rec
+""",
+)
+def q_ema_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 scale path: the pure-JVM truncated-window EMA fold
+    (``indicators.ema_truncated`` — no Python stage, no sequential
+    per-symbol task) checked against the SAME recursive-CTE oracle as
+    the exact kernel: the truncation error is below one double ULP, so
+    both round to identical 6-decimal values."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.ema_truncated("close", 12), 6).alias("ema_12"),
+        F.round(indicators.ema_truncated("close", 26), 6).alias("ema_26"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k / greatest-per-group (O2, A13, A4, A5)
 # ---------------------------------------------------------------------------

@@ -101,3 +101,28 @@ def test_chronological_split_by_quantile_scale_path(spark, ohlcv_df):
     assert t_max < s_min  # strictly time-disjoint
     plan = train._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan  # no global sort
+
+
+def test_chronological_split_distributed_exact_equivalence(spark, ohlcv_df):
+    """The EXACT distributed SP1 path (range-partition +
+    per-partition offsets) must return the identical train/test row
+    SETS as the single-partition-window parity operator, with no
+    Exchange SinglePartition in its plan."""
+    from financial_data_pipeline_spark.operators.splitter import (
+        chronological_split_distributed,
+    )
+
+    key = ["symbol", "timestamp"]
+    tr0, te0 = splitter.chronological_split(ohlcv_df, test_size=0.25)
+    tr1, te1 = chronological_split_distributed(
+        ohlcv_df, test_size=0.25, partitions=7
+    )
+    want_tr = {tuple(r) for r in tr0.select(*key).collect()}
+    want_te = {tuple(r) for r in te0.select(*key).collect()}
+    got_tr = {tuple(r) for r in tr1.select(*key).collect()}
+    got_te = {tuple(r) for r in te1.select(*key).collect()}
+    assert got_tr == want_tr
+    assert got_te == want_te
+    plan = tr1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan

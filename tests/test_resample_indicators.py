@@ -101,6 +101,30 @@ def test_calculate_all_matches_pandas(spark, ohlcv_pdf):
         ), name
 
 
+def test_ema_truncated_matches_exact_kernel(spark, ohlcv_pdf):
+    """The pure-JVM truncated-window fold must agree with pandas
+    ewm(adjust=False) to well below one rounding ULP everywhere —
+    exact for rows earlier than the truncation horizon, < 1e-12
+    relative after it."""
+    import pyspark.sql.functions as F
+
+    pdf = ohlcv_pdf[ohlcv_pdf.symbol == "BTCUSDT"].copy()
+    df = spark.createDataFrame(pdf)
+    got = (
+        df.select(
+            "timestamp",
+            indicators.ema_truncated("close", 12).alias("e12"),
+            indicators.ema_truncated("close", 26).alias("e26"),
+        )
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    want12 = pdf.sort_values("timestamp").close.ewm(span=12, adjust=False).mean()
+    want26 = pdf.sort_values("timestamp").close.ewm(span=26, adjust=False).mean()
+    assert np.allclose(got.e12.values, want12.values, rtol=1e-12, atol=0)
+    assert np.allclose(got.e26.values, want26.values, rtol=1e-12, atol=0)
+
+
 def test_sma_nan_head_length(spark, ohlcv_df):
     out = (
         ohlcv_df.filter("symbol = 'BTCUSDT'")

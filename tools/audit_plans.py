@@ -114,10 +114,12 @@ def main() -> None:
         "",
         "- `chronological_split` GLOBAL_WINDOW: SP1's contract is a global",
         "  row-order split (`data_splitter.py:32-64`), which serializes one",
-        "  window stage. The 100 TB path is",
-        "  `splitter.chronological_split_by_quantile` (timestamp-quantile",
-        "  cutoff, no global sort) — kept separate so the parity query",
-        "  matches the reference exactly (SURVEY.md §7.4 item 4).",
+        "  window stage. Two 100 TB paths exist:",
+        "  `splitter.chronological_split_by_quantile` (approximate, zero",
+        "  sort) and `splitter.chronological_split_distributed` (EXACT:",
+        "  range-partition + per-partition offsets, no single-partition",
+        "  exchange, row-set-equivalence-tested) — the parity query keeps",
+        "  the reference shape (SURVEY.md §7.4 item 4).",
         "- `volume_profile` NESTED_LOOP_JOIN: a broadcast crossJoin of the",
         "  ONE-row global (min, max) price range onto the facts — O(n·1),",
         "  the standard two-pass histogram shape, not a pair blowup.",
