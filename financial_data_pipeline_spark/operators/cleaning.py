@@ -171,6 +171,55 @@ def impute_ffill_bfill(
     return bfill(ffill(df, cols, partition_by), cols, partition_by)
 
 
+def interpolate_linear(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    partition_by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Time-weighted linear interpolation of null runs
+    (``config_manager.py:49`` names ``handle_missing: "interpolate"``
+    but the reference only ever ffills — this is the option a user
+    switching engines would expect to work).
+
+    Interior nulls get ``v_prev + (v_next − v_prev)·(t − t_prev)/
+    (t_next − t_prev)`` (time-weighted, not row-weighted — equals
+    pandas ``interpolate("linear")`` on regular grids and is the
+    physically right answer across gaps on irregular ones). Head runs
+    backfill, tail runs forward-fill (pandas ``limit_direction=
+    "both"``). Four window aggregates per column over ONE partition
+    ordering — a single shuffle for any number of columns.
+    """
+    cols = cols or [c for c in OHLCV_COLUMNS if c in df.columns]
+    t_us = F.unix_micros(F.col(ts)).cast("double")
+    wp = (
+        Window.partitionBy(*partition_by)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy(*partition_by)
+        .orderBy(ts)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    updates = {}
+    for c in cols:
+        v = F.col(c)
+        known_t = F.when(v.isNotNull(), t_us)
+        pv = F.last(v, ignorenulls=True).over(wp)
+        pt = F.last(known_t, ignorenulls=True).over(wp)
+        nv = F.first(v, ignorenulls=True).over(wn)
+        nt = F.first(known_t, ignorenulls=True).over(wn)
+        interp = pv + (nv - pv) * (t_us - pt) / (nt - pt)
+        updates[c] = (
+            F.when(v.isNotNull(), v)
+            .when(pv.isNull(), nv)  # head run → backfill
+            .when(nv.isNull(), pv)  # tail run → forward-fill
+            .otherwise(interp)
+        )
+    return df.withColumns(updates)
+
+
 # ---------------------------------------------------------------------------
 # Predicates / filters (P3–P8)
 # ---------------------------------------------------------------------------

@@ -1462,6 +1462,61 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "interpolate_impute",
+    BARS_CTE
+    + """
+, holes AS (
+  SELECT symbol, timestamp,
+         CASE WHEN (epoch_us(timestamp) // 3600000000) % 7 = 3
+              THEN NULL ELSE close END AS close
+  FROM bars
+), ctx AS (
+  SELECT symbol, timestamp, close,
+         epoch_us(timestamp)::DOUBLE AS t,
+         last_value(close IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN close IS NOT NULL
+                         THEN epoch_us(timestamp)::DOUBLE END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(close IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN close IS NOT NULL
+                          THEN epoch_us(timestamp)::DOUBLE END IGNORE NULLS)
+           OVER wn AS nt
+  FROM holes
+  WINDOW wp AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN close IS NOT NULL THEN close
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6)
+         AS close_interp
+FROM ctx
+""",
+)
+def q_interpolate_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation of planted null runs
+    (``handle_missing: "interpolate"`` — the config option the
+    reference names but never implements). Window-only, one shuffle."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    holes = bars.withColumn(
+        "close",
+        F.when(
+            F.expr("(unix_micros(timestamp) div 3600000000) % 7") == 3,
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("close")),
+    )
+    out = cleaning.interpolate_linear(holes, cols=["close"])
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("close", 6).alias("close_interp"),
+    )
+
+
+@query(
     "text_cleaning",
     r"""
 WITH dirty AS (

@@ -66,6 +66,53 @@ def test_iqr_clip_matches_pandas(spark, ohlcv_pdf):
     assert np.allclose(got, want, rtol=1e-12)
 
 
+def test_interpolate_linear_matches_pandas(spark, ohlcv_pdf):
+    """Time-weighted linear interpolation == pandas interpolate
+    ('linear', limit_direction='both') on a regular grid, including
+    head/tail constant extension."""
+    import pandas as pd
+
+    pdf = ohlcv_pdf[ohlcv_pdf.symbol == "BTCUSDT"].head(500).copy()
+    idx = pdf.sample(60, random_state=9).index
+    pdf.loc[idx, "close"] = np.nan
+    pdf.loc[pdf.index[:3], "close"] = np.nan   # head run
+    pdf.loc[pdf.index[-2:], "close"] = np.nan  # tail run
+    df = spark.createDataFrame(pdf)
+    got = (
+        cleaning.interpolate_linear(df, cols=["close"])
+        .orderBy("timestamp")
+        .toPandas()["close"]
+        .values
+    )
+    want = (
+        pdf.sort_values("timestamp")["close"]
+        .interpolate(method="linear", limit_direction="both")
+        .values
+    )
+    assert np.allclose(got, want, rtol=1e-12, atol=0)
+
+
+def test_interpolate_linear_time_weighted_on_gaps(spark):
+    """Irregular spacing: the interpolant weights by TIME, not row
+    position (row-weighted would give 6.0 here)."""
+    import datetime as dt
+
+    rows = [
+        ("A", dt.datetime(2025, 1, 1, 0, 0), 0.0),
+        ("A", dt.datetime(2025, 1, 1, 0, 1), None),
+        ("A", dt.datetime(2025, 1, 1, 0, 9), None),
+        ("A", dt.datetime(2025, 1, 1, 0, 10), 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+    got = (
+        cleaning.interpolate_linear(df, cols=["close"])
+        .orderBy("timestamp")
+        .toPandas()["close"]
+        .tolist()
+    )
+    assert got == [0.0, 1.0, 9.0, 10.0]
+
+
 def test_impute_ffill_bfill(spark):
     rows = [
         ("A", 1, None), ("A", 2, 5.0), ("A", 3, None), ("A", 4, 7.0), ("A", 5, None),
