@@ -384,6 +384,7 @@ def clean_ohlcv(
     iqr_factor: float = 1.5,
     price_tolerance: float = 0.0,
     add_time_features: bool = True,
+    impute_method: str = "ffill",
 ) -> DataFrame:
     """The 13-step ``validate_and_clean`` sequence
     (``data_cleaner.py:56-173``) as one lazy plan.
@@ -400,11 +401,22 @@ def clean_ohlcv(
     df = require_columns(df)
     if "symbol" not in df.columns:
         df = df.withColumn("symbol", F.lit("UNKNOWN"))
+    if impute_method not in ("ffill", "interpolate"):
+        raise ValueError(
+            f"impute_method must be 'ffill' or 'interpolate', got {impute_method!r}"
+        )
     df = normalize_timestamp(df, epoch_unit=epoch_unit)
     df = drop_invalid_timestamps(df)
     df = dedup_keep_first(df, keys=["symbol", "timestamp"], order_by=["timestamp"])
     df = coerce_numeric(df)
-    df = impute_ffill_bfill(df)
+    # "ffill" = reference parity (ffill→bfill, data_cleaner.py:191-205);
+    # "interpolate" = the config option the reference names but never
+    # implements (config_manager.py:49)
+    df = (
+        impute_ffill_bfill(df)
+        if impute_method == "ffill"
+        else interpolate_linear(df)
+    )
     df = drop_negative_rows(df)
     if mode == "repair":
         df = iqr_clip(df, factor=iqr_factor)

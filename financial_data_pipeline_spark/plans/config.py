@@ -147,9 +147,15 @@ def pipeline_config_from_dict(cfg: dict[str, Any]) -> PipelineConfig:
     )
     storage = cfg.get("storage_config", {})
     save_files = pc.get("save_files", storage.get("save_files", True))
+    handle_missing = (cfg.get("validation_config") or {}).get(
+        "handle_missing", "interpolate"
+    )
     return PipelineConfig(
         symbols=[a["symbol"] for a in assets],
         interval=assets[0].get("timeframe", "1h"),
+        impute_method=(
+            "interpolate" if handle_missing == "interpolate" else "ffill"
+        ),
         test_size=float(tts.get("test_size", 0.2)),
         split_method=tts.get("method", "chronological"),
         output_dir=cfg.get("data_dir") if save_files else None,

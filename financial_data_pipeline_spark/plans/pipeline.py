@@ -41,6 +41,7 @@ class PipelineConfig:
     symbols: list[str] = field(default_factory=lambda: ["BTCUSDT"])
     interval: str = "1h"
     clean_mode: str = "repair"  # "repair" | "strict"
+    impute_method: str = "ffill"  # "ffill" | "interpolate" (handle_missing)
     price_tolerance: float = 0.05
     normalize_method: str | None = None  # None | zscore | minmax | log
     normalize_cols: list[str] = field(
@@ -91,6 +92,7 @@ def run_pipeline_single(
         source,
         mode=config.clean_mode,
         price_tolerance=config.price_tolerance,
+        impute_method=config.impute_method,
     )
     if config.normalize_method:
         cleaned = norm.normalize(
@@ -141,6 +143,7 @@ def run_pipeline_single(
             source,
             mode=config.clean_mode,
             price_tolerance=config.price_tolerance,
+            impute_method=config.impute_method,
         )
     for name, df in datasets.items():
         result["datasets"][name] = (

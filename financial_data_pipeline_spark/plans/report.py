@@ -81,7 +81,9 @@ REPORT_COLUMNS = [
 ]
 
 
-def _flag_frame(df: DataFrame, epoch_unit: str) -> DataFrame:
+def _flag_frame(
+    df: DataFrame, epoch_unit: str, impute_method: str = "ffill"
+) -> DataFrame:
     """ONE frame carrying every stage's effect as per-row columns.
 
     All windows partition by ``symbol`` and order by ``timestamp`` —
@@ -112,27 +114,54 @@ def _flag_frame(df: DataFrame, epoch_unit: str) -> DataFrame:
         }
         | {f"__c_{c}": F.col(c).cast("double") for c in cols}
     ).withColumn("__kept", F.col("__valid") & ~F.col("__dup"))
-    # masked ffill: last non-null KEPT value at or before the row
-    wff = w.rowsBetween(Window.unboundedPreceding, 0)
-    out = out.withColumns(
-        {
-            f"__ff_{c}": F.last(
-                F.when(F.col("__kept"), F.col(f"__c_{c}")), ignorenulls=True
-            ).over(wff)
-            for c in cols
-        }
-    )
-    # masked bfill of the ffilled series: first non-null KEPT ffill
-    # value at or after the row
-    wbf = w.rowsBetween(0, Window.unboundedFollowing)
-    out = out.withColumns(
-        {
-            f"__i_{c}": F.first(
-                F.when(F.col("__kept"), F.col(f"__ff_{c}")), ignorenulls=True
-            ).over(wbf)
-            for c in cols
-        }
-    )
+    if impute_method == "ffill":
+        # masked ffill: last non-null KEPT value at or before the row
+        wff = w.rowsBetween(Window.unboundedPreceding, 0)
+        out = out.withColumns(
+            {
+                f"__ff_{c}": F.last(
+                    F.when(F.col("__kept"), F.col(f"__c_{c}")), ignorenulls=True
+                ).over(wff)
+                for c in cols
+            }
+        )
+        # masked bfill of the ffilled series: first non-null KEPT ffill
+        # value at or after the row
+        wbf = w.rowsBetween(0, Window.unboundedFollowing)
+        out = out.withColumns(
+            {
+                f"__i_{c}": F.first(
+                    F.when(F.col("__kept"), F.col(f"__ff_{c}")), ignorenulls=True
+                ).over(wbf)
+                for c in cols
+            }
+        )
+    elif impute_method == "interpolate":
+        # masked twin of cleaning.interpolate_linear: bracketing KEPT
+        # known values strictly before/after, time-weighted blend
+        t_us = F.unix_micros(F.col("timestamp")).cast("double")
+        wp = w.rowsBetween(Window.unboundedPreceding, -1)
+        wn = w.rowsBetween(1, Window.unboundedFollowing)
+        upd = {}
+        for c in cols:
+            v = F.col(f"__c_{c}")
+            masked_v = F.when(F.col("__kept"), v)
+            masked_t = F.when(F.col("__kept") & v.isNotNull(), t_us)
+            pv = F.last(masked_v, ignorenulls=True).over(wp)
+            pt = F.last(masked_t, ignorenulls=True).over(wp)
+            nv = F.first(masked_v, ignorenulls=True).over(wn)
+            nt = F.first(masked_t, ignorenulls=True).over(wn)
+            upd[f"__i_{c}"] = (
+                F.when(v.isNotNull(), v)
+                .when(pv.isNull(), nv)
+                .when(nv.isNull(), pv)
+                .otherwise(pv + (nv - pv) * (t_us - pt) / (nt - pt))
+            )
+        out = out.withColumns(upd)
+    else:
+        raise ValueError(
+            f"impute_method must be 'ffill' or 'interpolate', got {impute_method!r}"
+        )
     nonneg = reduce(
         lambda a, b: a & b,
         [
@@ -325,6 +354,7 @@ def report_counters(
     price_tolerance: float = 0.0,
     extreme_change_threshold: float = 0.2,
     add_time_features: bool = True,
+    impute_method: str = "ffill",
 ) -> DataFrame:
     """The full validation report as ONE one-row DataFrame.
 
@@ -337,7 +367,7 @@ def report_counters(
     if mode not in ("repair", "strict"):
         raise ValueError(f"mode must be 'repair' or 'strict', got {mode!r}")
     return _counters_from_flags(
-        _flag_frame(df, epoch_unit),
+        _flag_frame(df, epoch_unit, impute_method),
         mode,
         iqr_factor,
         price_tolerance,
@@ -354,6 +384,7 @@ def validation_report(
     price_tolerance: float = 0.0,
     extreme_change_threshold: float = 0.2,
     add_time_features: bool = True,
+    impute_method: str = "ffill",
     cache: bool = True,
 ) -> dict:
     """Eager collector returning the reference's report-dict shape
@@ -366,7 +397,7 @@ def validation_report(
     source is scanned and shuffled exactly once; pass False to keep
     the plan fully lazy (e.g. when the caller manages persistence).
     """
-    flags = _flag_frame(df, epoch_unit)
+    flags = _flag_frame(df, epoch_unit, impute_method)
     if cache:
         flags = flags.cache()
     try:

@@ -130,6 +130,20 @@ def test_validation_report_matches_pandas(spark, report_dirty_pdf):
     assert got["duplicated_timestamps"] == 0
 
 
+def test_report_interpolate_mode_consistent_with_cleaning(spark, report_dirty_pdf):
+    """impute_method='interpolate' flows through both clean_ohlcv and
+    the report's flag frame: valid_records equals the cleaned row
+    count and the nan counters still close."""
+    from financial_data_pipeline_spark.operators import cleaning
+
+    df = spark.createDataFrame(report_dirty_pdf)
+    rep = rpt.validation_report(df, impute_method="interpolate")
+    cleaned_n = cleaning.clean_ohlcv(df, impute_method="interpolate").count()
+    assert rep["valid_records"] == cleaned_n
+    assert rep["initial_nans"] == 2 and rep["nans_after"] == 0
+    assert rep["duplicates_removed"] == 3
+
+
 def test_report_counters_defects_nonzero(spark, report_dirty_pdf):
     """The fixture must actually exercise every counter family."""
     got = rpt.validation_report(spark.createDataFrame(report_dirty_pdf))
