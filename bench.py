@@ -102,6 +102,8 @@ HEADLINE = [
     "knn_join_top5",
     "text_cleaning",
     "ema_truncated",
+    "interpolate_impute",
+    "rank_normalize",
 ]
 
 

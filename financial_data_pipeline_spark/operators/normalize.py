@@ -77,6 +77,31 @@ def normalize(
     return out.drop(*[f"__p{i}_{c}" for c in cols for i in (1, 2)])
 
 
+def rank_normalize(
+    df: DataFrame,
+    cols: list[str],
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Percent-rank feature scaling (beyond-reference: the standard
+    robust alternative to z-score when distributions are heavy-tailed
+    — rank-gauss without the gauss step).
+
+    Each value maps to its within-group ``percent_rank`` in value
+    order, ties sharing a rank (``(rank−1)/(n−1)``, the SQL-standard
+    definition — identical in DuckDB, so oracle-comparable). One
+    shuffle per distinct group key; all ``cols`` share it.
+    """
+    from pyspark.sql import Window
+
+    by = [c for c in by if c in df.columns]
+    updates = {}
+    for c in cols:
+        w = Window.partitionBy(*by).orderBy(F.col(c).asc())
+        updates[c] = F.percent_rank().over(w)
+    return df.withColumns(updates)
+
+
 def denormalize(
     df: DataFrame,
     cols: list[str],

@@ -1462,6 +1462,38 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rank_normalize",
+    BARS_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(percent_rank() OVER (PARTITION BY symbol ORDER BY close ASC), 6) AS close_pr,
+       round(percent_rank() OVER (PARTITION BY symbol ORDER BY volume ASC), 6) AS volume_pr
+FROM bars
+""",
+)
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank feature scaling per symbol (robust normalization
+    for heavy tails; SQL-standard tie semantics in both engines)."""
+    from financial_data_pipeline_spark.operators.normalize import rank_normalize
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = rank_normalize(
+        bars.select(
+            "symbol", "timestamp",
+            F.col("close").alias("close_pr"),
+            F.col("volume").alias("volume_pr"),
+        ),
+        cols=["close_pr", "volume_pr"],
+    )
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("close_pr", 6).alias("close_pr"),
+        F.round("volume_pr", 6).alias("volume_pr"),
+    )
+
+
+@query(
     "interpolate_impute",
     BARS_CTE
     + """
