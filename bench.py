@@ -104,6 +104,7 @@ HEADLINE = [
     "ema_truncated",
     "interpolate_impute",
     "rank_normalize",
+    "feature_drift_psi",
 ]
 
 

@@ -1461,6 +1461,68 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.45, block_col="bucket")
 
 
+def _psi_feature_sql(col: str) -> str:
+    """DuckDB twin of operators.drift.psi for one bars column with the
+    2024-01-16 split: reference-side equal-width bins, edge-clamped,
+    +0.5 Laplace smoothing — identical arithmetic order."""
+    return f"""
+SELECT '{col}' AS feature,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       first(t_ref) AS n_ref, first(t_new) AS n_new
+FROM (
+  SELECT g.bin,
+         (coalesce(rc.n, 0) + 0.5) / (tr.t_ref + 5.0) AS p,
+         (coalesce(nc.n, 0) + 0.5) / (tn.t_new + 5.0) AS q,
+         tr.t_ref, tn.t_new
+  FROM generate_series(0, 9) AS g(bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor(({col} - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM ref, (SELECT min({col}) AS lo, max({col}) AS hi FROM ref) b
+    GROUP BY 1
+  ) rc USING (bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor(({col} - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM nw, (SELECT min({col}) AS lo, max({col}) AS hi FROM ref) b
+    GROUP BY 1
+  ) nc USING (bin)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS t_ref FROM ref) tr
+  CROSS JOIN (SELECT count(*)::DOUBLE AS t_new FROM nw) tn
+)
+"""
+
+
+_PSI_ORACLE = (
+    BARS_CTE
+    + """
+, ref AS (SELECT close, volume FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
+nw AS (SELECT close, volume FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16')
+"""
+    + _psi_feature_sql("close")
+    + "UNION ALL"
+    + _psi_feature_sql("volume")
+)
+
+
+@query("feature_drift_psi", _PSI_ORACLE)
+def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per feature between the pre/post
+    2024-01-16 halves of the bar stream — the train-vs-serving drift
+    gate. Reference-side equal-width bins (bit-reproducible, unlike
+    quantile bins), edge-clamping, +0.5 smoothing; each feature is a
+    two-pass histogram over a pruned single-column scan."""
+    from financial_data_pipeline_spark.operators.drift import psi_features
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    ref = bars.filter(F.col("timestamp") < "2024-01-16")
+    new = bars.filter(F.col("timestamp") >= "2024-01-16")
+    out = psi_features(ref, new, ["close", "volume"], bins=10)
+    return out.select(
+        "feature", F.round("psi", 6).alias("psi"), "n_ref", "n_new"
+    )
+
+
 @query(
     "rank_normalize",
     BARS_CTE

@@ -103,6 +103,20 @@ def test_chronological_split_by_quantile_scale_path(spark, ohlcv_df):
     assert "Exchange SinglePartition" not in plan  # no global sort
 
 
+def test_psi_zero_for_identical_and_large_for_shifted(spark, ohlcv_df):
+    """PSI sanity: a dataset vs itself is ~0 (only smoothing noise);
+    a mean-shifted copy crosses the 0.25 retrain threshold."""
+    from financial_data_pipeline_spark.operators.drift import psi
+
+    base = ohlcv_df.filter("symbol = 'BTCUSDT'")
+    same = psi(base, base, "close", bins=10).first()
+    assert abs(same["psi"]) < 1e-9
+    assert same["n_ref"] == same["n_new"] == base.count()
+    shifted = base.withColumn("close", F.col("close") + 1500.0)
+    moved = psi(base, shifted, "close", bins=10).first()
+    assert moved["psi"] > 0.25
+
+
 def test_chronological_split_distributed_exact_equivalence(spark, ohlcv_df):
     """The EXACT distributed SP1 path (range-partition +
     per-partition offsets) must return the identical train/test row
