@@ -125,15 +125,16 @@ def main() -> None:
 
     run("symbol_stats")  # warmup: JIT + parquet footer cache
 
-    # Steady-state policy: two runs per query, report the min — the
+    # Steady-state policy: three runs per query, report the min — the
     # first execution of a plan pays one-time JVM JIT + codegen compile
-    # that a long-running cluster amortizes away; min-of-2 measures the
-    # engine, not the compiler.
+    # that a long-running cluster amortizes away, and min-of-3 also
+    # rides out OS page-cache / GC noise; the metric measures the
+    # engine, not the compiler or the neighbor.
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        per_query[name] = round(min(run(name), run(name)), 3)
+        per_query[name] = round(min(run(name) for _ in range(3)), 3)
 
     total = round(sum(per_query.values()), 3)
     print(
