@@ -105,6 +105,7 @@ HEADLINE = [
     "interpolate_impute",
     "rank_normalize",
     "feature_drift_psi",
+    "top_bigram_repetition",
 ]
 
 

@@ -165,6 +165,57 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Most-frequent word n-gram per document + the fraction of the
+    document's characters it covers (count × n-gram length / chars) —
+    the Gopher/RefinedWeb "top n-gram repetition" quality signal that
+    catches boilerplate loops the duplicate-LINE rule misses.
+
+    Relational shape (explode → count → rank) rather than a per-row
+    array fold: the same plan works when one document is 500 MB of
+    tokens (the fold would build the whole n-gram array in one task
+    row), and Catalyst keeps the shuffle keyed on (doc, n-gram) with
+    map-side partial counts. Ties break on the lexicographically
+    smallest n-gram. Documents with fewer than ``n`` tokens produce no
+    n-grams and are absent from the output (callers left-join).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        id_col, F.length(text_col).alias("__chars"), toks.alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    idx = F.sequence(F.lit(0), F.size("__toks") - n)
+    grams = base.select(
+        id_col,
+        "__chars",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice("__toks", i + 1, n), " ")
+            )
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy(id_col, "__chars", "ngram").count()
+    w = Window.partitionBy(id_col).orderBy(F.desc("count"), F.asc("ngram"))
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("ngram").alias("top_ngram"),
+            F.col("count").alias("top_ngram_count"),
+            (
+                F.col("count") * F.length("ngram") / F.col("__chars")
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+
+
 FINGERPRINT_MOD = 2147483647  # 2^31 − 1: keeps h*31 + tok < 2^63 in any engine
 
 

@@ -1461,6 +1461,47 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.45, block_col="bucket")
 
 
+@query(
+    "top_bigram_repetition",
+    r"""
+WITH base AS (
+  SELECT doc_id, length(text) AS chars,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+), grams AS (
+  SELECT doc_id, chars, toks[i] || ' ' || toks[i + 1] AS ngram
+  FROM (
+    SELECT doc_id, chars, toks,
+           unnest(generate_series(1, len(toks) - 1)) AS i
+    FROM base
+  )
+), counts AS (
+  SELECT doc_id, chars, ngram, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3
+)
+SELECT doc_id, ngram AS top_ngram, cnt AS top_ngram_count,
+       round(cnt * length(ngram) / chars::DOUBLE, 6) AS top_ngram_char_frac
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram ASC) = 1
+""",
+)
+def q_top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-bigram repetition signal per document: the
+    most frequent word 2-gram and the character fraction it covers
+    (explode → count → rank; map-side partial counts)."""
+    from financial_data_pipeline_spark.operators.text import top_ngram_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = top_ngram_stats(docs, n=2)
+    return out.select(
+        "doc_id",
+        "top_ngram",
+        "top_ngram_count",
+        F.round("top_ngram_char_frac", 6).alias("top_ngram_char_frac"),
+    )
+
+
 def _psi_feature_sql(col: str) -> str:
     """DuckDB twin of operators.drift.psi for one bars column with the
     2024-01-16 split: reference-side equal-width bins, edge-clamped,

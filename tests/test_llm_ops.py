@@ -264,6 +264,23 @@ def test_clean_text_normalizes_markup_and_whitespace(spark):
     }
 
 
+def test_top_ngram_stats_finds_planted_repetition(spark):
+    rows = [
+        (1, "buy now " * 50 + "unique tail words"),   # heavy bigram loop
+        (2, "all words here are fully distinct ones"),
+        (3, "x"),                                      # < n tokens: absent
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.top_ngram_stats(df, n=2).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].top_ngram in ("buy now", "now buy")
+    assert got[1].top_ngram_count >= 49
+    assert got[1].top_ngram_char_frac > 0.5
+    assert got[2].top_ngram_count == 1
+    # tie on count=1 → lexicographically smallest bigram
+    assert got[2].top_ngram == "all words"
+
+
 def test_token_counts_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat"), (2, ""), (3, "12 foo-bar!")],
