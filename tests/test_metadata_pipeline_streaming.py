@@ -208,6 +208,64 @@ def test_streaming_matches_batch_resample(spark, tmp_path):
     assert diffs.count() == 0
 
 
+def test_streaming_quality_monitor_matches_batch(spark, tmp_path):
+    """The live quality-counter stream must equal the batch twin on
+    identical input — planted defects (nulls, zeros, negatives, OHLC
+    violations) land in the right windows with the right counts."""
+    from financial_data_pipeline_spark.streaming.quality_monitor import (
+        quality_counters_batch,
+        quality_monitor,
+    )
+
+    bars = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT", "ETHUSDT"], "2025-01-01", "2025-01-02", 15, seed=8
+    ).select("timestamp", "symbol", "open", "high", "low", "close", "volume")
+    mins = F.minute("timestamp")
+    dirty = bars.withColumns(
+        {
+            "close": F.when(mins == 15, F.lit(None).cast("double")).otherwise(
+                F.col("close")
+            ),
+            "volume": F.when(mins == 30, F.lit(0.0))
+            .when(mins == 45, F.lit(-2.0))
+            .otherwise(F.col("volume")),
+            "high": F.when(
+                F.hour("timestamp") % 5 == 2, F.col("low") * 0.5
+            ).otherwise(F.col("high")),
+        }
+    )
+    src = tmp_path / "qm_in"
+    dirty.filter(F.col("timestamp") < "2025-01-01 12:00:00").write.parquet(
+        str(src / "b1")
+    )
+    dirty.filter(F.col("timestamp") >= "2025-01-01 12:00:00").write.parquet(
+        str(src / "b2")
+    )
+    stream = read_bar_stream(spark, str(src / "*"))
+    run_available_now(
+        quality_monitor(stream, "1 hour"), "qmon", str(tmp_path / "qm_ckpt")
+    )
+    got = spark.table("qmon")
+    want = quality_counters_batch(dirty, "1 hour")
+    key = ["symbol", "bucket_ts"]
+    merged = got.alias("g").join(want.alias("e"), on=key, how="full")
+    assert merged.count() == got.count() == want.count()
+    mismatch = merged.filter(
+        (F.col("g.rows") != F.col("e.rows"))
+        | (F.col("g.nan_cells") != F.col("e.nan_cells"))
+        | (F.col("g.zero_volume_rows") != F.col("e.zero_volume_rows"))
+        | (F.col("g.negative_rows") != F.col("e.negative_rows"))
+        | (F.col("g.invalid_ohlc") != F.col("e.invalid_ohlc"))
+    )
+    assert mismatch.count() == 0
+    # the planted defects actually registered
+    totals = got.agg(
+        F.sum("nan_cells"), F.sum("zero_volume_rows"),
+        F.sum("negative_rows"), F.sum("invalid_ohlc"),
+    ).first()
+    assert all(v and v > 0 for v in totals)
+
+
 def test_streaming_ema_matches_batch_kernel(spark, tmp_path):
     from financial_data_pipeline_spark.operators.indicators import with_ema
     from financial_data_pipeline_spark.streaming.continuous_aggregate import (
