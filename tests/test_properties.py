@@ -316,3 +316,119 @@ def test_chunking_covers_every_position(spark, texts, size, overlap_frac):
             for pos in range(r["chunk_off"], r["chunk_off"] + r["chunk_len"]):
                 rebuilt[pos] = t[pos]
         assert len(rebuilt) == len(t)  # every position covered
+
+
+@settings(**SETTINGS)
+@given(
+    point_mins=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=60
+    ),
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5000),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    bucket_min=st.sampled_from([7, 60, 1440]),
+)
+def test_interval_join_equals_theta_join_property(
+    spark, point_mins, spans, bucket_min
+):
+    """Bucketized range join == naive theta join for arbitrary point
+    sets, interval sets (any overlap pattern), and bucket quanta."""
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    points = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=m)) for i, m in enumerate(point_mins)],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=s + d))
+            for j, (s, d) in enumerate(spans)
+        ],
+        ["iid", "w_start", "w_end"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "w_start", "w_end",
+            bucket_seconds=bucket_min * 60,
+        ).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter(
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") <= F.col("w_end"))
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    values=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_interpolate_linear_invariants(spark, values):
+    """Interpolation invariants for arbitrary null patterns: known
+    values untouched, all nulls filled iff any value is known, interior
+    fills bounded by their bracketing knowns."""
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.cleaning import (
+        interpolate_linear,
+    )
+
+    t0 = dt.datetime(2025, 2, 1)
+    rows = [
+        ("A", t0 + dt.timedelta(minutes=i), None if v is None else float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, timestamp timestamp, close double"
+    )
+    out = (
+        interpolate_linear(df, cols=["close"])
+        .orderBy("timestamp")
+        .toPandas()["close"]
+        .tolist()
+    )
+    def isnull(x):
+        return x is None or (isinstance(x, float) and np.isnan(x))
+
+    known = [(i, v) for i, v in enumerate(values) if v is not None]
+    if not known:
+        assert all(isnull(v) for v in out)
+        return
+    assert not any(isnull(v) for v in out)
+    for i, v in known:
+        assert out[i] == pytest.approx(float(v), rel=1e-9, abs=1e-9)
+    for i, v in enumerate(values):
+        if v is not None:
+            continue
+        before = [kv for kv in known if kv[0] < i]
+        after = [kv for kv in known if kv[0] > i]
+        if before and after:
+            lo = min(before[-1][1], after[0][1])
+            hi = max(before[-1][1], after[0][1])
+            assert lo - 1e-6 <= out[i] <= hi + 1e-6
+        elif before:
+            assert out[i] == pytest.approx(float(before[-1][1]), rel=1e-9, abs=1e-9)
+        else:
+            assert out[i] == pytest.approx(float(after[0][1]), rel=1e-9, abs=1e-9)
