@@ -266,6 +266,15 @@ def _counters_from_flags(
                 "__final": F.coalesce(positive & consistent & no_null, F.lit(False)),
             }
         )
+    # Outlier flags and OHLC violations count over ALL survivors of the
+    # negative filter (pre-drop): in strict mode the violating rows are
+    # about to be dropped from `fin`, and the report must still count
+    # them (data_cleaner.py:241-249 counts BEFORE acting).
+    a_pre = surv.agg(
+        *[F.sum(F.col(f"__o_{c}").cast("long")).alias(f"outliers_{c}") for c in cols],
+        F.sum(F.col("__bad").cast("long")).alias("invalid_ohlc"),
+    )
+
     fin = surv.filter(F.col("__final"))
     wf = Window.partitionBy("symbol").orderBy("timestamp")
     fin = fin.withColumns(
@@ -291,8 +300,6 @@ def _counters_from_flags(
         [F.sum(F.col(f"__f_{c}").isNull().cast("long")) for c in cols],
     )
     a_final = fin.agg(
-        *[F.sum(F.col(f"__o_{c}").cast("long")).alias(f"outliers_{c}") for c in cols],
-        F.sum(F.col("__bad").cast("long")).alias("invalid_ohlc"),
         F.sum(zero_price.cast("long")).alias("zero_price_rows"),
         F.sum((F.col("__f_volume") == 0).cast("long")).alias("zero_volume_rows"),
         F.sum((F.col("__chg") > extreme_change_threshold).cast("long")).alias(
@@ -318,7 +325,7 @@ def _counters_from_flags(
         )
     )
 
-    row = a_stage.crossJoin(a_final).crossJoin(a_mode)
+    row = a_stage.crossJoin(a_pre).crossJoin(a_final).crossJoin(a_mode)
     outliers_total = reduce(
         lambda a, b: a + b,
         [F.coalesce(F.col(f"outliers_{c}"), F.lit(0)) for c in cols],

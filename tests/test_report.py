@@ -130,6 +130,25 @@ def test_validation_report_matches_pandas(spark, report_dirty_pdf):
     assert got["duplicated_timestamps"] == 0
 
 
+def test_report_strict_mode_counts_drops(spark, report_dirty_pdf):
+    """Strict mode: no clip/repair — positive-price, OHLC-consistency
+    and null filters DROP rows instead. valid_records must equal the
+    strict clean_ohlcv row count, and invalid_ohlc counts the
+    pre-drop violations."""
+    from financial_data_pipeline_spark.operators import cleaning
+
+    df = spark.createDataFrame(report_dirty_pdf)
+    rep = rpt.validation_report(df, mode="strict", price_tolerance=0.0)
+    cleaned_n = cleaning.clean_ohlcv(
+        df, mode="strict", price_tolerance=0.0
+    ).count()
+    assert rep["valid_records"] == cleaned_n
+    assert rep["final_rows"] < rep["total_records"]  # strict drops rows
+    assert rep["invalid_ohlc"] >= 3  # the planted high<low rows, unclipped
+    assert rep["duplicates_removed"] == 3
+    assert rep["is_valid"]
+
+
 def test_report_interpolate_mode_consistent_with_cleaning(spark, report_dirty_pdf):
     """impute_method='interpolate' flows through both clean_ohlcv and
     the report's flag frame: valid_records equals the cleaned row
