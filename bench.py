@@ -106,6 +106,7 @@ HEADLINE = [
     "rank_normalize",
     "feature_drift_psi",
     "top_bigram_repetition",
+    "validation_report_strict",
 ]
 
 

@@ -3917,7 +3917,7 @@ _DIRTY_BARS_SQL = """
 )
 """
 
-_REPORT_ORACLE = (
+_REPORT_PREFIX = (
     BARS_CTE
     + _DIRTY_BARS_SQL
     + """
@@ -3974,8 +3974,13 @@ outs AS (
     sum((close < q1_close - 1.5*(q3_close-q1_close) OR close > q3_close + 1.5*(q3_close-q1_close))::INT)::BIGINT AS outliers_close,
     sum((volume < q1_volume - 1.5*(q3_volume-q1_volume) OR volume > q3_volume + 1.5*(q3_volume-q1_volume))::INT)::BIGINT AS outliers_volume
   FROM j
-),
-cl AS (
+)
+"""
+)
+
+# repair middle: IQR-clip, count violations post-clip, repair high/low
+_REPAIR_MIDDLE = """
+, cl AS (
   SELECT symbol, timestamp,
     CASE WHEN open IS NULL THEN NULL ELSE greatest(q1_open - 1.5*(q3_open-q1_open), least(q3_open + 1.5*(q3_open-q1_open), open)) END AS open,
     CASE WHEN high IS NULL THEN NULL ELSE greatest(q1_high - 1.5*(q3_high-q1_high), least(q3_high + 1.5*(q3_high-q1_high), high)) END AS high,
@@ -3996,8 +4001,31 @@ rp AS (
     CASE WHEN NOT (high >= low AND high >= open AND high >= close AND low <= open AND low <= close)
          THEN least(open, close, low) ELSE low END AS low
   FROM cl
+)
+"""
+
+# strict middle: no clip/repair — count violations on raw values, then
+# DROP rows failing positive-price / consistency / null filters
+# (clean_ohlcv strict order)
+_STRICT_MIDDLE = """
+, a_ohlc AS (
+  SELECT sum((NOT (high >= low AND high >= open AND high >= close
+                   AND low <= open AND low <= close))::INT)::BIGINT AS invalid_ohlc
+  FROM j
 ),
-ivt AS (
+rp AS (
+  SELECT symbol, timestamp, open, high, low, close, volume
+  FROM j
+  WHERE open > 0 AND high > 0 AND low > 0 AND close > 0 AND volume >= 0
+    AND high >= low AND high >= open AND high >= close
+    AND low <= open AND low <= close
+    AND open IS NOT NULL AND high IS NOT NULL AND low IS NOT NULL
+    AND close IS NOT NULL AND volume IS NOT NULL
+)
+"""
+
+_REPORT_TAIL = """
+, ivt AS (
   SELECT symbol, open, high, low, close, volume,
          (epoch_us(timestamp) - epoch_us(lag(timestamp) OVER w)) / 1000000.0 AS iv_s,
          abs(close / lag(close) OVER w - 1.0) AS chg
@@ -4058,7 +4086,9 @@ SELECT a_ts.total_records, a_ts.invalid_timestamps, a_dup.duplicates_removed,
        true AS time_features_added
 FROM a_ts, a_dup, a_nan, a_neg, outs, a_ohlc, fin, md
 """
-)
+
+_REPORT_ORACLE = _REPORT_PREFIX + _REPAIR_MIDDLE + _REPORT_TAIL
+_REPORT_STRICT_ORACLE = _REPORT_PREFIX + _STRICT_MIDDLE + _REPORT_TAIL
 
 
 def _dirty_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4103,4 +4133,18 @@ def q_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return report_counters(
         _dirty_bars(spark, sf_dir), mode="repair", price_tolerance=0.0
+    )
+
+
+@query("validation_report_strict", _REPORT_STRICT_ORACLE)
+def q_validation_report_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STRICT-mode report over the same dirtied bars: violations
+    are counted on raw (unclipped) values and the offending rows are
+    DROPPED rather than repaired — every drop-path counter
+    (negative/positive filters, OHLC consistency, null filter)
+    value-checked against the staged DuckDB twin."""
+    from financial_data_pipeline_spark.plans.report import report_counters
+
+    return report_counters(
+        _dirty_bars(spark, sf_dir), mode="strict", price_tolerance=0.0
     )
