@@ -107,6 +107,7 @@ HEADLINE = [
     "feature_drift_psi",
     "top_bigram_repetition",
     "validation_report_strict",
+    "line_dedup_rebuild",
 ]
 
 

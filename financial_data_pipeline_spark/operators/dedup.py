@@ -174,6 +174,65 @@ def exact_dedup_filter(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_pos: int = 1 << 20,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the RefinedWeb-style boilerplate
+    pass): every non-empty line keeps only its globally-FIRST
+    occurrence — ordered by (doc_id, position) — and later occurrences
+    (in the same doc or any other) are removed; documents are rebuilt
+    with their surviving lines in original order.
+
+    Execution: posexplode lines → one shuffle on the 8-byte line hash
+    to find each line's first occurrence (``min`` of the sortable
+    ``doc_id·2²⁰ + pos`` key — no struct-ordering semantics to match
+    across engines) → one shuffle on doc id to reassemble
+    (``array_sort`` on (pos, line) structs). Blank lines are layout,
+    not content: they never dedup and always survive. Returns
+    (id, text) with text rewritten; docs whose every line was seen
+    before collapse to the empty string (callers typically drop or
+    re-filter by length).
+
+    Contract: ``pos < max_pos`` lines per document (2²⁰ ≈ 1M) so the
+    combined key stays collision-free in an int64.
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    key = F.col(id_col) * F.lit(max_pos) + F.col("pos")
+    is_blank = F.trim("line") == ""
+    w = Window.partitionBy(F.xxhash64("line"))
+    kept = (
+        lines.withColumn(
+            "__first", F.min(F.when(~is_blank, key)).over(w)
+        )
+        .filter(is_blank | (key == F.col("__first")))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(text_col)
+    )
+    # docs whose every (non-blank) line was seen before have no kept
+    # rows — surface them as empty strings rather than dropping rows
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .na.fill({text_col: ""})
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

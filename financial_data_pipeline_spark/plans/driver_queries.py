@@ -1462,6 +1462,60 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "line_dedup_rebuild",
+    """
+WITH buckets AS (
+  SELECT min(doc_id) AS doc_id,
+         string_agg(text, chr(10) ORDER BY doc_id)
+           || chr(10) || 'Common boilerplate footer: subscribe now' AS text
+  FROM documents GROUP BY source
+), lines AS (
+  SELECT doc_id, i - 1 AS pos, line
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, chr(10))) AS line,
+           generate_subscripts(string_split(text, chr(10)), 1) AS i
+    FROM buckets
+  )
+), firsts AS (
+  SELECT line, min(doc_id * 1048576 + pos) AS first_key
+  FROM lines WHERE trim(line) <> '' GROUP BY line
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN firsts f USING (line)
+  WHERE trim(l.line) = '' OR l.doc_id * 1048576 + l.pos = f.first_key
+)
+SELECT b.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+FROM buckets b LEFT JOIN kept k USING (doc_id)
+GROUP BY b.doc_id
+""",
+)
+def q_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (RefinedWeb-style boilerplate
+    removal) over synthesized multi-line docs — one doc per source
+    (its documents' texts as lines) plus a planted boilerplate footer
+    on every doc. The footer survives only in the lowest-id doc; the
+    full rebuilt text of every doc is value-compared."""
+    from financial_data_pipeline_spark.operators.dedup import line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = docs.groupBy("source").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.concat(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+            ),
+            F.lit("\nCommon boilerplate footer: subscribe now"),
+        ).alias("text"),
+    ).select("doc_id", "text")
+    return line_dedup(buckets)
+
+
+@query(
     "top_bigram_repetition",
     r"""
 WITH base AS (

@@ -264,6 +264,21 @@ def test_clean_text_normalizes_markup_and_whitespace(spark):
     }
 
 
+def test_line_dedup_semantics(spark):
+    """Corpus-wide first occurrence wins; within-doc repeats drop;
+    blank lines survive; a fully-duplicated doc collapses to ''."""
+    rows = [
+        (1, "alpha line\n\nbeta line\nalpha line"),  # self-dup + blank
+        (2, "beta line\ngamma line"),                # beta seen in doc 1
+        (3, "alpha line\nbeta line"),                # fully duplicated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.text for r in dedup.line_dedup(df).collect()}
+    assert got[1] == "alpha line\n\nbeta line"
+    assert got[2] == "gamma line"
+    assert got[3] == ""
+
+
 def test_top_ngram_stats_finds_planted_repetition(spark):
     rows = [
         (1, "buy now " * 50 + "unique tail words"),   # heavy bigram loop
