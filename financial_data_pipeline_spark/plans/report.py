@@ -312,17 +312,20 @@ def _counters_from_flags(
         nans_after.alias("nans_after"),
     )
 
-    # P4 — global interval mode over the (tiny) distinct-interval counts
+    # P4 — global interval mode over the (tiny) distinct-interval
+    # counts, as ONE aggregate (max_by with a (count, −iv) key == the
+    # (count desc, iv asc) rank) — no global window, and an aggregate
+    # always yields exactly one row, so an EMPTY final frame (fully
+    # dirty strict input) still produces a report row instead of the
+    # crossJoin erasing it.
     counts = fin.filter(F.col("__iv").isNotNull()).groupBy("__iv").count()
-    wmode = Window.orderBy(F.desc("count"), F.asc("__iv"))
-    a_mode = (
-        counts.withColumn("__rn", F.row_number().over(wmode))
-        .withColumn("__tot", F.sum("count").over(Window.partitionBy()))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("__iv").alias("most_common_interval_seconds"),
-            (F.col("__tot") - F.col("count")).alias("irregular_intervals"),
-        )
+    mode_key = F.struct(F.col("count"), (-F.col("__iv")).alias("neg"))
+    a_mode = counts.agg(
+        F.max_by("__iv", mode_key).alias("most_common_interval_seconds"),
+        (
+            F.coalesce(F.sum("count"), F.lit(0))
+            - F.coalesce(F.max(mode_key).getField("count"), F.lit(0))
+        ).alias("irregular_intervals"),
     )
 
     row = a_stage.crossJoin(a_pre).crossJoin(a_final).crossJoin(a_mode)

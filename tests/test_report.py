@@ -163,6 +163,28 @@ def test_report_interpolate_mode_consistent_with_cleaning(spark, report_dirty_pd
     assert rep["duplicates_removed"] == 3
 
 
+def test_report_survives_fully_invalid_input(spark):
+    """Everything dropped (all volumes negative, strict) must still
+    yield ONE report row with final_rows=0 / is_valid=False — not an
+    empty frame."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "timestamp": pd.date_range("2025-01-01", periods=5, freq="1min"),
+            "symbol": "X",
+            "open": 1.0, "high": 2.0, "low": 0.5, "close": 1.5,
+            "volume": -1.0,
+        }
+    )
+    rep = rpt.validation_report(spark.createDataFrame(pdf), mode="strict")
+    assert rep["total_records"] == 5
+    assert rep["negative_rows"] == 5
+    assert rep["final_rows"] == 0 and rep["valid_records"] == 0
+    assert rep["is_valid"] is False
+    assert rep["most_common_interval_seconds"] is None
+
+
 def test_report_counters_defects_nonzero(spark, report_dirty_pdf):
     """The fixture must actually exercise every counter family."""
     got = rpt.validation_report(spark.createDataFrame(report_dirty_pdf))
