@@ -135,12 +135,11 @@ def main() -> None:
         "- `tfidf_top_terms` NESTED_LOOP_JOIN: the corpus size n_docs is",
         "  a ONE-row broadcast crossJoin onto the tf frame — O(n·1)",
         "  scalar distribution, same pattern as above.",
-        "- `validation_report` NESTED_LOOP_JOIN + GLOBAL_WINDOW: the",
-        "  report row is assembled by crossJoining three ONE-row",
-        "  aggregates (O(1)), and the interval-mode window ranks the",
-        "  DISTINCT interval counts (a handful of rows), not facts. The",
-        "  fact-side work is one flag-frame pass (single symbol shuffle)",
-        "  + three scalar-dependent re-aggregations — see plans/report.py.",
+        "- `validation_report` / `validation_report_strict`",
+        "  NESTED_LOOP_JOIN: the report row is assembled by crossJoining",
+        "  four ONE-row aggregates (O(1) joins). The fact-side work is",
+        "  one flag-frame pass (single symbol shuffle) + scalar-dependent",
+        "  re-aggregations — see plans/report.py.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
