@@ -187,33 +187,38 @@ def line_dedup(
     (in the same doc or any other) are removed; documents are rebuilt
     with their surviving lines in original order.
 
-    Execution: posexplode lines → one shuffle on the 8-byte line hash
-    to find each line's first occurrence (``min`` of the sortable
-    ``doc_id·2²⁰ + pos`` key — no struct-ordering semantics to match
-    across engines) → one shuffle on doc id to reassemble
-    (``array_sort`` on (pos, line) structs). Blank lines are layout,
-    not content: they never dedup and always survive. Returns
-    (id, text) with text rewritten; docs whose every line was seen
-    before collapse to the empty string (callers typically drop or
-    re-filter by length).
+    Execution: posexplode lines → ``groupBy(line_hash).min(key)`` for
+    each line's first occurrence (``doc_id·2²⁰ + pos`` — a sortable
+    int64, no struct-ordering semantics to match across engines) →
+    join the firsts back → one shuffle on doc id to reassemble
+    (``array_sort`` on (pos, line) structs). The first-occurrence pass
+    is an AGGREGATE, not a window, deliberately: a boilerplate line
+    repeated in 10⁹ documents sends one partial-min per map task to
+    its reducer, where a ``min() OVER (PARTITION BY hash)`` would
+    shuffle every copy to one partition. The join back is skew-prone
+    on the same hot key — AQE skew-join splits it (enabled in
+    session.py). Blank lines are layout, not content: they never dedup
+    and always survive. Returns (id, text) with text rewritten; docs
+    whose every line was seen before collapse to the empty string
+    (callers typically drop or re-filter by length).
 
     Contract: ``pos < max_pos`` lines per document (2²⁰ ≈ 1M) so the
     combined key stays collision-free in an int64.
     """
-    from pyspark.sql import Window
-
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
     key = F.col(id_col) * F.lit(max_pos) + F.col("pos")
     is_blank = F.trim("line") == ""
-    w = Window.partitionBy(F.xxhash64("line"))
-    kept = (
-        lines.withColumn(
-            "__first", F.min(F.when(~is_blank, key)).over(w)
-        )
-        .filter(is_blank | (key == F.col("__first")))
+    lines = lines.withColumns({"__key": key, "__h": F.xxhash64("line")})
+    firsts = (
+        lines.filter(~is_blank)
+        .groupBy("__h")
+        .agg(F.min("__key").alias("__first"))
+    )
+    kept = lines.join(firsts, on="__h", how="left").filter(
+        is_blank | (F.col("__key") == F.col("__first"))
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(

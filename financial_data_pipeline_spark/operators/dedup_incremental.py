@@ -133,18 +133,30 @@ def dedup_against_index(
     else:
         cross = None
 
-    # within-batch candidates: same band buckets among the new docs
+    # within-batch candidates: reuse the capped bucket expansion from
+    # lsh_candidates (its hot-bucket guard applies; a self-join here
+    # would be unguarded B² on a degenerate band bucket)
+    from financial_data_pipeline_spark.operators.dedup import capped_buckets
+
+    buckets = (
+        new_bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    buckets = capped_buckets(buckets, max_bucket_size=1000)
+    xs = F.col("xs")
+    pair_arr = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.size(xs)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     within = (
-        new_bands.alias("a")
-        .join(
-            new_bands.alias("b"),
-            on=["band", "bucket"],
-        )
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     candidates = within if cross is None else within.unionByName(cross).distinct()
