@@ -432,3 +432,60 @@ def test_interpolate_linear_invariants(spark, values):
             assert out[i] == pytest.approx(float(before[-1][1]), rel=1e-9, abs=1e-9)
         else:
             assert out[i] == pytest.approx(float(after[0][1]), rel=1e-9, abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(
+                ["shared one", "shared two", "uniq", "", "  ", "tail line"]
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_line_dedup_invariants(spark, docs):
+    """For arbitrary line layouts: every surviving non-blank line value
+    appears EXACTLY once corpus-wide (at its globally-first position),
+    blank lines survive verbatim, per-doc line order is preserved, and
+    output lines are a subsequence of the input's."""
+    from financial_data_pipeline_spark.operators.dedup import line_dedup
+
+    texts = ["\n".join(lines) for lines in docs]
+    # make per-doc 'uniq' lines actually unique so they must all survive
+    texts = [
+        t.replace("uniq", f"uniq{i}") for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.text for r in line_dedup(df).collect()}
+    assert set(got) == set(range(len(texts)))
+
+    seen: dict[str, tuple] = {}
+    for i, t in enumerate(texts):
+        out_lines = got[i].split("\n") if got[i] != "" else []
+        in_lines = t.split("\n")
+        # subsequence check (order preserved, nothing invented)
+        it = iter(in_lines)
+        assert all(any(line == x for x in it) for line in out_lines)
+        for line in out_lines:
+            if line.strip() == "":
+                continue
+            assert line not in seen, f"line {line!r} survived twice"
+            seen[line] = (i,)
+        # blank lines all survive
+        assert sum(1 for x in out_lines if x.strip() == "") == sum(
+            1 for x in in_lines if x.strip() == ""
+        )
+    # first-occurrence wins: each surviving shared line belongs to the
+    # lowest doc that contains it
+    for line, (owner,) in seen.items():
+        first_doc = min(
+            i for i, t in enumerate(texts) if line in t.split("\n")
+        )
+        assert owner == first_doc

@@ -67,6 +67,27 @@ def test_interval_join_left_keeps_unmatched(spark):
     assert all(v == 1 for v in c.values())
 
 
+def test_interval_join_with_keys_restricts_matches(spark):
+    """Co-keyed variant: a point only joins intervals of its own key,
+    even when time ranges overlap across keys."""
+    points = spark.createDataFrame(
+        [(1, "A", _ts(3)), (2, "B", _ts(3)), (3, "A", _ts(20))],
+        ["pid", "sym", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(100, "A", _ts(2), _ts(4)), (200, "B", _ts(2), _ts(4))],
+        ["iid", "sym", "w_start", "w_end"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "w_start", "w_end",
+            bucket_seconds=86_400, keys=["sym"],
+        ).collect()
+    }
+    assert got == {(1, 100), (2, 200)}
+
+
 def test_interval_join_bucket_size_invariance(spark):
     """Result is independent of the bucket quantum (only the plan
     shape changes)."""
