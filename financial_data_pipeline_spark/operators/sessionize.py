@@ -58,10 +58,14 @@ def session_stats(
     events, mean session length (seconds) — the funnel/engagement
     summary table.
 
-    Durations are averaged as exact INTEGER microseconds (the sum is
-    exact in any engine) and divided to seconds once at the end —
-    averaging float seconds directly is summation-order-sensitive and
-    flips round-6 boundaries across engines.
+    Durations are summed as exact INTEGER microseconds and divided
+    ONCE at the end — ``sum/n/1e6`` is pure IEEE on exact inputs, so
+    any engine computing the same expression produces the identical
+    double and the value is emitted UNROUNDED. (Rounding is the
+    non-portable step here, not the arithmetic: an integer-µs mean
+    can land exactly on a decimal rounding boundary, and Spark's
+    BigDecimal HALF_UP vs DuckDB's float-multiply round then disagree
+    by 1e-6 — observed at sf0.1.)
     """
     dur_us = F.unix_micros(F.col("session_end")) - F.unix_micros(
         F.col("session_start")
@@ -69,5 +73,7 @@ def session_stats(
     return sessions.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
-        F.round(F.avg(dur_us) / F.lit(1000000.0), 6).alias("avg_session_sec"),
+        (
+            F.sum(dur_us) / F.count(F.lit(1)) / F.lit(1000000.0)
+        ).alias("avg_session_sec"),
     )

@@ -2565,7 +2565,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SESSIONS_CTE
     + """
 SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
-       round(avg(session_end_us - session_start_us) / 1000000.0, 6)
+       sum(session_end_us - session_start_us) / count(*) / 1000000.0
          AS avg_session_sec
 FROM sess GROUP BY user_id
 """,
