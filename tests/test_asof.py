@@ -95,3 +95,45 @@ def test_asof_single_shuffle_plan(spark):
     # one hash exchange on the by-key, no join operator at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def _t(m):
+    return dt.datetime(2025, 1, 1, 0, m)
+
+
+def _dir_frames(spark):
+    left = spark.createDataFrame(
+        [("A", _t(5), 1), ("A", _t(10), 2), ("A", _t(20), 3)],
+        ["symbol", "timestamp", "left_id"],
+    )
+    right = spark.createDataFrame(
+        [("A", _t(4), 40.0), ("A", _t(10), 100.0), ("A", _t(12), 120.0)],
+        ["symbol", "timestamp", "px"],
+    )
+    return left, right
+
+
+def test_asof_forward_direction(spark):
+    left, right = _dir_frames(spark)
+    got = {
+        r.left_id: r.px
+        for r in asof_join(left, right, direction="forward").collect()
+    }
+    # t=5 → first at-or-after is t=10; t=10 exact; t=20 → none
+    assert got == {1: 100.0, 2: 100.0, 3: None}
+
+
+def test_asof_nearest_direction_tie_takes_backward(spark):
+    left, right = _dir_frames(spark)
+    got = {
+        r.left_id: r.px
+        for r in asof_join(left, right, direction="nearest").collect()
+    }
+    # t=5: back 4 (1min) vs fwd 10 (5min) → 40; t=10 exact; t=20 → 120
+    assert got == {1: 40.0, 2: 100.0, 3: 120.0}
+    # equidistant: t=11 between 10 and 12 → backward wins (pandas tie rule)
+    probe = spark.createDataFrame(
+        [("A", _t(11), 9)], ["symbol", "timestamp", "left_id"]
+    )
+    tie = asof_join(probe, right, direction="nearest").first()
+    assert tie.px == 100.0

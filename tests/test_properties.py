@@ -153,8 +153,9 @@ def test_bucketed_write_removes_exchange(spark, tmp_path):
 @given(
     l_offsets=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
     r_offsets=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
-def test_asof_join_matches_pandas_merge_asof(spark, l_offsets, r_offsets):
+def test_asof_join_matches_pandas_merge_asof(spark, l_offsets, r_offsets, direction):
     from financial_data_pipeline_spark.operators.asof import asof_join
 
     base = pd.Timestamp("2025-01-01")
@@ -180,6 +181,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, l_offsets, r_offsets):
             spark.createDataFrame(rp),
             on="timestamp",
             by="symbol",
+            direction=direction,
         )
         .toPandas()
         .sort_values(["symbol", "timestamp", "left_id"])
@@ -191,7 +193,7 @@ def test_asof_join_matches_pandas_merge_asof(spark, l_offsets, r_offsets):
             rp.sort_values("timestamp", kind="stable"),
             on="timestamp",
             by="symbol",
-            direction="backward",
+            direction=direction,
         )
         .sort_values(["symbol", "timestamp", "left_id"])
         .reset_index(drop=True)
