@@ -468,26 +468,15 @@ def test_line_dedup_invariants(spark, docs):
     got = {r.doc_id: r.text for r in line_dedup(df).collect()}
     assert set(got) == set(range(len(texts)))
 
-    seen: dict[str, tuple] = {}
+    # sequential reference model: first occurrence (by doc, then line
+    # position) wins; blank lines always survive
+    seen: set[str] = set()
     for i, t in enumerate(texts):
-        out_lines = got[i].split("\n") if got[i] != "" else []
-        in_lines = t.split("\n")
-        # subsequence check (order preserved, nothing invented)
-        it = iter(in_lines)
-        assert all(any(line == x for x in it) for line in out_lines)
-        for line in out_lines:
+        kept = []
+        for line in t.split("\n"):
             if line.strip() == "":
-                continue
-            assert line not in seen, f"line {line!r} survived twice"
-            seen[line] = (i,)
-        # blank lines all survive
-        assert sum(1 for x in out_lines if x.strip() == "") == sum(
-            1 for x in in_lines if x.strip() == ""
-        )
-    # first-occurrence wins: each surviving shared line belongs to the
-    # lowest doc that contains it
-    for line, (owner,) in seen.items():
-        first_doc = min(
-            i for i, t in enumerate(texts) if line in t.split("\n")
-        )
-        assert owner == first_doc
+                kept.append(line)
+            elif line not in seen:
+                seen.add(line)
+                kept.append(line)
+        assert got[i] == "\n".join(kept), f"doc {i}"
