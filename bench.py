@@ -108,6 +108,8 @@ HEADLINE = [
     "top_bigram_repetition",
     "validation_report_strict",
     "line_dedup_rebuild",
+    "blamed_suppliers",
+    "top_revenue_suppliers",
 ]
 
 

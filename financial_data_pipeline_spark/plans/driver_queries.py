@@ -1462,6 +1462,127 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "blamed_suppliers",
+    """
+WITH l1 AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+SELECT s.s_name, count(*) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM l1 l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 10
+""",
+)
+def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (sole-blame supplier): late lines (shipped >60
+    days after order date on finished orders) where ANOTHER supplier
+    participated in the order (left-semi on orderkey with supplier
+    inequality) but NO other supplier was also late (left-anti on the
+    late set) — the double semi/anti correlated-EXISTS pattern, both
+    decorrelated to hash joins on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    other_exists = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    l1_other = l1.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    blamed = (
+        l1.join(
+            other_exists,
+            (l1.l_orderkey == other_exists.ok) & (l1.l_suppkey != other_exists.sk),
+            "left_semi",
+        )
+        .join(
+            l1_other,
+            (l1.l_orderkey == l1_other.ok) & (l1.l_suppkey != l1_other.sk),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue
+FROM supplier s JOIN rev ON s.s_suppkey = rev.supplier_no
+WHERE rev.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape (view + scalar-max equality join): quarterly
+    revenue per supplier, then suppliers matching the global max.
+    Revenue is rounded BEFORE the max comparison in both engines so
+    the equality is on identical doubles; the max is a one-row
+    broadcast crossJoin (lazy, no driver collect)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "line_dedup_rebuild",
     """
 WITH buckets AS (
