@@ -68,3 +68,51 @@ def test_first_batch_without_index_self_dedups(spark, tmp_path):
     s, m = dedup_against_index(spark, batch, idx, threshold=0.5)
     assert _ids(s) == [1, 3]
     assert {(r.doc_id, r.matched_id) for r in m.collect()} == {(2, 1)}
+
+
+def test_streaming_foreachbatch_ingest(spark, tmp_path):
+    """The per-batch dedup is a Structured-Streaming foreachBatch body:
+    two file drops processed in two checkpointed runs; the second
+    batch's near-dup of batch-1 content is dropped against the index,
+    and the clean corpus accumulates only survivors."""
+    src = tmp_path / "in"
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, "unrelated mountain weather station telemetry calibration notes for spring")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(10, BASE.replace("dog", "wolf")), (11, "entirely new subject matter regarding tidal estuary sediment transport")],
+        ["doc_id", "text"],
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src / "*"))
+        )
+
+        def handle(batch_df, _bid):
+            surv, _ = ingest_batch(batch_df.sparkSession, batch_df, idx)
+            surv.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1.write.parquet(str(src / "b1"))
+    run_once()
+    b2.write.parquet(str(src / "b2"))
+    run_once()  # same checkpoint: only the new files are processed
+
+    final = sorted(
+        r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    assert final == [1, 2, 11]  # 10 was a near-dup of indexed doc 1
