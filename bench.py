@@ -110,6 +110,7 @@ HEADLINE = [
     "line_dedup_rebuild",
     "blamed_suppliers",
     "top_revenue_suppliers",
+    "unigram_logprob",
 ]
 
 

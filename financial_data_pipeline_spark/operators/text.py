@@ -216,6 +216,51 @@ def top_ngram_stats(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained unigram negative-log-likelihood per document — the
+    LM-free stand-in for CCNet-style perplexity filtering: documents
+    whose tokens are collectively improbable under the corpus's own
+    unigram distribution (gibberish, boilerplate codes, wrong-language
+    fragments) score HIGH; fluent in-distribution text scores low.
+
+    Output: (id, n_tokens, avg_neg_logprob) where avg_neg_logprob =
+    mean over tokens of −ln(count(token)/total_tokens). Every token
+    has count ≥ 1 by construction (the "model" is trained on the same
+    corpus), so no smoothing is needed; to score NEW docs against a
+    frozen corpus, persist the vocab frame and left-join with a
+    smoothing floor instead.
+
+    Plan: one tokenize+explode pass → vocab aggregate (token counts,
+    map-side combined) → token rows re-join vocab on the token (AQE
+    handles the stopword-skewed keys) → per-doc aggregate. The corpus
+    total rides in via a one-row broadcast crossJoin.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("__total"))
+    scored = (
+        toks.join(vocab, on="tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (-F.log(F.col("tf") / F.col("__total"))).alias("nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nll").alias("avg_neg_logprob"),
+    )
+
+
 FINGERPRINT_MOD = 2147483647  # 2^31 − 1: keeps h*31 + tok < 2^63 in any engine
 
 

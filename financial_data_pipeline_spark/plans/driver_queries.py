@@ -1462,6 +1462,40 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_logprob",
+    r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS tf FROM toks_ne GROUP BY tok),
+total AS (SELECT sum(tf)::DOUBLE AS total FROM vocab)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(-ln(v.tf / total.total)), 4) AS avg_neg_logprob
+FROM toks_ne t JOIN vocab v USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-doc mean unigram negative
+    log-likelihood under the corpus's own token distribution (no
+    external LM). Rounded to 4 decimals — the mean of ~hundreds of
+    logs carries ~1e-13 summation-order noise, far inside the
+    boundary."""
+    from financial_data_pipeline_spark.operators.text import (
+        unigram_logprob_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob_score(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_neg_logprob", 4).alias("avg_neg_logprob"),
+    )
+
+
+@query(
     "blamed_suppliers",
     """
 WITH l1 AS (

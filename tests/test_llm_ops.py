@@ -264,6 +264,23 @@ def test_clean_text_normalizes_markup_and_whitespace(spark):
     }
 
 
+def test_unigram_logprob_ranks_gibberish_above_fluent(spark):
+    """Rare-token docs must score higher (more surprising) than docs
+    made of corpus-common tokens."""
+    common = "the market closed higher today " * 10
+    rows = [
+        (1, common),
+        (2, common),
+        (3, common),
+        (4, "zxqv jkwp qqrst plmnb vvxyz"),  # singleton tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.unigram_logprob_score(df).collect()}
+    assert got[4].avg_neg_logprob > got[1].avg_neg_logprob
+    assert got[1].avg_neg_logprob == got[2].avg_neg_logprob
+    assert got[4].n_tokens == 5
+
+
 def test_line_dedup_semantics(spark):
     """Corpus-wide first occurrence wins; within-doc repeats drop;
     blank lines survive; a fully-duplicated doc collapses to ''."""
