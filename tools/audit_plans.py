@@ -135,6 +135,9 @@ def main() -> None:
         "- `tfidf_top_terms` NESTED_LOOP_JOIN: the corpus size n_docs is",
         "  a ONE-row broadcast crossJoin onto the tf frame — O(n·1)",
         "  scalar distribution, same pattern as above.",
+        "- `unigram_logprob` NESTED_LOOP_JOIN: the corpus token total is",
+        "  a ONE-row broadcast crossJoin — O(n·1) scalar distribution,",
+        "  same shape as `tfidf_top_terms`.",
         "- `validation_report` / `validation_report_strict`",
         "  NESTED_LOOP_JOIN: the report row is assembled by crossJoining",
         "  four ONE-row aggregates (O(1) joins). The fact-side work is",
