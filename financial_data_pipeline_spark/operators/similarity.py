@@ -348,3 +348,89 @@ def lsh_ann_topk(
             qb |= 1 << i
     bucketed = df.filter(lsh_bucket(F.col(vec_col), planes) == F.lit(qb))
     return brute_force_topk(bucketed, query_vec, k, vec_col, id_col)
+
+
+def lsh_topk_join(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Set-based ANN: top-k neighbors for EVERY query row, restricted
+    to each query's LSH bucket (the batch form of ``lsh_ann_topk``).
+
+    Output: (query_id, neighbor_id, cos_sim rounded 6), ranked by
+    (rounded cos desc, neighbor_id asc) — identical tie semantics to
+    ``knn_join``, so the two are directly comparable for recall.
+
+    Execution: one corpus scan computing the bucket expression, hash
+    join on the 64-bit bucket key against the (broadcast) bucketed
+    query side, distance math only on in-bucket survivors — per query
+    ~1/2^planes of the corpus, so the candidate frame stays small and
+    the per-query top-k window never sees the full corpus. No shuffle
+    of the corpus embedding column (the join key is the bucket int;
+    candidates shuffle only for the final window).
+    """
+    bucketed = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
+    )
+    cand = bucketed.join(
+        F.broadcast(qside), F.col("__bucket") == F.col("__qbucket")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def recall_at_k(
+    exact: DataFrame, ann: DataFrame, k: int
+) -> DataFrame:
+    """Measured recall@k of an ANN result against the exact result —
+    the "measure, don't guess" harness for the ANN stack.
+
+    Both inputs are (query_id, neighbor_id, ...) top-k frames (e.g.
+    ``knn_join`` as exact, ``lsh_topk_join`` as ANN). Output one row
+    per query: (query_id, hits, recall) with recall = hits / k.
+
+    The overlap join runs on the tiny top-k frames (≤ k rows per
+    query), never the corpus: cost is O(queries · k) regardless of
+    corpus size, so recall can be re-measured continuously as the
+    index parameters (planes, nprobe, bands) are tuned.
+    """
+    pairs = exact.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id"),
+        on=["query_id", "neighbor_id"],
+    )
+    hits = pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    all_q = exact.select("query_id").distinct()
+    return (
+        all_q.join(hits, on="query_id", how="left")
+        .na.fill({"hits": 0})
+        .select(
+            "query_id",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(k)), 4).alias("recall"),
+        )
+    )

@@ -282,3 +282,69 @@ def doc_fingerprint(text: Column, mod: int = FINGERPRINT_MOD) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(31) + tok_hash(x)) % F.lit(mod),
     )
+
+
+def nb_class_scores(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained multinomial Naive-Bayes document scorer — the
+    fastText-style quality/language classifier stage of an LLM data
+    pipeline, with no external model: ``label`` is a weak boolean
+    signal (heuristic rule, metadata field, seed-domain membership)
+    and every document is scored by the per-token log-odds the two
+    classes assign to its text.
+
+    Output: (id, n_tokens, avg_log_odds rounded 4) where
+    avg_log_odds = mean over token OCCURRENCES of
+    ln((c_pos(t)+1)/(T_pos+V)) − ln((c_neg(t)+1)/(T_neg+V))
+    (Laplace-smoothed multinomial NB weights; V = vocabulary size,
+    T_c = total token occurrences in class c). Positive ⇒ the text
+    looks like the positive class. The class-prior term is a single
+    constant per corpus — deliberately excluded so the score is a
+    pure per-token signal (callers thresholding can fold the prior
+    into the threshold).
+
+    Plan (everything JVM built-ins, one tokenize pass):
+    tokenize+explode → per-token class counts in ONE groupBy (the
+    train step — conditional sums, map-side combined) → one-row
+    corpus totals crossJoined onto the count frame to form weights →
+    token rows re-join the weight frame on the token (AQE splits the
+    stopword-skewed keys) → per-doc aggregate. Training and scoring
+    share the same exploded frame, so the corpus text is read once.
+    At 100 TB the weight frame is bounded by vocabulary (≪ corpus)
+    and the only wide shuffles are the two token-keyed aggregates.
+    """
+    toks = df.select(
+        F.col(id_col),
+        label.cast("long").alias("__y"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum("__y").alias("c_pos"),
+        F.sum(F.lit(1) - F.col("__y")).alias("c_neg"),
+    )
+    totals = counts.agg(
+        F.sum("c_pos").alias("__t_pos"),
+        F.sum("c_neg").alias("__t_neg"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("c_pos") + 1) / (F.col("__t_pos") + F.col("__v")))
+            - F.log((F.col("c_neg") + 1) / (F.col("__t_neg") + F.col("__v")))
+        ).alias("__w"),
+    )
+    return (
+        toks.join(weights, on="tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__w"), 4).alias("avg_log_odds"),
+        )
+    )

@@ -4357,3 +4357,309 @@ def q_validation_report_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_counters(
         _dirty_bars(spark, sf_dir), mode="strict", price_tolerance=0.0
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement + NB quality classifier (round-3 additions)
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_sql() -> str:
+    """Quadratic DuckDB twin of exact-vs-LSH recall@10: identical plane
+    literals, identical (rounded cos desc, id asc) ranking on both
+    sides."""
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
+            lits=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(_lsh_planes())
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+), q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 16),
+exact_k AS (
+  SELECT qid, b.vec_id AS nid
+  FROM b, q
+  QUALIFY row_number() OVER (
+    PARTITION BY qid
+    ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC
+  ) <= 10
+), ann_k AS (
+  SELECT qid, b.vec_id AS nid
+  FROM b, q WHERE b.bucket = q.qbucket
+  QUALIFY row_number() OVER (
+    PARTITION BY qid
+    ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC
+  ) <= 10
+)
+SELECT e.qid AS query_id,
+       count(a.nid) AS hits,
+       round(count(a.nid) / 10.0, 4) AS recall
+FROM exact_k e
+LEFT JOIN ann_k a ON e.qid = a.qid AND e.nid = a.nid
+GROUP BY e.qid
+"""
+
+
+@query("ann_recall_at_10", _ann_recall_sql())
+def q_ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the LSH-bucketed ANN index against the
+    exact k-NN join, per query — the measure-don't-guess harness for
+    tuning index parameters (planes / bands / nprobe). Exact side: one
+    corpus scan (broadcast query matrix + local top-k); ANN side:
+    bucket-key hash join pruning ~1/2^planes before any distance math;
+    the recall join itself touches only the two tiny top-k frames."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_join,
+        lsh_topk_join,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = knn_join(emb, queries, k=10).withColumnRenamed(
+        "query_id", "query_id"
+    )
+    ann = lsh_topk_join(emb, _lsh_planes(), queries, k=10)
+    return recall_at_k(exact, ann, k=10)
+
+
+@query(
+    "nb_lang_score",
+    r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
+counts AS (
+  SELECT tok, sum(y) AS c_pos, sum(1 - y) AS c_neg
+  FROM toks_ne GROUP BY tok
+), totals AS (
+  SELECT sum(c_pos)::DOUBLE AS t_pos, sum(c_neg)::DOUBLE AS t_neg,
+         count(*)::DOUBLE AS v
+  FROM counts
+), weights AS (
+  SELECT tok,
+         ln((c_pos + 1) / (t_pos + v)) - ln((c_neg + 1) / (t_neg + v)) AS w
+  FROM counts CROSS JOIN totals
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(w.w), 4) AS avg_log_odds
+FROM toks_ne t JOIN weights w USING (tok)
+GROUP BY t.doc_id
+""",
+)
+def q_nb_lang_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained Naive-Bayes quality/language classifier (fastText-
+    style, no external model): weak labels from the ``lang`` metadata
+    column (en vs rest), Laplace-smoothed multinomial weights trained
+    in one token-keyed aggregate, every doc scored by its mean token
+    log-odds. Train + score share one tokenize pass."""
+    from financial_data_pipeline_spark.operators.text import nb_class_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_class_scores(docs, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Additional relational plan shapes (q4 / q8 / q13 / q19)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "late_order_priority_counts",
+    """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: orders with at least one line shipped >30 days
+    after the order date, counted by priority. The correlated EXISTS
+    (it references o_orderdate) decorrelates to ONE left-semi hash join
+    on orderkey carrying the non-equi ship-lag predicate as the join
+    condition — the lineitem side projects only (orderkey, shipdate)
+    and the date filter prunes the orders scan first."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "market_share_by_year",
+    """
+SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+       round(sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n1.n_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+GROUP BY 1
+""",
+)
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape (national market share): NATION_3's share of
+    STANDARD-part revenue sold into EUROPE customers, by order year.
+    Six dimension joins — part, supplier, nation×2, customer-side
+    nation, region — ALL broadcast; the only wide shuffles are the
+    lineitem⋈orders fact join and the final year rollup. The share is
+    a conditional-sum / sum ratio in one aggregate (no second pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r.select("r_regionkey")),
+              F.col("cr_key") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "customer_order_distribution",
+    """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive with count 0 (count(col)
+    skips the null orderkeys), then a second aggregate over the
+    per-customer counts. The join filter is pushed to the orders scan
+    BEFORE the join (filter-then-outer-join ≠ outer-join-then-filter
+    for null-extended rows — the filter must stay on the stream side).
+    First agg shuffles on custkey; the distribution agg is over ≤
+    |distinct counts| rows."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "disjunctive_part_revenue",
+    """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape (disjunctive predicates): three OR'd
+    brand/size/quantity branches. The part side is pre-filtered to the
+    UNION of brand/size branches (that disjunct only references part
+    columns, so it pushes into the broadcast build side and the scan);
+    the mixed part+lineitem disjunction evaluates as the hash-join
+    residual condition — one scan each side, no union-of-three-joins
+    rewrite needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35))
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    joined = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        (li.l_partkey == F.col("p_partkey")) & cond,
+    )
+    return joined.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )

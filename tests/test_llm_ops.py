@@ -489,3 +489,77 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     # component minima are the labels
     got = dict(sorted(as_set(driver)))
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_recall_at_k_exact_vs_itself_is_one(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = similarity.knn_join(emb, queries, k=5)
+    out = similarity.recall_at_k(exact, exact, k=5).collect()
+    assert len(out) == 4
+    assert all(r.hits == 5 and r.recall == 1.0 for r in out)
+
+
+def test_lsh_topk_join_recall_bounded_and_self_hit(spark, emb):
+    planes = similarity.seeded_planes(4, 64, seed=7)
+    queries = emb.filter(F.col("vec_id") < 4)
+    exact = similarity.knn_join(emb, queries, k=5)
+    ann = similarity.lsh_topk_join(emb, planes, queries, k=5)
+    # every query lands in its own bucket with cos=1 → rank 1 on both
+    # sides → at least the self neighbor always overlaps
+    out = similarity.recall_at_k(exact, ann, k=5).collect()
+    assert len(out) == 4
+    assert all(1 <= r.hits <= 5 for r in out)
+    assert all(0.0 < r.recall <= 1.0 for r in out)
+    # batch form agrees with the single-query operator per query
+    for qid in range(4):
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single = {
+            r.vec_id
+            for r in similarity.lsh_ann_topk(emb, planes, qvec, k=5).collect()
+        }
+        batch = {
+            r.neighbor_id
+            for r in ann.filter(F.col("query_id") == qid).collect()
+        }
+        assert batch == single
+
+
+def test_nb_class_scores_separates_disjoint_vocab(spark):
+    rows = []
+    for i in range(20):
+        rows.append((i, "alpha beta gamma delta epsilon", 1))
+    for i in range(20, 40):
+        rows.append((i, "zork quux blarg frob wibble", 0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "y"])
+    out = text.nb_class_scores(df, F.col("y") == 1).collect()
+    scores = {r.doc_id: r.avg_log_odds for r in out}
+    assert len(scores) == 40
+    # disjoint vocabularies → every positive doc scores strictly above
+    # every negative doc, with the sign telling the class
+    assert all(scores[i] > 0 for i in range(20))
+    assert all(scores[i] < 0 for i in range(20, 40))
+    assert all(r.n_tokens == 5 for r in out)
+
+
+def test_nb_class_scores_matches_hand_computation(spark):
+    # 2 docs, tiny vocab — weights computable by hand
+    df = spark.createDataFrame(
+        [(0, "a a b", 1), (1, "b c", 0)], ["doc_id", "text", "y"]
+    )
+    out = {
+        r.doc_id: r.avg_log_odds
+        for r in text.nb_class_scores(df, F.col("y") == 1).collect()
+    }
+    import math
+
+    # vocab = {a, b, c} (V=3), T_pos=3, T_neg=2
+    def w(cp, cn):
+        return math.log((cp + 1) / (3 + 3)) - math.log((cn + 1) / (2 + 3))
+
+    exp0 = round((2 * w(2, 0) + w(1, 1)) / 3, 4)
+    exp1 = round((w(1, 1) + w(0, 1)) / 2, 4)
+    assert out[0] == pytest.approx(exp0, abs=1e-4)
+    assert out[1] == pytest.approx(exp1, abs=1e-4)

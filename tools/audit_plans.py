@@ -138,6 +138,10 @@ def main() -> None:
         "- `unigram_logprob` NESTED_LOOP_JOIN: the corpus token total is",
         "  a ONE-row broadcast crossJoin — O(n·1) scalar distribution,",
         "  same shape as `tfidf_top_terms`.",
+        "- `nb_lang_score` NESTED_LOOP_JOIN: the NB totals (T_pos, T_neg,",
+        "  V) are a ONE-row broadcast crossJoin onto the vocabulary-count",
+        "  frame — O(vocab·1) scalar distribution, same shape as",
+        "  `unigram_logprob`.",
         "- `validation_report` / `validation_report_strict`",
         "  NESTED_LOOP_JOIN: the report row is assembled by crossJoining",
         "  four ONE-row aggregates (O(1) joins). The fact-side work is",
