@@ -111,6 +111,15 @@ HEADLINE = [
     "blamed_suppliers",
     "top_revenue_suppliers",
     "unigram_logprob",
+    "ann_recall_at_10",
+    "ann_recall_multiprobe",
+    "nb_lang_score",
+    "late_order_priority_counts",
+    "market_share_by_year",
+    "customer_order_distribution",
+    "disjunctive_part_revenue",
+    "curation_report",
+    "lsh_pair_recall",
 ]
 
 

@@ -357,6 +357,7 @@ def lsh_topk_join(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Set-based ANN: top-k neighbors for EVERY query row, restricted
     to each query's LSH bucket (the batch form of ``lsh_ann_topk``).
@@ -365,23 +366,43 @@ def lsh_topk_join(
     (rounded cos desc, neighbor_id asc) — identical tie semantics to
     ``knn_join``, so the two are directly comparable for recall.
 
+    ``probe_bits``: multi-probe width. 0 probes only the query's own
+    bucket; 1 additionally probes every bucket at Hamming distance 1
+    (each sign bit flipped once) — 1 + n_planes probes per query,
+    recovering neighbors that fell just across one hyperplane. The
+    probe buckets are distinct values and each corpus row holds ONE
+    bucket, so a candidate matches at most one probe — no dedup pass
+    is needed. Recall rises (measurably — see ``recall_at_k``) at the
+    cost of scanning ~(1+n_planes)/2^planes of the corpus per query.
+
     Execution: one corpus scan computing the bucket expression, hash
-    join on the 64-bit bucket key against the (broadcast) bucketed
-    query side, distance math only on in-bucket survivors — per query
-    ~1/2^planes of the corpus, so the candidate frame stays small and
-    the per-query top-k window never sees the full corpus. No shuffle
-    of the corpus embedding column (the join key is the bucket int;
-    candidates shuffle only for the final window).
+    join on the 64-bit bucket key against the (broadcast, probe-
+    exploded) bucketed query side, distance math only on in-bucket
+    survivors — the candidate frame stays small and the per-query
+    top-k window never sees the full corpus. No shuffle of the corpus
+    embedding column (the join key is the bucket int; candidates
+    shuffle only for the final window).
     """
+    if probe_bits not in (0, 1):
+        raise ValueError("probe_bits must be 0 or 1")
     bucketed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
+    qb = lsh_bucket(F.col(vec_col), planes)
+    probes = F.array(
+        qb,
+        *(
+            [qb.bitwiseXOR(F.lit(1 << i)) for i in range(len(planes))]
+            if probe_bits
+            else []
+        ),
+    )
     qside = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__qbucket"),
+        F.explode(probes).alias("__qbucket"),
     )
     cand = bucketed.join(
         F.broadcast(qside), F.col("__bucket") == F.col("__qbucket")

@@ -4364,16 +4364,25 @@ def q_validation_report_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ann_recall_sql() -> str:
+def _ann_recall_sql(probe_bits: int = 0) -> str:
     """Quadratic DuckDB twin of exact-vs-LSH recall@10: identical plane
     literals, identical (rounded cos desc, id asc) ranking on both
-    sides."""
+    sides. ``probe_bits=1`` widens the ANN side to the query bucket
+    plus every 1-bit flip (multi-probe twin)."""
+    planes = _lsh_planes()
     bucket = " + ".join(
         "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
             lits=", ".join(repr(x) for x in p), w=1 << i
         )
-        for i, p in enumerate(_lsh_planes())
+        for i, p in enumerate(planes)
     )
+    if probe_bits:
+        flips = ", ".join(
+            f"xor(q.qbucket, {1 << i})" for i in range(len(planes))
+        )
+        probe_cond = f"b.bucket IN (q.qbucket, {flips})"
+    else:
+        probe_cond = "b.bucket = q.qbucket"
     return f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
@@ -4387,7 +4396,7 @@ exact_k AS (
   ) <= 10
 ), ann_k AS (
   SELECT qid, b.vec_id AS nid
-  FROM b, q WHERE b.bucket = q.qbucket
+  FROM b, q WHERE {probe_cond}
   QUALIFY row_number() OVER (
     PARTITION BY qid
     ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC
@@ -4418,10 +4427,29 @@ def q_ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 16)
-    exact = knn_join(emb, queries, k=10).withColumnRenamed(
-        "query_id", "query_id"
-    )
+    exact = knn_join(emb, queries, k=10)
     ann = lsh_topk_join(emb, _lsh_planes(), queries, k=10)
+    return recall_at_k(exact, ann, k=10)
+
+
+@query("ann_recall_multiprobe", _ann_recall_sql(probe_bits=1))
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall@10: the ANN side additionally probes all
+    buckets at Hamming distance 1 (each hyperplane sign flipped once) —
+    1 + n_planes probes per query, recovering neighbors that fell just
+    across one plane. Paired with ``ann_recall_at_10`` this measures
+    the recall-vs-scan trade of the probe width on real data rather
+    than guessing it."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_join,
+        lsh_topk_join,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = knn_join(emb, queries, k=10)
+    ann = lsh_topk_join(emb, _lsh_planes(), queries, k=10, probe_bits=1)
     return recall_at_k(exact, ann, k=10)
 
 
@@ -4662,4 +4690,204 @@ def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation pipeline (plans/curation_pipeline.py)
+# ---------------------------------------------------------------------------
+
+_CURATION_LANGS = ("en", "de", "fr", "es")
+
+
+def _curation_report_sql() -> str:
+    """Full staged DuckDB twin of ``curation_report``: planted exact
+    copies, sequential lang → exact → near-dup stages (the relational
+    stages re-run on each prior stage's survivors, exactly like the
+    Spark plan), set-independent gopher/contamination flags, one
+    CASE-precedence label, one counter row."""
+    langs = ", ".join(f"'{lang}'" for lang in _CURATION_LANGS)
+    return rf"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 20 = 0
+), s1 AS (SELECT * FROM corpus WHERE lang IN ({langs})),
+ch AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM s1
+), winners AS (SELECT min(doc_id) AS doc_id FROM ch GROUP BY h),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM s1 WHERE doc_id IN (SELECT doc_id FROM winners))
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+  WHERE i / (x.sz + y.sz - i)::DOUBLE >= 0.5
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), losers AS (
+  SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(d)) < s
+), gbase AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         str_split(text, chr(10)) AS lines
+  FROM corpus
+), gf AS (
+  SELECT doc_id,
+    (len(toks) BETWEEN 20 AND 100000)
+    AND (list_sum([len(x) for x in toks])::DOUBLE / greatest(len(toks), 1)
+         BETWEEN 3.0 AND 10.0)
+    AND (((len(text) - len(replace(text, '#', '')))
+          + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
+         / greatest(len(toks), 1) < 0.1)
+    AND (len([ln for ln in lines if starts_with(ln, '- ')
+              OR starts_with(ln, '* ') OR starts_with(ln, '• ')])::DOUBLE
+         / greatest(len(lines), 1) < 0.9)
+    AND (len([ln for ln in lines if ends_with(ln, '...')])::DOUBLE
+         / greatest(len(lines), 1) < 0.3)
+    AND ((len(lines) - len(list_distinct(lines)))::DOUBLE
+         / greatest(len(lines), 1) < 0.3) AS keep
+  FROM gbase
+), csh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shh
+  FROM (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(toks) >= 3
+           THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END)) AS s
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM corpus))
+), bsh AS (
+  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS shh
+  FROM (
+    SELECT unnest(list_distinct(
+      CASE WHEN len(toks) >= 3
+           THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END)) AS s
+    FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents WHERE doc_id % 97 = 0))
+), contam AS (
+  SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.shh = b.shh
+), labeled AS (
+  SELECT c.doc_id,
+    CASE WHEN c.lang NOT IN ({langs}) THEN 'lang'
+         WHEN c.doc_id NOT IN (SELECT doc_id FROM winners) THEN 'exact_dup'
+         WHEN c.doc_id IN (SELECT doc_id FROM losers) THEN 'near_dup'
+         WHEN NOT gf.keep THEN 'quality'
+         WHEN c.doc_id IN (SELECT doc_id FROM contam) THEN 'contaminated'
+         END AS dropped_at
+  FROM corpus c JOIN gf USING (doc_id)
+)
+SELECT count(*) AS n_input,
+       count(CASE WHEN dropped_at = 'lang' THEN 1 END) AS dropped_lang,
+       count(CASE WHEN dropped_at = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
+       count(CASE WHEN dropped_at = 'near_dup' THEN 1 END) AS dropped_near_dup,
+       count(CASE WHEN dropped_at = 'quality' THEN 1 END) AS dropped_quality,
+       count(CASE WHEN dropped_at = 'contaminated' THEN 1 END) AS dropped_contaminated,
+       count(CASE WHEN dropped_at IS NULL THEN 1 END) AS n_kept
+FROM labeled
+"""
+
+
+@query("curation_report", _curation_report_sql())
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus curation pipeline in ONE verified row:
+    lang filter → exact dedup (planted copies of every 20th doc) →
+    near-dup canonical keep → Gopher rules → decontamination vs a
+    doc_id%97 benchmark — per-stage attrition counters, sequential
+    stage semantics, single aggregate action. The DuckDB twin re-runs
+    the whole staged pipeline."""
+    from financial_data_pipeline_spark.plans.curation_pipeline import (
+        CurationConfig,
+        curation_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    copies = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(copies)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cfg = CurationConfig(lang_keep=_CURATION_LANGS, contamination_k=3)
+    return curation_report(corpus, cfg, bench)
+
+
+def _lsh_pair_recall_sql() -> str:
+    """One-row twin: exact jaccard≥0.5 pair count vs banded-LSH
+    candidate-verified pair count — candidate generation can only lose
+    pairs (bands are a recall filter), so recall = lsh/exact ≤ 1."""
+    lsh = _minhash_lsh_sql()
+    return rf"""
+WITH esh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+), esz AS (SELECT doc_id, count(*) AS sz FROM esh GROUP BY 1),
+einter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM esh a JOIN esh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), epairs AS (
+  SELECT id_a, id_b
+  FROM einter JOIN esz x ON x.doc_id = id_a JOIN esz y ON y.doc_id = id_b
+  WHERE i / (x.sz + y.sz - i)::DOUBLE >= 0.5
+), lsh_pairs AS (SELECT id_a, id_b FROM ({lsh}) t)
+SELECT (SELECT count(*) FROM epairs) AS n_exact,
+       (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+       round((SELECT count(*) FROM lsh_pairs)
+             / greatest((SELECT count(*) FROM epairs), 1)::DOUBLE,
+             4) AS recall
+"""
+
+
+@query("lsh_pair_recall", _lsh_pair_recall_sql())
+def q_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded-LSH candidate path against the
+    exact inverted-index near-dup pairs (both jaccard-verified at 0.5)
+    — the dedup twin of ``ann_recall_at_10``: band count / permutation
+    count are tuned against a measured number, not a guess. Both pair
+    frames are tiny (pairs, not docs), so the count comparison is
+    O(pairs)."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, k=3, threshold=0.5)
+    cand = lsh_candidates(docs, num_perm=16, bands=8)
+    lsh = jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        n_exact.crossJoin(n_lsh)
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.round(
+                F.col("n_lsh")
+                / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"),
+                4,
+            ).alias("recall"),
+        )
     )

@@ -221,3 +221,63 @@ def test_approx_percentiles_close_to_exact(spark):
         assert a["n_docs"] == e["n_docs"]
         for pa, pe in (("p50_approx", "p50"), ("p95_approx", "p95")):
             assert abs(a[pa] - e[pe]) <= max(0.05 * e[pe], 2.0)
+
+
+def test_curate_corpus_end_to_end(spark):
+    """The full curation pipeline front door: sequential stage
+    attrition adds up, kept set matches the labels, PII is redacted,
+    chunking bounds hold."""
+    from financial_data_pipeline_spark.plans.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    # plant: exact copies of every 10th doc, one PII-bearing doc
+    copies = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(copies).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 1,
+            F.concat(F.col("text"), F.lit(" mail me bob@example.com")),
+        ).otherwise(F.col("text")),
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cfg = CurationConfig(lang_keep=("en", "de", "fr", "es"), contamination_k=3)
+    out = curate_corpus(corpus, cfg, bench)
+
+    rep = out["report"].first().asDict()
+    n_input = corpus.count()
+    assert rep["n_input"] == n_input
+    drops = sum(v for k, v in rep.items() if k.startswith("dropped_"))
+    assert drops + rep["n_kept"] == n_input
+    # planted exact copies: dropped at lang (zh originals) or exact_dup,
+    # never kept
+    kept_ids = {r.doc_id for r in out["df"].select("doc_id").collect()}
+    assert not any(i >= 100000 for i in kept_ids)
+    assert rep["dropped_exact_dup"] > 0
+    assert len(kept_ids) == rep["n_kept"]
+    # labels agree with the kept frame
+    labeled_kept = {
+        r.doc_id
+        for r in out["labels"].filter(F.col("dropped_at").isNull()).collect()
+    }
+    assert labeled_kept == kept_ids
+    # PII redaction applied to survivors
+    if 1 in kept_ids:
+        t = out["df"].filter(F.col("doc_id") == 1).first()["text"]
+        assert "bob@example.com" not in t and "<EMAIL>" in t
+
+    # chunked variant: every chunk within size, all from kept docs
+    cfg2 = CurationConfig(
+        lang_keep=("en", "de", "fr", "es"),
+        contamination_k=3,
+        chunk_size=200,
+        chunk_overlap=50,
+    )
+    chunks = curate_corpus(corpus, cfg2, bench)["df"]
+    rows = chunks.select("doc_id", "chunk_len").collect()
+    assert rows and all(r.chunk_len <= 200 for r in rows)
+    assert {r.doc_id for r in rows} <= kept_ids

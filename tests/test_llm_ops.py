@@ -563,3 +563,27 @@ def test_nb_class_scores_matches_hand_computation(spark):
     exp1 = round((w(1, 1) + w(0, 1)) / 2, 4)
     assert out[0] == pytest.approx(exp0, abs=1e-4)
     assert out[1] == pytest.approx(exp1, abs=1e-4)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    planes = similarity.seeded_planes(6, 64, seed=7)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.knn_join(emb, queries, k=10)
+    r0 = {
+        r.query_id: r.hits
+        for r in similarity.recall_at_k(
+            exact, similarity.lsh_topk_join(emb, planes, queries, k=10), 10
+        ).collect()
+    }
+    r1 = {
+        r.query_id: r.hits
+        for r in similarity.recall_at_k(
+            exact,
+            similarity.lsh_topk_join(emb, planes, queries, k=10, probe_bits=1),
+            10,
+        ).collect()
+    }
+    # multi-probe candidates are a superset → per-query hits can only
+    # stay equal or rise, and recall must improve somewhere at 6 planes
+    assert all(r1[q] >= r0[q] for q in r0)
+    assert sum(r1.values()) > sum(r0.values())

@@ -480,3 +480,60 @@ def test_line_dedup_invariants(spark, docs):
                 seen.add(line)
                 kept.append(line)
         assert got[i] == "\n".join(kept), f"doc {i}"
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered files each cover a narrow range of EVERY z-column, so
+    parquet min/max stats skip most files for a point filter on either
+    column; a (a, b) lexicographic sort only achieves that for ``a``."""
+    from financial_data_pipeline_spark.operators import scale
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    n_files = 16
+    zpath = str(tmp_path / "zorder")
+    scale.zorder_write(li, zpath, ["l_partkey", "l_suppkey"], num_files=n_files)
+
+    lexpath = str(tmp_path / "lex")
+    li.repartitionByRange(n_files, "l_partkey", "l_suppkey").sortWithinPartitions(
+        "l_partkey", "l_suppkey"
+    ).write.mode("overwrite").parquet(lexpath)
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def containing_fraction(path, col, values):
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert len(files) >= n_files // 2  # range partitioner may fuse a few
+        hits = 0
+        for v in values:
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                rg0 = md.row_group(0)
+                idx = [
+                    rg0.column(i).path_in_schema
+                    for i in range(rg0.num_columns)
+                ].index(col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st.min <= v <= st.max:
+                        hits += 1
+                        break
+        return hits / (len(values) * len(files))
+
+    part_probes = [10, 50, 100, 150, 199]  # l_partkey spans 0..199
+    supp_probes = [1, 3, 5, 7, 9]  # l_suppkey spans 0..9
+    # partkey prunes under BOTH layouts (it leads the lex sort)
+    z_part = containing_fraction(zpath, "l_partkey", part_probes)
+    lex_part = containing_fraction(lexpath, "l_partkey", part_probes)
+    assert z_part < 0.75 and lex_part < 0.5
+    # suppkey prunes ONLY under the z-order layout: the lex sort leaves
+    # every file spanning ~the full suppkey range
+    z_supp = containing_fraction(zpath, "l_suppkey", supp_probes)
+    lex_supp = containing_fraction(lexpath, "l_suppkey", supp_probes)
+    assert lex_supp > 0.9
+    assert z_supp < 0.75
+    assert z_supp < lex_supp - 0.2

@@ -142,6 +142,9 @@ def main() -> None:
         "  V) are a ONE-row broadcast crossJoin onto the vocabulary-count",
         "  frame — O(vocab·1) scalar distribution, same shape as",
         "  `unigram_logprob`.",
+        "- `lsh_pair_recall` NESTED_LOOP_JOIN: the final row is the",
+        "  crossJoin of two ONE-row count aggregates (exact vs LSH pair",
+        "  counts) — an O(1) join.",
         "- `validation_report` / `validation_report_strict`",
         "  NESTED_LOOP_JOIN: the report row is assembled by crossJoining",
         "  four ONE-row aggregates (O(1) joins). The fact-side work is",
