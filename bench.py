@@ -120,6 +120,8 @@ HEADLINE = [
     "disjunctive_part_revenue",
     "curation_report",
     "lsh_pair_recall",
+    "discount_revenue_delta",
+    "priority_shipping_lag_counts",
 ]
 
 

@@ -4891,3 +4891,76 @@ def q_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "discount_revenue_delta",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS potential_revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_discount_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape (forecast revenue change): pure filter +
+    single-row aggregate, zero joins — the canonical predicate-pushdown
+    scan. All three predicates reach the parquet reader as
+    PushedFilters; the agg is a map-side partial + one-row final."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("potential_revenue")
+        )
+    )
+
+
+@query(
+    "priority_shipping_lag_counts",
+    """
+SELECT o.o_orderpriority,
+       count(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                  THEN 1 END) AS on_time_lines,
+       count(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+                  THEN 1 END) AS late_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1996-01-01' AND l.l_shipdate < DATE '1997-01-01'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q_priority_shipping_lag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (shipmode priority counts, re-keyed to the
+    priority column this dataset has): fact⋈fact join then TWO
+    conditional counts in one aggregate pass — the
+    count-by-case-in-one-scan pattern. The shipdate range prunes the
+    lineitem scan before the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(~late, 1)).alias("on_time_lines"),
+            F.count(F.when(late, 1)).alias("late_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
