@@ -122,6 +122,7 @@ HEADLINE = [
     "lsh_pair_recall",
     "discount_revenue_delta",
     "priority_shipping_lag_counts",
+    "ivf_recall_at_10",
 ]
 
 

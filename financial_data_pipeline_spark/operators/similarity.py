@@ -455,3 +455,69 @@ def recall_at_k(
             F.round(F.col("hits") / F.lit(float(k)), 4).alias("recall"),
         )
     )
+
+
+def ivf_topk_join(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Set-based IVF ANN: top-k neighbors for EVERY query row, scanning
+    only each query's ``nprobe`` nearest centroid cells (the batch form
+    of ``ivf_topk`` — no driver-side probe collect, so it composes into
+    one lazy plan and works for query sets of any size).
+
+    Output: (query_id, neighbor_id, cos_sim rounded 6), ranked by
+    (rounded cos desc, neighbor_id asc) — ``knn_join`` tie semantics,
+    directly comparable for recall.
+
+    Execution: probe selection is a (queries × centroids) broadcast
+    crossJoin + per-query window (centroid table is one row per cell —
+    tiny); the corpus then hash-joins the probe frame on the cell
+    label, so only rows in probed cells reach the distance math. The
+    corpus embedding column never shuffles; candidates (~nprobe/cells
+    of the corpus per query) shuffle for the final top-k window.
+    """
+    from pyspark.sql import Window
+
+    qside = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    cent = centroids.select(
+        F.col(label_col).alias("__cl"), F.col("centroid").alias("__cv")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("__cs"), F.asc("__cl")
+    )
+    probes = (
+        qside.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "__qv",
+            "__cl",
+            cosine(F.col("__cv"), F.col("__qv")).alias("__cs"),
+        )
+        .withColumn("__rn", F.row_number().over(wprobe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "__cl")
+    )
+    cand = corpus.join(
+        F.broadcast(probes), F.col(label_col) == F.col("__cl")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

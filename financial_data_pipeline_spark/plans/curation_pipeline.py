@@ -180,13 +180,15 @@ def curation_report(
     per-stage drop counts, survivors — the corpus twin of
     ``plans/report.report_counters`` (§1.3)."""
     labeled = curation_labels(docs, config, benchmark, text_col, id_col)
+    # count(when(...)) not sum(cast): count yields 0 (not NULL) for a
+    # stage that drops nothing, e.g. when the stage is toggled off
     agg = [F.count(F.lit(1)).alias("n_input")] + [
-        F.sum((F.col("dropped_at") == s).cast("long")).alias(f"dropped_{s}")
+        F.count(F.when(F.col("dropped_at") == s, 1)).alias(f"dropped_{s}")
         for s in STAGES
     ]
     return labeled.agg(
         *agg,
-        F.sum(F.col("dropped_at").isNull().cast("long")).alias("n_kept"),
+        F.count(F.when(F.col("dropped_at").isNull(), 1)).alias("n_kept"),
     )
 
 

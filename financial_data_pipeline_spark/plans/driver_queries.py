@@ -4964,3 +4964,70 @@ def q_priority_shipping_lag_counts(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "ivf_recall_at_10",
+    """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < 16
+), exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+), comp AS (SELECT label, pos, avg(x) AS c FROM exploded GROUP BY 1, 2),
+cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
+probes AS (
+  SELECT qid, label FROM cents, q
+  QUALIFY row_number() OVER (
+    PARTITION BY qid
+    ORDER BY list_cosine_similarity(centroid, q.qv) DESC, label ASC
+  ) <= 3
+), exact_k AS (
+  SELECT qid, e.vec_id AS nid
+  FROM embeddings e, q
+  QUALIFY row_number() OVER (
+    PARTITION BY qid
+    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+             e.vec_id ASC
+  ) <= 10
+), ann_k AS (
+  SELECT q.qid, e.vec_id AS nid
+  FROM embeddings e
+  JOIN probes p ON e.label = p.label
+  JOIN q ON q.qid = p.qid
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+             e.vec_id ASC
+  ) <= 10
+)
+SELECT e.qid AS query_id,
+       count(a.nid) AS hits,
+       round(count(a.nid) / 10.0, 4) AS recall
+FROM exact_k e
+LEFT JOIN ann_k a ON e.qid = a.qid AND e.nid = a.nid
+GROUP BY e.qid
+""",
+)
+def q_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the IVF index (3-probe, label cells)
+    against the exact k-NN join, per query — completes the harness
+    symmetry with ``ann_recall_at_10``/``ann_recall_multiprobe`` so
+    nprobe is tuned against a measured number. Probe selection is a
+    broadcast (queries × centroids) crossJoin + window — no driver
+    collect, unlike the single-query ``ivf_topk``."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk_join,
+        knn_join,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    cents = ivf_build_centroids(emb)
+    exact = knn_join(emb, queries, k=10)
+    ann = ivf_topk_join(emb, cents, queries, k=10, nprobe=3)
+    return recall_at_k(exact, ann, k=10)

@@ -281,3 +281,38 @@ def test_curate_corpus_end_to_end(spark):
     rows = chunks.select("doc_id", "chunk_len").collect()
     assert rows and all(r.chunk_len <= 200 for r in rows)
     assert {r.doc_id for r in rows} <= kept_ids
+
+
+def test_curation_config_stage_toggles(spark):
+    """Disabled stages drop nothing; the LSH candidate path labels the
+    same docs as the inverted-index path whenever its measured pair
+    recall is 1 (it is at this SF — see query lsh_pair_recall)."""
+    from financial_data_pipeline_spark.plans.curation_pipeline import (
+        CurationConfig,
+        curation_report,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    )
+
+    off = CurationConfig(
+        lang_keep=None,
+        exact_dedup=False,
+        near_dedup=False,
+        gopher=False,
+        decontaminate=False,
+        redact_pii=False,
+    )
+    rep = curation_report(corpus, off).first().asDict()
+    assert rep["n_kept"] == rep["n_input"]
+    assert all(v == 0 for k, v in rep.items() if k.startswith("dropped_"))
+
+    base = CurationConfig(lang_keep=("en",))
+    lsh = CurationConfig(lang_keep=("en",), use_lsh=True)
+    r_base = curation_report(corpus, base).first().asDict()
+    r_lsh = curation_report(corpus, lsh).first().asDict()
+    assert r_base == r_lsh

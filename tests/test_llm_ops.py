@@ -587,3 +587,24 @@ def test_multiprobe_recall_dominates_single_probe(spark, emb):
     # stay equal or rise, and recall must improve somewhere at 6 planes
     assert all(r1[q] >= r0[q] for q in r0)
     assert sum(r1.values()) > sum(r0.values())
+
+
+def test_ivf_topk_join_matches_single_query_operator(spark, emb):
+    cents = similarity.ivf_build_centroids(emb)
+    queries = emb.filter(F.col("vec_id") < 4)
+    batch = similarity.ivf_topk_join(emb, cents, queries, k=5, nprobe=2)
+    rows = batch.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3}
+    for qid in range(4):
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        single = {
+            r.vec_id
+            for r in similarity.ivf_topk(
+                emb, cents, qvec, k=5, nprobe=2
+            ).collect()
+        }
+        got = {r.neighbor_id for r in rows if r.query_id == qid}
+        assert got == single

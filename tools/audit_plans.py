@@ -145,6 +145,10 @@ def main() -> None:
         "- `lsh_pair_recall` NESTED_LOOP_JOIN: the final row is the",
         "  crossJoin of two ONE-row count aggregates (exact vs LSH pair",
         "  counts) — an O(1) join.",
+        "- `ivf_recall_at_10` NESTED_LOOP_JOIN: IVF probe selection is",
+        "  the (queries × centroids) broadcast crossJoin — O(16 · cells)",
+        "  rows against a one-row-per-cell centroid table, then a",
+        "  window keeps nprobe per query. By design (no driver collect).",
         "- `validation_report` / `validation_report_strict`",
         "  NESTED_LOOP_JOIN: the report row is assembled by crossJoining",
         "  four ONE-row aggregates (O(1) joins). The fact-side work is",
