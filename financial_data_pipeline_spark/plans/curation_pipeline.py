@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from financial_data_pipeline_spark.operators import curation, dedup
@@ -61,9 +61,20 @@ class CurationConfig:
     chunk_size: int | None = None  # tokens per chunk; None = no chunking
     chunk_overlap: int = 0
     gopher_kwargs: dict = field(default_factory=dict)
+    # optional NB classifier stage: drop docs whose self-trained
+    # Naive-Bayes avg token log-odds (text.nb_class_scores, weak label
+    # supplied by the caller) falls below this; None = stage off
+    nb_min_score: float | None = None
 
 
-STAGES = ("lang", "exact_dup", "near_dup", "quality", "contaminated")
+STAGES = (
+    "lang",
+    "exact_dup",
+    "near_dup",
+    "quality",
+    "classifier",
+    "contaminated",
+)
 
 
 def curation_labels(
@@ -72,9 +83,12 @@ def curation_labels(
     benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    nb_label: Column | None = None,
 ) -> DataFrame:
     """``docs`` + ``dropped_at`` (first dropping stage, or NULL=kept).
 
+    ``nb_label``: weak boolean label column for the optional NB
+    classifier stage (active when ``config.nb_min_score`` is set).
     Lazy — no action is triggered; callers filter or aggregate it.
     """
     # --- stage 1: language filter (map-only) -----------------------------
@@ -126,6 +140,19 @@ def curation_labels(
     # independent, so the flag is derived join-free on the labeled frame
     # below rather than via a survivor-set computation.
 
+    # --- stage 4b: NB classifier (trained on the FULL input corpus —
+    # deterministic and set-independent like gopher) ------------------
+    clf_ids = None
+    if config.nb_min_score is not None and nb_label is not None:
+        from financial_data_pipeline_spark.operators.text import (
+            nb_class_scores,
+        )
+
+        scores = nb_class_scores(docs, nb_label, text_col, id_col)
+        clf_ids = scores.filter(
+            F.col("avg_log_odds") < config.nb_min_score
+        ).select(id_col)
+
     # --- stage 5: contamination (per-doc vs benchmark, set-independent) --
     contam_ids = None
     if config.decontaminate and benchmark is not None:
@@ -156,6 +183,7 @@ def curation_labels(
 
     _flag(exact_losers, "__exact")
     _flag(near_losers, "__near")
+    _flag(clf_ids, "__clf")
     _flag(contam_ids, "__contam")
 
     dropped_at = (
@@ -163,6 +191,7 @@ def curation_labels(
         .when(F.col("__exact"), F.lit("exact_dup"))
         .when(F.col("__near"), F.lit("near_dup"))
         .when(quality_fail_col, F.lit("quality"))
+        .when(F.col("__clf"), F.lit("classifier"))
         .when(F.col("__contam"), F.lit("contaminated"))
     )
     keep_cols = [*docs.columns, "dropped_at"]
@@ -175,11 +204,14 @@ def curation_report(
     benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    nb_label: Column | None = None,
 ) -> DataFrame:
     """ONE-row attrition report over the labeled frame: input size,
     per-stage drop counts, survivors — the corpus twin of
     ``plans/report.report_counters`` (§1.3)."""
-    labeled = curation_labels(docs, config, benchmark, text_col, id_col)
+    labeled = curation_labels(
+        docs, config, benchmark, text_col, id_col, nb_label
+    )
     # count(when(...)) not sum(cast): count yields 0 (not NULL) for a
     # stage that drops nothing, e.g. when the stage is toggled off
     agg = [F.count(F.lit(1)).alias("n_input")] + [
@@ -198,11 +230,14 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    nb_label: Column | None = None,
 ) -> dict:
     """Run the pipeline; return ``{"df": curated, "labels": labeled,
     "report": one-row report DataFrame}`` — all lazy (the caller
     decides which to act on; the report is a single aggregate job)."""
-    labeled = curation_labels(docs, config, benchmark, text_col, id_col)
+    labeled = curation_labels(
+        docs, config, benchmark, text_col, id_col, nb_label
+    )
     kept = labeled.filter(F.col("dropped_at").isNull()).select(*docs.columns)
     if config.redact_pii:
         kept = curation.pii_redact(kept, text_col).select(*docs.columns)
@@ -216,5 +251,7 @@ def curate_corpus(
     return {
         "df": kept,
         "labels": labeled,
-        "report": curation_report(docs, config, benchmark, text_col, id_col),
+        "report": curation_report(
+            docs, config, benchmark, text_col, id_col, nb_label
+        ),
     }

@@ -4798,6 +4798,7 @@ SELECT count(*) AS n_input,
        count(CASE WHEN dropped_at = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
        count(CASE WHEN dropped_at = 'near_dup' THEN 1 END) AS dropped_near_dup,
        count(CASE WHEN dropped_at = 'quality' THEN 1 END) AS dropped_quality,
+       count(CASE WHEN dropped_at = 'classifier' THEN 1 END) AS dropped_classifier,
        count(CASE WHEN dropped_at = 'contaminated' THEN 1 END) AS dropped_contaminated,
        count(CASE WHEN dropped_at IS NULL THEN 1 END) AS n_kept
 FROM labeled

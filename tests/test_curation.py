@@ -316,3 +316,37 @@ def test_curation_config_stage_toggles(spark):
     r_base = curation_report(corpus, base).first().asDict()
     r_lsh = curation_report(corpus, lsh).first().asDict()
     assert r_base == r_lsh
+
+
+def test_nb_classifier_stage_drops_low_scorers(spark):
+    """With nb_min_score set, docs whose self-trained NB log-odds fall
+    below the threshold drop at 'classifier' — unless an earlier stage
+    already claimed them (precedence)."""
+    from financial_data_pipeline_spark.operators.text import nb_class_scores
+    from financial_data_pipeline_spark.plans.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "lang")
+    label = F.col("lang") == "en"
+    cfg = CurationConfig(
+        lang_keep=None,
+        decontaminate=False,
+        nb_min_score=0.0,
+    )
+    out = curate_corpus(docs, cfg, nb_label=label)
+    rep = out["report"].first().asDict()
+    assert rep["dropped_classifier"] > 0
+    assert rep["n_input"] == rep["n_kept"] + sum(
+        v for k, v in rep.items() if k.startswith("dropped_")
+    )
+    # every kept doc scores >= threshold
+    kept_ids = {r.doc_id for r in out["df"].select("doc_id").collect()}
+    low = {
+        r.doc_id
+        for r in nb_class_scores(docs, label)
+        .filter(F.col("avg_log_odds") < 0.0)
+        .collect()
+    }
+    assert kept_ids.isdisjoint(low)
