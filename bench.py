@@ -123,6 +123,7 @@ HEADLINE = [
     "discount_revenue_delta",
     "priority_shipping_lag_counts",
     "ivf_recall_at_10",
+    "events_grouping_sets",
 ]
 
 

@@ -5032,3 +5032,39 @@ def q_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_join(emb, queries, k=10)
     ann = ivf_topk_join(emb, cents, queries, k=10, nprobe=3)
     return recall_at_k(exact, ann, k=10)
+
+
+@query(
+    "events_grouping_sets",
+    """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(strftime(ts, '%Y-%m'), '(all)') AS month,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       GROUPING(event_type, strftime(ts, '%Y-%m')) AS gid
+FROM events
+GROUP BY GROUPING SETS ((event_type, strftime(ts, '%Y-%m')),
+                        (event_type), (strftime(ts, '%Y-%m')))
+""",
+)
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither cube nor rollup: the three sets
+    (type, month), (type), (month) — no grand total) in ONE Expand+agg
+    pass, with ``grouping_id()`` distinguishing the aggregation level
+    (bit order = grouping-column order, identical in both engines).
+    Declared via Spark SQL — the declarative surface is part of the
+    engine's API, and Catalyst plans it as the same single Expand."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(date_format(ts, 'yyyy-MM'), '(all)') AS month,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value,
+               cast(grouping_id() AS int) AS gid
+        FROM __events_gs
+        GROUP BY GROUPING SETS ((event_type, date_format(ts, 'yyyy-MM')),
+                                (event_type), (date_format(ts, 'yyyy-MM')))
+        """
+    )
