@@ -124,6 +124,7 @@ HEADLINE = [
     "priority_shipping_lag_counts",
     "ivf_recall_at_10",
     "events_grouping_sets",
+    "semantic_dedup",
 ]
 
 

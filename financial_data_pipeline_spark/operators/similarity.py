@@ -521,3 +521,34 @@ def ivf_topk_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    max_side_rows: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: ``df`` minus embedding
+    near-duplicates — within each connected component of the
+    cosine≥threshold pair graph only the min-id row survives.
+
+    Composition of the shipped pieces: ``cosine_pairs`` (blocked BLAS
+    kernels when ``block_col`` is given — the 100 TB path; guarded
+    exact all-pairs otherwise) → ``dedup.dedup_clusters`` (size-
+    adaptive connected components) → anti-join of the cluster losers.
+    The pair graph is tiny relative to the corpus (near-dups are the
+    exception), so everything after the pair join is O(pairs).
+    """
+    from financial_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = cosine_pairs(
+        df, threshold, vec_col, id_col, block_col, max_side_rows
+    )
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

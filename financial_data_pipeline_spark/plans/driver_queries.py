@@ -5068,3 +5068,56 @@ def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (event_type), (date_format(ts, 'yyyy-MM')))
         """
     )
+
+
+def _semantic_dedup_sql() -> str:
+    """Blocked-pair graph + recursive closure + anti join — the full
+    SemDeDup twin on the same 4-plane blocks as
+    ``embedding_pairs_blocked``."""
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
+            lits=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(_pair_block_planes())
+    )
+    return f"""
+WITH RECURSIVE b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, v, {bucket} AS bucket FROM b),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.v, c.v) >= 0.45
+), e AS (
+  SELECT id_a AS s, id_b AS d FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+), reach(s, d) AS (
+  SELECT s, d FROM e
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s
+), losers AS (
+  SELECT s FROM reach GROUP BY s HAVING least(s, min(d)) < s
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT s FROM losers)
+"""
+
+
+@query("semantic_dedup", _semantic_dedup_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end: LSH-blocked cosine pair graph (4 seeded
+    hyperplanes, threshold 0.45 on this synthetic corpus) → connected
+    components → keep the min-id representative per component. The
+    embedding twin of ``keep_canonical_docs``; oracle re-runs blocked
+    pairs + recursive closure + anti join."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = emb.withColumn(
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    )
+    return semantic_dedup(blocked, threshold=0.45, block_col="block").select(
+        "vec_id"
+    )

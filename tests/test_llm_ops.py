@@ -608,3 +608,17 @@ def test_ivf_topk_join_matches_single_query_operator(spark, emb):
         }
         got = {r.neighbor_id for r in rows if r.query_id == qid}
         assert got == single
+
+
+def test_semantic_dedup_removes_planted_near_identical(spark, emb):
+    base = emb.select("vec_id", "embedding")
+    clone = base.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(9999).cast("long")
+    )
+    corpus = base.unionByName(clone)
+    out = similarity.semantic_dedup(corpus, threshold=0.99)
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    # the exact clone clusters with vec 0; min id (0) survives
+    assert 0 in kept and 9999 not in kept
+    # nothing else should pair at cos >= 0.99 in this corpus
+    assert len(kept) == base.count()
