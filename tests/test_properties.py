@@ -537,3 +537,55 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     assert lex_supp > 0.9
     assert z_supp < 0.75
     assert z_supp < lex_supp - 0.2
+
+
+@settings(deadline=None, max_examples=15)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=1,
+                max_size=6,
+            ),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=12,
+    ).filter(
+        lambda rows: any(y for _, y in rows) and any(not y for _, y in rows)
+    )
+)
+def test_nb_class_scores_matches_pure_python_reference(spark, rows):
+    """Differential: the one-pass Spark NB scorer equals a direct
+    Python computation of the Laplace-smoothed multinomial log-odds on
+    arbitrary tiny corpora (both classes nonempty by construction)."""
+    import math
+    from collections import Counter
+
+    from financial_data_pipeline_spark.operators.text import nb_class_scores
+
+    docs = [(i, " ".join(toks), y) for i, (toks, y) in enumerate(rows)]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "y"])
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_log_odds)
+        for r in nb_class_scores(df, F.col("y")).collect()
+    }
+
+    cpos, cneg = Counter(), Counter()
+    for _, text, y in docs:
+        (cpos if y else cneg).update(text.split())
+    vocab = set(cpos) | set(cneg)
+    tpos, tneg, v = sum(cpos.values()), sum(cneg.values()), len(vocab)
+
+    def w(tok):
+        return math.log((cpos[tok] + 1) / (tpos + v)) - math.log(
+            (cneg[tok] + 1) / (tneg + v)
+        )
+
+    for i, text, _ in docs:
+        toks = text.split()
+        exp = sum(w(t) for t in toks) / len(toks)
+        n, score = got[i]
+        assert n == len(toks)
+        assert abs(score - round(exp, 4)) <= 1e-4
