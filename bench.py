@@ -125,6 +125,8 @@ HEADLINE = [
     "ivf_recall_at_10",
     "events_grouping_sets",
     "semantic_dedup",
+    "exact_dedup_keep2",
+    "trimmed_mean_prices",
 ]
 
 

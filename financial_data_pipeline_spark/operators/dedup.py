@@ -174,6 +174,33 @@ def exact_dedup_filter(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def exact_dedup_keep_n(
+    df: DataFrame,
+    keep_n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-capped dedup: keep at most ``keep_n`` copies per exact
+    content hash (lowest ids win) — the CommonCrawl-style URL/content
+    policy where limited duplication is a signal worth keeping but
+    unbounded boilerplate is not. ``keep_n=1`` ≡ ``exact_dedup_filter``.
+
+    One shuffle on the 8-byte content hash; the rank window runs inside
+    each (small) hash group, so no global sort and no skew beyond what
+    a degenerate hash bucket already implies (AQE splits those).
+    """
+    from pyspark.sql import Window
+
+    h = _hash60(F.col(text_col))
+    w = Window.partitionBy("__ch").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__ch", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= keep_n)
+        .drop("__ch", "__rn")
+    )
+
+
 def line_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -5121,3 +5121,87 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(blocked, threshold=0.45, block_col="block").select(
         "vec_id"
     )
+
+
+@query(
+    "exact_dedup_keep2",
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 14 = 0
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS ch
+  FROM corpus
+)
+SELECT doc_id FROM h
+QUALIFY row_number() OVER (PARTITION BY ch ORDER BY doc_id ASC) <= 2
+""",
+)
+def q_exact_dedup_keep2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-capped exact dedup (keep ≤2 copies per content hash,
+    lowest ids win): every 7th doc planted twice more, so hash groups
+    of size 1, 2 and 3 are all exercised — the 3rd copy drops, the 2nd
+    survives."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        exact_dedup_keep_n,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 14 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 200000
+        )
+    )
+    return exact_dedup_keep_n(corpus, keep_n=2).select("doc_id")
+
+
+@query(
+    "trimmed_mean_prices",
+    """
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       count(*) AS n_used,
+       round(avg(l.l_extendedprice), 4) AS trimmed_avg_price
+FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+WHERE l.l_extendedprice >= c.lo AND l.l_extendedprice <= c.hi
+GROUP BY l.l_returnflag
+""",
+)
+def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (5%-quantile-trimmed) mean price per return flag: exact
+    interpolated percentile cutoffs per group (a distributed aggregate
+    — Spark ``percentile`` ≡ DuckDB ``quantile_cont``, parity already
+    pinned by ``iqr_clip``), broadcast the 3-row cutoff table back,
+    filter, aggregate. Deliberately NOT a per-group percent_rank
+    window: partitioning 600 M rows into 3 window groups is the
+    single-partition trap — the two-pass agg+join keeps every stage
+    distributed at any group cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        li.join(F.broadcast(cuts), on="l_returnflag")
+        .filter(
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") <= F.col("hi"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_used"),
+            F.round(F.avg("l_extendedprice"), 4).alias("trimmed_avg_price"),
+        )
+    )

@@ -622,3 +622,16 @@ def test_semantic_dedup_removes_planted_near_identical(spark, emb):
     assert 0 in kept and 9999 not in kept
     # nothing else should pair at cos >= 0.99 in this corpus
     assert len(kept) == base.count()
+
+
+def test_exact_dedup_keep_n_caps_copies(spark):
+    rows = [(i, "same text") for i in range(5)] + [(10, "unique")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {
+        r.doc_id for r in dedup.exact_dedup_keep_n(df, keep_n=2).collect()
+    }
+    assert kept == {0, 1, 10}  # lowest 2 of the 5 copies + the unique
+    kept1 = {
+        r.doc_id for r in dedup.exact_dedup_keep_n(df, keep_n=1).collect()
+    }
+    assert kept1 == {0, 10}  # keep_n=1 == exact_dedup_filter
