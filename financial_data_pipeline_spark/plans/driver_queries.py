@@ -3287,6 +3287,70 @@ def q_distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "distinct_users_weekly_sketch",
+    """
+SELECT date_trunc('week', ts)::DATE::VARCHAR AS week,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def q_distinct_users_weekly_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the 100 TB pre-aggregation contract):
+    build per-DAY DataSketches HLL sketches of user_id — the table you
+    would persist — then serve the WEEKLY grain by unioning the daily
+    sketches (``hll_union_agg``), never re-scanning the raw events.
+    Unlike ``approx_count_distinct`` partials, these sketches are a
+    user-visible column: any coarser grain (month, all-time) is one
+    more union over the same persisted bytes. At lg_k=14 the sketch
+    stays in exact coupon mode up to ~4k distincts per group, so the
+    estimate equals DuckDB's exact COUNT(DISTINCT) at gate SF — a
+    value-compared oracle for a sketch pipeline; the error-bound past
+    exact mode and the union≡whole-scan property are pinned in
+    ``tests/test_llm_ops.py``."""
+    from financial_data_pipeline_spark.operators import sketches
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketches.distinct_sketches(
+        ev.withColumn("day", F.to_date("ts")), ["day"], "user_id"
+    )
+    weekly = sketches.rollup_sketches(
+        daily.withColumn(
+            "week", F.date_trunc("week", "day").cast("date").cast("string")
+        ),
+        ["week"],
+    )
+    return sketches.estimate(weekly, out_col="n_users")
+
+
+@query(
+    "events_props_variant",
+    """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+         AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction via the VARIANT type (Spark 4 binary
+    JSON): ``parse_json`` once, then any number of ``variant_get``
+    field reads against the decoded binary — the lakehouse upgrade
+    over per-path ``get_json_object`` re-parses (``events_props_json``
+    is the query-time fallback; variant is what you persist at ingest
+    so 100 TB scans never re-tokenize JSON text). Both extractions stay
+    JVM-side codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
     "purchase_view_full_outer",
     """
 SELECT coalesce(p.user_id, v.user_id) AS user_id,

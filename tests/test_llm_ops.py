@@ -635,3 +635,50 @@ def test_exact_dedup_keep_n_caps_copies(spark):
         r.doc_id for r in dedup.exact_dedup_keep_n(df, keep_n=1).collect()
     }
     assert kept1 == {0, 10}  # keep_n=1 == exact_dedup_filter
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+from financial_data_pipeline_spark.operators import sketches
+
+
+def test_sketch_exact_in_coupon_mode_and_rollup_equals_rescan(spark):
+    # 3 groups x 300 distinct keys each, plus overlap across groups —
+    # well inside lg_k=14 coupon mode, so estimates must be EXACT, and
+    # the weekly rollup must equal a direct whole-scan sketch.
+    sizes = {"a": 300, "b": 251, "c": 407}
+    rows = [(g, k) for g, n in sizes.items() for k in range(n)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    daily = sketches.distinct_sketches(df, ["grp"], "key")
+    est = {
+        r.grp: r.n_distinct
+        for r in sketches.estimate(daily).collect()
+    }
+    exact = {
+        r.grp: r.n
+        for r in df.groupBy("grp").agg(F.countDistinct("key").alias("n")).collect()
+    }
+    assert est == exact
+    # rollup of per-group sketches == sketch of the whole frame
+    total = sketches.estimate(
+        sketches.rollup_sketches(daily.withColumn("all", F.lit(1)), ["all"])
+    ).collect()[0].n_distinct
+    whole = sketches.estimate(
+        sketches.distinct_sketches(df.withColumn("all", F.lit(1)), ["all"], "key")
+    ).collect()[0].n_distinct
+    assert total == whole
+    assert total == df.select("key").distinct().count()
+
+
+def test_sketch_error_bound_past_coupon_mode(spark):
+    # 60k distincts saturates lg_k=12 into HLL mode: estimate is no
+    # longer exact but must stay within ~3x the theoretical RSE
+    # (1.04 / sqrt(2^12) ~= 1.6%).
+    n = 60_000
+    df = spark.range(n).withColumn("grp", F.lit(1))
+    est = sketches.estimate(
+        sketches.distinct_sketches(df, ["grp"], "id", lg_k=12)
+    ).collect()[0].n_distinct
+    assert abs(est - n) / n < 0.05
