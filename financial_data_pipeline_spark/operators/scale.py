@@ -135,3 +135,30 @@ def zorder_write(
     out.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def enable_runtime_bloom_filters(
+    spark, application_side_scan_threshold: str = "10GB"
+) -> None:
+    """Opt into Catalyst's runtime semi-join reduction for shuffle
+    joins: when one side of an equi-join carries a selective filter,
+    the optimizer aggregates that side's join keys into a Bloom filter
+    (``BloomFilterAggregate``) and injects ``might_contain`` onto the
+    other side's scan — non-matching fact rows die BEFORE the shuffle,
+    which at 100 TB is the difference between shuffling the whole fact
+    table and shuffling the ~matching slice. Broadcast joins don't need
+    it (the hash table itself filters); this fires exactly where it
+    pays: sort-merge/shuffled-hash joins too big to broadcast.
+
+    The feature is on by default (``spark.sql.optimizer.runtime
+    .bloomFilter.enabled``) but gated by an application-side scan-size
+    threshold of 10 GB — right for production, never reached in local
+    tests. This helper pins the production default explicitly and lets
+    tests lower the gate to observe the injected filter
+    (``tests/test_properties.py::test_runtime_bloom_filter_injected``).
+    """
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        application_side_scan_threshold,
+    )

@@ -589,3 +589,55 @@ def test_nb_class_scores_matches_pure_python_reference(spark, rows):
         n, score = got[i]
         assert n == len(toks)
         assert abs(score - round(exp, 4)) <= 1e-4
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Scale contract: a selective dim-side filter on a SHUFFLE join
+    injects a Bloom semi-join filter (`might_contain`) onto the fact
+    scan, killing non-matching rows before the exchange. Gated in prod
+    by a 10 GB fact-scan threshold; lowered to 0 here to observe the
+    plan. Result equality vs the unfiltered plan is asserted too."""
+    from financial_data_pipeline_spark.operators import scale
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    sf = "/root/testdata/sf0.001"
+    before = {
+        "bcast": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "gate": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        scale.enable_runtime_bloom_filters(
+            spark, application_side_scan_threshold="0"
+        )
+        o = load_table(spark, sf, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized
+        with_bloom = j.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before["bcast"])
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            before["gate"],
+        )
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf, "lineitem")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, with_bloom)) == sorted(map(tuple, plain))
