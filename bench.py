@@ -127,6 +127,8 @@ HEADLINE = [
     "semantic_dedup",
     "exact_dedup_keep2",
     "trimmed_mean_prices",
+    "distinct_users_weekly_sketch",
+    "events_props_variant",
 ]
 
 
