@@ -129,6 +129,8 @@ HEADLINE = [
     "trimmed_mean_prices",
     "distinct_users_weekly_sketch",
     "events_props_variant",
+    "sql_top_nations_by_year",
+    "kfold_counts",
 ]
 
 

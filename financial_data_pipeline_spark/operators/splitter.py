@@ -216,3 +216,27 @@ def sliding_windows(
         )
     )
     return out
+
+
+def kfold_split(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment (cross-validation twin of SP2).
+
+    Fold = portable md5-prefix hash of the id mod ``k`` — the same
+    engine- and partitioning-independent recipe as
+    ``curation.stratified_sample``, so folds are reproducible across
+    runs, clusters, AND engines (the DuckDB oracle recomputes exact
+    membership). Map-only: no shuffle, no RNG state; each fold's
+    train/test views are two filters off one scan. Folds partition the
+    input exactly (disjoint, exhaustive) and are ~uniform in
+    expectation; unlike ``randomSplit`` there is no per-partition
+    sampling drift.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return df.withColumn(fold_col, (h % k).cast("int"))

@@ -5269,3 +5269,61 @@ def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("trimmed_avg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door + k-fold splitter
+# ---------------------------------------------------------------------------
+
+_TOP_NATIONS_SQL = """
+SELECT yr, n_name, n_orders, rnk FROM (
+  SELECT yr, n_name, n_orders,
+         rank() OVER (PARTITION BY yr ORDER BY n_orders DESC, n_name)
+           AS rnk
+  FROM (SELECT year(o.o_orderdate) AS yr, n.n_name, count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2) a) b
+WHERE rnk <= 3
+"""
+
+
+@query("sql_top_nations_by_year", _TOP_NATIONS_SQL)
+def q_sql_top_nations_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door (``plans/sql_frontdoor.py``): the IDENTICAL
+    ANSI text runs as the Spark plan and as the DuckDB oracle — proof
+    that a SQL-only user (the reference's Postgres audience) reaches
+    the same engine: text → Catalyst → the same pushdown/broadcast/AQE
+    as every DataFrame plan here. Rank key is an exact integer count
+    (never a float sum) so ordering is engine-stable; n_name breaks
+    ties."""
+    from financial_data_pipeline_spark.plans import sql_frontdoor
+
+    sql_frontdoor.register_views(spark, sf_dir)
+    return sql_frontdoor.sql(spark, _TOP_NATIONS_SQL)
+
+
+@query(
+    "kfold_counts",
+    """
+SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 5)::INT
+         AS fold,
+       count(*) AS n
+FROM documents GROUP BY 1
+""",
+)
+def q_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment
+    (``splitter.kfold_split``): portable md5-bucket fold id — map-only,
+    no RNG, reproducible across engines (the oracle recomputes exact
+    membership) and across partitionings. Disjoint/exhaustive/stability
+    invariants pinned in ``tests/test_normalize_split.py``."""
+    from financial_data_pipeline_spark.operators.splitter import kfold_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        kfold_split(docs, k=5, id_col="doc_id")
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -140,3 +140,25 @@ def test_chronological_split_distributed_exact_equivalence(spark, ohlcv_df):
     plan = tr1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_kfold_split_partitions_deterministically(spark):
+    from financial_data_pipeline_spark.operators.splitter import kfold_split
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    k = 5
+    folded = kfold_split(df, k=k, id_col="doc_id")
+    sizes = {r.fold: r.n for r in folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # exhaustive + disjoint: one fold per row, all folds present
+    assert sum(sizes.values()) == 1000
+    assert set(sizes) == set(range(k))
+    # ~uniform in expectation (loose bound: 3x spread)
+    assert min(sizes.values()) > 100 and max(sizes.values()) < 300
+    # stable under repartitioning (no RNG / partition dependence)
+    a = {(r.doc_id, r.fold) for r in folded.collect()}
+    b = {
+        (r.doc_id, r.fold)
+        for r in kfold_split(df.repartition(17), k=k, id_col="doc_id").collect()
+    }
+    assert a == b
