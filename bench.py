@@ -131,6 +131,8 @@ HEADLINE = [
     "events_props_variant",
     "sql_top_nations_by_year",
     "kfold_counts",
+    "realized_vol_daily",
+    "max_drawdown",
 ]
 
 

@@ -336,3 +336,67 @@ def volume_profile(
         )
     )
     return out
+
+
+def log_return(
+    col: str | Column = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> Column:
+    """Per-period log return ln(p_t / p_{t-1}) — the additive twin of
+    ``pct_change`` (log returns sum across periods, so any coarser
+    horizon is an agg over this column, no re-windowing). Null head per
+    group; non-positive prices yield null (ln undefined), matching SQL
+    semantics in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.log(c / lag_col(c, by=by, ts=ts))
+
+
+def realized_volatility(
+    df: DataFrame,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Daily realized volatility: sqrt(sum r²) over each day's
+    intraday log returns — the standard model-free vol estimate
+    (Andersen-Bollerslev realized variance). One lag window per group
+    + one (group, day) aggregate; the window partitions by symbol so
+    it scales with symbols × days, never a global sort."""
+    by = list(by)
+    r = log_return(price_col, by=by, ts=ts)
+    return (
+        df.withColumn("__r", r)
+        .groupBy(*by, F.to_date(ts).alias("day"))
+        .agg(
+            F.sqrt(F.sum(F.col("__r") * F.col("__r"))).alias("realized_vol"),
+            F.count("__r").alias("n_returns"),
+        )
+    )
+
+
+def max_drawdown(
+    df: DataFrame,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Maximum drawdown per group: max over t of
+    1 - price_t / runmax(price)_t, via a running-max window
+    (UNBOUNDED PRECEDING .. CURRENT ROW) then a plain max — the
+    peak-to-trough risk number every portfolio report carries. The
+    running max partitions by symbol (bounded state per group, no
+    global order); drawdown of a monotone-rising series is 0."""
+    by = list(by)
+    p = F.col(price_col)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = 1 - p / F.max(p).over(w)
+    return (
+        df.withColumn("__dd", dd)
+        .groupBy(*by)
+        .agg(F.max("__dd").alias("max_drawdown"))
+    )

@@ -5327,3 +5327,60 @@ def q_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "realized_vol_daily",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+)
+SELECT symbol, timestamp::DATE::VARCHAR AS day,
+       round(sqrt(sum(r * r)), 6) AS realized_vol,
+       count(r) AS n_returns
+FROM r GROUP BY symbol, 2
+""",
+)
+def q_realized_vol_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility from intraday log returns
+    (``indicators.realized_volatility``): the additive-return twin of
+    the pct_change family — sqrt(Σr²) per (symbol, day). First bar of
+    each symbol contributes a null return (count excludes it)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.realized_volatility(bars)
+    return out.select(
+        "symbol",
+        F.col("day").cast("string").alias("day"),
+        F.round("realized_vol", 6).alias("realized_vol"),
+        "n_returns",
+    )
+
+
+@query(
+    "max_drawdown",
+    BARS_CTE
+    + """
+SELECT symbol,
+       round(max(1 - close / peak), 6) AS max_drawdown
+FROM (SELECT symbol, close,
+             max(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS peak
+      FROM bars)
+GROUP BY symbol
+""",
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-trough max drawdown per symbol via a running-max window
+    (``indicators.max_drawdown``) — the portfolio-risk companion of the
+    indicator family; running state is bounded per symbol (no global
+    order)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.max_drawdown(bars)
+    return out.select(
+        "symbol", F.round("max_drawdown", 6).alias("max_drawdown")
+    )

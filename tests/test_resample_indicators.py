@@ -158,3 +158,41 @@ def test_volume_profile_matches_numpy(spark, ohlcv_pdf):
     nz = hist > 0
     assert np.allclose(got["volume"].values, hist[nz], rtol=1e-9)
     assert np.allclose(got["price_level"].values, centers[nz], rtol=1e-9)
+
+
+def test_max_drawdown_known_path(spark):
+    # prices: 10 -> 12 (peak) -> 6 (trough, dd=0.5) -> 11 (dd vs 12)
+    import datetime as dt
+
+    rows = [
+        ("A", dt.datetime(2025, 1, 1, h), float(p))
+        for h, p in enumerate([10, 12, 6, 11])
+    ] + [("B", dt.datetime(2025, 1, 1, h), float(p)) for h, p in enumerate([1, 2, 3])]
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+    out = {r.symbol: r.max_drawdown for r in indicators.max_drawdown(df).collect()}
+    assert abs(out["A"] - 0.5) < 1e-12
+    assert out["B"] == 0.0  # monotone rising: no drawdown
+
+
+def test_realized_vol_matches_pandas(spark, ohlcv_pdf):
+    got = (
+        indicators.realized_volatility(
+            spark.createDataFrame(ohlcv_pdf), price_col="close"
+        )
+        .toPandas()
+        .sort_values(["symbol", "day"])
+        .reset_index(drop=True)
+    )
+    pdf = ohlcv_pdf.sort_values(["symbol", "timestamp"]).copy()
+    pdf["r"] = np.log(
+        pdf.groupby("symbol")["close"].apply(lambda s: s / s.shift(1)).values
+    )
+    pdf["day"] = pdf["timestamp"].dt.date
+    exp = (
+        pdf.groupby(["symbol", "day"])["r"]
+        .apply(lambda s: float(np.sqrt((s.dropna() ** 2).sum())))
+        .reset_index(name="realized_vol")
+        .sort_values(["symbol", "day"])
+        .reset_index(drop=True)
+    )
+    assert np.allclose(got["realized_vol"], exp["realized_vol"], rtol=1e-9)
