@@ -133,6 +133,8 @@ HEADLINE = [
     "kfold_counts",
     "realized_vol_daily",
     "max_drawdown",
+    "volume_bars",
+    "return_correlation",
 ]
 
 

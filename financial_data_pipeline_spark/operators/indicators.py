@@ -400,3 +400,39 @@ def max_drawdown(
         .groupBy(*by)
         .agg(F.max("__dd").alias("max_drawdown"))
     )
+
+
+def return_correlation(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Pairwise Pearson correlation of per-symbol log returns — the
+    portfolio co-movement matrix (upper triangle, sym_a < sym_b).
+
+    Plan: one lag window per symbol, then a self-equi-join on the
+    timestamp (inner — only co-observed periods correlate) and one
+    ``corr`` aggregate per pair. Cost is O(T · S) rows fanned to
+    O(T · S²/2) join output — right for portfolio-sized S (≤ hundreds);
+    for thousands of symbols compute the gram matrix per time-block
+    with a BLAS ``applyInPandas`` kernel instead (the
+    ``similarity.cosine_pairs`` blocked pattern applied to returns).
+    """
+    r = log_return(price_col, by=[by], ts=ts)
+    rr = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .select(F.col(ts).alias("__t"), F.col(by).alias("__s"), "__r")
+    )
+    a, b = rr.alias("a"), rr.alias("b")
+    return (
+        a.join(b, on=(F.col("a.__t") == F.col("b.__t")) & (F.col("a.__s") < F.col("b.__s")))
+        .groupBy(
+            F.col("a.__s").alias("sym_a"), F.col("b.__s").alias("sym_b")
+        )
+        .agg(
+            F.corr(F.col("a.__r"), F.col("b.__r")).alias("corr_r"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

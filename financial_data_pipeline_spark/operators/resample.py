@@ -124,3 +124,40 @@ def generate_multiple_timeframes(
     ``df.cache()`` the base before materializing several of them.
     """
     return {tf: resample_ohlcv(df, tf, **kwargs) for tf in timeframes}
+
+
+def volume_bars(
+    df,
+    threshold: float,
+    by: str = "symbol",
+    ts: str = "timestamp",
+    volume_col: str = "volume",
+):
+    """Volume bars: bars close when cumulative traded volume crosses
+    ``threshold`` — activity-clocked sampling (López de Prado's
+    information-driven bars) instead of wall-clock buckets, so volatile
+    sessions get more bars and quiet ones fewer. Assignment is
+    deterministic: row r joins bar floor(cum_volume_before_r / T).
+
+    Plan shape: one running-sum window per symbol (bounded state, no
+    global order) + one (symbol, bar) aggregate with min_by/max_by
+    open/close — the same two-stage shape as time resampling; at 100 TB
+    the window partitions by symbol exactly like every indicator here.
+    """
+    w = Window.partitionBy(by).orderBy(ts)
+    v = F.col(volume_col)
+    cum_before = F.sum(v).over(w) - v
+    order_key = F.unix_micros(F.col(ts))
+    return (
+        df.withColumn("__bar", F.floor(cum_before / F.lit(threshold)))
+        .groupBy(by, F.col("__bar").alias("bar_id"))
+        .agg(
+            F.min(ts).alias("bar_start"),
+            F.min_by("open", order_key).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", order_key).alias("close"),
+            F.sum(v).alias("volume"),
+            F.count(F.lit(1)).alias("n_src_bars"),
+        )
+    )

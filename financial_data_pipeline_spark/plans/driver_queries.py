@@ -5384,3 +5384,75 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol", F.round("max_drawdown", 6).alias("max_drawdown")
     )
+
+
+@query(
+    "volume_bars",
+    BARS_CTE
+    + """
+, vb AS (
+  SELECT symbol, timestamp, open, high, low, close, volume,
+         sum(volume) OVER (PARTITION BY symbol ORDER BY timestamp)
+           - volume AS cum_before
+  FROM bars
+)
+SELECT symbol, floor(cum_before / 1000.0)::BIGINT AS bar_id,
+       epoch_us(min(timestamp)) AS start_us,
+       round(arg_min(open, epoch_us(timestamp)), 6) AS open,
+       round(max(high), 6) AS high, round(min(low), 6) AS low,
+       round(arg_max(close, epoch_us(timestamp)), 6) AS close,
+       round(sum(volume), 6) AS volume,
+       count(*) AS n_src_bars
+FROM vb GROUP BY symbol, 2
+""",
+)
+def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-clocked resampling (``resample.volume_bars``): bars cut
+    every 1000 units of traded volume instead of every N minutes —
+    volatile sessions yield more bars. Running-sum window per symbol +
+    one bar aggregate, same two-stage shape as time resampling."""
+    from financial_data_pipeline_spark.operators.resample import volume_bars
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = volume_bars(bars, threshold=1000.0)
+    return out.select(
+        "symbol",
+        "bar_id",
+        F.unix_micros("bar_start").alias("start_us"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        F.round("volume", 6).alias("volume"),
+        "n_src_bars",
+    )
+
+
+@query(
+    "return_correlation",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+)
+SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+       round(corr(a.r, b.r), 6) AS corr_r, count(*) AS n_obs
+FROM r a JOIN r b ON a.timestamp = b.timestamp AND a.symbol < b.symbol
+WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portfolio co-movement matrix (``indicators.return_correlation``):
+    pairwise Pearson correlation of per-symbol log returns — lag window
+    per symbol, timestamp self-join (upper triangle), one ``corr`` agg
+    per pair. Portfolio-sized S; the thousands-of-symbols path is a
+    blocked BLAS gram matrix (see operator docstring)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.return_correlation(bars)
+    return out.select(
+        "sym_a", "sym_b", F.round("corr_r", 6).alias("corr_r"), "n_obs"
+    )

@@ -196,3 +196,49 @@ def test_realized_vol_matches_pandas(spark, ohlcv_pdf):
         .reset_index(drop=True)
     )
     assert np.allclose(got["realized_vol"], exp["realized_vol"], rtol=1e-9)
+
+
+def test_volume_bars_assignment_and_conservation(spark):
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.resample import volume_bars
+
+    rows = [
+        ("A", dt.datetime(2025, 1, 1, h), 10.0 + h, 12.0 + h, 9.0 + h,
+         11.0 + h, 400.0)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "timestamp", "open", "high", "low", "close", "volume"]
+    )
+    out = {r.bar_id: r for r in volume_bars(df, threshold=1000.0).collect()}
+    # cum_before = 0,400,800,1200 -> bars {0: rows 0-2, 1: row 3}
+    assert set(out) == {0, 1}
+    assert out[0].n_src_bars == 3 and out[0].volume == 1200.0
+    assert out[0].open == 10.0 and out[0].close == 13.0  # first/last by ts
+    assert out[1].n_src_bars == 1 and out[1].volume == 400.0
+    # conservation: bar volumes partition source volume
+    assert sum(r.volume for r in out.values()) == 1600.0
+
+
+def test_return_correlation_signs(spark):
+    import datetime as dt
+
+    rng = np.random.default_rng(11)
+    r = rng.normal(0, 0.01, 50)
+    pa = 100 * np.exp(np.cumsum(r))
+    pb = 50 * np.exp(np.cumsum(2 * r))   # returns = 2x A's -> corr +1
+    pc = 80 * np.exp(np.cumsum(-r))      # returns = -A's -> corr -1
+    rows = []
+    for i in range(50):
+        t = dt.datetime(2025, 1, 1) + dt.timedelta(hours=i)
+        rows += [("A", t, float(pa[i])), ("B", t, float(pb[i])),
+                 ("C", t, float(pc[i]))]
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+    out = {
+        (r.sym_a, r.sym_b): r.corr_r
+        for r in indicators.return_correlation(df).collect()
+    }
+    assert abs(out[("A", "B")] - 1.0) < 1e-9
+    assert abs(out[("A", "C")] + 1.0) < 1e-9
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
