@@ -135,6 +135,7 @@ HEADLINE = [
     "max_drawdown",
     "volume_bars",
     "return_correlation",
+    "sma_crossover_backtest",
 ]
 
 

@@ -1,0 +1,69 @@
+"""Vectorized signal backtesting as one lazy plan.
+
+The reference computes indicators and hands them to downstream ML; the
+natural next question a quant user asks — "what would trading this
+signal have returned?" — is answerable inside the engine with pure
+window algebra, no event loop: signal → next-bar position → position ×
+log-return → exp(sum). Everything is per-symbol windows (bounded state,
+no global order) and one final aggregate, so a 100 TB sweep over
+thousands of symbols × parameter grids is embarrassingly parallel.
+
+Semantics pinned here (and mirrored in the DuckDB oracle):
+- SMA is null until ``n`` observations exist (the indicator family's
+  NaN-head contract).
+- position_t ∈ {0, 1}: long 1 while fast SMA > slow SMA, flat
+  otherwise; null SMAs ⇒ flat (no position on warmup).
+- Fills lag one bar: bar t's return accrues to position_{t-1} — the
+  standard no-lookahead correction; same-bar fills are the classic
+  backtest bug.
+- Returns are log returns, so the total is exp(Σ pos·r) − 1 and
+  buy-and-hold is exp(Σ r) − 1 over the same rows.
+- A "trade" is any position change (entry or exit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.operators.indicators import log_return, sma
+
+
+def sma_crossover_positions(
+    df: DataFrame,
+    fast: int = 20,
+    slow: int = 50,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Per-bar {0,1} long/flat position from a fast/slow SMA cross,
+    plus the per-bar log return — the per-row frame parameter sweeps
+    and the summary aggregate both build on."""
+    by = list(by)
+    f_sma = sma(price_col, fast, by=by, ts=ts)
+    s_sma = sma(price_col, slow, by=by, ts=ts)
+    pos = F.when(f_sma > s_sma, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn("position", pos).withColumn(
+        "log_ret", log_return(price_col, by=by, ts=ts)
+    )
+
+
+def backtest_summary(
+    positions: DataFrame,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Collapse a position frame to per-symbol performance: trade
+    count, strategy return (next-bar fills), buy-and-hold benchmark."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    prev_pos = F.coalesce(F.lag("position").over(w), F.lit(0))
+    with_fills = positions.withColumn(
+        "__ret_taken", F.coalesce(prev_pos * F.col("log_ret"), F.lit(0.0))
+    ).withColumn("__trade", F.abs(F.col("position") - prev_pos))
+    return with_fills.groupBy(*by).agg(
+        F.sum("__trade").cast("long").alias("n_trades"),
+        (F.exp(F.sum("__ret_taken")) - 1).alias("strategy_return"),
+        (F.exp(F.sum("log_ret")) - 1).alias("buy_hold_return"),
+    )

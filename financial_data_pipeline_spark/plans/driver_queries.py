@@ -5456,3 +5456,56 @@ def q_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "sym_a", "sym_b", F.round("corr_r", 6).alias("corr_r"), "n_obs"
     )
+
+
+@query(
+    "sma_crossover_backtest",
+    BARS_CTE
+    + """
+, s AS (
+  SELECT symbol, timestamp, close,
+    CASE WHEN count(close) OVER wf >= 20 THEN avg(close) OVER wf END AS f_sma,
+    CASE WHEN count(close) OVER ws >= 50 THEN avg(close) OVER ws END AS s_sma,
+    ln(close / lag(close) OVER w1) AS r
+  FROM bars
+  WINDOW
+    w1 AS (PARTITION BY symbol ORDER BY timestamp),
+    wf AS (PARTITION BY symbol ORDER BY timestamp
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+    ws AS (PARTITION BY symbol ORDER BY timestamp
+           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+), p AS (
+  SELECT symbol, timestamp, r,
+         CASE WHEN f_sma > s_sma THEN 1 ELSE 0 END AS pos
+  FROM s
+), f AS (
+  SELECT symbol, r, pos,
+         coalesce(lag(pos) OVER (PARTITION BY symbol ORDER BY timestamp),
+                  0) AS prev_pos
+  FROM p
+)
+SELECT symbol, sum(abs(pos - prev_pos))::BIGINT AS n_trades,
+       round(exp(sum(coalesce(prev_pos * r, 0))) - 1, 6) AS strategy_return,
+       round(exp(sum(r)) - 1, 6) AS buy_hold_return
+FROM f GROUP BY symbol
+""",
+)
+def q_sma_crossover_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized SMA(20/50) crossover backtest
+    (``operators/backtest.py``): signal → NEXT-bar position (the
+    no-lookahead fill) → exp(Σ pos·r) − 1 vs buy-and-hold, plus trade
+    count — pure per-symbol window algebra, no event loop, so a
+    parameter sweep over thousands of symbols is one embarrassingly
+    parallel plan."""
+    from financial_data_pipeline_spark.operators import backtest
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = backtest.backtest_summary(
+        backtest.sma_crossover_positions(bars, fast=20, slow=50)
+    )
+    return out.select(
+        "symbol",
+        "n_trades",
+        F.round("strategy_return", 6).alias("strategy_return"),
+        F.round("buy_hold_return", 6).alias("buy_hold_return"),
+    )

@@ -242,3 +242,28 @@ def test_return_correlation_signs(spark):
     assert abs(out[("A", "B")] - 1.0) < 1e-9
     assert abs(out[("A", "C")] + 1.0) < 1e-9
     assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+
+def test_backtest_no_lookahead_and_buy_hold(spark):
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators import backtest
+
+    # fast=1, slow=2: position is 1 exactly when close > SMA2 (i.e. the
+    # price rose); fills lag one bar, so the strategy takes return t+1
+    # after an up-bar at t.
+    prices = [100.0, 110.0, 99.0, 108.0, 118.8]
+    rows = [
+        ("A", dt.datetime(2025, 1, 1, h), p) for h, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+    pos = backtest.sma_crossover_positions(df, fast=1, slow=2)
+    got = backtest.backtest_summary(pos).collect()[0]
+    # positions by bar: [0 (warmup), 1 (up), 0 (down), 1 (up), 1 (up)]
+    # prev_pos:          [0, 0, 1, 0, 1] -> takes r3(down) and r5(+10%)
+    import math
+
+    expect = math.exp(math.log(99.0 / 110.0) + math.log(118.8 / 108.0)) - 1
+    assert abs(got.strategy_return - expect) < 1e-12
+    assert abs(got.buy_hold_return - (118.8 / 100.0 - 1)) < 1e-12
+    assert got.n_trades == 3  # 0->1, 1->0, 0->1
