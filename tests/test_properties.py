@@ -641,3 +641,48 @@ def test_runtime_bloom_filter_injected(spark):
         .collect()
     )
     assert sorted(map(tuple, with_bloom)) == sorted(map(tuple, plain))
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Scale contract: AQE splits a skewed shuffle-join partition at
+    runtime (`skew=true` in the final plan) — the built-in defense
+    `scale.salted_join` complements when the small side can't
+    replicate. Thresholds lowered to observe at fixture scale; result
+    equality is asserted against the exact expected match count."""
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    before = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(200_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id")),
+            )
+            .withColumn(
+                "payload",
+                F.concat(F.lit("x" * 64), F.col("id").cast("string")),
+            )
+        )
+        right = (
+            spark.range(10_000)
+            .withColumnRenamed("id", "k")
+            .withColumn("v", F.col("k") * 2)
+        )
+        j = left.join(right, on="k").groupBy().agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # 190,000 rows on hot key 0 + 500 distinct keys (id%20==0 < 10k)
+        assert j.collect()[0].n == 190_500
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
