@@ -136,6 +136,7 @@ HEADLINE = [
     "volume_bars",
     "return_correlation",
     "sma_crossover_backtest",
+    "sma_grid_backtest",
 ]
 
 

@@ -67,3 +67,80 @@ def backtest_summary(
         (F.exp(F.sum("__ret_taken")) - 1).alias("strategy_return"),
         (F.exp(F.sum("log_ret")) - 1).alias("buy_hold_return"),
     )
+
+
+def sma_grid_backtest(
+    df: DataFrame,
+    params: list[tuple[int, int]],
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Evaluate a whole (fast, slow) SMA-crossover grid in ONE plan.
+
+    Rolling-window SMAs can't vary their length per row, so a naive
+    grid sweep re-windows the corpus once per parameter pair. Instead:
+    compute the per-symbol prefix sum ONCE, then recover any-length
+    SMA at row t as (cs_t − cs_{t−n}) / n via an equi-join on the
+    computed key (symbol, rn − n) — n comes from the exploded parameter
+    table, so every pair shares the same two hash joins and the single
+    base scan. At 100 TB this turns |grid| full window passes into one
+    pass + two shuffles keyed on (symbol, rn).
+
+    Precision note: prefix-sum SMA differs from windowed-avg SMA by
+    float cancellation that grows with series length; per-symbol series
+    here are bounded (re-center in chunks if a series exceeds ~1e9
+    rows). Fill/trade semantics match :func:`backtest_summary`.
+    """
+    w = Window.partitionBy(by).orderBy(ts)
+    base = (
+        df.select(by, ts, F.col(price_col).alias("__p"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cs", F.sum("__p").over(w))
+        .withColumn("__r", F.log(F.col("__p") / F.lag("__p").over(w)))
+    )
+    grid = F.array(
+        *[
+            F.struct(F.lit(f).alias("fast"), F.lit(s).alias("slow"))
+            for f, s in params
+        ]
+    )
+    e = base.withColumn("__g", F.explode(grid)).select(
+        by, ts, "__rn", "__cs", "__r",
+        F.col("__g.fast").alias("fast"), F.col("__g.slow").alias("slow"),
+    )
+    lagged = base.select(
+        F.col(by).alias("__lb"), F.col("__rn").alias("__lrn"),
+        F.col("__cs").alias("__lcs"),
+    )
+    fjoin = e.join(
+        lagged,
+        (F.col(by) == F.col("__lb")) & (F.col("__lrn") == F.col("__rn") - F.col("fast")),
+        "left",
+    ).withColumnRenamed("__lcs", "__cs_f").drop("__lb", "__lrn")
+    sjoin = fjoin.join(
+        lagged,
+        (F.col(by) == F.col("__lb")) & (F.col("__lrn") == F.col("__rn") - F.col("slow")),
+        "left",
+    ).withColumnRenamed("__lcs", "__cs_s").drop("__lb", "__lrn")
+    sma_f = F.when(
+        F.col("__rn") >= F.col("fast"),
+        (F.col("__cs") - F.coalesce("__cs_f", F.lit(0.0))) / F.col("fast"),
+    )
+    sma_s = F.when(
+        F.col("__rn") >= F.col("slow"),
+        (F.col("__cs") - F.coalesce("__cs_s", F.lit(0.0))) / F.col("slow"),
+    )
+    pos = F.when(sma_f > sma_s, F.lit(1)).otherwise(F.lit(0))
+    wp = Window.partitionBy(by, "fast", "slow").orderBy(ts)
+    prev_pos = F.coalesce(F.lag(pos).over(wp), F.lit(0))
+    staged = (
+        sjoin.withColumn("__pos", pos)
+        .withColumn("__taken", F.coalesce(prev_pos * F.col("__r"), F.lit(0.0)))
+        .withColumn("__trade", F.abs(F.col("__pos") - prev_pos))
+    )
+    return staged.groupBy(by, "fast", "slow").agg(
+        F.sum("__trade").cast("long").alias("n_trades"),
+        (F.exp(F.sum("__taken")) - 1).alias("strategy_return"),
+        (F.exp(F.sum("__r")) - 1).alias("buy_hold_return"),
+    )

@@ -5509,3 +5509,69 @@ def q_sma_crossover_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("strategy_return", 6).alias("strategy_return"),
         F.round("buy_hold_return", 6).alias("buy_hold_return"),
     )
+
+
+@query(
+    "sma_grid_backtest",
+    BARS_CTE
+    + """
+, b AS (
+  SELECT symbol, timestamp, close,
+         row_number() OVER w AS rn,
+         sum(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs,
+         ln(close / lag(close) OVER w) AS r
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), g AS (SELECT * FROM (VALUES (10, 30), (20, 50), (5, 20))
+         AS t(fast, slow)),
+e AS (SELECT b.*, g.fast, g.slow FROM b CROSS JOIN g),
+j AS (
+  SELECT e.symbol, e.timestamp, e.fast, e.slow, e.rn, e.r,
+         CASE WHEN e.rn >= e.fast
+              THEN (e.cs - coalesce(bf.cs, 0)) / e.fast END AS sma_f,
+         CASE WHEN e.rn >= e.slow
+              THEN (e.cs - coalesce(bs.cs, 0)) / e.slow END AS sma_s
+  FROM e
+  LEFT JOIN b bf ON bf.symbol = e.symbol AND bf.rn = e.rn - e.fast
+  LEFT JOIN b bs ON bs.symbol = e.symbol AND bs.rn = e.rn - e.slow
+), p AS (
+  SELECT symbol, timestamp, fast, slow, r,
+         CASE WHEN sma_f > sma_s THEN 1 ELSE 0 END AS pos
+  FROM j
+), f AS (
+  SELECT symbol, fast, slow, r, pos,
+         coalesce(lag(pos) OVER (PARTITION BY symbol, fast, slow
+                                 ORDER BY timestamp), 0) AS prev_pos
+  FROM p
+)
+SELECT symbol, fast, slow,
+       sum(abs(pos - prev_pos))::BIGINT AS n_trades,
+       round(exp(sum(coalesce(prev_pos * r, 0))) - 1, 6)
+         AS strategy_return,
+       round(exp(sum(r)) - 1, 6) AS buy_hold_return
+FROM f GROUP BY 1, 2, 3
+""",
+)
+def q_sma_grid_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-parameter-grid backtest in ONE plan
+    (``backtest.sma_grid_backtest``): per-symbol prefix sums computed
+    once, any-length SMA recovered by an equi-join on the computed key
+    (symbol, rn − n) — |grid| parameter pairs share one base scan and
+    two hash joins instead of |grid| window passes. The oracle mirrors
+    the prefix-sum formula operation-for-operation, so positions are
+    bit-deterministic across engines."""
+    from financial_data_pipeline_spark.operators import backtest
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = backtest.sma_grid_backtest(
+        bars, params=[(10, 30), (20, 50), (5, 20)]
+    )
+    return out.select(
+        "symbol",
+        "fast",
+        "slow",
+        "n_trades",
+        F.round("strategy_return", 6).alias("strategy_return"),
+        F.round("buy_hold_return", 6).alias("buy_hold_return"),
+    )

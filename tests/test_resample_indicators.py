@@ -267,3 +267,27 @@ def test_backtest_no_lookahead_and_buy_hold(spark):
     assert abs(got.strategy_return - expect) < 1e-12
     assert abs(got.buy_hold_return - (118.8 / 100.0 - 1)) < 1e-12
     assert got.n_trades == 3  # 0->1, 1->0, 0->1
+
+
+def test_sma_grid_matches_single_pair_path(spark, ohlcv_pdf):
+    """The prefix-sum grid kernel must agree with the windowed-avg
+    single-pair path on every (fast, slow): same trades, same P&L
+    (positions can only differ on exact float ties, absent here)."""
+    from financial_data_pipeline_spark.operators import backtest
+
+    pdf = ohlcv_pdf[ohlcv_pdf.symbol.isin(["BTCUSDT", "ETHUSDT"])].iloc[:800]
+    df = spark.createDataFrame(pdf)
+    params = [(5, 20), (10, 30)]
+    grid = {
+        (r.symbol, r.fast, r.slow): r
+        for r in backtest.sma_grid_backtest(df, params).collect()
+    }
+    for f, s in params:
+        single = backtest.backtest_summary(
+            backtest.sma_crossover_positions(df, fast=f, slow=s)
+        ).collect()
+        for r in single:
+            g = grid[(r.symbol, f, s)]
+            assert g.n_trades == r.n_trades, (r.symbol, f, s)
+            assert abs(g.strategy_return - r.strategy_return) < 1e-9
+            assert abs(g.buy_hold_return - r.buy_hold_return) < 1e-9
