@@ -137,6 +137,7 @@ HEADLINE = [
     "return_correlation",
     "sma_crossover_backtest",
     "sma_grid_backtest",
+    "walk_forward_plan",
 ]
 
 

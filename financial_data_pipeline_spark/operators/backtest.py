@@ -23,6 +23,8 @@ Semantics pinned here (and mirrored in the DuckDB oracle):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,18 +55,29 @@ def backtest_summary(
     positions: DataFrame,
     by: list[str] = ("symbol",),
     ts: str = "timestamp",
+    cost_bps: float = 0.0,
 ) -> DataFrame:
     """Collapse a position frame to per-symbol performance: trade
-    count, strategy return (next-bar fills), buy-and-hold benchmark."""
+    count, strategy return (next-bar fills), buy-and-hold benchmark.
+
+    ``cost_bps`` charges each position change (entry or exit) a
+    proportional transaction cost of ``cost_bps`` basis points, applied
+    in log space (ln(1 − c) per trade) so costs compound exactly like
+    returns; 0 keeps the frictionless number.
+    """
     by = list(by)
     w = Window.partitionBy(*by).orderBy(ts)
     prev_pos = F.coalesce(F.lag("position").over(w), F.lit(0))
+    cost_log = math.log1p(-cost_bps / 10_000.0) if cost_bps else 0.0
     with_fills = positions.withColumn(
         "__ret_taken", F.coalesce(prev_pos * F.col("log_ret"), F.lit(0.0))
     ).withColumn("__trade", F.abs(F.col("position") - prev_pos))
     return with_fills.groupBy(*by).agg(
         F.sum("__trade").cast("long").alias("n_trades"),
-        (F.exp(F.sum("__ret_taken")) - 1).alias("strategy_return"),
+        (
+            F.exp(F.sum("__ret_taken") + F.lit(cost_log) * F.sum("__trade"))
+            - 1
+        ).alias("strategy_return"),
         (F.exp(F.sum("log_ret")) - 1).alias("buy_hold_return"),
     )
 

@@ -240,3 +240,37 @@ def kfold_split(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     return df.withColumn(fold_col, (h % k).cast("int"))
+
+
+def walk_forward_folds(
+    df: DataFrame,
+    n_folds: int = 5,
+    ts: str = "timestamp",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Walk-forward (rolling-origin) fold assignment — the time-series
+    CV counterpart of :func:`kfold_split`: folds are CONTIGUOUS time
+    blocks (fold i trains on folds < i, tests on fold i), never random,
+    so no future leakage. Boundaries are exact interpolated quantiles
+    of the timestamp (one distributed aggregate — the
+    ``chronological_split_by_quantile`` recipe), fold id = count of
+    boundaries at or below ts via a broadcast join — no global sort, no
+    single-partition window.
+    """
+    fracs = [i / n_folds for i in range(1, n_folds)]
+    t_us = F.unix_micros(F.col(ts))
+    cuts_row = df.select(
+        F.percentile(t_us, F.array(*[F.lit(f) for f in fracs])).alias("__cuts")
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts_row))
+        .withColumn(
+            fold_col,
+            F.aggregate(
+                "__cuts",
+                F.lit(0),
+                lambda acc, c: acc + F.when(t_us > c, 1).otherwise(0),
+            ),
+        )
+        .drop("__cuts")
+    )

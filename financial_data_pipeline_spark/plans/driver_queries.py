@@ -5575,3 +5575,46 @@ def q_sma_grid_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("strategy_return", 6).alias("strategy_return"),
         F.round("buy_hold_return", 6).alias("buy_hold_return"),
     )
+
+
+@query(
+    "walk_forward_plan",
+    BARS_CTE
+    + """
+, c AS (SELECT quantile_cont(epoch_us(timestamp), [0.2, 0.4, 0.6, 0.8])
+          AS cuts FROM bars),
+f AS (
+  SELECT list_sum(list_transform(
+           c.cuts,
+           x -> CASE WHEN epoch_us(b.timestamp) > x THEN 1 ELSE 0 END
+         ))::INT AS fold,
+         b.timestamp
+  FROM bars b CROSS JOIN c
+)
+SELECT fold, count(*) AS n,
+       epoch_us(min(timestamp)) AS start_us,
+       epoch_us(max(timestamp)) AS end_us
+FROM f GROUP BY fold
+""",
+)
+def q_walk_forward_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV plan (``splitter.walk_forward_folds``):
+    contiguous time-block folds from exact timestamp quantiles — the
+    leakage-free evaluation layout for the backtest family. Fold
+    boundaries are one distributed aggregate + a broadcast of 4
+    doubles; interpolation parity with DuckDB ``quantile_cont`` is
+    already pinned by ``iqr_clip``."""
+    from financial_data_pipeline_spark.operators.splitter import (
+        walk_forward_folds,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    return (
+        walk_forward_folds(bars, n_folds=5)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.unix_micros(F.min("timestamp")).alias("start_us"),
+            F.unix_micros(F.max("timestamp")).alias("end_us"),
+        )
+    )

@@ -162,3 +162,30 @@ def test_kfold_split_partitions_deterministically(spark):
         for r in kfold_split(df.repartition(17), k=k, id_col="doc_id").collect()
     }
     assert a == b
+
+
+def test_walk_forward_folds_are_contiguous_time_blocks(spark, ohlcv_df):
+    from financial_data_pipeline_spark.operators.splitter import (
+        walk_forward_folds,
+    )
+
+    n = 5
+    out = (
+        walk_forward_folds(ohlcv_df, n_folds=n)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("timestamp").alias("lo"),
+            F.max("timestamp").alias("hi"),
+        )
+        .orderBy("fold")
+        .collect()
+    )
+    assert [r.fold for r in out] == list(range(n))
+    total = sum(r.cnt for r in out)
+    assert total == ohlcv_df.count()
+    # contiguous, non-overlapping, ordered blocks
+    for a, b in zip(out, out[1:]):
+        assert a.hi <= b.lo
+    # roughly balanced (quantile cuts)
+    assert max(r.cnt for r in out) < 1.5 * total / n

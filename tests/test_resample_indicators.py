@@ -291,3 +291,21 @@ def test_sma_grid_matches_single_pair_path(spark, ohlcv_pdf):
             assert g.n_trades == r.n_trades, (r.symbol, f, s)
             assert abs(g.strategy_return - r.strategy_return) < 1e-9
             assert abs(g.buy_hold_return - r.buy_hold_return) < 1e-9
+
+
+def test_backtest_cost_model_charges_per_trade(spark):
+    import datetime as dt
+    import math
+
+    from financial_data_pipeline_spark.operators import backtest
+
+    prices = [100.0, 110.0, 99.0, 108.0, 118.8]
+    rows = [("A", dt.datetime(2025, 1, 1, h), p) for h, p in enumerate(prices)]
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+    pos = backtest.sma_crossover_positions(df, fast=1, slow=2)
+    free = backtest.backtest_summary(pos).collect()[0]
+    costly = backtest.backtest_summary(pos, cost_bps=10.0).collect()[0]
+    assert costly.n_trades == free.n_trades == 3
+    want = (1 + free.strategy_return) * (1 - 10 / 10_000.0) ** 3 - 1
+    assert abs(costly.strategy_return - want) < 1e-12
+    assert costly.buy_hold_return == free.buy_hold_return
