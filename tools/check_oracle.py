@@ -71,9 +71,11 @@ def main() -> int:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         try:
             sp = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
@@ -95,7 +97,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"[OK]   {name}: {len(sp)} rows")
-    print(f"\n{len(qs)} queries, {failures} failures")
+    print(f"\n{ran}/{len(qs)} queries run, {failures} failures")
     return 1 if failures else 0
 
 
