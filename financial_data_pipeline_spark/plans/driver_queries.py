@@ -5618,3 +5618,42 @@ def q_walk_forward_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.max("timestamp")).alias("end_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequency sketches: distributed heavy hitters (beyond-reference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "heavy_hitter_tokens",
+    r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+), t AS (SELECT * FROM toks WHERE token <> '')
+SELECT token, count(*) AS freq
+FROM t GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+""",
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via the two-pass Misra–Gries plan
+    (``operators/frequency.py``): per-Arrow-batch local top-m summaries
+    (a guaranteed superset of every item with frequency > N/m — no
+    shuffle of the token stream), then an exact recount over a
+    broadcast-semi-join-pruned scan. Shuffle volume is O(candidate
+    hits), not O(distinct tokens) — the 100 TB answer to "top-k over a
+    billion-key domain". Counts are exact, so the oracle is the plain
+    GROUP BY twin with the same (freq desc, token asc) tie-break."""
+    from financial_data_pipeline_spark.operators.frequency import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return heavy_hitters(tokens, "token", k=20, m=512)
