@@ -5657,3 +5657,75 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     return heavy_hitters(tokens, "token", k=20, m=512)
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized ANN (storage-compressed scan + exact rerank)
+# ---------------------------------------------------------------------------
+
+
+def _quantized_recall_sql() -> str:
+    """DuckDB twin of the int8-quantization recall harness: identical
+    codebook (per-dim min/max), identical floor-based encode and
+    dequantize expressions, identical (rounded cos desc, id asc)
+    ranking on the candidate and rerank stages."""
+    return """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mm AS (
+  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+  FROM (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+        FROM e, range(1, 65) t(i) GROUP BY i)
+),
+dq AS (
+  SELECT vec_id,
+         list_transform(v, (x, i) -> CASE WHEN mm.hi[i] = mm.lo[i] THEN mm.lo[i]
+           ELSE mm.lo[i] + floor((x - mm.lo[i]) * 255.0 / (mm.hi[i] - mm.lo[i]) + 0.5)
+                * ((mm.hi[i] - mm.lo[i]) / 255.0) END) AS dv
+  FROM e, mm
+),
+q AS (SELECT e.vec_id AS qid, e.v AS qv, d.dv AS qdv
+      FROM e JOIN dq d USING (vec_id) WHERE e.vec_id < 16),
+cand AS (
+  SELECT q.qid, d.vec_id AS nid
+  FROM dq d, q
+  QUALIFY row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_cosine_similarity(d.dv, q.qdv), 6) DESC, d.vec_id ASC) <= 40
+),
+ann_k AS (
+  SELECT c.qid, c.nid
+  FROM cand c JOIN e be ON be.vec_id = c.nid JOIN q ON q.qid = c.qid
+  QUALIFY row_number() OVER (PARTITION BY c.qid
+    ORDER BY round(list_cosine_similarity(be.v, q.qv), 6) DESC, c.nid ASC) <= 10
+),
+exact_k AS (
+  SELECT q.qid, b.vec_id AS nid
+  FROM e b, q
+  QUALIFY row_number() OVER (PARTITION BY q.qid
+    ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC) <= 10
+)
+SELECT x.qid AS query_id, count(a.nid) AS hits,
+       round(count(a.nid) / 10.0, 4) AS recall
+FROM exact_k x LEFT JOIN ann_k a ON x.qid = a.qid AND x.nid = a.nid
+GROUP BY x.qid
+"""
+
+
+@query("quantized_ann_recall", _quantized_recall_sql())
+def q_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8 scalar-quantized ANN (``similarity.
+    quantized_topk_join``) against the exact k-NN join. The quantized
+    plan scans only the code table (4–8× fewer bytes than the float
+    vectors — at 100 TB the scan cost IS the byte count), takes
+    top-40 candidates per query on dequantized cosine, and reranks
+    exactly on full-precision vectors fetched by id."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_join,
+        quantized_topk_join,
+        recall_at_k,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = knn_join(emb, queries, k=10)
+    ann = quantized_topk_join(emb, queries, k=10, mult=4)
+    return recall_at_k(exact, ann, k=10)

@@ -682,3 +682,68 @@ def test_sketch_error_bound_past_coupon_mode(spark):
         sketches.distinct_sketches(df, ["grp"], "id", lg_k=12)
     ).collect()[0].n_distinct
     assert abs(est - n) / n < 0.05
+
+
+def test_quantize_roundtrip_error_bound(spark, emb):
+    """|x − dequantize(quantize(x))| ≤ half a quantization step per
+    dimension — the defining property of round-to-nearest int8 codes."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        dequantize,
+        embedding_minmax,
+        quantize_codes,
+    )
+
+    lo, hi = embedding_minmax(emb)
+    step = max((h - l) / 255.0 for l, h in zip(lo, hi))
+    out = emb.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    dequantize(
+                        quantize_codes(F.col("embedding"), lo, hi), lo, hi
+                    ),
+                    lambda x, d: F.abs(x - d),
+                ),
+                F.lit(0.0),
+                lambda acc, e: F.greatest(acc, e),
+            )
+        ).alias("max_err")
+    ).first()
+    assert out["max_err"] <= step / 2.0 + 1e-12
+
+
+def test_quantized_codes_fit_int8_range(spark, emb):
+    from financial_data_pipeline_spark.operators.similarity import (
+        embedding_minmax,
+        quantize_codes,
+    )
+
+    lo, hi = embedding_minmax(emb)
+    row = (
+        emb.select(quantize_codes(F.col("embedding"), lo, hi).alias("c"))
+        .select(
+            F.min(F.array_min("c")).alias("cmin"),
+            F.max(F.array_max("c")).alias("cmax"),
+        )
+        .first()
+    )
+    assert 0 <= row["cmin"] and row["cmax"] <= 255
+
+
+def test_quantized_ann_recall_floor(spark, emb):
+    """int8 + 4× overfetch + exact rerank should recover nearly all of
+    the exact top-10 — assert a 0.8 mean-recall floor (measured, the
+    harness query tracks the exact value per round)."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_join,
+        quantized_topk_join,
+        recall_at_k,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = knn_join(emb, queries, k=10)
+    ann = quantized_topk_join(emb, queries, k=10, mult=4)
+    rec = recall_at_k(exact, ann, k=10)
+    mean_recall = rec.agg(F.avg("recall")).first()[0]
+    assert mean_recall >= 0.8, mean_recall
