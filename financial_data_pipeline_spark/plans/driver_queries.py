@@ -5729,3 +5729,246 @@ def q_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = knn_join(emb, queries, k=10)
     ann = quantized_topk_join(emb, queries, k=10, mult=4)
     return recall_at_k(exact, ann, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (q2/q9/q11/q16/q20 analogs) — lineitem serves as
+# the part↔supplier bridge (the testdata schema carries no partsupp table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "min_cost_supplier_per_part",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey AS partkey, s.s_name AS supplier_name,
+       n.n_name AS nation, round(ps.unit_cost, 4) AS unit_cost
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE' AND p.p_size <= 10
+QUALIFY row_number() OVER (
+  PARTITION BY p.p_partkey ORDER BY ps.unit_cost ASC, s.s_suppkey ASC
+) = 1
+""",
+)
+def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2-shaped plan: the correlated "supplier with the minimum
+    cost for this part (within the region)" subquery decorrelated into
+    one (part, supplier) aggregate + a region-restricted window rank.
+    min() is exact (no summation noise), so ranking is engine-stable
+    with the suppkey tiebreak. supplier/nation/region are broadcast;
+    the only big shuffle is the lineitem groupBy on its natural
+    (partkey, suppkey) key — and AQE prunes the rank input to the
+    region's suppliers before the window."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    joined = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = W.partitionBy("p_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("s_suppkey")
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@query(
+    "profit_by_nation_year",
+    """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE contains(p.p_name, 'red')
+GROUP BY 1, 2
+""",
+)
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9-shaped plan: five-table star with a substring filter on
+    the part name (no pushdown-able predicate — the filter prunes the
+    BROADCAST side, so the lineitem scan is still pruned by the
+    broadcast-hash-join probe). Profit uses retailprice as the cost
+    proxy (no partsupp in this schema). One shuffle: the final
+    (nation, year) aggregate; part/supplier/nation all broadcast,
+    orders⋈lineitem shuffles on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("profit"))
+    )
+
+
+@query(
+    "major_value_parts",
+    """
+WITH pv AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT pv.l_partkey AS partkey, round(pv.part_value, 2) AS part_value
+FROM pv, (SELECT sum(part_value) AS total FROM pv) t
+WHERE pv.part_value > 0.0006 * t.total
+""",
+)
+def q_major_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11-shaped plan: per-group value HAVING > fraction of the
+    GLOBAL total — the scalar subquery is the per-part aggregate
+    re-aggregated to one row and broadcast via crossJoin (1-row build
+    side, never a driver collect). The base aggregate is computed once
+    and reused for both sides of the comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "part_value"
+        )
+    )
+    total = pv.agg(F.sum("part_value").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0006 * F.col("total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("part_value", 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "supplier_count_by_part_attrs",
+    """
+SELECT p.p_brand AS brand, p.p_type AS ptype, p.p_size AS psize,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 11, 15, 23, 28, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+)
+def q_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16-shaped plan: distinct-supplier counts per part
+    attribute triple with a NOT IN exclusion — expressed as a
+    broadcast left-anti join (the excluded-supplier set is tiny and
+    null-free, so anti-join ≡ NOT IN), part filters pushed to the
+    broadcast build side, and Spark's two-level exact count(distinct)
+    expansion for the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 11, 15, 23, 28, 36, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "dominant_part_suppliers",
+    """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), pt AS (SELECT l_partkey, sum(qty) AS total_qty FROM sp GROUP BY 1)
+SELECT DISTINCT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+       n.n_name AS nation
+FROM sp
+JOIN pt ON sp.l_partkey = pt.l_partkey
+JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE sp.qty > 0.5 * pt.total_qty AND pt.total_qty >= 100
+""",
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20-shaped plan: nested aggregates ("suppliers who shipped
+    more than half of a part's yearly volume") decorrelated into a
+    (part, supplier) rollup re-aggregated per part and self-joined on
+    partkey — the second aggregate reuses the first's partitioning, so
+    the join adds no extra shuffle of lineitem. The date filter is
+    pushed to the parquet scan; supplier/nation broadcast; DISTINCT
+    collapses multi-part winners."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        sp.join(pt, on="l_partkey")
+        .filter(
+            (F.col("qty") > 0.5 * F.col("total_qty"))
+            & (F.col("total_qty") >= 100)
+        )
+        .join(F.broadcast(s), sp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .distinct()
+    )
