@@ -28,6 +28,9 @@ _DEFAULTS = {
     # whole-file zlib/lzma/bz2 (SURVEY.md S21) on both ratio and scan speed.
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",
+    # Let Python DataSources (sources/kline_datasource.py) receive
+    # pushFilters() — symbol/time predicates prune fetch partitions.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Write timestamps as INT64 TIMESTAMP_MICROS, not the legacy INT96:
     # INT96 columns carry NO parquet min/max statistics, so every
     # timestamp range scan would read every row group — with MICROS the
