@@ -1,0 +1,230 @@
+"""Mini lake-table layer: snapshot manifests + file-stats data skipping.
+
+The reference's durability story is whole-directory backups
+(``backup_manager.py`` — copy, verify, restore). On a 100 TB lake you
+cannot copy the table to get a recoverable version; the lakehouse
+answer (Iceberg/Delta, public designs) is METADATA versioning:
+
+- every commit writes an immutable parquet file set plus a tiny JSON
+  *manifest* listing the files it added (with per-file, per-column
+  min/max stats);
+- a *snapshot* is the list of manifests visible at a version — time
+  travel = read an old snapshot, rollback = point the head at it;
+  nothing is ever copied or rewritten;
+- readers prune FILES by intersecting query predicates with the
+  manifest stats before Spark ever opens them — at 100 TB the files
+  you don't read are the whole ballgame (this is file-level skipping
+  on top of parquet's own row-group pruning, same two-tier design as
+  Iceberg).
+
+Scope: single-writer, append/overwrite commits, JSON manifests under
+``<root>/_manifests``. Concurrency control and schema evolution are
+out of scope (they need a transactional catalog — documented seam).
+The stats collection is ONE Spark job over the just-written files
+(parquet footer reads, no data scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_HEAD = "HEAD.json"
+
+
+@dataclass
+class FileStat:
+    path: str
+    rows: int
+    stats: dict[str, list]  # col -> [min, max] (JSON-portable scalars)
+
+
+@dataclass
+class Snapshot:
+    version: int
+    ts: float
+    mode: str  # "append" | "overwrite"
+    files: list[FileStat] = field(default_factory=list)
+
+
+def _mdir(root: str) -> str:
+    d = os.path.join(root, _MANIFEST_DIR)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _json_scalar(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _collect_stats(
+    spark: SparkSession, files: list[str], stat_cols: list[str]
+) -> list[FileStat]:
+    """Per-file row count + min/max per stat column. One distributed
+    job over the new files only; each task reads one file's pages for
+    just the stat columns (column pruning applies)."""
+    from pyspark.sql import functions as F
+
+    if not files:
+        return []
+    df = spark.read.parquet(*files).withColumn(
+        "__file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stat_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = df.groupBy("__file").agg(*aggs).collect()
+    out = []
+    for r in rows:
+        stats = {
+            c: [_json_scalar(r[f"__min_{c}"]), _json_scalar(r[f"__max_{c}"])]
+            for c in stat_cols
+        }
+        path = r["__file"]
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        out.append(FileStat(path=path, rows=r["__rows"], stats=stats))
+    return out
+
+
+class LakeTable:
+    """Versioned parquet table with stats-based file skipping.
+
+    ``commit(df, mode)`` writes data files + a manifest and advances
+    HEAD; ``read(version=...)`` time-travels; ``rollback(version)``
+    moves HEAD without touching data; ``read(pred_col, lo, hi)``
+    prunes files whose [min, max] cannot intersect the range.
+    """
+
+    def __init__(
+        self, spark: SparkSession, root: str, stat_cols: list[str]
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.stat_cols = stat_cols
+
+    # -- metadata ----------------------------------------------------
+    def _head_path(self) -> str:
+        return os.path.join(_mdir(self.root), _HEAD)
+
+    def head_version(self) -> int:
+        try:
+            with open(self._head_path()) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return 0
+
+    def _snapshot_path(self, version: int) -> str:
+        return os.path.join(_mdir(self.root), f"v{version:06d}.json")
+
+    def _load_snapshot(self, version: int) -> Snapshot:
+        with open(self._snapshot_path(version)) as f:
+            d = json.load(f)
+        return Snapshot(
+            version=d["version"],
+            ts=d["ts"],
+            mode=d["mode"],
+            files=[FileStat(**fs) for fs in d["files"]],
+        )
+
+    def snapshots(self) -> list[int]:
+        return sorted(
+            int(p[1:7])
+            for p in os.listdir(_mdir(self.root))
+            if p.startswith("v") and p.endswith(".json")
+        )
+
+    # -- write path --------------------------------------------------
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as an immutable file set + manifest; returns the
+        new version. ``overwrite`` only redefines VISIBILITY (the new
+        snapshot lists only the new files) — old files stay on disk for
+        time travel until a retention job expires old snapshots."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        data_dir = os.path.join(self.root, f"commit-{uuid.uuid4().hex[:12]}")
+        df.write.mode("error").parquet(data_dir)
+        files = [
+            os.path.join(data_dir, p)
+            for p in os.listdir(data_dir)
+            if p.endswith(".parquet")
+        ]
+        new = _collect_stats(self.spark, files, self.stat_cols)
+        version = self.head_version() + 1
+        carried = (
+            self._load_snapshot(self.head_version()).files
+            if mode == "append" and version > 1
+            else []
+        )
+        snap = Snapshot(
+            version=version, ts=time.time(), mode=mode, files=carried + new
+        )
+        with open(self._snapshot_path(version), "w") as f:
+            json.dump(
+                {
+                    "version": snap.version,
+                    "ts": snap.ts,
+                    "mode": snap.mode,
+                    "files": [vars(fs) for fs in snap.files],
+                },
+                f,
+            )
+        with open(self._head_path(), "w") as f:
+            json.dump({"version": version}, f)
+        return version
+
+    def rollback(self, version: int) -> None:
+        """Point HEAD at an existing snapshot — O(1 metadata write)."""
+        if version not in self.snapshots():
+            raise ValueError(f"unknown version {version}")
+        with open(self._head_path(), "w") as f:
+            json.dump({"version": version}, f)
+
+    # -- read path ---------------------------------------------------
+    def pruned_files(
+        self,
+        version: int | None = None,
+        pred_col: str | None = None,
+        lo=None,
+        hi=None,
+    ) -> list[str]:
+        """The file list a read would open: snapshot files minus those
+        whose [min, max] for ``pred_col`` provably misses [lo, hi]."""
+        v = self.head_version() if version is None else version
+        files = self._load_snapshot(v).files
+        if pred_col is None:
+            return [f.path for f in files]
+        keep = []
+        for f in files:
+            mn, mx = f.stats[pred_col]
+            if lo is not None and mx is not None and mx < lo:
+                continue
+            if hi is not None and mn is not None and mn > hi:
+                continue
+            keep.append(f.path)
+        return keep
+
+    def read(
+        self,
+        version: int | None = None,
+        pred_col: str | None = None,
+        lo=None,
+        hi=None,
+    ) -> DataFrame:
+        """Snapshot read with optional stats pruning. The predicate is
+        re-applied by the caller's own ``filter`` (pruning is a
+        performance contract, not a filter): files are a SUPERSET of
+        matching rows, exactly like Iceberg scan planning."""
+        files = self.pruned_files(version, pred_col, lo, hi)
+        if not files:
+            raise ValueError("snapshot selects no files (empty table?)")
+        return self.spark.read.parquet(*files)

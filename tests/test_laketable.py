@@ -1,0 +1,83 @@
+"""LakeTable: snapshot isolation, time travel, rollback, and
+stats-based file skipping on plain parquet."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+
+
+def _batch(spark, day_lo, day_hi, tag):
+    return (
+        spark.range(day_lo * 100, day_hi * 100)
+        .select(
+            (F.col("id") / 100).cast("int").alias("day"),
+            F.col("id").alias("value"),
+            F.lit(tag).alias("tag"),
+        )
+        .repartition(2)
+    )
+
+
+def test_append_commits_accumulate_and_time_travel(spark, table):
+    v1 = table.commit(_batch(spark, 0, 2, "a"), mode="append")
+    v2 = table.commit(_batch(spark, 2, 4, "b"), mode="append")
+    assert (v1, v2) == (1, 2)
+    assert table.read(version=1).count() == 200
+    assert table.read().count() == 400  # HEAD sees both commits
+    tags = {r.tag for r in table.read(version=1).select("tag").distinct().collect()}
+    assert tags == {"a"}
+
+
+def test_overwrite_redefines_visibility_keeps_history(spark, table):
+    table.commit(_batch(spark, 0, 2, "a"), mode="append")
+    table.commit(_batch(spark, 5, 6, "fresh"), mode="overwrite")
+    assert table.read().count() == 100
+    assert {r.tag for r in table.read().select("tag").distinct().collect()} == {
+        "fresh"
+    }
+    # old snapshot still fully readable (no data deleted)
+    assert table.read(version=1).count() == 200
+
+
+def test_rollback_is_metadata_only(spark, table):
+    table.commit(_batch(spark, 0, 2, "a"))
+    table.commit(_batch(spark, 2, 4, "b"))
+    table.rollback(1)
+    assert table.head_version() == 1
+    assert table.read().count() == 200
+    # committing after rollback forks from the rolled-back head
+    table.commit(_batch(spark, 9, 10, "c"))
+    assert table.read().count() == 300
+    with pytest.raises(ValueError):
+        table.rollback(99)
+
+
+def test_stats_pruning_skips_files_and_is_a_superset(spark, table):
+    # three commits with disjoint day ranges -> disjoint file stats
+    table.commit(_batch(spark, 0, 2, "a"))
+    table.commit(_batch(spark, 2, 4, "b"))
+    table.commit(_batch(spark, 4, 6, "c"))
+    all_files = table.pruned_files()
+    hit = table.pruned_files(pred_col="day", lo=4, hi=5)
+    assert len(hit) < len(all_files)
+    # pruned read + exact filter == full read + exact filter
+    pruned = (
+        table.read(pred_col="day", lo=4, hi=5)
+        .filter((F.col("day") >= 4) & (F.col("day") <= 5))
+        .count()
+    )
+    full = (
+        table.read().filter((F.col("day") >= 4) & (F.col("day") <= 5)).count()
+    )
+    assert pruned == full == 200
+
+
+def test_commit_rejects_unknown_mode(spark, table):
+    with pytest.raises(ValueError):
+        table.commit(_batch(spark, 0, 1, "x"), mode="merge")
