@@ -660,13 +660,19 @@ def quantized_topk_join(
         dequantize(
             quantize_codes(F.col(vec_col), lo, hi), lo, hi
         ).alias("qdv"),
-    )
-    approx = codes.crossJoin(F.broadcast(qside)).select(
+    ).withColumn("qnorm", norm(F.col("qdv")))
+    # Decode once per corpus row (projection), not once per (row, query)
+    # pair; norms are loop-invariant per side, so the only per-pair fold
+    # left is the dot product.
+    decoded = codes.select(
+        F.col(id_col), dequantize(F.col("code"), lo, hi).alias("dv")
+    ).withColumn("dnorm", norm(F.col("dv")))
+    approx = decoded.crossJoin(F.broadcast(qside)).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(dequantize(F.col("code"), lo, hi), F.col("qdv")), 6).alias(
-            "approx_sim"
-        ),
+        F.round(
+            dot(F.col("dv"), F.col("qdv")) / (F.col("dnorm") * F.col("qnorm")), 6
+        ).alias("approx_sim"),
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.desc("approx_sim"), F.asc("neighbor_id")
