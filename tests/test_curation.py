@@ -350,3 +350,25 @@ def test_nb_classifier_stage_drops_low_scorers(spark):
         .collect()
     }
     assert kept_ids.isdisjoint(low)
+
+
+def test_chunk_udtf_matches_dataframe_operator(spark):
+    """SQL-front-door UDTF ≡ the JVM chunk_documents operator,
+    row-for-row, on real documents."""
+    from financial_data_pipeline_spark.functions.udtfs import register_udtfs
+    from financial_data_pipeline_spark.operators.curation import chunk_documents
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    via_sql = spark.sql(
+        "SELECT d.doc_id, c.chunk_off, c.chunk_text, c.chunk_len "
+        "FROM udtf_docs d, LATERAL chunk_docs(d.text, 120, 30) c"
+    )
+    via_df = chunk_documents(docs, size=120, overlap=30).select(
+        "doc_id", "chunk_off", "chunk_text", "chunk_len"
+    )
+    assert via_sql.exceptAll(via_df).count() == 0
+    assert via_df.exceptAll(via_sql).count() == 0
+    assert via_df.count() > 0
