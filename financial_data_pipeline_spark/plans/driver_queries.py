@@ -5972,3 +5972,68 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (dbt-test/Deequ-style)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_expectations",
+    """
+SELECT
+  (SELECT count(*) FROM lineitem) AS total_rows,
+  (SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem)
+    AS l_orderkey_null,
+  (SELECT sum(CASE WHEN l_quantity IS NOT NULL
+                    AND (l_quantity < 1 OR l_quantity > 50)
+              THEN 1 ELSE 0 END) FROM lineitem) AS l_quantity_out_of_range,
+  (SELECT sum(CASE WHEN l_returnflag IS NOT NULL
+                    AND l_returnflag NOT IN ('A', 'N', 'R')
+              THEN 1 ELSE 0 END) FROM lineitem) AS l_returnflag_not_in_set,
+  (SELECT sum(CASE WHEN NOT coalesce(
+                 l_extendedprice > 0 AND l_discount BETWEEN 0 AND 1, false)
+              THEN 1 ELSE 0 END) FROM lineitem) AS price_discount_sane,
+  (SELECT coalesce(sum(n - 1), 0) FROM (
+     SELECT count(*) AS n FROM lineitem
+     GROUP BY l_orderkey, l_linenumber)) AS duplicate_key_rows,
+  (SELECT count(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS orphan_rows
+""",
+)
+def q_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative quality suite over lineitem
+    (``operators/expectations.py``): not-null, range, set-membership,
+    and a custom predicate folded into ONE scan-bound aggregate;
+    unique-(orderkey, linenumber) adds a keys-only shuffle; orders
+    referential integrity is a left-anti join. Result is one row of
+    violation counters — the generalized form of the reference's
+    validation report."""
+    from financial_data_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_in_set,
+        expect_not_null,
+        expect_predicate,
+        expectation_suite,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    exps = [
+        expect_not_null("l_orderkey"),
+        expect_between("l_quantity", 1, 50),
+        expect_in_set("l_returnflag", ["A", "N", "R"]),
+        expect_predicate(
+            "price_discount_sane",
+            (F.col("l_extendedprice") > 0)
+            & F.col("l_discount").between(0, 1),
+        ),
+    ]
+    return expectation_suite(
+        li,
+        exps,
+        unique_keys=["l_orderkey", "l_linenumber"],
+        ref=(orders, "l_orderkey", "o_orderkey"),
+    )
