@@ -138,6 +138,14 @@ HEADLINE = [
     "sma_crossover_backtest",
     "sma_grid_backtest",
     "walk_forward_plan",
+    "heavy_hitter_tokens",
+    "quantized_ann_recall",
+    "min_cost_supplier_per_part",
+    "profit_by_nation_year",
+    "major_value_parts",
+    "supplier_count_by_part_attrs",
+    "dominant_part_suppliers",
+    "lineitem_expectations",
 ]
 
 

@@ -126,3 +126,33 @@ def test_stream_reader_cursor_contract():
         off = nxt
     else:
         pytest.fail("stream cursor never exhausted")
+
+
+def test_streaming_e2e_availablenow_resume_exactly_once(spark, tmp_path):
+    """Real Structured Streaming runs: each availableNow run drains the
+    next page(s) from the cursor via the checkpoint, and an exhausted
+    source adds nothing — exactly-once across restarts."""
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("kline")
+            .option("symbols", "BTCUSDT")
+            .option("start", "2025-01-01")
+            .option("end", "2025-01-02")
+            .load()
+        )
+        sq = (
+            q.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination(180)
+        return spark.read.parquet(out).count()
+
+    first = run_once()
+    assert first == 1000  # one 1000-row page per micro-batch
+    assert run_once() == 1440  # resumes at the cursor, drains the rest
+    assert run_once() == 1440  # exhausted: no duplicates
