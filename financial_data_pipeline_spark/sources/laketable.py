@@ -144,13 +144,8 @@ class LakeTable:
         )
 
     # -- write path --------------------------------------------------
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
-        """Write ``df`` as an immutable file set + manifest; returns the
-        new version. ``overwrite`` only redefines VISIBILITY (the new
-        snapshot lists only the new files) — old files stay on disk for
-        time travel until a retention job expires old snapshots."""
-        if mode not in ("append", "overwrite"):
-            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    def _write_files(self, df: DataFrame) -> list[FileStat]:
+        """Land an immutable parquet file set and return its stats."""
         data_dir = os.path.join(self.root, f"commit-{uuid.uuid4().hex[:12]}")
         df.write.mode("error").parquet(data_dir)
         files = [
@@ -158,29 +153,110 @@ class LakeTable:
             for p in os.listdir(data_dir)
             if p.endswith(".parquet")
         ]
-        new = _collect_stats(self.spark, files, self.stat_cols)
+        return _collect_stats(self.spark, files, self.stat_cols)
+
+    def _advance(self, mode: str, files: list[FileStat]) -> int:
+        """Write the snapshot manifest for the next version and move
+        HEAD — the only mutation a commit does to table metadata."""
         version = self.head_version() + 1
-        carried = (
-            self._load_snapshot(self.head_version()).files
-            if mode == "append" and version > 1
-            else []
-        )
-        snap = Snapshot(
-            version=version, ts=time.time(), mode=mode, files=carried + new
-        )
         with open(self._snapshot_path(version), "w") as f:
             json.dump(
                 {
-                    "version": snap.version,
-                    "ts": snap.ts,
-                    "mode": snap.mode,
-                    "files": [vars(fs) for fs in snap.files],
+                    "version": version,
+                    "ts": time.time(),
+                    "mode": mode,
+                    "files": [vars(fs) for fs in files],
                 },
                 f,
             )
         with open(self._head_path(), "w") as f:
             json.dump({"version": version}, f)
         return version
+
+    def commit(self, df: DataFrame, mode: str = "append") -> int:
+        """Write ``df`` as an immutable file set + manifest; returns the
+        new version. ``overwrite`` only redefines VISIBILITY (the new
+        snapshot lists only the new files) — old files stay on disk for
+        time travel until ``expire_snapshots`` reclaims them."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        new = self._write_files(df)
+        carried = (
+            self._load_snapshot(self.head_version()).files
+            if mode == "append" and self.head_version() > 0
+            else []
+        )
+        return self._advance(mode, carried + new)
+
+    def merge(self, updates: DataFrame, key_cols: list[str]) -> int:
+        """Copy-on-write MERGE (upsert): rows in ``updates`` replace
+        current rows with the same key; unmatched keys append.
+
+        The 100 TB property: only files whose stats range can CONTAIN
+        an incoming key are rewritten — every other file is carried
+        into the new snapshot untouched (metadata only). That requires
+        the first key column to be a stat column; with clustered
+        writes (sorted / Z-ordered commits) the rewrite set stays
+        proportional to the update, not the table. The rewrite itself
+        is one anti-join of the touched files against the update keys,
+        union, write — old files stay on disk for time travel.
+        """
+        from pyspark.sql import functions as F
+
+        k0 = key_cols[0]
+        if k0 not in self.stat_cols:
+            raise ValueError(
+                f"merge needs key column {k0!r} in stat_cols for file pruning"
+            )
+        head = self.head_version()
+        if head == 0:
+            return self.commit(updates, mode="append")
+        bounds = updates.agg(
+            F.min(k0).alias("lo"), F.max(k0).alias("hi")
+        ).first()
+        touched, carried = [], []
+        for fs in self._load_snapshot(head).files:
+            mn, mx = fs.stats[k0]
+            intersects = (
+                mn is not None
+                and mx is not None
+                and bounds["lo"] is not None
+                and mx >= bounds["lo"]
+                and bounds["hi"] >= mn
+            )
+            (touched if intersects else carried).append(fs)
+        if touched:
+            old = self.spark.read.parquet(*[fs.path for fs in touched])
+            survivors = old.join(
+                updates.select(*key_cols).distinct(),
+                on=key_cols,
+                how="left_anti",
+            )
+            combined = survivors.unionByName(updates)
+        else:
+            combined = updates
+        return self._advance("merge", carried + self._write_files(combined))
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Retention: drop all but the newest ``keep_last`` snapshots
+        (HEAD is always kept) and DELETE data files referenced by no
+        surviving snapshot — the vacuum step that reclaims storage once
+        time-travel history is no longer needed. Returns deleted
+        paths."""
+        versions = self.snapshots()
+        keep = set(versions[-keep_last:]) | {self.head_version()}
+        drop = [v for v in versions if v not in keep]
+        live = set()
+        for v in keep:
+            live.update(fs.path for fs in self._load_snapshot(v).files)
+        deleted = []
+        for v in drop:
+            for fs in self._load_snapshot(v).files:
+                if fs.path not in live and os.path.exists(fs.path):
+                    os.remove(fs.path)
+                    deleted.append(fs.path)
+            os.remove(self._snapshot_path(v))
+        return deleted
 
     def rollback(self, version: int) -> None:
         """Point HEAD at an existing snapshot — O(1 metadata write)."""
@@ -228,3 +304,4 @@ class LakeTable:
         if not files:
             raise ValueError("snapshot selects no files (empty table?)")
         return self.spark.read.parquet(*files)
+

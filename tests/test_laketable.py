@@ -81,3 +81,61 @@ def test_stats_pruning_skips_files_and_is_a_superset(spark, table):
 def test_commit_rejects_unknown_mode(spark, table):
     with pytest.raises(ValueError):
         table.commit(_batch(spark, 0, 1, "x"), mode="merge")
+
+
+def test_merge_upserts_and_prunes_untouched_files(spark, table):
+    table.commit(_batch(spark, 0, 2, "a"))   # days 0-1
+    table.commit(_batch(spark, 4, 6, "b"))   # days 4-5 (disjoint)
+    before = {f for f in table.pruned_files()}
+    # update only day 5 rows: the day-0/1 files must carry over untouched
+    updates = _batch(spark, 5, 6, "patched")
+    v = table.merge(updates, key_cols=["day", "value"])
+    assert v == 3
+    after = table._load_snapshot(v).files
+    carried = {f.path for f in after} & before
+    assert carried  # at least the day-0/1 files were NOT rewritten
+    out = table.read()
+    # 200 (days 0-1) + 100 (day-4 survivors) + 100 (patched day 5)
+    assert out.count() == 400
+    tags = {
+        r.tag
+        for r in out.filter(F.col("day") == 5).select("tag").distinct().collect()
+    }
+    assert tags == {"patched"}
+    # pre-merge snapshot still shows the old rows (time travel)
+    old_tags = {
+        r.tag
+        for r in table.read(version=2)
+        .filter(F.col("day") == 5)
+        .select("tag")
+        .distinct()
+        .collect()
+    }
+    assert old_tags == {"b"}
+
+
+def test_merge_inserts_new_keys(spark, table):
+    table.commit(_batch(spark, 0, 1, "a"))
+    table.merge(_batch(spark, 9, 10, "new"), key_cols=["day", "value"])
+    assert table.read().count() == 200
+
+
+def test_merge_requires_stat_key(spark, table):
+    table.commit(_batch(spark, 0, 1, "a"))
+    with pytest.raises(ValueError):
+        table.merge(_batch(spark, 0, 1, "x"), key_cols=["value"])
+
+
+def test_expire_snapshots_reclaims_only_dead_files(spark, table):
+    import os
+
+    table.commit(_batch(spark, 0, 2, "a"))
+    table.commit(_batch(spark, 5, 6, "fresh"), mode="overwrite")
+    all_v1 = table.pruned_files(version=1)
+    deleted = table.expire_snapshots(keep_last=1)
+    # v1's files are dead (overwrite), so they are reclaimed
+    assert set(deleted) == set(all_v1)
+    assert table.snapshots() == [2]
+    assert table.read().count() == 100
+    for p in table.pruned_files():
+        assert os.path.exists(p)
