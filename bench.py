@@ -146,6 +146,8 @@ HEADLINE = [
     "supplier_count_by_part_attrs",
     "dominant_part_suppliers",
     "lineitem_expectations",
+    "return_moment_stats",
+    "return_autocorr_lag1",
 ]
 
 

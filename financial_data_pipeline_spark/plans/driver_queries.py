@@ -6037,3 +6037,136 @@ def q_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=["l_orderkey", "l_linenumber"],
         ref=(orders, "l_orderkey", "o_orderkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Return-distribution moments + lag-1 autocorrelation (quant analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "return_moment_stats",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), m AS (
+  SELECT symbol, count(r) AS n, sum(r) AS s1, sum(r * r) AS s2,
+         sum(r * r * r) AS s3, sum(r * r * r * r) AS s4
+  FROM r WHERE r IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n,
+       round(s1 / n, 8) AS mean_r,
+       round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 8) AS std_r,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6) AS excess_kurtosis
+FROM m
+""",
+)
+def q_return_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol return-distribution moments (population skewness and
+    excess kurtosis) computed from RAW POWER SUMS — one map-side-
+    combined aggregate, and the same closed-form in both engines, so
+    parity doesn't depend on either engine's sample-vs-population
+    convention for its built-in skewness/kurtosis."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("symbol").orderBy("timestamp")
+    r = F.log(F.col("close") / F.lag("close").over(w))
+    base = bars.select("symbol", r.alias("r")).filter(F.col("r").isNotNull())
+    m = base.groupBy("symbol").agg(
+        F.count("r").alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") ** 2).alias("s2"),
+        F.sum(F.col("r") ** 3).alias("s3"),
+        F.sum(F.col("r") ** 4).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu**3
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu**4
+    )
+    return m.select(
+        "symbol",
+        "n",
+        F.round(mu, 8).alias("mean_r"),
+        F.round(F.sqrt(m2), 8).alias("std_r"),
+        F.round(m3 / m2**1.5, 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+@query(
+    "return_autocorr_lag1",
+    BARS_CTE
+    + """
+, r0 AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), r AS (
+  SELECT symbol, timestamp, r,
+         lag(r) OVER (PARTITION BY symbol ORDER BY timestamp) AS r_prev
+  FROM r0
+), p AS (SELECT * FROM r WHERE r IS NOT NULL AND r_prev IS NOT NULL),
+m AS (
+  SELECT symbol, count(*) AS n, sum(r) AS sx, sum(r_prev) AS sy,
+         sum(r * r) AS sxx, sum(r_prev * r_prev) AS syy,
+         sum(r * r_prev) AS sxy
+  FROM p GROUP BY symbol
+)
+SELECT symbol, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS autocorr_1
+FROM m
+""",
+)
+def q_return_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of log returns per symbol — the
+    mean-reversion/momentum diagnostic. Pearson over (r_t, r_{t-1})
+    pairs from one window pass, correlation from raw sums (identical
+    closed form both engines)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("symbol").orderBy("timestamp")
+    r0 = bars.select(
+        "symbol",
+        "timestamp",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+    )
+    base = r0.select(
+        "symbol", "r", F.lag("r").over(w).alias("r_prev")
+    ).filter(F.col("r").isNotNull() & F.col("r_prev").isNotNull())
+    m = base.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sx"),
+        F.sum("r_prev").alias("sy"),
+        F.sum(F.col("r") * F.col("r")).alias("sxx"),
+        F.sum(F.col("r_prev") * F.col("r_prev")).alias("syy"),
+        F.sum(F.col("r") * F.col("r_prev")).alias("sxy"),
+    )
+    denom = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "symbol",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom, 6
+        ).alias("autocorr_1"),
+    )
