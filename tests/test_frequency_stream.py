@@ -62,3 +62,50 @@ def test_stream_accumulates_across_batches(spark, tmp_path):
     assert top.iloc[0]["count"] >= true - n_total / (64 + 1)
     # bounded state regardless of ~400 distinct tail items
     assert len(sink.current()) <= 64
+
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+    cuts=st.lists(st.integers(min_value=0, max_value=400), max_size=4),
+    m=st.integers(min_value=4, max_value=16),
+)
+def test_mg_merge_guarantee_any_batching(stream, cuts, m):
+    """For ANY batching of ANY stream: every item with true frequency
+    > N/(m+1) survives the merged summary, with
+    count ≤ true ≤ count + N/(m+1). (The mergeable-summaries theorem,
+    checked empirically.)"""
+    items = [f"i{v}" for v in stream]
+    n = len(items)
+    bounds = sorted({min(c, n) for c in cuts})
+    pieces, prev = [], 0
+    for b in bounds + [n]:
+        pieces.append(items[prev:b])
+        prev = b
+
+    state = pd.DataFrame({"item": pd.Series([], dtype=str), "count": []})
+    for piece in pieces:
+        if not piece:
+            continue
+        c = Counter(piece)
+        # per-batch summary: exact top-m counts (what the sink feeds)
+        top = c.most_common(m)
+        batch = pd.DataFrame(
+            {"item": [t for t, _ in top], "count": [v for _, v in top]}
+        )
+        state = mg_merge(state, batch, m)
+
+    true = Counter(items)
+    err = n / (m + 1)
+    got = dict(zip(state["item"], state["count"]))
+    for item, freq in true.items():
+        if freq > err:
+            assert item in got, (item, freq, err)
+            assert got[item] <= freq
+            assert got[item] >= freq - err
