@@ -154,6 +154,20 @@ def main() -> None:
         "  four ONE-row aggregates (O(1) joins). The fact-side work is",
         "  one flag-frame pass (single symbol shuffle) + scalar-dependent",
         "  re-aggregations — see plans/report.py.",
+        "- `walk_forward_plan` NESTED_LOOP_JOIN: the four fold-boundary",
+        "  quantiles are ONE row broadcast-crossJoined onto the bars —",
+        "  O(n·1) scalar distribution, same shape as `volume_profile`.",
+        "- `quantized_ann_recall` NESTED_LOOP_JOIN: candidate generation",
+        "  is the (corpus × 16-query) broadcast crossJoin — the same",
+        "  bounded fan-out every ANN harness uses (`ivf_recall_at_10`);",
+        "  the 16-row side is broadcast, never shuffled.",
+        "- `major_value_parts` NESTED_LOOP_JOIN: the global revenue total",
+        "  is a ONE-row broadcast crossJoin onto the per-part aggregate —",
+        "  the q11 scalar-subquery shape, O(parts·1).",
+        "- `lineitem_expectations` NESTED_LOOP_JOIN: the suite result is",
+        "  three ONE-row counter frames crossJoined into one report row —",
+        "  O(1) joins; all fact-side work is a single scan-bound",
+        "  aggregate + a keys-only shuffle + one anti-join.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
