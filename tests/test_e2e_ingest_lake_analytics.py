@@ -1,0 +1,67 @@
+"""Full-story integration: partition-parallel DataSource ingest →
+versioned lake commit → indicator analytics, instrumented with
+zero-extra-pass observed metrics.
+
+This is the Spark-first rendering of the reference's whole pipeline
+(download → store → process → analyze) in one test: every stage is a
+lazy plan, the lake write is the only action, and the analytics read
+back through snapshot isolation with file skipping.
+"""
+
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.observability import PipelineMetrics
+from financial_data_pipeline_spark.operators import indicators
+from financial_data_pipeline_spark.sources.kline_datasource import (
+    KlineDataSource,
+)
+from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+
+def test_ingest_commit_analyze_roundtrip(spark, tmp_path):
+    spark.dataSource.register(KlineDataSource)
+    pm = PipelineMetrics()
+
+    # 1. ingest: two symbols, two days, pushdown-capable source
+    raw = (
+        spark.read.format("kline")
+        .option("symbols", "BTCUSDT,ETHUSDT")
+        .option("start", "2025-02-01")
+        .option("end", "2025-02-03")
+        .option("interval_minutes", "60")
+        .load()
+    )
+    raw = pm.observe(raw, "ingested")
+
+    # 2. lake commit (the ONE action so far; metrics ride it)
+    table = LakeTable(spark, str(tmp_path / "bars"), stat_cols=["timestamp"])
+    v1 = table.commit(raw, mode="append")
+    assert v1 == 1
+    assert pm.get("ingested")["rows"] == 2 * 2 * 24
+
+    # 3. analytics on the committed snapshot: SMA(5) over closes
+    bars = table.read(version=v1).withColumn(
+        "sma_5", indicators.sma("close", 5)
+    )
+    got = bars.filter(F.col("sma_5").isNotNull()).count()
+    # first 4 bars per symbol have no SMA(5)
+    assert got == 2 * (48 - 4)
+
+    # 4. second day's ingest lands as a new version; old snapshot stable
+    more = (
+        spark.read.format("kline")
+        .option("symbols", "BTCUSDT,ETHUSDT")
+        .option("start", "2025-02-03")
+        .option("end", "2025-02-04")
+        .option("interval_minutes", "60")
+        .load()
+    )
+    v2 = table.commit(more, mode="append")
+    assert table.read(version=v1).count() == 96
+    assert table.read(version=v2).count() == 144
+
+    # 5. time-range file skipping: day-3 query must not open v1's files
+    files_day3 = table.pruned_files(
+        pred_col="timestamp", lo="2025-02-03T00:00:00"
+    )
+    assert 0 < len(files_day3) < len(table.pruned_files())
