@@ -211,20 +211,7 @@ class LakeTable:
         head = self.head_version()
         if head == 0:
             return self.commit(updates, mode="append")
-        bounds = updates.agg(
-            F.min(k0).alias("lo"), F.max(k0).alias("hi")
-        ).first()
-        touched, carried = [], []
-        for fs in self._load_snapshot(head).files:
-            mn, mx = fs.stats[k0]
-            intersects = (
-                mn is not None
-                and mx is not None
-                and bounds["lo"] is not None
-                and mx >= bounds["lo"]
-                and bounds["hi"] >= mn
-            )
-            (touched if intersects else carried).append(fs)
+        touched, carried = self._split_by_key_range(head, updates, k0)
         if touched:
             old = self.spark.read.parquet(*[fs.path for fs in touched])
             survivors = old.join(
@@ -236,6 +223,69 @@ class LakeTable:
         else:
             combined = updates
         return self._advance("merge", carried + self._write_files(combined))
+
+    def _split_by_key_range(
+        self, version: int, keys: DataFrame, k0: str
+    ) -> tuple[list[FileStat], list[FileStat]]:
+        """(touched, carried): files whose [min, max] for ``k0`` can /
+        cannot intersect the key frame's value range."""
+        from pyspark.sql import functions as F
+
+        bounds = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+        touched, carried = [], []
+        for fs in self._load_snapshot(version).files:
+            mn, mx = fs.stats[k0]
+            intersects = (
+                mn is not None
+                and mx is not None
+                and bounds["lo"] is not None
+                and mx >= bounds["lo"]
+                and bounds["hi"] >= mn
+            )
+            (touched if intersects else carried).append(fs)
+        return touched, carried
+
+    def delete(self, keys: DataFrame, key_cols: list[str]) -> int:
+        """Copy-on-write DELETE by key (the right-to-be-forgotten
+        primitive a training-data lake needs): rows matching ``keys``
+        disappear from the NEW snapshot; only files whose stats range
+        can contain a matching key are rewritten (anti-join), the rest
+        carry over as metadata. NOTE: deleted rows remain readable via
+        older snapshots until ``expire_snapshots`` reclaims them —
+        a compliance purge is delete + expire."""
+        k0 = key_cols[0]
+        if k0 not in self.stat_cols:
+            raise ValueError(
+                f"delete needs key column {k0!r} in stat_cols for file pruning"
+            )
+        head = self.head_version()
+        if head == 0:
+            raise ValueError("delete on an empty table")
+        touched, carried = self._split_by_key_range(head, keys, k0)
+        if not touched:
+            return self._advance("delete", carried)
+        old = self.spark.read.parquet(*[fs.path for fs in touched])
+        survivors = old.join(
+            keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        return self._advance("delete", carried + self._write_files(survivors))
+
+    def added_files(self, since_version: int, to_version: int | None = None) -> list[str]:
+        """Manifest diff: data files present in ``to_version`` (default
+        HEAD) but not in ``since_version`` — the exact input set an
+        incremental consumer must process. O(manifest) metadata, no
+        file listing, no scan."""
+        to_v = self.head_version() if to_version is None else to_version
+        base = (
+            {fs.path for fs in self._load_snapshot(since_version).files}
+            if since_version > 0
+            else set()
+        )
+        return [
+            fs.path
+            for fs in self._load_snapshot(to_v).files
+            if fs.path not in base
+        ]
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Retention: drop all but the newest ``keep_last`` snapshots

@@ -139,3 +139,41 @@ def test_expire_snapshots_reclaims_only_dead_files(spark, table):
     assert table.read().count() == 100
     for p in table.pruned_files():
         assert os.path.exists(p)
+
+
+def test_delete_removes_keys_and_prunes_untouched(spark, table):
+    table.commit(_batch(spark, 0, 2, "a"))   # days 0-1
+    table.commit(_batch(spark, 4, 6, "b"))   # days 4-5
+    before = set(table.pruned_files())
+    keys = _batch(spark, 5, 6, "x").select("day", "value")
+    v = table.delete(keys, key_cols=["day", "value"])
+    out = table.read()
+    assert out.count() == 300
+    assert out.filter(F.col("day") == 5).count() == 0
+    # day-0/1 files carried over untouched
+    assert set(f.path for f in table._load_snapshot(v).files) & before
+    # compliance purge: delete + expire removes the bytes
+    deleted = table.expire_snapshots(keep_last=1)
+    assert deleted  # the rewritten-away files are reclaimed
+    assert table.read().count() == 300
+
+
+def test_delete_missing_keys_is_noop_snapshot(spark, table):
+    table.commit(_batch(spark, 0, 1, "a"))
+    v = table.delete(
+        _batch(spark, 50, 51, "zz").select("day", "value"),
+        key_cols=["day", "value"],
+    )
+    assert table.read(version=v).count() == 100
+
+
+def test_added_files_manifest_diff(spark, table):
+    v1 = table.commit(_batch(spark, 0, 1, "a"))
+    v2 = table.commit(_batch(spark, 1, 2, "b"))
+    delta = table.added_files(since_version=v1, to_version=v2)
+    assert delta
+    assert set(delta) == set(table.pruned_files(version=v2)) - set(
+        table.pruned_files(version=v1)
+    )
+    # reading just the delta yields exactly the new rows
+    assert spark.read.parquet(*delta).count() == 100
