@@ -82,3 +82,48 @@ def refresh_aggregate(
         .parquet(agg_root)
     )
     return out
+
+
+def incremental_window_refresh(
+    base,
+    since_version: int,
+    compute,
+    lookback,
+    ts_col: str = "timestamp",
+) -> DataFrame | None:
+    """Recompute a window-derived table for ONLY the rows added to a
+    :class:`~financial_data_pipeline_spark.sources.laketable.LakeTable`
+    after ``since_version`` — the lake-side incremental view
+    maintenance the manifest diff enables.
+
+    ``compute`` is any plan adding window-derived columns whose frame
+    never reaches further back than ``lookback`` (a
+    ``datetime.timedelta``) — e.g. SMA(n)/ATR(n) with n·interval ≤
+    lookback. The recipe:
+
+    1. ``added_files(since_version)`` — the delta file set straight
+       from the manifest diff (no listing, no scan);
+    2. context read = delta's min timestamp − lookback, served through
+       the table's stats-based FILE pruning — old history files are
+       never opened;
+    3. run ``compute`` over context + delta, keep only rows at/after
+       the delta start.
+
+    Output rows equal the same compute over the FULL table restricted
+    to the delta rows (equality pinned in tests); cost scales with
+    |delta| + |lookback window|, not table size. Returns ``None`` when
+    nothing was added.
+    """
+    spark = base.spark
+    delta_paths = base.added_files(since_version)
+    if not delta_paths:
+        return None
+    delta = spark.read.parquet(*delta_paths)
+    start = delta.agg(F.min(ts_col)).first()[0]
+    if start is None:
+        return None
+    look_start = start - lookback
+    ctx = base.read(
+        pred_col=ts_col, lo=look_start.isoformat()
+    ).filter(F.col(ts_col) >= F.lit(look_start))
+    return compute(ctx).filter(F.col(ts_col) >= F.lit(start))

@@ -65,3 +65,75 @@ def test_ingest_commit_analyze_roundtrip(spark, tmp_path):
         pred_col="timestamp", lo="2025-02-03T00:00:00"
     )
     assert 0 < len(files_day3) < len(table.pruned_files())
+
+
+def test_incremental_refresh_equals_full_recompute(spark, tmp_path):
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.refresh import (
+        incremental_window_refresh,
+    )
+
+    spark.dataSource.register(KlineDataSource)
+    table = LakeTable(spark, str(tmp_path / "inc"), stat_cols=["timestamp"])
+
+    def ingest(start, end):
+        return (
+            spark.read.format("kline")
+            .option("symbols", "BTCUSDT,ETHUSDT")
+            .option("start", start)
+            .option("end", end)
+            .option("interval_minutes", "60")
+            .load()
+        )
+
+    table.commit(ingest("2025-03-01", "2025-03-02"))        # cold history
+    v2 = table.commit(ingest("2025-03-02", "2025-03-03"))
+    table.commit(ingest("2025-03-03", "2025-03-04"))        # the delta
+
+    def compute(df):
+        return df.withColumn("sma_5", indicators.sma("close", 5))
+
+    incr = incremental_window_refresh(
+        table,
+        since_version=v2,
+        compute=compute,
+        lookback=dt.timedelta(hours=5),
+    )
+    full = compute(table.read()).filter(
+        F.col("timestamp") >= "2025-03-03"
+    )
+    assert incr.count() == full.count() == 2 * 24
+    assert (
+        incr.select("symbol", "timestamp", "sma_5")
+        .exceptAll(full.select("symbol", "timestamp", "sma_5"))
+        .count()
+        == 0
+    )
+    # delta-with-lookback read opens fewer files than the full table
+    assert len(
+        table.pruned_files(pred_col="timestamp", lo="2025-03-02T19:00:00")
+    ) < len(table.pruned_files())
+
+
+def test_incremental_refresh_none_when_no_delta(spark, tmp_path):
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.refresh import (
+        incremental_window_refresh,
+    )
+
+    spark.dataSource.register(KlineDataSource)
+    table = LakeTable(spark, str(tmp_path / "inc2"), stat_cols=["timestamp"])
+    v1 = table.commit(
+        spark.read.format("kline")
+        .option("symbols", "BTCUSDT")
+        .option("start", "2025-03-01")
+        .option("end", "2025-03-02")
+        .load()
+    )
+    out = incremental_window_refresh(
+        table, since_version=v1, compute=lambda d: d,
+        lookback=dt.timedelta(hours=1),
+    )
+    assert out is None
