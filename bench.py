@@ -148,6 +148,7 @@ HEADLINE = [
     "lineitem_expectations",
     "return_moment_stats",
     "return_autocorr_lag1",
+    "candle_patterns",
 ]
 
 

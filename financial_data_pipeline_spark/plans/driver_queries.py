@@ -6170,3 +6170,82 @@ def q_return_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom, 6
         ).alias("autocorr_1"),
     )
+
+
+@query(
+    "candle_patterns",
+    BARS_CTE
+    + """
+, b AS (
+  SELECT symbol, timestamp, open, high, low, close,
+         lag(open) OVER w AS p_open, lag(close) OVER w AS p_close
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), f AS (
+  SELECT symbol, timestamp,
+         CASE WHEN abs(close - open) <= 0.1 * (high - low)
+               AND high > low THEN 1 ELSE 0 END AS doji,
+         CASE WHEN p_close < p_open AND close > open
+               AND open <= p_close AND close >= p_open
+              THEN 1 ELSE 0 END AS bullish_engulfing,
+         CASE WHEN (high - low) > 3 * abs(close - open)
+               AND least(open, close) - low >= 2 * abs(close - open)
+               AND abs(close - open) > 0
+              THEN 1 ELSE 0 END AS hammer
+  FROM b
+)
+SELECT symbol,
+       sum(doji) AS doji_count,
+       sum(bullish_engulfing) AS bullish_engulfing_count,
+       sum(hammer) AS hammer_count
+FROM f GROUP BY symbol
+""",
+)
+def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick pattern detection (doji / bullish engulfing /
+    hammer) as pure codegen expressions over one lag window — pattern
+    counts per symbol. The standard textbook geometric definitions;
+    no Python, no extra scan beyond the bar build."""
+    from pyspark.sql import Window as W
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy("timestamp")
+    b = bars.select(
+        "symbol",
+        "timestamp",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+    )
+    body = F.abs(F.col("close") - F.col("open"))
+    doji = (
+        (body <= 0.1 * (F.col("high") - F.col("low")))
+        & (F.col("high") > F.col("low"))
+    ).cast("int")
+    engulf = (
+        (F.col("p_close") < F.col("p_open"))
+        & (F.col("close") > F.col("open"))
+        & (F.col("open") <= F.col("p_close"))
+        & (F.col("close") >= F.col("p_open"))
+    ).cast("int")
+    hammer = (
+        ((F.col("high") - F.col("low")) > 3 * body)
+        & ((F.least("open", "close") - F.col("low")) >= 2 * body)
+        & (body > 0)
+    ).cast("int")
+    return (
+        b.select(
+            "symbol",
+            doji.alias("doji"),
+            F.coalesce(engulf, F.lit(0)).alias("bullish_engulfing"),
+            hammer.alias("hammer"),
+        )
+        .groupBy("symbol")
+        .agg(
+            F.sum("doji").alias("doji_count"),
+            F.sum("bullish_engulfing").alias("bullish_engulfing_count"),
+            F.sum("hammer").alias("hammer_count"),
+        )
+    )
