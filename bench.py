@@ -149,6 +149,7 @@ HEADLINE = [
     "return_moment_stats",
     "return_autocorr_lag1",
     "candle_patterns",
+    "close_decile_bins",
 ]
 
 

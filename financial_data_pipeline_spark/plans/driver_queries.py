@@ -6249,3 +6249,41 @@ def q_candle_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("hammer").alias("hammer_count"),
         )
     )
+
+
+@query(
+    "close_decile_bins",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, close,
+         ntile(10) OVER (PARTITION BY symbol
+                         ORDER BY close ASC, timestamp ASC) AS decile
+  FROM bars
+)
+SELECT symbol, decile, count(*) AS n,
+       round(min(close), 6) AS lo, round(max(close), 6) AS hi
+FROM t GROUP BY symbol, decile
+""",
+)
+def q_close_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile feature binning: per-symbol decile assignment via
+    ntile — the rank-based featurization (equal-count bins) that
+    complements the equal-width histogram (`volume_profile`) and the
+    quantile CUTS (`walk_forward_plan`). Deterministic with the
+    (close, timestamp) tie-break; the window runs per symbol, never a
+    global sort. Emits per-bin counts and value ranges (the bin-edge
+    table a feature store would persist)."""
+    from pyspark.sql import Window as W
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = W.partitionBy("symbol").orderBy(F.asc("close"), F.asc("timestamp"))
+    return (
+        bars.select("symbol", "close", F.ntile(10).over(w).alias("decile"))
+        .groupBy("symbol", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("close"), 6).alias("lo"),
+            F.round(F.max("close"), 6).alias("hi"),
+        )
+    )
