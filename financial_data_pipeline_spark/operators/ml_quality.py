@@ -50,6 +50,41 @@ def build_quality_pipeline(
     return Pipeline(stages=[tok, tf, idf, lr])
 
 
+def strip_training_summary(model) -> None:
+    """Drop the fitted model's training summary (in place).
+
+    The summary object pins the driver ``SparkSession``, and
+    ``ProbabilisticClassificationModel.transform``'s prediction UDF
+    captures the whole model into the task closure — so a retained
+    summary ships the session to executors. That session is only
+    *accidentally* serializable: the first use of ``Observation``
+    anywhere in the session instantiates its (non-serializable)
+    ``ObservationManager``, after which every subsequent
+    ``model.transform`` action dies with ``NotSerializableException``.
+    A saved-then-reloaded model never has a summary, which is why the
+    bug only bites the train-and-score-in-one-session path. Stripping
+    is also what you want at scale regardless: the closure should be
+    the coefficient vector, not the training-job bookkeeping.
+
+    Scala's ``private[ml] setSummary`` is public in bytecode, so the
+    py4j call is safe; Connect-backed models (no ``_java_obj``) and
+    summary-less stages are left untouched.
+    """
+    stages = getattr(model, "stages", [model])
+    for stage in stages:
+        jobj = getattr(stage, "_java_obj", None)
+        if jobj is None:
+            continue
+        try:
+            if jobj.hasSummary():
+                from pyspark import SparkContext
+
+                jvm = SparkContext._active_spark_context._jvm
+                jobj.setSummary(jvm.scala.Option.empty())
+        except Exception:
+            continue
+
+
 def train_quality_model(
     docs: DataFrame,
     label_col: str = "weak_label",
@@ -58,9 +93,12 @@ def train_quality_model(
 ):
     """Fit on weak-labeled docs (label ∈ {0.0, 1.0}). Returns the
     PipelineModel; persist with ``model.write().save(path)`` like any
-    MLlib artifact."""
+    MLlib artifact. The training summary is stripped before returning
+    (see ``strip_training_summary``)."""
     pipe = build_quality_pipeline(text_col, label_col, **kwargs)
-    return pipe.fit(docs)
+    model = pipe.fit(docs)
+    strip_training_summary(model)
+    return model
 
 
 def score_quality(

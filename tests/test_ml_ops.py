@@ -92,3 +92,23 @@ def test_quality_model_scores_unseen_docs(spark, weak_docs):
         for r in score_quality(model, unseen).collect()
     }
     assert rows[1] > rows[2]
+
+
+def test_scoring_survives_session_observations(spark, weak_docs):
+    """Regression: a retained training summary pins the SparkSession
+    into the prediction-UDF closure, and once any ``Observation`` has
+    instantiated the session's ObservationManager that closure is no
+    longer serializable (NotSerializableException on every transform
+    action). ``train_quality_model`` strips the summary, so scoring
+    must work even after Observations have been used in the session."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    weak_docs.observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == weak_docs.count()
+
+    model = train_quality_model(weak_docs)
+    lr_stage = model.stages[-1]
+    assert not lr_stage._java_obj.hasSummary()
+    out = score_quality(model, weak_docs).agg(F.avg("quality_prob")).first()
+    assert out[0] is not None
