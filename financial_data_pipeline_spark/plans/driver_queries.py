@@ -6287,3 +6287,71 @@ def q_close_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("close"), 6).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowed-fingerprint substring overlap (Lee et al. exact-substring analog)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_sql(k: int = 8, w: int = 4, min_shared: int = 1, cap: int = 1000) -> str:
+    """Full DuckDB twin of the winnowing pipeline: same token split,
+    same 40-bit md5 gram hash, same min-hash/rightmost-tie selection
+    via the identical long encoding, same hot-bucket cap."""
+    shift = 1 << 22
+    mask = shift - 1
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+), sized AS (
+  SELECT doc_id, t, len(t) AS nt,
+         greatest(len(t) - {k} + 1, 1) AS n_kgrams
+  FROM toks
+), kg AS (
+  SELECT doc_id, n_kgrams, i - 1 AS pos,
+         CASE WHEN nt >= {k} THEN array_to_string(t[i:i+{k - 1}], ' ')
+              ELSE array_to_string(t, ' ') END AS g
+  FROM sized, unnest(generate_series(1, n_kgrams)) AS u(i)
+), keyed AS (
+  SELECT doc_id, n_kgrams, pos,
+         ('0x' || substr(md5(g), 1, 10))::BIGINT * {shift}
+           + ({mask} - pos) AS key
+  FROM kg
+), winmin AS (
+  SELECT doc_id, n_kgrams, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS wkey
+  FROM keyed
+), fps AS (
+  SELECT DISTINCT doc_id, wkey // {shift} AS fp_hash
+  FROM winmin
+  WHERE pos >= {w - 1} OR pos = n_kgrams - 1
+), bsz AS (
+  SELECT fp_hash, count(*) AS c FROM fps GROUP BY 1
+), fpk AS (
+  SELECT f.doc_id, f.fp_hash
+  FROM fps f JOIN bsz USING (fp_hash)
+  WHERE bsz.c BETWEEN 2 AND {cap}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fpk a JOIN fpk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""
+
+
+@query("substring_overlap_pairs", _winnow_sql())
+def q_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-passage candidate pairs via MOSS winnowing
+    (``operators/winnow.py``): any two docs sharing an exact run of
+    ≥ window + k − 1 = 11 tokens are guaranteed a pair row. The
+    distributed stand-in for the reference-free suffix-array substring
+    dedup of Lee et al. 2022; oracle recomputes fingerprint selection
+    gram-for-gram."""
+    from financial_data_pipeline_spark.operators.winnow import (
+        substring_overlap_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_overlap_pairs(docs, k=8, window=4)

@@ -1,0 +1,105 @@
+"""Winnowed-fingerprint substring overlap (operators/winnow.py)."""
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from financial_data_pipeline_spark.operators.winnow import (
+    POS_MASK,
+    kgram_rows,
+    substring_overlap_pairs,
+    winnow_fingerprints,
+)
+
+K, W = 8, 4
+GUARANTEE = W + K - 1  # shared token run that MUST produce a pair
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_moss_guarantee_on_planted_overlap(spark):
+    """Two docs sharing a verbatim run of exactly w+k-1 tokens must
+    share >= 1 fingerprint; a doc with no shared k-gram must not."""
+    shared = _words("common", GUARANTEE)
+    df = spark.createDataFrame(
+        [
+            (1, _words("aa", 5) + " " + shared + " " + _words("zz", 4)),
+            (2, _words("bb", 9) + " " + shared),
+            (3, _words("cc", 30)),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = substring_overlap_pairs(df, k=K, window=W).collect()
+    assert any(r.id_a == 1 and r.id_b == 2 for r in pairs), pairs
+    assert not any(3 in (r.id_a, r.id_b) for r in pairs), pairs
+
+
+def test_longer_overlap_scores_more_shared_fps(spark):
+    base = _words("x", 40)
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, _words("p", 6) + " " + base),  # 40-token overlap with 1
+            (3, _words("q", 6) + " " + " ".join(base.split()[:GUARANTEE])),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in substring_overlap_pairs(df, k=K, window=W).collect()
+    }
+    assert got[(1, 2)] > got.get((1, 3), 0) >= 1, got
+
+
+def test_short_doc_still_fingerprints(spark):
+    """Docs with fewer than k tokens hash their whole text; fewer than
+    w k-grams degenerate to the global min — identical short docs
+    still pair."""
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other thing")],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(df, k=K, window=W)
+    assert fps.groupBy("id").count().filter("count >= 1").count() == 3
+    pairs = substring_overlap_pairs(df, k=K, window=W).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_fingerprint_density_is_sublinear(spark):
+    """Winnowing stores ~2/(w+1) of the k-gram hashes — assert the
+    selected set is well below the full k-gram count."""
+    df = spark.createDataFrame([(1, _words("w", 400))], ["doc_id", "text"])
+    n_kgrams = kgram_rows(df, k=K).count()
+    n_fps = winnow_fingerprints(df, k=K, window=W).count()
+    assert n_kgrams == 400 - K + 1
+    assert n_fps < n_kgrams * 0.75
+    assert n_fps >= n_kgrams / (W + 1) * 0.5
+
+
+def test_positions_decode_within_doc(spark):
+    df = spark.createDataFrame([(7, _words("d", 50))], ["doc_id", "text"])
+    rows = winnow_fingerprints(df, k=K, window=W).collect()
+    assert all(0 <= r.fp_pos <= 50 - K for r in rows)
+    assert all(0 < r.fp_hash < (1 << 40) for r in rows)
+    assert all(r.fp_pos <= POS_MASK for r in rows)
+
+
+def test_hot_bucket_cap_drops_boilerplate(spark):
+    """A passage shared by many docs (site boilerplate) exceeds the
+    bucket cap and is dropped instead of exploding into B^2/2 pairs;
+    an Observation surfaces the drop."""
+    boiler = _words("boiler", 20)
+    rows = [(i, f"unique{i} " + boiler) for i in range(12)]
+    rows += [(100, _words("real", 3) + " " + _words("pair", GUARANTEE)),
+             (101, _words("other", 5) + " " + _words("pair", GUARANTEE))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    obs = Observation()
+    pairs = substring_overlap_pairs(
+        df, k=K, window=W, max_bucket_size=5, observation=obs
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (100, 101) in got
+    assert not any(a < 100 for a, _ in got), got
+    assert obs.get["dropped_buckets"] >= 1
