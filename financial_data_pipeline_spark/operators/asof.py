@@ -30,6 +30,8 @@ Execution shape — built for 100 TB, NOT a join at all:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -158,3 +160,154 @@ def asof_join(
             *out_cols, F.timestamp_micros(F.col("__r_ts_us")).alias(matched_ts_col)
         )
     return filled.select(*out_cols)
+
+
+@dataclass(frozen=True)
+class FeatureTable:
+    """One feature source for ``point_in_time_features``.
+
+    ``df`` must carry the entity/time keys named by the caller;
+    ``value_cols`` are attached to the spine as ``{prefix}{col}``;
+    ``ttl_seconds`` nullifies values whose match is staler than the
+    TTL at the spine row's time (per-table, the feature-store freshness
+    contract).
+    """
+
+    name: str
+    df: "DataFrame"
+    value_cols: list[str]
+    ttl_seconds: float | None = None
+    prefix: str = ""
+
+
+def point_in_time_features(
+    spine: DataFrame,
+    features: list[FeatureTable],
+    on: str = "ts",
+    by: str = "user_id",
+    emit_matched_ts: bool = False,
+) -> DataFrame:
+    """Training-set assembly: attach, to every spine row, the latest
+    at-or-before value of every feature table — the feature-store
+    point-in-time-correct join that prevents label leakage (no feature
+    row from the future of its spine row is ever visible).
+
+    Execution — ONE shuffle for N feature tables, not N as-of joins:
+    spine and every feature table union into one frame (each table's
+    columns null on other tables' rows), hash-partitioned on the
+    entity key once, sorted once per partition, and every feature
+    column fills via ``last(ignorenulls)`` over the same
+    unboundedPreceding window. Chained per-table as-of joins would
+    re-shuffle the accumulated spine per table; here shuffle volume is
+    (spine + Σ features) exactly once. Feature rows sort before spine
+    rows at equal timestamps, so same-instant features are visible
+    (at-or-before, inclusive — DuckDB ``ASOF JOIN`` / pandas
+    ``merge_asof`` backward semantics).
+
+    Feature tables should be unique per (entity, time); dedup upstream
+    if not (e.g. ``greatest_per_group``). TTLs compare event-time
+    microseconds — spine rows older than every in-TTL feature row get
+    nulls, exactly what a model should see for a cold entity.
+    """
+    for ft in features:
+        missing = [c for c in (by, on) if c not in ft.df.columns]
+        if missing:
+            raise ValueError(f"feature table {ft.name!r} lacks {missing}")
+
+    out_names = {}
+    for ft in features:
+        for c in ft.value_cols:
+            out = f"{ft.prefix}{c}"
+            if out in spine.columns or out in out_names:
+                raise ValueError(f"output column collision: {out!r}")
+            out_names[out] = ft
+
+    # One wide union: spine rows carry nulls for every feature slot,
+    # each feature table fills its own slots + its match-ts marker.
+    slots: list[tuple[str, str, "FeatureTable"]] = []  # (out, src, ft)
+    for ft in features:
+        for c in ft.value_cols:
+            slots.append((f"{ft.prefix}{c}", c, ft))
+    ft_types = {
+        ft.name: {f.name: f.dataType for f in ft.df.schema.fields}
+        for ft in features
+    }
+
+    spine_side = spine.select(
+        *spine.columns,
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(ft_types[ft.name][src]).alias(out)
+            for out, src, ft in slots
+        ],
+        *[F.lit(None).cast("long").alias(f"__ts_{ft.name}") for ft in features],
+    )
+    spine_types = {f.name: f.dataType for f in spine.schema.fields}
+    parts = [spine_side]
+    for ft in features:
+        parts.append(
+            ft.df.select(
+                F.col(by),
+                F.col(on),
+                *[
+                    F.lit(None).cast(spine_types[c]).alias(c)
+                    for c in spine.columns
+                    if c not in (by, on)
+                ],
+                F.lit(0).alias("__side"),
+                *[
+                    (F.col(src) if ft2 is ft else F.lit(None).cast(
+                        ft_types[ft2.name][src2]
+                    )).alias(out2)
+                    for out2, src2, ft2 in slots
+                    for src in [src2]
+                ],
+                *[
+                    (
+                        F.unix_micros(F.col(on))
+                        if ft2 is ft
+                        else F.lit(None).cast("long")
+                    ).alias(f"__ts_{ft2.name}")
+                    for ft2 in features
+                ],
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *spine.columns,
+        F.col("__side"),
+        *[F.last(out, ignorenulls=True).over(w).alias(out) for out, _, _ in slots],
+        *[
+            F.last(f"__ts_{ft.name}", ignorenulls=True)
+            .over(w)
+            .alias(f"__ts_{ft.name}")
+            for ft in features
+        ],
+    ).filter(F.col("__side") == 1)
+
+    l_us = F.unix_micros(F.col(on))
+    final_cols = list(spine.columns)
+    for out, _, ft in slots:
+        col = F.col(out)
+        if ft.ttl_seconds is not None:
+            fresh = (l_us - F.col(f"__ts_{ft.name}")) <= F.lit(
+                int(ft.ttl_seconds * 1_000_000)
+            )
+            col = F.when(fresh, col)
+        final_cols.append(col.alias(out))
+    if emit_matched_ts:
+        for ft in features:
+            final_cols.append(
+                F.timestamp_micros(F.col(f"__ts_{ft.name}")).alias(
+                    f"__matched_{ft.name}"
+                )
+            )
+    return filled.select(*final_cols)

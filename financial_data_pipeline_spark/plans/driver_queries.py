@@ -6355,3 +6355,73 @@ def q_substring_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_overlap_pairs(docs, k=8, window=4)
+
+
+_PIT_SQL = """
+WITH spine AS (
+  SELECT event_id, user_id, ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), errs AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us,
+       round(s.purchase_value, 6) AS purchase_value,
+       round(v.value, 6) AS view_value,
+       round(CASE WHEN e.ts IS NOT NULL AND s.ts - e.ts <= INTERVAL 6 HOUR
+                  THEN e.value END, 6) AS err_value
+FROM spine s
+ASOF LEFT JOIN views v ON s.user_id = v.user_id AND s.ts >= v.ts
+ASOF LEFT JOIN errs  e ON s.user_id = e.user_id AND s.ts >= e.ts
+"""
+
+
+@query("point_in_time_features", _PIT_SQL)
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store training-set assembly: every purchase event gets
+    the latest at-or-before view value (unbounded) and error value
+    (6 h TTL) per user — label-leakage-free by construction, N feature
+    tables in ONE entity-key shuffle (``asof.point_in_time_features``).
+    Oracle: DuckDB's native ASOF LEFT JOIN chain with the TTL as a
+    staleness CASE."""
+    from financial_data_pipeline_spark.operators.asof import (
+        FeatureTable,
+        point_in_time_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    views = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    errs = (
+        ev.filter("event_type = 'error'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = point_in_time_features(
+        spine,
+        [
+            FeatureTable("views", views, ["value"], prefix="view_"),
+            FeatureTable(
+                "errors", errs, ["value"], ttl_seconds=21600, prefix="err_"
+            ),
+        ],
+        on="ts",
+        by="user_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("view_value", 6).alias("view_value"),
+        F.round("err_value", 6).alias("err_value"),
+    )

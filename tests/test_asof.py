@@ -2,6 +2,8 @@
 
 import datetime as dt
 
+import pytest
+
 import pandas as pd
 import pyspark.sql.functions as F
 
@@ -137,3 +139,117 @@ def test_asof_nearest_direction_tie_takes_backward(spark):
     )
     tie = asof_join(probe, right, direction="nearest").first()
     assert tie.px == 100.0
+
+
+# ---------------------------------------------------------------------------
+# point_in_time_features (feature-store multi-table PIT assembly)
+# ---------------------------------------------------------------------------
+
+
+def _t(s):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def pit_frames(spark):
+    from financial_data_pipeline_spark.operators.asof import FeatureTable
+
+    spine = spark.createDataFrame(
+        [(1, _t(100), "p1"), (1, _t(400), "p2"), (2, _t(50), "p3")],
+        ["user_id", "ts", "label"],
+    )
+    views = spark.createDataFrame(
+        [(1, _t(90), 5.0), (1, _t(100), 7.0), (1, _t(350), 9.0), (2, _t(60), 3.0)],
+        ["user_id", "ts", "value"],
+    )
+    errs = spark.createDataFrame(
+        [(1, _t(10), 1.0), (1, _t(395), 2.0)], ["user_id", "ts", "value"]
+    )
+    return spine, views, errs, FeatureTable
+
+
+def test_pit_backward_inclusive_and_ttl(spark, pit_frames):
+    from financial_data_pipeline_spark.operators.asof import (
+        point_in_time_features,
+    )
+
+    spine, views, errs, FeatureTable = pit_frames
+    out = point_in_time_features(
+        spine,
+        [
+            FeatureTable("views", views, ["value"], prefix="view_"),
+            FeatureTable("errors", errs, ["value"], ttl_seconds=60, prefix="err_"),
+        ],
+        on="ts",
+        by="user_id",
+    )
+    rows = {r.label: r for r in out.collect()}
+    assert rows["p1"].view_value == 7.0  # same-instant feature visible
+    assert rows["p2"].view_value == 9.0
+    assert rows["p3"].view_value is None  # only future feature rows
+    assert rows["p1"].err_value is None  # match staler than TTL
+    assert rows["p2"].err_value == 2.0  # within TTL
+    assert set(out.columns) == {
+        "user_id", "ts", "label", "view_value", "err_value"
+    }
+
+
+def test_pit_equals_chained_asof_joins(spark, pit_frames):
+    """The one-shuffle union formulation must equal the semantic
+    definition: independent backward as-of joins per feature table."""
+    from financial_data_pipeline_spark.operators.asof import (
+        asof_join,
+        point_in_time_features,
+    )
+
+    spine, views, errs, FeatureTable = pit_frames
+    got = point_in_time_features(
+        spine,
+        [
+            FeatureTable("views", views, ["value"], prefix="view_"),
+            FeatureTable("errors", errs, ["value"], prefix="err_"),
+        ],
+        on="ts",
+        by="user_id",
+    )
+    want = asof_join(
+        asof_join(
+            spine,
+            views.withColumnRenamed("value", "view_value"),
+            on="ts",
+            by="user_id",
+            value_cols=["view_value"],
+        ),
+        errs.withColumnRenamed("value", "err_value"),
+        on="ts",
+        by="user_id",
+        value_cols=["err_value"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select(*got.columns).collect())
+    )
+
+
+def test_pit_collision_and_missing_key_raise(spark, pit_frames):
+    from financial_data_pipeline_spark.operators.asof import (
+        point_in_time_features,
+    )
+
+    spine, views, errs, FeatureTable = pit_frames
+    with pytest.raises(ValueError, match="collision"):
+        point_in_time_features(
+            spine,
+            [FeatureTable("v", views, ["value"], prefix="la"),
+             FeatureTable("b", errs, ["l"], prefix="labe")],
+            on="ts",
+            by="user_id",
+        )
+    with pytest.raises(ValueError, match="lacks"):
+        point_in_time_features(
+            spine,
+            [FeatureTable("v", views.drop("ts"), ["value"])],
+            on="ts",
+            by="user_id",
+        )
