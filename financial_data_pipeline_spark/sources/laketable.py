@@ -51,6 +51,11 @@ class Snapshot:
     ts: float
     mode: str  # "append" | "overwrite"
     files: list[FileStat] = field(default_factory=list)
+    # App-level metadata committed ATOMICALLY with the snapshot (the
+    # HEAD move is the commit point). Streaming sinks record their
+    # last applied micro-batch id here, which is what makes replayed
+    # foreachBatch deliveries idempotent (see streaming/lake_sink.py).
+    app_meta: dict = field(default_factory=dict)
 
 
 def _mdir(root: str) -> str:
@@ -134,6 +139,7 @@ class LakeTable:
             ts=d["ts"],
             mode=d["mode"],
             files=[FileStat(**fs) for fs in d["files"]],
+            app_meta=d.get("app_meta", {}),
         )
 
     def snapshots(self) -> list[int]:
@@ -155,10 +161,18 @@ class LakeTable:
         ]
         return _collect_stats(self.spark, files, self.stat_cols)
 
-    def _advance(self, mode: str, files: list[FileStat]) -> int:
+    def _advance(
+        self, mode: str, files: list[FileStat], app_meta: dict | None = None
+    ) -> int:
         """Write the snapshot manifest for the next version and move
-        HEAD — the only mutation a commit does to table metadata."""
-        version = self.head_version() + 1
+        HEAD — the only mutation a commit does to table metadata.
+        ``app_meta`` updates are merged over the head snapshot's map
+        and ride the same manifest write, so they are atomic with the
+        data they describe."""
+        head = self.head_version()
+        version = head + 1
+        meta = dict(self._load_snapshot(head).app_meta) if head > 0 else {}
+        meta.update(app_meta or {})
         with open(self._snapshot_path(version), "w") as f:
             json.dump(
                 {
@@ -166,6 +180,7 @@ class LakeTable:
                     "ts": time.time(),
                     "mode": mode,
                     "files": [vars(fs) for fs in files],
+                    "app_meta": meta,
                 },
                 f,
             )
@@ -173,7 +188,17 @@ class LakeTable:
             json.dump({"version": version}, f)
         return version
 
-    def commit(self, df: DataFrame, mode: str = "append") -> int:
+    def app_meta(self) -> dict:
+        """The head snapshot's app-level metadata map."""
+        head = self.head_version()
+        return self._load_snapshot(head).app_meta if head > 0 else {}
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        app_meta: dict | None = None,
+    ) -> int:
         """Write ``df`` as an immutable file set + manifest; returns the
         new version. ``overwrite`` only redefines VISIBILITY (the new
         snapshot lists only the new files) — old files stay on disk for
@@ -186,9 +211,14 @@ class LakeTable:
             if mode == "append" and self.head_version() > 0
             else []
         )
-        return self._advance(mode, carried + new)
+        return self._advance(mode, carried + new, app_meta)
 
-    def merge(self, updates: DataFrame, key_cols: list[str]) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        app_meta: dict | None = None,
+    ) -> int:
         """Copy-on-write MERGE (upsert): rows in ``updates`` replace
         current rows with the same key; unmatched keys append.
 
@@ -210,7 +240,7 @@ class LakeTable:
             )
         head = self.head_version()
         if head == 0:
-            return self.commit(updates, mode="append")
+            return self.commit(updates, mode="append", app_meta=app_meta)
         touched, carried = self._split_by_key_range(head, updates, k0)
         if touched:
             old = self.spark.read.parquet(*[fs.path for fs in touched])
@@ -222,7 +252,9 @@ class LakeTable:
             combined = survivors.unionByName(updates)
         else:
             combined = updates
-        return self._advance("merge", carried + self._write_files(combined))
+        return self._advance(
+            "merge", carried + self._write_files(combined), app_meta
+        )
 
     def _split_by_key_range(
         self, version: int, keys: DataFrame, k0: str
