@@ -439,3 +439,77 @@ def chunk_documents(
         chunk.alias("chunk_text"),
         F.length(chunk).cast("int").alias("chunk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prototypicality-based data pruning (embedding-space curation)
+# ---------------------------------------------------------------------------
+
+
+def prototypicality_rank(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster prototypicality: cosine distance to the cluster
+    centroid, ranked hardest-first (Sorscher et al. 2022, *Beyond
+    neural scaling laws* — data pruning by keeping the most/least
+    prototypical examples per cluster).
+
+    ``df`` must already carry a cluster id in ``label_col`` — compose
+    with ``ml_ann.kmeans_assign`` (trained cells) or any deterministic
+    assignment. Centroids come from ``similarity.ivf_build_centroids``
+    (one component-triple shuffle) and broadcast back onto the corpus;
+    the distance is a codegen array fold, and the rank window runs per
+    cluster — never a global sort.
+
+    Emits ``proto_dist`` (1 − cosine, rounded at full precision),
+    ``proto_rank`` (1 = farthest from centroid, per cluster, ties by
+    id) and ``cluster_n``.
+    """
+    from pyspark.sql import Window
+
+    from financial_data_pipeline_spark.operators.similarity import (
+        cosine,
+        ivf_build_centroids,
+    )
+
+    cent = ivf_build_centroids(df, vec_col, label_col)
+    joined = df.join(F.broadcast(cent), label_col)
+    dist = 1.0 - cosine(F.col(vec_col), F.col("centroid"))
+    w = Window.partitionBy(label_col).orderBy(
+        F.desc("proto_dist"), F.asc(id_col)
+    )
+    wn = Window.partitionBy(label_col)
+    return (
+        joined.withColumn("proto_dist", dist)
+        .withColumn("proto_rank", F.row_number().over(w))
+        .withColumn("cluster_n", F.count(F.lit(1)).over(wn))
+        .drop("centroid")
+    )
+
+
+def prototypicality_prune(
+    df: DataFrame,
+    keep_frac: float,
+    keep: str = "hard",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Keep ``ceil(keep_frac · n)`` examples per cluster: the HARD ones
+    (far from centroid — the right prune when data is abundant) or the
+    EASY prototypes (the right prune in the scarce regime). Exact
+    per-cluster counts, deterministic ties."""
+    if not 0 < keep_frac <= 1:
+        raise ValueError("keep_frac must be in (0, 1]")
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be hard|easy, got {keep!r}")
+    ranked = prototypicality_rank(df, vec_col, label_col, id_col)
+    quota = F.ceil(F.lit(keep_frac) * F.col("cluster_n"))
+    if keep == "hard":
+        cond = F.col("proto_rank") <= quota
+    else:
+        cond = F.col("proto_rank") > F.col("cluster_n") - quota
+    return ranked.filter(cond)

@@ -6425,3 +6425,50 @@ def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("view_value", 6).alias("view_value"),
         F.round("err_value", 6).alias("err_value"),
     )
+
+
+_PROTO_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+  SELECT label, i AS pos, avg(v[i]) AS c
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
+), d AS (
+  SELECT e.vec_id, e.label,
+         1.0 - list_cosine_similarity(e.v, cent.centroid) AS dist
+  FROM e JOIN cent USING (label)
+), r AS (
+  SELECT vec_id, label, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id ASC) AS proto_rank,
+         count(*) OVER (PARTITION BY label) AS cluster_n
+  FROM d
+)
+SELECT vec_id, label, proto_rank, cluster_n, round(dist, 6) AS proto_dist
+FROM r WHERE proto_rank <= ceil(0.25 * cluster_n)
+"""
+
+
+@query("prototypicality_prune", _PROTO_SQL)
+def q_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data pruning (Sorscher et al.): keep the hardest
+    25% per cluster by cosine distance to the cluster centroid —
+    centroid build + broadcast join + per-cluster rank window, exact
+    quotas, deterministic ties. Uses the table's own ``label`` cells so
+    the oracle can rebuild centroids bit-for-bit (the trained-cell path
+    composes with ``ml_ann.kmeans_assign`` and is pytest-verified)."""
+    from financial_data_pipeline_spark.operators.curation import (
+        prototypicality_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = prototypicality_prune(emb, keep_frac=0.25, keep="hard")
+    return kept.select(
+        "vec_id",
+        "label",
+        "proto_rank",
+        "cluster_n",
+        F.round("proto_dist", 6).alias("proto_dist"),
+    )

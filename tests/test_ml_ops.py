@@ -112,3 +112,52 @@ def test_scoring_survives_session_observations(spark, weak_docs):
     assert not lr_stage._java_obj.hasSummary()
     out = score_quality(model, weak_docs).agg(F.avg("quality_prob")).first()
     assert out[0] is not None
+
+
+def test_prototypicality_prune_quotas_and_regimes(spark, emb):
+    from financial_data_pipeline_spark.operators.curation import (
+        prototypicality_prune,
+        prototypicality_rank,
+    )
+
+    ranked = prototypicality_rank(emb)
+    sizes = {r.label: r.n for r in
+             emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # rank is a per-cluster permutation 1..n
+    per = ranked.groupBy("label").agg(
+        F.min("proto_rank").alias("lo"), F.max("proto_rank").alias("hi"),
+        F.countDistinct("proto_rank").alias("d"), F.count(F.lit(1)).alias("n"),
+    ).collect()
+    for r in per:
+        assert (r.lo, r.hi, r.d) == (1, sizes[r.label], sizes[r.label])
+
+    import math
+    hard = prototypicality_prune(emb, 0.3, keep="hard")
+    got = {r.label: r.n for r in
+           hard.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {l: math.ceil(0.3 * n) for l, n in sizes.items()}
+
+    # hard and easy partitions are disjoint at complementary quotas
+    easy = prototypicality_prune(emb, 0.3, keep="easy")
+    hard_max = hard.agg(F.min("proto_dist")).first()[0]
+    easy_min = easy.agg(F.max("proto_dist")).first()[0]
+    ids_h = {r.vec_id for r in hard.select("vec_id").collect()}
+    ids_e = {r.vec_id for r in easy.select("vec_id").collect()}
+    assert not ids_h & ids_e
+
+
+def test_prototypicality_composes_with_trained_cells(spark, emb):
+    """The production path: k-means cells (ml_ann) instead of the
+    table's own labels — hard examples per trained cell."""
+    from financial_data_pipeline_spark.operators.curation import (
+        prototypicality_prune,
+    )
+
+    labeled = kmeans_assign(emb.drop("label"), k=6)
+    easy = prototypicality_prune(labeled, 0.5, keep="easy")
+    hard = prototypicality_prune(labeled, 0.5, keep="hard")
+    assert 0 < easy.count() <= emb.count()
+    # prototypes sit strictly closer to their centroid than the hard set
+    d_easy = easy.agg(F.avg("proto_dist")).first()[0]
+    d_hard = hard.agg(F.avg("proto_dist")).first()[0]
+    assert d_easy < d_hard
