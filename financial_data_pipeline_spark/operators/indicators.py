@@ -436,3 +436,94 @@ def return_correlation(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def return_correlation_gram(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """The thousands-of-symbols path for ``return_correlation``: the
+    full pairwise Pearson matrix from ONE pass of BLAS partial moments,
+    no O(T · S²) join fan-out — and exactly the self-join's
+    PAIRWISE-COMPLETE semantics (each pair correlates over the
+    timestamps where BOTH symbols have a return).
+
+    Shape: pivot returns to a (time × symbols) panel with gaps kept as
+    NaN; each Arrow batch contributes masked-matmul partials — with
+    presence mask M and zero-filled values Z, the five k×k products
+    MᵀM, ZᵀM, (Z∘Z)ᵀM, ZᵀZ hold every pair's co-observed n, sums,
+    sum-squares and cross-sum — S²/2 summary rows per batch, NOT per
+    observation. One groupBy((i,j)) sums the partials into the
+    closed-form correlation; shuffle volume is O(batches · S²)
+    doubles, independent of T. Co-observation is row-local, so the
+    partials are exactly additive across batches.
+
+    The symbol list is collected once (driver-side metadata, S names —
+    same bounded-collect contract as the IVF centroid probe).
+    """
+    import pandas as pd
+
+    r = log_return(price_col, by=[by], ts=ts)
+    rr = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .select(F.col(ts).alias("__t"), F.col(by).alias("__s"), "__r")
+    )
+    symbols = sorted(x[0] for x in rr.select("__s").distinct().collect())
+    k = len(symbols)
+    wide = rr.groupBy("__t").pivot("__s", symbols).agg(F.first("__r"))
+
+    part_schema = (
+        "i int, j int, n long, sx double, sy double, "
+        "sxx double, syy double, sxy double"
+    )
+
+    def kernel(batches):
+        import numpy as np
+
+        iu, ju = np.triu_indices(k, 1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = pdf[symbols].to_numpy(dtype="float64")
+            M = (~np.isnan(V)).astype("float64")
+            Z = np.nan_to_num(V)
+            N = M.T @ M          # co-observed counts
+            SX = Z.T @ M         # SX[i,j] = Σ z_i over rows where j present
+            SXX = (Z * Z).T @ M
+            SXY = Z.T @ Z
+            yield pd.DataFrame(
+                {
+                    "i": iu,
+                    "j": ju,
+                    "n": N[iu, ju].astype("int64"),
+                    "sx": SX[iu, ju],
+                    "sy": SX[ju, iu],
+                    "sxx": SXX[iu, ju],
+                    "syy": SXX[ju, iu],
+                    "sxy": SXY[iu, ju],
+                }
+            )
+
+    part = wide.mapInPandas(kernel, part_schema)
+    agg = part.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+    )
+    names = F.array(*[F.lit(s) for s in symbols])
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = n * F.col("sxy") - sx * sy
+    var_a = n * F.col("sxx") - sx * sx
+    var_b = n * F.col("syy") - sy * sy
+    return agg.filter(n > 0).select(
+        F.element_at(names, F.col("i") + 1).alias("sym_a"),
+        F.element_at(names, F.col("j") + 1).alias("sym_b"),
+        (cov / F.sqrt(var_a * var_b)).alias("corr_r"),
+        n.alias("n_obs"),
+    )

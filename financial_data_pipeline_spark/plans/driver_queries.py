@@ -6472,3 +6472,32 @@ def q_prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_n",
         F.round("proto_dist", 6).alias("proto_dist"),
     )
+
+
+@query(
+    "return_correlation_gram",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+)
+SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+       round(corr(a.r, b.r), 6) AS corr_r, count(*) AS n_obs
+FROM r a JOIN r b ON a.timestamp = b.timestamp AND a.symbol < b.symbol
+WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_return_correlation_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gram-matrix scale path for the co-movement matrix: masked
+    BLAS partials per Arrow batch (pairwise-complete, identical
+    semantics to the self-join — same oracle), shuffle independent of
+    T. This is the plan you run at thousands of symbols."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.return_correlation_gram(bars)
+    return out.select(
+        "sym_a", "sym_b", F.round("corr_r", 6).alias("corr_r"), "n_obs"
+    )

@@ -309,3 +309,41 @@ def test_backtest_cost_model_charges_per_trade(spark):
     want = (1 + free.strategy_return) * (1 - 10 / 10_000.0) ** 3 - 1
     assert abs(costly.strategy_return - want) < 1e-12
     assert costly.buy_hold_return == free.buy_hold_return
+
+
+def test_return_correlation_gram_equals_join_path(spark):
+    """Masked-matmul gram partials must reproduce the self-join's
+    pairwise-complete Pearson exactly, including on a ragged panel
+    (symbols with disjoint gaps)."""
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.indicators import (
+        return_correlation,
+        return_correlation_gram,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for s, prices in {
+        "A": [10, 11, 12, 11, 13, 14, 13, 15],
+        "B": [20, 19, 21, 22, 21, 23, 24, 22],
+        "C": [5, 6, 5, 7, 6, 8, 7, 9],
+    }.items():
+        for i, p in enumerate(prices):
+            if s == "B" and i in (2, 5):
+                continue  # gaps: pairwise windows differ per pair
+            rows.append((s, t0 + dt.timedelta(hours=i), float(p)))
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+
+    gp = {
+        (r.sym_a, r.sym_b): (r.corr_r, r.n_obs)
+        for r in return_correlation_gram(df).collect()
+    }
+    jp = {
+        (r.sym_a, r.sym_b): (r.corr_r, r.n_obs)
+        for r in return_correlation(df).collect()
+    }
+    assert set(gp) == set(jp) and len(gp) == 3
+    for k in gp:
+        assert gp[k][1] == jp[k][1]
+        assert abs(gp[k][0] - jp[k][0]) < 1e-12
