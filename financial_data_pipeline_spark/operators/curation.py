@@ -513,3 +513,30 @@ def prototypicality_prune(
     else:
         cond = F.col("proto_rank") > F.col("cluster_n") - quota
     return ranked.filter(cond)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    per_cluster: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exactly ``min(per_cluster, n)`` rows per cluster, chosen by the
+    same portable md5 id-hash as ``exact_k_sample`` — the diversity
+    sampler for embedding-clustered corpora (every semantic region
+    keeps representation instead of the head clusters swamping the
+    sample). One rank window per cluster (no global order, no RNG);
+    deterministic across engines and partitionings, so re-runs and
+    oracles reproduce the exact row set."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(label_col).orderBy(F.asc("__rank"), F.asc(id_col))
+    return (
+        df.withColumn("__rank", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_cluster)
+        .drop("__rank", "__rn")
+    )

@@ -161,3 +161,37 @@ def volume_bars(
             F.count(F.lit(1)).alias("n_src_bars"),
         )
     )
+
+
+def dollar_bars(
+    df,
+    threshold: float,
+    by: str = "symbol",
+    ts: str = "timestamp",
+    price_col: str = "close",
+    volume_col: str = "volume",
+):
+    """Dollar bars: the value-clocked sibling of ``volume_bars`` — bars
+    close when cumulative traded VALUE (price · volume) crosses
+    ``threshold``, so the bar clock is invariant to price level (a
+    10× price move doesn't decimate the per-bar sample size the way a
+    volume clock does). Identical two-stage plan: one running-sum
+    window per symbol, one (symbol, bar) aggregate."""
+    w = Window.partitionBy(by).orderBy(ts)
+    val = F.col(price_col) * F.col(volume_col)
+    cum_before = F.sum(val).over(w) - val
+    order_key = F.unix_micros(F.col(ts))
+    return (
+        df.withColumn("__bar", F.floor(cum_before / F.lit(threshold)))
+        .groupBy(by, F.col("__bar").alias("bar_id"))
+        .agg(
+            F.min(ts).alias("bar_start"),
+            F.min_by("open", order_key).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", order_key).alias("close"),
+            F.sum(val).alias("dollar_value"),
+            F.sum(volume_col).alias("volume"),
+            F.count(F.lit(1)).alias("n_src_bars"),
+        )
+    )

@@ -6501,3 +6501,74 @@ def q_return_correlation_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "sym_a", "sym_b", F.round("corr_r", 6).alias("corr_r"), "n_obs"
     )
+
+
+@query(
+    "dollar_bars",
+    BARS_CTE
+    + """
+, vb AS (
+  SELECT symbol, timestamp, open, high, low, close, volume,
+         sum(close * volume) OVER (PARTITION BY symbol ORDER BY timestamp)
+           - close * volume AS cum_before
+  FROM bars
+)
+SELECT symbol, floor(cum_before / 100000.0)::BIGINT AS bar_id,
+       epoch_us(min(timestamp)) AS start_us,
+       round(arg_min(open, epoch_us(timestamp)), 6) AS open,
+       round(max(high), 6) AS high, round(min(low), 6) AS low,
+       round(arg_max(close, epoch_us(timestamp)), 6) AS close,
+       round(sum(close * volume), 6) AS dollar_value,
+       round(sum(volume), 6) AS volume,
+       count(*) AS n_src_bars
+FROM vb GROUP BY symbol, 2
+""",
+)
+def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-clocked resampling (``resample.dollar_bars``): bars cut
+    every 100k of traded value — price-level-invariant activity
+    sampling, same running-sum + bar-aggregate plan as volume bars."""
+    from financial_data_pipeline_spark.operators.resample import dollar_bars
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = dollar_bars(bars, threshold=100_000.0)
+    return out.select(
+        "symbol",
+        "bar_id",
+        F.unix_micros("bar_start").alias("start_us"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        F.round("dollar_value", 6).alias("dollar_value"),
+        F.round("volume", 6).alias("volume"),
+        "n_src_bars",
+    )
+
+
+@query(
+    "cluster_balanced_sample",
+    """
+WITH r AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT ASC,
+                    vec_id ASC
+         ) AS rn
+  FROM embeddings
+)
+SELECT vec_id, label FROM r WHERE rn <= 5
+""",
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: exactly 5 rows per embedding cluster by
+    portable md5 id-hash rank — every semantic region keeps
+    representation; RNG-free and engine-independent so the oracle
+    reproduces the exact row set."""
+    from financial_data_pipeline_spark.operators.curation import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, per_cluster=5).select("vec_id", "label")

@@ -372,3 +372,22 @@ def test_chunk_udtf_matches_dataframe_operator(spark):
     assert via_sql.exceptAll(via_df).count() == 0
     assert via_df.exceptAll(via_sql).count() == 0
     assert via_df.count() > 0
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    from financial_data_pipeline_spark.operators.curation import (
+        cluster_balanced_sample,
+    )
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = cluster_balanced_sample(emb, per_cluster=3)
+    per = {r.label: r.n for r in
+           got.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.label: r.n for r in
+             emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {l: min(3, n) for l, n in sizes.items()}
+    # repartitioning does not change the chosen rows
+    again = cluster_balanced_sample(emb.repartition(7), per_cluster=3)
+    assert sorted(r.vec_id for r in got.select("vec_id").collect()) == \
+           sorted(r.vec_id for r in again.select("vec_id").collect())

@@ -4,6 +4,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from financial_data_pipeline_spark.operators import indicators, resample
 
@@ -347,3 +348,36 @@ def test_return_correlation_gram_equals_join_path(spark):
     for k in gp:
         assert gp[k][1] == jp[k][1]
         assert abs(gp[k][0] - jp[k][0]) < 1e-12
+
+
+def test_dollar_bars_conservation_and_price_invariance(spark):
+    """Dollar-bar assignment conserves rows/volume/value, and scaling
+    prices 10x with threshold 10x yields the identical bar structure
+    (the price-level invariance volume bars lack)."""
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.resample import dollar_bars
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("A", t0 + dt.timedelta(minutes=i), 10.0 + i, 12.0 + i, 9.0 + i,
+         11.0 + i, 100.0 + 10 * i)
+        for i in range(12)
+    ]
+    cols = ["symbol", "timestamp", "open", "high", "low", "close", "volume"]
+    df = spark.createDataFrame(rows, cols)
+    out = dollar_bars(df, threshold=3000.0)
+    agg = out.agg(
+        F.sum("n_src_bars").alias("n"),
+        F.sum("volume").alias("v"),
+        F.sum("dollar_value").alias("d"),
+    ).first()
+    assert agg.n == 12
+    assert abs(agg.v - sum(r[6] for r in rows)) < 1e-9
+    assert abs(agg.d - sum(r[5] * r[6] for r in rows)) < 1e-9
+
+    scaled = df.withColumn("close", F.col("close") * 10)
+    out10 = dollar_bars(scaled, threshold=30000.0)
+    a = sorted((r.bar_id, r.n_src_bars) for r in out.collect())
+    b = sorted((r.bar_id, r.n_src_bars) for r in out10.collect())
+    assert a == b
