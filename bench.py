@@ -150,6 +150,12 @@ HEADLINE = [
     "return_autocorr_lag1",
     "candle_patterns",
     "close_decile_bins",
+    "substring_overlap_pairs",
+    "point_in_time_features",
+    "prototypicality_prune",
+    "return_correlation_gram",
+    "dollar_bars",
+    "cluster_balanced_sample",
 ]
 
 

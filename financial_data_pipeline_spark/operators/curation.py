@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from financial_data_pipeline_spark.operators.text import (
     ENGLISH_STOPWORDS,
@@ -540,3 +541,80 @@ def cluster_balanced_sample(
         .filter(F.col("__rn") <= per_cluster)
         .drop("__rank", "__rn")
     )
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    token_budget: int,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled domain mixing: sampling weights
+    w_i ∝ tokens_iᵅ (the multilingual-LM α-sampling rule — α = 1 is
+    proportional, α → 0 uniform; low α up-samples small domains so head
+    domains don't swamp the mix). Same one-tiny-aggregate shape as
+    ``mixture_plan``, but the weights come from the corpus itself
+    instead of a hand-written dict: per-stratum token counts → powered
+    shares → normalized over the window of all strata (|strata| rows,
+    a no-op shuffle). ``rate`` caps at 1; epoch-repeat for over-asked
+    small strata stays the caller's decision."""
+    from pyspark.sql import Window
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    agg = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col(text_col))).alias("tokens"),
+    )
+    powered = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    w_all = Window.partitionBy()
+    share = powered / F.sum(powered).over(w_all)
+    target = share * F.lit(float(token_budget))
+    rate = F.least(F.lit(1.0), target / F.col("tokens").cast("double"))
+    return agg.select(
+        strata_col,
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("weight"),
+        F.round(rate, 6).alias("rate"),
+        F.round(rate * F.col("tokens"), 2).alias("expected_tokens"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compression_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    entropy-proxy quality signal large corpus pipelines use to flag
+    boilerplate and template spam (highly repetitive pages compress
+    far below prose; pure noise compresses above it). Prose lands
+    ~0.3–0.6; thresholds are corpus config.
+
+    zlib has no SQL twin, so this is one of the honest Python kernels:
+    an Arrow-batched ``mapInPandas`` (never row-at-a-time UDF) that
+    appends one double per row — scan-bound, map-only, no shuffle.
+    Empty/null texts get ratio 1.0 (nothing to compress)."""
+    import pandas as pd
+
+    fields = df.schema.fields
+    out_schema = T.StructType(
+        [*fields, T.StructField(out_col, T.DoubleType())]
+    )
+
+    def kernel(batches):
+        import zlib
+
+        for pdf in batches:
+            txt = pdf[text_col].fillna("")
+            raw = txt.str.encode("utf-8")
+            pdf[out_col] = [
+                (len(zlib.compress(b, level)) / len(b)) if len(b) else 1.0
+                for b in raw
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)

@@ -6572,3 +6572,55 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_balanced_sample(emb, per_cluster=5).select("vec_id", "label")
+
+
+@query(
+    "temperature_mixture_plan",
+    """
+WITH agg AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\\s+'))) AS tokens
+  FROM documents GROUP BY source
+), sh AS (
+  SELECT source, n_docs, tokens,
+         pow(tokens, 0.3) / sum(pow(tokens, 0.3)) OVER () AS share
+  FROM agg
+)
+SELECT source, n_docs, tokens,
+       round(share, 6) AS weight,
+       round(least(1.0, share * 1000000.0 / tokens), 6) AS rate,
+       round(least(1.0, share * 1000000.0 / tokens) * tokens, 2)
+         AS expected_tokens
+FROM sh
+""",
+)
+def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α-sampling mixture plan (α = 0.3, 1M-token budget): weights from
+    the corpus's own per-domain token mass, powered and normalized —
+    the standard small-domain up-sampling rule, one tiny aggregate."""
+    from financial_data_pipeline_spark.operators.curation import (
+        temperature_mixture_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_plan(docs, token_budget=1_000_000, alpha=0.3)
+
+
+@query("compression_ratio_stats")
+def q_compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy-proxy quality signal: per-source distribution of the
+    zlib compression ratio (Arrow-batched kernel; zlib has no SQL twin
+    so this is a declared rows-only check — the kernel itself is
+    differentially tested against direct zlib in tests)."""
+    from financial_data_pipeline_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = compression_ratio(docs)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("compression_ratio"), 6).alias("avg_ratio"),
+        F.round(F.min("compression_ratio"), 6).alias("min_ratio"),
+        F.round(F.max("compression_ratio"), 6).alias("max_ratio"),
+    )

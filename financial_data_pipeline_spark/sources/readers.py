@@ -114,3 +114,34 @@ def read_jdbc(
     for p in predicates or []:
         df = df.filter(p)
     return df
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSON-lines corpus reader — the wire format LLM corpora actually
+    ship in (one JSON doc per line). Same quarantine posture as
+    ``read_csv``: with ``corrupt_col`` set, malformed lines land intact
+    in the quarantine column instead of killing the ingest (PERMISSIVE),
+    and one filter splits clean rows from the quarantine. A declared
+    schema skips Spark's inference pass (one full extra scan at 100 TB)
+    and pins types against drifting producers.
+
+    Spark quirk (documented upstream): a query that reads ONLY the
+    corrupt column from the raw scan is disallowed
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache/persist the parsed
+    frame before auditing the quarantine on its own."""
+    reader = spark.read
+    if schema is not None:
+        if corrupt_col is not None:
+            schema = T.StructType(
+                [*schema.fields, T.StructField(corrupt_col, T.StringType())]
+            )
+            reader = reader.option("mode", "PERMISSIVE").option(
+                "columnNameOfCorruptRecord", corrupt_col
+            )
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -391,3 +391,55 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     again = cluster_balanced_sample(emb.repartition(7), per_cluster=3)
     assert sorted(r.vec_id for r in got.select("vec_id").collect()) == \
            sorted(r.vec_id for r in again.select("vec_id").collect())
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    from financial_data_pipeline_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam " * 400),  # template repetition: compresses hard
+        (2, "The quarterly report outlines revenue growth across the "
+            "region, with notable gains in logistics and a cautious "
+            "outlook for commodity prices going into next year." * 3),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.compression_ratio
+           for r in compression_ratio(df).collect()}
+    assert got[1] < 0.05 < got[2] < 1.0
+    assert got[3] == 1.0 and got[4] == 1.0
+    # differential vs direct zlib on the same bytes
+    import zlib
+
+    raw = rows[1][1].encode()
+    assert abs(got[2] - len(zlib.compress(raw, 6)) / len(raw)) < 1e-12
+
+
+def test_temperature_mixture_plan_regimes(spark):
+    from financial_data_pipeline_spark.operators.curation import (
+        temperature_mixture_plan,
+    )
+
+    rows = [(i, "w " * 100, "big") for i in range(90)] + \
+           [(100 + i, "w " * 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    # alpha=1: proportional to token mass
+    prop = {r.source: r.weight
+            for r in temperature_mixture_plan(df, 10_000, alpha=1.0,
+                                              ).collect()}
+    assert abs(prop["big"] - 0.9) < 1e-6 and abs(prop["small"] - 0.1) < 1e-6
+    # alpha=0: uniform regardless of mass
+    uni = {r.source: r.weight
+           for r in temperature_mixture_plan(df, 10_000, alpha=0.0).collect()}
+    assert abs(uni["big"] - 0.5) < 1e-6 and abs(uni["small"] - 0.5) < 1e-6
+    # intermediate alpha up-samples the small domain
+    mid = {r.source: r.weight
+           for r in temperature_mixture_plan(df, 10_000, alpha=0.3).collect()}
+    assert 0.1 < mid["small"] < 0.5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mixture_plan(df, 10_000, alpha=-1)

@@ -552,3 +552,32 @@ def test_read_archive_merge_schema_evolution(spark, tmp_path):
     feb = evolved.filter(F.col("month") == 2)
     assert jan.filter(F.col("turnover").isNotNull()).count() == 0  # history null-filled
     assert feb.filter(F.col("turnover").isNull()).count() == 0
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from financial_data_pipeline_spark.sources.readers import read_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        'not json at all\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": "oops", "text": 3}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema, corrupt_col="_bad").cache()
+    clean = df.filter("_bad IS NULL")
+    bad = df.filter("_bad IS NOT NULL")
+    assert {(r.doc_id, r.text) for r in clean.collect()} == {
+        (1, "alpha"), (2, "beta")
+    }
+    assert bad.count() == 2
+    raws = {r._bad for r in bad.collect()}
+    assert "not json at all" in raws
