@@ -387,3 +387,47 @@ class LakeTable:
             raise ValueError("snapshot selects no files (empty table?)")
         return self.spark.read.parquet(*files)
 
+
+
+def compact(
+    table: LakeTable,
+    small_file_rows: int = 100_000,
+    sort_col: str | None = None,
+) -> int:
+    """Small-file compaction (the OPTIMIZE verb): rewrite every file
+    holding fewer than ``small_file_rows`` rows into a fresh clustered
+    file set; files already large enough carry into the new snapshot
+    as metadata. Returns the new version (or the current head if
+    nothing qualifies).
+
+    Why it's a lake-side must-have: streaming appends
+    (``streaming/lake_sink.py``) land one small file set per
+    micro-batch, and at 100 TB a scan's task count — and the manifest
+    itself — balloon with file count. Compaction is the standard
+    answer (Delta OPTIMIZE / Iceberg rewrite_data_files): read ONLY
+    the small files, write them back at target size, swap metadata.
+    Content is bit-identical; time travel still sees the old layout.
+
+    ``sort_col`` additionally clusters the rewrite (range-partition +
+    sort), which tightens the rewritten files' min/max stats — better
+    file skipping on that column afterwards (pair with
+    ``scale.zorder_key`` for multi-column clustering).
+    """
+    head = table.head_version()
+    if head == 0:
+        raise ValueError("compact on an empty table")
+    snap = table._load_snapshot(head)
+    small = [fs for fs in snap.files if fs.rows < small_file_rows]
+    carried = [fs for fs in snap.files if fs.rows >= small_file_rows]
+    if len(small) < 2:
+        return head  # nothing to gain
+    df = table.spark.read.parquet(*[fs.path for fs in small])
+    total = sum(fs.rows for fs in small)
+    n_out = max(1, total // small_file_rows + (total % small_file_rows > 0))
+    if sort_col is not None:
+        df = df.repartitionByRange(n_out, sort_col).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.coalesce(n_out)
+    return table._advance("compact", carried + table._write_files(df))

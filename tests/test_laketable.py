@@ -177,3 +177,51 @@ def test_added_files_manifest_diff(spark, table):
     )
     # reading just the delta yields exactly the new rows
     assert spark.read.parquet(*delta).count() == 100
+
+
+def test_compact_merges_small_files_content_identical(spark, tmp_path):
+    from financial_data_pipeline_spark.sources.laketable import (
+        LakeTable,
+        compact,
+    )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    # five tiny commits -> five+ small files (streaming-append shape)
+    for b in range(5):
+        table.commit(
+            spark.range(b * 10, b * 10 + 10).selectExpr(
+                "id", "id * 2 AS v"
+            ),
+            mode="append",
+        )
+    before = table._load_snapshot(table.head_version())
+    v_before = table.head_version()
+
+    v = compact(table, small_file_rows=1_000, sort_col="id")
+    assert v == v_before + 1
+    after = table._load_snapshot(v)
+    assert len(after.files) < len(before.files)
+    # content identical
+    a = sorted(map(tuple, table.read().collect()))
+    b = sorted(map(tuple, table.read(version=v_before).collect()))
+    assert a == b and len(a) == 50
+    # clustered rewrite tightens stats: file ranges are disjoint
+    ranges = sorted(tuple(fs.stats["id"]) for fs in after.files)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+    # time travel still sees the pre-compaction layout
+    assert len(before.files) == len(
+        table._load_snapshot(v_before).files
+    )
+
+
+def test_compact_noop_below_two_small_files(spark, tmp_path):
+    from financial_data_pipeline_spark.sources.laketable import (
+        LakeTable,
+        compact,
+    )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    table.commit(spark.range(100).selectExpr("id", "id AS v"))
+    head = table.head_version()
+    assert compact(table, small_file_rows=1) == head
