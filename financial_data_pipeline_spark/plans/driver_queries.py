@@ -6624,3 +6624,86 @@ def q_compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("compression_ratio"), 6).alias("min_ratio"),
         F.round(F.max("compression_ratio"), 6).alias("max_ratio"),
     )
+
+
+_PQ_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+sv AS (
+  SELECT e.vec_id, s.sub, e.v[s.sub*16+1 : s.sub*16+16] AS sv
+  FROM e, subs s
+),
+cells AS (
+  SELECT vec_id, sub, sv,
+         ntile(16) OVER (PARTITION BY sub
+                         ORDER BY sv[1] ASC, vec_id ASC) - 1 AS cell
+  FROM sv
+),
+comp AS (
+  SELECT sub, cell, i AS pos, avg(sv[i]) AS c
+  FROM cells, unnest(generate_series(1, 16)) AS u(i)
+  GROUP BY 1, 2, 3
+),
+cent AS (SELECT sub, cell, list(c ORDER BY pos) AS centroid
+         FROM comp GROUP BY 1, 2),
+enc AS (
+  SELECT vec_id, sub, cell AS code FROM (
+    SELECT sv.vec_id, sv.sub, cent.cell,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+             list_sum(list_transform(generate_series(1,16),
+               i -> (sv.sv[i]-cent.centroid[i])
+                  * (sv.sv[i]-cent.centroid[i]))) ASC,
+             cent.cell ASC) AS rn
+    FROM sv JOIN cent ON sv.sub = cent.sub) t
+  WHERE rn = 1
+),
+lut AS (
+  SELECT cent.sub, cent.cell,
+         list_sum(list_transform(generate_series(1,16),
+           i -> (q.qv[cent.sub*16+i]-cent.centroid[i])
+              * (q.qv[cent.sub*16+i]-cent.centroid[i]))) AS d
+  FROM cent, q
+),
+adc AS (
+  SELECT enc.vec_id, sum(lut.d) AS adc_dist
+  FROM enc JOIN lut ON enc.sub = lut.sub AND enc.code = lut.cell
+  GROUP BY 1
+),
+cand AS (SELECT vec_id, adc_dist FROM adc
+         ORDER BY adc_dist ASC, vec_id ASC LIMIT 50),
+ex AS (
+  SELECT cand.vec_id, cand.adc_dist,
+         list_sum(list_transform(generate_series(1,64),
+           i -> (e.v[i]-q.qv[i])*(e.v[i]-q.qv[i]))) AS l2
+  FROM cand JOIN e USING (vec_id), q
+)
+SELECT vec_id, round(adc_dist, 6) AS adc_dist, round(l2, 6) AS l2_dist
+FROM ex ORDER BY l2 ASC, vec_id ASC LIMIT 10
+"""
+
+
+@query("pq_ann_topk", _PQ_SQL)
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (``operators/pq.py``): deterministic
+    ntile codebook (m=4 subspaces × 16 cells), broadcast-join argmin
+    encode, ADC candidate scan over 4-byte codes, exact-L2 rerank of
+    the top-50 — the memory-scale index where the big scan reads m
+    bytes per vector instead of 256. Oracle rebuilds codebook, codes,
+    LUT and rerank stage-for-stage."""
+    from financial_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = pq_train(emb, m=4, k=16)
+    codes = pq_encode(emb, cent, m=4)
+    qv = _query_vec(spark, sf_dir)
+    top = pq_topk(codes, cent, qv, emb, m=4, k=10, rerank_k=50)
+    return top.select(
+        "vec_id",
+        F.round("adc_dist", 6).alias("adc_dist"),
+        F.round("l2_dist", 6).alias("l2_dist"),
+    )

@@ -161,3 +161,96 @@ def test_prototypicality_composes_with_trained_cells(spark, emb):
     d_easy = easy.agg(F.avg("proto_dist")).first()[0]
     d_hard = hard.agg(F.avg("proto_dist")).first()[0]
     assert d_easy < d_hard
+
+
+def test_pq_codes_shape_and_range(spark, emb):
+    from financial_data_pipeline_spark.operators.pq import pq_encode, pq_train
+
+    cent = pq_train(emb, m=4, k=16)
+    assert cent.count() == 64  # m*k codebook rows
+    codes = pq_encode(emb, cent, m=4)
+    chk = codes.select(
+        F.size("codes").alias("m"),
+        F.array_min("codes").alias("lo"),
+        F.array_max("codes").alias("hi"),
+    ).agg(
+        F.min("m"), F.max("m"), F.min("lo"), F.max("hi")
+    ).first()
+    assert chk == (4, 4, 0, 15)
+    assert codes.count() == emb.count()
+
+
+def test_pq_full_rerank_recovers_exact_topk(spark, emb):
+    """rerank_k >= corpus: the exact-L2 rerank must reproduce the
+    brute-force answer exactly (PQ only orders the candidate fetch)."""
+    from financial_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    cent = pq_train(emb, m=4, k=16)
+    codes = pq_encode(emb, cent, m=4)
+    n = emb.count()
+    got = [
+        r.vec_id
+        for r in pq_topk(codes, cent, qv, emb, m=4, k=5, rerank_k=n).collect()
+    ]
+    assert got[0] == 3  # self-match first
+    # the same answer as a direct exact-L2 scan
+    exact = [
+        r.vec_id
+        for r in emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(v) for v in qv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("d"),
+        ).orderBy("d", "vec_id").limit(5).collect()
+    ]
+    assert got == exact
+
+
+def test_pq_adc_recall_beats_tiny_rerank_budget(spark, emb):
+    """Widening the rerank budget must not lose exact neighbors
+    (monotone recall), and a 10x-corpus-fraction budget should find
+    most of the true top-10."""
+    from financial_data_pipeline_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from financial_data_pipeline_spark.operators.similarity import knn_join
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    cent = pq_train(emb, m=4, k=16)
+    codes = pq_encode(emb, cent, m=4)
+    exact = {
+        r.vec_id
+        for r in emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(v) for v in qv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("d"),
+        ).orderBy("d", "vec_id").limit(10).collect()
+    }
+    got50 = {r.vec_id for r in
+             pq_topk(codes, cent, qv, emb, m=4, k=10, rerank_k=50).collect()}
+    got200 = {r.vec_id for r in
+              pq_topk(codes, cent, qv, emb, m=4, k=10, rerank_k=200).collect()}
+    r50 = len(got50 & exact) / 10
+    r200 = len(got200 & exact) / 10
+    assert r200 >= r50
+    assert r200 >= 0.5, (r50, r200)
