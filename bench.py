@@ -156,6 +156,9 @@ HEADLINE = [
     "return_correlation_gram",
     "dollar_bars",
     "cluster_balanced_sample",
+    "temperature_mixture_plan",
+    "compression_ratio_stats",
+    "pq_ann_topk",
 ]
 
 
