@@ -6707,3 +6707,97 @@ def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adc_dist", 6).alias("adc_dist"),
         F.round("l2_dist", 6).alias("l2_dist"),
     )
+
+
+_SCD2_TEMPORAL_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment,
+         TIMESTAMP '1995-01-01' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal > 7500 THEN 'UPGRADED' ELSE c_mktsegment END
+           AS c_mktsegment
+  FROM customer
+), dim AS (
+  -- unchanged keys: one open version
+  SELECT c.c_custkey, c.c_mktsegment, c.valid_from, c.valid_to
+  FROM cur c JOIN upd u USING (c_custkey)
+  WHERE u.c_mktsegment = c.c_mktsegment
+  UNION ALL
+  -- changed keys: closed old version + open new one
+  SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+         TIMESTAMP '1998-01-01'
+  FROM cur c JOIN upd u USING (c_custkey)
+  WHERE u.c_mktsegment <> c.c_mktsegment
+  UNION ALL
+  SELECT u.c_custkey, u.c_mktsegment, TIMESTAMP '1998-01-01',
+         CAST(NULL AS TIMESTAMP)
+  FROM cur c JOIN upd u USING (c_custkey)
+  WHERE u.c_mktsegment <> c.c_mktsegment
+)
+SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS order_us,
+       d.c_mktsegment AS segment_at_order,
+       epoch_us(d.valid_from) AS segment_since_us
+FROM orders o
+LEFT JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+"""
+
+
+@query("orders_segment_at_order_time", _SCD2_TEMPORAL_SQL)
+def q_orders_segment_at_order_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join: every order picks the customer-segment
+    VERSION valid at its order date (the no-time-travel-bug fact↔SCD2
+    join). Composed from the existing operators — ``scd2_init`` +
+    ``scd2_merge`` build the versioned dimension, ``asof_join``
+    attaches the at-or-before version per customer (SCD2 intervals
+    tile the timeline, so as-of ≡ BETWEEN) — one union-window pass,
+    never an O(facts × versions) range join."""
+    from financial_data_pipeline_spark.operators.asof import asof_join
+    from financial_data_pipeline_spark.operators.scd import (
+        scd2_init,
+        scd2_merge,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim0 = scd2_init(
+        cust.select("c_custkey", "c_mktsegment"), valid_from="1995-01-01"
+    )
+    upd = cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") > 7500, F.lit("UPGRADED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    dim = scd2_merge(
+        dim0, upd, keys=["c_custkey"], tracked=["c_mktsegment"],
+        as_of="1998-01-01",
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("ts")
+    )
+    versions = dim.select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("valid_from").alias("ts"),
+        F.col("c_mktsegment").alias("segment_at_order"),
+        F.unix_micros("valid_from").alias("segment_since_us"),
+    )
+    joined = asof_join(
+        orders,
+        versions,
+        on="ts",
+        by="o_custkey",
+        value_cols=["segment_at_order", "segment_since_us"],
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros("ts").alias("order_us"),
+        "segment_at_order",
+        "segment_since_us",
+    )

@@ -103,3 +103,90 @@ def test_hot_bucket_cap_drops_boilerplate(spark):
     assert (100, 101) in got
     assert not any(a < 100 for a, _ in got), got
     assert obs.get["dropped_buckets"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# incremental index (operators/winnow_incremental.py)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_incremental_substring_dedup_lifecycle(spark, tmp_path):
+    from financial_data_pipeline_spark.operators.winnow_incremental import (
+        ingest_substring_batch,
+    )
+
+    idx = str(tmp_path / "widx")
+    passage = _words("pass", GUARANTEE + 5)
+
+    # batch 1: one within-batch dup pair (11 keeps, 12 drops), one unique
+    b1 = _docs(spark, [
+        (11, _words("a", 4) + " " + passage),
+        (12, _words("b", 7) + " " + passage),
+        (13, _words("c", 30)),
+    ])
+    surv1, m1 = ingest_substring_batch(spark, b1, idx)
+    assert sorted(r.doc_id for r in surv1.select("doc_id").collect()) == [11, 13]
+    assert {(r.doc_id, r.matched_id) for r in m1.collect()} == {(12, 11)}
+
+    # batch 2: one doc repeats the indexed passage (drops against
+    # HISTORY even though its id is lower than the matched id's batch
+    # sibling), one novel doc survives
+    b2 = _docs(spark, [
+        (5, _words("z", 6) + " " + passage),
+        (20, _words("novel", 30)),
+    ])
+    surv2, m2 = ingest_substring_batch(spark, b2, idx)
+    assert [r.doc_id for r in surv2.select("doc_id").collect()] == [20]
+    got = {(r.doc_id, r.matched_id) for r in m2.collect()}
+    assert (5, 11) in got          # history wins regardless of id order
+    assert not any(d == 20 for d, _ in got)
+
+    # batch 3: repeating the NOVEL doc's text also drops (index grew)
+    b3 = _docs(spark, [(30, _words("novel", 30))])
+    surv3, m3 = ingest_substring_batch(spark, b3, idx)
+    assert surv3.count() == 0
+    assert {(r.doc_id, r.matched_id) for r in m3.collect()} == {(30, 20)}
+
+
+def test_incremental_hot_posting_capped(spark, tmp_path):
+    """A fingerprint with a huge historical posting list is dropped
+    from the probe instead of fanning out O(corpus) pairs."""
+    from financial_data_pipeline_spark.operators.winnow_incremental import (
+        ingest_substring_batch,
+        substring_dedup_against_index,
+    )
+
+    idx = str(tmp_path / "widx")
+    boiler = _words("boiler", GUARANTEE)
+    # seed postings directly (history accumulated under other settings):
+    # many accepted docs share the boilerplate passage's fingerprints
+    from financial_data_pipeline_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+    from financial_data_pipeline_spark.operators.winnow_incremental import (
+        winnow_index_append,
+    )
+
+    seed = _docs(spark, [
+        (i, _words(f"u{i}x", GUARANTEE) + " " + boiler) for i in range(8)
+    ])
+    winnow_index_append(
+        winnow_fingerprints(seed, k=K, window=W)
+        .select(F.col("id").alias("doc_id"), "fp_hash")
+        .distinct(),
+        idx,
+    )
+
+    probe = _docs(spark, [(100, _words("fresh", 4) + " " + boiler)])
+    # cap below the posting size: boilerplate fps are dropped -> no match
+    surv, matches = substring_dedup_against_index(
+        spark, probe, idx, max_bucket_size=3
+    )
+    assert matches.count() == 0 and surv.count() == 1
+    # default cap: the match is found against history
+    surv2, matches2 = substring_dedup_against_index(spark, probe, idx)
+    assert surv2.count() == 0 and matches2.count() >= 1
