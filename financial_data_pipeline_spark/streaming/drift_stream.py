@@ -1,0 +1,98 @@
+"""Streaming feature-drift monitor: windowed PSI against a frozen
+reference (the serving-time companion to ``operators/drift.py``).
+
+The batch PSI compares two static frames. In production the question
+is continuous: *is the feature stream drifting away from the training
+distribution right now?* The Spark rendering:
+
+- the REFERENCE side is frozen at deploy time: (lo, hi, per-bin
+  counts) — ``bins`` numbers collected once driver-side and baked
+  into the streaming plan as literals (a broadcast of constants; the
+  reference never re-scans);
+- the stream buckets each row into the reference's equal-width bins
+  (same clamp-to-edge rule) and runs ONE windowed aggregate with a
+  conditional-sum column per bin — a single stateful operator, so
+  append mode + watermark close windows exactly like
+  ``continuous_aggregate`` (no chained-aggregate restriction);
+- PSI folds over the bin columns in a stateless projection on top —
+  per closed window: one row ``(window_start, window_end, psi,
+  n_new)``, identical arithmetic to ``drift.psi`` (+0.5 smoothing on
+  both sides).
+
+State is O(windows · bins) counters; late rows merge into their
+window until the watermark passes, exactly once per window in the
+sink.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def freeze_reference(ref: DataFrame, col: str, bins: int = 10) -> dict:
+    """Snapshot the reference distribution: ``{lo, hi, bins, counts}``.
+    One two-pass histogram (min/max aggregate, then bin counts) —
+    ``bins`` longs on the driver, the whole deploy artifact."""
+    lo, hi = ref.agg(F.min(col), F.max(col)).first()
+    width = (hi - lo) / bins if hi != lo else 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    rows = ref.select(bucket.alias("bin")).groupBy("bin").count().collect()
+    counts = [0] * bins
+    for r in rows:
+        counts[r["bin"]] = r["count"]
+    return {"lo": float(lo), "hi": float(hi), "bins": bins, "counts": counts}
+
+
+def streaming_psi(
+    stream: DataFrame,
+    reference: dict,
+    col: str,
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window PSI vs the frozen reference. Append-mode-safe (one
+    stateful aggregate); emit rows once the watermark closes each
+    window."""
+    bins = reference["bins"]
+    lo, hi = reference["lo"], reference["hi"]
+    width = (hi - lo) / bins if hi != lo else 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    counts = [
+        F.sum((bucket == i).cast("long")).alias(f"__n_{i}") for i in range(bins)
+    ]
+    win = (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("w"))
+        .agg(*counts, F.count(F.lit(1)).alias("n_new"))
+    )
+    t_ref = float(sum(reference["counts"]))
+    denom_ref = t_ref + 0.5 * bins
+    denom_new = F.col("n_new") + F.lit(0.5 * bins)
+    terms = []
+    for i in range(bins):
+        p = (reference["counts"][i] + 0.5) / denom_ref
+        q = (F.col(f"__n_{i}") + F.lit(0.5)) / denom_new
+        terms.append((F.lit(p) - q) * (F.lit(math.log(p)) - F.log(q)))
+    psi_expr = terms[0]
+    for t in terms[1:]:
+        psi_expr = psi_expr + t
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        psi_expr.alias("psi"),
+        "n_new",
+    )

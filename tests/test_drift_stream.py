@@ -1,0 +1,103 @@
+"""Streaming windowed PSI (streaming/drift_stream.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from financial_data_pipeline_spark.operators.drift import psi
+from financial_data_pipeline_spark.streaming.drift_stream import (
+    freeze_reference,
+    streaming_psi,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("ts", T.TimestampType()), T.StructField("x", T.DoubleType())]
+)
+
+
+def _rows(hour, values):
+    t0 = dt.datetime(2025, 1, 1, hour)
+    return [
+        (t0 + dt.timedelta(minutes=i % 60), float(v))
+        for i, v in enumerate(values)
+    ]
+
+
+def _drain(spark, src, reference, out, ckpt):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    res = streaming_psi(stream, reference, "x", window="1 hour",
+                        watermark="30 minutes")
+    (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def test_streaming_psi_matches_batch_psi_per_window(spark, tmp_path):
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(100)], ["x"]
+    )
+    reference = freeze_reference(ref, "x", bins=10)
+
+    # window 0: same distribution; window 1: shifted; window 2 (late
+    # sentinel) advances the watermark so 0 and 1 close
+    w0 = _rows(0, range(0, 100, 2))
+    w1 = _rows(1, [v * 0.2 for v in range(0, 100, 2)])
+    w2 = _rows(4, [50.0])
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    spark.createDataFrame(w0 + w1 + w2, SCHEMA).write.parquet(src + "/b1")
+    _drain(spark, src + "/*", reference, out, ckpt)
+
+    got = {
+        r.window_start.hour: (r.psi, r.n_new)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert 0 in got and 1 in got and 4 not in got  # open window withheld
+
+    for hour, vals in ((0, w0), (1, w1)):
+        batch = psi(
+            ref, spark.createDataFrame(vals, SCHEMA).select("x"), "x", bins=10
+        ).first()
+        assert abs(got[hour][0] - batch["psi"]) < 1e-9, hour
+        assert got[hour][1] == len(vals)
+    # regimes: stable window low, shifted window high
+    assert got[0][0] < 0.1 < 0.25 < got[1][0]
+
+
+def test_streaming_psi_merges_late_rows_across_restart(spark, tmp_path):
+    ref = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    reference = freeze_reference(ref, "x", bins=10)
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+    # run 1: half of window 0's rows; watermark stays inside window 0
+    spark.createDataFrame(_rows(0, range(0, 50, 2)), SCHEMA).write.parquet(
+        src + "/b1"
+    )
+    _drain(spark, src + "/*", reference, out, ckpt)
+    assert spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("window_start", T.TimestampType()),
+                T.StructField("window_end", T.TimestampType()),
+                T.StructField("psi", T.DoubleType()),
+                T.StructField("n_new", T.LongType()),
+            ]
+        )
+    ).parquet(out).count() == 0
+
+    # run 2: the rest of window 0 + a watermark-advancing sentinel;
+    # restored state merges and ONE row emits with the full count
+    spark.createDataFrame(
+        _rows(0, range(50, 100, 2)) + _rows(5, [50.0]), SCHEMA
+    ).write.parquet(src + "/b2")
+    _drain(spark, src + "/*", reference, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].n_new == 50
