@@ -1,0 +1,57 @@
+"""Table profiling — the ANALYZE-shaped statistics pass.
+
+One aggregate over ONE scan produces, per requested column: row count,
+null count, exact distinct count, min/max (as strings, type-erased for
+a uniform report row). This is the stats collection every planner and
+every data-quality dashboard runs first; at 100 TB the thing that
+matters is that it is a single pass (all counters are parallel
+aggregates over the same scan — Catalyst plans the multiple
+count(distinct) via one Expand, not one scan per column) and that the
+output is |columns| rows, not data.
+
+``approx=True`` swaps exact distinct counts for HLL++
+``approx_count_distinct`` (fixed-size sketches, no Expand fan-out) —
+the 100 TB default, same trade as ``distinct_users_daily_approx``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_null, ndv, min_val,
+    max_val) — min/max rendered as strings so heterogeneous columns
+    share one schema."""
+    cols = cols or df.columns
+    ndv = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            ndv(c).alias(f"__ndv_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__ndv_{c}").alias("ndv"),
+                F.col(f"__min_{c}").alias("min_val"),
+                F.col(f"__max_{c}").alias("max_val"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

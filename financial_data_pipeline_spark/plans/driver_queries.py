@@ -6801,3 +6801,93 @@ def q_orders_segment_at_order_time(spark: SparkSession, sf_dir: str) -> DataFram
         "segment_at_order",
         "segment_since_us",
     )
+
+
+@query(
+    "market_beta",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), mkt AS (
+  SELECT timestamp, avg(r) AS rm FROM r WHERE r IS NOT NULL GROUP BY 1
+)
+SELECT r.symbol,
+       round(covar_samp(r.r, mkt.rm) / var_samp(mkt.rm), 6) AS beta,
+       round(corr(r.r, mkt.rm), 6) AS corr_mkt,
+       count(*) AS n_obs
+FROM r JOIN mkt USING (timestamp)
+WHERE r.r IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPM-style beta per symbol against the equal-weight market
+    return (cross-sectional mean of co-timestamped log returns):
+    covar_samp/var_samp + corr in one aggregate after a tiny
+    (timestamp-keyed) join — the factor-exposure building block.
+    Pure built-ins; the market frame reuses the same lag window."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    r = bars.withColumn(
+        "r",
+        F.log(
+            F.col("close")
+            / F.lag("close").over(
+                Window.partitionBy("symbol").orderBy("timestamp")
+            )
+        ),
+    ).filter(F.col("r").isNotNull())
+    mkt = r.groupBy("timestamp").agg(F.avg("r").alias("rm"))
+    return (
+        r.join(mkt, "timestamp")
+        .groupBy("symbol")
+        .agg(
+            F.round(F.covar_samp("r", "rm") / F.var_samp("rm"), 6).alias(
+                "beta"
+            ),
+            F.round(F.corr("r", "rm"), 6).alias("corr_mkt"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+@query(
+    "orders_profile",
+    """
+WITH base AS (SELECT count(*) AS n FROM orders)
+SELECT 'o_custkey' AS "column", base.n AS n_rows,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_null,
+       (SELECT count(DISTINCT o_custkey) FROM orders) AS ndv,
+       (SELECT min(o_custkey)::VARCHAR FROM orders) AS min_val,
+       (SELECT max(o_custkey)::VARCHAR FROM orders) AS max_val
+FROM base
+UNION ALL
+SELECT 'o_orderstatus', base.n,
+       (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL),
+       (SELECT count(DISTINCT o_orderstatus) FROM orders),
+       (SELECT min(o_orderstatus) FROM orders),
+       (SELECT max(o_orderstatus) FROM orders)
+FROM base
+UNION ALL
+SELECT 'o_totalprice', base.n,
+       (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
+       (SELECT count(DISTINCT o_totalprice) FROM orders),
+       (SELECT min(o_totalprice)::VARCHAR FROM orders),
+       (SELECT max(o_totalprice)::VARCHAR FROM orders)
+FROM base
+""",
+)
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-shaped stats (``operators/profile.table_profile``): per
+    column — rows, nulls, exact NDV, min/max — from ONE scan (multi-
+    distinct planned as one Expand). The approx (HLL++) variant is the
+    100 TB default, error-bound-tested in pytest."""
+    from financial_data_pipeline_spark.operators.profile import table_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_profile(
+        orders, ["o_custkey", "o_orderstatus", "o_totalprice"]
+    )

@@ -377,15 +377,25 @@ class LakeTable:
         pred_col: str | None = None,
         lo=None,
         hi=None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read with optional stats pruning. The predicate is
         re-applied by the caller's own ``filter`` (pruning is a
         performance contract, not a filter): files are a SUPERSET of
-        matching rows, exactly like Iceberg scan planning."""
+        matching rows, exactly like Iceberg scan planning.
+
+        ``merge_schema``: reconcile ADDITIVE schema evolution across
+        commits (parquet schema merge — an extra footer pass over the
+        snapshot's files): columns absent in older files read as null.
+        Renames/type changes stay out of scope (transactional-catalog
+        seam, see module docstring)."""
         files = self.pruned_files(version, pred_col, lo, hi)
         if not files:
             raise ValueError("snapshot selects no files (empty table?)")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", True)
+        return reader.parquet(*files)
 
 
 

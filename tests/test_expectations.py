@@ -83,3 +83,27 @@ def test_predicate_nulls_count_as_violations(spark):
         df, [expect_predicate("x_positive", F.col("x") > 0)]
     ).first()
     assert row["x_positive"] == 1
+
+
+def test_table_profile_exact_and_approx(spark):
+    from financial_data_pipeline_spark.operators.profile import table_profile
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    prof = {r.column: r for r in
+            table_profile(orders, ["o_custkey", "o_orderstatus"]).collect()}
+    pdf = orders.toPandas()
+    assert prof["o_custkey"].n_rows == len(pdf)
+    assert prof["o_custkey"].ndv == pdf["o_custkey"].nunique()
+    assert prof["o_orderstatus"].n_null == int(
+        pdf["o_orderstatus"].isna().sum()
+    )
+    assert prof["o_custkey"].min_val == str(pdf["o_custkey"].min())
+
+    # HLL++ swap: within the documented ~5% relative error
+    ap = {r.column: r for r in
+          table_profile(orders, ["o_custkey"], approx=True).collect()}
+    exact = prof["o_custkey"].ndv
+    assert abs(ap["o_custkey"].ndv - exact) <= max(3, 0.05 * exact)
+    # single-scan contract: one row per column, same n_rows everywhere
+    assert {r.n_rows for r in prof.values()} == {len(pdf)}

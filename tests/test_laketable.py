@@ -225,3 +225,19 @@ def test_compact_noop_below_two_small_files(spark, tmp_path):
     table.commit(spark.range(100).selectExpr("id", "id AS v"))
     head = table.head_version()
     assert compact(table, small_file_rows=1) == head
+
+
+def test_additive_schema_evolution_reads_merged(spark, tmp_path):
+    from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    table.commit(spark.range(3).selectExpr("id", "id * 1.0 AS a"))
+    table.commit(
+        spark.range(10, 13).selectExpr("id", "id * 1.0 AS a", "'x' AS b")
+    )
+    merged = table.read(merge_schema=True)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: r.b for r in merged.collect()}
+    assert rows[0] is None and rows[10] == "x" and len(rows) == 6
+    # default read (no merge) still works on the homogeneous prefix
+    assert table.read(version=1).columns == ["id", "a"]
