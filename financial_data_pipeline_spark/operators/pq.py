@@ -176,3 +176,110 @@ def pq_topk(
         ).alias("l2_dist"),
     )
     return exact.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (residual quantization within coarse cells — the IVFADC design)
+# ---------------------------------------------------------------------------
+
+
+def _vec_sub(a, b):
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def ivfpq_build(
+    labeled: DataFrame,
+    cell_centroids: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, pq_centroids) for the IVFADC layout (Jégou et al. §IV):
+    PQ is trained and applied on RESIDUALS ``vec − cell_centroid`` —
+    residuals concentrate around zero, so one shared m×k codebook
+    covers every cell far better than raw-vector PQ at equal bytes.
+
+    ``labeled`` carries the coarse cell id (``kmeans_assign`` or any
+    assignment); ``cell_centroids`` is the (label, centroid) frame
+    (``ivf_build_centroids``). Codes rows are (id, label, codes) —
+    label rides along so the search scan can prune by pushed-down
+    ``label IN (probes)`` before touching codes."""
+    resid = labeled.join(
+        F.broadcast(cell_centroids), label_col
+    ).select(
+        id_col,
+        label_col,
+        _vec_sub(F.col(vec_col), F.col("centroid")).alias("__resid"),
+    )
+    pq_cent = pq_train(resid, m, k, vec_col="__resid", id_col=id_col)
+    codes = pq_encode(resid, pq_cent, m, vec_col="__resid", id_col=id_col)
+    codes = codes.join(
+        labeled.select(id_col, label_col), id_col
+    )
+    return codes, pq_cent
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    cell_centroids: DataFrame,
+    pq_centroids: DataFrame,
+    query_vec: list[float],
+    rerank_df: DataFrame,
+    m: int = 4,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank_k: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVFADC search: probe the ``nprobe`` nearest cells (tiny centroid
+    frame, driver probe like ``ivf_topk``), build ONE LUT per probed
+    cell from the query's RESIDUAL against that cell (nprobe·m·k rows,
+    broadcast), ADC-rank the probed cells' codes, exact-L2 rerank the
+    shortlist on full-precision vectors. The big scan reads (label,
+    m bytes) per row and is pruned to the probed cells before any
+    arithmetic."""
+    q = [float(v) for v in query_vec]
+    dim = len(q)
+    d_sub = dim // m
+    qcol = F.array(*[F.lit(v) for v in q])
+    probes = [
+        r[0]
+        for r in cell_centroids.select(
+            label_col, _sqdist(F.col("centroid"), qcol).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc(label_col))
+        .limit(nprobe)
+        .collect()
+    ]
+    # per-probed-cell LUT on the residual query
+    resid_q = cell_centroids.filter(F.col(label_col).isin(probes)).select(
+        label_col, _vec_sub(qcol, F.col("centroid")).alias("rq")
+    )
+    lut = resid_q.crossJoin(F.broadcast(pq_centroids)).select(
+        label_col,
+        "sub",
+        "cell",
+        _sqdist(
+            F.slice(F.col("rq"), F.col("sub") * d_sub + 1, d_sub),
+            F.col("centroid"),
+        ).alias("d"),
+    )
+    cand = (
+        codes.filter(F.col(label_col).isin(probes))
+        .select(id_col, label_col, F.posexplode("codes").alias("sub", "cell"))
+        .join(F.broadcast(lut), [label_col, "sub", "cell"])
+        .groupBy(id_col)
+        .agg(F.sum("d").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(rerank_k)
+    )
+    exact = cand.join(rerank_df.select(id_col, vec_col), id_col).select(
+        id_col,
+        "adc_dist",
+        _sqdist(F.col(vec_col), qcol).alias("l2_dist"),
+    )
+    return exact.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)

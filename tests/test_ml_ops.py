@@ -254,3 +254,63 @@ def test_pq_adc_recall_beats_tiny_rerank_budget(spark, emb):
     r200 = len(got200 & exact) / 10
     assert r200 >= r50
     assert r200 >= 0.5, (r50, r200)
+
+
+def test_ivfpq_full_probe_full_rerank_is_exact(spark, emb):
+    """nprobe = all cells and rerank_k = corpus: IVFADC must reproduce
+    the exact L2 top-k (the index only orders the fetch)."""
+    from financial_data_pipeline_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+    from financial_data_pipeline_spark.operators.similarity import (
+        ivf_build_centroids,
+    )
+
+    labeled = emb  # table's own label column as coarse cells
+    cents = ivf_build_centroids(labeled).cache()
+    codes, pq_cent = ivfpq_build(labeled, cents)
+    qv = [float(x) for x in emb.filter("vec_id = 7").first()["embedding"]]
+    n_cells = cents.count()
+    n = emb.count()
+    got = [
+        r.vec_id
+        for r in ivfpq_topk(
+            codes, cents, pq_cent, qv, emb, k=5, nprobe=n_cells, rerank_k=n
+        ).collect()
+    ]
+    exact = [
+        r.vec_id
+        for r in emb.select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(v) for v in qv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("d"),
+        ).orderBy("d", "vec_id").limit(5).collect()
+    ]
+    assert got == exact and got[0] == 7
+
+
+def test_ivfpq_pruned_probe_finds_self_with_trained_cells(spark, emb):
+    from financial_data_pipeline_spark.operators.ml_ann import train_ivf
+    from financial_data_pipeline_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+
+    labeled, cents = train_ivf(emb.drop("label"), k=8)
+    codes, pq_cent = ivfpq_build(labeled, cents)
+    qv = [float(x) for x in emb.filter("vec_id = 11").first()["embedding"]]
+    got = ivfpq_topk(
+        codes, cents, pq_cent, qv, emb, k=5, nprobe=2, rerank_k=40
+    ).collect()
+    assert got[0].vec_id == 11 and got[0].l2_dist == 0.0
+    # codes shape: m entries in [0, k)
+    chk = codes.select(F.size("codes").alias("m")).distinct().collect()
+    assert [r.m for r in chk] == [4]
