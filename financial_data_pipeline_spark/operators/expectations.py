@@ -131,3 +131,32 @@ def is_valid(report_row, allow: dict[str, int] | None = None) -> bool:
         for k, v in d.items()
         if k != "total_rows" and v is not None
     )
+
+
+def quarantine_split(
+    df: DataFrame,
+    expectations: list[Expectation],
+    reason_col: str = "__violations",
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level gate: ``(valid, quarantined)`` — the dead-letter path
+    the counter suite deliberately avoids. Each quarantined row carries
+    the NAMES of the expectations it violates (an array column), so
+    the quarantine is self-describing and re-processable after a rule
+    fix; valid rows pass through schema-unchanged.
+
+    Shape: one flag projection (same conditional expressions the
+    counter pass uses) + two filters over the SAME lineage — Spark
+    evaluates the scan once per sink but never shuffles; at 100 TB
+    write both sides in one pass via the flagged frame if two scans
+    hurt (documented trade)."""
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(e.violation, F.lit(e.name)) for e in expectations
+            ]
+        )
+    )
+    flagged = df.withColumn(reason_col, flags)
+    valid = flagged.filter(F.size(reason_col) == 0).drop(reason_col)
+    quarantined = flagged.filter(F.size(reason_col) > 0)
+    return valid, quarantined

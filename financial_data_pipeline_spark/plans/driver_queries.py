@@ -6891,3 +6891,83 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_profile(
         orders, ["o_custkey", "o_orderstatus", "o_totalprice"]
     )
+
+
+@query(
+    "user_features_at_purchase",
+    """
+WITH ev AS (SELECT user_id, ts, event_type, value FROM events),
+p AS (
+  SELECT e.event_id, e.user_id, e.ts, e.value
+  FROM events e WHERE e.event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       round(p.value, 6) AS purchase_value,
+       (SELECT count(*) FROM ev v
+         WHERE v.user_id = p.user_id AND v.event_type = 'view'
+           AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 7 DAY) AS views_7d,
+       round((SELECT coalesce(sum(x.value), 0) FROM ev x
+         WHERE x.user_id = p.user_id AND x.event_type = 'purchase'
+           AND x.ts < p.ts), 6) AS spend_to_date,
+       (SELECT count(*) FROM ev r
+         WHERE r.user_id = p.user_id AND r.event_type = 'error'
+           AND r.ts < p.ts AND r.ts >= p.ts - INTERVAL 1 DAY) AS errors_1d
+FROM p
+""",
+)
+def q_user_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window feature engineering at label time: for every
+    purchase — views in the prior 7 days, lifetime spend BEFORE this
+    purchase, errors in the prior day. One union of the event stream
+    with itself is avoided: all three features are event-time RANGE
+    windows over ONE user-partitioned pass (conditional sums), strictly
+    past-only (frame ends 1 µs before the row) — the leakage-free
+    windowed twin of ``point_in_time_features``. Oracle states the same
+    semantics as correlated subqueries."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    day = 86_400_000_000
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-7 * day, -1)
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-day, -1)
+    )
+    wlife = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .over(w7)
+        .alias("__views_7d"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            )
+        )
+        .over(wlife)
+        .alias("__spend"),
+        F.sum((F.col("event_type") == "error").cast("long"))
+        .over(w1)
+        .alias("__errors_1d"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round("value", 6).alias("purchase_value"),
+        F.coalesce("__views_7d", F.lit(0)).alias("views_7d"),
+        F.round(F.coalesce("__spend", F.lit(0.0)), 6).alias("spend_to_date"),
+        F.coalesce("__errors_1d", F.lit(0)).alias("errors_1d"),
+    )

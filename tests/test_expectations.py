@@ -107,3 +107,25 @@ def test_table_profile_exact_and_approx(spark):
     assert abs(ap["o_custkey"].ndv - exact) <= max(3, 0.05 * exact)
     # single-scan contract: one row per column, same n_rows everywhere
     assert {r.n_rows for r in prof.values()} == {len(pdf)}
+
+
+def test_quarantine_split_row_level_gate(spark):
+    from financial_data_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 99.0), (4, None)],
+        ["id", "v"],
+    )
+    exps = [expect_not_null("v"), expect_between("v", 0, 10)]
+    valid, quar = quarantine_split(df, exps)
+    assert [r.id for r in valid.orderBy("id").collect()] == [1]
+    got = {r.id: set(r["__violations"]) for r in quar.collect()}
+    assert got[2] == {"v_null"} == got[4]
+    assert got[3] == {"v_out_of_range"}
+    assert valid.columns == df.columns  # schema passthrough
+    # partition: every row lands exactly one side
+    assert valid.count() + quar.count() == df.count()
