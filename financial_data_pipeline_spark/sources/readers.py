@@ -19,6 +19,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar pushdown/pruning like parquet)."""
+    return spark.read.orc(path)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

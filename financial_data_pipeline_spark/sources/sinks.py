@@ -46,6 +46,16 @@ def write_parquet(
     df.write.option("compression", codec).mode(mode).parquet(path)
 
 
+def write_orc(
+    df: DataFrame, path: str, codec: str = "zstd", mode: str = "overwrite"
+) -> None:
+    """ORC sink — the other columnar interchange format warehouses
+    (Hive/Trino estates) expect; same predicate-pushdown/statistics
+    story as parquet, native in Spark. Beyond-reference scope: the
+    interchange matrix a drop-in engine needs."""
+    df.write.option("compression", codec).mode(mode).orc(path)
+
+
 # ---------------------------------------------------------------------------
 # Partitioned archive (S10 writer; reader is readers.read_archive / S11)
 # ---------------------------------------------------------------------------

@@ -581,3 +581,17 @@ def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
     assert bad.count() == 2
     raws = {r._bad for r in bad.collect()}
     assert "not json at all" in raws
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    from financial_data_pipeline_spark.sources.readers import read_orc
+    from financial_data_pipeline_spark.sources.sinks import write_orc
+
+    df = spark.range(100).selectExpr("id", "id * 1.5 AS v")
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert back.count() == 100
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = back.filter("id > 90")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan
