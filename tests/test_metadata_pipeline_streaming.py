@@ -3,6 +3,8 @@ Streaming continuous-aggregate analog (§2.10)."""
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from financial_data_pipeline_spark.metadata import (
@@ -419,3 +421,71 @@ def test_dedup_against_history_anti_join(spark):
     out = dedup_against_history(batch, history)
     assert {r.doc_id for r in out.collect()} == {11}
     # keep-lowest-id within batch: 11 survives, 12 dropped
+
+
+def test_tws_ema_matches_classic_and_batch(spark, tmp_path):
+    """API-migration proof: the transformWithStateInPandas EMA equals
+    the classic applyInPandasWithState operator AND the batch kernel,
+    with state carried across micro-batches.
+
+    The TWS Python protocol needs protobuf at runtime (an environment
+    dependency, same class of seam as psycopg2 for the JDBC sinks);
+    without it the operator module still imports and plans — only
+    execution requires the package."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState Python protocol requires protobuf",
+    )
+    from financial_data_pipeline_spark.operators.indicators import with_ema
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        OHLCV_EVENT_SCHEMA,
+    )
+    from financial_data_pipeline_spark.streaming.tws_ema import (
+        streaming_ema_tws,
+    )
+
+    bars = synthetic.synthetic_ohlcv(
+        spark, ["BTCUSDT", "ETHUSDT"], "2025-01-01", "2025-01-03", 60, seed=4
+    ).select("timestamp", "symbol", "open", "high", "low", "close", "volume")
+    src = tmp_path / "tws_in"
+    bars.filter(F.col("timestamp") < "2025-01-02").coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    bars.filter(F.col("timestamp") >= "2025-01-02").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(OHLCV_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src / "*"))
+    )
+    q = (
+        streaming_ema_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_ema")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    got = spark.table("tws_ema")
+
+    expected = with_ema(bars).select("symbol", "timestamp", "ema_12", "ema_26")
+    merged = got.alias("g").join(expected.alias("e"), on=["symbol", "timestamp"])
+    assert merged.count() == bars.count() == got.count()
+    diffs = merged.filter(
+        (F.abs(F.col("g.ema_12") - F.col("e.ema_12")) > 1e-9)
+        | (F.abs(F.col("g.ema_26") - F.col("e.ema_26")) > 1e-9)
+    )
+    assert diffs.count() == 0
