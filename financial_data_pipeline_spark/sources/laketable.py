@@ -441,3 +441,68 @@ def compact(
     else:
         df = df.coalesce(n_out)
     return table._advance("compact", carried + table._write_files(df))
+
+
+def read_as_of(table: LakeTable, ts: float) -> DataFrame:
+    """Time travel by wall-clock: read the newest snapshot committed
+    at-or-before ``ts`` (epoch seconds) — manifest metadata only."""
+    best = None
+    for v in table.snapshots():
+        snap = table._load_snapshot(v)
+        if snap.ts <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot at or before {ts}")
+    return table.read(version=best)
+
+
+def table_changes(
+    table: LakeTable, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change data feed between two snapshots: every row added or
+    removed, tagged ``_change_type`` ('insert' | 'delete'); an update
+    (merge) appears as delete+insert of the two row images — the
+    Delta CDF contract, reconstructed from immutable snapshots.
+
+    Scale shape: files carried UNCHANGED between the versions are
+    excluded by manifest diff before any data is read — the EXCEPT
+    ALL diff runs only over files the interval actually rewrote or
+    added, so cost tracks the churn, not the table."""
+    from pyspark.sql import functions as F
+
+    to_v = table.head_version() if to_version is None else to_version
+    old_files = {
+        fs.path for fs in table._load_snapshot(from_version).files
+    } if from_version > 0 else set()
+    new_files = {fs.path for fs in table._load_snapshot(to_v).files}
+    added = sorted(new_files - old_files)
+    removed = sorted(old_files - new_files)
+
+    spark = table.spark
+    if not added and not removed:
+        empty = table.read(version=to_v).limit(0)
+        return empty.withColumn("_change_type", F.lit("insert")).limit(0)
+    reads = []
+    if added:
+        reads.append(
+            spark.read.parquet(*added).withColumn("__side", F.lit(1))
+        )
+    if removed:
+        reads.append(
+            spark.read.parquet(*removed).withColumn("__side", F.lit(-1))
+        )
+    u = reads[0]
+    for r in reads[1:]:
+        u = u.unionByName(r)
+    cols = [c for c in u.columns if c != "__side"]
+    # net row-image delta: +n inserts / -n deletes per distinct row
+    net = u.groupBy(*cols).agg(F.sum("__side").alias("__net")).filter(
+        F.col("__net") != 0
+    )
+    return net.select(
+        *cols,
+        F.when(F.col("__net") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+        F.abs("__net").alias("_change_copies"),
+    )

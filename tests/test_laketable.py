@@ -241,3 +241,51 @@ def test_additive_schema_evolution_reads_merged(spark, tmp_path):
     assert rows[0] is None and rows[10] == "x" and len(rows) == 6
     # default read (no merge) still works on the homogeneous prefix
     assert table.read(version=1).columns == ["id", "a"]
+
+
+def test_table_changes_tracks_merge_and_delete(spark, tmp_path):
+    from financial_data_pipeline_spark.sources.laketable import (
+        LakeTable,
+        table_changes,
+    )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    v1 = table.commit(spark.range(5).selectExpr("id", "id * 1.0 AS v"))
+    upd = spark.createDataFrame([(2, 99.0), (7, 7.0)], "id long, v double")
+    v2 = table.merge(upd, ["id"])
+    changes = {(r.id, r.v, r._change_type)
+               for r in table_changes(table, v1, v2).collect()}
+    assert changes == {
+        (2, 2.0, "delete"), (2, 99.0, "insert"), (7, 7.0, "insert")
+    }
+
+    keys = spark.createDataFrame([(0,)], "id long")
+    v3 = table.delete(keys, ["id"])
+    ch2 = {(r.id, r._change_type)
+           for r in table_changes(table, v2, v3).collect()}
+    assert ch2 == {(0, "delete")}
+    # full-interval CDF nets out the intermediate churn
+    full = {(r.id, r.v, r._change_type)
+            for r in table_changes(table, v1, v3).collect()}
+    assert (0, 0.0, "delete") in full and (2, 99.0, "insert") in full
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import time as _time
+
+    from financial_data_pipeline_spark.sources.laketable import (
+        LakeTable,
+        read_as_of,
+    )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    table.commit(spark.range(3).selectExpr("id"))
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    table.commit(spark.range(10, 13).selectExpr("id"))
+    assert read_as_of(table, t_mid).count() == 3
+    assert read_as_of(table, _time.time()).count() == 6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_as_of(table, 0.0)
