@@ -618,3 +618,54 @@ def compression_ratio(
             yield pdf
 
     return df.mapInPandas(kernel, out_schema)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the final
+    step of every corpus pipeline (training order must be random,
+    reproducible, and resumable). Shard = hash(id, seed) mod n_shards;
+    within-shard order = the same hash (then id) — so the full corpus
+    permutation is a pure function of (ids, seed): re-runs, engines and
+    partitionings all agree, and changing ``seed`` is a fresh epoch
+    permutation.
+
+    Scale shape: one hash-partitioned exchange on the shard id + a
+    per-shard sort — there is NO global sort, no RNG state, and the
+    sort key is an 8-byte long. Emits ``shard`` and ``shard_pos`` (the
+    within-shard training order); write with
+    ``partitionBy("shard")`` for one output directory per shard.
+
+    The hash is the portable md5-prefix form every sampler here uses
+    (engine-reproducible, so the oracle recomputes membership);
+    ``fast_hash=True`` swaps in ``xxhash64`` when cross-engine
+    reproducibility isn't needed (same permutation properties, less
+    CPU)."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(seed))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    if fast_hash:
+        h = F.xxhash64(F.col(id_col), F.lit(seed))
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w) - 1)
+        .drop("__h")
+    )

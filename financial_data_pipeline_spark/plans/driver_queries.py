@@ -6971,3 +6971,40 @@ def q_user_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("__spend", F.lit(0.0)), 6).alias("spend_to_date"),
         F.coalesce("__errors_1d", F.lit(0)).alias("errors_1d"),
     )
+
+
+@query(
+    "shuffle_shard_plan",
+    """
+WITH s AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS toks,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|' || '0'), 1, 15))::BIGINT
+           AS h
+  FROM documents
+)
+SELECT ((h % 8) + 8) % 8 AS shard,
+       count(*) AS n_docs,
+       sum(toks) AS n_tokens,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM s GROUP BY 1
+""",
+)
+def q_shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard shuffle (``curation.shuffle_shards``,
+    8 shards, seed 0): per-shard doc/token totals + id range — shard
+    membership is the portable md5 hash, recomputed bit-for-bit by the
+    oracle."""
+    from financial_data_pipeline_spark.operators.curation import (
+        shuffle_shards,
+    )
+    from financial_data_pipeline_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = shuffle_shards(docs, n_shards=8, seed=0)
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -443,3 +443,37 @@ def test_temperature_mixture_plan_regimes(spark):
 
     with _pytest.raises(ValueError):
         temperature_mixture_plan(df, 10_000, alpha=-1)
+
+
+def test_shuffle_shards_permutation_properties(spark):
+    from financial_data_pipeline_spark.operators.curation import (
+        shuffle_shards,
+    )
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    sharded = shuffle_shards(docs, n_shards=4, seed=0)
+    # exhaustive partition: every doc in exactly one shard
+    assert sharded.count() == n
+    assert sharded.select("doc_id").distinct().count() == n
+    # per-shard positions are a contiguous 0..k-1 permutation
+    per = sharded.groupBy("shard").agg(
+        F.min("shard_pos").alias("lo"), F.max("shard_pos").alias("hi"),
+        F.countDistinct("shard_pos").alias("d"), F.count(F.lit(1)).alias("k"),
+    ).collect()
+    assert len(per) == 4
+    for r in per:
+        assert (r.lo, r.hi, r.d) == (0, r.k - 1, r.k)
+    # reproducible across partitionings; different seed reshuffles
+    again = shuffle_shards(docs.repartition(13), n_shards=4, seed=0)
+    a = sorted(map(tuple, sharded.select("doc_id", "shard", "shard_pos").collect()))
+    b = sorted(map(tuple, again.select("doc_id", "shard", "shard_pos").collect()))
+    assert a == b
+    other = shuffle_shards(docs, n_shards=4, seed=1)
+    c = sorted(map(tuple, other.select("doc_id", "shard", "shard_pos").collect()))
+    assert a != c
+    # not order-preserving: training order decorrelates from doc_id
+    head = sharded.filter("shard = 0").orderBy("shard_pos").limit(10)
+    ids = [r.doc_id for r in head.select("doc_id").collect()]
+    assert ids != sorted(ids)
