@@ -159,6 +159,11 @@ HEADLINE = [
     "temperature_mixture_plan",
     "compression_ratio_stats",
     "pq_ann_topk",
+    "orders_segment_at_order_time",
+    "market_beta",
+    "orders_profile",
+    "user_features_at_purchase",
+    "shuffle_shard_plan",
 ]
 
 

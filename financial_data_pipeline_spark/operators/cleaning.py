@@ -428,3 +428,38 @@ def clean_ohlcv(
     if add_time_features:
         df = with_time_features(df)
     return df
+
+
+def mad_outlier_flags(
+    df: DataFrame,
+    col: str,
+    by: str = "symbol",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier flag via the modified z-score (Iglewicz & Hoaglin):
+    0.6745·(x − median)/MAD with MAD = median(|x − median|) — the
+    median-based sibling of the IQR clip and the z-score clean, immune
+    to the outliers it hunts (mean/stddev are not).
+
+    Two exact per-group median aggregates (Spark ``median`` ≡ DuckDB
+    ``median``, the same parity the IQR path pins) with broadcast
+    joins back; flags ride as ``{col}_mad_z`` / ``{col}_is_outlier``.
+    A zero-MAD group (constant values) flags nothing — deviation from
+    a constant is caught by the range checks, not robust z."""
+    med = df.groupBy(by).agg(F.median(col).alias("__med"))
+    with_med = df.join(F.broadcast(med), by)
+    mad = (
+        with_med.select(by, F.abs(F.col(col) - F.col("__med")).alias("__ad"))
+        .groupBy(by)
+        .agg(F.median("__ad").alias("__mad"))
+    )
+    z = F.when(
+        F.col("__mad") > 0,
+        0.6745 * (F.col(col) - F.col("__med")) / F.col("__mad"),
+    )
+    out = with_med.join(F.broadcast(mad), by)
+    return out.select(
+        *df.columns,
+        z.alias(f"{col}_mad_z"),
+        (F.abs(z) > threshold).alias(f"{col}_is_outlier"),
+    )

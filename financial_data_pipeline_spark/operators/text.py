@@ -348,3 +348,64 @@ def nb_class_scores(
             F.round(F.avg("__w"), 4).alias("avg_log_odds"),
         )
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval scoring (Robertson/Spärck Jones, the standard
+    lexical ranker): score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)), idf = ln(1 + (N − df + 0.5)/(df +
+    0.5)). Returns (id, bm25) for every doc matching ≥ 1 query term.
+
+    Plan shape — one tokenize pass, everything after is tiny:
+    per-doc term frequencies for the QUERY TERMS ONLY ride out of the
+    explode (filtered before the aggregate, so the shuffle carries
+    O(matching docs · |query|) rows, not the vocabulary); N/avgdl are
+    a one-row crossJoin; df per term is a |query|-row broadcast. The
+    idf/tf algebra is plain codegen — engine-portable, so the oracle
+    recomputes every stage."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+    ).select("id", F.size("t").alias("dl"), F.explode("t").alias("tok"))
+    stats = toks.groupBy("id").agg(F.first("dl").alias("dl"))
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = toks.filter(F.col("tok").isin(terms))
+    tf = hits.groupBy("id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("id").agg(F.sum("term_score").alias("bm25")).select(
+        F.col("id").alias(id_col), "bm25"
+    )

@@ -7008,3 +7008,85 @@ def q_shuffle_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+_BM25_TERMS = ("data", "query", "window")
+
+
+@query(
+    "bm25_search",
+    f"""
+WITH toks AS (
+  SELECT doc_id, u.tok, len(t) AS dl
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents), unnest(t) AS u(tok)
+), corpus AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY doc_id)
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+  FROM toks WHERE tok IN {tuple(_BM25_TERMS)!r}
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+       round(sum(
+         ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / corpus.avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dfreq USING (tok), corpus
+GROUP BY 1
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25 over the documents table for a 3-term
+    query (``text.bm25_scores``) — one tokenize pass, query-term-
+    filtered shuffle, broadcast df/corpus stats; oracle recomputes
+    idf/tf algebra stage-for-stage."""
+    from financial_data_pipeline_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_scores(docs, list(_BM25_TERMS))
+    return out.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
+@query(
+    "mad_outlier_counts",
+    BARS_CTE
+    + """
+, med AS (SELECT symbol, median(close) AS med FROM bars GROUP BY 1),
+mad AS (
+  SELECT b.symbol, median(abs(b.close - med.med)) AS mad
+  FROM bars b JOIN med USING (symbol) GROUP BY 1
+)
+SELECT b.symbol,
+       count(*) AS n,
+       sum(CASE WHEN mad.mad > 0
+                 AND abs(0.6745 * (b.close - med.med) / mad.mad) > 3.5
+                THEN 1 ELSE 0 END) AS n_outliers,
+       round(max(CASE WHEN mad.mad > 0
+                      THEN abs(0.6745 * (b.close - med.med) / mad.mad)
+                 END), 6) AS max_abs_z
+FROM bars b JOIN med USING (symbol) JOIN mad USING (symbol)
+GROUP BY 1
+""",
+)
+def q_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census per symbol: modified z-score (median/MAD,
+    Iglewicz-Hoaglin) — the outlier-immune sibling of `zscore_outlier_
+    clean`; exact medians, broadcast joins, oracle recomputes the
+    algebra."""
+    from financial_data_pipeline_spark.operators.cleaning import (
+        mad_outlier_flags,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    flagged = mad_outlier_flags(bars, "close")
+    return flagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("close_is_outlier").cast("long")).alias("n_outliers"),
+        F.round(F.max(F.abs("close_mad_z")), 6).alias("max_abs_z"),
+    )

@@ -186,3 +186,22 @@ def test_greatest_per_group_latest_row(spark):
     got = {r["k"]: (r["v"], r["tag"])
            for r in greatest_per_group(df, ["k"], "v").collect()}
     assert got == {1: (30, "b"), 2: (20, "c"), 3: (1, "e")}
+
+
+def test_mad_outlier_flags_robust_to_the_outlier(spark):
+    """The planted spike is flagged, and (unlike mean/stddev z) its
+    presence does not drag the scale enough to hide it; constant
+    groups flag nothing."""
+    from financial_data_pipeline_spark.operators.cleaning import (
+        mad_outlier_flags,
+    )
+
+    rows = [("A", float(100 + (i % 7))) for i in range(50)] + [("A", 10_000.0)]
+    rows += [("B", 5.0)] * 20  # constant group: MAD = 0
+    df = spark.createDataFrame(rows, ["symbol", "close"])
+    out = mad_outlier_flags(df, "close")
+    flagged = {(r.symbol, r.close) for r in
+               out.filter("close_is_outlier").collect()}
+    assert flagged == {("A", 10_000.0)}
+    b = out.filter("symbol = 'B'").select("close_mad_z").distinct().collect()
+    assert [r.close_mad_z for r in b] == [None]

@@ -747,3 +747,24 @@ def test_quantized_ann_recall_floor(spark, emb):
     rec = recall_at_k(exact, ann, k=10)
     mean_recall = rec.agg(F.avg("recall")).first()[0]
     assert mean_recall >= 0.8, mean_recall
+
+
+def test_bm25_ranks_term_dense_docs_higher(spark):
+    from financial_data_pipeline_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "data data data query window"),
+            (2, "data query"),
+            (3, "nothing relevant here at all"),
+            (4, "filler " * 200 + "data"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(df, ["data", "query"]).collect()}
+    assert 3 not in got                      # no query term -> no row
+    assert got[1] > got[2] > got[4] > 0      # tf and length norm both bite
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_scores(df, [])
