@@ -164,6 +164,8 @@ HEADLINE = [
     "orders_profile",
     "user_features_at_purchase",
     "shuffle_shard_plan",
+    "bm25_search",
+    "mad_outlier_counts",
 ]
 
 
