@@ -7090,3 +7090,87 @@ def q_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("close_is_outlier").cast("long")).alias("n_outliers"),
         F.round(F.max(F.abs("close_mad_z")), 6).alias("max_abs_z"),
     )
+
+
+_RRF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, u.tok, len(t) AS dl
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents), unnest(t) AS u(tok)
+), corpus AS (
+  SELECT count(DISTINCT doc_id) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY doc_id)
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf, any_value(dl) AS dl
+  FROM toks WHERE tok IN {('data', 'query', 'window')!r}
+  GROUP BY 1, 2
+), dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl))) AS s
+  FROM tf JOIN dfreq USING (tok), corpus
+  GROUP BY 1
+), bmr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+  FROM bm
+), q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cr AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                    e.vec_id ASC) AS r
+  FROM embeddings e, q
+), fused AS (
+  SELECT coalesce(bmr.doc_id, cr.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + bmr.r), 0) + coalesce(1.0 / (60 + cr.r), 0)
+           AS rrf
+  FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20
+"""
+
+
+@query("hybrid_search_rrf", _RRF_SQL)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal rank fusion (k=60) of the BM25
+    lexical ranking and the embedding cosine ranking over the shared
+    id space — the standard two-tower + lexical fusion. Each ranking
+    is a window over its own (small) scored frame; the fusion is a
+    full-outer join of rank frames, never a re-scan. Top-20 by fused
+    score."""
+    from pyspark.sql import Window as W
+
+    from financial_data_pipeline_spark.operators.similarity import cosine
+    from financial_data_pipeline_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(docs, ["data", "query", "window"])
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    qv = F.array(*[F.lit(float(x)) for x in _query_vec(spark, sf_dir)])
+    cr = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.desc(cosine(F.col("embedding"), qv)), F.asc("vec_id")))
+        .alias("r_sem"),
+    )
+    fused = bmr.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_sem")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"))
+    )
