@@ -7174,3 +7174,48 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round("rrf", 6).alias("rrf"))
     )
+
+
+@query(
+    "seasonal_naive_eval",
+    BARS_CTE
+    + """
+, p AS (
+  SELECT symbol, timestamp, close,
+         lag(close, 24) OVER (PARTITION BY symbol ORDER BY timestamp) AS pred
+  FROM bars
+)
+SELECT symbol,
+       count(*) AS n_scored,
+       round(avg(abs(close - pred)), 6) AS mae,
+       round(sqrt(avg((close - pred) * (close - pred))), 6) AS rmse,
+       round(avg(CASE WHEN close <> 0
+                      THEN abs(close - pred) / abs(close) END), 6) AS mape
+FROM p WHERE pred IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast baseline + scorecard: seasonal-naive prediction (the
+    value one season — 24 bars — ago, the baseline every forecasting
+    benchmark must beat) evaluated per symbol with MAE/RMSE/MAPE in
+    one aggregate. A lag window per symbol; no state, no Python."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    p = bars.withColumn("pred", F.lag("close", 24).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("close") - F.col("pred")
+    return p.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("close") != 0, F.abs(err) / F.abs(F.col("close"))
+                )
+            ),
+            6,
+        ).alias("mape"),
+    )
