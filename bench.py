@@ -166,6 +166,8 @@ HEADLINE = [
     "shuffle_shard_plan",
     "bm25_search",
     "mad_outlier_counts",
+    "hybrid_search_rrf",
+    "seasonal_naive_eval",
 ]
 
 
