@@ -274,3 +274,46 @@ def walk_forward_folds(
         )
         .drop("__cuts")
     )
+
+
+def purged_walk_forward(
+    df: DataFrame,
+    n_folds: int = 5,
+    embargo_seconds: float = 3600.0,
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Purged walk-forward assignment (López de Prado's purged CV,
+    rendered on the contiguous-fold layout): for test fold i, training
+    rows inside ``embargo`` of the fold's boundaries are EXCLUDED —
+    labels computed from windows that straddle a boundary would
+    otherwise leak test information into training.
+
+    Emits ``fold`` (the row's own time block, from
+    :func:`walk_forward_folds`) plus ``purged_before`` — true when the
+    row sits within ``embargo_seconds`` BELOW its next fold boundary (i.e. it
+    must be dropped from training when testing fold+1). Train set for
+    testing fold i = rows with fold < i, minus rows where
+    ``purged_before`` and fold == i−1 near the shared boundary; the
+    flag is computed against the SAME broadcast quantile cuts — no
+    extra pass, no join against the test fold.
+    """
+    from pyspark.sql import functions as F
+
+    fracs = [i / n_folds for i in range(1, n_folds)]
+    t_us = F.unix_micros(F.col(ts))
+    emb_us = F.lit(int(embargo_seconds * 1_000_000))
+    cuts_row = df.select(
+        F.percentile(t_us, F.array(*[F.lit(f) for f in fracs])).alias("__cuts")
+    )
+    with_cuts = df.crossJoin(F.broadcast(cuts_row))
+    fold = F.aggregate(
+        "__cuts",
+        F.lit(0),
+        lambda acc, c: acc + F.when(t_us > c, 1).otherwise(0),
+    )
+    near_next = F.exists(
+        "__cuts", lambda c: (t_us <= c) & (t_us > c - emb_us)
+    )
+    return with_cuts.select(
+        *df.columns, fold.alias("fold"), near_next.alias("purged_before")
+    )

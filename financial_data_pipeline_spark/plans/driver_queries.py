@@ -7219,3 +7219,81 @@ def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mape"),
     )
+
+
+@query(
+    "purged_fold_counts",
+    BARS_CTE
+    + """
+, cuts AS (
+  SELECT quantile_cont(epoch_us(timestamp), [0.25, 0.5, 0.75]) AS cs
+  FROM bars
+), f AS (
+  SELECT epoch_us(b.timestamp) AS t,
+         len(list_filter(cuts.cs, c -> epoch_us(b.timestamp) > c)) AS fold,
+         len(list_filter(cuts.cs,
+             c -> epoch_us(b.timestamp) <= c
+              AND epoch_us(b.timestamp) > c - 1800000000)) > 0
+           AS purged_before
+  FROM bars b, cuts
+)
+SELECT fold, purged_before, count(*) AS n
+FROM f GROUP BY 1, 2
+""",
+)
+def q_purged_fold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward CV (López de Prado): contiguous quantile
+    folds + a 30-minute embargo flag below each boundary — training
+    rows whose label window would straddle a test boundary get
+    excluded. One quantile aggregate broadcast; oracle recomputes fold
+    and embargo membership."""
+    from financial_data_pipeline_spark.operators.splitter import (
+        purged_walk_forward,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = purged_walk_forward(bars, n_folds=4, embargo_seconds=1800)
+    return out.groupBy("fold", "purged_before").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "risk_ratios",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+)
+SELECT symbol,
+       count(*) AS n_obs,
+       round(avg(r) / stddev_samp(r), 6) AS sharpe,
+       round(avg(r) / sqrt(avg(CASE WHEN r < 0 THEN r * r ELSE 0 END)), 6)
+         AS sortino,
+       round(avg(CASE WHEN r < 0 THEN 1.0 ELSE 0.0 END), 6) AS downside_freq
+FROM r WHERE r IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol risk-adjusted return ratios in one aggregate:
+    per-bar Sharpe (mean/σ), Sortino (mean over downside RMS) and
+    downside frequency — annualization is a scalar the caller applies.
+    Complements realized_vol_daily / max_drawdown."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = bars.withColumn(
+        "r", F.log(F.col("close") / F.lag("close").over(w))
+    ).filter(F.col("r").isNotNull())
+    down_sq = F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)
+    return r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg("r") / F.stddev_samp("r"), 6).alias("sharpe"),
+        F.round(F.avg("r") / F.sqrt(F.avg(down_sq)), 6).alias("sortino"),
+        F.round(F.avg((F.col("r") < 0).cast("double")), 6).alias(
+            "downside_freq"
+        ),
+    )

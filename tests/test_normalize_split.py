@@ -189,3 +189,37 @@ def test_walk_forward_folds_are_contiguous_time_blocks(spark, ohlcv_df):
         assert a.hi <= b.lo
     # roughly balanced (quantile cuts)
     assert max(r.cnt for r in out) < 1.5 * total / n
+
+
+def test_purged_walk_forward_embargo_semantics(spark):
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.splitter import (
+        purged_walk_forward,
+        walk_forward_folds,
+    )
+
+    rows = [
+        ("A", dt.datetime(2025, 1, 1) + dt.timedelta(minutes=10 * i), float(i))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "timestamp", "close"])
+    out = purged_walk_forward(df, n_folds=4, embargo_seconds=1800)
+    # fold assignment matches the unpurged operator
+    base = walk_forward_folds(df, n_folds=4)
+    a = sorted((r.timestamp, r.fold) for r in out.collect())
+    b = sorted((r.timestamp, r.fold) for r in base.collect())
+    assert a == b
+    # exactly the 3 rows in the 30-min band below each of 3 boundaries
+    purged = out.filter("purged_before").collect()
+    assert len(purged) == 9
+    assert {r.fold for r in purged} == {0, 1, 2}  # never the last fold
+    # purged rows hug their boundary: each is within embargo of the
+    # earliest row of the NEXT fold
+    nxt = {
+        f: min(r.timestamp for r in out.filter(f"fold = {f}").collect())
+        for f in (1, 2, 3)
+    }
+    for r in purged:
+        gap = (nxt[r.fold + 1] - r.timestamp).total_seconds()
+        assert 0 < gap <= 1800
