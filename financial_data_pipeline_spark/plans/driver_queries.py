@@ -7297,3 +7297,59 @@ def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             "downside_freq"
         ),
     )
+
+
+@query(
+    "microstructure_metrics",
+    BARS_CTE
+    + """
+, d0 AS (
+  SELECT symbol, timestamp, close, volume,
+         ln(close / lag(close) OVER w) AS r,
+         close - lag(close) OVER w AS dp
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), d AS (
+  SELECT *, lag(dp) OVER (PARTITION BY symbol ORDER BY timestamp) AS dp_prev
+  FROM d0
+)
+SELECT symbol,
+       count(*) AS n_obs,
+       round(avg(CASE WHEN close * volume > 0
+                      THEN abs(r) / (close * volume) END) * 1e9, 6)
+         AS amihud_x1e9,
+       round(CASE WHEN covar_samp(dp, dp_prev) < 0
+                  THEN 2 * sqrt(-covar_samp(dp, dp_prev)) END, 6)
+         AS roll_spread
+FROM d WHERE r IS NOT NULL AND dp_prev IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_microstructure_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquidity microstructure per symbol, one aggregate: Amihud
+    illiquidity (mean |return| per unit dollar volume, ×1e9) and
+    Roll's implied spread (2·√−cov(Δp, Δp₋₁), defined only when the
+    autocovariance is negative as the model requires). Two lag windows
+    share one per-symbol sort."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    d = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .withColumn("dp", F.col("close") - F.lag("close").over(w))
+        .withColumn("dp_prev", F.lag("dp").over(w))
+        .filter(F.col("r").isNotNull() & F.col("dp_prev").isNotNull())
+    )
+    dollar_vol = F.col("close") * F.col("volume")
+    cov = F.covar_samp("dp", "dp_prev")
+    return d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(
+            F.avg(
+                F.when(dollar_vol > 0, F.abs(F.col("r")) / dollar_vol)
+            )
+            * 1e9,
+            6,
+        ).alias("amihud_x1e9"),
+        F.round(
+            F.when(cov < 0, 2 * F.sqrt(-cov)), 6
+        ).alias("roll_spread"),
+    )
