@@ -53,6 +53,13 @@ class CurationConfig:
     use_lsh: bool = False  # banded-LSH candidates instead of inverted index
     minhash_perm: int = 16
     lsh_bands: int = 8
+    # optional substring-overlap (winnowing) stage: drop docs sharing
+    # >= winnow_min_shared fingerprints with a surviving doc (verbatim
+    # passage reuse that whole-doc Jaccard misses); off by default
+    substring_dedup: bool = False
+    winnow_k: int = 8
+    winnow_window: int = 4
+    winnow_min_shared: int = 2
     gopher: bool = True
     decontaminate: bool = True
     contamination_k: int = 3
@@ -71,6 +78,7 @@ STAGES = (
     "lang",
     "exact_dup",
     "near_dup",
+    "substring_dup",
     "quality",
     "classifier",
     "contaminated",
@@ -136,6 +144,29 @@ def curation_labels(
     else:
         near_losers = None
 
+    # --- stage 3b: substring-overlap dedup among stage-3 survivors -------
+    sub_losers = None
+    if config.substring_dedup:
+        from financial_data_pipeline_spark.operators import winnow
+
+        s3 = (
+            s2.join(near_losers, on=id_col, how="left_anti")
+            if near_losers is not None
+            else s2
+        )
+        sp = winnow.substring_overlap_pairs(
+            s3,
+            text_col,
+            id_col,
+            k=config.winnow_k,
+            window=config.winnow_window,
+            min_shared=config.winnow_min_shared,
+        )
+        sclusters = dedup.dedup_clusters(sp.select("id_a", "id_b"))
+        sub_losers = sclusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias(id_col))
+
     # --- stage 4: Gopher quality rules — row-local and therefore set-
     # independent, so the flag is derived join-free on the labeled frame
     # below rather than via a survivor-set computation.
@@ -183,6 +214,7 @@ def curation_labels(
 
     _flag(exact_losers, "__exact")
     _flag(near_losers, "__near")
+    _flag(sub_losers, "__substr")
     _flag(clf_ids, "__clf")
     _flag(contam_ids, "__contam")
 
@@ -190,6 +222,7 @@ def curation_labels(
         F.when(lang_fail, F.lit("lang"))
         .when(F.col("__exact"), F.lit("exact_dup"))
         .when(F.col("__near"), F.lit("near_dup"))
+        .when(F.col("__substr"), F.lit("substring_dup"))
         .when(quality_fail_col, F.lit("quality"))
         .when(F.col("__clf"), F.lit("classifier"))
         .when(F.col("__contam"), F.lit("contaminated"))

@@ -4861,6 +4861,8 @@ SELECT count(*) AS n_input,
        count(CASE WHEN dropped_at = 'lang' THEN 1 END) AS dropped_lang,
        count(CASE WHEN dropped_at = 'exact_dup' THEN 1 END) AS dropped_exact_dup,
        count(CASE WHEN dropped_at = 'near_dup' THEN 1 END) AS dropped_near_dup,
+       count(CASE WHEN dropped_at = 'substring_dup' THEN 1 END)
+         AS dropped_substring_dup,
        count(CASE WHEN dropped_at = 'quality' THEN 1 END) AS dropped_quality,
        count(CASE WHEN dropped_at = 'classifier' THEN 1 END) AS dropped_classifier,
        count(CASE WHEN dropped_at = 'contaminated' THEN 1 END) AS dropped_contaminated,

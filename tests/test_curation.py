@@ -477,3 +477,39 @@ def test_shuffle_shards_permutation_properties(spark):
     head = sharded.filter("shard = 0").orderBy("shard_pos").limit(10)
     ids = [r.doc_id for r in head.select("doc_id").collect()]
     assert ids != sorted(ids)
+
+
+def test_curation_substring_stage_catches_passage_reuse(spark):
+    """Docs that are NOT whole-doc near-dups but share a long verbatim
+    passage drop at the substring stage; stage order holds (a near-dup
+    never reaches the substring stage)."""
+    from financial_data_pipeline_spark.plans.curation_pipeline import (
+        CurationConfig,
+        curate_corpus,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(14))
+    mk = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    rows = [
+        (1, mk("a", 40) + " " + passage, "en", "s1"),
+        (2, mk("b", 40) + " " + passage, "en", "s1"),  # passage reuse only
+        (3, mk("c", 45), "en", "s1"),
+        (4, mk("c", 45), "en", "s1"),  # exact dup of 3
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    cfg = CurationConfig(
+        substring_dedup=True,
+        winnow_min_shared=1,
+        near_dedup=True,
+        gopher=False,
+        decontaminate=False,
+        redact_pii=False,
+    )
+    out = curate_corpus(docs, cfg)
+    labels = {r.doc_id: r.dropped_at for r in out["labels"].collect()}
+    assert labels[1] is None
+    assert labels[2] == "substring_dup"
+    assert labels[3] is None
+    assert labels[4] == "exact_dup"
+    rep = out["report"].first()
+    assert rep["dropped_substring_dup"] == 1 and rep["n_kept"] == 2
