@@ -7355,3 +7355,42 @@ def q_microstructure_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(cov < 0, 2 * F.sqrt(-cov)), 6
         ).alias("roll_spread"),
     )
+
+
+@query(
+    "theta_retention_days",
+    """
+WITH d AS (
+  SELECT DISTINCT ts::DATE AS day, user_id FROM events
+), days AS (
+  SELECT day, row_number() OVER (ORDER BY day) AS rn
+  FROM (SELECT DISTINCT day FROM d)
+), a AS (SELECT user_id FROM d JOIN days USING (day) WHERE rn = 1),
+b AS (SELECT user_id FROM d JOIN days USING (day) WHERE rn = 2)
+SELECT (SELECT count(*) FROM a) AS n_a,
+       (SELECT count(*) FROM b) AS n_b,
+       (SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+         AS retained,
+       (SELECT count(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b))
+         AS churned,
+       (SELECT count(*) FROM b WHERE user_id NOT IN (SELECT user_id FROM a))
+         AS new_users
+""",
+)
+def q_theta_retention_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retention as Theta-sketch SET ALGEBRA: per-day
+    sketches of distinct users, |A|, |B|, |A∩B|, |A\\B|, |B\\A| from
+    sketch bytes alone — the set operations HLL cannot do. Exact in
+    the retained-entry regime (daily distincts ≪ 2^lg_k), which is
+    what lets the oracle compare against exact set SQL."""
+    from financial_data_pipeline_spark.operators import sketches as sk
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    th = sk.theta_sketches(ev, "user_id", ["day"])
+    days = [r.day for r in th.select("day").orderBy("day").limit(2).collect()]
+    out = sk.retention_between(th, "day", days[0], days[1])
+    return out.select(
+        *[F.col(c).cast("long").alias(c) for c in out.columns]
+    )

@@ -768,3 +768,52 @@ def test_bm25_ranks_term_dense_docs_higher(spark):
 
     with _pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_kll_sketch_rollup_and_rank_error(spark):
+    """Mergeable quantiles: weekly p50 served from merged DAILY
+    sketches must (a) equal the sketch built directly on the weekly
+    data and (b) return a value whose exact rank is within the KLL
+    rank-error bound of the true median rank."""
+    from financial_data_pipeline_spark.operators import sketches as sk
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.to_date("ts").alias("day"),
+        F.weekofyear(F.to_date("ts")).alias("wk"),
+        "value",
+    )
+    daily = sk.quantile_sketches(ev, "value", ["day", "wk"])
+    weekly_m = sk.rollup_quantile_sketches(daily.drop("day"), ["wk"])
+    direct = sk.quantile_sketches(ev, "value", ["wk"])
+    pm = {r.wk: r.p50 for r in sk.sketch_quantiles(weekly_m, [0.5]).collect()}
+    pd_ = {r.wk: r.p50 for r in sk.sketch_quantiles(direct, [0.5]).collect()}
+    assert set(pm) == set(pd_)
+
+    for wk, v in pm.items():
+        vals = sorted(
+            r.value for r in ev.filter(F.col("wk") == wk).collect()
+        )
+        n = len(vals)
+        rank = sum(1 for x in vals if x <= v)
+        assert abs(rank - 0.5 * n) <= max(2, 0.04 * n), (wk, rank, n)
+
+
+def test_theta_retention_matches_exact_sets(spark):
+    from financial_data_pipeline_spark.operators import sketches as sk
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    th = sk.theta_sketches(ev, "user_id", ["day"])
+    days = sorted(r.day for r in th.select("day").collect())[:2]
+    got = sk.retention_between(th, "day", days[0], days[1]).first()
+    a = {r.user_id for r in ev.filter(F.col("day") == days[0])
+         .select("user_id").distinct().collect()}
+    b = {r.user_id for r in ev.filter(F.col("day") == days[1])
+         .select("user_id").distinct().collect()}
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.retained == len(a & b)
+    assert got.churned == len(a - b)
+    assert got.new_users == len(b - a)
