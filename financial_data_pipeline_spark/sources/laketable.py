@@ -98,6 +98,19 @@ def _collect_stats(
         if path.startswith("file:"):
             path = path[len("file:"):]
         out.append(FileStat(path=path, rows=r["__rows"], stats=stats))
+    # Zero-row part files never surface through input_file_name() —
+    # record them anyway (rows=0, open stats) or they would be
+    # unreferenced by every manifest and read as orphan debris.
+    seen = {os.path.realpath(fs.path) for fs in out}
+    for path in files:
+        if os.path.realpath(path) not in seen:
+            out.append(
+                FileStat(
+                    path=path,
+                    rows=0,
+                    stats={c: [None, None] for c in stat_cols},
+                )
+            )
     return out
 
 
@@ -506,3 +519,47 @@ def table_changes(
         .alias("_change_type"),
         F.abs("__net").alias("_change_copies"),
     )
+
+
+def history(table: LakeTable) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per snapshot (version, commit ts,
+    mode, file/row totals, app metadata) — manifest metadata only,
+    newest first."""
+    out = []
+    for v in sorted(table.snapshots(), reverse=True):
+        snap = table._load_snapshot(v)
+        out.append(
+            {
+                "version": snap.version,
+                "ts": snap.ts,
+                "mode": snap.mode,
+                "n_files": len(snap.files),
+                "n_rows": sum(fs.rows for fs in snap.files),
+                "app_meta": snap.app_meta,
+            }
+        )
+    return out
+
+
+def orphan_files(table: LakeTable) -> list[str]:
+    """Data files on disk referenced by NO snapshot — crash debris from
+    a write that died before its manifest landed (the manifest write is
+    the commit point, so such files are invisible but billable). Safe
+    to delete; ``expire_snapshots`` never sees them because it walks
+    manifests. Returns sorted paths; deletion stays the caller's call
+    (mirrors Delta VACUUM's dry run)."""
+    referenced = {
+        os.path.realpath(fs.path)
+        for v in table.snapshots()
+        for fs in table._load_snapshot(v).files
+    }
+    found = []
+    for dirpath, _dirnames, filenames in os.walk(table.root):
+        if _MANIFEST_DIR in dirpath:
+            continue
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                if os.path.realpath(p) not in referenced:
+                    found.append(p)
+    return sorted(found)

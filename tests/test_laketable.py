@@ -289,3 +289,30 @@ def test_read_as_of_timestamp(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         read_as_of(table, 0.0)
+
+
+def test_history_and_orphan_files(spark, tmp_path):
+    import os
+
+    from financial_data_pipeline_spark.sources.laketable import (
+        LakeTable,
+        history,
+        orphan_files,
+    )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    table.commit(spark.range(5).selectExpr("id"))
+    table.commit(spark.range(5, 8).selectExpr("id"), app_meta={"job": "x"})
+    h = history(table)
+    assert [e["version"] for e in h] == [2, 1]
+    assert h[0]["n_rows"] == 8 and h[1]["n_rows"] == 5
+    assert h[0]["app_meta"] == {"job": "x"}
+
+    assert orphan_files(table) == []
+    # simulate a crashed write: files land, no manifest
+    debris = tmp_path / "lake" / "commit-deadbeef"
+    spark.range(2).write.parquet(str(debris))
+    orphans = orphan_files(table)
+    assert orphans and all("commit-deadbeef" in p for p in orphans)
+    # the debris is invisible to reads
+    assert table.read().count() == 8
