@@ -137,3 +137,45 @@ def test_incremental_refresh_none_when_no_delta(spark, tmp_path):
         lookback=dt.timedelta(hours=1),
     )
     assert out is None
+
+
+def test_contract_gated_lake_ingest_with_dead_letter(spark, tmp_path):
+    """The data-contract boundary: expectations gate rows at the lake
+    edge — valid rows commit to the main table, violations land in a
+    self-describing quarantine table, nothing is lost, and a rule fix
+    lets the quarantine re-process into the main table."""
+    import datetime as dt
+
+    from financial_data_pipeline_spark.operators.expectations import (
+        expect_between,
+        expect_not_null,
+        quarantine_split,
+    )
+    from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (1, t0, 10.0), (2, t0, None), (3, t0, -5.0), (4, t0, 20.0),
+    ]
+    batch = spark.createDataFrame(rows, "id long, ts timestamp, price double")
+    exps = [expect_not_null("price"), expect_between("price", 0, 1e6)]
+    valid, quar = quarantine_split(batch, exps)
+
+    main = LakeTable(spark, str(tmp_path / "main"), stat_cols=["id"])
+    dead = LakeTable(spark, str(tmp_path / "dead"), stat_cols=["id"])
+    main.commit(valid)
+    dead.commit(quar.withColumn("__violations",
+                                F.to_json("__violations")))
+    assert main.read().count() == 2
+    q = dead.read()
+    assert q.count() == 2
+    # conservation: every input row landed exactly one side
+    assert main.read().count() + q.count() == batch.count()
+
+    # ops relaxes the range rule; re-process the quarantine
+    relaxed = [expect_not_null("price")]
+    requeued = q.drop("__violations")
+    ok2, still_bad = quarantine_split(requeued, relaxed)
+    main.merge(ok2, ["id"])
+    assert {r.id for r in main.read().select("id").collect()} == {1, 3, 4}
+    assert [r.id for r in still_bad.collect()] == [2]
