@@ -489,3 +489,33 @@ def test_tws_ema_matches_classic_and_batch(spark, tmp_path):
         | (F.abs(F.col("g.ema_26") - F.col("e.ema_26")) > 1e-9)
     )
     assert diffs.count() == 0
+
+
+def test_cli_runs_pipeline_end_to_end(spark, tmp_path):
+    """`python -m financial_data_pipeline_spark` — the reference's
+    run_pipeline_cli surface, wired to the real orchestrator. Run
+    in-process with an explicit output dir; the printed JSON is the
+    library's result dict."""
+    import json as _json
+
+    from financial_data_pipeline_spark.__main__ import main
+
+    out_dir = str(tmp_path / "out")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "--symbol", "BTCUSDT",
+            "--days-back", "2",
+            "--output-dir", out_dir,
+            "--format", "parquet",
+        ])
+    assert rc == 0
+    result = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    r = result["BTCUSDT"]
+    assert r["datasets"]["full"] == r["datasets"]["train"] + r["datasets"]["test"]
+    assert r["validation_report"]["is_valid"] is True
+    full = spark.read.parquet(r["paths"]["full"][0])
+    assert full.count() == r["datasets"]["full"]
