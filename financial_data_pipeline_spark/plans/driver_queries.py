@@ -752,20 +752,23 @@ FROM ranked
 )
 def q_chronological_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SP1: 80/20 chronological split (global order by (ts, symbol));
-    emitted as a split-label column so one result covers both halves."""
+    emitted as a split-label column so one result covers both halves.
+
+    Uses the distributed exact ranker (``splitter.global_row_index``:
+    range-partition + per-partition row_number + offsets) rather than a
+    single-partition ``Window.orderBy`` — same rows, same oracle, but
+    the plan has no ``Exchange SinglePartition`` and survives 100×."""
+    from financial_data_pipeline_spark.operators.splitter import global_row_index
+
     bars = events_as_ohlcv(spark, sf_dir)
-    n = bars.count()
-    w = Window.orderBy("timestamp", "symbol")
-    return (
-        bars.withColumn("__rn", F.row_number().over(w))
-        .select(
-            "symbol",
-            _ts_us().alias("ts_us"),
-            "close",
-            F.when(F.col("__rn") <= int(n * 0.8), F.lit("train"))
-            .otherwise(F.lit("test"))
-            .alias("split"),
-        )
+    ranked, n = global_row_index(bars, ["timestamp", "symbol"])
+    return ranked.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        "close",
+        F.when(F.col("__rn") <= int(n * 0.8), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
     )
 
 
