@@ -112,14 +112,13 @@ def main() -> None:
         "",
         "## Known, intentional flags",
         "",
-        "- `chronological_split` GLOBAL_WINDOW: SP1's contract is a global",
-        "  row-order split (`data_splitter.py:32-64`), which serializes one",
-        "  window stage. Two 100 TB paths exist:",
-        "  `splitter.chronological_split_by_quantile` (approximate, zero",
-        "  sort) and `splitter.chronological_split_distributed` (EXACT:",
-        "  range-partition + per-partition offsets, no single-partition",
-        "  exchange, row-set-equivalence-tested) — the parity query keeps",
-        "  the reference shape (SURVEY.md §7.4 item 4).",
+        "- `chronological_split` (no longer flagged): SP1's global",
+        "  row-order contract (`data_splitter.py:32-64`) is now served by",
+        "  `splitter.global_row_index` — range-partition + per-partition",
+        "  row_number + offsets — so the query has NO single-partition",
+        "  window while returning the exact same ranked rows (the library",
+        "  also keeps `chronological_split_by_quantile` as the zero-sort",
+        "  approximate path; SURVEY.md §7.4 item 4).",
         "- `volume_profile` NESTED_LOOP_JOIN: a broadcast crossJoin of the",
         "  ONE-row global (min, max) price range onto the facts — O(n·1),",
         "  the standard two-pass histogram shape, not a pair blowup.",
