@@ -190,6 +190,9 @@ HEADLINE = [
     "risk_ratios",
     "microstructure_metrics",
     "theta_retention_days",
+    "seasonal_anomalies",
+    "source_policy_filter",
+    "pairs_cointegration",
 ]
 
 

@@ -669,3 +669,55 @@ def shuffle_shards(
         .withColumn("shard_pos", F.row_number().over(w) - 1)
         .drop("__h")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source/keyword policy filter (C4-style URL + badword filtering)
+# ---------------------------------------------------------------------------
+
+
+def source_policy_flags(
+    df: DataFrame,
+    blocked_sources: list[str] = (),
+    badwords: list[str] = (),
+    min_chars: int = 0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """C4-style provenance + content policy filter (Raffel et al. 2020):
+    drop documents from a blocked source/domain list, documents whose
+    text matches a word-boundary badword list, and documents below a
+    length floor — in that order, labeling each doc with the FIRST rule
+    that drops it (``drop_reason`` null = kept), the same
+    first-stage-wins attrition accounting as ``curate_corpus``.
+
+    The source check is the URL/domain blocklist stand-in (the test
+    corpus carries a ``source`` column, not URLs; on a real crawl the
+    column would be the registrable domain parsed at ingest). Scale
+    design: pure map-only codegen — the blocklist folds into an
+    ``isin`` literal (for lists beyond literal size, swap for a
+    broadcast left-semi join), the badword list compiles to ONE
+    RE2∩Java-safe alternation scanned once per doc, no shuffle.
+    """
+    text = F.col(text_col)
+    reason = F.lit(None).cast("string")
+    checks = []
+    if blocked_sources:
+        checks.append((F.col(source_col).isin(list(blocked_sources)), "blocked_source"))
+    if badwords:
+        pat = r"(?i)\b(" + "|".join(badwords) + r")\b"
+        checks.append((text.rlike(pat), "badword"))
+    if min_chars:
+        checks.append((F.length(text) < min_chars, "too_short"))
+    for cond, label in reversed(checks):
+        reason = F.when(cond, F.lit(label)).otherwise(reason)
+    return df.withColumn("drop_reason", reason)
+
+
+def source_policy_filter(df: DataFrame, **kw) -> DataFrame:
+    """Survivors of :func:`source_policy_flags` (flag column dropped)."""
+    return (
+        source_policy_flags(df, **kw)
+        .filter(F.col("drop_reason").isNull())
+        .drop("drop_reason")
+    )

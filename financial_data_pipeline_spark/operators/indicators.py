@@ -527,3 +527,79 @@ def return_correlation_gram(
         (cov / F.sqrt(var_a * var_b)).alias("corr_r"),
         n.alias("n_obs"),
     )
+
+
+def pairwise_cointegration(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Engle–Granger-style pairs-trading diagnostics per symbol pair
+    (upper triangle): OLS hedge ratio of log prices, the spread's AR(1)
+    mean-reversion rate, and its half-life.
+
+    Closed forms only — no iterative fitting:
+
+    - ``beta``/``alpha`` — OLS of log P_b on log P_a over co-observed
+      timestamps: beta = cov_pop(pa, pb) / var_pop(pa).
+    - ``lambda`` — slope of Δe on lag(e) for the spread
+      e = pb − alpha − beta·pa (the discrete Ornstein–Uhlenbeck
+      pull); mean-reverting pairs have lambda < 0.
+    - ``half_life`` — −ln 2 / ln(1 + lambda), rows to halve a shock
+      (null when the spread is not mean-reverting).
+
+    Plan: one timestamp self-equi-join (O(T·S²/2) pair rows — portfolio-
+    sized S; see ``return_correlation`` for the BLAS path at thousands
+    of symbols), one aggregate for beta/alpha broadcast back, one
+    per-pair lag window, one final aggregate. The pair frame shuffles
+    twice on (sym_a, sym_b) — Catalyst reuses the partitioning between
+    the window and the final groupBy.
+    """
+    p = (
+        df.select(
+            F.col(by).alias("__s"),
+            F.col(ts).alias("__t"),
+            F.log(price_col).alias("__p"),
+        )
+        .filter(F.col("__p").isNotNull())
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b, on=(F.col("a.__t") == F.col("b.__t")) & (F.col("a.__s") < F.col("b.__s"))
+    ).select(
+        F.col("a.__s").alias("sym_a"),
+        F.col("b.__s").alias("sym_b"),
+        F.col("a.__t").alias("__t"),
+        F.col("a.__p").alias("pa"),
+        F.col("b.__p").alias("pb"),
+    )
+    ols = pairs.groupBy("sym_a", "sym_b").agg(
+        (F.covar_pop("pa", "pb") / F.var_pop("pa")).alias("beta"),
+        F.avg("pa").alias("__ma"),
+        F.avg("pb").alias("__mb"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    ols = ols.withColumn("alpha", F.col("__mb") - F.col("beta") * F.col("__ma")).drop(
+        "__ma", "__mb"
+    )
+    spread = pairs.join(F.broadcast(ols), ["sym_a", "sym_b"]).withColumn(
+        "__e", F.col("pb") - F.col("alpha") - F.col("beta") * F.col("pa")
+    )
+    w = Window.partitionBy("sym_a", "sym_b").orderBy("__t")
+    spread = spread.withColumn("__e_lag", F.lag("__e").over(w))
+    out = (
+        spread.filter(F.col("__e_lag").isNotNull())
+        .groupBy("sym_a", "sym_b", "beta", "alpha", "n_obs")
+        .agg(
+            (
+                F.covar_pop("__e_lag", F.col("__e") - F.col("__e_lag"))
+                / F.var_pop("__e_lag")
+            ).alias("lambda")
+        )
+    )
+    phi = F.lit(1.0) + F.col("lambda")  # AR(1) coefficient
+    return out.withColumn(
+        "half_life",
+        F.when((phi > 0) & (phi < 1), -F.log(F.lit(2.0)) / F.log(phi)),
+    )

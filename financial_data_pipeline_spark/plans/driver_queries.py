@@ -7397,3 +7397,162 @@ def q_theta_retention_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         *[F.col(c).cast("long").alias(c) for c in out.columns]
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: seasonal decomposition, policy filtering, cointegration
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_anomalies",
+    BARS_CTE
+    + r"""
+, base AS (
+  SELECT symbol, timestamp, close,
+         ((row_number() OVER w) - 1) % 24 AS phase,
+         CASE WHEN count(close) OVER f = 24 THEN avg(close) OVER f END AS trend
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp),
+         f AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), detr AS (
+  SELECT *, close - trend AS d FROM base
+), pm0 AS (
+  SELECT symbol, phase, avg(d) AS s_raw
+  FROM detr WHERE d IS NOT NULL GROUP BY 1, 2
+), pm AS (
+  SELECT symbol, phase,
+         s_raw - avg(s_raw) OVER (PARTITION BY symbol) AS seasonal
+  FROM pm0
+), dd AS (
+  SELECT detr.symbol, detr.timestamp, detr.phase, detr.trend,
+         pm.seasonal, detr.d - pm.seasonal AS resid
+  FROM detr LEFT JOIN pm USING (symbol, phase)
+), med AS (
+  SELECT symbol, median(resid) AS med
+  FROM dd WHERE resid IS NOT NULL GROUP BY 1
+), mad AS (
+  SELECT dd.symbol, median(abs(resid - med)) AS mad
+  FROM dd JOIN med USING (symbol) WHERE resid IS NOT NULL GROUP BY 1
+)
+SELECT dd.symbol, epoch_us(timestamp) AS ts_us, phase,
+       round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+       round(resid, 6) AS resid,
+       round(3.0 * 1.4826 * mad, 6) AS threshold,
+       coalesce(abs(round(resid, 6)) > round(3.0 * 1.4826 * mad, 6),
+                false) AS anomaly
+FROM dd LEFT JOIN mad USING (symbol)
+""",
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (period = 24 hourly bars → daily
+    seasonality) + robust residual anomaly flags, value-compared
+    row-for-row: trend (centered MA), centered per-phase seasonal,
+    residual, per-symbol MAD threshold, and the flag itself (computed
+    on 6-dp-rounded values so both engines flag identically)."""
+    from financial_data_pipeline_spark.operators.seasonal import seasonal_anomalies
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = seasonal_anomalies(bars, period=24, k=3.0, round_dp=6)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        "phase",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+        F.round("threshold", 6).alias("threshold"),
+        # edge rows (incomplete trend window) are "not anomalous", not
+        # null — null booleans stringify differently across pandas
+        # bridges and would scramble the driver's value hash
+        F.coalesce("anomaly", F.lit(False)).alias("anomaly"),
+    )
+
+
+@query(
+    "source_policy_filter",
+    r"""
+WITH flagged AS (
+  SELECT source,
+         CASE WHEN source IN ('src7', 'src13') THEN 'blocked_source'
+              WHEN regexp_matches(text, '(?i)\b(vector|stream)\b')
+                THEN 'badword'
+              WHEN len(text) < 100 THEN 'too_short' END AS drop_reason
+  FROM documents
+)
+SELECT source, coalesce(drop_reason, 'kept') AS outcome, count(*) AS n_docs
+FROM flagged GROUP BY 1, 2
+""",
+)
+def q_source_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style provenance/content policy filter: blocked-source list,
+    word-boundary badword alternation, length floor — first rule wins;
+    per-(source, outcome) attrition counts value-compared."""
+    from financial_data_pipeline_spark.operators.curation import source_policy_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = source_policy_flags(
+        docs,
+        blocked_sources=["src7", "src13"],
+        badwords=["vector", "stream"],
+        min_chars=100,
+    )
+    return (
+        flagged.groupBy(
+            "source", F.coalesce("drop_reason", F.lit("kept")).alias("outcome")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "pairs_cointegration",
+    BARS_CTE
+    + """
+, p AS (
+  SELECT symbol AS s, timestamp AS t, ln(close) AS lp
+  FROM bars WHERE close > 0
+), pr AS (
+  SELECT a.s AS sa, b.s AS sb, a.t AS t, a.lp AS pa, b.lp AS pb
+  FROM p a JOIN p b ON a.t = b.t AND a.s < b.s
+), ols AS (
+  SELECT sa, sb, covar_pop(pa, pb) / var_pop(pa) AS beta,
+         avg(pa) AS ma, avg(pb) AS mb, count(*) AS n_obs
+  FROM pr GROUP BY 1, 2
+), ols2 AS (
+  SELECT sa, sb, beta, mb - beta * ma AS alpha, n_obs FROM ols
+), sp AS (
+  SELECT pr.sa, pr.sb, pr.t, pb - alpha - beta * pa AS e,
+         beta, alpha, n_obs
+  FROM pr JOIN ols2 USING (sa, sb)
+), lg AS (
+  SELECT *, lag(e) OVER (PARTITION BY sa, sb ORDER BY t) AS e_lag FROM sp
+), fin AS (
+  SELECT sa, sb, beta, alpha, n_obs,
+         covar_pop(e_lag, e - e_lag) / var_pop(e_lag) AS lam
+  FROM lg WHERE e_lag IS NOT NULL GROUP BY 1, 2, 3, 4, 5
+)
+SELECT sa AS sym_a, sb AS sym_b, n_obs,
+       round(beta, 6) AS beta, round(alpha, 6) AS alpha,
+       round(lam, 6) AS mean_rev,
+       round(CASE WHEN 1.0 + lam > 0 AND 1.0 + lam < 1
+                  THEN -ln(2.0) / ln(1.0 + lam) END, 4) AS half_life
+FROM fin
+""",
+)
+def q_pairs_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger pairs diagnostics per symbol pair: OLS hedge ratio
+    of log prices, AR(1) mean-reversion rate of the spread, half-life —
+    all closed-form aggregates, value-compared."""
+    bars = events_as_ohlcv(spark, sf_dir).filter(F.col("close") > 0)
+    out = indicators.pairwise_cointegration(bars)
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        F.round("beta", 6).alias("beta"),
+        F.round("alpha", 6).alias("alpha"),
+        F.round("lambda", 6).alias("mean_rev"),
+        F.round("half_life", 4).alias("half_life"),
+    )
