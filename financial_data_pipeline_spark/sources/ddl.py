@@ -139,10 +139,22 @@ def run_ddl(
     dsn: str,
     statements: list[str],
     executor: Callable[[str, list[str]], None] | None = None,
+    spark=None,
 ) -> None:
-    """Replay DDL once at bootstrap. psycopg2-gated; tests inject."""
+    """Replay DDL once at bootstrap.
+
+    Three transports, most-available first: an injected ``executor``;
+    any JVM-classpath JDBC driver via ``sinks.jdbc_execute`` when the
+    DSN is a ``jdbc:`` URL and a ``spark`` session is given (tested for
+    real against embedded Derby); else psycopg2 for bare Postgres DSNs.
+    """
     if executor is not None:
         executor(dsn, statements)
+        return
+    if spark is not None and dsn.startswith("jdbc:"):
+        from financial_data_pipeline_spark.sources.sinks import jdbc_execute
+
+        jdbc_execute(spark, dsn, statements)
         return
     try:
         import psycopg2

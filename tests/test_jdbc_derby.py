@@ -116,3 +116,15 @@ def test_merge_sql_shape():
     assert "WHEN MATCHED" not in merge_upsert_sql(
         "t", "s", ["k", "a"], ["k"], on_conflict="ignore"
     )
+
+
+def test_run_ddl_via_jdbc_transport(spark, derby_url):
+    from financial_data_pipeline_spark.sources.ddl import run_ddl
+
+    run_ddl(
+        derby_url,
+        ["CREATE TABLE ddl_probe (ID BIGINT PRIMARY KEY, NOTE VARCHAR(64))"],
+        spark=spark,
+    )
+    jdbc_execute(spark, derby_url, ["INSERT INTO ddl_probe VALUES (1, 'ok')"])
+    assert read_jdbc(spark, derby_url, "ddl_probe").count() == 1
