@@ -193,6 +193,7 @@ HEADLINE = [
     "seasonal_anomalies",
     "source_policy_filter",
     "pairs_cointegration",
+    "bpe_merges",
 ]
 
 

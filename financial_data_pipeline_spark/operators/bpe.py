@@ -1,0 +1,176 @@
+"""Distributed byte-pair-encoding (BPE) vocabulary induction.
+
+The tokenizer-training counterpart of the text/curation stack
+(Sennrich et al. 2016, public paper): learn the top-N merge rules from
+a corpus, then encode the corpus with them.
+
+Scale design — the whole point of the distributed formulation:
+
+- **Learning never re-scans the corpus.** BPE statistics depend only
+  on the word → frequency map, so ONE corpus pass builds the weighted
+  vocabulary table (|distinct words| rows — megabytes where the corpus
+  is terabytes) and all ``n_merges`` iterations run against that
+  table. Each round is: adjacent-pair explode + one weighted count
+  aggregate + a 1-row argmax collect (the k-means pattern: a tiny
+  per-round driver value steering the next distributed step), then a
+  pure-codegen fold rewrites the symbol arrays. ``localCheckpoint``
+  every few rounds pins the plan depth.
+- **Encoding touches each distinct word once.** ``apply_bpe`` encodes
+  the distinct-word table (same fold, merges replayed in rank order)
+  and broadcast-joins word → tokens back onto the corpus — the corpus
+  itself is scanned once and never carries intermediate symbol arrays.
+
+Greedy semantics match the reference algorithm exactly: within a
+round, occurrences of the pair merge left-to-right without
+re-considering the freshly merged token ("aaa" + (a,a) → ["aa","a"]),
+and pair counting counts overlapping occurrences (zip(w, w[1:])).
+Ties break on (count desc, left asc, right asc) — deterministic, so
+two engines (or a pure-Python reference) learn identical merge lists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    return (
+        df.select(words)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Characters + an end-of-word sentinel (so a word-final merge is a
+    different token than the same pair mid-word — the standard setup)."""
+    chars = F.filter(F.split(word, ""), lambda c: c != "")
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _merge_fold(sym: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping replacement of the (left, right)
+    adjacent pair with its concatenation — a pure-codegen ``aggregate``
+    fold carrying (output-so-far, pending-symbol) state."""
+    merged = left + right
+    init = F.struct(
+        F.array().cast("array<string>").alias("arr"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(acc["pend"].isNull(), F.struct(acc["arr"].alias("arr"), x.alias("pend")))
+            .when(
+                (acc["pend"] == left) & (x == right),
+                F.struct(
+                    F.concat(acc["arr"], F.array(F.lit(merged))).alias("arr"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["arr"], F.array(acc["pend"])).alias("arr"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["arr"]).otherwise(
+            F.concat(acc["arr"], F.array(acc["pend"]))
+        )
+
+    return F.aggregate(sym, init, step, finish)
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    n = F.size("sym")
+    pairs = F.arrays_zip(
+        F.slice("sym", 1, n - 1).alias("l"), F.slice("sym", 2, n - 1).alias("r")
+    )
+    return (
+        vocab.filter(n >= 2)
+        .select(F.explode(pairs).alias("p"), "weight")
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("weight").alias("cnt"))
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``n_merges`` merge rules; returns
+    ``[(rank, left, right, pair_count), …]``. Stops early when no pair
+    reaches ``min_count``."""
+    vocab = _word_counts(df, text_col).select(
+        _initial_symbols(F.col("word")).alias("sym"), "weight"
+    )
+    vocab = vocab.localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].cnt < min_count:
+            break
+        left, right, cnt = top[0].left, top[0].right, int(top[0].cnt)
+        merges.append((rank, left, right, cnt))
+        vocab = vocab.select(_merge_fold(F.col("sym"), left, right).alias("sym"), "weight")
+        if (rank + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Encode ``text_col`` with a learned merge list: the corpus's
+    DISTINCT words are encoded once (merges replayed in rank order over
+    the word table, checkpointed to bound plan depth) and broadcast-
+    joined back — the corpus scan carries only the final token arrays.
+    """
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    enc = words.select("word", _initial_symbols(F.col("word")).alias("sym"))
+    for i, (_, left, right, _) in enumerate(sorted(merges)):
+        enc = enc.select("word", _merge_fold(F.col("sym"), left, right).alias("sym"))
+        if (i + 1) % checkpoint_every == 0:
+            enc = enc.localCheckpoint()
+    lookup = F.broadcast(enc.withColumnRenamed("sym", out_col))
+    # posexplode + sorted reassembly: collect_list order is NOT
+    # guaranteed after the join, so the word position rides along and
+    # an array_sort on (pos, tokens) structs restores document order
+    exploded = df.select(
+        *df.columns,
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "__p", "__w"
+        ),
+    ).filter(F.col("__w") != "")
+    joined = exploded.join(lookup, exploded["__w"] == lookup["word"], "left")
+    keys = [c for c in df.columns]
+    ordered = F.array_sort(F.collect_list(F.struct(F.col("__p"), F.col(out_col))))
+    return joined.groupBy(*keys).agg(
+        F.flatten(F.transform(ordered, lambda s: s[out_col])).alias(out_col)
+    )

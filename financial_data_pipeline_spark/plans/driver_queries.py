@@ -7556,3 +7556,21 @@ def q_pairs_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lambda", 6).alias("mean_rev"),
         F.round("half_life", 4).alias("half_life"),
     )
+
+
+@query("bpe_merges")
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction on the documents corpus:
+    12 merge rounds over the word-frequency table (built in ONE corpus
+    pass; each round is a pair-count aggregate + 1-row argmax + a
+    codegen fold — the k-means iteration pattern). No single-statement
+    SQL twin exists for an iterative argmax, so this is a declared
+    rows-only check; exact-equivalence coverage lives in
+    tests/test_bpe.py's pure-Python differential."""
+    from financial_data_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = learn_bpe_merges(docs, n_merges=12, checkpoint_every=4)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
