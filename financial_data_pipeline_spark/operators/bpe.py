@@ -115,7 +115,11 @@ def learn_bpe_merges(
     vocab = _word_counts(df, text_col).select(
         _initial_symbols(F.col("word")).alias("sym"), "weight"
     )
-    vocab = vocab.localCheckpoint()
+    # The vocab table is orders of magnitude smaller than the corpus —
+    # collapse it to a few partitions so the 12+ per-round jobs don't
+    # pay 32-task scheduling overhead each (size the constant up for
+    # genuinely huge vocabularies)
+    vocab = vocab.coalesce(4).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
