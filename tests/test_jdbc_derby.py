@@ -128,3 +128,64 @@ def test_run_ddl_via_jdbc_transport(spark, derby_url):
     )
     jdbc_execute(spark, derby_url, ["INSERT INTO ddl_probe VALUES (1, 'ok')"])
     assert read_jdbc(spark, derby_url, "ddl_probe").count() == 1
+
+
+def test_streaming_upsert_drains_and_replays_idempotently(spark, derby_url, tmp_path):
+    """File-drop stream -> foreachBatch staged MERGE into Derby: two
+    drains with overlapping keys converge to last-write state, and
+    re-running the drained query (no new files) changes nothing."""
+    from financial_data_pipeline_spark.streaming.jdbc_sink import jdbc_upsert_writer
+
+    jdbc_execute(
+        spark,
+        derby_url,
+        [
+            "CREATE TABLE bars_live (SYMBOL VARCHAR(32) NOT NULL,"
+            " TS BIGINT NOT NULL, PX DOUBLE, VOL DOUBLE,"
+            " PRIMARY KEY (SYMBOL, TS))"
+        ],
+    )
+    src, ckpt = tmp_path / "src", str(tmp_path / "ckpt")
+    _rows(spark, [("BTC", 1, 10.0, 1.0), ("BTC", 2, 11.0, 2.0)]).write.parquet(
+        str(src / "b1")
+    )
+
+    def drain():
+        stream = spark.readStream.schema(
+            "SYMBOL string, TS long, PX double, VOL double"
+        ).parquet(str(src / "*"))
+        q = jdbc_upsert_writer(
+            stream,
+            derby_url,
+            "bars_live",
+            key_cols=["SYMBOL", "TS"],
+            checkpoint=ckpt,
+            create_column_types="SYMBOL VARCHAR(32)",
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    drain()
+    got = {
+        (r.SYMBOL, r.TS): r.PX
+        for r in read_jdbc(spark, derby_url, "bars_live").collect()
+    }
+    assert got == {("BTC", 1): 10.0, ("BTC", 2): 11.0}
+
+    # batch 2 revises (BTC, 2) and adds a key
+    _rows(spark, [("BTC", 2, 99.0, 9.0), ("ETH", 1, 5.0, 5.0)]).write.parquet(
+        str(src / "b2")
+    )
+    drain()
+    got = {
+        (r.SYMBOL, r.TS): r.PX
+        for r in read_jdbc(spark, derby_url, "bars_live").collect()
+    }
+    assert got == {("BTC", 1): 10.0, ("BTC", 2): 99.0, ("ETH", 1): 5.0}
+
+    # idempotent: a third drain with nothing new leaves state unchanged
+    drain()
+    again = {
+        (r.SYMBOL, r.TS): r.PX
+        for r in read_jdbc(spark, derby_url, "bars_live").collect()
+    }
+    assert again == got
