@@ -134,3 +134,61 @@ def frame_sample(
         ).alias("frame_ms"),
         F.length(payload_col).cast("long").alias("size_bytes"),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Image resize stage: binary in → binary out with updated
+    dimension metadata, as an Arrow-batched ``mapInPandas`` kernel.
+
+    The Spark-side plumbing (schema, batch shape, metadata rewrite) is
+    real; the pixel resample itself is a DETERMINISTIC FAKE — the
+    container ships no image codecs — that strided-samples the payload
+    bytes to the target area so output size tracks target dimensions
+    and is reproducible (`/root/reference` has no media path either;
+    this is beyond-reference surface). Swapping ``_fake_resample`` for
+    a PIL/cv2 call changes nothing about the plan: per-batch vectorized
+    Python, no shuffle, binary columns never pass through the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    target_len = max(1, target_w * target_h)
+
+    def _fake_resample(payload: bytes) -> bytes:
+        if not payload:
+            return b""
+        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+        idx = np.linspace(0, len(arr) - 1, num=min(target_len, len(arr)))
+        return arr[idx.astype(np.int64)].tobytes()
+
+    def kernel(batches):
+        for chunk in batches:
+            if chunk.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: chunk[id_col].astype("int64"),
+                    "payload": [_fake_resample(p) for p in chunk[payload_col]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    cols = [id_col, payload_col]
+    return df.select(*cols).mapInPandas(kernel, out_schema)

@@ -388,6 +388,23 @@ def test_frame_sample_calendar(spark):
     assert out["frame_ms"].tolist() == [0, 1000, 2000, 3000]
 
 
+def test_resize_media_plumbing(spark, docs):
+    from financial_data_pipeline_spark.operators.multimodal import resize_media
+
+    media = docs.limit(5).withColumn("payload", F.encode("text", "UTF-8"))
+    out = resize_media(media, target_w=4, target_h=3).toPandas()
+    assert len(out) == 5
+    assert (out["width"] == 4).all() and (out["height"] == 3).all()
+    # strided fake resample: output length = min(target area, input len)
+    src = {r.doc_id: len(bytes(r.payload)) for r in media.collect()}
+    for _, r in out.iterrows():
+        assert len(bytes(r.payload)) == min(12, src[r.doc_id])
+    # deterministic
+    o2 = resize_media(media, target_w=4, target_h=3).toPandas()
+    m = out.merge(o2, on="doc_id")
+    assert all(bytes(a) == bytes(b) for a, b in zip(m.payload_x, m.payload_y))
+
+
 def test_dedup_clusters_and_canonical(spark):
     from financial_data_pipeline_spark.operators import dedup
 
