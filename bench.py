@@ -194,6 +194,7 @@ HEADLINE = [
     "source_policy_filter",
     "pairs_cointegration",
     "bpe_merges",
+    "cusum_changepoints",
 ]
 
 

@@ -80,3 +80,58 @@ def psi_features(
         row = psi(ref, new, c, bins)
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def cusum_flags(
+    df,
+    value_col: str,
+    by: str = "symbol",
+    ts: str = "timestamp",
+    drift: float = 0.0,
+    threshold: float = 5.0,
+) -> "DataFrame":
+    """Two-sided CUSUM change-point detector per key (Page 1954) —
+    running upward/downward cumulative sums of the deviation from the
+    key's mean, alarm when either exceeds ``threshold`` (in units of
+    the key's own stddev; ``drift`` is the slack k, also in sigmas).
+
+    Scale design — the recursion ``s_t = max(0, s_{t-1} + y_t)`` is NOT
+    window-expressible directly, but has the exact closed form
+    ``s_t = P_t - min(P_0..P_t)`` with ``P`` the prefix sum of ``y``:
+    two cumulative windows per side, all partitioned by key — no
+    sequential scan, no Python stage, one fact shuffle shared by all
+    four windows (and the per-key mean/stddev ride in via a broadcast
+    aggregate join, the standard scalar-distribution shape).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    stats = df.groupBy(by).agg(
+        F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sd")
+    )
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        df.join(F.broadcast(stats), by)
+        # windows can't nest, so the prefix sums materialize as columns
+        # before the running min reads them (same exchange either way)
+        .withColumn("__pu", F.sum(z - F.lit(drift)).over(w))
+        .withColumn("__pd", F.sum(-z - F.lit(drift)).over(w))
+        .withColumn(
+            "cusum_up",
+            F.col("__pu") - F.least(F.min("__pu").over(w), F.lit(0.0)),
+        )
+        .withColumn(
+            "cusum_down",
+            F.col("__pd") - F.least(F.min("__pd").over(w), F.lit(0.0)),
+        )
+        .drop("__mu", "__sd", "__pu", "__pd")
+    )
+    return out.withColumn(
+        "changepoint",
+        (F.col("cusum_up") > threshold) | (F.col("cusum_down") > threshold),
+    )

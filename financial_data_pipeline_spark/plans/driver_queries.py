@@ -7574,3 +7574,54 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
+
+
+@query(
+    "cusum_changepoints",
+    BARS_CTE
+    + """
+, st AS (
+  SELECT symbol, avg(close) AS mu, stddev_samp(close) AS sd
+  FROM bars GROUP BY 1
+), z AS (
+  SELECT b.symbol, timestamp, (close - mu) / sd AS z
+  FROM bars b JOIN st USING (symbol)
+), p AS (
+  SELECT symbol, timestamp,
+         sum(z - 0.5) OVER w AS pu,
+         sum(-z - 0.5) OVER w AS pd
+  FROM z
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT symbol, timestamp,
+         pu - least(min(pu) OVER w, 0.0) AS cu,
+         pd - least(min(pd) OVER w, 0.0) AS cd
+  FROM p
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(cu, 6) AS cusum_up, round(cd, 6) AS cusum_down,
+       (round(cu, 6) > 8.0 OR round(cd, 6) > 8.0) AS changepoint
+FROM c
+""",
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection per symbol via the
+    prefix-sum/running-min closed form (no sequential recursion) —
+    cumulative statistics and the alarm flag value-compared row-for-row
+    (flag recomputed from 6-dp-rounded values in both engines)."""
+    from financial_data_pipeline_spark.operators.drift import cusum_flags
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = cusum_flags(bars, "close", drift=0.5, threshold=8.0)
+    cu = F.round("cusum_up", 6)
+    cd = F.round("cusum_down", 6)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        cu.alias("cusum_up"),
+        cd.alias("cusum_down"),
+        ((cu > 8.0) | (cd > 8.0)).alias("changepoint"),
+    )

@@ -187,3 +187,42 @@ def test_cointegration_no_half_life_when_not_reverting(spark):
     phi = 1 + r["lambda"]
     if not (0 < phi < 1):
         assert r.half_life is None
+
+
+def test_cusum_matches_sequential_recursion_and_flags_shift(spark):
+    """Closed form (prefix sum - running min) == the textbook recursion
+    s_t = max(0, s_{t-1} + y_t), and a planted mean shift alarms after
+    (never before) the shift point."""
+    from financial_data_pipeline_spark.operators.drift import cusum_flags
+
+    rng = np.random.default_rng(5)
+    n, shift_at = 400, 250
+    x = rng.normal(0, 1.0, n)
+    x[shift_at:] += 3.0
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2025-01-01", periods=n, freq="1min"),
+            "close": x,
+        }
+    )
+    drift, thr = 0.5, 8.0
+    out = (
+        cusum_flags(spark.createDataFrame(pdf), "close", drift=drift, threshold=thr)
+        .toPandas()
+        .sort_values("timestamp")
+        .reset_index(drop=True)
+    )
+    mu, sd = x.mean(), x.std(ddof=1)
+    z = (x - mu) / sd
+    su = sd_ = 0.0
+    for i in range(n):
+        su = max(0.0, su + z[i] - drift)
+        sd_ = max(0.0, sd_ - z[i] - drift)
+        assert out.cusum_up[i] == pytest.approx(su, abs=1e-9)
+        assert out.cusum_down[i] == pytest.approx(sd_, abs=1e-9)
+    # full-sample standardization puts the pre-shift segment below the
+    # overall mean, so the DOWNWARD detector legitimately fires early;
+    # the upward detector is the one that must localize the shift
+    first_up = out.index[out.cusum_up > thr].min()
+    assert shift_at <= first_up <= shift_at + 20
