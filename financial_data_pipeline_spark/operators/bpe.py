@@ -144,6 +144,7 @@ def apply_bpe(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     checkpoint_every: int = 8,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Encode ``text_col`` with a learned merge list: the corpus's
     DISTINCT words are encoded once (merges replayed in rank order over
@@ -162,7 +163,12 @@ def apply_bpe(
         enc = enc.select("word", _merge_fold(F.col("sym"), left, right).alias("sym"))
         if (i + 1) % checkpoint_every == 0:
             enc = enc.localCheckpoint()
-    lookup = F.broadcast(enc.withColumnRenamed("sym", out_col))
+    # A web-scale distinct-word table (typo-heavy crawls reach 1e9+
+    # words) can exceed broadcast limits — broadcast_vocab=False leaves
+    # the join strategy to Catalyst/AQE (sort-merge on the word key)
+    lookup = enc.withColumnRenamed("sym", out_col)
+    if broadcast_vocab:
+        lookup = F.broadcast(lookup)
     # posexplode + sorted reassembly: collect_list order is NOT
     # guaranteed after the join, so the word position rides along and
     # an array_sort on (pos, tokens) structs restores document order

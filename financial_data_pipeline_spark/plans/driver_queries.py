@@ -7320,7 +7320,7 @@ def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT symbol,
        count(*) AS n_obs,
        round(avg(CASE WHEN close * volume > 0
-                      THEN abs(r) / (close * volume) END) * 1e9, 6)
+                      THEN abs(r) / (close * volume) END) * 1e9, 3)
          AS amihud_x1e9,
        round(CASE WHEN covar_samp(dp, dp_prev) < 0
                   THEN 2 * sqrt(-covar_samp(dp, dp_prev)) END, 6)
@@ -7347,12 +7347,16 @@ def q_microstructure_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.covar_samp("dp", "dp_prev")
     return d.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_obs"),
+        # 3 dp, not 6: the unordered avg carries ~1e-16 relative noise
+        # which the 1e9 scale lifts to ~1e-6 absolute -- a 6-dp round
+        # can land either side of a boundary between engines (seen at
+        # sf0.001)
         F.round(
             F.avg(
                 F.when(dollar_vol > 0, F.abs(F.col("r")) / dollar_vol)
             )
             * 1e9,
-            6,
+            3,
         ).alias("amihud_x1e9"),
         F.round(
             F.when(cov < 0, 2 * F.sqrt(-cov)), 6
