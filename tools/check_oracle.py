@@ -27,8 +27,12 @@ TABLES = [
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        if df[c].dtype == object or str(df[c].dtype) == "boolean":
+            # nulls stringify differently per bridge (None vs NaN vs
+            # pd.NA) — canonicalize all of them to 'None' first
+            df[c] = (
+                df[c].astype(object).where(pd.notna(df[c]), None).astype(str)
+            )
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
