@@ -195,6 +195,9 @@ HEADLINE = [
     "pairs_cointegration",
     "bpe_merges",
     "cusum_changepoints",
+    "target_encoding_loo",
+    "cohort_retention",
+    "top_event_paths",
 ]
 
 

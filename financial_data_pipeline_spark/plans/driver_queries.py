@@ -7629,3 +7629,98 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         cd.alias("cusum_down"),
         ((cu > 8.0) | (cd > 8.0)).alias("changepoint"),
     )
+
+
+@query(
+    "target_encoding_loo",
+    """
+WITH agg AS (
+  SELECT o_orderpriority, sum(o_totalprice) AS s, count(*) AS n
+  FROM orders GROUP BY 1
+), g AS (SELECT avg(o_totalprice) AS gm FROM orders)
+SELECT o_orderkey, o_orderpriority,
+       round(((s - o_totalprice) + 10.0 * gm) / ((n - 1) + 10.0), 6) AS te
+FROM orders JOIN agg USING (o_orderpriority) CROSS JOIN g
+""",
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free smoothed leave-one-out target encoding of order
+    priority against order value — per-row encodings value-compared
+    (the facts never shuffle; category aggregates broadcast back)."""
+    from financial_data_pipeline_spark.operators.encoding import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = target_encode_loo(orders, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "o_orderkey", "o_orderpriority", F.round("te", 6).alias("te")
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), coh AS (
+  SELECT user_id, min(d) AS c0 FROM act GROUP BY 1
+)
+SELECT CAST(c0 AS VARCHAR) AS cohort_day,
+       CAST(floor(date_diff('day', c0, d) / 7) AS INTEGER) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM act JOIN coh USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted per 7-day offset bucket of each later active day — the
+    classic cohort heatmap feed as (user, day) grid + min-day aggregate
+    + one grouped distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("c0"))
+    j = act.join(coh, "user_id")
+    return j.groupBy(
+        F.col("c0").cast("string").alias("cohort_day"),
+        F.floor(F.datediff("d", "c0") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query(
+    "top_event_paths",
+    """
+WITH paths AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_days
+FROM paths GROUP BY 1
+ORDER BY n_days DESC, path ASC
+LIMIT 20
+""",
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: each (user, day)'s ordered event-type
+    sequence as a '>'-joined path, top-20 by frequency (deterministic
+    (ts, event_id) order and tie-break). One shuffle builds the paths,
+    a count + TakeOrdered ranks them."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    paths = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        seq.alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_days"))
+        .orderBy(F.desc("n_days"), F.asc("path"))
+        .limit(20)
+    )

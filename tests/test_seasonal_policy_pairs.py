@@ -226,3 +226,44 @@ def test_cusum_matches_sequential_recursion_and_flags_shift(spark):
     # the upward detector is the one that must localize the shift
     first_up = out.index[out.cusum_up > thr].min()
     assert shift_at <= first_up <= shift_at + 20
+
+
+def test_target_encode_loo_formula_and_singleton(spark):
+    from financial_data_pipeline_spark.operators.encoding import target_encode_loo
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 100.0)]
+    df = spark.createDataFrame(rows, "id long, cat string, y double")
+    out = {r.id: r.te for r in target_encode_loo(df, "cat", "y", prior_weight=2.0).collect()}
+    gm = (10 + 20 + 30 + 100) / 4.0
+    # row 1: ((60-10) + 2*gm) / (2 + 2)
+    assert out[1] == pytest.approx((50 + 2 * gm) / 4)
+    assert out[2] == pytest.approx((40 + 2 * gm) / 4)
+    # singleton category: numerator/denominator collapse to the prior
+    assert out[4] == pytest.approx(gm)
+
+
+def test_target_encode_oof_excludes_own_fold(spark):
+    from financial_data_pipeline_spark.operators.encoding import target_encode_oof
+
+    rows = [
+        (1, "a", 10.0, 0),
+        (2, "a", 20.0, 0),
+        (3, "a", 40.0, 1),
+        (4, "a", 80.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, cat string, y double, fold int")
+    out = {
+        r.id: r.te
+        for r in target_encode_oof(df, "cat", "y", "fold", prior_weight=0.0).collect()
+    }
+    # fold-0 rows see only fold-1 labels and vice versa
+    assert out[1] == pytest.approx((40 + 80) / 2) == out[2]
+    assert out[3] == pytest.approx((10 + 20) / 2) == out[4]
+    # leakage check: perturbing a fold-0 label moves only fold-1 encodings
+    rows2 = [(1, "a", 1000.0, 0)] + rows[1:]
+    df2 = spark.createDataFrame(rows2, "id long, cat string, y double, fold int")
+    out2 = {
+        r.id: r.te
+        for r in target_encode_oof(df2, "cat", "y", "fold", prior_weight=0.0).collect()
+    }
+    assert out2[3] != out[3] and out2[1] == out[1]
