@@ -198,6 +198,7 @@ HEADLINE = [
     "target_encoding_loo",
     "cohort_retention",
     "top_event_paths",
+    "ab_test_welch",
 ]
 
 

@@ -221,3 +221,49 @@ def query_ohlcv(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def welch_t_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups — the A/B
+    experiment readout as ONE grouped aggregate + a one-row crossJoin
+    (no scipy, closed forms only): t statistic and Welch–Satterthwaite
+    degrees of freedom. The p-value needs the t CDF (caller-side
+    scipy/table territory); at experiment scale df is huge and |t|>1.96
+    is the 5% line."""
+    agg = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(group_col)
+        .agg(
+            F.avg(value_col).alias("m"),
+            F.var_samp(value_col).alias("v"),
+            F.count(value_col).alias("n"),
+        )
+    )
+    a = agg.filter(F.col(group_col) == group_a).select(
+        F.col("m").alias("mean_a"), F.col("v").alias("__va"), F.col("n").alias("n_a")
+    )
+    b = agg.filter(F.col(group_col) == group_b).select(
+        F.col("m").alias("mean_b"), F.col("v").alias("__vb"), F.col("n").alias("n_b")
+    )
+    j = a.crossJoin(b)
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    return j.select(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb)).alias("t_stat"),
+        (
+            (sa + sb) * (sa + sb)
+            / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1))
+        ).alias("welch_df"),
+    )

@@ -7724,3 +7724,41 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_days"), F.asc("path"))
         .limit(20)
     )
+
+
+@query(
+    "ab_test_welch",
+    """
+WITH agg AS (
+  SELECT event_type, avg(value) AS m, var_samp(value) AS v,
+         count(value) AS n
+  FROM events WHERE event_type IN ('purchase', 'view') GROUP BY 1
+), a AS (SELECT m, v, n FROM agg WHERE event_type = 'purchase'),
+   b AS (SELECT m, v, n FROM agg WHERE event_type = 'view')
+SELECT 'purchase' AS group_a, 'view' AS group_b, a.n AS n_a, b.n AS n_b,
+       round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t_stat,
+       round(power(a.v / a.n + b.v / b.n, 2)
+             / (power(a.v / a.n, 2) / (a.n - 1)
+                + power(b.v / b.n, 2) / (b.n - 1)), 4) AS welch_df
+FROM a, b
+""",
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t between two
+    event groups — one grouped aggregate, one-row crossJoin, closed
+    forms, value-compared."""
+    from financial_data_pipeline_spark.operators.stats import welch_t_test
+
+    ev = load_table(spark, sf_dir, "events")
+    out = welch_t_test(ev, "event_type", "value", "purchase", "view")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("welch_df", 4).alias("welch_df"),
+    )

@@ -267,3 +267,22 @@ def test_target_encode_oof_excludes_own_fold(spark):
         for r in target_encode_oof(df2, "cat", "y", "fold", prior_weight=0.0).collect()
     }
     assert out2[3] != out[3] and out2[1] == out[1]
+
+
+def test_welch_t_matches_scipy_free_closed_form(spark):
+    from financial_data_pipeline_spark.operators.stats import welch_t_test
+
+    rng = np.random.default_rng(2)
+    a = rng.normal(10.0, 2.0, 500)
+    b = rng.normal(10.5, 3.0, 300)
+    rows = [("A", float(x)) for x in a] + [("B", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, y double")
+    r = welch_t_test(df, "g", "y", "A", "B").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    sa, sb = va / len(a), vb / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1))
+    assert r.t_stat == pytest.approx(t, rel=1e-9)
+    assert r.welch_df == pytest.approx(dof, rel=1e-9)
+    assert r.n_a == 500 and r.n_b == 300
+    assert abs(r.t_stat) > 1.96  # a planted +0.5 sigma-ish shift detects
