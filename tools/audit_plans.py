@@ -163,6 +163,11 @@ def main() -> None:
         "- `major_value_parts` NESTED_LOOP_JOIN: the global revenue total",
         "  is a ONE-row broadcast crossJoin onto the per-part aggregate —",
         "  the q11 scalar-subquery shape, O(parts·1).",
+        "- `target_encoding_loo` NESTED_LOOP_JOIN: the global target mean",
+        "  is a ONE-row broadcast crossJoin onto the facts — O(n·1) scalar",
+        "  distribution, the `volume_profile` shape.",
+        "- `ab_test_welch` NESTED_LOOP_JOIN: the two groups' one-row",
+        "  aggregates crossJoin into the single result row — an O(1) join.",
         "- `lineitem_expectations` NESTED_LOOP_JOIN: the suite result is",
         "  three ONE-row counter frames crossJoined into one report row —",
         "  O(1) joins; all fact-side work is a single scan-bound",

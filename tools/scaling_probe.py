@@ -148,6 +148,7 @@ def amplify(spark, k: int, out_dir: str) -> None:
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out_md = sys.argv[2] if len(sys.argv) > 2 else "SCALING.md"
+    probes = sys.argv[3].split(",") if len(sys.argv) > 3 else PROBES
 
     from financial_data_pipeline_spark import get_spark
     from financial_data_pipeline_spark.plans.driver_queries import QUERIES
@@ -170,7 +171,7 @@ def main() -> int:
         return best
 
     rows = []
-    for name in PROBES:
+    for name in probes:
         t1 = run(name, BASE)
         tk = run(name, tmp)
         rows.append((name, round(t1, 3), round(tk, 3), round(tk / t1, 2)))
