@@ -56,7 +56,21 @@ def batch_top_m(df: DataFrame, item_col: str, m: int) -> DataFrame:
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            vc = pdf[item_col].value_counts().head(m)
+            vc = pdf[item_col].value_counts()
+            if len(vc) > m:
+                # MG-style truncation, NOT a plain head(m): subtracting
+                # the (m+1)-th count from the kept top-m makes this a
+                # VALID mergeable MG summary — the subtraction removes
+                # ≥ (m+1)× its own error from the summary mass, which
+                # is exactly the invariant the mergeable-summaries
+                # theorem's telescoping bound needs (a bare head(m)
+                # drops error mass "for free" and breaks the merged
+                # N/(m+1) guarantee — found by the Hypothesis merge
+                # property test). Presence is unaffected: a local count
+                # > n/m stays positive since (m+1)·C ≤ n.
+                c = vc.iloc[m]
+                vc = (vc.head(m) - c)
+                vc = vc[vc > 0]
             yield pd.DataFrame(
                 {item_col: vc.index.astype(str), "local_count": vc.values}
             )

@@ -11,12 +11,22 @@ summaries by summing counts on the union, then subtract the
 summary keeps the MG guarantee for the concatenated stream.
 
 Per micro-batch (``foreachBatch``):
-1. batch summary = exact counts of the batch's top-``m`` items — one
-   distributed pass (``batch_top_m`` candidates + exact recount), error
-   per dropped item ≤ N_batch/m by pigeonhole;
-2. MG-merge into the persistent summary (≤ m rows — a driver pandas
-   frame persisted as a single parquet footprint next to the stream
-   checkpoint).
+1. batch summary = the SUM of per-Arrow-batch MG summaries
+   (``batch_top_m`` — each is a valid MG summary because its
+   truncation subtracts the (m+1)-th local count, removing ≥ (m+1)×
+   its own error; a plain exact-top-m batch summary is NOT mergeable —
+   its truncation drops error mass without the matching subtraction
+   and the merged N/(m+1) bound fails, caught by the Hypothesis merge
+   property test). Summing summaries adds their errors without
+   touching size validity; one distributed narrow pass, no recount.
+2. MG-merge into the persistent summary (one subtraction of the
+   combined (m+1)-th count bounds size back to ≤ m rows — a driver
+   pandas frame persisted as a single parquet footprint next to the
+   stream checkpoint).
+
+Every subtraction anywhere in this tree — inside an Arrow-batch
+kernel, or at a merge — removes at least (m+1)× its own error from
+the summary mass, so the total error telescopes to ≤ N/(m+1).
 
 Guarantees after any number of batches over N total items: every item
 with true frequency > N/(m+1) is PRESENT, with
@@ -29,8 +39,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
-from financial_data_pipeline_spark.operators.frequency import heavy_hitters
+from financial_data_pipeline_spark.operators.frequency import batch_top_m
 
 
 def mg_merge(
@@ -83,9 +94,10 @@ class StreamingHeavyHitters:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         summary = (
-            heavy_hitters(batch_df, self.item_col, k=self.m, m=self.m)
+            batch_top_m(batch_df, self.item_col, self.m)
+            .groupBy(self.item_col)
+            .agg(F.sum("local_count").alias("count"))
             .withColumnRenamed(self.item_col, "item")
-            .withColumnRenamed("freq", "count")
             .toPandas()
         )
         merged = mg_merge(self._load_state(), summary, self.m)

@@ -94,8 +94,16 @@ def test_mg_merge_guarantee_any_batching(stream, cuts, m):
         if not piece:
             continue
         c = Counter(piece)
-        # per-batch summary: exact top-m counts (what the sink feeds)
-        top = c.most_common(m)
+        # per-batch summary: a VALID MG summary (what batch_top_m now
+        # feeds) — exact counts MG-truncated by subtracting the
+        # (m+1)-th largest; a bare exact-top-m here breaks the merged
+        # bound (this test found that)
+        vc = c.most_common()
+        if len(vc) > m:
+            sub = vc[m][1]
+            top = [(t, v - sub) for t, v in vc[:m] if v - sub > 0]
+        else:
+            top = vc
         batch = pd.DataFrame(
             {"item": [t for t, _ in top], "count": [v for _, v in top]}
         )
