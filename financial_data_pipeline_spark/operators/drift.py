@@ -89,6 +89,7 @@ def cusum_flags(
     ts: str = "timestamp",
     drift: float = 0.0,
     threshold: float = 5.0,
+    ref_stats: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Two-sided CUSUM change-point detector per key (Page 1954) —
     running upward/downward cumulative sums of the deviation from the
@@ -106,9 +107,18 @@ def cusum_flags(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    stats = df.groupBy(by).agg(
-        F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sd")
-    )
+    if ref_stats is not None:
+        # frozen standardization (columns: by, mu, sd) — the streaming
+        # form must standardize against a FROZEN reference (state can't
+        # see the future mean); passing the same frame here makes batch
+        # and streaming bit-comparable
+        stats = ref_stats.select(
+            by, F.col("mu").alias("__mu"), F.col("sd").alias("__sd")
+        )
+    else:
+        stats = df.groupBy(by).agg(
+            F.avg(value_col).alias("__mu"), F.stddev_samp(value_col).alias("__sd")
+        )
     z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
     w = (
         Window.partitionBy(by)
