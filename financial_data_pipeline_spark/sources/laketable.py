@@ -206,6 +206,36 @@ class LakeTable:
         head = self.head_version()
         return self._load_snapshot(head).app_meta if head > 0 else {}
 
+    def _check_schema_compat(self, df: DataFrame) -> None:
+        """Reject TYPE changes against the live schema (one parquet
+        footer read). Additive new columns are fine (``read(merge_
+        schema=True)`` reconciles them); a changed column type would be
+        accepted silently by the writer and then fail nondeterministically
+        at read time — whichever file parquet schema inference samples
+        first would win (seen as a flaky decimal-vs-double CDF read).
+        Type evolution stays an explicit cast by the caller."""
+        head = self.head_version()
+        if head == 0:
+            return
+        files = self._load_snapshot(head).files
+        if not files:
+            return
+        live = {
+            f.name: f.dataType
+            for f in self.spark.read.parquet(files[0].path).schema.fields
+        }
+        clashes = [
+            f"{f.name}: table={live[f.name].simpleString()} "
+            f"incoming={f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name in live and f.dataType != live[f.name]
+        ]
+        if clashes:
+            raise TypeError(
+                "incompatible column type change (cast the incoming frame "
+                "to the table schema first): " + "; ".join(clashes)
+            )
+
     def commit(
         self,
         df: DataFrame,
@@ -218,6 +248,8 @@ class LakeTable:
         time travel until ``expire_snapshots`` reclaims them."""
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if mode == "append":
+            self._check_schema_compat(df)
         new = self._write_files(df)
         carried = (
             self._load_snapshot(self.head_version()).files
@@ -254,6 +286,7 @@ class LakeTable:
         head = self.head_version()
         if head == 0:
             return self.commit(updates, mode="append", app_meta=app_meta)
+        self._check_schema_compat(updates)
         touched, carried = self._split_by_key_range(head, updates, k0)
         if touched:
             old = self.spark.read.parquet(*[fs.path for fs in touched])

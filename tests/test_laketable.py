@@ -250,7 +250,12 @@ def test_table_changes_tracks_merge_and_delete(spark, tmp_path):
     )
 
     table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
-    v1 = table.commit(spark.range(5).selectExpr("id", "id * 1.0 AS v"))
+    # CAST, not "id * 1.0": a 1.0 literal is decimal(2,1), so the
+    # product would commit v as decimal(23,1) and the double-typed
+    # merge below would now (correctly) be rejected
+    v1 = table.commit(
+        spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    )
     upd = spark.createDataFrame([(2, 99.0), (7, 7.0)], "id long, v double")
     v2 = table.merge(upd, ["id"])
     changes = {(r.id, r.v, r._change_type)
@@ -316,3 +321,23 @@ def test_history_and_orphan_files(spark, tmp_path):
     assert orphans and all("commit-deadbeef" in p for p in orphans)
     # the debris is invisible to reads
     assert table.read().count() == 8
+
+
+def test_commit_rejects_column_type_change(spark, tmp_path):
+    import pytest as _pytest
+
+    from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    table.commit(spark.range(3).selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    drifted = spark.createDataFrame([(9, "oops")], "id long, v string")
+    with _pytest.raises(TypeError, match="type change"):
+        table.commit(drifted)
+    with _pytest.raises(TypeError, match="type change"):
+        table.merge(drifted, ["id"])
+    # additive evolution still allowed
+    table.commit(
+        spark.range(3).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "id AS extra"
+        )
+    )
