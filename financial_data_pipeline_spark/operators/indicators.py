@@ -603,3 +603,185 @@ def pairwise_cointegration(
         "half_life",
         F.when((phi > 0) & (phi < 1), -F.log(F.lit(2.0)) / F.log(phi)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Momentum oscillators, price channels, range-based volatility (the
+# standard indicator families the reference's TechnicalIndicators class
+# does not cover but its users compute downstream — same window algebra
+# as W1–W6, so they ride the one symbol-partitioned sort for free)
+# ---------------------------------------------------------------------------
+
+
+def stochastic(
+    n: int = 14,
+    d: int = 3,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Stochastic oscillator %K / %D.
+
+    %K = 100·(close − min(low, n)) / (max(high, n) − min(low, n)),
+    %D = SMA(%K, d). pandas ``rolling(n, min_periods=n)`` head parity
+    via the same row-count mask as :func:`sma`; a flat n-bar range
+    (max == min) yields null rather than a division blow-up.
+    """
+    by = list(by)
+    win = _rolling(by, ts, n)
+    lo = F.when(F.count("low").over(win) >= n, F.min("low").over(win))
+    hi = F.when(F.count("high").over(win) >= n, F.max("high").over(win))
+    rng = hi - lo
+    k = F.when(rng > 0, 100.0 * (F.col("close") - lo) / rng)
+    # %D is SMA(d) of %K — count the non-null %K rows so the mask
+    # starts d−1 rows after %K itself becomes defined.
+    wd = _rolling(by, ts, d)
+    kd = F.when(F.count(k).over(wd) >= d, F.avg(k).over(wd))
+    return {"stoch_k": k, "stoch_d": kd}
+
+
+def williams_r(
+    n: int = 14, by: list[str] = ("symbol",), ts: str = "timestamp"
+) -> Column:
+    """Williams %R = −100·(max(high,n) − close) / (max(high,n) − min(low,n)).
+
+    The additive complement of stochastic %K (−100 ≤ %R ≤ 0); kept as
+    its own helper because users expect the sign convention.
+    """
+    by = list(by)
+    win = _rolling(by, ts, n)
+    lo = F.when(F.count("low").over(win) >= n, F.min("low").over(win))
+    hi = F.when(F.count("high").over(win) >= n, F.max("high").over(win))
+    rng = hi - lo
+    return F.when(rng > 0, -100.0 * (hi - F.col("close")) / rng)
+
+
+def obv(by: list[str] = ("symbol",), ts: str = "timestamp") -> Column:
+    """On-balance volume: running Σ sign(Δclose)·volume per key.
+
+    First bar contributes 0 (no Δ) — the classic Granville seed.
+    Cumulative per-key window: one shuffle on the key, no global sort.
+    """
+    by = list(by)
+    delta = F.col("close") - lag_col("close", by, ts)
+    step = (
+        F.when(delta > 0, F.col("volume"))
+        .when(delta < 0, -F.col("volume"))
+        .otherwise(F.lit(0.0))
+    )
+    cum = _w(by, ts).rowsBetween(Window.unboundedPreceding, 0)
+    return F.sum(step).over(cum)
+
+
+def roc(
+    col: str | Column,
+    n: int = 10,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> Column:
+    """Rate of change: 100·(x / lag(x, n) − 1) — the n-bar momentum
+    generalization of F8 ``pct_change`` (null head of n rows)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return 100.0 * (c / lag_col(c, list(by), ts, offset=n) - 1.0)
+
+
+def donchian(
+    n: int = 20, by: list[str] = ("symbol",), ts: str = "timestamp"
+) -> dict[str, Column]:
+    """Donchian channel: n-bar rolling high/low extremes + midline."""
+    by = list(by)
+    win = _rolling(by, ts, n)
+    hi = F.when(F.count("high").over(win) >= n, F.max("high").over(win))
+    lo = F.when(F.count("low").over(win) >= n, F.min("low").over(win))
+    return {
+        "donchian_upper": hi,
+        "donchian_lower": lo,
+        "donchian_mid": (hi + lo) / 2.0,
+    }
+
+
+def keltner(
+    n: int = 20,
+    atr_n: int = 10,
+    mult: float = 2.0,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Keltner channel, SMA variant: mid = SMA(typical price, n),
+    bands = mid ± mult·ATR(atr_n).
+
+    The SMA form (Keltner's original; Chester variant swaps in EMA) is
+    chosen so the whole channel stays a closed-form window expression —
+    no Python stage; the EMA-mid variant composes from
+    :func:`with_ema` when exact Chester parity is needed.
+    """
+    by = list(by)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    win = _rolling(by, ts, n)
+    mid = F.when(F.count(tp).over(win) >= n, F.avg(tp).over(win))
+    a = atr(atr_n, by, ts)
+    return {
+        "keltner_mid": mid,
+        "keltner_upper": mid + mult * a,
+        "keltner_lower": mid - mult * a,
+    }
+
+
+def cci(
+    n: int = 20, by: list[str] = ("symbol",), ts: str = "timestamp"
+) -> Column:
+    """Commodity Channel Index: (tp − SMA(tp,n)) / (0.015·MeanAbsDev).
+
+    The mean absolute deviation is |tp_i − m| averaged over the SAME
+    window whose mean m the current row sees — not a composition of
+    two stacked windows (the inner mean changes per outer row). Solved
+    as a bounded collect_list + two ``aggregate`` folds, all codegen:
+    O(n) per row like every other rolling op here, no Python, no extra
+    shuffle.
+    """
+    by = list(by)
+    tp = ((F.col("high") + F.col("low") + F.col("close")) / 3.0).cast("double")
+    win = _rolling(by, ts, n)
+    arr = F.collect_list(tp).over(win)
+    m = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+    mad = F.aggregate(
+        arr, F.lit(0.0), lambda a, x: a + F.abs(x - m)
+    ) / F.size(arr)
+    out = (tp - m) / (0.015 * mad)
+    return F.when((F.size(arr) >= n) & (mad > 0), out)
+
+
+def parkinson_volatility(
+    n: int = 20, by: list[str] = ("symbol",), ts: str = "timestamp"
+) -> Column:
+    """Parkinson range volatility:
+    sqrt( Σ ln(high/low)² / (4·ln2·n) ) over an n-bar window —
+    the high–low estimator (≈5× more efficient than close-to-close
+    when bars are clean)."""
+    import math
+
+    by = list(by)
+    hl2 = F.pow(F.log(F.col("high") / F.col("low")), 2)
+    win = _rolling(by, ts, n)
+    s = F.when(F.count(hl2).over(win) >= n, F.sum(hl2).over(win))
+    return F.sqrt(s / (4.0 * math.log(2.0) * n))
+
+
+def garman_klass_volatility(
+    n: int = 20, by: list[str] = ("symbol",), ts: str = "timestamp"
+) -> Column:
+    """Garman–Klass OHLC volatility:
+    sqrt( (1/n)·Σ [ ½·ln(high/low)² − (2ln2−1)·ln(close/open)² ] ).
+
+    Uses all four OHLC fields; the per-bar term can go negative on
+    gappy bars, so the rolling MEAN can too — null in that case (the
+    estimator is undefined), matching how practitioners mask it.
+    """
+    import math
+
+    by = list(by)
+    term = 0.5 * F.pow(F.log(F.col("high") / F.col("low")), 2) - (
+        2.0 * math.log(2.0) - 1.0
+    ) * F.pow(F.log(F.col("close") / F.col("open")), 2)
+    win = _rolling(by, ts, n)
+    mean_t = F.when(F.count(term).over(win) >= n, F.avg(term).over(win))
+    return F.when(mean_t >= 0, F.sqrt(mean_t))

@@ -7762,3 +7762,174 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t_stat", 6).alias("t_stat"),
         F.round("welch_df", 4).alias("welch_df"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Momentum oscillators / channels / range volatility (indicator families
+# beyond the reference's TechnicalIndicators class, same W1-W6 window
+# algebra — see operators/indicators.py tail section)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "oscillators",
+    BARS_CTE
+    + """
+, k AS (
+  SELECT symbol, timestamp, close, high, low,
+         CASE WHEN count(low) OVER w14 >= 14
+                   AND max(high) OVER w14 > min(low) OVER w14
+              THEN 100.0 * (close - min(low) OVER w14)
+                   / (max(high) OVER w14 - min(low) OVER w14) END AS stoch_k,
+         CASE WHEN count(low) OVER w14 >= 14
+                   AND max(high) OVER w14 > min(low) OVER w14
+              THEN -100.0 * (max(high) OVER w14 - close)
+                   / (max(high) OVER w14 - min(low) OVER w14) END AS williams_r,
+         list((high + low + close) / 3.0) OVER w20 AS l
+  FROM bars
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT *, list_sum(l) / len(l) AS m,
+         list_sum(list_transform(l, y -> abs(y - m))) / len(l) AS mad
+  FROM k
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(stoch_k, 6) AS stoch_k,
+       round(CASE WHEN count(stoch_k) OVER wd >= 3
+                  THEN avg(stoch_k) OVER wd END, 6) AS stoch_d,
+       round(williams_r, 6) AS williams_r,
+       round(CASE WHEN len(l) >= 20 AND mad > 0
+                  THEN ((high + low + close) / 3.0 - m) / (0.015 * mad)
+             END, 6) AS cci
+FROM c
+WINDOW wd AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_oscillators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic %K/%D, Williams %R, CCI(20) in one symbol-partitioned
+    window pass (``indicators.stochastic/williams_r/cci``). The CCI mean
+    absolute deviation is the bounded collect_list + aggregate-fold form
+    — per-row O(n), codegen, no Python — value-compared against a
+    DuckDB list-lambda twin."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    st = indicators.stochastic(14, 3)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(st["stoch_k"], 6).alias("stoch_k"),
+        F.round(st["stoch_d"], 6).alias("stoch_d"),
+        F.round(indicators.williams_r(14), 6).alias("williams_r"),
+        F.round(indicators.cci(20), 6).alias("cci"),
+    )
+
+
+@query(
+    "obv_roc",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp, close, volume,
+         close - lag(close) OVER w AS delta,
+         lag(close, 10) OVER w AS close_10
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sum(CASE WHEN delta > 0 THEN volume
+                      WHEN delta < 0 THEN -volume ELSE 0.0 END)
+             OVER (PARTITION BY symbol ORDER BY timestamp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS obv,
+       round(100.0 * (close / close_10 - 1.0), 6) AS roc_10
+FROM d
+""",
+)
+def q_obv_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume (running signed-volume sum, Granville zero
+    seed) + 10-bar rate of change (``indicators.obv/roc``) — cumulative
+    and lag windows share the one per-symbol sort."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.obv(), 4).alias("obv"),
+        F.round(indicators.roc("close", 10), 6).alias("roc_10"),
+    )
+
+
+@query(
+    "price_channels",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, timestamp, high, low, close,
+         greatest(high - low, abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(high) OVER w20 >= 20 THEN max(high) OVER w20 END, 6) AS donchian_upper,
+       round(CASE WHEN count(low) OVER w20 >= 20 THEN min(low) OVER w20 END, 6) AS donchian_lower,
+       round(CASE WHEN count(high) OVER w20 >= 20
+                  THEN (max(high) OVER w20 + min(low) OVER w20) / 2.0 END, 6) AS donchian_mid,
+       round(CASE WHEN count(*) OVER w20 >= 20
+                  THEN avg((high + low + close) / 3.0) OVER w20 END, 6) AS keltner_mid,
+       round(CASE WHEN count(*) OVER w20 >= 20 AND count(tr) OVER w10 >= 10
+                  THEN avg((high + low + close) / 3.0) OVER w20
+                       + 2.0 * avg(tr) OVER w10 END, 6) AS keltner_upper,
+       round(CASE WHEN count(*) OVER w20 >= 20 AND count(tr) OVER w10 >= 10
+                  THEN avg((high + low + close) / 3.0) OVER w20
+                       - 2.0 * avg(tr) OVER w10 END, 6) AS keltner_lower
+FROM t
+WINDOW w20 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       w10 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_price_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian(20) + Keltner(20, ATR 10, 2x) channels
+    (``indicators.donchian/keltner``) — six band columns from two
+    rolling extents and two rolling means over one sort."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    dc = indicators.donchian(20)
+    kl = indicators.keltner(20, 10, 2.0)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        *[F.round(dc[c], 6).alias(c) for c in ("donchian_upper", "donchian_lower", "donchian_mid")],
+        *[F.round(kl[c], 6).alias(c) for c in ("keltner_mid", "keltner_upper", "keltner_lower")],
+    )
+
+
+@query(
+    "range_volatility",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, timestamp,
+         pow(ln(high / low), 2) AS hl2,
+         0.5 * pow(ln(high / low), 2)
+           - (2.0 * ln(2.0) - 1.0) * pow(ln(close / open), 2) AS gk
+  FROM bars
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(hl2) OVER w >= 20
+                  THEN sqrt(sum(hl2) OVER w / (4.0 * ln(2.0) * 20)) END, 8)
+         AS parkinson_vol,
+       round(CASE WHEN count(gk) OVER w >= 20 AND avg(gk) OVER w >= 0
+                  THEN sqrt(avg(gk) OVER w) END, 8) AS gk_vol
+FROM t
+WINDOW w AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson high-low and Garman-Klass OHLC volatility estimators
+    over a 20-bar window (``indicators.parkinson_volatility/
+    garman_klass_volatility``) — range-based estimators a risk stack
+    computes next to ``realized_volatility``'s close-to-close form."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.parkinson_volatility(20), 8).alias("parkinson_vol"),
+        F.round(indicators.garman_klass_volatility(20), 8).alias("gk_vol"),
+    )

@@ -381,3 +381,92 @@ def test_dollar_bars_conservation_and_price_invariance(spark):
     a = sorted((r.bar_id, r.n_src_bars) for r in out.collect())
     b = sorted((r.bar_id, r.n_src_bars) for r in out10.collect())
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Oscillators / channels / range volatility (indicators.py tail family)
+# ---------------------------------------------------------------------------
+
+
+def test_oscillators_channels_match_pandas(spark, ohlcv_pdf):
+    import math
+
+    df = spark.createDataFrame(ohlcv_pdf)
+    st = indicators.stochastic(14, 3)
+    dc = indicators.donchian(20)
+    kl = indicators.keltner(20, 10, 2.0)
+    got = (
+        df.withColumns(
+            {
+                "stoch_k": st["stoch_k"],
+                "stoch_d": st["stoch_d"],
+                "williams_r": indicators.williams_r(14),
+                "obv": indicators.obv(),
+                "roc_10": indicators.roc("close", 10),
+                "cci": indicators.cci(20),
+                **dc,
+                **kl,
+                "parkinson_vol": indicators.parkinson_volatility(20),
+                "gk_vol": indicators.garman_klass_volatility(20),
+            }
+        )
+        .orderBy("symbol", "timestamp")
+        .toPandas()
+    )
+    for sym, g in got.groupby("symbol"):
+        lo = g.low.rolling(14).min()
+        hi = g.high.rolling(14).max()
+        k = 100 * (g.close - lo) / (hi - lo)
+        tp = (g.high + g.low + g.close) / 3
+        mad = tp.rolling(20).apply(lambda x: np.mean(np.abs(x - x.mean())))
+        tr = pd.concat(
+            [
+                g.high - g.low,
+                (g.high - g.close.shift()).abs(),
+                (g.low - g.close.shift()).abs(),
+            ],
+            axis=1,
+        ).max(axis=1)
+        gk_t = 0.5 * np.log(g.high / g.low) ** 2 - (
+            2 * math.log(2) - 1
+        ) * np.log(g.close / g.open) ** 2
+        want = {
+            "stoch_k": k,
+            "stoch_d": k.rolling(3).mean(),
+            "williams_r": -100 * (hi - g.close) / (hi - lo),
+            "obv": (np.sign(g.close.diff()).fillna(0) * g.volume).cumsum(),
+            "roc_10": 100 * (g.close / g.close.shift(10) - 1),
+            "cci": (tp - tp.rolling(20).mean()) / (0.015 * mad),
+            "donchian_upper": g.high.rolling(20).max(),
+            "donchian_lower": g.low.rolling(20).min(),
+            "donchian_mid": (g.high.rolling(20).max() + g.low.rolling(20).min()) / 2,
+            "keltner_mid": tp.rolling(20).mean(),
+            "keltner_upper": tp.rolling(20).mean() + 2 * tr.rolling(10).mean(),
+            "keltner_lower": tp.rolling(20).mean() - 2 * tr.rolling(10).mean(),
+            "parkinson_vol": np.sqrt(
+                (np.log(g.high / g.low) ** 2).rolling(20).sum()
+                / (4 * math.log(2) * 20)
+            ),
+            "gk_vol": np.sqrt(gk_t.rolling(20).mean()),
+        }
+        for name, ref in want.items():
+            mine = g[name].values.astype(float)
+            refv = ref.values.astype(float)
+            assert (np.isnan(mine) == np.isnan(refv)).all(), (sym, name)
+            assert np.allclose(mine, refv, rtol=1e-9, equal_nan=True), (sym, name)
+
+
+def test_stochastic_bounds_and_complement(spark, ohlcv_df):
+    st = indicators.stochastic(14, 3)
+    out = (
+        ohlcv_df.withColumns(
+            {"k": st["stoch_k"], "wr": indicators.williams_r(14)}
+        )
+        .filter(F.col("k").isNotNull())
+        .select("k", "wr")
+        .toPandas()
+    )
+    assert ((out.k >= 0) & (out.k <= 100)).all()
+    assert ((out.wr <= 0) & (out.wr >= -100)).all()
+    # %R is the additive complement of %K: K - 100 == R
+    assert np.allclose(out.k - 100.0, out.wr, atol=1e-9)
