@@ -7933,3 +7933,69 @@ def q_range_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(indicators.parkinson_volatility(20), 8).alias("parkinson_vol"),
         F.round(indicators.garman_klass_volatility(20), 8).alias("gk_vol"),
     )
+
+
+@query(
+    "ks_drift_by_dow",
+    """
+WITH filt AS (
+  SELECT dayofweek(ts) AS dow, event_type, value
+  FROM events WHERE event_type IN ('purchase', 'view')
+), counted AS (
+  SELECT dow, value AS v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM filt GROUP BY 1, 2
+), ecdf AS (
+  SELECT dow,
+         sum(ca) OVER (PARTITION BY dow ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / CAST(sum(ca) OVER (PARTITION BY dow) AS DOUBLE) AS fa,
+         sum(cb) OVER (PARTITION BY dow ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / CAST(sum(cb) OVER (PARTITION BY dow) AS DOUBLE) AS fb,
+         sum(ca) OVER (PARTITION BY dow) AS na,
+         sum(cb) OVER (PARTITION BY dow) AS nb
+  FROM counted
+), agg AS (
+  SELECT dow, max(abs(fa - fb)) AS ks_d,
+         first(na) AS n_a, first(nb) AS n_b
+  FROM ecdf GROUP BY dow
+), lam AS (
+  SELECT *, (sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE)) + 0.12
+             + 0.11 / sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE))) * ks_d AS l
+  FROM agg
+)
+SELECT dow, n_a, n_b, round(ks_d, 6) AS ks_d,
+       round(least(1.0, greatest(0.0, CASE
+         WHEN l = 0.0 THEN 1.0
+         WHEN l < 1.18 THEN 1.0 - (sqrt(2.0 * pi()) / l)
+           * list_sum(list_transform(range(1, 4),
+               j -> exp(-(2.0*j - 1.0)*(2.0*j - 1.0) * pi()*pi() / (8.0*l*l))))
+         ELSE 2.0 * list_sum(list_transform(range(1, 101),
+               j -> pow(-1.0, j - 1) * exp(-2.0 * j * j * l * l)))
+       END)), 6) AS ks_pvalue
+FROM lam
+""",
+)
+def q_ks_drift_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-weekday two-sample Kolmogorov-Smirnov drift between purchase
+    and view value distributions (``drift.ks_two_sample``) — exact D
+    from distinct-value ECDF jump points, asymptotic p via the
+    Kolmogorov series with Stephens' correction, all codegen."""
+    from financial_data_pipeline_spark.operators.drift import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        # Spark dayofweek is 1=Sunday..7=Saturday, same as DuckDB's
+        # dayofweek()+1 — DuckDB returns 0=Sunday..6=Saturday
+        "dow",
+        F.dayofweek("ts") - 1,
+    )
+    out = ks_two_sample(ev, "event_type", "value", "purchase", "view", by=["dow"])
+    return out.select(
+        "dow",
+        "n_a",
+        "n_b",
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round("ks_pvalue", 6).alias("ks_pvalue"),
+    )

@@ -3,6 +3,7 @@
 ``tests/units/test_data_splitter.py``)."""
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -223,3 +224,53 @@ def test_purged_walk_forward_embargo_semantics(spark):
     for r in purged:
         gap = (nxt[r.fold + 1] - r.timestamp).total_seconds()
         assert 0 < gap <= 1800
+
+
+def test_ks_two_sample_matches_numpy(spark):
+    """drift.ks_two_sample ≡ the sorted-ECDF numpy closed form
+    (D exact, p via the same Kolmogorov series), incl. tie handling."""
+    from financial_data_pipeline_spark.operators.drift import ks_two_sample
+
+    rng = np.random.default_rng(11)
+    a = np.round(rng.normal(0, 1, 500), 1)   # rounding plants ties
+    b = np.round(rng.normal(0.25, 1.1, 400), 1)
+    pdf = pd.DataFrame(
+        {"grp": ["a"] * len(a) + ["b"] * len(b), "x": np.concatenate([a, b])}
+    )
+    got = (
+        ks_two_sample(spark.createDataFrame(pdf), "grp", "x", "a", "b")
+        .toPandas()
+        .iloc[0]
+    )
+    allv = np.sort(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    d = np.abs(fa - fb).max()
+    en = len(a) * len(b) / (len(a) + len(b))
+    lam = (np.sqrt(en) + 0.12 + 0.11 / np.sqrt(en)) * d
+    j = np.arange(1, 101)
+    if lam < 1.18:  # dual-series split, same as the operator
+        j3 = np.arange(1, 4)
+        p = 1.0 - (np.sqrt(2 * np.pi) / lam) * np.sum(
+            np.exp(-((2 * j3 - 1) ** 2) * np.pi**2 / (8 * lam * lam))
+        )
+    else:
+        p = 2 * np.sum((-1.0) ** (j - 1) * np.exp(-2 * j * j * lam * lam))
+    p = min(1.0, max(0.0, p))
+    assert got.n_a == len(a) and got.n_b == len(b)
+    assert abs(got.ks_d - d) < 1e-12
+    assert abs(got.ks_pvalue - p) < 1e-12
+
+
+def test_ks_identical_samples_zero_d(spark):
+    from financial_data_pipeline_spark.operators.drift import ks_two_sample
+
+    vals = [float(v) for v in range(50)]
+    pdf = pd.DataFrame({"grp": ["a"] * 50 + ["b"] * 50, "x": vals + vals})
+    got = (
+        ks_two_sample(spark.createDataFrame(pdf), "grp", "x", "a", "b")
+        .toPandas()
+        .iloc[0]
+    )
+    assert got.ks_d == 0.0
+    assert got.ks_pvalue == 1.0
