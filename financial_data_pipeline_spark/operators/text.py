@@ -409,3 +409,55 @@ def bm25_scores(
     return scored.groupBy("id").agg(F.sum("term_score").alias("bm25")).select(
         F.col("id").alias(id_col), "bm25"
     )
+
+
+def token_entropy(text: Column) -> dict[str, Column]:
+    """Per-document token-level Shannon entropy (bits) + type-token
+    ratio — the direct repetition/diversity quality signals next to
+    :func:`quality_features`'s ratio family (and the SQL-expressible
+    companion of ``curation.compression_ratio``'s zlib proxy; template
+    spam shows low entropy AND low TTR, keyword stuffing low entropy
+    with high length).
+
+    Scale design: NO explode and NO shuffle. Tokens are sorted within
+    the row's array and the entropy falls out of one run-length
+    ``aggregate`` fold over the sorted array (state = (previous token,
+    run length, Σ c·log2 c)); −Σ (c/n)·log2(c/n) is then recovered as
+    log2(n) − (Σ c·log2 c)/n, so the fold never needs n mid-stream.
+    Per-row O(k log k) for k tokens, all codegen, map-only — at 100 TB
+    this rides the document scan, versus the explode+groupBy form
+    which shuffles one row per token (~30× row amplification on prose).
+    """
+    toks = F.array_sort(
+        F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    )
+    n = F.size(toks)
+    # fold state: (prev token, current run length, sum of c*log2(c))
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+    clog2c = lambda c: c.cast("double") * F.log2(c.cast("double"))  # noqa: E731
+    folded = F.aggregate(
+        toks,
+        state0,
+        lambda st, x: F.struct(
+            x.alias("prev"),
+            F.when(x == st.prev, st.run + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                st.s
+                + F.when(
+                    (x != st.prev) & (st.run > 0), clog2c(st.run)
+                ).otherwise(F.lit(0.0))
+            ).alias("s"),
+        ),
+        lambda st: st.s + F.when(st.run > 0, clog2c(st.run)).otherwise(F.lit(0.0)),
+    )
+    entropy = F.when(
+        n > 0, F.log2(n.cast("double")) - folded / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    ttr = F.when(
+        n > 0, F.size(F.array_distinct(toks)) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {"token_entropy": entropy, "type_token_ratio": ttr}

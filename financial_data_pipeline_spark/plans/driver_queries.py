@@ -7999,3 +7999,45 @@ def q_ks_drift_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ks_d", 6).alias("ks_d"),
         F.round("ks_pvalue", 6).alias("ks_pvalue"),
     )
+
+
+@query(
+    "token_entropy",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM cnt GROUP BY 1
+)
+SELECT t.doc_id,
+       round(-sum((c.c / CAST(t.n AS DOUBLE))
+                  * log2(c.c / CAST(t.n AS DOUBLE))), 6) AS token_entropy,
+       round(any_value(t.n_distinct) / CAST(any_value(t.n) AS DOUBLE), 6)
+         AS type_token_ratio
+FROM cnt c JOIN tot t USING (doc_id)
+GROUP BY t.doc_id
+""",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level Shannon entropy + type-token ratio per document
+    (``text.token_entropy``): the Spark side is a shuffle-free sorted
+    run-length fold; the oracle is the straightforward unnest +
+    group-count twin, so the algebraic rearrangement
+    (log2 n − Σc·log2 c / n) is value-checked against the textbook
+    −Σ p·log2 p form."""
+    from financial_data_pipeline_spark.operators.text import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    te = token_entropy(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(te["token_entropy"], 6).alias("token_entropy"),
+        F.round(te["type_token_ratio"], 6).alias("type_token_ratio"),
+    )

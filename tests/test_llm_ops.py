@@ -834,3 +834,43 @@ def test_theta_retention_matches_exact_sets(spark):
     assert got.retained == len(a & b)
     assert got.churned == len(a - b)
     assert got.new_users == len(b - a)
+
+
+def test_token_entropy_matches_python(spark):
+    """Shuffle-free run-length-fold entropy ≡ textbook counter form,
+    incl. empty / single-token / all-same edge docs."""
+    import math
+    from collections import Counter
+
+    from financial_data_pipeline_spark.operators.text import token_entropy
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog the end",
+        "spam spam spam spam spam",
+        "one",
+        "",
+        "   ",
+        "a b a b a b c",
+        "Mixed CASE mixed case MIXED",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    te = token_entropy(F.col("text"))
+    got = (
+        df.select("id", te["token_entropy"].alias("h"),
+                  te["type_token_ratio"].alias("ttr"))
+        .orderBy("id")
+        .toPandas()
+    )
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        if not toks:
+            want_h, want_ttr = 0.0, 0.0
+        else:
+            n = len(toks)
+            cnt = Counter(toks)
+            want_h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+            want_ttr = len(cnt) / n
+        assert abs(got.h[i] - want_h) < 1e-12, (i, t)
+        assert abs(got.ttr[i] - want_ttr) < 1e-12, (i, t)
