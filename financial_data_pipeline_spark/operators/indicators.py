@@ -785,3 +785,130 @@ def garman_klass_volatility(
     win = _rolling(by, ts, n)
     mean_t = F.when(F.count(term).over(win) >= n, F.avg(term).over(win))
     return F.when(mean_t >= 0, F.sqrt(mean_t))
+
+
+def spearman_return_correlation(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Pairwise SPEARMAN rank correlation of per-symbol log returns —
+    the robust companion of :func:`return_correlation` (monotone
+    association; immune to the heavy tails crypto returns carry).
+
+    ρ_s = Pearson on fractional ranks. Ranks are computed per symbol
+    in one window pass (average rank for ties: min-rank + (t−1)/2),
+    then the same co-observed self-join + ``corr`` aggregate as the
+    Pearson form. Note ranks are over each symbol's FULL observed
+    span; pairs correlate the co-observed subset of those ranks (the
+    standard listwise-then-join convention; document, don't hide).
+    """
+    r = log_return(price_col, by=[by], ts=ts)
+    rr = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .select(F.col(ts).alias("__t"), F.col(by).alias("__s"), "__r")
+    )
+    o = Window.partitionBy("__s").orderBy("__r")
+    ties = Window.partitionBy("__s", "__r")
+    ranked = rr.withColumn(
+        "__rk", F.rank().over(o) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            on=(F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__s") < F.col("b.__s")),
+        )
+        .groupBy(F.col("a.__s").alias("sym_a"), F.col("b.__s").alias("sym_b"))
+        .agg(
+            F.corr(F.col("a.__rk"), F.col("b.__rk")).alias("spearman_r"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    lags: list[int] = (1, 2, 4, 8, 16),
+) -> DataFrame:
+    """Hurst exponent per symbol via the aggregated-variance method:
+    Var[log p_t − log p_{t−τ}] ∝ τ^{2H}, so H is half the OLS slope
+    of ln Var(τ) on ln τ. H≈0.5 random walk, >0.5 trending
+    (persistent), <0.5 mean-reverting — the regime statistic behind
+    ``pairwise_cointegration``'s half-life.
+
+    Plan: one per-symbol sort produces ALL the lagged differences
+    (one ``lag`` column per τ — same window, no extra shuffle), one
+    aggregate computes every Var(τ), and the closed-form OLS slope
+    over the |lags| (ln τ, ln Var) points folds in the same aggregate
+    row. No joins, no Python; |lags| is a literal constant.
+    """
+    lags = list(lags)
+    lp = F.log(F.col(price_col))
+    w = Window.partitionBy(by).orderBy(ts)
+    d = df.select(
+        by,
+        *[
+            (lp - F.lag(lp, tau).over(w)).alias(f"__d{tau}")
+            for tau in lags
+        ],
+    )
+    import math
+
+    agg = d.groupBy(by).agg(
+        *[F.var_samp(f"__d{tau}").alias(f"__v{tau}") for tau in lags],
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    # closed-form OLS of y = ln Var on x = ln tau: slope = Sxy/Sxx
+    xs = [math.log(tau) for tau in lags]
+    xbar = sum(xs) / len(xs)
+    sxx = sum((x - xbar) ** 2 for x in xs)
+    ys = [F.log(F.col(f"__v{tau}")) for tau in lags]
+    ybar = sum(ys, F.lit(0.0)) / float(len(xs))
+    sxy = sum(
+        ((y - ybar) * F.lit(x - xbar) for x, y in zip(xs, ys)), F.lit(0.0)
+    )
+    return agg.select(
+        by,
+        "n_obs",
+        (sxy / F.lit(2.0 * sxx)).alias("hurst"),
+    )
+
+
+def pivot_points(
+    df: DataFrame,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Classic floor-trader pivot levels per (symbol, day), from the
+    PREVIOUS day's high/low/close: P=(H+L+C)/3, R1=2P−L, S1=2P−H,
+    R2=P+(H−L), S2=P−(H−L).
+
+    Plan: one groupBy((symbol, day)) daily rollup, one lag window over
+    the (tiny) daily frame. Intraday bars never re-shuffle — levels
+    join back by (symbol, day) with a broadcast when needed.
+    """
+    day = F.to_date(F.col(ts)).alias("day")
+    daily = df.groupBy(by, day).agg(
+        F.max("high").alias("__h"),
+        F.min("low").alias("__l"),
+        F.max_by("close", ts).alias("__c"),
+    )
+    w = Window.partitionBy(by).orderBy("day")
+    ph, pl, pc = (F.lag(c).over(w) for c in ("__h", "__l", "__c"))
+    p = (ph + pl + pc) / 3.0
+    return daily.select(
+        by,
+        "day",
+        p.alias("pivot"),
+        (2.0 * p - pl).alias("r1"),
+        (2.0 * p - ph).alias("s1"),
+        (p + (ph - pl)).alias("r2"),
+        (p - (ph - pl)).alias("s2"),
+    )

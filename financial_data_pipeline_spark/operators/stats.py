@@ -267,3 +267,142 @@ def welch_t_test(
             / (sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1))
         ).alias("welch_df"),
     )
+
+
+def _avg_rank(value: Column, by: list[str]) -> Column:
+    """Fractional (average) rank of ``value`` within ``by`` — the
+    tie-correct rank statistics use: min-rank + (ties − 1)/2."""
+    o = Window.partitionBy(*by).orderBy(value)
+    ties = Window.partitionBy(*by, value)
+    return F.rank().over(o) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    by: list[str] = (),
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two groups, the
+    rank-based companion of :func:`welch_t_test` (no normality
+    assumption; detects stochastic dominance).
+
+    U_a = R_a − n_a(n_a+1)/2 from pooled average ranks; z uses the
+    tie-corrected variance  n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    and a ±0.5 continuity correction; two-sided p from the normal
+    tail via the Abramowitz–Stegun 7.1.26 erfc polynomial (|ε|<1.5e-7)
+    — a pure closed form both engines evaluate identically.
+
+    Plan: one rank window over the pooled rows (one shuffle on
+    ``by``), a tie aggregate, then a one-row (per key) combine.
+    """
+    by = list(by)
+    g = F.col(group_col)
+    pooled = df.filter(g.isin([group_a, group_b])).select(
+        *by,
+        g.alias("__g"),
+        F.col(value_col).alias("__v"),
+    )
+    ranked = pooled.withColumn("__r", _avg_rank(F.col("__v"), by))
+    # per-distinct-value tie sizes for the variance correction
+    agg = ranked.groupBy(*by).agg(
+        F.sum(F.when(F.col("__g") == group_a, F.col("__r"))).alias("__ra"),
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0)).alias("n_b"),
+    )
+    ties = (
+        pooled.groupBy(*by, "__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            ).alias("__tie3")
+        )
+    )
+    j = agg.join(ties, on=by) if by else agg.crossJoin(ties)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    u_a = F.col("__ra") - na * (na + 1.0) / 2.0
+    mu = na * nb / 2.0
+    var = na * nb / 12.0 * ((n + 1.0) - F.col("__tie3") / (n * (n - 1.0)))
+    # continuity correction toward the mean
+    z = (u_a - mu - F.when(u_a > mu, 0.5).when(u_a < mu, -0.5).otherwise(0.0)) / F.sqrt(var)
+    az = F.abs(z) / F.sqrt(F.lit(2.0))  # normal 2-sided p = erfc(|z|/√2)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    erfc = (
+        t
+        * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+    ) * F.exp(-az * az)
+    return j.select(
+        *by,
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        z.alias("z"),
+        F.least(F.lit(1.0), erfc).alias("p_value"),
+    )
+
+
+def benford_digit_test(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] = (),
+) -> DataFrame:
+    """Benford's-law first-significant-digit test — the standard
+    screen for fabricated or manipulated numeric columns (volumes,
+    trade sizes, invoice amounts).
+
+    First digit d of |x| extracted arithmetically:
+    floor(|x| / 10^floor(log10 |x|)) — no string cast in the hot
+    path. χ² = n·Σ (p̂_d − p_d)²/p_d against expected
+    p_d = log10(1 + 1/d); its 8-df survival has the even-df closed
+    form exp(−x/2)·Σ_{j<4} (x/2)^j/j!, so the p-value is exact and
+    engine-portable. One groupBy(by, digit) + one combine.
+    """
+    by = list(by)
+    x = F.abs(F.col(value_col))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counted = (
+        df.filter(x > 0)
+        .select(*by, digit.alias("digit"))
+        .groupBy(*by, "digit")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    expected = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    # total-n rides in on a window over the (≤9 per key) digit rows so
+    # the deviation sum is a plain aggregate, not a nested window
+    per = counted.withColumns(
+        {"__p": expected, "__n": F.sum("c").over(Window.partitionBy(*by))}
+    )
+    agg = per.groupBy(*by).agg(
+        F.first("__n").alias("n"),
+        F.sum(
+            F.pow(F.col("c") / F.col("__n") - F.col("__p"), 2) / F.col("__p")
+        ).alias("__dev"),
+        F.sum("__p").alias("__pmass"),
+    )
+    # digits absent from the sample still contribute (0−p)²/p = p;
+    # Σ_d p_d = 1, so the missing mass is 1 − Σ_present p — no
+    # domain join needed
+    chi2 = F.col("n") * (F.col("__dev") + (1.0 - F.col("__pmass")))
+    h = chi2 / 2.0
+    # survival of chi-square with 8 df: exp(-h) * sum_{j=0..3} h^j / j!
+    sf = F.exp(-h) * (
+        1.0 + h + h * h / 2.0 + h * h * h / 6.0
+    )
+    return agg.select(
+        *by,
+        "n",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(sf, 6).alias("p_value"),
+    )

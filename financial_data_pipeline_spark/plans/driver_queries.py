@@ -8041,3 +8041,228 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(te["token_entropy"], 6).alias("token_entropy"),
         F.round(te["type_token_ratio"], 6).alias("type_token_ratio"),
     )
+
+
+@query(
+    "mann_whitney_purchase_view",
+    """
+WITH pooled AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('purchase', 'view')
+), ranked AS (
+  SELECT g, v,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS r
+  FROM pooled
+), agg AS (
+  SELECT sum(CASE WHEN g = 'purchase' THEN r END) AS ra,
+         sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS n_b
+  FROM ranked
+), ties AS (
+  SELECT sum(t*t*t - t) AS tie3
+  FROM (SELECT count(*) AS t FROM pooled GROUP BY v)
+), z AS (
+  SELECT n_a, n_b,
+         ra - n_a * (n_a + 1.0) / 2.0 AS u_a,
+         n_a * n_b / 2.0 AS mu,
+         n_a * n_b / 12.0 * ((n_a + n_b + 1.0)
+           - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0))) AS var
+  FROM agg, ties
+), zz AS (
+  SELECT n_a, n_b, u_a,
+         (u_a - mu - CASE WHEN u_a > mu THEN 0.5
+                          WHEN u_a < mu THEN -0.5 ELSE 0.0 END)
+           / sqrt(var) AS zval
+  FROM z
+), e AS (
+  SELECT *, abs(zval) / sqrt(2.0) AS az,
+         1.0 / (1.0 + 0.3275911 * abs(zval) / sqrt(2.0)) AS t
+  FROM zz
+)
+SELECT n_a, n_b, round(u_a, 2) AS u_a, round(zval, 6) AS z,
+       round(least(1.0,
+         t * (0.254829592 + t * (-0.284496736
+              + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+           * exp(-az * az)), 6) AS p_value
+FROM e
+""",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) between purchase and view event values
+    (``stats.mann_whitney_u``): tie-corrected variance, continuity
+    correction, A-S 7.1.26 erfc p-value — the nonparametric companion
+    row to ``ab_test_welch``, value-compared end to end."""
+    from financial_data_pipeline_spark.operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    out = mann_whitney_u(ev, "event_type", "value", "purchase", "view")
+    return out.select(
+        "n_a",
+        "n_b",
+        F.round("u_a", 2).alias("u_a"),
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+@query(
+    "benford_order_totals",
+    """
+WITH d AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(abs(o_totalprice)
+              / pow(10.0, floor(log10(abs(o_totalprice))))) AS INT) AS digit
+  FROM orders WHERE abs(o_totalprice) > 0
+), cnt AS (
+  SELECT prio, digit, count(*) AS c FROM d GROUP BY 1, 2
+), per AS (
+  SELECT prio, digit, c,
+         log10(1.0 + 1.0 / digit) AS p,
+         sum(c) OVER (PARTITION BY prio) AS n
+  FROM cnt
+), agg AS (
+  SELECT prio, first(n) AS n,
+         sum(pow(c / CAST(n AS DOUBLE) - p, 2) / p) AS dev,
+         sum(p) AS pmass
+  FROM per GROUP BY prio
+)
+SELECT prio, n,
+       round(n * (dev + (1.0 - pmass)), 6) AS chi2,
+       round(exp(-(n * (dev + (1.0 - pmass))) / 2.0)
+             * (1.0 + (n * (dev + (1.0 - pmass))) / 2.0
+                + pow((n * (dev + (1.0 - pmass))) / 2.0, 2) / 2.0
+                + pow((n * (dev + (1.0 - pmass))) / 2.0, 3) / 6.0), 6)
+         AS p_value
+FROM agg
+""",
+)
+def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen on order totals per priority class
+    (``stats.benford_digit_test``): arithmetic digit extraction, χ²
+    with absent-digit mass folded in closed form, exact even-df (8)
+    survival — no stats library on either engine."""
+    from financial_data_pipeline_spark.operators.stats import benford_digit_test
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderpriority", "prio"
+    )
+    out = benford_digit_test(orders, "o_totalprice", by=["prio"])
+    return out.select(
+        "prio",
+        "n",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+@query(
+    "spearman_return_corr",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol AS s, timestamp AS t,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+ranked AS (
+  SELECT s, t, rank() OVER (PARTITION BY s ORDER BY r)
+         + (count(*) OVER (PARTITION BY s, r) - 1) / 2.0 AS rk
+  FROM rr
+)
+SELECT a.s AS sym_a, b.s AS sym_b,
+       round(corr(a.rk, b.rk), 6) AS spearman_r,
+       count(*) AS n_obs
+FROM ranked a JOIN ranked b ON a.t = b.t AND a.s < b.s
+GROUP BY 1, 2
+""",
+)
+def q_spearman_return_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation of per-symbol log returns
+    (``indicators.spearman_return_correlation``) — the heavy-tail-robust
+    companion of ``return_corr_matrix``; fractional tie ranks pinned
+    identical in both engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.spearman_return_correlation(bars)
+    return out.select(
+        "sym_a",
+        "sym_b",
+        F.round("spearman_r", 6).alias("spearman_r"),
+        "n_obs",
+    )
+
+
+@query(
+    "hurst_exponent",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol,
+         ln(close) - ln(lag(close, 1) OVER w) AS d1,
+         ln(close) - ln(lag(close, 2) OVER w) AS d2,
+         ln(close) - ln(lag(close, 4) OVER w) AS d4,
+         ln(close) - ln(lag(close, 8) OVER w) AS d8,
+         ln(close) - ln(lag(close, 16) OVER w) AS d16
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), v AS (
+  SELECT symbol, count(*) AS n_obs,
+         var_samp(d1) AS v1, var_samp(d2) AS v2, var_samp(d4) AS v4,
+         var_samp(d8) AS v8, var_samp(d16) AS v16
+  FROM d GROUP BY symbol
+), pts AS (
+  SELECT symbol, n_obs, unnest([0.0, ln(2.0), ln(4.0), ln(8.0), ln(16.0)]) AS x,
+         unnest([ln(v1), ln(v2), ln(v4), ln(v8), ln(v16)]) AS y
+  FROM v
+)
+SELECT symbol, any_value(n_obs) AS n_obs,
+       round((sum(x*y) - count(*) * avg(x) * avg(y))
+             / (sum(x*x) - count(*) * avg(x) * avg(x)) / 2.0, 6) AS hurst
+FROM pts GROUP BY symbol
+""",
+)
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per symbol by the aggregated-variance method
+    (``indicators.hurst_exponent``): five lagged-difference variances
+    from ONE sort, closed-form OLS slope of ln Var on ln tau in the
+    same aggregate — regime statistic (0.5 = random walk)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.hurst_exponent(bars)
+    return out.select(
+        "symbol", "n_obs", F.round("hurst", 6).alias("hurst")
+    )
+
+
+@query(
+    "pivot_points",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, CAST(timestamp AS DATE) AS day,
+         max(high) AS h, min(low) AS l,
+         arg_max(close, timestamp) AS c
+  FROM bars GROUP BY 1, 2
+), lagged AS (
+  SELECT symbol, day,
+         lag(h) OVER w AS ph, lag(l) OVER w AS pl, lag(c) OVER w AS pc
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY day)
+)
+SELECT symbol, CAST(day AS VARCHAR) AS day,
+       round((ph + pl + pc) / 3.0, 6) AS pivot,
+       round(2.0 * (ph + pl + pc) / 3.0 - pl, 6) AS r1,
+       round(2.0 * (ph + pl + pc) / 3.0 - ph, 6) AS s1,
+       round((ph + pl + pc) / 3.0 + (ph - pl), 6) AS r2,
+       round((ph + pl + pc) / 3.0 - (ph - pl), 6) AS s2
+FROM lagged
+""",
+)
+def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivot levels per (symbol, day) from the
+    previous day's OHLC (``indicators.pivot_points``) — daily rollup +
+    one lag over the tiny daily frame; intraday bars never re-shuffle."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.pivot_points(bars)
+    return out.select(
+        "symbol",
+        F.col("day").cast("string").alias("day"),
+        *[F.round(c, 6).alias(c) for c in ("pivot", "r1", "s1", "r2", "s2")],
+    )

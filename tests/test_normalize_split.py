@@ -274,3 +274,134 @@ def test_ks_identical_samples_zero_d(spark):
     )
     assert got.ks_d == 0.0
     assert got.ks_pvalue == 1.0
+
+
+def test_mann_whitney_matches_numpy(spark):
+    from financial_data_pipeline_spark.operators.stats import mann_whitney_u
+
+    rng = np.random.default_rng(5)
+    a = np.round(rng.normal(0, 1, 300), 1)
+    b = np.round(rng.normal(0.4, 1, 250), 1)
+    pdf = pd.DataFrame(
+        {"g": ["a"] * len(a) + ["b"] * len(b), "x": np.concatenate([a, b])}
+    )
+    got = (
+        mann_whitney_u(spark.createDataFrame(pdf), "g", "x", "a", "b")
+        .toPandas()
+        .iloc[0]
+    )
+    # numpy reference with average ranks + tie-corrected variance
+    pooled = np.concatenate([a, b])
+    order = pooled.argsort(kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    i = 0
+    rk = np.empty(len(pooled))
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        rk[i:j] = (i + j + 1) / 2.0  # average of 1-based ranks i+1..j
+        i = j
+    ranks[order] = rk
+    ra = ranks[: len(a)].sum()
+    na, nb = len(a), len(b)
+    u_a = ra - na * (na + 1) / 2
+    mu = na * nb / 2
+    _, t = np.unique(pooled, return_counts=True)
+    n = na + nb
+    var = na * nb / 12 * ((n + 1) - (t**3 - t).sum() / (n * (n - 1)))
+    z = (u_a - mu - (0.5 if u_a > mu else -0.5 if u_a < mu else 0)) / np.sqrt(var)
+    az = abs(z) / np.sqrt(2)
+    tt = 1 / (1 + 0.3275911 * az)
+    p = tt * (0.254829592 + tt * (-0.284496736 + tt * (1.421413741
+         + tt * (-1.453152027 + tt * 1.061405429)))) * np.exp(-az * az)
+    assert got.n_a == na and got.n_b == nb
+    assert abs(got.u_a - u_a) < 1e-9
+    assert abs(got.z - z) < 1e-12
+    assert abs(got.p_value - min(1.0, p)) < 1e-12
+
+
+def test_benford_detects_uniform_digits(spark):
+    """Benford-conforming magnitudes pass (p high); uniform first
+    digits fail hard (chi2 huge, p ~ 0); absent digits contribute
+    their expected mass."""
+    from financial_data_pipeline_spark.operators.stats import benford_digit_test
+
+    rng = np.random.default_rng(9)
+    # log-uniform across 5 decades => Benford-distributed first digits
+    benford = 10 ** rng.uniform(0, 5, 4000)
+    uniform = rng.uniform(1, 10, 4000) * 10 ** rng.integers(0, 5, 4000)
+    pdf = pd.DataFrame(
+        {
+            "g": ["ok"] * len(benford) + ["bad"] * len(uniform),
+            "x": np.concatenate([benford, uniform]),
+        }
+    )
+    got = (
+        benford_digit_test(spark.createDataFrame(pdf), "x", by=["g"])
+        .toPandas()
+        .set_index("g")
+    )
+    assert got.loc["ok", "p_value"] > 0.01
+    assert got.loc["bad", "chi2"] > 100
+    assert got.loc["bad", "p_value"] < 1e-6
+    # single-digit sample: present digit 1 deviates, digits 2..9 absent
+    one = spark.createDataFrame(pd.DataFrame({"g": ["x"] * 50, "x": [1.5] * 50}))
+    row = benford_digit_test(one, "x", by=["g"]).toPandas().iloc[0]
+    p1 = np.log10(2)
+    want_chi2 = 50 * ((1 - p1) ** 2 / p1 + (1 - p1))
+    assert abs(row.chi2 - want_chi2) < 1e-6
+
+
+def test_spearman_matches_pandas(spark, ohlcv_pdf):
+    from financial_data_pipeline_spark.operators.indicators import (
+        spearman_return_correlation,
+    )
+
+    df = spark.createDataFrame(ohlcv_pdf)
+    got = spearman_return_correlation(df).toPandas().iloc[0]
+    piv = ohlcv_pdf.pivot(index="timestamp", columns="symbol", values="close")
+    r = np.log(piv / piv.shift()).dropna()
+    want = r.corr(method="spearman").iloc[0, 1]
+    assert abs(got.spearman_r - want) < 1e-9
+
+
+def test_hurst_regimes(spark):
+    """Random walk => H ~ 0.5; strong OU mean reversion => H well
+    below; both recovered from the aggregated-variance closed form."""
+    from financial_data_pipeline_spark.operators.indicators import hurst_exponent
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    walk = np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    ou = np.empty(n)
+    ou[0] = 0.0
+    for i in range(1, n):  # theta=0.5 strongly mean-reverting
+        ou[i] = ou[i - 1] - 0.5 * ou[i - 1] + rng.normal(0, 0.01)
+    rows = [("walk", i, float(walk[i])) for i in range(n)] + [
+        ("ou", i, float(np.exp(ou[i]))) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, timestamp long, close double")
+    got = hurst_exponent(df).toPandas().set_index("symbol")
+    assert abs(got.loc["walk", "hurst"] - 0.5) < 0.1
+    assert got.loc["ou", "hurst"] < 0.35
+
+
+def test_pivot_points_hand_example(spark):
+    from financial_data_pipeline_spark.operators.indicators import pivot_points
+
+    rows = [
+        ("A", "2025-01-01 01:00:00", 0.0, 10.0, 2.0, 5.0, 1.0),
+        ("A", "2025-01-01 13:00:00", 0.0, 8.0, 4.0, 6.0, 1.0),
+        ("A", "2025-01-02 05:00:00", 0.0, 7.0, 5.0, 6.5, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts_s string, open double, high double, low double, close double, volume double"
+    ).withColumn("timestamp", F.to_timestamp("ts_s"))
+    got = pivot_points(df).orderBy("day").toPandas()
+    # day 1: H=10, L=2, C=6 (last bar) -> P=6, R1=10, S1=2, R2=14, S2=-2
+    d2 = got.iloc[1]
+    assert d2.pivot == 6.0 and d2.r1 == 10.0 and d2.s1 == 2.0
+    assert d2.r2 == 14.0 and d2.s2 == -2.0
+    assert pd.isna(got.iloc[0].pivot)  # no previous day
