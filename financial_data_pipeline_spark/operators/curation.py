@@ -721,3 +721,37 @@ def source_policy_filter(df: DataFrame, **kw) -> DataFrame:
         .filter(F.col("drop_reason").isNull())
         .drop("drop_reason")
     )
+
+
+def weighted_k_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement — Efraimidis–
+    Spirakis A-ES: each row gets key u^(1/w) (u uniform, w > 0 its
+    weight) and the k largest keys are the sample; inclusion
+    probabilities follow the weights without replacement.
+
+    u comes from the same portable md5 bucket as
+    :func:`stratified_sample` ((bucket + 0.5)/SAMPLE_MOD — the +0.5
+    keeps u in (0,1) so the key is finite), so the draw is
+    deterministic, partitioning-independent and engine-reproducible —
+    the oracle checks row-level membership. Rows with null or
+    non-positive weight are excluded (a zero-weight row can never win
+    under A-ES anyway). Executes as TakeOrdered (per-partition top-k
+    heap + driver merge), never a global sort — the same 100 TB
+    contract as :func:`exact_k_sample`, which this generalizes
+    (all-equal weights reduce to it up to the u vs ln u monotone map).
+    """
+    w = F.col(weight_col).cast("double")
+    u = (_sample_bucket(F.col(id_col)) + 0.5) / float(SAMPLE_MOD)
+    key = F.pow(u, 1.0 / w)
+    return (
+        df.filter(w > 0)
+        .withColumn("__key", key)
+        .orderBy(F.desc("__key"), F.asc(id_col))
+        .limit(k)
+        .drop("__key")
+    )

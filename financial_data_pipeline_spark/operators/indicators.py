@@ -912,3 +912,37 @@ def pivot_points(
         (p + (ph - pl)).alias("r2"),
         (p - (ph - pl)).alias("s2"),
     )
+
+
+def kyle_lambda(
+    df: DataFrame,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Kyle's lambda per symbol — the price-impact slope from the
+    Kyle (1985) microstructure model: OLS of the bar price change on
+    signed dollar volume sign(Δp)·(volume·close). Completes the
+    liquidity triple next to Amihud and Roll (``microstructure
+    metrics``): Amihud is impact per dollar in ratio form, lambda is
+    the regression form with an R² to qualify it.
+
+    Closed form — cov(Δp, q)/var(q) plus corr² — in ONE aggregate
+    after the lag window; lambda is scaled ×1e6 (impact per million
+    dollars) to sit in a readable range.
+    """
+    w = Window.partitionBy(by).orderBy(ts)
+    dp = F.col("close") - F.lag("close").over(w)
+    d = df.select(
+        by,
+        dp.alias("__dp"),
+        (
+            F.signum(dp) * F.col("volume") * F.col("close")
+        ).alias("__q"),
+    ).filter(F.col("__dp").isNotNull())
+    return d.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.covar_samp("__dp", "__q") / F.var_samp("__q") * 1e6).alias(
+            "kyle_lambda_x1e6"
+        ),
+        F.pow(F.corr("__dp", "__q"), 2).alias("r2"),
+    )

@@ -8266,3 +8266,62 @@ def q_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         *[F.round(c, 6).alias(c) for c in ("pivot", "r1", "s1", "r2", "s2")],
     )
+
+
+@query(
+    "weighted_doc_sample",
+    """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         CAST(n_chars AS DOUBLE) AS wt,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000 + 0.5) / 1000000.0 AS u
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars
+FROM w
+ORDER BY pow(u, 1.0 / wt) DESC, doc_id ASC
+LIMIT 100
+""",
+)
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 length-weighted sample without replacement
+    (``curation.weighted_k_sample``, Efraimidis-Spirakis A-ES on the
+    portable md5 uniform) — row-level membership value-compared, the
+    deterministic weighted counterpart of ``exact_k_sample``."""
+    from financial_data_pipeline_spark.operators.curation import weighted_k_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_k_sample(docs, 100, "n_chars").select("doc_id", "n_chars")
+
+
+@query(
+    "kyle_lambda",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp) AS dp,
+         sign(close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           * volume * close AS q
+  FROM bars
+)
+SELECT symbol, count(*) AS n_obs,
+       round(covar_samp(dp, q) / var_samp(q) * 1e6, 6) AS kyle_lambda_x1e6,
+       round(pow(corr(dp, q), 2), 6) AS r2
+FROM d WHERE dp IS NOT NULL GROUP BY symbol
+""",
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda price-impact slope + R2 per symbol
+    (``indicators.kyle_lambda``) — closed-form OLS on signed dollar
+    volume, one aggregate after the lag window; completes the
+    Amihud/Roll liquidity triple."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.kyle_lambda(bars)
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("kyle_lambda_x1e6", 6).alias("kyle_lambda_x1e6"),
+        F.round("r2", 6).alias("r2"),
+    )

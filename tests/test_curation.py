@@ -513,3 +513,32 @@ def test_curation_substring_stage_catches_passage_reuse(spark):
     assert labels[4] == "exact_dup"
     rep = out["report"].first()
     assert rep["dropped_substring_dup"] == 1 and rep["n_kept"] == 2
+
+
+def test_weighted_k_sample_props(spark):
+    """A-ES weighted sampling: deterministic under repartition, k rows,
+    heavier rows win more often (2x weight ~> 2x inclusion on average),
+    zero/null weights excluded."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.curation import weighted_k_sample
+
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            # ids < 1000 weight 1, >= 1000 weight 9
+            "wt": np.where(np.arange(n) < 1000, 1.0, 9.0),
+        }
+    )
+    pdf.loc[0, "wt"] = 0.0  # excluded
+    df = spark.createDataFrame(pdf)
+    s1 = weighted_k_sample(df, 200, "wt").toPandas()
+    s2 = weighted_k_sample(df.repartition(13), 200, "wt").toPandas()
+    assert len(s1) == 200
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)  # layout-independent
+    assert 0 not in set(s1.doc_id)
+    heavy = (s1.doc_id >= 1000).sum()
+    # E[heavy] ~ 9/10 of the sample; deterministic hash, loose bound
+    assert heavy > 150
