@@ -246,3 +246,43 @@ def ks_two_sample(
         "ks_d",
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), pval)).alias("ks_pvalue"),
     )
+
+
+def js_divergence(
+    ref: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Jensen–Shannon divergence between ``ref`` and ``new`` over the
+    same reference-range equal-width bins as :func:`psi` — the BOUNDED
+    drift metric (0 ≤ JS ≤ ln 2, symmetric, never infinite), preferred
+    when the comparison feeds an alert threshold that must not blow up
+    on an empty bin. Same two-pass histogram plan and Laplace
+    smoothing; only the combine differs:
+    JS = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2.
+    """
+    lo, hi = ref.agg(F.min(col), F.max(col)).first()
+    bin_ids = ref.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    rc = _bin_counts(ref, col, lo, hi, bins).withColumnRenamed("count", "n_ref")
+    nc = _bin_counts(new, col, lo, hi, bins).withColumnRenamed("count", "n_new")
+    grid = (
+        bin_ids.join(rc, on="bin", how="left")
+        .join(nc, on="bin", how="left")
+        .na.fill({"n_ref": 0, "n_new": 0})
+    )
+    tr = grid.agg(F.sum("n_ref"), F.sum("n_new")).first()
+    t_ref, t_new = float(tr[0]), float(tr[1])
+    p = (F.col("n_ref") + 0.5) / F.lit(t_ref + 0.5 * bins)
+    q = (F.col("n_new") + 0.5) / F.lit(t_new + 0.5 * bins)
+    m = (p + q) / 2.0
+    return grid.agg(
+        F.lit(col).alias("feature"),
+        (
+            0.5 * F.sum(p * F.log(p / m)) + 0.5 * F.sum(q * F.log(q / m))
+        ).alias("js_divergence"),
+        F.lit(int(t_ref)).alias("n_ref"),
+        F.lit(int(t_new)).alias("n_new"),
+    )

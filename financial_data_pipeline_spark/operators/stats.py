@@ -406,3 +406,42 @@ def benford_digit_test(
         F.round(chi2, 6).alias("chi2"),
         F.round(sf, 6).alias("p_value"),
     )
+
+
+def value_at_risk(
+    df: DataFrame,
+    return_col: str,
+    by: list[str] = ("symbol",),
+    levels: tuple = (0.95, 0.99),
+) -> DataFrame:
+    """Historical VaR and CVaR (expected shortfall) per key at the
+    given confidence levels, from the empirical return distribution.
+
+    VaR_α = −quantile(r, 1−α) (loss sign convention, so a positive
+    number is a loss); CVaR_α = −E[r | r ≤ quantile(r, 1−α)] — the
+    coherent tail mean that Basel/FRTB moved to. One aggregate per
+    key: exact ``percentile`` plus conditional means against the
+    same quantile via a second pass over the already-grouped rows
+    (a self-join-free two-stage agg: quantiles first, broadcast
+    back, tail means second). Swap ``percentile_approx`` at 100 TB
+    (same contract as ``length_percentiles``).
+    """
+    by = list(by)
+    r = F.col(return_col)
+    qaggs = []
+    for lv in levels:
+        tag = str(int(lv * 100))
+        qaggs.append(
+            F.percentile(r, F.lit(1.0 - lv)).alias(f"__q{tag}")
+        )
+    quants = df.groupBy(*by).agg(*qaggs)
+    j = df.join(F.broadcast(quants), on=by)
+    aggs = [F.count(F.lit(1)).alias("n_obs")]
+    for lv in levels:
+        tag = str(int(lv * 100))
+        q = F.col(f"__q{tag}")
+        aggs.append(F.max(-q).alias(f"var_{tag}"))
+        aggs.append(
+            (-F.avg(F.when(r <= q, r))).alias(f"cvar_{tag}")
+        )
+    return j.groupBy(*by).agg(*aggs)

@@ -8325,3 +8325,104 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("kyle_lambda_x1e6", 6).alias("kyle_lambda_x1e6"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+_JS_ORACLE = (
+    BARS_CTE
+    + """
+, ref AS (SELECT close FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
+nw AS (SELECT close FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16')
+SELECT 'close' AS feature,
+       round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
+             + 0.5 * sum(q * ln(q / ((p + q) / 2.0))), 6) AS js_divergence,
+       first(t_ref) AS n_ref, first(t_new) AS n_new
+FROM (
+  SELECT g.bin,
+         (coalesce(rc.n, 0) + 0.5) / (tr.t_ref + 5.0) AS p,
+         (coalesce(nc.n, 0) + 0.5) / (tn.t_new + 5.0) AS q,
+         tr.t_ref, tn.t_new
+  FROM generate_series(0, 9) AS g(bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM ref, (SELECT min(close) AS lo, max(close) AS hi FROM ref) b
+    GROUP BY 1
+  ) rc USING (bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM nw, (SELECT min(close) AS lo, max(close) AS hi FROM ref) b
+    GROUP BY 1
+  ) nc USING (bin)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS t_ref FROM ref) tr
+  CROSS JOIN (SELECT count(*)::DOUBLE AS t_new FROM nw) tn
+)
+"""
+)
+
+
+@query("js_drift_close", _JS_ORACLE)
+def q_js_drift_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence over the close distribution across the
+    2024-01-16 split (``drift.js_divergence``) — the BOUNDED companion
+    of ``feature_drift_psi`` (0..ln2, symmetric, alert-threshold-safe);
+    same reference-binned two-pass histogram, different combine."""
+    from financial_data_pipeline_spark.operators.drift import js_divergence
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    ref = bars.filter(F.col("timestamp") < "2024-01-16")
+    new = bars.filter(F.col("timestamp") >= "2024-01-16")
+    out = js_divergence(ref, new, "close", bins=10)
+    return out.select(
+        "feature",
+        F.round("js_divergence", 6).alias("js_divergence"),
+        "n_ref",
+        "n_new",
+    )
+
+
+@query(
+    "value_at_risk",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+q AS (
+  SELECT symbol,
+         quantile_cont(r, 0.05) AS q95, quantile_cont(r, 0.01) AS q99
+  FROM rr GROUP BY symbol
+)
+SELECT rr.symbol, count(*) AS n_obs,
+       round(-first(q.q95), 6) AS var_95,
+       round(-avg(CASE WHEN rr.r <= q.q95 THEN rr.r END), 6) AS cvar_95,
+       round(-first(q.q99), 6) AS var_99,
+       round(-avg(CASE WHEN rr.r <= q.q99 THEN rr.r END), 6) AS cvar_99
+FROM rr JOIN q USING (symbol)
+GROUP BY rr.symbol
+""",
+)
+def q_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR + CVaR (expected shortfall) at 95/99 per symbol
+    on log returns (``stats.value_at_risk``): exact interpolated
+    quantiles broadcast back for the tail conditional means — the
+    Basel-style risk readout next to ``risk_ratios``."""
+    from financial_data_pipeline_spark.operators.stats import value_at_risk
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    r = indicators.log_return("close")
+    rets = (
+        bars.withColumn("r", r).filter(F.col("r").isNotNull())
+        .select("symbol", "r")
+    )
+    out = value_at_risk(rets, "r", by=["symbol"], levels=(0.95, 0.99))
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("var_95", 6).alias("var_95"),
+        F.round("cvar_95", 6).alias("cvar_95"),
+        F.round("var_99", 6).alias("var_99"),
+        F.round("cvar_99", 6).alias("cvar_99"),
+    )

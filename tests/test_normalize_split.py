@@ -405,3 +405,37 @@ def test_pivot_points_hand_example(spark):
     assert d2.pivot == 6.0 and d2.r1 == 10.0 and d2.s1 == 2.0
     assert d2.r2 == 14.0 and d2.s2 == -2.0
     assert pd.isna(got.iloc[0].pivot)  # no previous day
+
+
+def test_js_divergence_bounded_and_symmetric(spark):
+    from financial_data_pipeline_spark.operators.drift import js_divergence
+
+    rng = np.random.default_rng(13)
+    a = pd.DataFrame({"x": rng.normal(0, 1, 2000)})
+    b = pd.DataFrame({"x": rng.normal(3, 1, 2000)})
+    da, db = spark.createDataFrame(a), spark.createDataFrame(b)
+    ab = js_divergence(da, db, "x").toPandas().iloc[0]
+    same = js_divergence(da, da, "x").toPandas().iloc[0]
+    assert 0 <= ab.js_divergence <= np.log(2) + 1e-12
+    assert ab.js_divergence > 0.2          # clearly shifted
+    assert same.js_divergence < 1e-12      # identical => 0
+    # bins come from the REF side, so swapping sides changes the
+    # binning; symmetry holds for the same support
+    ba = js_divergence(db, da, "x").toPandas().iloc[0]
+    assert ba.js_divergence > 0.2
+
+
+def test_value_at_risk_matches_numpy(spark):
+    from financial_data_pipeline_spark.operators.stats import value_at_risk
+
+    rng = np.random.default_rng(17)
+    r = rng.standard_t(4, 3000) * 0.01
+    pdf = pd.DataFrame({"symbol": "X", "r": r})
+    got = value_at_risk(spark.createDataFrame(pdf), "r").toPandas().iloc[0]
+    q95 = np.quantile(r, 0.05)  # numpy linear interpolation == percentile
+    q99 = np.quantile(r, 0.01)
+    assert abs(got.var_95 - (-q95)) < 1e-12
+    assert abs(got.var_99 - (-q99)) < 1e-12
+    assert abs(got.cvar_95 - (-r[r <= q95].mean())) < 1e-12
+    assert abs(got.cvar_99 - (-r[r <= q99].mean())) < 1e-12
+    assert got.cvar_95 >= got.var_95 and got.cvar_99 >= got.var_99

@@ -172,6 +172,12 @@ def main() -> None:
         "  three ONE-row counter frames crossJoined into one report row —",
         "  O(1) joins; all fact-side work is a single scan-bound",
         "  aggregate + a keys-only shuffle + one anti-join.",
+        "- `mann_whitney_purchase_view` GLOBAL_WINDOW + NESTED_LOOP_JOIN:",
+        "  the query runs the two-group test with NO key (by=[]), so the",
+        "  pooled rank is inherently a total order — keyed invocations",
+        "  (`by=[...]`, as `ks_drift_by_dow` uses) partition it; the",
+        "  crossJoin is the one-row rank-sum × one-row tie-correction",
+        "  combine, an O(1) join (the `ab_test_welch` shape).",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
