@@ -38,6 +38,10 @@ _MANIFEST_DIR = "_manifests"
 _HEAD = "HEAD.json"
 
 
+class ConstraintViolation(ValueError):
+    """A commit/merge was rejected by a table CHECK constraint."""
+
+
 @dataclass
 class FileStat:
     path: str
@@ -206,6 +210,69 @@ class LakeTable:
         head = self.head_version()
         return self._load_snapshot(head).app_meta if head > 0 else {}
 
+    # -- CHECK constraints -------------------------------------------
+    def _constraints_path(self) -> str:
+        return os.path.join(_mdir(self.root), "constraints.json")
+
+    def constraints(self) -> dict[str, str]:
+        """Current named CHECK constraints: {name: SQL predicate}."""
+        try:
+            with open(self._constraints_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def add_constraint(self, name: str, sql_predicate: str) -> None:
+        """Register a named CHECK constraint (a SQL predicate every row
+        of every FUTURE commit/merge must satisfy — the Delta
+        ``ALTER TABLE ADD CONSTRAINT`` semantics). Persisted in table
+        metadata, so enforcement survives sessions. Existing data is
+        NOT rescanned — validate it explicitly first if required
+        (same contract as Delta, which refuses instead; here the
+        caller decides because a retroactive scan of a 100 TB table
+        must be a deliberate act).
+
+        NULL predicate results count as violations (unknown ≠ pass,
+        matching ``expectations.expect_predicate``, deliberately
+        STRICTER than SQL CHECK's null-passes rule).
+        """
+        cons = self.constraints()
+        cons[name] = sql_predicate
+        with open(self._constraints_path(), "w") as f:
+            json.dump(cons, f)
+
+    def drop_constraint(self, name: str) -> None:
+        cons = self.constraints()
+        cons.pop(name, None)
+        with open(self._constraints_path(), "w") as f:
+            json.dump(cons, f)
+
+    def _enforce_constraints(self, df: DataFrame) -> None:
+        """ONE aggregate pass counts violations for every registered
+        constraint; any nonzero count rejects the write before a file
+        lands. The extra scan of the incoming frame is the price of
+        commit atomicity — cache the frame upstream if it is expensive
+        to recompute."""
+        from pyspark.sql import functions as F
+
+        cons = self.constraints()
+        if not cons:
+            return
+        row = df.agg(
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(sql), F.lit(False))).cast("long")
+                ).alias(name)
+                for name, sql in cons.items()
+            ]
+        ).first()
+        bad = {k: int(row[k] or 0) for k in cons if row[k]}
+        if bad:
+            raise ConstraintViolation(
+                "commit rejected, CHECK constraint(s) violated: "
+                + ", ".join(f"{k} ({v} rows)" for k, v in sorted(bad.items()))
+            )
+
     def _check_schema_compat(self, df: DataFrame) -> None:
         """Reject TYPE changes against the live schema (one parquet
         footer read). Additive new columns are fine (``read(merge_
@@ -250,6 +317,7 @@ class LakeTable:
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         if mode == "append":
             self._check_schema_compat(df)
+        self._enforce_constraints(df)
         new = self._write_files(df)
         carried = (
             self._load_snapshot(self.head_version()).files
@@ -287,6 +355,7 @@ class LakeTable:
         if head == 0:
             return self.commit(updates, mode="append", app_meta=app_meta)
         self._check_schema_compat(updates)
+        self._enforce_constraints(updates)
         touched, carried = self._split_by_key_range(head, updates, k0)
         if touched:
             old = self.spark.read.parquet(*[fs.path for fs in touched])

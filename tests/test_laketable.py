@@ -341,3 +341,40 @@ def test_commit_rejects_column_type_change(spark, tmp_path):
             "id", "CAST(id AS DOUBLE) AS v", "id AS extra"
         )
     )
+
+
+def test_check_constraints_gate_commit_and_merge(spark, tmp_path):
+    import pytest as _pytest
+
+    from financial_data_pipeline_spark.sources.laketable import (
+        ConstraintViolation,
+        LakeTable,
+    )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    table.add_constraint("v_positive", "v > 0")
+    table.add_constraint("id_not_null", "id IS NOT NULL")
+    ok = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id long, v double")
+    v1 = table.commit(ok)
+    assert v1 == 1
+
+    bad = spark.createDataFrame([(3, -1.0), (4, 5.0)], "id long, v double")
+    with _pytest.raises(ConstraintViolation, match="v_positive \\(1 rows\\)"):
+        table.commit(bad)
+    with _pytest.raises(ConstraintViolation, match="v_positive"):
+        table.merge(bad, ["id"])
+    # rejected writes leave HEAD and visible rows untouched
+    assert table.head_version() == 1
+    assert table.read().count() == 2
+
+    # NULL predicate result counts as a violation (unknown != pass)
+    nullv = spark.createDataFrame([(5, None)], "id long, v double")
+    with _pytest.raises(ConstraintViolation, match="v_positive"):
+        table.commit(nullv)
+
+    # dropping the constraint unblocks; persistence survives reopen
+    reopened = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    assert set(reopened.constraints()) == {"v_positive", "id_not_null"}
+    reopened.drop_constraint("v_positive")
+    assert reopened.commit(bad) == 2
+    assert reopened.read().count() == 4
