@@ -946,3 +946,42 @@ def kyle_lambda(
         ),
         F.pow(F.corr("__dp", "__q"), 2).alias("r2"),
     )
+
+
+def inverse_vol_weights(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Naive risk-parity portfolio: weight_i ∝ 1/σ_i of log returns,
+    normalized to Σw = 1 — the standard volatility-budgeted allocation
+    a risk stack derives right after :func:`realized_volatility`
+    (full mean-variance needs a matrix inverse; inverse-vol is the
+    diagonal approximation that needs only per-symbol aggregates).
+
+    One lag window + one per-symbol aggregate; the Σ(1/σ) normalizer
+    is a one-row broadcast crossJoin (the scalar-distribution shape).
+    """
+    r = log_return(price_col, by=[by], ts=ts)
+    vols = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .groupBy(by)
+        .agg(
+            F.stddev_samp("__r").alias("vol"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    total = vols.agg(
+        F.sum(1.0 / F.col("vol")).alias("__inv_total")
+    )
+    return (
+        vols.crossJoin(F.broadcast(total))
+        .select(
+            by,
+            "n_obs",
+            "vol",
+            ((1.0 / F.col("vol")) / F.col("__inv_total")).alias("weight"),
+        )
+    )

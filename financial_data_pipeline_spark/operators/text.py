@@ -461,3 +461,39 @@ def token_entropy(text: Column) -> dict[str, Column]:
         n > 0, F.size(F.array_distinct(toks)) / n.cast("double")
     ).otherwise(F.lit(0.0))
     return {"token_entropy": entropy, "type_token_ratio": ttr}
+
+
+def readability_features(text: Column) -> dict[str, Column]:
+    """Flesch reading-ease + its raw counts (sentences, words,
+    syllable estimate) — the classic document-difficulty signal
+    corpus-quality stacks report next to :func:`quality_features`.
+
+    All three counts are single ``regexp_count`` scans (pure codegen,
+    cross-engine-identical RE2∩Java patterns):
+
+    - sentences: maximal runs of ``.!?`` (floor 1 so a fragment
+      doesn't divide by zero);
+    - words: whitespace tokens;
+    - syllables: the standard vowel-group heuristic (runs of
+      ``aeiouy``), floor 1 per word via ``greatest`` with the word
+      count — a word with no vowels ("rhythm" loses to this, "7th")
+      still counts one syllable.
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    empty/whitespace docs get null (no text to score).
+    """
+    words = F.size(F.filter(F.split(text, r"\s+"), lambda x: x != ""))
+    sentences = F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
+    vowel_groups = F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+"))
+    syllables = F.greatest(vowel_groups, words)
+    fre = (
+        F.lit(206.835)
+        - 1.015 * (words.cast("double") / sentences.cast("double"))
+        - 84.6 * (syllables.cast("double") / words.cast("double"))
+    )
+    return {
+        "n_sentences": sentences,
+        "n_words": words,
+        "n_syllables": syllables,
+        "flesch_reading_ease": F.when(words > 0, fre),
+    }

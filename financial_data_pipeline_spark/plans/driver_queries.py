@@ -8426,3 +8426,73 @@ def q_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_99", 6).alias("var_99"),
         F.round("cvar_99", 6).alias("cvar_99"),
     )
+
+
+@query(
+    "readability",
+    r"""
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_sentences, n_words,
+       greatest(vg, n_words) AS n_syllables,
+       round(CASE WHEN n_words > 0 THEN
+         206.835 - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (greatest(vg, n_words) / CAST(n_words AS DOUBLE))
+       END, 6) AS flesch_reading_ease
+FROM c
+""",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document (``text.readability_features``)
+    — three regexp_count scans, pure codegen; vowel-group syllable
+    heuristic floored at one per word, value-compared against the
+    DuckDB regexp twin."""
+    from financial_data_pipeline_spark.operators.text import readability_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    rf = readability_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rf["n_sentences"].alias("n_sentences"),
+        rf["n_words"].alias("n_words"),
+        rf["n_syllables"].alias("n_syllables"),
+        F.round(rf["flesch_reading_ease"], 6).alias("flesch_reading_ease"),
+    )
+
+
+@query(
+    "inverse_vol_portfolio",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), v AS (
+  SELECT symbol, stddev_samp(r) AS vol, count(r) AS n_obs
+  FROM r WHERE r IS NOT NULL GROUP BY symbol
+), t AS (SELECT sum(1.0 / vol) AS inv_total FROM v)
+SELECT symbol, n_obs, round(vol, 8) AS vol,
+       round((1.0 / vol) / inv_total, 6) AS weight
+FROM v, t
+""",
+)
+def q_inverse_vol_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-volatility (naive risk parity) portfolio weights
+    (``indicators.inverse_vol_weights``) — per-symbol return vol in one
+    aggregate, one-row broadcast normalizer, weights sum to 1."""
+    out = indicators.inverse_vol_weights(events_as_ohlcv(spark, sf_dir))
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("vol", 8).alias("vol"),
+        F.round("weight", 6).alias("weight"),
+    )

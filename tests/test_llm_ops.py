@@ -874,3 +874,32 @@ def test_token_entropy_matches_python(spark):
             want_ttr = len(cnt) / n
         assert abs(got.h[i] - want_h) < 1e-12, (i, t)
         assert abs(got.ttr[i] - want_ttr) < 1e-12, (i, t)
+
+
+def test_readability_hand_example(spark):
+    from financial_data_pipeline_spark.operators.text import readability_features
+
+    texts = [
+        # 2 sentences, 6 words; syllables: the(1) cat(1) sat(1) it(1)
+        # was(1) flat(1) = 6
+        "The cat sat. It was flat!",
+        "xyz",      # no vowels: syllables floored to word count (1)
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rf = readability_features(F.col("text"))
+    got = df.select(
+        "id",
+        rf["n_sentences"].alias("s"),
+        rf["n_words"].alias("w"),
+        rf["n_syllables"].alias("sy"),
+        rf["flesch_reading_ease"].alias("fre"),
+    ).orderBy("id").toPandas()
+    r0 = got.iloc[0]
+    assert (r0.s, r0.w, r0.sy) == (2, 6, 6)
+    assert abs(r0.fre - (206.835 - 1.015 * 3.0 - 84.6 * 1.0)) < 1e-9
+    r1 = got.iloc[1]
+    assert (r1.s, r1.w, r1.sy) == (1, 1, 1)
+    assert pd.isna(got.iloc[2].fre)

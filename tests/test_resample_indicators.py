@@ -470,3 +470,17 @@ def test_stochastic_bounds_and_complement(spark, ohlcv_df):
     assert ((out.wr <= 0) & (out.wr >= -100)).all()
     # %R is the additive complement of %K: K - 100 == R
     assert np.allclose(out.k - 100.0, out.wr, atol=1e-9)
+
+
+def test_inverse_vol_weights_sum_to_one(spark, ohlcv_df):
+    from financial_data_pipeline_spark.operators.indicators import (
+        inverse_vol_weights,
+    )
+
+    got = inverse_vol_weights(ohlcv_df).toPandas()
+    assert abs(got.weight.sum() - 1.0) < 1e-12
+    # lower vol => higher weight
+    assert (
+        got.sort_values("vol").weight.values
+        == np.sort(got.weight.values)[::-1]
+    ).all()
