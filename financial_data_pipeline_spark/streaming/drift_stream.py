@@ -96,3 +96,62 @@ def streaming_psi(
         psi_expr.alias("psi"),
         "n_new",
     )
+
+
+def streaming_js(
+    stream: DataFrame,
+    reference: dict,
+    col: str,
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window Jensen–Shannon divergence vs the frozen reference —
+    the BOUNDED drift monitor (0..ln2; see ``drift.js_divergence``):
+    an alert threshold on it can never blow up on an empty window bin,
+    which is exactly the failure mode a pager-wired PSI alert has.
+
+    Identical plan shape to :func:`streaming_psi` (same frozen
+    reference, same one stateful windowed aggregate, append-safe);
+    only the stateless combine differs — and since only q is a column
+    (p is a deploy-time literal), KL(p‖m) folds with a per-bin
+    ``p·ln p`` precomputed driver-side.
+    """
+    bins = reference["bins"]
+    lo, hi = reference["lo"], reference["hi"]
+    width = (hi - lo) / bins if hi != lo else 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    counts = [
+        F.sum((bucket == i).cast("long")).alias(f"__n_{i}") for i in range(bins)
+    ]
+    win = (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("w"))
+        .agg(*counts, F.count(F.lit(1)).alias("n_new"))
+    )
+    t_ref = float(sum(reference["counts"]))
+    denom_ref = t_ref + 0.5 * bins
+    denom_new = F.col("n_new") + F.lit(0.5 * bins)
+    terms = []
+    for i in range(bins):
+        p = (reference["counts"][i] + 0.5) / denom_ref
+        q = (F.col(f"__n_{i}") + F.lit(0.5)) / denom_new
+        m = (F.lit(p) + q) / 2.0
+        terms.append(
+            0.5 * (F.lit(p) * (F.lit(math.log(p)) - F.log(m)))
+            + 0.5 * (q * (F.log(q) - F.log(m)))
+        )
+    js = terms[0]
+    for t in terms[1:]:
+        js = js + t
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        js.alias("js_divergence"),
+        "n_new",
+    )

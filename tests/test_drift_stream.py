@@ -101,3 +101,43 @@ def test_streaming_psi_merges_late_rows_across_restart(spark, tmp_path):
     _drain(spark, src + "/*", reference, out, ckpt)
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0].n_new == 50
+
+
+def test_streaming_js_matches_batch_js_per_window(spark, tmp_path):
+    from financial_data_pipeline_spark.operators.drift import js_divergence
+    from financial_data_pipeline_spark.streaming.drift_stream import streaming_js
+
+    ref = spark.createDataFrame([(float(v),) for v in range(100)], ["x"])
+    reference = freeze_reference(ref, "x", bins=10)
+
+    w0 = _rows(0, range(0, 100, 2))
+    w1 = _rows(1, [v * 0.2 for v in range(0, 100, 2)])
+    w2 = _rows(4, [50.0])
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    spark.createDataFrame(w0 + w1 + w2, SCHEMA).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    res = streaming_js(stream, reference, "x", window="1 hour",
+                       watermark="30 minutes")
+    (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r.window_start.hour: (r.js_divergence, r.n_new)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert 0 in got and 1 in got and 4 not in got
+    import math
+
+    for hour, vals in ((0, w0), (1, w1)):
+        batch = js_divergence(
+            ref, spark.createDataFrame(vals, SCHEMA).select("x"), "x", bins=10
+        ).first()
+        assert abs(got[hour][0] - batch["js_divergence"]) < 1e-9, hour
+    # bounded + regime separation
+    assert 0 <= got[0][0] < got[1][0] <= math.log(2) + 1e-12
