@@ -8496,3 +8496,44 @@ def q_inverse_vol_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vol", 8).alias("vol"),
         F.round("weight", 6).alias("weight"),
     )
+
+
+@query(
+    "cuped_variance_reduction",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'view' THEN value END) AS x,
+         sum(CASE WHEN event_type = 'purchase' THEN value END) AS y
+  FROM events GROUP BY user_id
+), d AS (SELECT * FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL)
+SELECT count(*) AS n,
+       round(covar_samp(x, y) / var_samp(x), 6) AS theta,
+       round(avg(y), 6) AS mean_metric,
+       round(var_samp(y), 6) AS var_raw,
+       round(var_samp(y) * (1.0 - pow(corr(x, y), 2)), 6) AS var_adj,
+       round(pow(corr(x, y), 2), 6) AS variance_reduction
+FROM d
+""",
+)
+def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout over per-user (view-spend covariate, purchase
+    outcome) pairs (``stats.cuped_adjustment``): theta, raw vs adjusted
+    variance and the realized reduction rho^2, all one closed-form
+    aggregate after the per-user rollup."""
+    from financial_data_pipeline_spark.operators.stats import cuped_adjustment
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("value"))).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("y"),
+    )
+    out = cuped_adjustment(per_user, "y", "x")
+    return out.select(
+        "n",
+        F.round("theta", 6).alias("theta"),
+        F.round("mean_metric", 6).alias("mean_metric"),
+        F.round("var_raw", 6).alias("var_raw"),
+        F.round("var_adj", 6).alias("var_adj"),
+        F.round("variance_reduction", 6).alias("variance_reduction"),
+    )

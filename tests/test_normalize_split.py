@@ -439,3 +439,22 @@ def test_value_at_risk_matches_numpy(spark):
     assert abs(got.cvar_95 - (-r[r <= q95].mean())) < 1e-12
     assert abs(got.cvar_99 - (-r[r <= q99].mean())) < 1e-12
     assert got.cvar_95 >= got.var_95 and got.cvar_99 >= got.var_99
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    from financial_data_pipeline_spark.operators.stats import cuped_adjustment
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(10, 2, 2000)
+    y = 0.8 * x + rng.normal(0, 1, 2000)  # strongly covariate-explained
+    pdf = pd.DataFrame({"y": y, "x": x})
+    got = cuped_adjustment(spark.createDataFrame(pdf), "y", "x").toPandas().iloc[0]
+    theta = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+    adj = y - theta * (x - x.mean())
+    assert abs(got.theta - theta) < 1e-9
+    assert abs(got.var_raw - np.var(y, ddof=1)) < 1e-9
+    # closed form var_adj == empirical variance of the adjusted metric
+    assert abs(got.var_adj - np.var(adj, ddof=1)) < 1e-6
+    assert got.variance_reduction > 0.5  # most variance explained
+    # adjustment preserves the mean (x centered at its own mean)
+    assert abs(adj.mean() - y.mean()) < 1e-12
