@@ -477,3 +477,79 @@ def cuped_adjustment(
         (F.var_samp(y) * (1.0 - rho2)).alias("var_adj"),
         rho2.alias("variance_reduction"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimator from (duration, event) pairs —
+    the churn/retention curve: S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) with
+    d_i events and n_i at-risk at each distinct event time (censored
+    rows leave the risk set but never drop S).
+
+    Distributed closed form: one groupBy(duration) reduces to
+    per-time (d, c) counts; the at-risk count n_i is a suffix sum
+    (descending cumulative window) and the product telescopes as
+    exp(Σ ln(1 − d/n)) over an ascending cumulative window — two
+    window passes over the ALREADY-REDUCED per-time frame, never the
+    raw rows. Times with only censoring are kept as rows (flat S,
+    standard KM table output).
+    """
+    d, e = F.col(duration_col), F.col(event_col).cast("int")
+    per_t = df.groupBy(d.alias("t")).agg(
+        F.sum(e).alias("d"),
+        F.sum(1 - e).alias("c"),
+    )
+    desc = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(desc)
+    )
+    # d == n_risk (everyone at risk dies) drives a factor of exactly 0;
+    # ln(0) is null under non-ANSI Spark and would silently DROP the
+    # term from the window sum, so the absorbing state is tracked as
+    # its own cumulative flag instead
+    hit_zero = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(asc)
+    log_terms = F.sum(
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+            F.log(1.0 - F.col("d") / F.col("n_risk")),
+        ).otherwise(F.lit(0.0))
+    ).over(asc)
+    return at_risk.withColumn(
+        "survival",
+        F.when(hit_zero == 1, F.lit(0.0)).otherwise(F.exp(log_terms)),
+    ).select("t", "d", "c", "n_risk", "survival")
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] = (),
+) -> DataFrame:
+    """Gini inequality coefficient of a nonnegative value column
+    (customer spend, document length, token share…):
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over ascending-sorted values —
+    the revenue-concentration readout next to the heavy-hitter family.
+
+    One rank window per key + one aggregate; ties get distinct ranks
+    (row_number), which leaves G invariant because tied values
+    contribute a constant regardless of their order.
+    """
+    by = list(by)
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(*by).orderBy(value_col, F.monotonically_increasing_id())
+    ranked = df.filter(x >= 0).withColumn("__i", F.row_number().over(w))
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            2.0 * F.sum(F.col("__i") * x) / (n * F.sum(x))
+            - (n + 1.0) / n
+        ).alias("gini"),
+    )

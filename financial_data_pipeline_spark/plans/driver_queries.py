@@ -8537,3 +8537,88 @@ def q_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("var_adj", 6).alias("var_adj"),
         F.round("variance_reduction", 6).alias("variance_reduction"),
     )
+
+
+@query(
+    "user_retention_km",
+    """
+WITH span AS (
+  SELECT user_id,
+         date_diff('day', min(ts), max(ts)) AS t,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id
+), horizon AS (SELECT max(ts) AS end_ts FROM events),
+obs AS (
+  SELECT t,
+         CASE WHEN s.last_ts < h.end_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+  FROM span s CROSS JOIN horizon h
+), per_t AS (
+  SELECT t, sum(ev) AS d, sum(1 - ev) AS c FROM obs GROUP BY t
+), risk AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS n_risk
+  FROM per_t
+)
+SELECT t, d, c, n_risk,
+       round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                       OVER wasc = 1 THEN 0.0
+             ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
+                               THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                               ELSE 0.0 END) OVER wasc) END, 6) AS survival
+FROM risk
+WINDOW wasc AS (ORDER BY t ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_user_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-retention curve (``stats.kaplan_meier``):
+    duration = active span in days, churn event = last activity more
+    than 7 days before the corpus horizon (else censored). Suffix-sum
+    risk set + telescoped product over the reduced per-time frame."""
+    from financial_data_pipeline_spark.operators.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("t"),
+        F.max("ts").alias("last_ts"),
+    )
+    horizon = ev.agg(F.max("ts").alias("end_ts"))
+    obs = span.crossJoin(F.broadcast(horizon)).select(
+        "t",
+        (
+            F.col("last_ts") < F.col("end_ts") - F.expr("INTERVAL 7 DAY")
+        ).cast("int").alias("ev"),
+    )
+    out = kaplan_meier(obs, "t", "ev")
+    return out.select(
+        "t", "d", "c", "n_risk", F.round("survival", 6).alias("survival")
+    )
+
+
+@query(
+    "customer_spend_gini",
+    """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS i FROM spend
+)
+SELECT count(*) AS n,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+""",
+)
+def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer order spend
+    (``stats.gini_coefficient``) — the revenue-concentration readout;
+    tie order is irrelevant to G, so the rank tiebreak never matters."""
+    from financial_data_pipeline_spark.operators.stats import gini_coefficient
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    out = gini_coefficient(spend, "x")
+    return out.select("n", F.round("gini", 6).alias("gini"))

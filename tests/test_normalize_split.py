@@ -458,3 +458,43 @@ def test_cuped_matches_numpy_and_reduces_variance(spark):
     assert got.variance_reduction > 0.5  # most variance explained
     # adjustment preserves the mean (x centered at its own mean)
     assert abs(adj.mean() - y.mean()) < 1e-12
+
+
+def test_kaplan_meier_textbook_example(spark):
+    from financial_data_pipeline_spark.operators.stats import kaplan_meier
+
+    # classic: durations (event=1 death, 0 censored)
+    obs = [(6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (10, 0),
+           (11, 0), (13, 1)]
+    df = spark.createDataFrame(obs, "t int, ev int")
+    got = kaplan_meier(df, "t", "ev").orderBy("t").toPandas()
+    # t=6: n=10, d=3 -> S=0.7; t=7: n=6, d=1 -> 0.7*(5/6)
+    s6 = 1 - 3 / 10
+    s7 = s6 * (1 - 1 / 6)
+    s10 = s7 * (1 - 1 / 4)
+    s13 = s10 * (1 - 1 / 1)
+    want = {6: s6, 7: s7, 9: s7, 10: s10, 11: s10, 13: s13}
+    for _, r in got.iterrows():
+        assert abs(r.survival - want[r.t]) < 1e-12, r.t
+    assert got.set_index("t").n_risk.to_dict() == {
+        6: 10, 7: 6, 9: 5, 10: 4, 11: 2, 13: 1
+    }
+
+
+def test_gini_known_cases(spark):
+    from financial_data_pipeline_spark.operators.stats import gini_coefficient
+
+    n = 100
+    equal = spark.createDataFrame([(1.0,)] * n, "x double")
+    assert abs(gini_coefficient(equal, "x").first().gini) < 1e-12
+    onehas = spark.createDataFrame(
+        [(0.0,)] * (n - 1) + [(100.0,)], "x double"
+    )
+    assert abs(gini_coefficient(onehas, "x").first().gini - (n - 1) / n) < 1e-12
+    # invariant under repartition (tie-order independence)
+    rng = np.random.default_rng(3)
+    vals = [(float(v),) for v in np.round(rng.pareto(2, 500), 1)]
+    df = spark.createDataFrame(vals, "x double")
+    g1 = gini_coefficient(df, "x").first().gini
+    g2 = gini_coefficient(df.repartition(17), "x").first().gini
+    assert abs(g1 - g2) < 1e-12
