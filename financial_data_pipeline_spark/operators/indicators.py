@@ -985,3 +985,89 @@ def inverse_vol_weights(
             ((1.0 / F.col("vol")) / F.col("__inv_total")).alias("weight"),
         )
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    n_lags: int = 10,
+) -> DataFrame:
+    """Ljung–Box portmanteau test per symbol on log returns — "is
+    there ANY autocorrelation in the first h lags?", the standard
+    white-noise gate before fitting forecast models (and the formal
+    companion of the single-lag ``return_moments`` autocorrelation).
+
+    Q = n(n+2)·Σ_{k=1..h} ρ̂_k²/(n−k), with ρ̂_k the lag-k sample
+    autocorrelation in the standard biased form — autocovariance
+    c_k/c_0 computed about the FULL-sample mean over the n−k
+    overlapping pairs, all from one per-symbol sort producing the h
+    lag columns and ONE aggregate. Q's null distribution is χ²(h);
+    for even h the survival is the closed form
+    exp(−Q/2)·Σ_{j<h/2} (Q/2)^j/j! (exact, engine-portable — same
+    device as ``stats.benford_digit_test``); odd h raises.
+    """
+    if n_lags % 2 != 0:
+        raise ValueError("n_lags must be even for the closed-form p-value")
+    r = log_return(price_col, by=[by], ts=ts)
+    w = Window.partitionBy(by).orderBy(ts)
+    base = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .select(
+            by,
+            "__r",
+            *[
+                F.lag("__r", k).over(w).alias(f"__l{k}")
+                for k in range(1, n_lags + 1)
+            ],
+        )
+    )
+    n = F.count("__r").cast("double")
+    mu = F.avg("__r")
+    aggs = [
+        F.count("__r").alias("n_obs"),
+        F.avg("__r").alias("__mu"),
+        # c0 as the biased (1/n) moment about the mean; the 1/n cancels
+        # in the ratio with the ck below so raw sums suffice
+        F.sum(F.pow(F.col("__r"), 2)).alias("__ss"),
+    ]
+    for k in range(1, n_lags + 1):
+        aggs.append(
+            F.sum(F.col("__r") * F.col(f"__l{k}")).alias(f"__cp{k}")
+        )
+        aggs.append(F.sum(f"__l{k}").alias(f"__sl{k}"))
+        aggs.append(F.sum(F.when(F.col(f"__l{k}").isNotNull(), F.col("__r"))).alias(f"__sr{k}"))
+        aggs.append(F.count(f"__l{k}").alias(f"__nk{k}"))
+    agg = base.groupBy(by).agg(*aggs)
+    n = F.col("n_obs").cast("double")
+    mu = F.col("__mu")
+    c0 = F.col("__ss") - n * mu * mu
+    q = F.lit(0.0)
+    for k in range(1, n_lags + 1):
+        nk = F.col(f"__nk{k}").cast("double")
+        # Σ (r_t−μ)(r_{t−k}−μ) over the nk overlapping pairs
+        ck = (
+            F.col(f"__cp{k}")
+            - mu * F.col(f"__sl{k}")
+            - mu * F.col(f"__sr{k}")
+            + nk * mu * mu
+        )
+        rho = ck / c0
+        q = q + rho * rho / (n - k)
+    q = n * (n + 2.0) * q
+    h = q / 2.0
+    terms = F.lit(1.0)
+    fact = 1.0
+    acc = F.lit(1.0)
+    for j in range(1, n_lags // 2):
+        fact *= j
+        terms = terms + F.pow(h, float(j)) / F.lit(fact)
+    sf = F.exp(-h) * terms
+    return agg.select(
+        by,
+        "n_obs",
+        q.alias("lb_q"),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)).alias("lb_pvalue"),
+    )

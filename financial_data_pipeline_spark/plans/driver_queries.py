@@ -8622,3 +8622,70 @@ def q_customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = gini_coefficient(spend, "x")
     return out.select("n", F.round("gini", 6).alias("gini"))
+
+
+def _ljung_box_oracle(h: int = 10) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(r, {k}) OVER (PARTITION BY symbol ORDER BY t) AS l{k}"
+        for k in range(1, h + 1)
+    )
+    ck_aggs = ",\n         ".join(
+        f"sum(r * l{k}) AS cp{k}, sum(l{k}) AS sl{k}, "
+        f"sum(CASE WHEN l{k} IS NOT NULL THEN r END) AS sr{k}, "
+        f"count(l{k}) AS nk{k}"
+        for k in range(1, h + 1)
+    )
+    q_terms = " + ".join(
+        f"pow((cp{k} - mu * sl{k} - mu * sr{k} + nk{k} * mu * mu) / c0, 2)"
+        f" / (n - {k})"
+        for k in range(1, h + 1)
+    )
+    import math
+
+    sf_terms = " + ".join(
+        f"pow(q / 2.0, {j}) / {math.factorial(j)}.0"
+        for j in range(0, h // 2)
+    )
+    return (
+        BARS_CTE
+        + f"""
+, r AS (
+  SELECT symbol, timestamp AS t,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT symbol, t, r FROM r WHERE r IS NOT NULL),
+lagged AS (
+  SELECT symbol, r,
+         {lag_cols}
+  FROM rr
+), agg AS (
+  SELECT symbol, count(r) AS n_obs, avg(r) AS mu, sum(r * r) AS ss,
+         {ck_aggs}
+  FROM lagged GROUP BY symbol
+), qv AS (
+  SELECT symbol, n_obs,
+         n_obs * (n_obs + 2.0) * ({q_terms}) AS q
+  FROM (SELECT *, CAST(n_obs AS DOUBLE) AS n,
+               ss - n_obs * mu * mu AS c0 FROM agg)
+)
+SELECT symbol, n_obs, round(q, 6) AS lb_q,
+       round(least(1.0, greatest(0.0, exp(-q / 2.0) * ({sf_terms}))), 6)
+         AS lb_pvalue
+FROM qv
+"""
+    )
+
+
+@query("ljung_box", _ljung_box_oracle(10))
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise portmanteau over the first 10 return lags
+    per symbol (``indicators.ljung_box``): h lag columns off one sort,
+    one aggregate, exact even-df chi-square survival in closed form."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.ljung_box(bars, n_lags=10)
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("lb_q", 6).alias("lb_q"),
+        F.round("lb_pvalue", 6).alias("lb_pvalue"),
+    )

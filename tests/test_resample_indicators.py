@@ -484,3 +484,35 @@ def test_inverse_vol_weights_sum_to_one(spark, ohlcv_df):
         got.sort_values("vol").weight.values
         == np.sort(got.weight.values)[::-1]
     ).all()
+
+
+def test_ljung_box_regimes_and_numpy_parity(spark):
+    from financial_data_pipeline_spark.operators.indicators import ljung_box
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    wn_r = rng.normal(0, 0.01, n)          # white-noise returns
+    ar_r = np.empty(n)                      # AR(1) phi=0.5 returns
+    ar_r[0] = 0.0
+    for i in range(1, n):
+        ar_r[i] = 0.5 * ar_r[i - 1] + rng.normal(0, 0.01)
+    rows = []
+    for sym, rets in (("wn", wn_r), ("ar", ar_r)):
+        px = 100 * np.exp(np.cumsum(rets))
+        rows += [(sym, i, float(px[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "symbol string, timestamp long, close double")
+    got = ljung_box(df, n_lags=10).toPandas().set_index("symbol")
+    assert got.loc["ar", "lb_pvalue"] < 1e-9      # autocorrelated
+    assert got.loc["wn", "lb_pvalue"] > 0.001     # not rejected hard
+
+    # numpy differential for the white-noise symbol
+    r = np.diff(np.log(100 * np.exp(np.cumsum(wn_r))))
+    mu = r.mean()
+    c0 = ((r - mu) ** 2).sum()
+    nn = len(r)
+    q = 0.0
+    for k in range(1, 11):
+        ck = ((r[k:] - mu) * (r[:-k] - mu)).sum()
+        q += (ck / c0) ** 2 / (nn - k)
+    q *= nn * (nn + 2)
+    assert abs(got.loc["wn", "lb_q"] - q) < 1e-6
