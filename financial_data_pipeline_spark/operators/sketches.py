@@ -184,3 +184,76 @@ def retention_between(
             F.theta_difference(F.col("tb"), F.col("ta"))
         ).alias("new_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable FREQUENCY estimation, pure built-ins)
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-group Count-Min sketch in LONG form: one row per non-empty
+    (group, row d, bucket w) counter — the frequency companion of the
+    HLL/Theta/KLL/MG family (MG answers "who are the heavy hitters";
+    CMS answers "how often does THIS key occur" for ANY key, including
+    ones never stored).
+
+    Guarantees (Cormode–Muthukrishnan): estimates never undercount;
+    overcount ≤ (e/width)·N with probability 1 − (1/e)^depth. Row
+    hashes are ``xxhash64(key, row_seed)`` — deterministic, engine-
+    independent, no RNG. The build is ONE explode(depth) + groupBy:
+    shuffle carries at most depth·width counter rows per group
+    regardless of N, and merging sketches (or micro-batches) is a
+    plain SUM on (group, d, w) — exactly additive, no error growth
+    beyond the union's own N.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    keyed = df.select(*group_cols, F.col(key_col).alias("__k"), rows)
+    bucket = F.pmod(F.xxhash64(F.col("__k"), F.col("d")), F.lit(width))
+    return (
+        keyed.withColumn("w", bucket)
+        .groupBy(*group_cols, "d", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Union two sketches built with the SAME (depth, width): sum the
+    counters — the mergeability contract every sketch here shares."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "d", "w")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys``: min over the depth rows
+    of each key's counters. Absent counters are true zeros (CMS never
+    undercounts), so a key missing every row estimates 0. The keys
+    frame fans out ×depth, joins the sketch on (group, d, w) —
+    broadcast when the sketch is small (≤ depth·width rows/group) —
+    and one min-aggregate folds back."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    probe = keys.select(
+        *group_cols, F.col(key_col).alias("key"), rows
+    ).withColumn("w", F.pmod(F.xxhash64(F.col("key"), F.col("d")), F.lit(width)))
+    joined = probe.join(cms, on=[*group_cols, "d", "w"], how="left").na.fill(
+        {"c": 0}
+    )
+    return joined.groupBy(*group_cols, "key").agg(
+        F.min("c").alias("est_count")
+    )

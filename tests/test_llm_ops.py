@@ -903,3 +903,54 @@ def test_readability_hand_example(spark):
     r1 = got.iloc[1]
     assert (r1.s, r1.w, r1.sy) == (1, 1, 1)
     assert pd.isna(got.iloc[2].fre)
+
+
+def test_cms_never_undercounts_and_bound_holds(spark):
+    import math
+
+    from financial_data_pipeline_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    rng = np.random.default_rng(41)
+    # zipf-ish key stream
+    keys = [f"k{int(v)}" for v in rng.zipf(1.5, 20000) % 500]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    depth, width = 4, 1024
+    cms = cms_build(df, "k", depth=depth, width=width).cache()
+    true = pd.Series(keys).value_counts()
+    probe = spark.createDataFrame(
+        [(k,) for k in true.index[:100]], "k string"
+    )
+    est = (
+        cms_estimate(cms, probe, "k", depth=depth, width=width)
+        .toPandas()
+        .set_index("key")
+        .est_count
+    )
+    n = len(keys)
+    eps = math.e / width
+    over = 0
+    for k in est.index:
+        assert est[k] >= true[k], k          # never undercounts
+        if est[k] > true[k] + eps * n:
+            over += 1
+    # P(fail) per key <= e^-depth ~ 1.8%; 100 keys, generous cap
+    assert over <= 10
+
+    # mergeability: build(a) + build(b) == build(a ∪ b) exactly
+    d1 = spark.createDataFrame([(k,) for k in keys[:10000]], "k string")
+    d2 = spark.createDataFrame([(k,) for k in keys[10000:]], "k string")
+    merged = cms_merge(
+        cms_build(d1, "k", depth=depth, width=width),
+        cms_build(d2, "k", depth=depth, width=width),
+    )
+    diff = (
+        merged.withColumnRenamed("c", "cm")
+        .join(cms, on=["d", "w"], how="full")
+        .filter(F.coalesce("cm", F.lit(-1)) != F.coalesce("c", F.lit(-2)))
+        .count()
+    )
+    assert diff == 0
