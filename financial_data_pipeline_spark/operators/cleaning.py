@@ -463,3 +463,57 @@ def mad_outlier_flags(
         z.alias(f"{col}_mad_z"),
         (F.abs(z) > threshold).alias(f"{col}_is_outlier"),
     )
+
+
+def hampel_flags(
+    df: DataFrame,
+    col: str,
+    n: int = 11,
+    k: float = 3.0,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """ROLLING Hampel filter: flag x_t when
+    |x_t − med_t| > k·1.4826·MAD_t over the trailing n-bar window —
+    the windowed sibling of :func:`mad_outlier_flags` (whose median is
+    per-GROUP): a level shift later in the series does not poison
+    earlier flags, which is what a spike detector on trending prices
+    needs.
+
+    Rolling median AND rolling MAD both need order statistics of the
+    current window — not a two-stacked-windows composition — so both
+    come from ONE bounded ``collect_list`` + ``array_sort`` per row
+    (the ``cci`` device): per-row O(n log n), all codegen, no Python,
+    no extra shuffle. Even-length windows average the two middle
+    elements (the standard median). Warmup rows (fewer than n values)
+    and zero-MAD windows (constant run) abstain — null flag column
+    semantics match ``mad_outlier_flags``.
+    """
+    x = F.col(col).cast("double")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(ts)
+        .rowsBetween(-(n - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(x).over(w))
+    sz = F.size(arr)
+    mid = (sz + 1) / 2
+    med = (
+        F.element_at(arr, F.floor(mid).cast("int"))
+        + F.element_at(arr, F.ceil(mid).cast("int"))
+    ) / 2.0
+    dev = F.array_sort(F.transform(arr, lambda v: F.abs(v - med)))
+    mad = (
+        F.element_at(dev, F.floor(mid).cast("int"))
+        + F.element_at(dev, F.ceil(mid).cast("int"))
+    ) / 2.0
+    flag = F.when(
+        (sz >= n) & (mad > 0),
+        F.abs(x - med) > F.lit(k) * F.lit(1.4826) * mad,
+    )
+    return df.withColumns(
+        {
+            f"{col}_rolling_median": F.when(sz >= n, med),
+            f"{col}_hampel_outlier": flag,
+        }
+    )

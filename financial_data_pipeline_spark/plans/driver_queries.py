@@ -8689,3 +8689,50 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lb_q", 6).alias("lb_q"),
         F.round("lb_pvalue", 6).alias("lb_pvalue"),
     )
+
+
+@query(
+    "hampel_outliers",
+    BARS_CTE
+    + """
+, arrs AS (
+  SELECT symbol, timestamp, close,
+         list_sort(list(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                   ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS l
+  FROM bars
+), med AS (
+  SELECT *, len(l) AS sz,
+         (l[CAST(floor((len(l) + 1) / 2.0) AS INT)]
+          + l[CAST(ceil((len(l) + 1) / 2.0) AS INT)]) / 2.0 AS m
+  FROM arrs
+), mads AS (
+  SELECT *, list_sort(list_transform(l, v -> abs(v - m))) AS d
+  FROM med
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN sz >= 11 THEN m END, 6) AS close_rolling_median,
+       CASE WHEN sz >= 11 AND
+                 (d[CAST(floor((sz + 1) / 2.0) AS INT)]
+                  + d[CAST(ceil((sz + 1) / 2.0) AS INT)]) / 2.0 > 0
+            THEN abs(close - m) > 3.0 * 1.4826 *
+                 (d[CAST(floor((sz + 1) / 2.0) AS INT)]
+                  + d[CAST(ceil((sz + 1) / 2.0) AS INT)]) / 2.0
+       END AS close_hampel_outlier
+FROM mads
+""",
+)
+def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Hampel spike filter over an 11-bar window
+    (``cleaning.hampel_flags``): rolling median and rolling MAD both
+    from one bounded sorted-array fold per row — value-compared
+    against the DuckDB list-window twin including the boolean flag."""
+    from financial_data_pipeline_spark.operators.cleaning import hampel_flags
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = hampel_flags(bars, "close", n=11, k=3.0)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("close_rolling_median", 6).alias("close_rolling_median"),
+        "close_hampel_outlier",
+    )

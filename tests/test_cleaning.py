@@ -205,3 +205,53 @@ def test_mad_outlier_flags_robust_to_the_outlier(spark):
     assert flagged == {("A", 10_000.0)}
     b = out.filter("symbol = 'B'").select("close_mad_z").distinct().collect()
     assert [r.close_mad_z for r in b] == [None]
+
+
+def test_hampel_flags_planted_spikes(spark):
+    """Planted spikes flagged; level shift does NOT poison earlier
+    rows (the rolling-vs-global-median distinction); constant runs
+    abstain (zero MAD)."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.cleaning import hampel_flags
+
+    rng = np.random.default_rng(7)
+    n = 300
+    # stationary noise (a random walk's local trend inflates the
+    # trailing detector's genuine false-positive rate)
+    base = 100 + rng.normal(0, 0.5, n)
+    x = base.copy()
+    spikes = [50, 120, 250]
+    for i in spikes:
+        x[i] += 15.0
+    x[200:] += 40.0  # level shift (not a spike)
+    pdf = pd.DataFrame(
+        {"symbol": "A", "timestamp": np.arange(n), "close": x}
+    )
+    out = (
+        hampel_flags(spark.createDataFrame(pdf), "close", n=11, k=5.0)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    fl = out.close_hampel_outlier.fillna(False)
+    for i in spikes:
+        assert fl[i], i
+    # the shift edge may flag a handful of rows while the window
+    # catches up; interior stretches of each regime stay clean at the
+    # conservative k=5 threshold (lower k trades false positives for
+    # sensitivity - the knob, not a bug)
+    assert not fl[60:110].any()
+    assert not fl[220:240].any()
+    # pandas differential on the rolling median
+    want_med = pd.Series(x).rolling(11).median()
+    got_med = out.close_rolling_median
+    assert np.allclose(
+        got_med.values, want_med.values, rtol=1e-12, equal_nan=True
+    )
+    # constant run: MAD = 0 -> abstain
+    const = pd.DataFrame(
+        {"symbol": "C", "timestamp": np.arange(30), "close": 5.0}
+    )
+    cout = hampel_flags(spark.createDataFrame(const), "close").toPandas()
+    assert cout.close_hampel_outlier.isna().all()

@@ -68,6 +68,12 @@ PROBES = [
     "seasonal_anomalies",
     "cusum_changepoints",
     "bpe_merges",
+    # round-2 continuation families: array-fold windows (CCI MAD),
+    # ECDF-reduction KS, shuffle-free entropy fold, rank-based tests
+    "oscillators",
+    "ks_drift_by_dow",
+    "token_entropy",
+    "mann_whitney_purchase_view",
 ]
 
 
