@@ -1071,3 +1071,70 @@ def ljung_box(
         q.alias("lb_q"),
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)).alias("lb_pvalue"),
     )
+
+
+def rolling_beta(
+    df: DataFrame,
+    n: int = 60,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """TIME-VARYING CAPM beta: cov(r, r_m)/var(r_m) over a trailing
+    n-bar window against the equal-weight market return — the dynamic
+    factor exposure next to the static ``market_beta`` aggregate
+    (regime shifts show up as beta drift; the static number averages
+    them away).
+
+    Plan: the per-symbol lag window builds returns, one tiny
+    per-timestamp aggregate builds the market return (broadcast back),
+    then ``covar_samp``/``var_samp`` run straight over the trailing
+    window — aggregate functions over windows, no self-join, one fact
+    shuffle. Warmup rows (< n co-observations) abstain.
+    """
+    r = log_return(price_col, by=[by], ts=ts)
+    rr = df.withColumn("__r", r).filter(F.col("__r").isNotNull())
+    mkt = rr.groupBy(ts).agg(F.avg("__r").alias("__rm"))
+    j = rr.join(F.broadcast(mkt), on=ts)
+    w = Window.partitionBy(by).orderBy(ts).rowsBetween(-(n - 1), 0)
+    cnt = F.count("__r").over(w)
+    beta = F.covar_samp("__r", "__rm").over(w) / F.var_samp("__rm").over(w)
+    return j.select(
+        by,
+        ts,
+        F.when(cnt >= n, beta).alias("rolling_beta"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Jarque–Bera normality test per symbol on log returns:
+    JB = n/6·(S² + K²/4) with sample skewness S and EXCESS kurtosis K
+    from raw power sums (one aggregate after the lag window — the same
+    moment algebra as the ``return_moments`` query). JB ~ χ²(2) under
+    normality, whose survival is exactly exp(−JB/2) — no series, no
+    approximation.
+    """
+    r = log_return(price_col, by=[by], ts=ts)
+    d = df.withColumn("__r", r).filter(F.col("__r").isNotNull())
+    agg = d.groupBy(by).agg(
+        F.count("__r").alias("n_obs"),
+        F.skewness("__r").alias("skew"),
+        F.kurtosis("__r").alias("ex_kurt"),
+    )
+    n = F.col("n_obs").cast("double")
+    jb = n / 6.0 * (
+        F.pow(F.col("skew"), 2) + F.pow(F.col("ex_kurt"), 2) / 4.0
+    )
+    return agg.select(
+        by,
+        "n_obs",
+        "skew",
+        "ex_kurt",
+        jb.alias("jb_stat"),
+        F.exp(-jb / 2.0).alias("jb_pvalue"),
+    )

@@ -553,3 +553,71 @@ def gini_coefficient(
             - (n + 1.0) / n
         ).alias("gini"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns (event type × weekday, segment × priority…) — one row:
+    (n, r, c, dof, chi2, p_value).
+
+    One groupBy((a, b)) reduces the facts to observed cells; marginals
+    ride windows over that tiny cell frame. Absent cells still owe
+    their expected mass: Σ_all e = N, so χ² = Σ_obs (o−e)²/e +
+    (N − Σ_obs e) — the same no-domain-join closed form as
+    :func:`benford_digit_test`. The survival function has the exact
+    even-df closed form exp(−x/2)·Σ_{j<dof/2} (x/2)^j/j! evaluated via
+    a ``sequence`` fold with running factorial; odd dof yields a null
+    p (the caller picks categories, so dof parity is a design-time
+    fact — documented, not hidden).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = df.filter(a.isNotNull() & b.isNotNull()).groupBy(
+        a.alias("__a"), b.alias("__b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    per = cells.withColumns(
+        {
+            "__ra": F.sum("o").over(wa),
+            "__cb": F.sum("o").over(wb),
+            "__n": F.sum("o").over(wall),
+        }
+    ).withColumn(
+        "__e", F.col("__ra") * F.col("__cb") / F.col("__n").cast("double")
+    )
+    agg = per.agg(
+        F.first("__n").alias("n"),
+        F.countDistinct("__a").alias("r"),
+        F.countDistinct("__b").alias("c"),
+        F.sum(F.pow(F.col("o") - F.col("__e"), 2) / F.col("__e")).alias("__dev"),
+        F.sum("__e").alias("__emass"),
+    )
+    chi2 = F.col("__dev") + (F.col("n") - F.col("__emass"))
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    h = chi2 / 2.0
+    # survival for even dof: exp(-h) * sum_{j=0..dof/2-1} h^j / j!
+    # folded with a running factorial in the accumulator; dof=2 is the
+    # bare j=0 term (sequence(1, 0) would DESCEND in Spark — guarded)
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.greatest((dof / 2).cast("int") - 1, F.lit(1))),
+        F.struct(F.lit(1.0).alias("s"), F.lit(1.0).alias("term")),
+        lambda acc, j: F.struct(
+            (acc.s + acc.term * h / j.cast("double")).alias("s"),
+            (acc.term * h / j.cast("double")).alias("term"),
+        ),
+        lambda acc: acc.s,
+    )
+    sf = F.exp(-h) * F.when(dof == 2, F.lit(1.0)).otherwise(series)
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        dof.alias("dof"),
+        chi2.alias("chi2"),
+        F.when(dof % 2 == 0, F.least(F.lit(1.0), sf)).alias("p_value"),
+    )

@@ -8736,3 +8736,137 @@ def q_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("close_rolling_median", 6).alias("close_rolling_median"),
         "close_hampel_outlier",
     )
+
+
+@query(
+    "rolling_beta",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+mkt AS (SELECT timestamp, avg(r) AS rm FROM rr GROUP BY 1),
+j AS (SELECT rr.symbol, rr.timestamp, rr.r, mkt.rm FROM rr JOIN mkt USING (timestamp))
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(r) OVER w >= 60
+                  THEN covar_samp(r, rm) OVER w / var_samp(rm) OVER w END, 6)
+         AS rolling_beta
+FROM j
+WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+             ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-60-bar CAPM beta per symbol vs the equal-weight market
+    (``indicators.rolling_beta``) — covar/var straight over the
+    window, broadcast market join, no self-join; the time-varying
+    companion of ``market_beta``."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.rolling_beta(bars, n=60)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("rolling_beta", 6).alias("rolling_beta"),
+    )
+
+
+@query(
+    "jarque_bera",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), s AS (
+  SELECT symbol, count(r) AS n_obs, avg(r) AS mu,
+         sum(r * r) AS s2, sum(r * r * r) AS s3, sum(r * r * r * r) AS s4
+  FROM r WHERE r IS NOT NULL GROUP BY symbol
+), m AS (
+  SELECT symbol, n_obs,
+         s2 / n_obs - mu * mu AS m2,
+         s3 / n_obs - 3 * mu * s2 / n_obs + 2 * mu * mu * mu AS m3,
+         s4 / n_obs - 4 * mu * s3 / n_obs + 6 * mu * mu * s2 / n_obs
+           - 3 * mu * mu * mu * mu AS m4
+  FROM s
+), jb AS (
+  SELECT symbol, n_obs,
+         m3 / pow(m2, 1.5) AS skew,
+         m4 / (m2 * m2) - 3.0 AS ex_kurt,
+         n_obs / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                        + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0) AS jb
+  FROM m
+)
+SELECT symbol, n_obs, round(skew, 6) AS skew, round(ex_kurt, 6) AS ex_kurt,
+       round(jb, 4) AS jb_stat, round(exp(-jb / 2.0), 6) AS jb_pvalue
+FROM jb
+""",
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per symbol on log returns
+    (``indicators.jarque_bera``) — population-moment skew/kurt (the JB
+    textbook form, matching Spark's builtins), exact chi-square(2)
+    survival exp(-JB/2); oracle rebuilds the moments from raw power
+    sums."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.jarque_bera(bars)
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("skew", 6).alias("skew"),
+        F.round("ex_kurt", 6).alias("ex_kurt"),
+        F.round("jb_stat", 4).alias("jb_stat"),
+        F.round("jb_pvalue", 6).alias("jb_pvalue"),
+    )
+
+
+@query(
+    "chi2_type_by_dow",
+    """
+WITH cells AS (
+  SELECT event_type AS a, dayofweek(ts) AS b, count(*) AS o
+  FROM events GROUP BY 1, 2
+), per AS (
+  SELECT *, sum(o) OVER (PARTITION BY a) AS ra,
+         sum(o) OVER (PARTITION BY b) AS cb,
+         sum(o) OVER () AS n
+  FROM cells
+), e AS (SELECT *, ra * cb / CAST(n AS DOUBLE) AS exp FROM per),
+agg AS (
+  SELECT first(n) AS n, count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+         sum(pow(o - exp, 2) / exp) AS dev, sum(exp) AS emass
+  FROM e
+), x AS (
+  SELECT n, r, c, (r - 1) * (c - 1) AS dof,
+         dev + (n - emass) AS chi2
+  FROM agg
+)
+SELECT n, r, c, dof, round(chi2, 6) AS chi2,
+       round(CASE WHEN dof % 2 = 0 THEN least(1.0,
+         exp(-chi2 / 2.0) * list_sum(list_transform(range(0, CAST(dof / 2 AS INT)),
+             j -> pow(chi2 / 2.0, j) / CAST(factorial(CAST(j AS INT)) AS DOUBLE))))
+       END, 6) AS p_value
+FROM x
+""",
+)
+def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test: event type x weekday
+    (``stats.chi2_independence``) — cell reduction + marginal windows,
+    absent-cell mass in closed form, exact even-dof (24) survival via
+    a running-factorial fold."""
+    from financial_data_pipeline_spark.operators.stats import chi2_independence
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek("ts") - 1
+    )
+    out = chi2_independence(ev, "event_type", "dow")
+    return out.select(
+        "n",
+        "r",
+        "c",
+        "dof",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p_value", 6).alias("p_value"),
+    )

@@ -498,3 +498,43 @@ def test_gini_known_cases(spark):
     g1 = gini_coefficient(df, "x").first().gini
     g2 = gini_coefficient(df.repartition(17), "x").first().gini
     assert abs(g1 - g2) < 1e-12
+
+
+def test_chi2_independence_regimes(spark):
+    """Independent columns accept; planted dependence rejects; the
+    closed-form survival matches a numpy series evaluation; dof=2
+    (2x3) hits the guarded bare-term branch."""
+    import math
+
+    from financial_data_pipeline_spark.operators.stats import chi2_independence
+
+    rng = np.random.default_rng(29)
+    n = 6000
+    a = rng.integers(0, 4, n)
+    b_ind = rng.integers(0, 7, n)
+    b_dep = (a + rng.integers(0, 2, n)) % 7  # strongly dependent
+    ind = spark.createDataFrame(
+        pd.DataFrame({"a": a.astype(str), "b": b_ind.astype(str)})
+    )
+    dep = spark.createDataFrame(
+        pd.DataFrame({"a": a.astype(str), "b": b_dep.astype(str)})
+    )
+    gi = chi2_independence(ind, "a", "b").toPandas().iloc[0]
+    gd = chi2_independence(dep, "a", "b").toPandas().iloc[0]
+    assert gi.dof == 18 and gi.p_value > 0.01
+    assert gd.p_value < 1e-9
+
+    # numpy check of the even-df survival at the observed statistic
+    h = gi.chi2 / 2
+    want = math.exp(-h) * sum(h**j / math.factorial(j) for j in range(9))
+    assert abs(gi.p_value - min(1.0, want)) < 1e-9
+
+    # dof=2: 2x3 table, bare j=0 term
+    small = spark.createDataFrame(
+        pd.DataFrame(
+            {"a": (a % 2).astype(str), "b": (b_ind % 3).astype(str)}
+        )
+    )
+    gs = chi2_independence(small, "a", "b").toPandas().iloc[0]
+    assert gs.dof == 2
+    assert abs(gs.p_value - min(1.0, math.exp(-gs.chi2 / 2))) < 1e-12

@@ -516,3 +516,31 @@ def test_ljung_box_regimes_and_numpy_parity(spark):
         q += (ck / c0) ** 2 / (nn - k)
     q *= nn * (nn + 2)
     assert abs(got.loc["wn", "lb_q"] - q) < 1e-6
+
+
+def test_jarque_bera_regimes(spark):
+    """Normal returns accept; heavy-tailed returns reject; JB matches
+    the numpy population-moment closed form."""
+    rng = np.random.default_rng(37)
+    n = 4000
+    norm_r = rng.normal(0, 0.01, n)
+    fat_r = rng.standard_t(3, n) * 0.01
+    rows = []
+    for sym, rets in (("norm", norm_r), ("fat", fat_r)):
+        px = 100 * np.exp(np.cumsum(rets))
+        rows += [(sym, i, float(px[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "symbol string, timestamp long, close double")
+    from financial_data_pipeline_spark.operators.indicators import jarque_bera
+
+    got = jarque_bera(df).toPandas().set_index("symbol")
+    assert got.loc["norm", "jb_pvalue"] > 0.01
+    assert got.loc["fat", "jb_pvalue"] < 1e-12
+
+    r = np.diff(np.log(100 * np.exp(np.cumsum(norm_r))))
+    m = r.mean()
+    m2 = ((r - m) ** 2).mean()
+    m3 = ((r - m) ** 3).mean()
+    m4 = ((r - m) ** 4).mean()
+    s, k = m3 / m2**1.5, m4 / m2**2 - 3
+    jb = len(r) / 6 * (s**2 + k**2 / 4)
+    assert abs(got.loc["norm", "jb_stat"] - jb) < 1e-6

@@ -172,6 +172,17 @@ def main() -> None:
         "  three ONE-row counter frames crossJoined into one report row —",
         "  O(1) joins; all fact-side work is a single scan-bound",
         "  aggregate + a keys-only shuffle + one anti-join.",
+        "- `inverse_vol_portfolio` NESTED_LOOP_JOIN: the Σ(1/σ) weight",
+        "  normalizer is a ONE-row broadcast crossJoin onto the per-symbol",
+        "  vol frame — O(symbols·1) scalar distribution.",
+        "- `user_retention_km` NESTED_LOOP_JOIN + GLOBAL_WINDOW: the",
+        "  censoring horizon (global max ts) is a ONE-row broadcast",
+        "  crossJoin; the KM windows are a total order BY CONSTRUCTION",
+        "  (survival telescopes over event times) and run on the reduced",
+        "  per-distinct-duration frame, never the raw events.",
+        "- `customer_spend_gini` GLOBAL_WINDOW: the Gini rank is a total",
+        "  order over the per-customer AGGREGATE (|customers| rows), the",
+        "  `customer_spend_rank` shape — facts never see the window.",
         "- `mann_whitney_purchase_view` GLOBAL_WINDOW + NESTED_LOOP_JOIN:",
         "  the query runs the two-group test with NO key (by=[]), so the",
         "  pooled rank is inherently a total order — keyed invocations",
