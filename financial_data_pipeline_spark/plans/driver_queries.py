@@ -8870,3 +8870,119 @@ def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2", 6).alias("chi2"),
         F.round("p_value", 6).alias("p_value"),
     )
+
+
+@query(
+    "conversion_attribution",
+    """
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts, event_type, event_id
+  FROM events WHERE event_type IN ('view', 'click')
+), paired AS (
+  SELECT p.user_id, p.p_id, t.event_type, t.ts, t.event_id,
+         row_number() OVER (PARTITION BY p.user_id, p.p_id
+                            ORDER BY t.ts ASC, t.event_id ASC) AS rn_first,
+         row_number() OVER (PARTITION BY p.user_id, p.p_id
+                            ORDER BY t.ts DESC, t.event_id DESC) AS rn_last
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id AND t.ts < p.p_ts
+)
+SELECT f.event_type AS first_touch, l.event_type AS last_touch,
+       count(*) AS conversions
+FROM (SELECT user_id, p_id, event_type FROM paired WHERE rn_first = 1) f
+JOIN (SELECT user_id, p_id, event_type FROM paired WHERE rn_last = 1) l
+  USING (user_id, p_id)
+GROUP BY 1, 2
+""",
+)
+def q_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch x last-touch attribution matrix over purchase
+    conversions: every purchase joins its user's strictly-earlier
+    view/click touches, two rank windows pick the endpoints,
+    conversions are counted per (first, last) channel pair. One
+    user-keyed shuffle; deterministic (ts, event_id) tie order."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touches = ev.filter(F.col("event_type").isin(["view", "click"])).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    paired = purchases.join(touches, on="user_id").filter(
+        F.col("ts") < F.col("p_ts")
+    )
+    wf = W.partitionBy("user_id", "p_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wl = W.partitionBy("user_id", "p_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = paired.withColumns(
+        {
+            "rn_first": F.row_number().over(wf),
+            "rn_last": F.row_number().over(wl),
+        }
+    )
+    first = ranked.filter(F.col("rn_first") == 1).select(
+        "user_id", "p_id", F.col("event_type").alias("first_touch")
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        "user_id", "p_id", F.col("event_type").alias("last_touch")
+    )
+    return (
+        first.join(last, on=["user_id", "p_id"])
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), bigram AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS c
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, c AS transitions,
+       round(c / CAST(sum(c) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS probability
+FROM bigram
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event types:
+    per-user lead window builds bigrams (deterministic (ts, event_id)
+    order), one groupBy counts them, row-normalization rides a window
+    over the tiny (types x types) frame."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    bigram = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+    row_tot = W.partitionBy("from_type")
+    return bigram.select(
+        "from_type",
+        "to_type",
+        "transitions",
+        F.round(
+            F.col("transitions") / F.sum("transitions").over(row_tot), 6
+        ).alias("probability"),
+    )
