@@ -8986,3 +8986,129 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("transitions") / F.sum("transitions").over(row_tot), 6
         ).alias("probability"),
     )
+
+
+@query(
+    "part_basket_rules",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), n_orders AS (SELECT count(DISTINCT ok) AS n FROM items),
+pair AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS together
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), single AS (
+  SELECT pk, count(*) AS cnt FROM items GROUP BY pk
+)
+SELECT part_a, part_b, together,
+       round(together / CAST(sa.cnt AS DOUBLE), 6) AS confidence,
+       round(together * n.n / (CAST(sa.cnt AS DOUBLE) * sb.cnt), 6) AS lift
+FROM pair
+JOIN single sa ON sa.pk = part_a
+JOIN single sb ON sb.pk = part_b
+CROSS JOIN n_orders n
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT 50
+""",
+)
+def q_part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over parts co-ordered in the
+    same order: support >= 3 pairs, confidence and lift from the
+    singles table + one-row order total. The pair self-join is
+    bounded by per-basket size squared (TPC-H ~4 items/order), never
+    corpus-squared; top-50 by lift via TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.select("ok").distinct().count()
+    a, b = items.alias("a"), items.alias("b")
+    pair = (
+        a.join(
+            b,
+            on=(F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("together"))
+        .filter(F.col("together") >= 3)
+    )
+    single = items.groupBy(F.col("pk")).agg(F.count(F.lit(1)).alias("cnt"))
+    sa = single.withColumnsRenamed({"pk": "part_a", "cnt": "cnt_a"})
+    sb = single.withColumnsRenamed({"pk": "part_b", "cnt": "cnt_b"})
+    out = (
+        pair.join(F.broadcast(sa), on="part_a")
+        .join(F.broadcast(sb), on="part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            F.round(F.col("together") / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(
+                F.col("together") * F.lit(n_orders)
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(50)
+
+
+@query(
+    "rfm_segments",
+    """
+WITH horizon AS (SELECT max(o_orderdate) AS end_d FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), h.end_d) AS recency_days,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders CROSS JOIN horizon h GROUP BY o_custkey, h.end_d
+)
+SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+       ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+       ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+       ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+FROM rfm
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary per
+    customer + quintile scores (ntile over the per-customer aggregate,
+    custkey tiebreak for engine-deterministic bucket edges). The
+    windows are total orders over the AGGREGATE frame — the
+    customer_spend_rank shape, facts never see them."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("end_d"))
+    rfm = (
+        orders.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey", "end_d")
+        .agg(
+            F.datediff(F.col("end_d"), F.max("o_orderdate")).alias("__r"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .withColumnRenamed("__r", "recency_days")
+    )
+    return rfm.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
