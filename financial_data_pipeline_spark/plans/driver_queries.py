@@ -9022,7 +9022,11 @@ def q_part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
-    n_orders = items.select("ok").distinct().count()
+    # lazy ONE-row scalar (the volume_profile shape) - no eager
+    # driver-side count job
+    n_orders = items.agg(
+        F.countDistinct("ok").alias("__n_orders")
+    )
     a, b = items.alias("a"), items.alias("b")
     pair = (
         a.join(
@@ -9042,13 +9046,14 @@ def q_part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         pair.join(F.broadcast(sa), on="part_a")
         .join(F.broadcast(sb), on="part_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
             "part_b",
             "together",
             F.round(F.col("together") / F.col("cnt_a"), 6).alias("confidence"),
             F.round(
-                F.col("together") * F.lit(n_orders)
+                F.col("together") * F.col("__n_orders")
                 / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
                 6,
             ).alias("lift"),
