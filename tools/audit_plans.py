@@ -172,6 +172,16 @@ def main() -> None:
         "  three ONE-row counter frames crossJoined into one report row —",
         "  O(1) joins; all fact-side work is a single scan-bound",
         "  aggregate + a keys-only shuffle + one anti-join.",
+        "- `rfm_segments` GLOBAL_WINDOW: the three ntile quintiles are",
+        "  total orders BY DEFINITION and run on the per-customer",
+        "  AGGREGATE (|customers| rows) — the `customer_spend_rank`",
+        "  shape; order facts never see the windows.",
+        "- `part_basket_rules` NESTED_LOOP_JOIN: the order total is a",
+        "  ONE-row broadcast crossJoin onto the (support-filtered) pair",
+        "  frame — O(pairs·1) scalar distribution.",
+        "- `user_retention_km` / `chi2_type_by_dow` /",
+        "  `cuped_variance_reduction` scalar one-row crossJoins: same",
+        "  O(n·1) scalar-distribution shape.",
         "- `inverse_vol_portfolio` NESTED_LOOP_JOIN: the Σ(1/σ) weight",
         "  normalizer is a ONE-row broadcast crossJoin onto the per-symbol",
         "  vol frame — O(symbols·1) scalar distribution.",
