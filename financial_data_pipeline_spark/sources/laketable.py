@@ -17,9 +17,14 @@ answer (Iceberg/Delta, public designs) is METADATA versioning:
   on top of parquet's own row-group pruning, same two-tier design as
   Iceberg).
 
-Scope: single-writer, append/overwrite commits, JSON manifests under
-``<root>/_manifests``. Concurrency control and schema evolution are
-out of scope (they need a transactional catalog — documented seam).
+Scope: append/overwrite commits, JSON manifests under
+``<root>/_manifests``. Writer concurrency is OPTIMISTIC: the
+version-named snapshot file is created with O_EXCL, so exactly one of
+two racing writers wins a version and the loser gets
+``CommitConflict`` to re-derive and retry (Delta's putIfAbsent-on-log
+commit point; maps to if-none-match puts on object stores). A
+multi-engine catalog and full conflict CLASSIFICATION (disjoint-file
+merges could auto-retry) stay documented seams.
 The stats collection is ONE Spark job over the just-written files
 (parquet footer reads, no data scan).
 """
@@ -40,6 +45,14 @@ _HEAD = "HEAD.json"
 
 class ConstraintViolation(ValueError):
     """A commit/merge was rejected by a table CHECK constraint."""
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same version first. The losing
+    writer's data files are already on disk but unreferenced (orphans,
+    reclaimed by ``orphan_files`` + retention); retry by re-reading the
+    new HEAD and re-deriving the commit (same recipe as Delta/Iceberg
+    optimistic concurrency)."""
 
 
 @dataclass
@@ -190,7 +203,22 @@ class LakeTable:
         version = head + 1
         meta = dict(self._load_snapshot(head).app_meta) if head > 0 else {}
         meta.update(app_meta or {})
-        with open(self._snapshot_path(version), "w") as f:
+        # OPTIMISTIC CONCURRENCY: the snapshot file is named by its
+        # version and created with O_EXCL — exactly one of two racing
+        # writers can create v{N}; the loser gets CommitConflict and
+        # must re-derive against the new HEAD (the putIfAbsent-on-log
+        # commit point Delta uses; on object stores this maps to
+        # if-none-match puts). HEAD is a convenience pointer written
+        # AFTER the real commit point and recomputable from the
+        # manifest listing.
+        try:
+            f = open(self._snapshot_path(version), "x")
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} was committed concurrently; re-read "
+                "HEAD and retry the commit against the new snapshot"
+            ) from None
+        with f:
             json.dump(
                 {
                     "version": version,

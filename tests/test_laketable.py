@@ -378,3 +378,43 @@ def test_check_constraints_gate_commit_and_merge(spark, tmp_path):
     reopened.drop_constraint("v_positive")
     assert reopened.commit(bad) == 2
     assert reopened.read().count() == 4
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    """Two writers racing to the same version: exactly one wins; the
+    loser raises CommitConflict, leaves HEAD at the winner's version,
+    and its data files surface as orphans (reclaimable) — then a
+    retry against the new HEAD succeeds."""
+    import pytest as _pytest
+
+    from financial_data_pipeline_spark.sources.laketable import (
+        CommitConflict,
+        LakeTable,
+        orphan_files,
+    )
+
+    root = str(tmp_path / "lake")
+    w1 = LakeTable(spark, root, stat_cols=["id"])
+    w2 = LakeTable(spark, root, stat_cols=["id"])
+    w1.commit(spark.range(3).selectExpr("id", "id * 2 AS v"))
+
+    # both writers derive against head v1; w1 lands v2 first
+    df1 = spark.range(3, 6).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(6, 9).selectExpr("id", "id * 2 AS v")
+    assert w1.commit(df1) == 2
+    # simulate the race: the loser read HEAD (v1) before the winner
+    # landed v2, so its _advance targets v2 — the exclusive create on
+    # the version-named snapshot file rejects it
+    w2.head_version = lambda: 1
+    with _pytest.raises(CommitConflict, match="version 2"):
+        w2.commit(df2)
+    del w2.head_version  # drop the stale-read shim
+
+    assert w2.head_version() == 2
+    assert w2.read().count() == 6  # winner's rows only
+    lost = orphan_files(w2)
+    assert len(lost) > 0  # loser's files are reclaimable orphans
+
+    # retry against the fresh head succeeds as v3
+    assert w2.commit(df2) == 3
+    assert w2.read().count() == 9
