@@ -200,7 +200,12 @@ class LakeTable:
         and ride the same manifest write, so they are atomic with the
         data they describe."""
         head = self.head_version()
-        version = head + 1
+        # next version goes PAST the highest existing snapshot, not
+        # just head+1: after a rollback the overwritten-future snapshot
+        # files still exist for time travel, and colliding with one
+        # must read as a writer race, not a rollback artifact
+        existing = self.snapshots()
+        version = max(head, existing[-1] if existing else 0) + 1
         meta = dict(self._load_snapshot(head).app_meta) if head > 0 else {}
         meta.update(app_meta or {})
         # OPTIMISTIC CONCURRENCY: the snapshot file is named by its

@@ -405,10 +405,13 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     # simulate the race: the loser read HEAD (v1) before the winner
     # landed v2, so its _advance targets v2 — the exclusive create on
     # the version-named snapshot file rejects it
+    # both the HEAD pointer and the manifest listing are stale, as
+    # they would be for a writer that derived before the winner landed
     w2.head_version = lambda: 1
+    w2.snapshots = lambda: [1]
     with _pytest.raises(CommitConflict, match="version 2"):
         w2.commit(df2)
-    del w2.head_version  # drop the stale-read shim
+    del w2.head_version, w2.snapshots  # drop the stale-read shims
 
     assert w2.head_version() == 2
     assert w2.read().count() == 6  # winner's rows only
