@@ -621,3 +621,41 @@ def chi2_independence(
         chi2.alias("chi2"),
         F.when(dof % 2 == 0, F.least(F.lit(1.0), sf)).alias("p_value"),
     )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] = (),
+) -> DataFrame:
+    """ROC AUC of a score against a binary label via the rank-sum
+    identity AUC = (R₁ − n₁(n₁+1)/2) / (n₁·n₀) — the probability a
+    random positive outscores a random negative, with ties counted
+    half (exactly what fractional average ranks produce). The model-
+    eval readout for ``ml_quality.score_quality`` and any heuristic
+    quality score, sharing :func:`mann_whitney_u`'s machinery (AUC and
+    U are the same statistic on different scales).
+
+    One rank window over the pooled rows + one aggregate per key.
+    """
+    by = list(by)
+    lbl = F.col(label_col).cast("int")
+    ranked = df.select(
+        *by, lbl.alias("__y"), F.col(score_col).alias("__s")
+    ).withColumn("__r", _avg_rank(F.col("__s"), by))
+    agg = ranked.groupBy(*by).agg(
+        F.sum(F.when(F.col("__y") == 1, F.col("__r"))).alias("__r1"),
+        F.sum(F.col("__y")).alias("n_pos"),
+        F.sum(1 - F.col("__y")).alias("n_neg"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    return agg.select(
+        *by,
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("__r1") - n1 * (n1 + 1.0) / 2.0)
+            / (n1 * F.col("n_neg"))
+        ).alias("auc"),
+    )

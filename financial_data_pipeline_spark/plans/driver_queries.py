@@ -9117,3 +9117,44 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
         .alias("m_score"),
     )
+
+
+@query(
+    "doc_quality_auc",
+    r"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS s
+  FROM documents WHERE text IS NOT NULL
+), ranked AS (
+  SELECT y, rank() OVER (ORDER BY s)
+         + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS r
+  FROM scored
+)
+SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg,
+       round((sum(CASE WHEN y = 1 THEN r END)
+              - sum(y) * (sum(y) + 1.0) / 2.0)
+             / (CAST(sum(y) AS DOUBLE) * sum(1 - y)), 6) AS auc
+FROM ranked
+""",
+)
+def q_doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of word count as a predictor of lang=='en'
+    (``stats.binary_auc``, the rank-sum identity with half-credit
+    ties) — the score-evaluation readout for any quality heuristic or
+    model output."""
+    from financial_data_pipeline_spark.operators.stats import binary_auc
+    from financial_data_pipeline_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        token_count_ws(F.col("text")).alias("s"),
+    )
+    out = binary_auc(scored, "s", "y")
+    return out.select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )

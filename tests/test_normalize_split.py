@@ -538,3 +538,36 @@ def test_chi2_independence_regimes(spark):
     gs = chi2_independence(small, "a", "b").toPandas().iloc[0]
     assert gs.dof == 2
     assert abs(gs.p_value - min(1.0, math.exp(-gs.chi2 / 2))) < 1e-12
+
+
+def test_binary_auc_known_cases(spark):
+    from financial_data_pipeline_spark.operators.stats import binary_auc
+
+    # perfect separation -> 1.0; reversed -> 0.0; random ~ 0.5
+    pos = [(1, float(s)) for s in range(100, 200)]
+    neg = [(0, float(s)) for s in range(0, 100)]
+    perfect = spark.createDataFrame(pos + neg, "y int, s double")
+    assert abs(binary_auc(perfect, "s", "y").first().auc - 1.0) < 1e-12
+    flipped = spark.createDataFrame(
+        [(1 - y, s) for y, s in pos + neg], "y int, s double"
+    )
+    assert abs(binary_auc(flipped, "s", "y").first().auc - 0.0) < 1e-12
+    # all-tied scores -> AUC exactly 0.5 (half credit)
+    tied = spark.createDataFrame(
+        [(y, 7.0) for y, _ in pos + neg], "y int, s double"
+    )
+    assert abs(binary_auc(tied, "s", "y").first().auc - 0.5) < 1e-12
+    # numpy differential with ties
+    rng = np.random.default_rng(43)
+    y = rng.integers(0, 2, 1000)
+    s = np.round(rng.normal(0, 1, 1000) + 0.8 * y, 1)
+    df = spark.createDataFrame(
+        pd.DataFrame({"y": y, "s": s})
+    )
+    got = binary_auc(df, "s", "y").first().auc
+    # pairwise-comparison definition with half-credit ties
+    sp, sn = s[y == 1], s[y == 0]
+    wins = (sp[:, None] > sn[None, :]).sum() + 0.5 * (
+        sp[:, None] == sn[None, :]
+    ).sum()
+    assert abs(got - wins / (len(sp) * len(sn))) < 1e-12
