@@ -179,9 +179,16 @@ def main() -> None:
         "- `part_basket_rules` NESTED_LOOP_JOIN: the order total is a",
         "  ONE-row broadcast crossJoin onto the (support-filtered) pair",
         "  frame — O(pairs·1) scalar distribution.",
-        "- `user_retention_km` / `chi2_type_by_dow` /",
-        "  `cuped_variance_reduction` scalar one-row crossJoins: same",
-        "  O(n·1) scalar-distribution shape.",
+        "- `user_retention_km` / `cuped_variance_reduction` /",
+        "  `rfm_segments` scalar one-row crossJoins: same O(n·1)",
+        "  scalar-distribution shape (KM horizon, CUPED combine, RFM",
+        "  order-date horizon).",
+        "- `chi2_type_by_dow` GLOBAL_WINDOW: the marginal/total windows",
+        "  run over the OBSERVED-CELL frame (≤ r·c rows, here 35),",
+        "  never the events; a contingency table is a global object.",
+        "- `doc_quality_auc` GLOBAL_WINDOW: a single global AUC is a",
+        "  pooled total-order rank BY DEFINITION; the keyed form",
+        "  (`binary_auc(by=[...])`) partitions the same window.",
         "- `inverse_vol_portfolio` NESTED_LOOP_JOIN: the Σ(1/σ) weight",
         "  normalizer is a ONE-row broadcast crossJoin onto the per-symbol",
         "  vol frame — O(symbols·1) scalar distribution.",
