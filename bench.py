@@ -199,6 +199,36 @@ HEADLINE = [
     "cohort_retention",
     "top_event_paths",
     "ab_test_welch",
+    "oscillators",
+    "obv_roc",
+    "price_channels",
+    "range_volatility",
+    "ks_drift_by_dow",
+    "token_entropy",
+    "mann_whitney_purchase_view",
+    "benford_order_totals",
+    "spearman_return_corr",
+    "hurst_exponent",
+    "pivot_points",
+    "weighted_doc_sample",
+    "kyle_lambda",
+    "js_drift_close",
+    "value_at_risk",
+    "readability",
+    "inverse_vol_portfolio",
+    "cuped_variance_reduction",
+    "user_retention_km",
+    "customer_spend_gini",
+    "ljung_box",
+    "hampel_outliers",
+    "rolling_beta",
+    "jarque_bera",
+    "chi2_type_by_dow",
+    "conversion_attribution",
+    "event_transition_matrix",
+    "part_basket_rules",
+    "rfm_segments",
+    "doc_quality_auc",
 ]
 
 
