@@ -620,6 +620,15 @@ def chi2_independence(
         dof.alias("dof"),
         chi2.alias("chi2"),
         F.when(dof % 2 == 0, F.least(F.lit(1.0), sf)).alias("p_value"),
+        # Cramér's V effect size — the chi2 statistic rescaled to [0,1]
+        # so dependence strength reads off independent of sample size
+        F.sqrt(
+            chi2
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("r") - 1, F.col("c") - 1)
+            )
+        ).alias("cramers_v"),
     )
 
 

@@ -8847,7 +8847,9 @@ SELECT n, r, c, dof, round(chi2, 6) AS chi2,
        round(CASE WHEN dof % 2 = 0 THEN least(1.0,
          exp(-chi2 / 2.0) * list_sum(list_transform(range(0, CAST(dof / 2 AS INT)),
              j -> pow(chi2 / 2.0, j) / CAST(factorial(CAST(j AS INT)) AS DOUBLE))))
-       END, 6) AS p_value
+       END, 6) AS p_value,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1))), 6)
+         AS cramers_v
 FROM x
 """,
 )
@@ -8869,6 +8871,7 @@ def q_chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dof",
         F.round("chi2", 6).alias("chi2"),
         F.round("p_value", 6).alias("p_value"),
+        F.round("cramers_v", 6).alias("cramers_v"),
     )
 
 

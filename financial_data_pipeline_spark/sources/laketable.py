@@ -192,7 +192,11 @@ class LakeTable:
         return _collect_stats(self.spark, files, self.stat_cols)
 
     def _advance(
-        self, mode: str, files: list[FileStat], app_meta: dict | None = None
+        self,
+        mode: str,
+        files: list[FileStat],
+        app_meta: dict | None = None,
+        move_head: bool = True,
     ) -> int:
         """Write the snapshot manifest for the next version and move
         HEAD — the only mutation a commit does to table metadata.
@@ -234,8 +238,9 @@ class LakeTable:
                 },
                 f,
             )
-        with open(self._head_path(), "w") as f:
-            json.dump({"version": version}, f)
+        if move_head:
+            with open(self._head_path(), "w") as f:
+                json.dump({"version": version}, f)
         return version
 
     def app_meta(self) -> dict:
@@ -358,6 +363,51 @@ class LakeTable:
             else []
         )
         return self._advance(mode, carried + new, app_meta)
+
+    def stage(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        app_meta: dict | None = None,
+    ) -> int:
+        """Write-audit-publish, step 1: land ``df`` as a REAL versioned
+        snapshot — files written, constraints and schema checked, OCC
+        version claimed — but leave HEAD where it is. Readers see
+        nothing; auditors read the staged version explicitly
+        (``read(version=v)``) and run whatever checks they like against
+        the exact bytes that would go live. Returns the staged version.
+
+        This is the Iceberg/WAP pattern with the branch collapsed to a
+        version number: because publish is just the HEAD move and HEAD
+        was always written AFTER the snapshot file (the commit point),
+        ``stage`` is literally ``commit`` minus the pointer update.
+        A staged-then-abandoned version is simply never published —
+        its files age out through ``expire_snapshots`` + orphan
+        retention like any other unreferenced snapshot.
+        """
+        if mode not in ("append", "overwrite"):
+            raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+        if mode == "append":
+            self._check_schema_compat(df)
+        self._enforce_constraints(df)
+        new = self._write_files(df)
+        carried = (
+            self._load_snapshot(self.head_version()).files
+            if mode == "append" and self.head_version() > 0
+            else []
+        )
+        return self._advance(
+            mode, carried + new, app_meta, move_head=False
+        )
+
+    def publish(self, version: int) -> None:
+        """Write-audit-publish, step 3: make a staged version visible.
+        Publishing a version older than HEAD is a rollback spelling and
+        equally O(1 metadata)."""
+        if version not in self.snapshots():
+            raise ValueError(f"unknown version {version}")
+        with open(self._head_path(), "w") as f:
+            json.dump({"version": version}, f)
 
     def merge(
         self,

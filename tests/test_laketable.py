@@ -421,3 +421,40 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     # retry against the fresh head succeeds as v3
     assert w2.commit(df2) == 3
     assert w2.read().count() == 9
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """stage() lands a full constraint-checked snapshot invisible to
+    readers; audit reads the staged version; publish() is the O(1)
+    HEAD move; abandoned stages surface as expirable history."""
+    import pytest as _pytest
+
+    from financial_data_pipeline_spark.sources.laketable import (
+        ConstraintViolation,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    t.add_constraint("v_pos", "v > 0")
+    t.commit(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+
+    staged = t.stage(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    assert staged == 2
+    assert t.head_version() == 1          # invisible until publish
+    assert t.read().count() == 1
+    # the auditor reads the EXACT staged bytes
+    assert t.read(version=staged).count() == 2
+
+    # constraints gate the stage itself - bad data never lands
+    with _pytest.raises(ConstraintViolation):
+        t.stage(spark.createDataFrame([(3, -1.0)], "id long, v double"))
+
+    t.publish(staged)
+    assert t.head_version() == 2
+    assert t.read().count() == 2
+
+    # abandoned stage: never published, next commit versions past it
+    t.stage(spark.createDataFrame([(4, 4.0)], "id long, v double"))
+    v = t.commit(spark.createDataFrame([(5, 5.0)], "id long, v double"))
+    assert v == 4 and t.head_version() == 4
+    assert t.read().count() == 3          # abandoned rows never visible
