@@ -155,3 +155,57 @@ def streaming_js(
         js.alias("js_divergence"),
         "n_new",
     )
+
+
+def streaming_benford(
+    stream: DataFrame,
+    col: str,
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window Benford first-digit screen — the streaming twin of
+    ``stats.benford_digit_test`` (fabricated-numbers monitor on a live
+    feed: order amounts, reported volumes, invoice totals).
+
+    Unlike PSI/JS there is no frozen reference to snapshot: the
+    expected distribution IS Benford's law, nine literals. One
+    stateful windowed aggregate counts the nine digits (same
+    append-safe single-operator shape as ``streaming_psi``); χ² with
+    the absent-digit mass folded in closed form and the exact
+    even-df(8) survival are a stateless projection on top —
+    bit-identical per window to the batch operator, asserted in tests.
+    """
+    x = F.abs(F.col(col))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = [
+        F.sum(((digit == d) & (x > 0)).cast("long")).alias(f"__d{d}")
+        for d in range(1, 10)
+    ]
+    win = (
+        stream.withWatermark(ts, watermark)
+        .filter(x > 0)
+        .groupBy(F.window(F.col(ts), window).alias("w"))
+        .agg(*counts, F.count(F.lit(1)).alias("n"))
+    )
+    n = F.col("n").cast("double")
+    dev = F.lit(0.0)
+    pmass = F.lit(0.0)
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        c = F.col(f"__d{d}")
+        # only digits PRESENT in the window contribute to dev; absent
+        # ones owe their expected mass (1 - Σ_present p), identical to
+        # the batch closed form
+        dev = dev + F.when(c > 0, F.pow(c / n - F.lit(p), 2) / F.lit(p)).otherwise(F.lit(0.0))
+        pmass = pmass + F.when(c > 0, F.lit(p)).otherwise(F.lit(0.0))
+    chi2 = n * (dev + (1.0 - pmass))
+    h = chi2 / 2.0
+    sf = F.exp(-h) * (1.0 + h + h * h / 2.0 + h * h * h / 6.0)
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n"),
+        chi2.alias("chi2"),
+        F.least(F.lit(1.0), sf).alias("p_value"),
+    )

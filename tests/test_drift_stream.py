@@ -141,3 +141,46 @@ def test_streaming_js_matches_batch_js_per_window(spark, tmp_path):
         assert abs(got[hour][0] - batch["js_divergence"]) < 1e-9, hour
     # bounded + regime separation
     assert 0 <= got[0][0] < got[1][0] <= math.log(2) + 1e-12
+
+
+def test_streaming_benford_matches_batch_per_window(spark, tmp_path):
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators.stats import benford_digit_test
+    from financial_data_pipeline_spark.streaming.drift_stream import (
+        streaming_benford,
+    )
+
+    rng = np.random.default_rng(47)
+    # window 0: Benford-conforming (log-uniform); window 1: uniform
+    # first digits (the fraud regime); window 4: watermark sentinel
+    w0 = _rows(0, 10 ** rng.uniform(0, 4, 500))
+    w1 = _rows(1, rng.uniform(1, 10, 500) * 10 ** rng.integers(0, 4, 500))
+    w2 = _rows(4, [50.0])
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    spark.createDataFrame(w0 + w1 + w2, SCHEMA).write.parquet(src + "/b1")
+    stream = spark.readStream.schema(SCHEMA).parquet(src + "/*")
+    res = streaming_benford(stream, "x", window="1 hour",
+                            watermark="30 minutes")
+    (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r.window_start.hour: r for r in spark.read.parquet(out).collect()
+    }
+    assert 0 in got and 1 in got and 4 not in got
+    for hour, vals in ((0, w0), (1, w1)):
+        batch = benford_digit_test(
+            spark.createDataFrame(vals, SCHEMA).select("x"), "x"
+        ).first()
+        # batch output is rounded to 6dp; compare at that grain
+        assert abs(got[hour].chi2 - batch["chi2"]) < 1e-5, hour
+        assert abs(got[hour].p_value - batch["p_value"]) < 1e-5, hour
+    assert got[0].p_value > 0.001      # conforming window accepted
+    assert got[1].p_value < 1e-6       # uniform-digit window rejected
