@@ -1138,3 +1138,41 @@ def jarque_bera(
         jb.alias("jb_stat"),
         F.exp(-jb / 2.0).alias("jb_pvalue"),
     )
+
+
+def jump_detection(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Realized-variance vs bipower-variation jump decomposition per
+    symbol (Barndorff-Nielsen & Shephard): RV = Σ r², BV = (π/2)·
+    Σ |r_t|·|r_{t−1}| — BV is robust to jumps, so the relative jump
+    measure J = max(0, RV − BV)/RV reads off how much of the realized
+    variance came from discontinuous moves (the input signal for
+    jump-robust vol forecasting and for flagging data glitches that
+    masquerade as price moves).
+
+    One per-symbol sort yields r and its lag; ONE aggregate computes
+    both measures. No Python, no second shuffle.
+    """
+    import math
+
+    r = log_return(price_col, by=[by], ts=ts)
+    w = Window.partitionBy(by).orderBy(ts)
+    d = (
+        df.withColumn("__r", r)
+        .withColumn("__rl", F.lag("__r").over(w))
+        .filter(F.col("__r").isNotNull())
+    )
+    agg = d.groupBy(by).agg(
+        F.count("__r").alias("n_obs"),
+        F.sum(F.pow("__r", 2)).alias("rv"),
+        (
+            F.lit(math.pi / 2.0)
+            * F.sum(F.abs(F.col("__r")) * F.abs(F.col("__rl")))
+        ).alias("bv"),
+    )
+    jump = F.greatest(F.lit(0.0), F.col("rv") - F.col("bv")) / F.col("rv")
+    return agg.select(by, "n_obs", "rv", "bv", jump.alias("jump_share"))

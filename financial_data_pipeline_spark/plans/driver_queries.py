@@ -9161,3 +9161,40 @@ def q_doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_pos", "n_neg", F.round("auc", 6).alias("auc")
     )
+
+
+@query(
+    "jump_detection",
+    BARS_CTE
+    + """
+, r0 AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), r AS (
+  SELECT symbol, r,
+         lag(r) OVER (PARTITION BY symbol ORDER BY timestamp) AS rl
+  FROM r0
+)
+SELECT symbol, count(r) AS n_obs,
+       round(sum(r * r), 8) AS rv,
+       round(pi() / 2.0 * sum(abs(r) * abs(rl)), 8) AS bv,
+       round(greatest(0.0, sum(r * r) - pi() / 2.0 * sum(abs(r) * abs(rl)))
+             / sum(r * r), 6) AS jump_share
+FROM r WHERE r IS NOT NULL GROUP BY symbol
+""",
+)
+def q_jump_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-variance / bipower-variation jump decomposition per
+    symbol (``indicators.jump_detection``, BNS): jump-robust BV against
+    RV exposes the discontinuous share of variance — one sort, one
+    aggregate."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.jump_detection(bars)
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("rv", 8).alias("rv"),
+        F.round("bv", 8).alias("bv"),
+        F.round("jump_share", 6).alias("jump_share"),
+    )

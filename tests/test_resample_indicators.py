@@ -544,3 +544,25 @@ def test_jarque_bera_regimes(spark):
     s, k = m3 / m2**1.5, m4 / m2**2 - 3
     jb = len(r) / 6 * (s**2 + k**2 / 4)
     assert abs(got.loc["norm", "jb_stat"] - jb) < 1e-6
+
+
+def test_jump_detection_regimes(spark):
+    """Continuous diffusion: jump share near 0 (BV ~ RV); planted
+    jumps push the share up; BV stays near the diffusion variance."""
+    rng = np.random.default_rng(53)
+    n = 4000
+    smooth_r = rng.normal(0, 0.01, n)
+    jumpy_r = smooth_r.copy()
+    jumpy_r[::400] += np.where(rng.random(10) > 0.5, 0.15, -0.15)
+    rows = []
+    for sym, rets in (("smooth", smooth_r), ("jumpy", jumpy_r)):
+        px = 100 * np.exp(np.cumsum(rets))
+        rows += [(sym, i, float(px[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "symbol string, timestamp long, close double")
+    from financial_data_pipeline_spark.operators.indicators import jump_detection
+
+    got = jump_detection(df).toPandas().set_index("symbol")
+    assert got.loc["smooth", "jump_share"] < 0.05
+    assert got.loc["jumpy", "jump_share"] > 0.25
+    # BV is jump-robust: both symbols' BV near the diffusion RV
+    assert abs(got.loc["jumpy", "bv"] / got.loc["smooth", "rv"] - 1) < 0.15
