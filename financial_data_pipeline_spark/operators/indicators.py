@@ -1176,3 +1176,72 @@ def jump_detection(
     )
     jump = F.greatest(F.lit(0.0), F.col("rv") - F.col("bv")) / F.col("rv")
     return agg.select(by, "n_obs", "rv", "bv", jump.alias("jump_share"))
+
+
+def newey_west_mean(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    n_lags: int = 5,
+) -> DataFrame:
+    """Mean log return with autocorrelation-robust (Newey–West/HAC)
+    standard error per symbol: Var(r̄) = (γ̂₀ + 2·Σ_{k≤h} w_k·γ̂_k)/n
+    with Bartlett weights w_k = 1 − k/(h+1) — the honest t-stat for
+    "is this drift real" on serially-correlated returns (the naive
+    se understates badly under momentum; compare both outputs).
+
+    Same one-sort + one-aggregate autocovariance machinery as
+    :func:`ljung_box` (γ̂_k about the full-sample mean, biased 1/n
+    normalization — the standard HAC convention).
+    """
+    r = log_return(price_col, by=[by], ts=ts)
+    w = Window.partitionBy(by).orderBy(ts)
+    base = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .select(
+            by,
+            "__r",
+            *[
+                F.lag("__r", k).over(w).alias(f"__l{k}")
+                for k in range(1, n_lags + 1)
+            ],
+        )
+    )
+    aggs = [
+        F.count("__r").alias("n_obs"),
+        F.avg("__r").alias("mean_r"),
+        F.sum(F.pow(F.col("__r"), 2)).alias("__ss"),
+    ]
+    for k in range(1, n_lags + 1):
+        aggs += [
+            F.sum(F.col("__r") * F.col(f"__l{k}")).alias(f"__cp{k}"),
+            F.sum(f"__l{k}").alias(f"__sl{k}"),
+            F.sum(
+                F.when(F.col(f"__l{k}").isNotNull(), F.col("__r"))
+            ).alias(f"__sr{k}"),
+        ]
+    agg = base.groupBy(by).agg(*aggs)
+    n = F.col("n_obs").cast("double")
+    mu = F.col("mean_r")
+    g0 = (F.col("__ss") - n * mu * mu) / n
+    lrv = g0
+    for k in range(1, n_lags + 1):
+        gk = (
+            F.col(f"__cp{k}")
+            - mu * F.col(f"__sl{k}")
+            - mu * F.col(f"__sr{k}")
+            + (n - k) * mu * mu
+        ) / n
+        lrv = lrv + 2.0 * (1.0 - k / (n_lags + 1.0)) * gk
+    se_naive = F.sqrt(g0 / n)
+    se_nw = F.sqrt(lrv / n)
+    return agg.select(
+        by,
+        "n_obs",
+        mu.alias("mean_r"),
+        se_naive.alias("se_naive"),
+        se_nw.alias("se_nw"),
+        (mu / se_nw).alias("t_nw"),
+    )

@@ -9198,3 +9198,67 @@ def q_jump_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bv", 8).alias("bv"),
         F.round("jump_share", 6).alias("jump_share"),
     )
+
+
+def _nw_oracle(h: int = 5) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(r, {k}) OVER (PARTITION BY symbol ORDER BY t) AS l{k}"
+        for k in range(1, h + 1)
+    )
+    ck_aggs = ",\n         ".join(
+        f"sum(r * l{k}) AS cp{k}, sum(l{k}) AS sl{k}, "
+        f"sum(CASE WHEN l{k} IS NOT NULL THEN r END) AS sr{k}"
+        for k in range(1, h + 1)
+    )
+    lrv_terms = " + ".join(
+        f"2.0 * (1.0 - {k} / {h + 1}.0) * "
+        f"((cp{k} - mu * sl{k} - mu * sr{k} + (n - {k}) * mu * mu) / n)"
+        for k in range(1, h + 1)
+    )
+    return (
+        BARS_CTE
+        + f"""
+, r0 AS (
+  SELECT symbol, timestamp AS t,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT symbol, t, r FROM r0 WHERE r IS NOT NULL),
+lagged AS (
+  SELECT symbol, r,
+         {lag_cols}
+  FROM rr
+), agg AS (
+  SELECT symbol, count(r) AS n_obs, avg(r) AS mu, sum(r * r) AS ss,
+         {ck_aggs}
+  FROM lagged GROUP BY symbol
+), v AS (
+  SELECT symbol, n_obs, mu,
+         (ss - n * mu * mu) / n AS g0,
+         (ss - n * mu * mu) / n + {lrv_terms} AS lrv
+  FROM (SELECT *, CAST(n_obs AS DOUBLE) AS n FROM agg)
+)
+SELECT symbol, n_obs, round(mu, 8) AS mean_r,
+       round(sqrt(g0 / n_obs), 8) AS se_naive,
+       round(sqrt(lrv / n_obs), 8) AS se_nw,
+       round(mu / sqrt(lrv / n_obs), 6) AS t_nw
+FROM v
+"""
+    )
+
+
+@query("newey_west_mean", _nw_oracle(5))
+def q_newey_west_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log return with Bartlett-weighted Newey-West (HAC) standard
+    error per symbol (``indicators.newey_west_mean``) — the honest
+    drift t-stat next to the naive se; same one-sort one-aggregate
+    autocovariance machinery as ``ljung_box``."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.newey_west_mean(bars, n_lags=5)
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("mean_r", 8).alias("mean_r"),
+        F.round("se_naive", 8).alias("se_naive"),
+        F.round("se_nw", 8).alias("se_nw"),
+        F.round("t_nw", 6).alias("t_nw"),
+    )

@@ -566,3 +566,32 @@ def test_jump_detection_regimes(spark):
     assert got.loc["jumpy", "jump_share"] > 0.25
     # BV is jump-robust: both symbols' BV near the diffusion RV
     assert abs(got.loc["jumpy", "bv"] / got.loc["smooth", "rv"] - 1) < 0.15
+
+
+def test_newey_west_se_inflates_under_momentum(spark):
+    """AR(1)+ returns: HAC se > naive se (positive autocorrelation
+    understates naive); white noise: both se agree within ~10%; numpy
+    differential on the Bartlett long-run variance."""
+    rng = np.random.default_rng(59)
+    n = 5000
+    wn = rng.normal(0, 0.01, n)
+    ar = np.empty(n)
+    ar[0] = 0.0
+    for i in range(1, n):
+        ar[i] = 0.6 * ar[i - 1] + rng.normal(0, 0.01)
+    rows = []
+    for sym, rets in (("wn", wn), ("ar", ar)):
+        px = 100 * np.exp(np.cumsum(rets))
+        rows += [(sym, i, float(px[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "symbol string, timestamp long, close double")
+    from financial_data_pipeline_spark.operators.indicators import newey_west_mean
+
+    got = newey_west_mean(df, n_lags=5).toPandas().set_index("symbol")
+    assert got.loc["ar", "se_nw"] > 1.5 * got.loc["ar", "se_naive"]
+    assert abs(got.loc["wn", "se_nw"] / got.loc["wn", "se_naive"] - 1) < 0.1
+
+    r = np.diff(np.log(100 * np.exp(np.cumsum(wn))))
+    m, nn = r.mean(), len(r)
+    g = lambda k: ((r[k:] - m) * (r[:-k] - m)).sum() / nn if k else ((r - m) ** 2).sum() / nn
+    lrv = g(0) + 2 * sum((1 - k / 6) * g(k) for k in range(1, 6))
+    assert abs(got.loc["wn", "se_nw"] - np.sqrt(lrv / nn)) < 1e-10
