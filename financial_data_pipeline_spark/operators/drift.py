@@ -286,3 +286,61 @@ def js_divergence(
         F.lit(int(t_ref)).alias("n_ref"),
         F.lit(int(t_new)).alias("n_new"),
     )
+
+
+def categorical_psi(
+    ref: DataFrame,
+    new: DataFrame,
+    col: str,
+    max_categories: int = 100,
+) -> DataFrame:
+    """PSI over a CATEGORICAL column (segment, source, country…) —
+    the frequency-table counterpart of the numeric :func:`psi`.
+
+    The category domain is the REFERENCE side's top ``max_categories``
+    values (deterministic count-desc, value-asc order); everything
+    else — including categories the stream invents later — collapses
+    into ``__other__``, so new-category drift registers as mass moving
+    into the other-bucket instead of silently changing the domain
+    between runs. Same +0.5 Laplace smoothing and Σ(p−q)ln(p/q)
+    combine as the numeric form; two groupBys on already-tiny
+    per-category frames, the domain broadcast to the new side.
+    """
+    cats = (
+        ref.groupBy(F.col(col).alias("__cat"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("__cat"))
+        .limit(max_categories)
+        .select("__cat")
+    )
+    domain = [r["__cat"] for r in cats.collect()]
+    bucket = F.when(
+        F.col(col).isin(domain), F.col(col).cast("string")
+    ).otherwise(F.lit("__other__"))
+
+    def counts(df, name):
+        return (
+            df.select(bucket.alias("__cat"))
+            .groupBy("__cat")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    cat_rows = ref.sparkSession.createDataFrame(
+        [(c,) for c in [*map(str, domain), "__other__"]], ["__cat"]
+    )
+    grid = (
+        cat_rows.join(counts(ref, "n_ref"), on="__cat", how="left")
+        .join(counts(new, "n_new"), on="__cat", how="left")
+        .na.fill({"n_ref": 0, "n_new": 0})
+    )
+    tr = grid.agg(F.sum("n_ref"), F.sum("n_new")).first()
+    t_ref, t_new = float(tr[0]), float(tr[1])
+    k = len(domain) + 1
+    p = (F.col("n_ref") + 0.5) / F.lit(t_ref + 0.5 * k)
+    q = (F.col("n_new") + 0.5) / F.lit(t_new + 0.5 * k)
+    return grid.agg(
+        F.lit(col).alias("feature"),
+        F.sum((p - q) * F.log(p / q)).alias("psi"),
+        F.lit(int(t_ref)).alias("n_ref"),
+        F.lit(int(t_new)).alias("n_new"),
+    )

@@ -9262,3 +9262,55 @@ def q_newey_west_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("se_nw", 8).alias("se_nw"),
         F.round("t_nw", 6).alias("t_nw"),
     )
+
+
+@query(
+    "categorical_psi_sources",
+    """
+WITH ref AS (SELECT source FROM documents WHERE doc_id % 2 = 0),
+nw AS (SELECT source FROM documents WHERE doc_id % 2 = 1),
+domain AS (
+  SELECT source AS cat FROM ref GROUP BY source
+  ORDER BY count(*) DESC, source ASC LIMIT 100
+), cats AS (
+  SELECT cat FROM domain UNION ALL SELECT '__other__'
+), rc AS (
+  SELECT CASE WHEN source IN (SELECT cat FROM domain) THEN source
+              ELSE '__other__' END AS cat, count(*) AS n_ref
+  FROM ref GROUP BY 1
+), nc AS (
+  SELECT CASE WHEN source IN (SELECT cat FROM domain) THEN source
+              ELSE '__other__' END AS cat, count(*) AS n_new
+  FROM nw GROUP BY 1
+), grid AS (
+  SELECT cats.cat, coalesce(rc.n_ref, 0) AS n_ref,
+         coalesce(nc.n_new, 0) AS n_new
+  FROM cats LEFT JOIN rc USING (cat) LEFT JOIN nc USING (cat)
+), tot AS (
+  SELECT sum(n_ref)::DOUBLE AS tr, sum(n_new)::DOUBLE AS tn,
+         count(*)::DOUBLE AS k
+  FROM grid
+)
+SELECT 'source' AS feature,
+       round(sum(((n_ref + 0.5) / (tr + 0.5 * k) - (n_new + 0.5) / (tn + 0.5 * k))
+             * ln(((n_ref + 0.5) / (tr + 0.5 * k))
+                  / ((n_new + 0.5) / (tn + 0.5 * k)))), 6) AS psi,
+       CAST(first(tr) AS BIGINT) AS n_ref, CAST(first(tn) AS BIGINT) AS n_new
+FROM grid, tot
+""",
+)
+def q_categorical_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI over document sources between the even/odd
+    doc_id halves (``drift.categorical_psi``): reference-derived
+    domain + __other__ bucket, same smoothing and combine as the
+    numeric PSI. Note ONE domain count per grid row (k = |domain|+1)
+    in both engines."""
+    from financial_data_pipeline_spark.operators.drift import categorical_psi
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    out = categorical_psi(ref, new, "source")
+    return out.select(
+        "feature", F.round("psi", 6).alias("psi"), "n_ref", "n_new"
+    )

@@ -571,3 +571,19 @@ def test_binary_auc_known_cases(spark):
         sp[:, None] == sn[None, :]
     ).sum()
     assert abs(got - wins / (len(sp) * len(sn))) < 1e-12
+
+
+def test_categorical_psi_detects_new_category(spark):
+    from financial_data_pipeline_spark.operators.drift import categorical_psi
+
+    ref = spark.createDataFrame(
+        [("a",)] * 500 + [("b",)] * 300 + [("c",)] * 200, "cat string"
+    )
+    same = categorical_psi(ref, ref, "cat").first()
+    assert abs(same["psi"]) < 1e-12
+    # mass moves into a category the reference never saw -> __other__
+    shifted = spark.createDataFrame(
+        [("a",)] * 300 + [("b",)] * 200 + [("zz",)] * 500, "cat string"
+    )
+    drift = categorical_psi(ref, shifted, "cat").first()
+    assert drift["psi"] > 0.25
