@@ -229,6 +229,9 @@ HEADLINE = [
     "part_basket_rules",
     "rfm_segments",
     "doc_quality_auc",
+    "jump_detection",
+    "newey_west_mean",
+    "categorical_psi_sources",
 ]
 
 
