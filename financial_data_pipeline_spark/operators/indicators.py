@@ -1245,3 +1245,90 @@ def newey_west_mean(
         se_nw.alias("se_nw"),
         (mu / se_nw).alias("t_nw"),
     )
+
+
+def vpin(
+    df: DataFrame,
+    n_buckets_window: int = 50,
+    bucket_volume: float | None = None,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """VPIN — Volume-synchronized Probability of INformed trading
+    (Easley, López de Prado, O'Hara): order-flow toxicity from volume
+    buckets. Bars are cut into equal-VOLUME buckets (volume clock, not
+    wall clock); per bucket the buy share is estimated by bulk volume
+    classification Φ(Δp/σ) (the standard normal CDF of the
+    standardized price change, A-S 7.1.26 erf — same polynomial both
+    engines); VPIN = rolling mean over the trailing
+    ``n_buckets_window`` buckets of |buy − sell|/V.
+
+    Distributed volume clock WITHOUT a sequential scan: bucket id =
+    floor(cumulative volume / bucket size) — one cumulative window per
+    symbol assigns every bar its bucket, then one groupBy aggregates
+    buckets and one rolling window computes VPIN. A bar straddling a
+    bucket boundary is assigned wholly to the bucket its cumsum lands
+    in (the documented approximation; exact splitting needs per-unit
+    volume rows, which no one pays for at scale). ``bucket_volume``
+    defaults to each symbol's mean bar volume × 50.
+    """
+    w = Window.partitionBy(by).orderBy(ts)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    dp = F.col("close") - F.lag("close").over(w)
+    d = df.withColumns(
+        {"__cumv": F.sum("volume").over(cum), "__dp": dp}
+    ).filter(F.col("__dp").isNotNull())
+    # per-symbol scale frame: sigma of price changes + bucket size
+    scale = d.groupBy(by).agg(
+        F.stddev_samp("__dp").alias("__sd"),
+        (F.avg("volume") * 50).alias("__bv_default"),
+    )
+    d = d.join(F.broadcast(scale), on=by)
+    bv = (
+        F.lit(float(bucket_volume))
+        if bucket_volume is not None
+        else F.col("__bv_default")
+    )
+    z = F.col("__dp") / F.col("__sd") / F.sqrt(F.lit(2.0))
+    az = F.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    erf = 1.0 - (
+        t
+        * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+    ) * F.exp(-az * az)
+    buy_frac = 0.5 * (1.0 + F.signum(z) * erf)  # Φ(dp/σ)
+    bucketed = d.withColumn(
+        "__bucket", F.floor(F.col("__cumv") / bv)
+    ).groupBy(by, "__bucket").agg(
+        F.sum(F.col("volume") * buy_frac).alias("__buy"),
+        F.sum("volume").alias("__v"),
+    )
+    wb = (
+        Window.partitionBy(by)
+        .orderBy("__bucket")
+        .rowsBetween(-(n_buckets_window - 1), 0)
+    )
+    imb = F.abs(2.0 * F.col("__buy") - F.col("__v"))
+    out = bucketed.withColumns(
+        {
+            "order_imbalance": imb / F.col("__v"),
+            "vpin": F.when(
+                F.count(F.lit(1)).over(wb) >= n_buckets_window,
+                F.sum(imb).over(wb) / F.sum("__v").over(wb),
+            ),
+        }
+    )
+    return out.select(
+        by,
+        F.col("__bucket").alias("bucket"),
+        F.col("__v").alias("bucket_volume"),
+        "order_imbalance",
+        "vpin",
+    )

@@ -9314,3 +9314,63 @@ def q_categorical_psi_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "feature", F.round("psi", 6).alias("psi"), "n_ref", "n_new"
     )
+
+
+@query(
+    "vpin_toxicity",
+    BARS_CTE
+    + """
+, d0 AS (
+  SELECT symbol, timestamp, volume,
+         sum(volume) OVER (PARTITION BY symbol ORDER BY timestamp
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumv,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp) AS dp
+  FROM bars
+), d AS (SELECT * FROM d0 WHERE dp IS NOT NULL),
+scale AS (
+  SELECT symbol, stddev_samp(dp) AS sd, avg(volume) * 50 AS bv
+  FROM d GROUP BY symbol
+), e AS (
+  SELECT d.symbol, d.volume, floor(d.cumv / s.bv) AS bucket,
+         d.dp / s.sd / sqrt(2.0) AS z
+  FROM d JOIN scale s USING (symbol)
+), cls AS (
+  SELECT symbol, volume, bucket,
+         0.5 * (1.0 + sign(z) * (1.0 - (1.0 / (1.0 + 0.3275911 * abs(z)))
+           * (0.254829592 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+              * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+                 * (1.421413741 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+                    * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+                       * 1.061405429))))
+           * exp(-abs(z) * abs(z)))) AS buy_frac
+  FROM e
+), buckets AS (
+  SELECT symbol, bucket, sum(volume * buy_frac) AS buy, sum(volume) AS v
+  FROM cls GROUP BY 1, 2
+)
+SELECT symbol, bucket, round(v, 4) AS bucket_volume,
+       round(abs(2.0 * buy - v) / v, 6) AS order_imbalance,
+       round(CASE WHEN count(*) OVER w >= 50
+                  THEN sum(abs(2.0 * buy - v)) OVER w / sum(v) OVER w END, 6)
+         AS vpin
+FROM buckets
+WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN order-flow toxicity (``indicators.vpin``): volume-clock
+    buckets via a cumulative-sum floor (no sequential scan), bulk
+    volume classification through the A-S erf normal CDF, rolling
+    50-bucket imbalance mean — the Easley/López de Prado/O'Hara
+    measure, value-compared end to end."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.vpin(bars, n_buckets_window=50)
+    return out.select(
+        "symbol",
+        "bucket",
+        F.round("bucket_volume", 4).alias("bucket_volume"),
+        F.round("order_imbalance", 6).alias("order_imbalance"),
+        F.round("vpin", 6).alias("vpin"),
+    )

@@ -595,3 +595,33 @@ def test_newey_west_se_inflates_under_momentum(spark):
     g = lambda k: ((r[k:] - m) * (r[:-k] - m)).sum() / nn if k else ((r - m) ** 2).sum() / nn
     lrv = g(0) + 2 * sum((1 - k / 6) * g(k) for k in range(1, 6))
     assert abs(got.loc["wn", "se_nw"] - np.sqrt(lrv / nn)) < 1e-10
+
+
+def test_vpin_regimes(spark):
+    """Balanced two-sided flow => low VPIN; one-sided informed flow
+    (persistent up-moves on big volume) => high VPIN; buckets hold
+    roughly equal volume."""
+    rng = np.random.default_rng(61)
+    n = 6000
+    rows = []
+    # balanced: iid zero-mean changes
+    px = 100 + np.cumsum(rng.normal(0, 0.5, n))
+    rows += [("bal", i, float(px[i]), float(rng.uniform(50, 150))) for i in range(n)]
+    # toxic: strongly one-directional moves
+    px2 = 100 + np.cumsum(np.abs(rng.normal(0.5, 0.2, n)))
+    rows += [("tox", i, float(px2[i]), float(rng.uniform(50, 150))) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "symbol string, timestamp long, close double, volume double"
+    )
+    from financial_data_pipeline_spark.operators.indicators import vpin
+
+    got = vpin(df, n_buckets_window=20).toPandas()
+    bal = got[(got.symbol == "bal") & got.vpin.notna()].vpin
+    tox = got[(got.symbol == "tox") & got.vpin.notna()].vpin
+    assert tox.mean() > 0.9        # nearly all volume classified buy
+    assert bal.mean() < 0.5
+    assert tox.mean() > bal.mean() + 0.3
+    # volume clock: bucket volumes concentrate near the target size
+    v = got[got.symbol == "bal"].bucket_volume
+    target = v.iloc[1:-1].median()
+    assert (np.abs(v.iloc[1:-1] - target) / target < 0.25).all()
