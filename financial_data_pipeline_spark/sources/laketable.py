@@ -88,13 +88,21 @@ def _json_scalar(v):
 
 
 def _collect_stats(
-    spark: SparkSession, files: list[str], stat_cols: list[str]
+    spark: SparkSession,
+    files: list[str],
+    stat_cols: list[str],
+    bloom_cols: list[str] | None = None,
 ) -> list[FileStat]:
-    """Per-file row count + min/max per stat column. One distributed
-    job over the new files only; each task reads one file's pages for
-    just the stat columns (column pruning applies)."""
+    """Per-file row count + min/max per stat column (+ optional Bloom
+    bitmap per bloom column). One distributed job over the new files
+    only; each task reads one file's pages for just the stat columns
+    (column pruning applies). The bloom build is the SAME md5 position
+    math as the driver-side probe (``_bloom_positions``): k positions
+    per distinct value, OR-folded into a fixed 1024-bit bitmap via
+    bit_or of shifted longs — no engine-private hash anywhere."""
     from pyspark.sql import functions as F
 
+    bloom_cols = list(bloom_cols or [])
     if not files:
         return []
     df = spark.read.parquet(*files).withColumn(
@@ -104,6 +112,34 @@ def _collect_stats(
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
+    for c in bloom_cols:
+        # per-row k positions (md5 of "col:k:value" — mirrors
+        # _bloom_positions exactly), collected as the distinct set
+        pos = F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{c}:{k}:"),
+                                F.col(c).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _BLOOM_BITS
+                for k in range(_BLOOM_HASHES)
+            ]
+        )
+        aggs.append(
+            F.array_distinct(F.flatten(F.collect_set(pos))).alias(
+                f"__bloom_{c}"
+            )
+        )
     rows = df.groupBy("__file").agg(*aggs).collect()
     out = []
     for r in rows:
@@ -111,6 +147,8 @@ def _collect_stats(
             c: [_json_scalar(r[f"__min_{c}"]), _json_scalar(r[f"__max_{c}"])]
             for c in stat_cols
         }
+        for c in bloom_cols:
+            stats[f"__bloom_{c}"] = _bloom_hex(r[f"__bloom_{c}"] or [])
         path = r["__file"]
         if path.startswith("file:"):
             path = path[len("file:"):]
@@ -131,6 +169,36 @@ def _collect_stats(
     return out
 
 
+_BLOOM_BITS = 1024
+_BLOOM_HASHES = 5
+
+
+def _bloom_positions(value, seed_base: str) -> list[int]:
+    """k bit positions for a value — md5-based so the SAME positions
+    are computable driver-side (probe) and executor-side (build,
+    ``md5()`` SQL) with no engine-private hash."""
+    import hashlib
+
+    out = []
+    for k in range(_BLOOM_HASHES):
+        h = hashlib.md5(f"{seed_base}:{k}:{value}".encode()).hexdigest()
+        out.append(int(h[:15], 16) % _BLOOM_BITS)
+    return out
+
+
+def _bloom_hex(positions) -> str:
+    """Bit positions → fixed-width hex bitmap string (JSON-portable)."""
+    bits = 0
+    for p in positions:
+        bits |= 1 << int(p)
+    return f"{bits:0{_BLOOM_BITS // 4}x}"
+
+
+def _bloom_contains(hex_bitmap: str, positions: list[int]) -> bool:
+    bits = int(hex_bitmap, 16)
+    return all((bits >> p) & 1 for p in positions)
+
+
 class LakeTable:
     """Versioned parquet table with stats-based file skipping.
 
@@ -141,11 +209,22 @@ class LakeTable:
     """
 
     def __init__(
-        self, spark: SparkSession, root: str, stat_cols: list[str]
+        self,
+        spark: SparkSession,
+        root: str,
+        stat_cols: list[str],
+        bloom_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.root = root
         self.stat_cols = stat_cols
+        # equality-pruning companion to the min/max range stats: a
+        # tiny per-file Bloom bitmap per listed column (the Delta
+        # bloom-filter-index / Iceberg bloom idea). High-cardinality
+        # keys whose values SCATTER across the range (order ids, user
+        # ids, content hashes) range-prune terribly but bloom-prune
+        # to ~one file.
+        self.bloom_cols = list(bloom_cols or [])
 
     # -- metadata ----------------------------------------------------
     def _head_path(self) -> str:
@@ -189,7 +268,9 @@ class LakeTable:
             for p in os.listdir(data_dir)
             if p.endswith(".parquet")
         ]
-        return _collect_stats(self.spark, files, self.stat_cols)
+        return _collect_stats(
+            self.spark, files, self.stat_cols, self.bloom_cols
+        )
 
     def _advance(
         self,
@@ -552,11 +633,28 @@ class LakeTable:
         pred_col: str | None = None,
         lo=None,
         hi=None,
+        eq: "tuple | None" = None,
     ) -> list[str]:
         """The file list a read would open: snapshot files minus those
-        whose [min, max] for ``pred_col`` provably misses [lo, hi]."""
+        whose [min, max] for ``pred_col`` provably misses [lo, hi],
+        minus (when ``eq=(col, value)`` and ``col`` is bloom-indexed)
+        those whose Bloom bitmap proves the value absent. Both prunes
+        compose; both return a SUPERSET of matching files (bloom false
+        positives keep a file, never drop one)."""
         v = self.head_version() if version is None else version
         files = self._load_snapshot(v).files
+        if eq is not None:
+            col, value = eq
+            key = f"__bloom_{col}"
+            pos = _bloom_positions(value, col)
+            kept = []
+            for f in files:
+                bm = f.stats.get(key)
+                # files without a bloom (pre-index commits, zero-row
+                # parts) cannot be excluded — supersets stay correct
+                if bm is None or _bloom_contains(bm, pos):
+                    kept.append(f)
+            files = kept
         if pred_col is None:
             return [f.path for f in files]
         keep = []
@@ -576,6 +674,7 @@ class LakeTable:
         lo=None,
         hi=None,
         merge_schema: bool = False,
+        eq: "tuple | None" = None,
     ) -> DataFrame:
         """Snapshot read with optional stats pruning. The predicate is
         re-applied by the caller's own ``filter`` (pruning is a
@@ -587,8 +686,16 @@ class LakeTable:
         snapshot's files): columns absent in older files read as null.
         Renames/type changes stay out of scope (transactional-catalog
         seam, see module docstring)."""
-        files = self.pruned_files(version, pred_col, lo, hi)
+        files = self.pruned_files(version, pred_col, lo, hi, eq=eq)
         if not files:
+            if eq is not None:
+                # bloom proved the value absent from every file — an
+                # empty result, not an error
+                return self.spark.read.parquet(
+                    *[f.path for f in self._load_snapshot(
+                        self.head_version() if version is None else version
+                    ).files][:1]
+                ).limit(0)
             raise ValueError("snapshot selects no files (empty table?)")
         reader = self.spark.read
         if merge_schema:

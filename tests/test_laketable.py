@@ -458,3 +458,39 @@ def test_write_audit_publish_flow(spark, tmp_path):
     v = t.commit(spark.createDataFrame([(5, 5.0)], "id long, v double"))
     assert v == 4 and t.head_version() == 4
     assert t.read().count() == 3          # abandoned rows never visible
+
+
+def test_bloom_file_index_point_lookup(spark, tmp_path):
+    """bloom_cols adds a per-file bitmap: point lookups on scattered
+    high-cardinality keys prune to ~one file where range stats keep
+    everything; absent keys prune to (almost) nothing; results stay
+    supersets (filter still applies)."""
+    from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+    t = LakeTable(
+        spark, str(tmp_path / "lake"), stat_cols=["id"], bloom_cols=["id"]
+    )
+    # hash-distributed ids: every file's [min, max] spans ~the whole
+    # domain, so RANGE pruning is useless by construction
+    df = spark.range(400).selectExpr("id * 7919 % 4001 AS id", "id AS v")
+    t.commit(df.repartition(4))
+    all_files = t.pruned_files()
+    assert len(all_files) == 4
+
+    present = 7919 % 4001  # id of row 1
+    # range pruning is near-useless here (hash-scattered ids make the
+    # per-file [min, max] spans overlap almost everywhere)...
+    range_kept = t.pruned_files(pred_col="id", lo=present, hi=present)
+    assert len(range_kept) >= 3
+    # ...bloom pruning cuts to the file(s) actually containing it
+    kept = t.pruned_files(eq=("id", present))
+    assert 1 <= len(kept) < len(range_kept)
+    got = t.read(eq=("id", present)).filter(f"id = {present}").collect()
+    assert len(got) == 1 and got[0].v == 1
+
+    absent = 4000  # not hit by i*7919 % 4001 for i < 400? verify below
+    hit_ids = {(i * 7919) % 4001 for i in range(400)}
+    assert absent not in hit_ids
+    kept_absent = t.pruned_files(eq=("id", absent))
+    assert len(kept_absent) <= 1  # at most an unlucky false positive
+    assert t.read(eq=("id", absent)).filter(f"id = {absent}").count() == 0
