@@ -232,6 +232,7 @@ HEADLINE = [
     "jump_detection",
     "newey_west_mean",
     "categorical_psi_sources",
+    "vpin_toxicity",
 ]
 
 
