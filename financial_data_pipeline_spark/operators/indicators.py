@@ -1332,3 +1332,75 @@ def vpin(
         "order_imbalance",
         "vpin",
     )
+
+
+def _norm_cdf(z: Column) -> Column:
+    """Standard normal CDF via the A-S 7.1.26 erf polynomial
+    (|ε| < 1.5e-7) — the engine-portable closed form shared with
+    :func:`vpin` and ``stats.mann_whitney_u``."""
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    erf = 1.0 - (
+        t
+        * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+    ) * F.exp(-az * az)
+    return 0.5 * (1.0 + F.signum(z) * erf)
+
+
+def black_scholes_surface(
+    df: DataFrame,
+    moneyness: list[float] = (0.9, 1.0, 1.1),
+    tenor_years: float = 30.0 / 365.0,
+    rate: float = 0.0,
+    vol_window: int = 60,
+    periods_per_year: float = 24.0 * 365.0,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Mark a small option surface on every bar: Black–Scholes call
+    and put prices plus delta at the given moneyness levels, using the
+    trailing realized volatility as the vol input — the derivatives
+    mark-to-model readout a risk stack derives from the same bars it
+    already scans (and the sensitivity panel behind the VaR family).
+
+    Everything is closed-form codegen: rolling realized vol (the
+    :func:`realized_volatility` window annualized by
+    ``periods_per_year``), then per-strike d₁/d₂ and the A-S normal
+    CDF. One per-symbol sort, zero joins; the strike grid multiplies
+    columns, not rows.
+    """
+    import math
+
+    r = log_return("close", by=[by], ts=ts)
+    w = Window.partitionBy(by).orderBy(ts).rowsBetween(-(vol_window - 1), 0)
+    d = df.withColumn("__r", r)
+    ann = math.sqrt(periods_per_year)
+    sigma = F.when(
+        F.count("__r").over(w) >= vol_window,
+        F.stddev_samp("__r").over(w) * ann,
+    )
+    s0 = F.col("close")
+    tau = float(tenor_years)
+    sq_t = math.sqrt(tau)
+    cols = {"realized_vol_ann": sigma}
+    for m in moneyness:
+        k = s0 * float(m)
+        d1 = (
+            F.log(s0 / k) + (rate + 0.5 * sigma * sigma) * tau
+        ) / (sigma * sq_t)
+        d2 = d1 - sigma * sq_t
+        disc = math.exp(-rate * tau)
+        call = s0 * _norm_cdf(d1) - k * disc * _norm_cdf(d2)
+        put = k * disc * _norm_cdf(-d2) - s0 * _norm_cdf(-d1)
+        tag = str(int(round(m * 100)))
+        cols[f"call_{tag}"] = call
+        cols[f"put_{tag}"] = put
+        cols[f"delta_{tag}"] = _norm_cdf(d1)
+    return d.withColumns(cols).drop("__r")

@@ -9374,3 +9374,67 @@ def q_vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("order_imbalance", 6).alias("order_imbalance"),
         F.round("vpin", 6).alias("vpin"),
     )
+
+
+_BS_ERF = """(1.0 - (1.0 / (1.0 + 0.3275911 * abs({z}) / sqrt(2.0)))
+  * (0.254829592 + (1.0 / (1.0 + 0.3275911 * abs({z}) / sqrt(2.0)))
+     * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * abs({z}) / sqrt(2.0)))
+        * (1.421413741 + (1.0 / (1.0 + 0.3275911 * abs({z}) / sqrt(2.0)))
+           * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * abs({z}) / sqrt(2.0)))
+              * 1.061405429))))
+  * exp(-abs({z}) * abs({z}) / 2.0))"""
+
+
+def _bs_cdf(z: str) -> str:
+    return f"(0.5 * (1.0 + sign({z}) * {_BS_ERF.format(z=z)}))"
+
+
+@query(
+    "black_scholes_atm",
+    BARS_CTE
+    + f"""
+, rr AS (
+  SELECT symbol, timestamp, close,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), v AS (
+  SELECT symbol, timestamp, close,
+         CASE WHEN count(r) OVER w >= 60
+              THEN stddev_samp(r) OVER w * sqrt(24.0 * 365.0) END AS sigma
+  FROM rr
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+), d AS (
+  SELECT symbol, timestamp, close, sigma,
+         (ln(1.0) + 0.5 * sigma * sigma * (30.0 / 365.0))
+           / (sigma * sqrt(30.0 / 365.0)) AS d1,
+         (ln(1.0) + 0.5 * sigma * sigma * (30.0 / 365.0))
+           / (sigma * sqrt(30.0 / 365.0)) - sigma * sqrt(30.0 / 365.0) AS d2
+  FROM v
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sigma, 6) AS realized_vol_ann,
+       round(close * {_bs_cdf('d1')} - close * {_bs_cdf('d2')}, 6) AS call_100,
+       round(close * {_bs_cdf('(-d2)')} - close * {_bs_cdf('(-d1)')}, 6) AS put_100,
+       round({_bs_cdf('d1')}, 6) AS delta_100
+FROM d
+""",
+)
+def q_black_scholes_atm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-the-money Black-Scholes call/put/delta marked on every bar
+    from the trailing 60-bar realized vol
+    (``indicators.black_scholes_surface``) — closed-form codegen,
+    A-S normal CDF, zero joins; value-compared column for column."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.black_scholes_surface(
+        bars, moneyness=[1.0], tenor_years=30.0 / 365.0, rate=0.0,
+        vol_window=60,
+    )
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("realized_vol_ann", 6).alias("realized_vol_ann"),
+        F.round("call_100", 6).alias("call_100"),
+        F.round("put_100", 6).alias("put_100"),
+        F.round("delta_100", 6).alias("delta_100"),
+    )

@@ -625,3 +625,32 @@ def test_vpin_regimes(spark):
     v = got[got.symbol == "bal"].bucket_volume
     target = v.iloc[1:-1].median()
     assert (np.abs(v.iloc[1:-1] - target) / target < 0.25).all()
+
+
+def test_black_scholes_parity_and_bounds(spark, ohlcv_pdf):
+    """Put-call parity C - P = S - K holds to the erf approximation;
+    ATM delta ~ 0.5+; prices within no-arbitrage bounds."""
+    from financial_data_pipeline_spark.operators.indicators import (
+        black_scholes_surface,
+    )
+
+    df = spark.createDataFrame(ohlcv_pdf)
+    out = (
+        black_scholes_surface(df, moneyness=[0.9, 1.0], vol_window=60)
+        .filter(F.col("realized_vol_ann").isNotNull())
+        .toPandas()
+    )
+    assert len(out) > 0
+    s = out.close
+    # parity at K = S (ATM): C - P = S - K = 0 (r = 0)
+    assert np.allclose(out.call_100 - out.put_100, 0.0, atol=1e-4 * s.max())
+    # parity at K = 0.9 S: C - P = S - 0.9 S
+    assert np.allclose(
+        out.call_90 - out.put_90, 0.1 * s, rtol=1e-5, atol=1e-4 * s.max()
+    )
+    # bounds and sanity
+    assert (out.call_100 >= -1e-9).all() and (out.put_100 >= -1e-9).all()
+    assert (out.call_100 <= s + 1e-9).all()
+    assert ((out.delta_100 > 0.5 - 1e-9) & (out.delta_100 < 0.75)).all()
+    # ITM call worth at least intrinsic S - K
+    assert (out.call_90 >= 0.1 * s - 1e-6 * s).all()
