@@ -233,6 +233,8 @@ HEADLINE = [
     "newey_west_mean",
     "categorical_psi_sources",
     "vpin_toxicity",
+    "black_scholes_atm",
+    "zipf_fit",
 ]
 
 

@@ -9438,3 +9438,66 @@ def q_black_scholes_atm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("put_100", 6).alias("put_100"),
         F.round("delta_100", 6).alias("delta_100"),
     )
+
+
+@query(
+    "zipf_fit",
+    r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk
+  FROM tf
+), top AS (
+  SELECT ln(rnk) AS x, ln(c) AS y FROM ranked WHERE rnk <= 1000
+)
+SELECT count(*) AS n_terms,
+       round((sum(x*y) - count(*) * avg(x) * avg(y))
+             / (sum(x*x) - count(*) * avg(x) * avg(x)), 6) AS zipf_slope,
+       round(avg(y) - (sum(x*y) - count(*) * avg(x) * avg(y))
+             / (sum(x*x) - count(*) * avg(x) * avg(x)) * avg(x), 6)
+         AS zipf_intercept,
+       round(pow(corr(x, y), 2), 6) AS r2
+FROM top
+""",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope
+    of ln(freq) on ln(rank) for the top-1000 terms (natural text lands
+    near -1; template spam and synthetic corpora deviate hard — a
+    corpus-level quality fingerprint next to the per-doc entropy).
+    One tokenize pass, one term count, one rank window over the
+    term table, closed-form OLS in one aggregate."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+            )
+        ).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = tf.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok")))
+    ).filter(F.col("rnk") <= 1000)
+    top = ranked.select(
+        F.log("rnk").alias("x"), F.log("c").alias("y")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")) - n * F.avg("x") * F.avg("y")
+    sxx = F.sum(F.col("x") * F.col("x")) - n * F.avg("x") * F.avg("x")
+    slope = sxy / sxx
+    return top.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+    )
