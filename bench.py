@@ -235,6 +235,7 @@ HEADLINE = [
     "vpin_toxicity",
     "black_scholes_atm",
     "zipf_fit",
+    "implied_vol_solve",
 ]
 
 

@@ -9501,3 +9501,57 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
         F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
     )
+
+
+def _iv_oracle(steps: int = 6) -> str:
+    import math
+
+    inv = 1.0 / math.sqrt(2.0 * math.pi)
+    sq_t = math.sqrt(30.0 / 365.0)
+    tau = 30.0 / 365.0
+    chain = ""
+    prev = "s0"
+    for i in range(steps):
+        cur = f"s{i + 1}"
+        chain += f""", {cur} AS (
+  SELECT symbol, timestamp, close, q,
+         greatest(1e-4, iv - (close * {_bs_cdf('d1')}
+                 - close * {_bs_cdf('(d1 - iv * ' + repr(sq_t) + ')')} - q)
+              / (close * {inv!r} * exp(-0.5 * d1 * d1) * {sq_t!r})) AS iv
+  FROM (
+    SELECT *, (ln(1.0) + 0.5 * iv * iv * {tau!r}) / (iv * {sq_t!r}) AS d1
+    FROM {prev}
+  )
+)
+"""
+        prev = cur
+    return (
+        BARS_CTE
+        + f"""
+, s0 AS (
+  SELECT symbol, timestamp, close, 0.08 * close AS q, 0.5 AS iv
+  FROM bars
+)
+"""
+        + chain
+        + f"""
+SELECT symbol, epoch_us(timestamp) AS ts_us, round(iv, 8) AS implied_vol
+FROM {prev}
+"""
+    )
+
+
+@query("implied_vol_solve", _iv_oracle(6))
+def q_implied_vol_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implied volatility for a synthetic 8%-of-spot ATM call quote
+    via the fixed six-step unrolled Newton chain
+    (``indicators.implied_volatility``) — an iterative solver as pure
+    staged codegen, the oracle replaying the identical six steps."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    quoted = bars.withColumn("q", 0.08 * F.col("close"))
+    out = indicators.implied_volatility(quoted, "q", moneyness=1.0)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("implied_vol", 8).alias("implied_vol"),
+    )

@@ -654,3 +654,36 @@ def test_black_scholes_parity_and_bounds(spark, ohlcv_pdf):
     assert ((out.delta_100 > 0.5 - 1e-9) & (out.delta_100 < 0.75)).all()
     # ITM call worth at least intrinsic S - K
     assert (out.call_90 >= 0.1 * s - 1e-6 * s).all()
+
+
+def test_implied_vol_roundtrip(spark, ohlcv_pdf):
+    """Price with black_scholes_surface at a known realized vol, then
+    recover that vol via the unrolled Newton chain to ~1e-8; bad
+    quotes (below intrinsic, above spot) abstain."""
+    from financial_data_pipeline_spark.operators.indicators import (
+        black_scholes_surface,
+        implied_volatility,
+    )
+
+    df = spark.createDataFrame(ohlcv_pdf)
+    priced = black_scholes_surface(df, moneyness=[1.0], vol_window=60)
+    got = (
+        implied_volatility(
+            priced.filter(F.col("realized_vol_ann").isNotNull()),
+            "call_100",
+            moneyness=1.0,
+        )
+        .select("realized_vol_ann", "implied_vol")
+        .toPandas()
+    )
+    ok = got.dropna()
+    assert len(ok) > 1000
+    assert np.allclose(
+        ok.implied_vol, ok.realized_vol_ann, rtol=1e-6, atol=1e-8
+    )
+    # bad quotes abstain
+    bad = spark.createDataFrame(
+        [(100.0, 120.0), (100.0, -1.0)], "close double, q double"
+    )
+    iv = implied_volatility(bad, "q", moneyness=1.0).toPandas()
+    assert iv.implied_vol.isna().all()
