@@ -1421,6 +1421,10 @@ def black_scholes_surface(
                 f"__nmd2_{tag}": _norm_cdf(-F.col(f"__d2_{tag}")),
             }
         )
+        inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
+        pdf1 = inv_sqrt2pi * F.exp(
+            -0.5 * F.col(f"__d1_{tag}") * F.col(f"__d1_{tag}")
+        )
         d = d.withColumns(
             {
                 f"call_{tag}": s0 * F.col(f"__nd1_{tag}")
@@ -1428,6 +1432,12 @@ def black_scholes_surface(
                 f"put_{tag}": k * disc * F.col(f"__nmd2_{tag}")
                 - s0 * F.col(f"__nmd1_{tag}"),
                 f"delta_{tag}": F.col(f"__nd1_{tag}"),
+                # greeks from the same staged intermediates — φ(d1)
+                # is one exp, no extra CDF evaluations
+                f"gamma_{tag}": pdf1 / (s0 * sigma * sq_t),
+                f"vega_{tag}": s0 * pdf1 * sq_t,
+                f"theta_call_{tag}": -s0 * pdf1 * sigma / (2.0 * sq_t)
+                - rate * k * disc * F.col(f"__nd2_{tag}"),
             }
         )
         out_cols += [

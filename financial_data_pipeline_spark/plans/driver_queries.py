@@ -9416,7 +9416,13 @@ SELECT symbol, epoch_us(timestamp) AS ts_us,
        round(sigma, 6) AS realized_vol_ann,
        round(close * {_bs_cdf('d1')} - close * {_bs_cdf('d2')}, 6) AS call_100,
        round(close * {_bs_cdf('(-d2)')} - close * {_bs_cdf('(-d1)')}, 6) AS put_100,
-       round({_bs_cdf('d1')}, 6) AS delta_100
+       round({_bs_cdf('d1')}, 6) AS delta_100,
+       round((0.3989422804014327 * exp(-0.5 * d1 * d1))
+             / (close * sigma * sqrt(30.0 / 365.0)), 8) AS gamma_100,
+       round(close * (0.3989422804014327 * exp(-0.5 * d1 * d1))
+             * sqrt(30.0 / 365.0), 6) AS vega_100,
+       round(-close * (0.3989422804014327 * exp(-0.5 * d1 * d1)) * sigma
+             / (2.0 * sqrt(30.0 / 365.0)), 6) AS theta_call_100
 FROM d
 """,
 )
@@ -9437,6 +9443,9 @@ def q_black_scholes_atm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("call_100", 6).alias("call_100"),
         F.round("put_100", 6).alias("put_100"),
         F.round("delta_100", 6).alias("delta_100"),
+        F.round("gamma_100", 8).alias("gamma_100"),
+        F.round("vega_100", 6).alias("vega_100"),
+        F.round("theta_call_100", 6).alias("theta_call_100"),
     )
 
 

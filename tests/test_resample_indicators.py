@@ -687,3 +687,45 @@ def test_implied_vol_roundtrip(spark, ohlcv_pdf):
     )
     iv = implied_volatility(bad, "q", moneyness=1.0).toPandas()
     assert iv.implied_vol.isna().all()
+
+
+def test_greeks_sanity(spark, ohlcv_pdf):
+    """Gamma/vega positive; vega == S phi(d1) sqrt(tau) against numpy;
+    finite-difference check: dC/dS ~ delta."""
+    from financial_data_pipeline_spark.operators.indicators import (
+        black_scholes_surface,
+    )
+
+    df = spark.createDataFrame(ohlcv_pdf)
+    out = (
+        black_scholes_surface(df, moneyness=[1.0], vol_window=60)
+        .filter(F.col("realized_vol_ann").isNotNull())
+        .limit(200)
+        .toPandas()
+    )
+    assert (out.gamma_100 > 0).all() and (out.vega_100 > 0).all()
+    assert (out.theta_call_100 < 0).all()  # r=0: pure time decay
+    import math
+
+    tau = 30 / 365
+    d1 = (0.5 * out.realized_vol_ann**2 * tau) / (
+        out.realized_vol_ann * math.sqrt(tau)
+    )
+    phi = np.exp(-0.5 * d1**2) / math.sqrt(2 * math.pi)
+    assert np.allclose(
+        out.vega_100, out.close * phi * math.sqrt(tau), rtol=1e-9
+    )
+    # finite difference: bump spot by 0.1%, price change ~ delta * dS
+    r0 = out.iloc[0]
+    sig, s = r0.realized_vol_ann, r0.close
+    from math import erf, log, sqrt
+
+    def bs(s_):
+        d1_ = (log(s_ / s) + 0.5 * sig * sig * tau) / (sig * sqrt(tau))
+        d2_ = d1_ - sig * sqrt(tau)
+        nd = lambda x: 0.5 * (1 + erf(x / sqrt(2)))
+        return s_ * nd(d1_) - s * nd(d2_)
+
+    ds = s * 1e-3
+    fd_delta = (bs(s + ds) - bs(s - ds)) / (2 * ds)
+    assert abs(fd_delta - r0.delta_100) < 1e-3
