@@ -236,6 +236,7 @@ HEADLINE = [
     "black_scholes_atm",
     "zipf_fit",
     "implied_vol_solve",
+    "wilcoxon_user_spend",
 ]
 
 

@@ -668,3 +668,74 @@ def binary_auc(
             / (n1 * F.col("n_neg"))
         ).alias("auc"),
     )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    by: list[str] = (),
+) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED samples (per-user metric
+    under two conditions, before/after per entity) — the rank-based
+    companion of the paired t, completing the test family next to the
+    unpaired :func:`mann_whitney_u`.
+
+    Zero differences drop (Wilcoxon's rule); |d| gets fractional
+    average ranks; W+ = Σ ranks of positive d. Normal approximation
+    with tie correction: σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48, continuity
+    ±0.5, two-sided p via the shared A-S erfc. One rank window over
+    the nonzero pairs + one aggregate per key.
+    """
+    by = list(by)
+    d = (F.col(col_a) - F.col(col_b)).alias("__d")
+    nz = df.select(*by, d).filter(F.col("__d") != 0)
+    o = Window.partitionBy(*by).orderBy(F.abs(F.col("__d")))
+    ties = Window.partitionBy(*by, F.abs(F.col("__d")))
+    ranked = nz.withColumn(
+        "__r", F.rank().over(o) + (F.count(F.lit(1)).over(ties) - 1) / 2.0
+    )
+    tie_counts = (
+        nz.groupBy(*by, F.abs(F.col("__d")).alias("__ad"))
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*by)
+        .agg(
+            F.sum(
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+            ).alias("__tie3")
+        )
+    )
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("__d") > 0, F.col("__r"))).alias("__wplus"),
+    )
+    j = agg.join(tie_counts, on=by) if by else agg.crossJoin(tie_counts)
+    n = F.col("n_pairs").cast("double")
+    w_plus = F.coalesce(F.col("__wplus"), F.lit(0.0))
+    mu = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("__tie3") / 48.0
+    z = (
+        w_plus
+        - mu
+        - F.when(w_plus > mu, 0.5).when(w_plus < mu, -0.5).otherwise(0.0)
+    ) / F.sqrt(var)
+    az = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    erfc = (
+        t
+        * (
+            0.254829592
+            + t
+            * (
+                -0.284496736
+                + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))
+            )
+        )
+    ) * F.exp(-az * az)
+    return j.select(
+        *by,
+        "n_pairs",
+        w_plus.alias("w_plus"),
+        z.alias("z"),
+        F.least(F.lit(1.0), erfc).alias("p_value"),
+    )

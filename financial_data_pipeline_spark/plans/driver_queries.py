@@ -9564,3 +9564,82 @@ def q_implied_vol_solve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ts_us().alias("ts_us"),
         F.round("implied_vol", 8).alias("implied_vol"),
     )
+
+
+@query(
+    "wilcoxon_user_spend",
+    """
+WITH pairs AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+           - sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS d
+  FROM events WHERE event_type IN ('purchase', 'view')
+  GROUP BY user_id
+), nz AS (SELECT d FROM pairs WHERE d <> 0),
+ranked AS (
+  SELECT d, rank() OVER (ORDER BY abs(d))
+         + (count(*) OVER (PARTITION BY abs(d)) - 1) / 2.0 AS r
+  FROM nz
+), tie AS (
+  SELECT sum(t*t*t - t) AS tie3
+  FROM (SELECT count(*) AS t FROM nz GROUP BY abs(d))
+), agg AS (
+  SELECT count(*) AS n_pairs,
+         coalesce(sum(CASE WHEN d > 0 THEN r END), 0.0) AS w_plus
+  FROM ranked
+), z AS (
+  SELECT n_pairs, w_plus,
+         n_pairs * (n_pairs + 1.0) / 4.0 AS mu,
+         n_pairs * (n_pairs + 1.0) * (2.0 * n_pairs + 1.0) / 24.0
+           - tie3 / 48.0 AS var
+  FROM agg, tie
+), zz AS (
+  SELECT n_pairs, w_plus,
+         (w_plus - mu - CASE WHEN w_plus > mu THEN 0.5
+                             WHEN w_plus < mu THEN -0.5 ELSE 0.0 END)
+           / sqrt(var) AS zval
+  FROM z
+), e AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * abs(zval) / sqrt(2.0)) AS t,
+         abs(zval) / sqrt(2.0) AS az
+  FROM zz
+)
+SELECT n_pairs, round(w_plus, 2) AS w_plus, round(zval, 6) AS z,
+       round(least(1.0,
+         t * (0.254829592 + t * (-0.284496736
+              + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+           * exp(-az * az)), 6) AS p_value
+FROM e
+""",
+)
+def q_wilcoxon_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank on per-user purchase-minus-view
+    spend (``stats.wilcoxon_signed_rank``): zero diffs drop,
+    tie-corrected normal approximation, continuity correction —
+    the paired companion of ``mann_whitney_purchase_view``."""
+    from financial_data_pipeline_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = (
+        ev.filter(F.col("event_type").isin(["purchase", "view"]))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+            ).alias("a"),
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("value"))
+                .otherwise(0.0)
+            ).alias("b"),
+        )
+    )
+    out = wilcoxon_signed_rank(pairs, "a", "b")
+    return out.select(
+        "n_pairs",
+        F.round("w_plus", 2).alias("w_plus"),
+        F.round("z", 6).alias("z"),
+        F.round("p_value", 6).alias("p_value"),
+    )

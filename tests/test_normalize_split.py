@@ -587,3 +587,55 @@ def test_categorical_psi_detects_new_category(spark):
     )
     drift = categorical_psi(ref, shifted, "cat").first()
     assert drift["psi"] > 0.25
+
+
+def test_wilcoxon_signed_rank_matches_numpy(spark):
+    """Numpy replication (average ranks on |d|, tie-corrected sigma,
+    continuity) and regime sanity: symmetric-zero-median accepts,
+    shifted pairs reject."""
+    from financial_data_pipeline_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    rng = np.random.default_rng(67)
+    n = 400
+    base = rng.normal(10, 2, n)
+    same = np.round(base + rng.normal(0, 1, n), 1)
+    shifted = np.round(base + 0.8 + rng.normal(0, 1, n), 1)
+    for name, b_vals, expect_reject in (
+        ("same", same, False),
+        ("shifted", shifted, True),
+    ):
+        pdf = pd.DataFrame({"a": np.round(base, 1), "b": b_vals})
+        got = (
+            wilcoxon_signed_rank(spark.createDataFrame(pdf), "a", "b")
+            .toPandas()
+            .iloc[0]
+        )
+        d = pdf.a.values - pdf.b.values
+        d = d[d != 0]
+        order = np.argsort(np.abs(d), kind="mergesort")
+        ranks = np.empty(len(d))
+        sa = np.abs(d)[order]
+        i = 0
+        rk = np.empty(len(d))
+        while i < len(sa):
+            j = i
+            while j < len(sa) and sa[j] == sa[i]:
+                j += 1
+            rk[i:j] = (i + j + 1) / 2.0
+            i = j
+        ranks[order] = rk
+        w_plus = ranks[d > 0].sum()
+        nn = len(d)
+        _, t = np.unique(np.abs(d), return_counts=True)
+        mu = nn * (nn + 1) / 4
+        var = nn * (nn + 1) * (2 * nn + 1) / 24 - (t**3 - t).sum() / 48
+        z = (w_plus - mu - (0.5 if w_plus > mu else -0.5 if w_plus < mu else 0)) / np.sqrt(var)
+        assert got.n_pairs == nn, name
+        assert abs(got.w_plus - w_plus) < 1e-9, name
+        assert abs(got.z - z) < 1e-12, name
+        if expect_reject:
+            assert got.p_value < 1e-6
+        else:
+            assert got.p_value > 0.01
