@@ -237,6 +237,7 @@ HEADLINE = [
     "zipf_fit",
     "implied_vol_solve",
     "wilcoxon_user_spend",
+    "american_put_crr",
 ]
 
 

@@ -1512,3 +1512,83 @@ def implied_volatility(
     return out.withColumnRenamed("__iv", "implied_vol").drop(
         "__d1", "__d2", "__nd1", "__nd2", "__pdf1"
     )
+
+
+def american_put_binomial(
+    df: DataFrame,
+    vol_col: str = "realized_vol_ann",
+    spot_col: str = "close",
+    moneyness: float = 1.0,
+    tenor_years: float = 30.0 / 365.0,
+    rate: float = 0.0,
+    steps: int = 24,
+) -> DataFrame:
+    """American put via a Cox–Ross–Rubinstein binomial tree — DYNAMIC
+    PROGRAMMING as pure unrolled codegen: the value vector over tree
+    nodes is an ARRAY column; each backward-induction step is one
+    staged projection mapping the array to one shorter with
+    ``transform`` (continuation = discounted risk-neutral expectation,
+    floored at early-exercise intrinsic). ``steps`` projections total,
+    each O(steps) per row — no UDF, no driver loop, and the oracle can
+    replay the identical tree with list ops.
+
+    The American call on a non-dividend asset never exercises early
+    (= European, priced closed-form in :func:`black_scholes_surface`),
+    so the put is THE case where the tree earns its keep. Rows without
+    a vol (warmup) pass through null.
+    """
+    import math
+
+    s0 = F.col(spot_col)
+    sig = F.col(vol_col)
+    k = s0 * float(moneyness)
+    dt = float(tenor_years) / steps
+    disc = math.exp(-rate * dt)
+    # u/d/p depend on the row's sigma — staged as columns once
+    d = df.withColumns(
+        {
+            "__u": F.exp(sig * math.sqrt(dt)),
+            "__dn": F.exp(-sig * math.sqrt(dt)),
+        }
+    ).withColumn(
+        "__p",
+        (F.lit(math.exp(rate * dt)) - F.col("__dn"))
+        / (F.col("__u") - F.col("__dn")),
+    )
+    u, dn, p = F.col("__u"), F.col("__dn"), F.col("__p")
+    # terminal payoffs: node j of n has spot S·u^j·d^(n−j)
+    d = d.withColumn(
+        "__v",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(steps)),
+            lambda j: F.greatest(
+                F.lit(0.0),
+                k
+                - s0
+                * F.pow(u, j.cast("double"))
+                * F.pow(dn, F.lit(float(steps)) - j.cast("double")),
+            ),
+        ),
+    )
+    for i in range(steps - 1, -1, -1):
+        cont = lambda j: F.lit(disc) * (
+            p * F.element_at(F.col("__v"), j.cast("int") + 2)
+            + (1.0 - p) * F.element_at(F.col("__v"), j.cast("int") + 1)
+        )
+        intrinsic = lambda j: F.greatest(
+            F.lit(0.0),
+            k
+            - s0
+            * F.pow(u, j.cast("double"))
+            * F.pow(dn, F.lit(float(i)) - j.cast("double")),
+        )
+        d = d.withColumn(
+            "__v",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(i)),
+                lambda j: F.greatest(intrinsic(j), cont(j)),
+            ),
+        )
+    return d.withColumn(
+        "american_put", F.element_at(F.col("__v"), 1)
+    ).drop("__v", "__u", "__dn", "__p")

@@ -9643,3 +9643,76 @@ def q_wilcoxon_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("z"),
         F.round("p_value", 6).alias("p_value"),
     )
+
+
+def _crr_oracle(steps: int = 24) -> str:
+    import math
+
+    dt = (30.0 / 365.0) / steps
+    sq = math.sqrt(dt)
+    chain = ""
+    prev = "t0"
+    for i in range(steps - 1, -1, -1):
+        cur = f"t{steps - i}"
+        chain += f""", {cur} AS (
+  SELECT symbol, timestamp, close, sigma, u, dn, p,
+         list_transform(range(0, {i + 1}),
+           j -> greatest(greatest(0.0, close - close * pow(u, j) * pow(dn, {i} - j)),
+                         p * v[j + 2] + (1.0 - p) * v[j + 1])) AS v
+  FROM {prev}
+)
+"""
+        prev = cur
+    return (
+        BARS_CTE
+        + f"""
+, vol AS (
+  SELECT symbol, timestamp, close,
+         CASE WHEN count(r) OVER w >= 60
+              THEN stddev_samp(r) OVER w * sqrt(24.0 * 365.0) END AS sigma
+  FROM (
+    SELECT symbol, timestamp, close,
+           ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+    FROM bars
+  )
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+), params AS (
+  SELECT symbol, timestamp, close, sigma,
+         exp(sigma * {sq!r}) AS u, exp(-sigma * {sq!r}) AS dn
+  FROM vol WHERE sigma IS NOT NULL
+), t0 AS (
+  SELECT symbol, timestamp, close, sigma, u, dn,
+         (1.0 - dn) / (u - dn) AS p,
+         list_transform(range(0, {steps + 1}),
+           j -> greatest(0.0, close - close * pow(u, j) * pow(dn, {steps} - j))) AS v
+  FROM params
+)
+"""
+        + chain
+        + f"""
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sigma, 6) AS realized_vol_ann,
+       round(v[1], 6) AS american_put
+FROM {prev}
+"""
+    )
+
+
+@query("american_put_crr", _crr_oracle(24))
+def q_american_put_crr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American ATM put on every bar via a 24-step CRR binomial tree
+    (``indicators.american_put_binomial``): backward induction as
+    unrolled array-state projections — dynamic programming in pure
+    codegen, the oracle replaying the identical tree with list ops."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    priced = indicators.black_scholes_surface(
+        bars, moneyness=[1.0], vol_window=60
+    ).filter(F.col("realized_vol_ann").isNotNull())
+    out = indicators.american_put_binomial(priced, steps=24)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("realized_vol_ann", 6).alias("realized_vol_ann"),
+        F.round("american_put", 6).alias("american_put"),
+    )
