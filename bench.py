@@ -238,6 +238,8 @@ HEADLINE = [
     "implied_vol_solve",
     "wilcoxon_user_spend",
     "american_put_crr",
+    "triple_barrier_labels",
+    "frac_diff_log_close",
 ]
 
 

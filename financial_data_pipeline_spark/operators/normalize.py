@@ -122,3 +122,48 @@ def denormalize(
             updates[c] = F.col(c) * (p2 - p1) + p1
     out = out.withColumns(updates)
     return out.drop(*[f"__p{i}_{c}" for c in cols for i in (1, 2)])
+
+
+def frac_diff_weights(d: float, threshold: float = 1e-4) -> list[float]:
+    """Fixed-width fractional-differentiation weights (López de Prado,
+    AFML ch.5): w_0 = 1, w_k = −w_{k−1}·(d−k+1)/k, truncated where
+    |w_k| drops below ``threshold``. Driver-side: a few dozen floats."""
+    w = [1.0]
+    k = 1
+    while True:
+        nxt = -w[-1] * (d - k + 1) / k
+        if abs(nxt) < threshold:
+            break
+        w.append(nxt)
+        k += 1
+    return w
+
+
+def frac_diff(
+    col: str,
+    d: float = 0.4,
+    threshold: float = 1e-4,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+):
+    """Fractionally differentiated series: x̃_t = Σ_k w_k·x_{t−k} —
+    the AFML answer to "integer differencing kills the memory ML
+    models feed on": d ∈ (0, 1) removes just enough trend to pass
+    stationarity while keeping long-range structure.
+
+    The truncated weight vector is a driver-side constant, so the
+    transform is a LITERAL-WEIGHTED sum of ``lag`` columns over one
+    per-key sort — pure codegen, exactly reproducible, and the oracle
+    interpolates the same weights. Rows without the full look-back
+    abstain (the fixed-width convention: no expanding-window drift).
+    """
+    from pyspark.sql import Column, Window
+    from pyspark.sql import functions as F
+
+    w = frac_diff_weights(d, threshold)
+    win = Window.partitionBy(*by).orderBy(ts)
+    expr: Column = F.lit(w[0]) * F.col(col)
+    for k, wk in enumerate(w[1:], start=1):
+        expr = expr + F.lit(wk) * F.lag(col, k).over(win)
+    full = F.lag(col, len(w) - 1).over(win).isNotNull()
+    return F.when(full, expr)

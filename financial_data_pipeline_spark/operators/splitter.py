@@ -317,3 +317,66 @@ def purged_walk_forward(
     return with_cuts.select(
         *df.columns, fold.alias("fold"), near_next.alias("purged_before")
     )
+
+
+def triple_barrier_labels(
+    df: DataFrame,
+    horizon: int = 24,
+    up_mult: float = 2.0,
+    down_mult: float = 2.0,
+    vol_window: int = 60,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Triple-barrier event labels (López de Prado, AFML ch.3) — the
+    standard supervised-learning target for financial ML, replacing
+    naive fixed-horizon returns: for each bar, look FORWARD up to
+    ``horizon`` bars and label +1 / −1 / 0 by which barrier the path
+    touches first — upper (entry·(1 + mult·σ)), lower
+    (entry·(1 − mult·σ)), or the vertical timeout (label 0, with the
+    timeout return's sign available downstream).
+
+    Distributed form: σ is the trailing realized vol (a window), the
+    forward path is ONE bounded ``collect_list`` over the FOLLOWING
+    window, and the first-touch scan is an ``aggregate`` fold with an
+    early-exit flag in the accumulator — per-row O(horizon), pure
+    codegen, no Python, no self-join, no point-in-time leakage (the
+    path excludes the entry bar itself). Rows whose remaining series
+    is shorter than ``horizon`` abstain (null label — an incomplete
+    event, AFML's purge rule).
+    """
+    w = Window.partitionBy(by).orderBy(ts)
+    ret = F.col("close") / F.lag("close").over(w) - 1.0
+    vw = w.rowsBetween(-(vol_window - 1), 0)
+    sigma = F.when(
+        F.count(F.lit(1)).over(vw) >= vol_window, F.stddev_samp(ret).over(vw)
+    )
+    fwd = w.rowsBetween(1, horizon)
+    path = F.collect_list("close").over(fwd)
+    d = df.withColumns(
+        {"__sigma": sigma, "__path": path}
+    )
+    entry = F.col("close")
+    up = entry * (1.0 + F.lit(up_mult) * F.col("__sigma"))
+    dn = entry * (1.0 - F.lit(down_mult) * F.col("__sigma"))
+    # fold state: 0 = undecided, 1 = upper hit first, -1 = lower
+    label_fold = F.aggregate(
+        F.col("__path"),
+        F.lit(0),
+        lambda acc, x: F.when(acc != 0, acc)
+        .when(x >= up, F.lit(1))
+        .when(x <= dn, F.lit(-1))
+        .otherwise(F.lit(0)),
+    )
+    complete = (F.size(F.col("__path")) >= horizon) & F.col(
+        "__sigma"
+    ).isNotNull()
+    timeout_ret = F.element_at(F.col("__path"), horizon) / entry - 1.0
+    return d.withColumns(
+        {
+            "tb_label": F.when(complete, label_fold),
+            "tb_timeout_return": F.when(
+                complete & (label_fold == 0), timeout_ret
+            ),
+        }
+    ).drop("__path")

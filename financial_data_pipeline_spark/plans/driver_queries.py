@@ -9716,3 +9716,100 @@ def q_american_put_crr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("realized_vol_ann", 6).alias("realized_vol_ann"),
         F.round("american_put", 6).alias("american_put"),
     )
+
+
+@query(
+    "triple_barrier_labels",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp, close,
+         close / lag(close) OVER w - 1.0 AS ret
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), v AS (
+  SELECT symbol, timestamp, close,
+         CASE WHEN count(*) OVER vw >= 60
+              THEN stddev_samp(ret) OVER vw END AS sigma,
+         list(close) OVER fw AS path
+  FROM r
+  WINDOW vw AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
+         fw AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 1 FOLLOWING AND 24 FOLLOWING)
+), lab AS (
+  SELECT symbol, timestamp, close, sigma, path,
+         len(path) >= 24 AND sigma IS NOT NULL AS complete,
+         list_reduce(
+           list_prepend(0, list_transform(path,
+             x -> CASE WHEN x >= close * (1.0 + 2.0 * sigma) THEN 1
+                       WHEN x <= close * (1.0 - 2.0 * sigma) THEN -1
+                       ELSE 0 END)),
+           (acc, s) -> CASE WHEN acc <> 0 THEN acc ELSE s END) AS label
+  FROM v
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       CASE WHEN complete THEN label END AS tb_label,
+       round(CASE WHEN complete AND label = 0
+                  THEN path[24] / close - 1.0 END, 8) AS tb_timeout_return
+FROM lab
+""",
+)
+def q_triple_barrier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier ML labels (AFML ch.3) per bar
+    (``splitter.triple_barrier_labels``): vol-scaled horizontal
+    barriers, first-touch scan as an early-exit aggregate fold over
+    one bounded FOLLOWING window — no self-join, no leakage;
+    incomplete trailing events abstain."""
+    from financial_data_pipeline_spark.operators.splitter import (
+        triple_barrier_labels,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = triple_barrier_labels(bars, horizon=24, vol_window=60)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        "tb_label",
+        F.round("tb_timeout_return", 8).alias("tb_timeout_return"),
+    )
+
+
+def _frac_diff_oracle(d: float = 0.4, threshold: float = 5e-3) -> str:
+    from financial_data_pipeline_spark.operators.normalize import (
+        frac_diff_weights,
+    )
+
+    w = frac_diff_weights(d, threshold)
+    terms = " + ".join(
+        f"{wk!r} * lag(ln(close), {k}) OVER w" if k else f"{wk!r} * ln(close)"
+        for k, wk in enumerate(w)
+    )
+    return (
+        BARS_CTE
+        + f"""
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN lag(ln(close), {len(w) - 1}) OVER w IS NOT NULL
+                  THEN {terms} END, 8) AS frac_diff_04
+FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+"""
+    )
+
+
+@query("frac_diff_log_close", _frac_diff_oracle(0.4, 5e-3))
+def q_frac_diff_log_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width fractional differentiation (d=0.4) of log close
+    (``normalize.frac_diff``, AFML ch.5): 18 literal weights over one
+    per-symbol sort — stationarity without erasing the memory integer
+    differencing destroys; the oracle interpolates the same weights."""
+    from financial_data_pipeline_spark.operators.normalize import frac_diff
+
+    bars = events_as_ohlcv(spark, sf_dir).withColumn(
+        "__lc", F.log("close")
+    )
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(
+            frac_diff("__lc", d=0.4, threshold=5e-3), 8
+        ).alias("frac_diff_04"),
+    )

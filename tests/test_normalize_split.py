@@ -639,3 +639,79 @@ def test_wilcoxon_signed_rank_matches_numpy(spark):
             assert got.p_value < 1e-6
         else:
             assert got.p_value > 0.01
+
+
+def test_triple_barrier_and_frac_diff(spark):
+    """Triple-barrier: monotone up-path labels +1, down-path -1, flat
+    path 0 with the timeout return; trailing incomplete events abstain.
+    Frac-diff: d=1 reduces to the first difference; d=0.4 output
+    matches a numpy dot-product replay."""
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.normalize import (
+        frac_diff,
+        frac_diff_weights,
+    )
+    from financial_data_pipeline_spark.operators.splitter import (
+        triple_barrier_labels,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 300
+    noise = rng.normal(0, 0.3, n)
+    up = 100 + np.arange(n) * 1.0 + noise          # strong uptrend
+    dn = 100 - np.arange(n) * 0.5 + noise * 0.1    # downtrend
+    flat = 100 + noise * 0.01                      # inside barriers
+    rows = []
+    for sym, px in (("up", up), ("dn", dn), ("flat", flat)):
+        rows += [(sym, i, float(px[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "symbol string, timestamp long, close double")
+    out = (
+        triple_barrier_labels(df, horizon=24, vol_window=60)
+        .orderBy("symbol", "timestamp")
+        .toPandas()
+    )
+    mid = out[(out.timestamp > 80) & (out.timestamp < 200)]
+    assert (mid[mid.symbol == "up"].tb_label == 1).all()
+    assert (mid[mid.symbol == "dn"].tb_label == -1).all()
+    # barriers scale with each series' OWN vol, so "flat" still trips
+    # them at 2 sigma; the timeout branch needs wide barriers
+    wide = (
+        triple_barrier_labels(
+            df, horizon=24, vol_window=60, up_mult=50.0, down_mult=50.0
+        )
+        .orderBy("symbol", "timestamp")
+        .toPandas()
+    )
+    flat_mid = wide[
+        (wide.symbol == "flat") & (wide.timestamp > 80) & (wide.timestamp < 200)
+    ]
+    assert (flat_mid.tb_label == 0).all()
+    assert flat_mid.tb_timeout_return.notna().all()
+    # last `horizon` rows abstain (incomplete forward path)
+    tail = out[out.symbol == "up"].tail(24)
+    assert tail.tb_label.isna().all()
+
+    # frac diff d=1 == first difference
+    pdf = pd.DataFrame({"symbol": "x", "timestamp": range(n), "v": up})
+    sdf = spark.createDataFrame(pdf)
+    d1 = (
+        sdf.select("timestamp", frac_diff("v", d=1.0, threshold=0.5).alias("fd"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    want = pd.Series(up).diff()
+    assert np.allclose(
+        d1.fd.values[1:], want.values[1:], rtol=1e-12, equal_nan=True
+    )
+    # d=0.4 matches numpy dot product of the same truncated weights
+    w = np.array(frac_diff_weights(0.4, 5e-3))
+    d04 = (
+        sdf.select("timestamp", frac_diff("v", d=0.4, threshold=5e-3).alias("fd"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    k = len(w)
+    for t in (k - 1, 100, n - 1):
+        want_v = float(np.dot(w, up[t - k + 1 : t + 1][::-1]))
+        assert abs(d04.fd[t] - want_v) < 1e-9
