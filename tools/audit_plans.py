@@ -200,6 +200,10 @@ def main() -> None:
         "- `customer_spend_gini` GLOBAL_WINDOW: the Gini rank is a total",
         "  order over the per-customer AGGREGATE (|customers| rows), the",
         "  `customer_spend_rank` shape — facts never see the window.",
+        "- `wilcoxon_user_spend` GLOBAL_WINDOW + NESTED_LOOP_JOIN: same",
+        "  shape as `mann_whitney_purchase_view` below — an unkeyed",
+        "  paired test is a pooled total-order rank over the per-user",
+        "  AGGREGATE plus a one-row tie-correction crossJoin.",
         "- `mann_whitney_purchase_view` GLOBAL_WINDOW + NESTED_LOOP_JOIN:",
         "  the query runs the two-group test with NO key (by=[]), so the",
         "  pooled rank is inherently a total order — keyed invocations",
