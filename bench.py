@@ -240,6 +240,8 @@ HEADLINE = [
     "american_put_crr",
     "triple_barrier_labels",
     "frac_diff_log_close",
+    "anchored_vwap",
+    "chandelier_exit",
 ]
 
 

@@ -9813,3 +9813,97 @@ def q_frac_diff_log_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             frac_diff("__lc", d=0.4, threshold=5e-3), 8
         ).alias("frac_diff_04"),
     )
+
+
+@query(
+    "anchored_vwap",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp, close, volume,
+         CAST(timestamp AS DATE) AS day,
+         (high + low + close) / 3.0 AS tp
+  FROM bars
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sum(tp * volume) OVER w / sum(volume) OVER w, 6) AS vwap,
+       round((close - sum(tp * volume) OVER w / sum(volume) OVER w)
+             / (sum(tp * volume) OVER w / sum(volume) OVER w), 8)
+         AS vwap_deviation
+FROM d
+WINDOW w AS (PARTITION BY symbol, day ORDER BY timestamp
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored (session) VWAP: cumulative typical-price VWAP re-anchored
+    each day per symbol + the close's relative deviation — the
+    execution benchmark the daily ``vwap_daily`` aggregate can't give
+    intraday. One cumulative window keyed (symbol, day)."""
+    from pyspark.sql import Window as W
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    d = bars.withColumns(
+        {
+            "day": F.to_date("timestamp"),
+            "tp": (F.col("high") + F.col("low") + F.col("close")) / 3.0,
+        }
+    )
+    w = (
+        W.partitionBy("symbol", "day")
+        .orderBy("timestamp")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    vwap = F.sum(F.col("tp") * F.col("volume")).over(w) / F.sum("volume").over(w)
+    return d.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(vwap, 6).alias("vwap"),
+        F.round((F.col("close") - vwap) / vwap, 8).alias("vwap_deviation"),
+    )
+
+
+@query(
+    "chandelier_exit",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, timestamp, close,
+         greatest(high - low, abs(high - lag(close) OVER o),
+                  abs(low - lag(close) OVER o)) AS tr,
+         max(high) OVER w22 AS hh,
+         min(low) OVER w22 AS ll,
+         count(*) OVER w22 AS cnt
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY timestamp),
+         w22 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 21 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN cnt >= 22 AND count(tr) OVER w14 >= 14
+                  THEN hh - 3.0 * avg(tr) OVER w14 END, 6) AS chandelier_long,
+       round(CASE WHEN cnt >= 22 AND count(tr) OVER w14 >= 14
+                  THEN ll + 3.0 * avg(tr) OVER w14 END, 6) AS chandelier_short
+FROM t
+WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chandelier exit trailing stops: 22-bar extreme -/+ 3x ATR(14)
+    (long and short legs) — the volatility-trailed stop family
+    composed entirely from the existing window algebra."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    o = W.partitionBy("symbol").orderBy("timestamp")
+    w22 = o.rowsBetween(-21, 0)
+    atr14 = indicators.atr(14)
+    hh = F.when(F.count(F.lit(1)).over(w22) >= 22, F.max("high").over(w22))
+    ll = F.when(F.count(F.lit(1)).over(w22) >= 22, F.min("low").over(w22))
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(hh - 3.0 * atr14, 6).alias("chandelier_long"),
+        F.round(ll + 3.0 * atr14, 6).alias("chandelier_short"),
+    )
