@@ -705,7 +705,14 @@ def source_policy_flags(
     if blocked_sources:
         checks.append((F.col(source_col).isin(list(blocked_sources)), "blocked_source"))
     if badwords:
-        pat = r"(?i)\b(" + "|".join(badwords) + r")\b"
+        # escape each term: a badword containing regex metacharacters
+        # ('c++', 'a.b') must match literally, not change the
+        # alternation's semantics or fail to compile
+        import re as _re
+
+        pat = (
+            r"(?i)\b(" + "|".join(_re.escape(w) for w in badwords) + r")\b"
+        )
         checks.append((text.rlike(pat), "badword"))
     if min_chars:
         checks.append((F.length(text) < min_chars, "too_short"))

@@ -21,17 +21,114 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bin_counts(
-    df: DataFrame, col: str, lo, hi, bins: int
-) -> DataFrame:
-    width = (F.lit(hi) - F.lit(lo)) / F.lit(bins)
-    bucket = F.least(
-        F.lit(bins - 1),
-        F.greatest(
-            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / width).cast("int")
+def _melt(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(feature, __v) long form of the given numeric columns — one
+    pruned scan covers every feature at once (the scan reads only
+    ``cols``), so histogramming F features costs the same two passes
+    as histogramming one."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("double").alias("__v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("fv")
+    ).select("fv.feature", "fv.__v")
+
+
+def _ordered_bin_fold(key_col: str, term) -> "F.Column":
+    """Order-deterministic Σ term: left-fold over the bin-sorted list
+    so Spark and any SQL oracle (``list_reduce(list(x ORDER BY bin))``)
+    produce the bit-identical double — an unordered float sum rounded
+    at 6dp is a coin flip whenever the value lands near a rounding
+    boundary. The list is |bins| elements, so cost is nil."""
+    return F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(key_col), term.alias("__term")))
         ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__term"],
     )
-    return df.select(bucket.alias("bin")).groupBy("bin").count()
+
+
+def _hist_grid(
+    ref: DataFrame, new: DataFrame, cols: list[str], bins: int
+) -> DataFrame:
+    """(feature, bin, n_ref, n_new, __t_ref, __t_new) histogram grid
+    for every feature in ONE lazy plan — reference-side equal-width
+    bins, edge-clamped, zero driver actions:
+
+    - per-feature (min, max, count) is one aggregate over the melted
+      reference, broadcast back to both sides (no ``.first()``);
+    - each side bucket-counts with one groupBy(feature, bin);
+    - the dense feature×bin grid left-joins the two count frames and
+      the broadcast totals.
+
+    At 100 TB this is two passes per side covering ALL features (the
+    r02 shape was two passes + two driver round-trips PER feature)."""
+    spark = ref.sparkSession
+    mref, mnew = _melt(ref, cols), _melt(new, cols)
+    stats = mref.groupBy("feature").agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).alias("__t_ref"),
+    )
+    tnew = mnew.groupBy("feature").agg(F.count(F.lit(1)).alias("__t_new"))
+
+    def binned(m: DataFrame, name: str) -> DataFrame:
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(bins)
+        bucket = F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"),
+            ),
+        )
+        return (
+            m.join(F.broadcast(stats.select("feature", "__lo", "__hi")), "feature")
+            .select("feature", bucket.alias("bin"))
+            .groupBy("feature", "bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    features = spark.createDataFrame([(c,) for c in cols], "feature string")
+    grid = (
+        features.crossJoin(
+            spark.range(bins).select(F.col("id").cast("int").alias("bin"))
+        )
+        .join(binned(mref, "n_ref"), ["feature", "bin"], "left")
+        .join(binned(mnew, "n_new"), ["feature", "bin"], "left")
+        .na.fill({"n_ref": 0, "n_new": 0})
+        .join(F.broadcast(stats.select("feature", "__t_ref")), "feature")
+        .join(F.broadcast(tnew), "feature")
+    )
+    return grid
+
+
+def psi_features(
+    ref: DataFrame, new: DataFrame, cols: list[str], bins: int = 10
+) -> DataFrame:
+    """PSI per feature: ``(feature, psi, n_ref, n_new)``, one row per
+    column, computed as ONE job chain with zero driver actions (see
+    :func:`_hist_grid`). Values outside the reference range clamp into
+    the edge bins (out-of-range mass counts as extreme-bin drift
+    rather than vanishing); +0.5 Laplace smoothing keeps empty bins
+    finite. The 10-term sum folds in bin order so the result is
+    bit-reproducible across engines."""
+    grid = _hist_grid(ref, new, cols, bins)
+    p = (F.col("n_ref") + 0.5) / (F.col("__t_ref") + F.lit(0.5 * bins))
+    q = (F.col("n_new") + 0.5) / (F.col("__t_new") + F.lit(0.5 * bins))
+    term = (p - q) * F.log(p / q)
+    return grid.groupBy("feature").agg(
+        _ordered_bin_fold("bin", term).alias("psi"),
+        F.first("__t_ref").cast("bigint").alias("n_ref"),
+        F.first("__t_new").cast("bigint").alias("n_new"),
+    )
 
 
 def psi(
@@ -40,46 +137,9 @@ def psi(
     col: str,
     bins: int = 10,
 ) -> DataFrame:
-    """One-row frame: ``(feature, psi, n_ref, n_new)`` for ``col``.
-
-    Values outside the reference range clamp into the edge bins
-    (standard practice — out-of-range mass counts as extreme-bin
-    drift rather than vanishing).
-    """
-    lo, hi = ref.agg(F.min(col), F.max(col)).first()
-    bin_ids = ref.sparkSession.range(bins).select(
-        F.col("id").cast("int").alias("bin")
-    )
-    rc = _bin_counts(ref, col, lo, hi, bins).withColumnRenamed("count", "n_ref")
-    nc = _bin_counts(new, col, lo, hi, bins).withColumnRenamed("count", "n_new")
-    grid = (
-        bin_ids.join(rc, on="bin", how="left")
-        .join(nc, on="bin", how="left")
-        .na.fill({"n_ref": 0, "n_new": 0})
-    )
-    tr = grid.agg(F.sum("n_ref"), F.sum("n_new")).first()
-    t_ref, t_new = float(tr[0]), float(tr[1])
-    p = (F.col("n_ref") + 0.5) / F.lit(t_ref + 0.5 * bins)
-    q = (F.col("n_new") + 0.5) / F.lit(t_new + 0.5 * bins)
-    return grid.agg(
-        F.lit(col).alias("feature"),
-        F.sum((p - q) * F.log(p / q)).alias("psi"),
-        F.lit(int(t_ref)).alias("n_ref"),
-        F.lit(int(t_new)).alias("n_new"),
-    )
-
-
-def psi_features(
-    ref: DataFrame, new: DataFrame, cols: list[str], bins: int = 10
-) -> DataFrame:
-    """PSI per feature, one output row per column (unioned one-row
-    aggregates — each is a two-pass histogram over pruned single-column
-    scans; at scale, cache the two inputs before calling)."""
-    out = None
-    for c in cols:
-        row = psi(ref, new, c, bins)
-        out = row if out is None else out.unionByName(row)
-    return out
+    """One-row frame: ``(feature, psi, n_ref, n_new)`` for ``col`` —
+    the single-feature view of :func:`psi_features`."""
+    return psi_features(ref, new, [col], bins)
 
 
 def cusum_flags(
@@ -260,31 +320,18 @@ def js_divergence(
     when the comparison feeds an alert threshold that must not blow up
     on an empty bin. Same two-pass histogram plan and Laplace
     smoothing; only the combine differs:
-    JS = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2.
+    JS = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2 — folded per bin as
+    ½·(p·ln(p/m) + q·ln(q/m)) in bin order (bit-reproducible).
     """
-    lo, hi = ref.agg(F.min(col), F.max(col)).first()
-    bin_ids = ref.sparkSession.range(bins).select(
-        F.col("id").cast("int").alias("bin")
-    )
-    rc = _bin_counts(ref, col, lo, hi, bins).withColumnRenamed("count", "n_ref")
-    nc = _bin_counts(new, col, lo, hi, bins).withColumnRenamed("count", "n_new")
-    grid = (
-        bin_ids.join(rc, on="bin", how="left")
-        .join(nc, on="bin", how="left")
-        .na.fill({"n_ref": 0, "n_new": 0})
-    )
-    tr = grid.agg(F.sum("n_ref"), F.sum("n_new")).first()
-    t_ref, t_new = float(tr[0]), float(tr[1])
-    p = (F.col("n_ref") + 0.5) / F.lit(t_ref + 0.5 * bins)
-    q = (F.col("n_new") + 0.5) / F.lit(t_new + 0.5 * bins)
+    grid = _hist_grid(ref, new, [col], bins)
+    p = (F.col("n_ref") + 0.5) / (F.col("__t_ref") + F.lit(0.5 * bins))
+    q = (F.col("n_new") + 0.5) / (F.col("__t_new") + F.lit(0.5 * bins))
     m = (p + q) / 2.0
-    return grid.agg(
-        F.lit(col).alias("feature"),
-        (
-            0.5 * F.sum(p * F.log(p / m)) + 0.5 * F.sum(q * F.log(q / m))
-        ).alias("js_divergence"),
-        F.lit(int(t_ref)).alias("n_ref"),
-        F.lit(int(t_new)).alias("n_new"),
+    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    return grid.groupBy("feature").agg(
+        _ordered_bin_fold("bin", term).alias("js_divergence"),
+        F.first("__t_ref").cast("bigint").alias("n_ref"),
+        F.first("__t_new").cast("bigint").alias("n_new"),
     )
 
 
@@ -333,14 +380,19 @@ def categorical_psi(
         .join(counts(new, "n_new"), on="__cat", how="left")
         .na.fill({"n_ref": 0, "n_new": 0})
     )
-    tr = grid.agg(F.sum("n_ref"), F.sum("n_new")).first()
-    t_ref, t_new = float(tr[0]), float(tr[1])
+    # totals stay in the plan (one-row crossJoin, the scalar-
+    # distribution shape) — no driver action
+    tot = grid.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_new").alias("__tn")
+    )
+    grid = grid.crossJoin(F.broadcast(tot))
     k = len(domain) + 1
-    p = (F.col("n_ref") + 0.5) / F.lit(t_ref + 0.5 * k)
-    q = (F.col("n_new") + 0.5) / F.lit(t_new + 0.5 * k)
+    p = (F.col("n_ref") + 0.5) / (F.col("__tr") + F.lit(0.5 * k))
+    q = (F.col("n_new") + 0.5) / (F.col("__tn") + F.lit(0.5 * k))
+    term = (p - q) * F.log(p / q)
     return grid.agg(
         F.lit(col).alias("feature"),
-        F.sum((p - q) * F.log(p / q)).alias("psi"),
-        F.lit(int(t_ref)).alias("n_ref"),
-        F.lit(int(t_new)).alias("n_new"),
+        _ordered_bin_fold("__cat", term).alias("psi"),
+        F.first("__tr").cast("bigint").alias("n_ref"),
+        F.first("__tn").cast("bigint").alias("n_new"),
     )

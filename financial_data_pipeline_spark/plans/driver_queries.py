@@ -1717,11 +1717,15 @@ def q_top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _psi_feature_sql(col: str) -> str:
     """DuckDB twin of operators.drift.psi for one bars column with the
     2024-01-16 split: reference-side equal-width bins, edge-clamped,
-    +0.5 Laplace smoothing — identical arithmetic order."""
+    +0.5 Laplace smoothing — identical arithmetic order, and the
+    10-term sum left-folds in bin order (list_reduce) to match Spark's
+    array_sort+aggregate fold bit-for-bit; totals cast to BIGINT to
+    match Spark's long."""
     return f"""
 SELECT '{col}' AS feature,
-       round(sum((p - q) * ln(p / q)), 6) AS psi,
-       first(t_ref) AS n_ref, first(t_new) AS n_new
+       round(list_reduce(list((p - q) * ln(p / q) ORDER BY bin),
+                         (a, b) -> a + b), 6) AS psi,
+       first(t_ref)::BIGINT AS n_ref, first(t_new)::BIGINT AS n_new
 FROM (
   SELECT g.bin,
          (coalesce(rc.n, 0) + 0.5) / (tr.t_ref + 5.0) AS p,
@@ -2643,7 +2647,7 @@ WITH agg AS (
                      WHEN 'src2' THEN 0.2 END AS weight
   FROM documents GROUP BY source
 )
-SELECT source, n_docs, tokens,
+SELECT source, n_docs, tokens::BIGINT AS tokens,
        round(least(1.0, weight * 20000 / tokens::DOUBLE), 6) AS rate,
        round(least(1.0, weight * 20000 / tokens::DOUBLE) * tokens, 2)
          AS expected_tokens
@@ -2722,7 +2726,7 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_session_stats",
     _SESSIONS_CTE
     + """
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
        sum(session_end_us - session_start_us) / count(*) / 1000000.0
          AS avg_session_sec
 FROM sess GROUP BY user_id
@@ -2821,11 +2825,11 @@ def q_corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_type_pivot",
     """
 SELECT hour(ts) AS hour,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
 FROM events GROUP BY 1
 """,
 )
@@ -2911,9 +2915,9 @@ WITH stages AS (
   FROM events GROUP BY user_id
 )
 SELECT count(t_view) AS n_view,
-       sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END)::BIGINT AS n_click,
        sum(CASE WHEN t_view < t_click AND t_click < t_purchase
-                THEN 1 ELSE 0 END) AS n_purchase
+                THEN 1 ELSE 0 END)::BIGINT AS n_purchase
 FROM stages
 """,
 )
@@ -2948,7 +2952,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH active AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
 SELECT a.d::VARCHAR AS day, count(*) AS n_active,
-       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained
+       sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_retained
 FROM active a LEFT JOIN active b
   ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
 GROUP BY a.d
@@ -5989,18 +5993,18 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT
   (SELECT count(*) FROM lineitem) AS total_rows,
-  (SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) FROM lineitem)
+  (SELECT sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem)
     AS l_orderkey_null,
   (SELECT sum(CASE WHEN l_quantity IS NOT NULL
                     AND (l_quantity < 1 OR l_quantity > 50)
-              THEN 1 ELSE 0 END) FROM lineitem) AS l_quantity_out_of_range,
+              THEN 1 ELSE 0 END)::BIGINT FROM lineitem) AS l_quantity_out_of_range,
   (SELECT sum(CASE WHEN l_returnflag IS NOT NULL
                     AND l_returnflag NOT IN ('A', 'N', 'R')
-              THEN 1 ELSE 0 END) FROM lineitem) AS l_returnflag_not_in_set,
+              THEN 1 ELSE 0 END)::BIGINT FROM lineitem) AS l_returnflag_not_in_set,
   (SELECT sum(CASE WHEN NOT coalesce(
                  l_extendedprice > 0 AND l_discount BETWEEN 0 AND 1, false)
-              THEN 1 ELSE 0 END) FROM lineitem) AS price_discount_sane,
-  (SELECT coalesce(sum(n - 1), 0) FROM (
+              THEN 1 ELSE 0 END)::BIGINT FROM lineitem) AS price_discount_sane,
+  (SELECT coalesce(sum(n - 1), 0)::BIGINT FROM (
      SELECT count(*) AS n FROM lineitem
      GROUP BY l_orderkey, l_linenumber)) AS duplicate_key_rows,
   (SELECT count(*) FROM lineitem l
@@ -6199,9 +6203,9 @@ def q_return_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM b
 )
 SELECT symbol,
-       sum(doji) AS doji_count,
-       sum(bullish_engulfing) AS bullish_engulfing_count,
-       sum(hammer) AS hammer_count
+       sum(doji)::BIGINT AS doji_count,
+       sum(bullish_engulfing)::BIGINT AS bullish_engulfing_count,
+       sum(hammer)::BIGINT AS hammer_count
 FROM f GROUP BY symbol
 """,
 )
@@ -6591,7 +6595,7 @@ WITH agg AS (
          pow(tokens, 0.3) / sum(pow(tokens, 0.3)) OVER () AS share
   FROM agg
 )
-SELECT source, n_docs, tokens,
+SELECT source, n_docs, tokens::BIGINT AS tokens,
        round(share, 6) AS weight,
        round(least(1.0, share * 1000000.0 / tokens), 6) AS rate,
        round(least(1.0, share * 1000000.0 / tokens) * tokens, 2)
@@ -6990,7 +6994,7 @@ WITH s AS (
 )
 SELECT ((h % 8) + 8) % 8 AS shard,
        count(*) AS n_docs,
-       sum(toks) AS n_tokens,
+       sum(toks)::BIGINT AS n_tokens,
        min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM s GROUP BY 1
 """,
@@ -7071,7 +7075,7 @@ SELECT b.symbol,
        count(*) AS n,
        sum(CASE WHEN mad.mad > 0
                  AND abs(0.6745 * (b.close - med.med) / mad.mad) > 3.5
-                THEN 1 ELSE 0 END) AS n_outliers,
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
        round(max(CASE WHEN mad.mad > 0
                       THEN abs(0.6745 * (b.close - med.med) / mad.mad)
                  END), 6) AS max_abs_z
@@ -7966,7 +7970,7 @@ WITH filt AS (
              + 0.11 / sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE))) * ks_d AS l
   FROM agg
 )
-SELECT dow, n_a, n_b, round(ks_d, 6) AS ks_d,
+SELECT dow, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, round(ks_d, 6) AS ks_d,
        round(least(1.0, greatest(0.0, CASE
          WHEN l = 0.0 THEN 1.0
          WHEN l < 1.18 THEN 1.0 - (sqrt(2.0 * pi()) / l)
@@ -8080,7 +8084,7 @@ WITH pooled AS (
          1.0 / (1.0 + 0.3275911 * abs(zval) / sqrt(2.0)) AS t
   FROM zz
 )
-SELECT n_a, n_b, round(u_a, 2) AS u_a, round(zval, 6) AS z,
+SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, round(u_a, 2) AS u_a, round(zval, 6) AS z,
        round(least(1.0,
          t * (0.254829592 + t * (-0.284496736
               + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
@@ -8127,7 +8131,7 @@ WITH d AS (
          sum(p) AS pmass
   FROM per GROUP BY prio
 )
-SELECT prio, n,
+SELECT prio, n::BIGINT AS n,
        round(n * (dev + (1.0 - pmass)), 6) AS chi2,
        round(exp(-(n * (dev + (1.0 - pmass))) / 2.0)
              * (1.0 + (n * (dev + (1.0 - pmass))) / 2.0
@@ -8333,9 +8337,11 @@ _JS_ORACLE = (
 , ref AS (SELECT close FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
 nw AS (SELECT close FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16')
 SELECT 'close' AS feature,
-       round(0.5 * sum(p * ln(p / ((p + q) / 2.0)))
-             + 0.5 * sum(q * ln(q / ((p + q) / 2.0))), 6) AS js_divergence,
-       first(t_ref) AS n_ref, first(t_new) AS n_new
+       round(list_reduce(
+               list(0.5 * (p * ln(p / ((p + q) / 2.0))
+                           + q * ln(q / ((p + q) / 2.0))) ORDER BY bin),
+               (a, b) -> a + b), 6) AS js_divergence,
+       first(t_ref)::BIGINT AS n_ref, first(t_new)::BIGINT AS n_new
 FROM (
   SELECT g.bin,
          (coalesce(rc.n, 0) + 0.5) / (tr.t_ref + 5.0) AS p,
@@ -8561,7 +8567,7 @@ obs AS (
            AS n_risk
   FROM per_t
 )
-SELECT t, d, c, n_risk,
+SELECT t, d::BIGINT AS d, c::BIGINT AS c, n_risk::BIGINT AS n_risk,
        round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
                        OVER wasc = 1 THEN 0.0
              ELSE exp(sum(CASE WHEN d > 0 AND d < n_risk
@@ -8843,7 +8849,7 @@ agg AS (
          dev + (n - emass) AS chi2
   FROM agg
 )
-SELECT n, r, c, dof, round(chi2, 6) AS chi2,
+SELECT n::BIGINT AS n, r, c, dof, round(chi2, 6) AS chi2,
        round(CASE WHEN dof % 2 = 0 THEN least(1.0,
          exp(-chi2 / 2.0) * list_sum(list_transform(range(0, CAST(dof / 2 AS INT)),
              j -> pow(chi2 / 2.0, j) / CAST(factorial(CAST(j AS INT)) AS DOUBLE))))
@@ -9135,7 +9141,7 @@ WITH scored AS (
          + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS r
   FROM scored
 )
-SELECT sum(y) AS n_pos, sum(1 - y) AS n_neg,
+SELECT sum(y)::BIGINT AS n_pos, sum(1 - y)::BIGINT AS n_neg,
        round((sum(CASE WHEN y = 1 THEN r END)
               - sum(y) * (sum(y) + 1.0) / 2.0)
              / (CAST(sum(y) AS DOUBLE) * sum(1 - y)), 6) AS auc
@@ -9292,9 +9298,11 @@ domain AS (
   FROM grid
 )
 SELECT 'source' AS feature,
-       round(sum(((n_ref + 0.5) / (tr + 0.5 * k) - (n_new + 0.5) / (tn + 0.5 * k))
-             * ln(((n_ref + 0.5) / (tr + 0.5 * k))
-                  / ((n_new + 0.5) / (tn + 0.5 * k)))), 6) AS psi,
+       round(list_reduce(
+               list(((n_ref + 0.5) / (tr + 0.5 * k) - (n_new + 0.5) / (tn + 0.5 * k))
+                    * ln(((n_ref + 0.5) / (tr + 0.5 * k))
+                         / ((n_new + 0.5) / (tn + 0.5 * k))) ORDER BY cat),
+               (a, b) -> a + b), 6) AS psi,
        CAST(first(tr) AS BIGINT) AS n_ref, CAST(first(tn) AS BIGINT) AS n_new
 FROM grid, tot
 """,
@@ -9349,7 +9357,7 @@ scale AS (
   SELECT symbol, bucket, sum(volume * buy_frac) AS buy, sum(volume) AS v
   FROM cls GROUP BY 1, 2
 )
-SELECT symbol, bucket, round(v, 4) AS bucket_volume,
+SELECT symbol, bucket::BIGINT AS bucket, round(v, 4) AS bucket_volume,
        round(abs(2.0 * buy - v) / v, 6) AS order_imbalance,
        round(CASE WHEN count(*) OVER w >= 50
                   THEN sum(abs(2.0 * buy - v)) OVER w / sum(v) OVER w END, 6)

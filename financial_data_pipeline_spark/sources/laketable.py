@@ -73,6 +73,10 @@ class Snapshot:
     # last applied micro-batch id here, which is what makes replayed
     # foreachBatch deliveries idempotent (see streaming/lake_sink.py).
     app_meta: dict = field(default_factory=dict)
+    # WAP snapshots are branches, not commits: they sit ABOVE head by
+    # design and must not count as "someone committed past your base"
+    # in the optimistic-concurrency staleness check.
+    staged: bool = False
 
 
 def _mdir(root: str) -> str:
@@ -108,38 +112,51 @@ def _collect_stats(
     df = spark.read.parquet(*files).withColumn(
         "__file", F.input_file_name()
     )
+    n_words = _BLOOM_BITS // 64
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
     for c in bloom_cols:
         # per-row k positions (md5 of "col:k:value" — mirrors
-        # _bloom_positions exactly), collected as the distinct set
-        pos = F.array(
-            *[
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit(f"{c}:{k}:"),
-                                F.col(c).cast("string"),
-                            )
+        # _bloom_positions exactly). NULL values contribute no
+        # positions (they can never be probed via eq= anyway), and the
+        # bitmap is folded INSIDE the aggregate — a fixed 16-long
+        # state per file per column (bit_or of per-row 64-bit words),
+        # never a collected set of distinct position arrays whose
+        # buffer would grow with column cardinality.
+        pos = F.when(
+            F.col(c).isNotNull(),
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{c}:{k}:"),
+                                    F.col(c).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
                         ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _BLOOM_BITS
-                for k in range(_BLOOM_HASHES)
-            ]
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_BITS
+                    for k in range(_BLOOM_HASHES)
+                ]
+            ),
         )
-        aggs.append(
-            F.array_distinct(F.flatten(F.collect_set(pos))).alias(
-                f"__bloom_{c}"
+        df = df.withColumn(f"__pos_{c}", pos)
+        for w in range(n_words):
+            word = F.expr(
+                f"aggregate(__pos_{c}, 0L, (acc, p) -> "
+                f"CASE WHEN CAST(p / 64 AS INT) = {w} "
+                f"THEN acc | shiftleft(1L, CAST(p % 64 AS INT)) "
+                f"ELSE acc END)"
             )
-        )
+            aggs.append(F.bit_or(word).alias(f"__bloom_{c}_{w}"))
     rows = df.groupBy("__file").agg(*aggs).collect()
     out = []
     for r in rows:
@@ -148,7 +165,12 @@ def _collect_stats(
             for c in stat_cols
         }
         for c in bloom_cols:
-            stats[f"__bloom_{c}"] = _bloom_hex(r[f"__bloom_{c}"] or [])
+            bits = 0
+            for w in range(n_words):
+                word = r[f"__bloom_{c}_{w}"]
+                if word is not None:
+                    bits |= (word & 0xFFFFFFFFFFFFFFFF) << (64 * w)
+            stats[f"__bloom_{c}"] = f"{bits:0{_BLOOM_BITS // 4}x}"
         path = r["__file"]
         if path.startswith("file:"):
             path = path[len("file:"):]
@@ -187,10 +209,13 @@ def _bloom_positions(value, seed_base: str) -> list[int]:
 
 
 def _bloom_hex(positions) -> str:
-    """Bit positions → fixed-width hex bitmap string (JSON-portable)."""
+    """Bit positions → fixed-width hex bitmap string (JSON-portable).
+    None positions (from NULL column values) are skipped — nulls are
+    never probeable via eq= so they need no bits."""
     bits = 0
     for p in positions:
-        bits |= 1 << int(p)
+        if p is not None:
+            bits |= 1 << int(p)
     return f"{bits:0{_BLOOM_BITS // 4}x}"
 
 
@@ -249,7 +274,36 @@ class LakeTable:
             mode=d["mode"],
             files=[FileStat(**fs) for fs in d["files"]],
             app_meta=d.get("app_meta", {}),
+            staged=d.get("staged", False),
         )
+
+    def _detached_path(self) -> str:
+        return os.path.join(_mdir(self.root), "detached.json")
+
+    def _detached(self) -> set[int]:
+        """Versions a rollback/older-publish branched PAST — still
+        readable (time travel) but no longer part of the committed
+        line, so they must not trip the OCC staleness check."""
+        try:
+            with open(self._detached_path()) as f:
+                return set(json.load(f))
+        except FileNotFoundError:
+            return set()
+
+    def _detach_above(self, version: int) -> None:
+        """Record every committed snapshot newer than ``version`` as
+        detached — called when HEAD moves BACKWARD (rollback / publish
+        of an older version), which abandons that suffix of history."""
+        newer = [
+            v
+            for v in self.snapshots()
+            if v > version and not self._load_snapshot(v).staged
+        ]
+        if not newer:
+            return
+        detached = self._detached() | set(newer)
+        with open(self._detached_path(), "w") as f:
+            json.dump(sorted(detached), f)
 
     def snapshots(self) -> list[int]:
         return sorted(
@@ -278,29 +332,48 @@ class LakeTable:
         files: list[FileStat],
         app_meta: dict | None = None,
         move_head: bool = True,
+        base: int | None = None,
     ) -> int:
         """Write the snapshot manifest for the next version and move
         HEAD — the only mutation a commit does to table metadata.
-        ``app_meta`` updates are merged over the head snapshot's map
+        ``app_meta`` updates are merged over the BASE snapshot's map
         and ride the same manifest write, so they are atomic with the
-        data they describe."""
-        head = self.head_version()
-        # next version goes PAST the highest existing snapshot, not
-        # just head+1: after a rollback the overwritten-future snapshot
-        # files still exist for time travel, and colliding with one
-        # must read as a writer race, not a rollback artifact
+        data they describe.
+
+        ``base`` is the version the caller DERIVED the commit from
+        (carried files, merge survivors) — captured once at the top of
+        commit()/stage()/merge()/delete() so a concurrent commit in the
+        derive window cannot be silently built over. Staleness check:
+        any committed (non-staged, non-detached) snapshot newer than
+        ``base`` means the derivation is stale → ``CommitConflict``.
+        The O_EXCL create of the version-named file then closes the
+        remaining window where two writers pass the check off the same
+        listing — exactly one creates v{N} (the putIfAbsent-on-log
+        commit point Delta uses; maps to if-none-match puts on object
+        stores). HEAD is a convenience pointer written AFTER the real
+        commit point and recomputable from the manifest listing."""
+        if base is None:
+            base = self.head_version()
         existing = self.snapshots()
-        version = max(head, existing[-1] if existing else 0) + 1
-        meta = dict(self._load_snapshot(head).app_meta) if head > 0 else {}
+        detached = self._detached()
+        stale = [
+            v
+            for v in existing
+            if v > base and v not in detached and not self._load_snapshot(v).staged
+        ]
+        if stale:
+            raise CommitConflict(
+                f"base version {base} is stale: version(s) "
+                f"{stale} were committed concurrently; re-read HEAD and "
+                "re-derive the commit against the new snapshot"
+            )
+        # next version goes PAST the highest existing snapshot, not
+        # just base+1: detached (rolled-back) and staged (WAP) snapshot
+        # files still exist for time travel and must never be
+        # overwritten by a new commit's version number
+        version = max(base, existing[-1] if existing else 0) + 1
+        meta = dict(self._load_snapshot(base).app_meta) if base > 0 else {}
         meta.update(app_meta or {})
-        # OPTIMISTIC CONCURRENCY: the snapshot file is named by its
-        # version and created with O_EXCL — exactly one of two racing
-        # writers can create v{N}; the loser gets CommitConflict and
-        # must re-derive against the new HEAD (the putIfAbsent-on-log
-        # commit point Delta uses; on object stores this maps to
-        # if-none-match puts). HEAD is a convenience pointer written
-        # AFTER the real commit point and recomputable from the
-        # manifest listing.
         try:
             f = open(self._snapshot_path(version), "x")
         except FileExistsError:
@@ -316,6 +389,7 @@ class LakeTable:
                     "mode": mode,
                     "files": [vars(fs) for fs in files],
                     "app_meta": meta,
+                    "staged": not move_head,
                 },
                 f,
             )
@@ -437,13 +511,17 @@ class LakeTable:
         if mode == "append":
             self._check_schema_compat(df)
         self._enforce_constraints(df)
+        # capture the base ONCE: carried files and the claimed version
+        # must derive from the same head, or a commit landing between
+        # the two reads is silently built over (lost update)
+        base = self.head_version()
         new = self._write_files(df)
         carried = (
-            self._load_snapshot(self.head_version()).files
-            if mode == "append" and self.head_version() > 0
+            self._load_snapshot(base).files
+            if mode == "append" and base > 0
             else []
         )
-        return self._advance(mode, carried + new, app_meta)
+        return self._advance(mode, carried + new, app_meta, base=base)
 
     def stage(
         self,
@@ -471,22 +549,37 @@ class LakeTable:
         if mode == "append":
             self._check_schema_compat(df)
         self._enforce_constraints(df)
+        base = self.head_version()
         new = self._write_files(df)
         carried = (
-            self._load_snapshot(self.head_version()).files
-            if mode == "append" and self.head_version() > 0
+            self._load_snapshot(base).files
+            if mode == "append" and base > 0
             else []
         )
         return self._advance(
-            mode, carried + new, app_meta, move_head=False
+            mode, carried + new, app_meta, move_head=False, base=base
         )
 
     def publish(self, version: int) -> None:
         """Write-audit-publish, step 3: make a staged version visible.
-        Publishing a version older than HEAD is a rollback spelling and
-        equally O(1 metadata)."""
+        Publishing flips the snapshot's ``staged`` flag — from here on
+        it is committed history and a concurrent writer deriving from
+        an older base must see it as a conflict. Publishing a version
+        older than HEAD is a rollback spelling (equally O(1 metadata))
+        and detaches the bypassed suffix like :meth:`rollback`."""
         if version not in self.snapshots():
             raise ValueError(f"unknown version {version}")
+        snap_path = self._snapshot_path(version)
+        with open(snap_path) as f:
+            d = json.load(f)
+        if d.get("staged", False):
+            d["staged"] = False
+            tmp = snap_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(d, f)
+            os.replace(tmp, snap_path)
+        if version < self.head_version():
+            self._detach_above(version)
         with open(self._head_path(), "w") as f:
             json.dump({"version": version}, f)
 
@@ -515,12 +608,12 @@ class LakeTable:
             raise ValueError(
                 f"merge needs key column {k0!r} in stat_cols for file pruning"
             )
-        head = self.head_version()
-        if head == 0:
+        base = self.head_version()
+        if base == 0:
             return self.commit(updates, mode="append", app_meta=app_meta)
         self._check_schema_compat(updates)
         self._enforce_constraints(updates)
-        touched, carried = self._split_by_key_range(head, updates, k0)
+        touched, carried = self._split_by_key_range(base, updates, k0)
         if touched:
             old = self.spark.read.parquet(*[fs.path for fs in touched])
             survivors = old.join(
@@ -532,7 +625,7 @@ class LakeTable:
         else:
             combined = updates
         return self._advance(
-            "merge", carried + self._write_files(combined), app_meta
+            "merge", carried + self._write_files(combined), app_meta, base=base
         )
 
     def _split_by_key_range(
@@ -569,17 +662,19 @@ class LakeTable:
             raise ValueError(
                 f"delete needs key column {k0!r} in stat_cols for file pruning"
             )
-        head = self.head_version()
-        if head == 0:
+        base = self.head_version()
+        if base == 0:
             raise ValueError("delete on an empty table")
-        touched, carried = self._split_by_key_range(head, keys, k0)
+        touched, carried = self._split_by_key_range(base, keys, k0)
         if not touched:
-            return self._advance("delete", carried)
+            return self._advance("delete", carried, base=base)
         old = self.spark.read.parquet(*[fs.path for fs in touched])
         survivors = old.join(
             keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
         )
-        return self._advance("delete", carried + self._write_files(survivors))
+        return self._advance(
+            "delete", carried + self._write_files(survivors), base=base
+        )
 
     def added_files(self, since_version: int, to_version: int | None = None) -> list[str]:
         """Manifest diff: data files present in ``to_version`` (default
@@ -620,9 +715,15 @@ class LakeTable:
         return deleted
 
     def rollback(self, version: int) -> None:
-        """Point HEAD at an existing snapshot — O(1 metadata write)."""
+        """Point HEAD at an existing snapshot — O(1 metadata write).
+        Newer committed snapshots become DETACHED history: still
+        readable via time travel, but no longer on the committed line,
+        so a post-rollback writer deriving from the rolled-back HEAD
+        is not spuriously conflicted by them (and a new commit claims
+        a version number past them, never overwriting one)."""
         if version not in self.snapshots():
             raise ValueError(f"unknown version {version}")
+        self._detach_above(version)
         with open(self._head_path(), "w") as f:
             json.dump({"version": version}, f)
 
@@ -688,14 +789,14 @@ class LakeTable:
         seam, see module docstring)."""
         files = self.pruned_files(version, pred_col, lo, hi, eq=eq)
         if not files:
-            if eq is not None:
+            snap_files = self._load_snapshot(
+                self.head_version() if version is None else version
+            ).files
+            if eq is not None and snap_files:
                 # bloom proved the value absent from every file — an
-                # empty result, not an error
-                return self.spark.read.parquet(
-                    *[f.path for f in self._load_snapshot(
-                        self.head_version() if version is None else version
-                    ).files][:1]
-                ).limit(0)
+                # empty result, not an error (schema comes from any
+                # one real file)
+                return self.spark.read.parquet(snap_files[0].path).limit(0)
             raise ValueError("snapshot selects no files (empty table?)")
         reader = self.spark.read
         if merge_schema:
@@ -745,7 +846,9 @@ def compact(
         )
     else:
         df = df.coalesce(n_out)
-    return table._advance("compact", carried + table._write_files(df))
+    return table._advance(
+        "compact", carried + table._write_files(df), base=head
+    )
 
 
 def read_as_of(table: LakeTable, ts: float) -> DataFrame:

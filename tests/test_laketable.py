@@ -398,29 +398,83 @@ def test_concurrent_commit_conflict(spark, tmp_path):
     w2 = LakeTable(spark, root, stat_cols=["id"])
     w1.commit(spark.range(3).selectExpr("id", "id * 2 AS v"))
 
-    # both writers derive against head v1; w1 lands v2 first
+    # REAL race, no monkeypatching: w2 derives its commit (reads head,
+    # lands data files, computes carried set) BEFORE w1 commits; w1
+    # lands v2 in the window; w2's attempt to finish against its stale
+    # base must raise, not silently build a snapshot missing w1's rows
     df1 = spark.range(3, 6).selectExpr("id", "id * 2 AS v")
     df2 = spark.range(6, 9).selectExpr("id", "id * 2 AS v")
-    assert w1.commit(df1) == 2
-    # simulate the race: the loser read HEAD (v1) before the winner
-    # landed v2, so its _advance targets v2 — the exclusive create on
-    # the version-named snapshot file rejects it
-    # both the HEAD pointer and the manifest listing are stale, as
-    # they would be for a writer that derived before the winner landed
-    w2.head_version = lambda: 1
-    w2.snapshots = lambda: [1]
-    with _pytest.raises(CommitConflict, match="version 2"):
-        w2.commit(df2)
-    del w2.head_version, w2.snapshots  # drop the stale-read shims
+    base2 = w2.head_version()
+    carried2 = w2._load_snapshot(base2).files
+    files2 = w2._write_files(df2)
+    assert w1.commit(df1) == 2  # winner lands while w2 is mid-derive
+    with _pytest.raises(CommitConflict, match="stale"):
+        w2._advance("append", carried2 + files2, base=base2)
 
     assert w2.head_version() == 2
-    assert w2.read().count() == 6  # winner's rows only
+    assert w2.read().count() == 6  # winner's rows only — nothing lost
     lost = orphan_files(w2)
     assert len(lost) > 0  # loser's files are reclaimable orphans
 
-    # retry against the fresh head succeeds as v3
+    # retry against the fresh head succeeds as v3 and keeps BOTH
+    # writers' rows — the lost-update scenario is impossible
     assert w2.commit(df2) == 3
     assert w2.read().count() == 9
+
+
+def test_rollback_detaches_future_and_allows_commit(spark, tmp_path):
+    """Rollback must not wedge the table: the bypassed newer snapshot
+    becomes DETACHED history (still time-travelable), a post-rollback
+    commit derives cleanly from the rolled-back head, and version
+    numbers never collide with the detached suffix."""
+    from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    t.commit(spark.range(2).selectExpr("id", "id AS v"))         # v1
+    t.commit(spark.range(2, 4).selectExpr("id", "id AS v"))      # v2
+    t.commit(spark.range(4, 6).selectExpr("id", "id AS v"))      # v3
+    t.rollback(2)
+    assert t.head_version() == 2
+    # detached v3 is not a conflict for a writer based on v2...
+    v = t.commit(spark.range(6, 8).selectExpr("id", "id AS v"))
+    assert v == 4  # ...and its version number is never reused
+    assert t.read().count() == 6  # v1+v2 rows + the new commit
+    assert t.read(version=3).count() == 6  # detached v3 still readable
+
+
+def test_publish_makes_staged_version_conflictable(spark, tmp_path):
+    """publish() is the commit point of a WAP branch: before publish a
+    staged snapshot conflicts with nobody; after publish a writer whose
+    base predates it must get CommitConflict (its derivation is stale),
+    exactly as if the snapshot had been a plain commit."""
+    import pytest as _pytest
+
+    from financial_data_pipeline_spark.sources.laketable import (
+        CommitConflict,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "lake"), stat_cols=["id"])
+    t.commit(spark.range(2).selectExpr("id", "id AS v"))  # v1
+    staged = t.stage(spark.range(2, 4).selectExpr("id", "id AS v"))  # v2
+
+    # a writer based on v1 is NOT conflicted by the un-published stage
+    base = t.head_version()
+    assert base == 1
+    files = t._write_files(spark.range(4, 6).selectExpr("id", "id AS v"))
+    v3 = t._advance("append", t._load_snapshot(base).files + files, base=base)
+    assert v3 == 3
+
+    # after publish, the staged version is committed history: a writer
+    # still deriving from v1 must conflict
+    t.publish(staged)
+    stale_files = t._write_files(
+        spark.range(6, 8).selectExpr("id", "id AS v")
+    )
+    with _pytest.raises(CommitConflict):
+        t._advance(
+            "append", t._load_snapshot(1).files + stale_files, base=1
+        )
 
 
 def test_write_audit_publish_flow(spark, tmp_path):
@@ -494,3 +548,29 @@ def test_bloom_file_index_point_lookup(spark, tmp_path):
     kept_absent = t.pruned_files(eq=("id", absent))
     assert len(kept_absent) <= 1  # at most an unlucky false positive
     assert t.read(eq=("id", absent)).filter(f"id = {absent}").count() == 0
+
+
+def test_bloom_index_tolerates_nulls(spark, tmp_path):
+    """NULL values in a bloom-indexed column must not crash the commit
+    (nulls contribute no bits — they can never be probed via eq=), and
+    probes for real values still work alongside them."""
+    from financial_data_pipeline_spark.sources.laketable import LakeTable
+
+    t = LakeTable(
+        spark,
+        str(tmp_path / "lake"),
+        stat_cols=["id"],
+        bloom_cols=["name"],
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "gamma"), (4, None)],
+        "id long, name string",
+    )
+    v = t.commit(df)  # must not raise
+    assert v == 1
+    assert t.read().count() == 4
+    got = t.read(eq=("name", "alpha")).filter("name = 'alpha'").collect()
+    assert len(got) == 1 and got[0].id == 1
+    # an all-NULL commit builds an empty bitmap that prunes everything
+    t.commit(spark.createDataFrame([(5, None)], "id long, name string"))
+    assert t.read(eq=("name", "zeta")).filter("name = 'zeta'").count() == 0

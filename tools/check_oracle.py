@@ -36,12 +36,41 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _kind(dt) -> str:
+    """Coarse dtype class — the driver hashes SERIALIZED values, so an
+    int column vs a float column (1686 vs 1686.0) is a hash mismatch
+    even when numerically equal. numpy coercion in the value check
+    below can't see that; this can."""
+    try:
+        if np.issubdtype(dt, np.integer):
+            return "int"
+        if np.issubdtype(dt, np.floating):
+            return "float"
+    except TypeError:
+        pass
+    s = str(dt)
+    if s.startswith(("Int", "UInt")):
+        return "int"
+    if s.startswith("Float"):
+        return "float"
+    return "other"
+
+
 def compare(name: str, sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
     errs = []
     if len(sp) != len(ora):
         return [f"rowcount {len(sp)} vs {len(ora)}"]
     if sorted(sp.columns) != sorted(ora.columns):
         return [f"columns {sorted(sp.columns)} vs {sorted(ora.columns)}"]
+    for c in sorted(sp.columns):
+        ka, kb = _kind(sp[c].dtype), _kind(ora[c].dtype)
+        if {ka, kb} == {"int", "float"}:
+            errs.append(
+                f"col {c}: dtype skew {sp[c].dtype} vs {ora[c].dtype}"
+                " (driver value-hash would mismatch)"
+            )
+    if errs:
+        return errs
     a, b = canon(sp), canon(ora)
     for c in a.columns:
         av, bv = a[c].values, b[c].values
