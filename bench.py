@@ -291,6 +291,44 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+
+    # Regression gate: every run diffs per-query against the PREVIOUS
+    # detail file before overwriting it — any common query slowing past
+    # 1.5x is reported loudly (stderr table + "regressions" in the
+    # summary line), so a perf regression cannot land silently between
+    # rounds. Totals are never compared (the query set grows).
+    regressions: list[str] = []
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh).get("queries", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev = {}
+    common = sorted(set(per_query) & set(prev))
+    if common:
+        ranked = sorted(
+            (k for k in common if prev[k] > 0),
+            key=lambda k: per_query[k] / prev[k],
+            reverse=True,
+        )
+        print(
+            f"[bench] {len(common)} queries vs previous run "
+            f"({len(per_query) - len(common)} new); slowest ratios:",
+            file=sys.stderr,
+        )
+        for k in ranked[:8]:
+            r = per_query[k] / prev[k]
+            flag = "  <-- REGRESSION" if r > 1.5 and per_query[k] > 0.3 else ""
+            print(
+                f"[bench]   {k}: {prev[k]:.3f}s -> {per_query[k]:.3f}s"
+                f" ({r:.2f}x){flag}",
+                file=sys.stderr,
+            )
+        regressions = [
+            k
+            for k in ranked
+            if per_query[k] / prev[k] > 1.5 and per_query[k] > 0.3
+        ]
+
     with open(detail_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
 
@@ -304,6 +342,7 @@ def main() -> None:
                 "queries": top,
                 "sf": float(sf),
                 "n_queries": len(per_query),
+                "regressions": regressions,
                 "detail": "BENCH_DETAIL.json",
             },
             separators=(",", ":"),

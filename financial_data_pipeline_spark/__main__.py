@@ -57,11 +57,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", default=None,
                    choices=["chronological", "random", "by_time"])
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--demo",
+        action="store_true",
+        help="run the worked end-to-end walkthrough (see DEMO.md) and exit",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.demo:
+        from financial_data_pipeline_spark.demo import main as demo_main
+
+        return demo_main()
 
     from financial_data_pipeline_spark import get_spark
     from financial_data_pipeline_spark.plans.pipeline import (

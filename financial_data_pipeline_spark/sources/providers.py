@@ -185,6 +185,155 @@ def with_retry(
     raise AssertionError("unreachable")
 
 
+def fetch_with_rate_limit(
+    get: Callable[[str], object],
+    url: str,
+    rate_limit_delay: float = 1.0,
+    max_attempts: int = 5,
+    limiter: "RateLimiter | None" = None,
+    sleep: Callable[[float], None] = time.sleep,
+    transport_errors: tuple[type[Exception], ...] = (IOError,),
+):
+    """Rate-limit-aware fetch (``data_cleaner.py:556-595``): pace via
+    ``limiter``, then attempt up to ``max_attempts`` times.
+
+    - HTTP 429 → honor the server's ``Retry-After`` header when present
+      (seconds), else exponential backoff ``delay·2^attempt``; retry.
+    - HTTP 200 → return ``response.json()``.
+    - other statuses → ``response.raise_for_status()``.
+    - transport errors → flat ``rate_limit_delay`` sleep and retry;
+      re-raised on the final attempt.
+
+    ``get`` is injected (``get(url)`` returning a response with
+    ``status_code`` / ``headers`` / ``json()`` / ``raise_for_status()``)
+    so tests drive the pacing logic with fakes and the live path plugs
+    ``requests.Session.get`` straight in. Returns ``None`` when every
+    attempt was rate-limited (the reference's exhausted-retries
+    contract)."""
+    if limiter is not None:
+        limiter.wait(url)
+    for attempt in range(max_attempts):
+        try:
+            resp = get(url)
+        except transport_errors:
+            if attempt == max_attempts - 1:
+                raise
+            sleep(rate_limit_delay)
+            continue
+        status = getattr(resp, "status_code", 200)
+        if status == 429:
+            retry_after = (getattr(resp, "headers", None) or {}).get(
+                "Retry-After"
+            )
+            delay = (
+                float(retry_after)
+                if retry_after is not None
+                else rate_limit_delay * (2**attempt)
+            )
+            sleep(delay)
+            continue
+        if status == 200:
+            return resp.json()
+        resp.raise_for_status()
+    return None
+
+
+def fetch_with_timeout(
+    get: Callable[..., object],
+    url: str,
+    timeout: float = 30.0,
+    limiter: "RateLimiter | None" = None,
+    timeout_errors: tuple[type[Exception], ...] = (TimeoutError,),
+):
+    """Deadline-wrapped fetch (``data_cleaner.py:690-702``): pass the
+    timeout to the transport, normalize its timeout exception to a
+    built-in ``TimeoutError`` naming the url and budget — callers pick
+    one except-clause regardless of HTTP library."""
+    if limiter is not None:
+        limiter.wait(url)
+    try:
+        resp = get(url, timeout=timeout)
+    except timeout_errors as exc:
+        raise TimeoutError(
+            f"Request to {url} timed out after {timeout}s"
+        ) from exc
+    resp.raise_for_status()
+    return resp.json()
+
+
+class CachedFetcher:
+    """Page cache with freshness window + stale-data recovery
+    (``data_cleaner.py:612-661``) — the missing-half of S19 that lets a
+    long harvest survive a flaky API:
+
+    1. a cache entry younger than ``max_age_s`` is served directly;
+    2. expired/missing/corrupt cache → fetch fresh, write-through;
+    3. the fetch FAILED → fall back to the stale entry (explicitly
+       better than nothing mid-harvest), re-raise only when there is
+       no cache at all.
+
+    JSON files under ``cache_dir`` keyed by caller-chosen cache key;
+    ``clock`` injected for freshness tests. Driver-side by design —
+    this guards the paginated REST cursor loop, not a cluster scan."""
+
+    def __init__(
+        self,
+        cache_dir: str,
+        max_age_s: float = 24 * 3600.0,
+        clock: Callable[[], float] = time.time,
+    ) -> None:
+        import os
+
+        self.cache_dir = cache_dir
+        self.max_age_s = max_age_s
+        self._clock = clock
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        import os
+
+        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
+        return os.path.join(self.cache_dir, f"{safe}.json")
+
+    def _read(self, key: str):
+        import json
+
+        with open(self._path(key), encoding="utf-8") as f:
+            return json.load(f)
+
+    def _age_s(self, key: str) -> float:
+        import os
+
+        return self._clock() - os.stat(self._path(key)).st_mtime
+
+    def get(self, key: str, fetch: Callable[[], object]):
+        """Fresh-cache hit, else fetch+write-through, else stale cache."""
+        import json
+        import os
+
+        path = self._path(key)
+        try:
+            if os.path.exists(path) and self._age_s(key) < self.max_age_s:
+                return self._read(key)
+        except (json.JSONDecodeError, KeyError, OSError):
+            pass  # corrupt/vanished cache — fall through to the fetch
+        try:
+            fresh = fetch()
+        except Exception:
+            # stale fallback: any readable cache beats a dead harvest
+            if os.path.exists(path):
+                try:
+                    return self._read(key)
+                except (json.JSONDecodeError, OSError):
+                    pass  # cache is corrupt too — surface the fetch error
+            raise
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(fresh, f, default=str)
+        os.replace(tmp, path)
+        return fresh
+
+
 class RateLimiter:
     """Per-endpoint min-interval limiter (``data_cleaner.py:555-595``)."""
 

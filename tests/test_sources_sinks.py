@@ -224,6 +224,153 @@ def test_with_retry_and_rate_limiter():
     assert waits == pytest.approx([0.7])
 
 
+class _FakeResp:
+    def __init__(self, status=200, payload=None, headers=None):
+        self.status_code = status
+        self.headers = headers or {}
+        self._payload = payload
+
+    def json(self):
+        return self._payload
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise IOError(f"HTTP {self.status_code}")
+
+
+def test_fetch_with_rate_limit_honors_retry_after():
+    """429 pacing: the server's Retry-After header wins over the
+    exponential schedule; without the header the delay doubles per
+    attempt (reference get_data_with_rate_limit semantics)."""
+    responses = iter(
+        [
+            _FakeResp(429, headers={"Retry-After": "7"}),
+            _FakeResp(429),  # no header → exp backoff at attempt index 1
+            _FakeResp(200, payload={"rows": [1, 2]}),
+        ]
+    )
+    slept = []
+    out = providers.fetch_with_rate_limit(
+        lambda url: next(responses),
+        "https://x/klines",
+        rate_limit_delay=1.0,
+        sleep=slept.append,
+    )
+    assert out == {"rows": [1, 2]}
+    assert slept == [7.0, 2.0]  # header-driven, then 1.0 * 2**1
+
+    # all attempts rate-limited → None (exhausted contract)
+    slept2 = []
+    out2 = providers.fetch_with_rate_limit(
+        lambda url: _FakeResp(429),
+        "https://x/klines",
+        rate_limit_delay=1.0,
+        max_attempts=3,
+        sleep=slept2.append,
+    )
+    assert out2 is None
+    assert slept2 == [1.0, 2.0, 4.0]
+
+    # transport error: flat-delay retries, re-raised on final attempt
+    with pytest.raises(IOError):
+        providers.fetch_with_rate_limit(
+            lambda url: (_ for _ in ()).throw(IOError("conn reset")),
+            "https://x/klines",
+            max_attempts=2,
+            sleep=lambda _: None,
+        )
+    # non-429 error status raises via raise_for_status
+    with pytest.raises(IOError, match="HTTP 503"):
+        providers.fetch_with_rate_limit(
+            lambda url: _FakeResp(503), "https://x/klines"
+        )
+
+
+def test_fetch_with_timeout_normalizes():
+    def slow_get(url, timeout=None):
+        raise TimeoutError("socket timed out")
+
+    with pytest.raises(TimeoutError, match="timed out after 2.5s"):
+        providers.fetch_with_timeout(slow_get, "https://x/y", timeout=2.5)
+
+    got = providers.fetch_with_timeout(
+        lambda url, timeout=None: _FakeResp(200, payload={"ok": timeout}),
+        "https://x/y",
+        timeout=9.0,
+    )
+    assert got == {"ok": 9.0}
+
+
+def test_cached_fetcher_freshness_and_stale_recovery(tmp_path):
+    """The S19 cache half: fresh hits skip the network, expiry
+    refetches + write-through, a DEAD fetch falls back to the stale
+    entry, corrupt cache is treated as absent."""
+    now = [1000.0]
+    cf = providers.CachedFetcher(
+        str(tmp_path / "cache"), max_age_s=100.0, clock=lambda: now[0]
+    )
+    calls = []
+
+    def fetch_ok():
+        calls.append(1)
+        return {"page": len(calls)}
+
+    # miss → fetch + cache; fresh hit → no new fetch
+    assert cf.get("BTC-1h", fetch_ok) == {"page": 1}
+    assert cf.get("BTC-1h", fetch_ok) == {"page": 1}
+    assert len(calls) == 1
+
+    # expire the entry (mtime is real; age via injected clock needs the
+    # stat mtime — so push the clock past the window by backdating)
+    import os
+
+    path = cf._path("BTC-1h")
+    os.utime(path, (os.stat(path).st_atime, now[0] - 101.0))
+    assert cf.get("BTC-1h", fetch_ok) == {"page": 2}
+    assert len(calls) == 2
+
+    # flaky API: expired cache + failing fetch → stale data returned
+    os.utime(path, (os.stat(path).st_atime, now[0] - 101.0))
+
+    def fetch_dead():
+        raise IOError("api down")
+
+    assert cf.get("BTC-1h", fetch_dead) == {"page": 2}
+
+    # no cache at all → the fetch error surfaces
+    with pytest.raises(IOError, match="api down"):
+        cf.get("ETH-1h", fetch_dead)
+
+    # corrupt cache: treated as absent on read, refetched
+    with open(path, "w") as f:
+        f.write("{not json")
+    assert cf.get("BTC-1h", fetch_ok) == {"page": 3}
+    # ...and a corrupt cache with a dead fetch surfaces the FETCH error
+    with open(path, "w") as f:
+        f.write("{not json")
+    os.utime(path, (os.stat(path).st_atime, now[0] - 101.0))
+    with pytest.raises(IOError, match="api down"):
+        cf.get("BTC-1h", fetch_dead)
+
+
+def test_cached_fetcher_guards_flaky_harvest(spark):
+    """E2E shape: a paginated harvest whose fetch dies mid-run still
+    lands a typed frame from cached pages (stale recovery feeding
+    klines_to_df — the reference's long-harvest survival story)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cf = providers.CachedFetcher(d, max_age_s=0.0)  # everything stale
+        page = [[1704067200000, "42.0", "43.0", "41.0", "42.5", "100", "4250"]]
+        # first harvest caches the page
+        assert cf.get("p0", lambda: page) == page
+        # second harvest: API down → stale page keeps the pipeline fed
+        rows = cf.get("p0", lambda: (_ for _ in ()).throw(IOError("down")))
+        df = providers.klines_to_df(spark, rows, providers.BYBIT_COLS, "BTCUSDT")
+        assert df.count() == 1
+        assert df.select("close").first()[0] == 42.5
+
+
 # ---------------------------------------------------------------------------
 # S16/S17 DDL builders + E3 read-side query
 # ---------------------------------------------------------------------------
