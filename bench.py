@@ -242,6 +242,14 @@ HEADLINE = [
     "frac_diff_log_close",
     "anchored_vwap",
     "chandelier_exit",
+    "pacf_returns",
+    "hist_chi2_drift",
+    "ngram_novelty",
+    "source_overlap_jaccard",
+    "information_coefficient",
+    "kmeans_doc_clusters",
+    "riskmetrics_vol",
+    "lead_lag_xcorr",
 ]
 
 

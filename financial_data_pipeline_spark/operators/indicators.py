@@ -192,6 +192,117 @@ def ema_truncated(
     )
 
 
+def riskmetrics_vol(
+    df: DataFrame,
+    price_col: str = "close",
+    lam: float = 0.94,
+    by: str = "symbol",
+    ts: str = "timestamp",
+    window: int | None = None,
+) -> DataFrame:
+    """RiskMetrics EWMA volatility per bar: σ²_t = λσ²_{t−1} +
+    (1−λ)r²_t with the industry λ=0.94 (J.P. Morgan RiskMetrics) —
+    the responsive conditional-vol estimate VaR desks actually run,
+    next to the equal-weight ``realized_vol_daily``.
+
+    Same engine-portable device as :func:`ema_truncated`: terms older
+    than W = ceil(−53·ln2/ln λ) (≈594 rows at λ=0.94) are below one
+    double ULP, so a bounded ROWS window + ``aggregate`` fold seeded
+    with the window's oldest r² reproduces the sequential recurrence
+    — codegen-only, one group-key shuffle, no giant-symbol sequential
+    task; an SQL twin replays the identical fold with ``list_reduce``
+    (which seeds with the first element, the exact same convention).
+    """
+    import math
+
+    W = window or math.ceil(-53.0 * math.log(2.0) / math.log(lam))
+    wlag = Window.partitionBy(by).orderBy(ts)
+    r = F.log(F.col(price_col) / F.lag(price_col).over(wlag))
+    base = df.withColumn("__r2", r * r).filter(F.col("__r2").isNotNull())
+    w = Window.partitionBy(by).orderBy(ts).rowsBetween(-(W - 1), 0)
+    arr = F.collect_list("__r2").over(w)
+    tail = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        tail,
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(lam) + F.lit(1.0 - lam) * x,
+    )
+    return base.select(
+        by, ts, F.sqrt(ewma).alias("ewma_vol")
+    )
+
+
+def lead_lag_xcorr(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead–lag cross-correlation structure between every symbol pair:
+    corr(r_a(t), r_b(t+k)) for k ∈ [−max_lag, +max_lag], plus the lag
+    with the largest |corr| — the price-discovery diagnostic (a
+    positive best lag means a LEADS b). ``return_correlation`` gives
+    the k=0 matrix; this finds the asymmetry it averages away.
+
+    Plan: per-symbol returns once, one ts-equi self-join (a.symbol <
+    b.symbol), the 2·max_lag lead/lag columns share ONE per-pair sort
+    window, then a single aggregate computes all 2k+1 correlations;
+    argmax is closed-form ``array_min`` over (−|corr|, lag) structs
+    (deterministic tie → smallest lag). Pairs × bars rows — the pair
+    count is |symbols|², never fact-squared.
+    """
+    wlag = Window.partitionBy(by).orderBy(ts)
+    r = df.select(
+        F.col(by).alias("__s"),
+        F.col(ts).alias("__ts"),
+        F.log(F.col(price_col) / F.lag(price_col).over(wlag)).alias("__r"),
+    ).filter(F.col("__r").isNotNull())
+    a = r.select(
+        F.col("__s").alias("symbol_a"), "__ts", F.col("__r").alias("__ra")
+    )
+    b = r.select(
+        F.col("__s").alias("symbol_b"), "__ts", F.col("__r").alias("__rb")
+    )
+    joined = a.join(b, "__ts").filter(F.col("symbol_a") < F.col("symbol_b"))
+    wp = Window.partitionBy("symbol_a", "symbol_b").orderBy("__ts")
+    lags = list(range(-max_lag, max_lag + 1))
+    cols = {}
+    for k in lags:
+        shifted = (
+            F.lead("__rb", k).over(wp) if k >= 0 else F.lag("__rb", -k).over(wp)
+        )
+        cols[f"__b{k + max_lag}"] = shifted
+    joined = joined.withColumns(cols)
+    agg = joined.groupBy("symbol_a", "symbol_b").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        *[
+            F.corr("__ra", f"__b{k + max_lag}").alias(f"corr_{k + max_lag}")
+            for k in lags
+        ],
+    )
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-F.abs(F.col(f"corr_{k + max_lag}"))).alias("negabs"),
+                    F.lit(k).alias("lag"),
+                    F.col(f"corr_{k + max_lag}").alias("c"),
+                )
+                for k in lags
+            ]
+        )
+    )
+    return agg.select(
+        "symbol_a",
+        "symbol_b",
+        "n_obs",
+        F.col(f"corr_{max_lag}").alias("corr_lag0"),
+        best["lag"].alias("best_lag"),
+        best["c"].alias("best_corr"),
+    )
+
+
 def with_ema_macd(
     df: DataFrame,
     col: str = "close",
@@ -1070,6 +1181,152 @@ def ljung_box(
         "n_obs",
         q.alias("lb_q"),
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)).alias("lb_pvalue"),
+    )
+
+
+def pacf(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Partial autocorrelation of log returns at lags 1–3 per symbol —
+    the AR-order fingerprint (ACF says "correlated at lag k"; PACF
+    says "correlated at lag k AFTER removing lags < k", which is what
+    picks p in an AR(p) model; beyond-reference, completing the
+    ``ljung_box`` / ``return_autocorr_lag1`` diagnostics family).
+
+    ρ̂_k uses the same biased convention as :func:`ljung_box`
+    (autocovariance about the full-sample mean over the n−k
+    overlapping pairs, normalized by c₀), then Durbin–Levinson turns
+    ρ₁..ρ₃ into φ₁₁, φ₂₂, φ₃₃ in closed form:
+
+        φ₁₁ = ρ₁
+        φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²),       φ₂₁ = ρ₁·(1 − φ₂₂)
+        φ₃₃ = (ρ₃ − φ₂₁ρ₂ − φ₂₂ρ₁)/(1 − φ₂₁ρ₁ − φ₂₂ρ₂)
+
+    Plan: one per-symbol sort window producing 3 lag columns, ONE
+    aggregate, pure expression algebra after — no second pass, no
+    Python. Every term is engine-portable (mirrored verbatim in the
+    SQL oracle)."""
+    r = log_return(price_col, by=[by], ts=ts)
+    w = Window.partitionBy(by).orderBy(ts)
+    base = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .select(
+            by,
+            "__r",
+            *[F.lag("__r", k).over(w).alias(f"__l{k}") for k in (1, 2, 3)],
+        )
+    )
+    aggs = [
+        F.count("__r").alias("n_obs"),
+        F.avg("__r").alias("__mu"),
+        F.sum(F.pow(F.col("__r"), 2)).alias("__ss"),
+    ]
+    for k in (1, 2, 3):
+        aggs.append(F.sum(F.col("__r") * F.col(f"__l{k}")).alias(f"__cp{k}"))
+        aggs.append(F.sum(f"__l{k}").alias(f"__sl{k}"))
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"__l{k}").isNotNull(), F.col("__r"))
+            ).alias(f"__sr{k}")
+        )
+        aggs.append(F.count(f"__l{k}").alias(f"__nk{k}"))
+    agg = base.groupBy(by).agg(*aggs)
+    n = F.col("n_obs").cast("double")
+    mu = F.col("__mu")
+    c0 = F.col("__ss") - n * mu * mu
+
+    def rho(k: int):
+        nk = F.col(f"__nk{k}").cast("double")
+        ck = (
+            F.col(f"__cp{k}")
+            - mu * F.col(f"__sl{k}")
+            - mu * F.col(f"__sr{k}")
+            + nk * mu * mu
+        )
+        return ck / c0
+
+    r1, r2, r3 = rho(1), rho(2), rho(3)
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21 = r1 * (1.0 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    return agg.select(
+        by,
+        "n_obs",
+        r1.alias("acf_1"),
+        r2.alias("acf_2"),
+        r3.alias("acf_3"),
+        p11.alias("pacf_1"),
+        p22.alias("pacf_2"),
+        p33.alias("pacf_3"),
+    )
+
+
+def information_coefficient(
+    df: DataFrame,
+    signal_col: str = "volume",
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    min_obs_per_day: int = 3,
+) -> DataFrame:
+    """Daily rank information coefficient of a signal against the
+    next-bar forward return, per symbol — the standard alpha-research
+    readout (Grinold/Kahn): IC_d = Spearman(signal_t, r_{t+1}) within
+    day d, reported as mean IC, its dispersion, and the
+    t-stat mean·√N/σ that says whether the signal predicts at all.
+
+    Rank determinism: ranks are ``row_number`` ordered by
+    ``(value, ts)`` — a total order both engines reproduce exactly
+    (textbook Spearman midranks on ties would differ at the ULP level
+    between engines for zero analytical gain on continuous signals).
+
+    Plan: one per-symbol lag window (forward return), one per
+    (symbol, day) window pair for the two ranks — same exchange —
+    then two aggregates (per-day corr, per-symbol summary). Everything
+    stays JVM expressions."""
+    w = Window.partitionBy(by).orderBy(ts)
+    fwd = F.log(F.lead(price_col).over(w) / F.col(price_col))
+    base = (
+        df.withColumn("__fwd", fwd)
+        .filter(F.col("__fwd").isNotNull())
+        .withColumn("__day", F.to_date(ts))
+    )
+    wd_sig = Window.partitionBy(by, "__day").orderBy(signal_col, ts)
+    wd_ret = Window.partitionBy(by, "__day").orderBy("__fwd", ts)
+    ranked = base.select(
+        by,
+        "__day",
+        F.row_number().over(wd_sig).alias("__rs"),
+        F.row_number().over(wd_ret).alias("__rr"),
+    )
+    daily = (
+        ranked.groupBy(by, "__day")
+        .agg(
+            F.corr("__rs", "__rr").alias("__ic"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") >= min_obs_per_day)
+    )
+    out = daily.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("__ic").alias("mean_ic"),
+        F.stddev_samp("__ic").alias("ic_std"),
+    )
+    return out.select(
+        by,
+        "n_days",
+        "mean_ic",
+        "ic_std",
+        (
+            F.col("mean_ic")
+            * F.sqrt(F.col("n_days").cast("double"))
+            / F.col("ic_std")
+        ).alias("ic_tstat"),
     )
 
 

@@ -705,3 +705,85 @@ def quantized_topk_join(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2) —
+    the map side of Lloyd's algorithm as pure JVM expressions: one
+    ``zip_with``+``aggregate`` fold per centroid (k folds total,
+    broadcast as literals), argmin via ``array_min`` over
+    (dist, index) structs so ties break on the LOWEST index
+    deterministically. Adds ``cluster`` and ``sq_dist``; no shuffle,
+    no Python."""
+    dists = []
+    for i, c in enumerate(centroids):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), lit_c, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    best = F.array_min(F.array(*dists))
+    return df.withColumn("__best", best).select(
+        "*",
+        F.col("__best.i").alias("cluster"),
+        F.col("__best.d").alias("sq_dist"),
+    ).drop("__best")
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd k-means over an embedding column — the
+    document-clustering primitive (topic buckets for mixture planning,
+    cluster-balanced sampling, SemDeDup-style per-cluster dedup all
+    consume the assignment).
+
+    Deterministic by construction — no RNG: init takes the vectors of
+    the k LOWEST ids (a fixed, reproducible choice; k-means++ would
+    need a seeded RNG whose stream no SQL twin reproduces). Each
+    iteration is one job: assignment is the broadcast-literal
+    expression fold of :func:`kmeans_assign` (no shuffle), the
+    recompute is ``posexplode`` + groupBy(cluster, dim) means —
+    shuffle keyed on (cluster, dim), i.e. k·dim groups regardless of
+    corpus size. Driver traffic per round is the k·dim centroid
+    matrix (the same bounded-codebook pattern as IVF/PQ training).
+    An emptied cluster keeps its previous centroid.
+
+    Returns (assigned frame with ``cluster``/``sq_dist``, final
+    centroid matrix). Iterative refinement has no single-statement SQL
+    twin — verified by differential test against a NumPy Lloyd
+    reference (tests/test_llm_ops.py)."""
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = [list(map(float, r[1])) for r in init_rows]
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
+    for _ in range(iters):
+        assigned = kmeans_assign(df, centroids, vec_col)
+        sums = (
+            assigned.select("cluster", F.posexplode(vec_col))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # empty cluster keeps old
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for ci, dims in by_cluster.items():
+            new_c[ci] = [dims[p] for p in sorted(dims)]
+        centroids = new_c
+    return kmeans_assign(df, centroids, vec_col), centroids

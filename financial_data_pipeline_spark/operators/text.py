@@ -497,3 +497,153 @@ def readability_features(text: Column) -> dict[str, Column]:
         "n_syllables": syllables,
         "flesch_reading_ease": F.when(words > 0, fre),
     }
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Corpus-order n-gram novelty per document: the fraction of a
+    document's DISTINCT word n-grams whose first corpus appearance
+    (minimum ``id_col``) is this document — the cheap global
+    repetition signal between exact dedup (whole-text) and MinHash
+    (pairwise): a document that introduces almost nothing new
+    (novelty → 0) is boilerplate recombination even when no single
+    pair-similarity fires.
+
+    Plan: explode distinct (doc, gram) pairs once; one groupBy(gram)
+    computes each gram's first owner; one broadcast-free join back on
+    gram and a final per-doc aggregate. Two key-hashed shuffles on
+    already-deduplicated rows — linear in corpus token count, no
+    pairwise stage anywhere, which is what lets the same plan run at
+    100 TB (the gram table is the inverted index dedup already
+    builds). Documents with fewer than ``n`` tokens have no grams and
+    are absent (callers left-join).
+
+    Same tokenization as :func:`top_ngram_stats` (lower, trim, split
+    on whitespace runs).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(id_col, toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("__toks") - n)
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.array_join(F.slice("__toks", i + 1, n), " "),
+                )
+            )
+        ).alias("__gram"),
+    )
+    first_owner = grams.groupBy("__gram").agg(
+        F.min(id_col).alias("__first_doc")
+    )
+    return (
+        grams.join(first_owner, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("__first_doc") == F.col(id_col)).cast("long")
+            ).alias("n_novel"),
+            (
+                F.sum((F.col("__first_doc") == F.col(id_col)).cast("long"))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap BETWEEN SOURCES — the corpus
+    mixture diagnostic (mirror sites, syndicated feeds, cross-source
+    contamination show up as high off-diagonal overlap before any
+    per-document dedup runs; the source-level view of what
+    ``contamination_overlap`` does against a benchmark).
+
+    Plan: distinct (source, gram) postings — ONE explode+distinct —
+    then a self-equi-join on gram (source_a < source_b) counts
+    intersections; per-source gram totals broadcast onto the pair
+    frame give |A∪B| = |A|+|B|−|A∩B|. The join key is the gram, so
+    the blowup per gram is (sources sharing it)², bounded by the
+    source count — never document-pairwise. Output one row per source
+    pair with any overlap.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(source_col, toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    idx = F.sequence(F.lit(0), F.size("__toks") - n)
+    postings = (
+        base.select(
+            source_col,
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.array_join(F.slice("__toks", i + 1, n), " "),
+                )
+            ).alias("__gram"),
+        )
+        .distinct()
+    )
+    sizes = postings.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    a = postings.select(
+        F.col(source_col).alias("source_a"), "__gram"
+    )
+    b = postings.select(
+        F.col(source_col).alias("source_b"), "__gram"
+    )
+    inter = (
+        a.join(b, "__gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col(source_col).alias("source_a"),
+                    F.col("__sz").alias("__sza"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col(source_col).alias("source_b"),
+                    F.col("__sz").alias("__szb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (F.col("__sza") + F.col("__szb") - F.col("n_common")).alias(
+                "n_union"
+            ),
+            (
+                F.col("n_common")
+                / (
+                    F.col("__sza") + F.col("__szb") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return out

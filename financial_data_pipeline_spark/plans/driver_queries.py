@@ -9915,3 +9915,398 @@ def q_chandelier_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hh - 3.0 * atr14, 6).alias("chandelier_long"),
         F.round(ll + 3.0 * atr14, 6).alias("chandelier_short"),
     )
+
+
+@query(
+    "pacf_returns",
+    BARS_CTE
+    + """
+, r0 AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (
+  SELECT symbol, r,
+         lag(r, 1) OVER w AS l1, lag(r, 2) OVER w AS l2, lag(r, 3) OVER w AS l3
+  FROM (SELECT * FROM r0 WHERE r IS NOT NULL)
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), agg AS (
+  SELECT symbol, count(r) AS n_obs, avg(r) AS mu, sum(r * r) AS ss,
+         sum(r * l1) AS cp1, sum(l1) AS sl1,
+         sum(CASE WHEN l1 IS NOT NULL THEN r END) AS sr1, count(l1) AS nk1,
+         sum(r * l2) AS cp2, sum(l2) AS sl2,
+         sum(CASE WHEN l2 IS NOT NULL THEN r END) AS sr2, count(l2) AS nk2,
+         sum(r * l3) AS cp3, sum(l3) AS sl3,
+         sum(CASE WHEN l3 IS NOT NULL THEN r END) AS sr3, count(l3) AS nk3
+  FROM rr GROUP BY symbol
+), rho AS (
+  SELECT symbol, n_obs,
+         (cp1 - mu * sl1 - mu * sr1 + nk1 * mu * mu)
+           / (ss - n_obs * mu * mu) AS r1,
+         (cp2 - mu * sl2 - mu * sr2 + nk2 * mu * mu)
+           / (ss - n_obs * mu * mu) AS r2,
+         (cp3 - mu * sl3 - mu * sr3 + nk3 * mu * mu)
+           / (ss - n_obs * mu * mu) AS r3
+  FROM agg
+), dl AS (
+  SELECT symbol, n_obs, r1, r2, r3,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+  FROM rho
+), dl2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM dl)
+SELECT symbol, n_obs,
+       round(r1, 6) AS acf_1, round(r2, 6) AS acf_2, round(r3, 6) AS acf_3,
+       round(r1, 6) AS pacf_1, round(p22, 6) AS pacf_2,
+       round((r3 - p21 * r2 - p22 * r1)
+             / (1.0 - p21 * r1 - p22 * r2), 6) AS pacf_3
+FROM dl2
+""",
+)
+def q_pacf_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of hourly log returns per
+    symbol via Durbin-Levinson on the biased sample ACF
+    (``indicators.pacf``) — the AR-order fingerprint completing the
+    ljung_box / autocorr diagnostics family. One window + one
+    aggregate + closed-form algebra."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.pacf(bars)
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("acf_1", 6).alias("acf_1"),
+        F.round("acf_2", 6).alias("acf_2"),
+        F.round("acf_3", 6).alias("acf_3"),
+        F.round("pacf_1", 6).alias("pacf_1"),
+        F.round("pacf_2", 6).alias("pacf_2"),
+        F.round("pacf_3", 6).alias("pacf_3"),
+    )
+
+
+_CHI2_DRIFT_ORACLE = (
+    BARS_CTE
+    + """
+, ref AS (SELECT close FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
+nw AS (SELECT close FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16'),
+grid AS (
+  SELECT g.bin, coalesce(rc.n, 0) AS n_ref, coalesce(nc.n, 0) AS n_new,
+         tr.t_ref, tn.t_new
+  FROM generate_series(0, 9) AS g(bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM ref, (SELECT min(close) AS lo, max(close) AS hi FROM ref) b
+    GROUP BY 1
+  ) rc USING (bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM nw, (SELECT min(close) AS lo, max(close) AS hi FROM ref) b
+    GROUP BY 1
+  ) nc USING (bin)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS t_ref FROM ref) tr
+  CROSS JOIN (SELECT count(*)::DOUBLE AS t_new FROM nw) tn
+), terms AS (
+  SELECT bin, n_ref, n_new, t_ref, t_new,
+         n_ref + n_new AS rt, t_ref + t_new AS gt
+  FROM grid
+), agg AS (
+  SELECT 'close' AS feature,
+         list_reduce(list(CASE WHEN rt > 0 THEN
+             pow(n_ref - rt * t_ref / gt, 2.0) / (rt * t_ref / gt)
+             + pow(n_new - rt * t_new / gt, 2.0) / (rt * t_new / gt)
+           ELSE 0.0 END ORDER BY bin), (a, b) -> a + b) AS chi2,
+         (sum((rt > 0)::BIGINT) - 1)::BIGINT AS dof,
+         first(t_ref)::BIGINT AS n_ref, first(t_new)::BIGINT AS n_new
+  FROM terms
+), wh AS (
+  SELECT *, (pow(chi2 / dof::DOUBLE, 1.0 / 3.0)
+             - (1.0 - 2.0 / (9.0 * dof::DOUBLE)))
+            / sqrt(2.0 / (9.0 * dof::DOUBLE)) AS z
+  FROM agg
+), e AS (
+  SELECT *, abs(z) / sqrt(2.0) AS az,
+         1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) AS t
+  FROM wh
+)
+SELECT feature, round(chi2, 6) AS chi2, dof,
+       round(least(1.0, greatest(0.0,
+         1.0 - 0.5 * (1.0 + sign(z) * (1.0 - (t * (0.254829592 + t
+             * (-0.284496736 + t * (1.421413741 + t * (-1.453152027
+             + t * 1.061405429))))) * exp(-az * az))))), 6) AS p_value,
+       n_ref, n_new
+FROM e
+"""
+)
+
+
+@query("hist_chi2_drift", _CHI2_DRIFT_ORACLE)
+def q_hist_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity TEST over the PSI bins for
+    the close distribution across the 2024-01-16 split
+    (``drift.hist_chi2_drift``) — PSI/JS say how far the distribution
+    moved; this says whether the move survives sampling noise
+    (Wilson-Hilferty p-value through the shared A-S erf polynomial)."""
+    from financial_data_pipeline_spark.operators.drift import hist_chi2_drift
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    ref = bars.filter(F.col("timestamp") < "2024-01-16")
+    new = bars.filter(F.col("timestamp") >= "2024-01-16")
+    out = hist_chi2_drift(ref, new, "close", bins=10)
+    return out.select(
+        "feature",
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        F.round("p_value", 6).alias("p_value"),
+        "n_ref",
+        "n_new",
+    )
+
+
+@query(
+    "ngram_novelty",
+    """
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+    FROM base
+  )
+), fo AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT doc_id, count(*) AS n_grams,
+       sum((first_doc = doc_id)::BIGINT)::BIGINT AS n_novel,
+       round(sum((first_doc = doc_id)::BIGINT) / count(*)::DOUBLE, 6)
+         AS novelty_frac
+FROM grams JOIN fo USING (gram) GROUP BY doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order 3-gram novelty per document (``text.ngram_novelty``):
+    the fraction of a doc's distinct 3-grams first seen in that doc —
+    boilerplate recombination scores ~0 even when no pairwise
+    similarity fires. Inverted-index shape, linear in tokens."""
+    from financial_data_pipeline_spark.operators.text import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, n=3)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round("novelty_frac", 6).alias("novelty_frac"),
+    )
+
+
+@query(
+    "source_overlap_jaccard",
+    """
+WITH base AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 5
+), grams AS (
+  SELECT DISTINCT source,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
+           || toks[i + 3] || ' ' || toks[i + 4] AS gram
+  FROM (
+    SELECT source, toks, unnest(generate_series(1, len(toks) - 4)) AS i
+    FROM base
+  )
+), sizes AS (SELECT source, count(*) AS sz FROM grams GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+  FROM grams a JOIN grams b USING (gram)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       (sa.sz + sb.sz - n_common)::BIGINT AS n_union,
+       round(n_common / (sa.sz + sb.sz - n_common)::DOUBLE, 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = inter.source_a
+JOIN sizes sb ON sb.source = inter.source_b
+""",
+)
+def q_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 5-gram Jaccard overlap between sources
+    (``text.source_overlap``) — the mixture diagnostic that catches
+    mirror/syndicated sources before per-document dedup. Gram-keyed
+    equi-join: blowup per gram bounded by the source count, never
+    document-pairwise."""
+    from financial_data_pipeline_spark.operators.text import source_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_overlap(docs, n=5)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        "n_union",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@query(
+    "information_coefficient",
+    BARS_CTE
+    + """
+, f AS (
+  SELECT symbol, timestamp, volume,
+         ln(lead(close) OVER (PARTITION BY symbol ORDER BY timestamp) / close)
+           AS fwd
+  FROM bars
+), g AS (
+  SELECT symbol, timestamp::DATE AS day,
+         row_number() OVER (PARTITION BY symbol, timestamp::DATE
+                            ORDER BY volume, timestamp) AS rs,
+         row_number() OVER (PARTITION BY symbol, timestamp::DATE
+                            ORDER BY fwd, timestamp) AS rr
+  FROM f WHERE fwd IS NOT NULL
+), d AS (
+  SELECT symbol, day, corr(rs, rr) AS ic, count(*) AS n
+  FROM g GROUP BY 1, 2
+), s AS (
+  SELECT symbol, count(*) AS n_days, avg(ic) AS mean_ic,
+         stddev_samp(ic) AS ic_std
+  FROM d WHERE n >= 3 GROUP BY symbol
+)
+SELECT symbol, n_days, round(mean_ic, 6) AS mean_ic,
+       round(ic_std, 6) AS ic_std,
+       round(mean_ic * sqrt(n_days::DOUBLE) / ic_std, 6) AS ic_tstat
+FROM s
+""",
+)
+def q_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rank IC of volume against the next-bar return per symbol
+    (``indicators.information_coefficient``) — the Grinold/Kahn
+    signal-evaluation readout (mean IC, dispersion, t-stat).
+    Deterministic row_number ranks (value, ts) in both engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.information_coefficient(bars)
+    return out.select(
+        "symbol",
+        "n_days",
+        F.round("mean_ic", 6).alias("mean_ic"),
+        F.round("ic_std", 6).alias("ic_std"),
+        F.round("ic_tstat", 6).alias("ic_tstat"),
+    )
+
+
+@query("kmeans_doc_clusters")  # iterative Lloyd refinement: no
+# single-statement SQL twin exists; differential-tested against a
+# NumPy reference in tests/test_llm_ops.py (rows-only driver check)
+def q_kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table
+    (``similarity.lloyd_kmeans``, k=8, 3 rounds, deterministic
+    lowest-id init): per-cluster size + mean squared distance — the
+    document-clustering primitive mixture planning and per-cluster
+    dedup consume."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        lloyd_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = lloyd_kmeans(emb, k=8, iters=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "riskmetrics_vol",
+    BARS_CTE
+    + """
+, r0 AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), r2 AS (SELECT symbol, timestamp, r * r AS r2 FROM r0 WHERE r IS NOT NULL)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sqrt(list_reduce(
+         list(r2) OVER (PARTITION BY symbol ORDER BY timestamp
+                        ROWS BETWEEN 593 PRECEDING AND CURRENT ROW),
+         (a, b) -> a * 0.94 + (1.0 - 0.94) * b)), 6) AS ewma_vol
+FROM r2
+""",
+)
+def q_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility (lambda=0.94) per bar
+    (``indicators.riskmetrics_vol``): the sequential recurrence as a
+    bounded-window fold (terms past 594 rows are sub-ULP), replayed
+    bit-for-bit by the oracle's list_reduce — same device as
+    ``ema_truncated``."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.riskmetrics_vol(bars, lam=0.94)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("ewma_vol", 6).alias("ewma_vol"),
+    )
+
+
+@query(
+    "lead_lag_xcorr",
+    BARS_CTE
+    + """
+, r0 AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS r
+  FROM bars
+), r AS (SELECT symbol AS s, timestamp AS tsx, r FROM r0 WHERE r IS NOT NULL),
+j AS (
+  SELECT a.s AS symbol_a, b.s AS symbol_b, a.tsx, a.r AS ra, b.r AS rb
+  FROM r a JOIN r b ON a.tsx = b.tsx AND a.s < b.s
+), l AS (
+  SELECT symbol_a, symbol_b, ra,
+         lag(rb, 3) OVER w AS b0, lag(rb, 2) OVER w AS b1,
+         lag(rb, 1) OVER w AS b2, rb AS b3,
+         lead(rb, 1) OVER w AS b4, lead(rb, 2) OVER w AS b5,
+         lead(rb, 3) OVER w AS b6
+  FROM j WINDOW w AS (PARTITION BY symbol_a, symbol_b ORDER BY tsx)
+), agg AS (
+  SELECT symbol_a, symbol_b, count(*) AS n_obs,
+         corr(ra, b0) AS c0, corr(ra, b1) AS c1, corr(ra, b2) AS c2,
+         corr(ra, b3) AS c3, corr(ra, b4) AS c4, corr(ra, b5) AS c5,
+         corr(ra, b6) AS c6
+  FROM l GROUP BY 1, 2
+), t AS (
+  SELECT symbol_a, symbol_b, n_obs, c3, -3 AS lg, c0 AS c FROM agg
+  UNION ALL SELECT symbol_a, symbol_b, n_obs, c3, -2, c1 FROM agg
+  UNION ALL SELECT symbol_a, symbol_b, n_obs, c3, -1, c2 FROM agg
+  UNION ALL SELECT symbol_a, symbol_b, n_obs, c3, 0, c3 FROM agg
+  UNION ALL SELECT symbol_a, symbol_b, n_obs, c3, 1, c4 FROM agg
+  UNION ALL SELECT symbol_a, symbol_b, n_obs, c3, 2, c5 FROM agg
+  UNION ALL SELECT symbol_a, symbol_b, n_obs, c3, 3, c6 FROM agg
+)
+SELECT symbol_a, symbol_b, n_obs, round(c3, 6) AS corr_lag0,
+       lg AS best_lag, round(c, 6) AS best_corr
+FROM t
+QUALIFY row_number() OVER (PARTITION BY symbol_a, symbol_b
+                           ORDER BY -abs(c), lg) = 1
+""",
+)
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation per symbol pair
+    (``indicators.lead_lag_xcorr``, lags -3..+3): which symbol's
+    returns LEAD the other's — the price-discovery asymmetry the
+    static correlation matrix averages away. One ts-equi join, one
+    shared per-pair sort, one aggregate; deterministic argmax
+    (largest |corr|, ties to the smallest lag) in both engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.lead_lag_xcorr(bars, max_lag=3)
+    return out.select(
+        "symbol_a",
+        "symbol_b",
+        "n_obs",
+        F.round("corr_lag0", 6).alias("corr_lag0"),
+        "best_lag",
+        F.round("best_corr", 6).alias("best_corr"),
+    )

@@ -157,6 +157,78 @@ def streaming_js(
     )
 
 
+def streaming_chi2(
+    stream: DataFrame,
+    reference: dict,
+    col: str,
+    ts: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window two-sample chi-square homogeneity TEST vs the frozen
+    reference (the streaming form of ``drift.hist_chi2_drift``): PSI
+    and JS report distance, this reports a p-value — a small serving
+    window that merely LOOKS different does not page anyone unless the
+    move beats sampling noise at its own window size, which is the
+    property an alert on thin night-hours traffic needs.
+
+    Same single stateful windowed aggregate as :func:`streaming_psi`
+    (append-safe); the statistic is a stateless projection. Per bin:
+    O_ref is a deploy-time literal, O_new a window column, expecteds
+    split the bin's row total by the side totals; bins with zero row
+    total drop out of both the sum and the dof (same treatment as the
+    batch operator). p-value via the Wilson–Hilferty normal
+    approximation through the shared A-S erf polynomial."""
+    from financial_data_pipeline_spark.operators.indicators import _norm_cdf
+
+    bins = reference["bins"]
+    lo, hi = reference["lo"], reference["hi"]
+    width = (hi - lo) / bins if hi != lo else 1.0
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col(col) - F.lit(lo)) / F.lit(width)).cast("int")
+        ),
+    )
+    counts = [
+        F.sum((bucket == i).cast("long")).alias(f"__n_{i}") for i in range(bins)
+    ]
+    win = (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), window).alias("w"))
+        .agg(*counts, F.count(F.lit(1)).alias("n_new"))
+    )
+    t_ref = float(sum(reference["counts"]))
+    gt = F.lit(t_ref) + F.col("n_new").cast("double")
+    chi2 = F.lit(0.0)
+    dof = F.lit(-1)
+    for i in range(bins):
+        o_ref = F.lit(float(reference["counts"][i]))
+        o_new = F.col(f"__n_{i}").cast("double")
+        rt = o_ref + o_new
+        e_ref = rt * F.lit(t_ref) / gt
+        e_new = rt * F.col("n_new").cast("double") / gt
+        chi2 = chi2 + F.when(
+            rt > 0,
+            F.pow(o_ref - e_ref, F.lit(2.0)) / e_ref
+            + F.pow(o_new - e_new, F.lit(2.0)) / e_new,
+        ).otherwise(F.lit(0.0))
+        dof = dof + (rt > 0).cast("int")
+    d = dof.cast("double")
+    z = (
+        F.pow(chi2 / d, F.lit(1.0) / 3.0) - (1.0 - 2.0 / (9.0 * d))
+    ) / F.sqrt(2.0 / (9.0 * d))
+    pval = F.least(F.lit(1.0), F.greatest(F.lit(0.0), 1.0 - _norm_cdf(z)))
+    return win.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        chi2.alias("chi2"),
+        dof.alias("dof"),
+        pval.alias("p_value"),
+        "n_new",
+    )
+
+
 def streaming_benford(
     stream: DataFrame,
     col: str,

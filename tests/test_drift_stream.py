@@ -184,3 +184,60 @@ def test_streaming_benford_matches_batch_per_window(spark, tmp_path):
         assert abs(got[hour].p_value - batch["p_value"]) < 1e-5, hour
     assert got[0].p_value > 0.001      # conforming window accepted
     assert got[1].p_value < 1e-6       # uniform-digit window rejected
+
+
+def test_streaming_chi2_matches_batch_per_window(spark, tmp_path):
+    """Per closed window, the streaming chi-square must equal the
+    batch hist_chi2_drift of (reference frame, window rows) — same
+    bins, same zero-bin dof treatment, same Wilson-Hilferty p —
+    and a drifted window must reject while an in-distribution one
+    accepts."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators.drift import hist_chi2_drift
+    from financial_data_pipeline_spark.streaming.drift_stream import (
+        streaming_chi2,
+    )
+
+    rng = np.random.default_rng(21)
+    ref_vals = rng.normal(100.0, 5.0, 2000).tolist()
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    reference = freeze_reference(ref, "x", bins=10)
+
+    same_vals = rng.normal(100.0, 5.0, 800).tolist()
+    moved_vals = rng.normal(130.0, 5.0, 800).tolist()
+    src = str(tmp_path / "src")
+    # the hour-9 sentinel advances the watermark so hours 1 and 5 close
+    spark.createDataFrame(
+        _rows(1, same_vals) + _rows(5, moved_vals) + _rows(9, [100.0]),
+        SCHEMA,
+    ).write.parquet(src)
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    res = streaming_chi2(
+        stream, reference, "x", window="1 hour", watermark="30 minutes"
+    )
+    (
+        res.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        r["window_start"].hour: r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1]["p_value"] > 0.01  # in-distribution window accepted
+    assert got[5]["p_value"] < 1e-6  # drifted window rejected
+
+    # exact per-window equivalence with the batch operator
+    for hour, vals in ((1, same_vals), (5, moved_vals)):
+        win_df = spark.createDataFrame([(v,) for v in vals], "x double")
+        batch = hist_chi2_drift(ref, win_df, "x", bins=10).first()
+        assert abs(got[hour]["chi2"] - batch["chi2"]) < 1e-9
+        assert got[hour]["dof"] == batch["dof"]
+        assert abs(got[hour]["p_value"] - batch["p_value"]) < 1e-12

@@ -954,3 +954,74 @@ def test_cms_never_undercounts_and_bound_holds(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_lloyd_kmeans_matches_numpy_reference(spark, emb):
+    """Differential: 3 Lloyd rounds from the deterministic lowest-id
+    init must produce the same assignment and centroids as a plain
+    NumPy implementation of the identical recipe (empty clusters keep
+    their centroid; argmin ties to the lowest index)."""
+    k, iters = 6, 3
+    assigned, cents = similarity.lloyd_kmeans(emb, k=k, iters=iters)
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.array([np.array(v, dtype=np.float64) for v in pdf.embedding])
+    ids = pdf.vec_id.to_numpy()
+    C = X[:k].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # numpy argmin ties -> lowest index
+        for c in range(k):
+            if (lab == c).any():
+                C[c] = X[lab == c].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    lab = d.argmin(axis=1)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assigned.select("vec_id", "cluster").collect()
+    }
+    want = dict(zip(ids.tolist(), lab.tolist()))
+    mism = [i for i in want if got[i] != want[i]]
+    assert not mism, f"{len(mism)} assignment mismatches, e.g. {mism[:5]}"
+    assert np.allclose(np.array(cents), C, rtol=1e-6, atol=1e-8)
+
+
+def test_kmeans_assign_tie_breaks_low_index(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    out = similarity.kmeans_assign(df, [[1.0, 0.0], [0.0, 1.0]])
+    row = out.first()
+    assert row["cluster"] == 0 and row["sq_dist"] == 1.0
+
+
+def test_ngram_novelty_orders_recombination_low(spark):
+    """Doc 1 introduces all its grams (novelty 1); doc 3, a pure
+    recombination of doc 1's text, introduces none (novelty 0)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words appear in this one"),
+            (3, "the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.ngram_novelty(df, n=3).collect()}
+    assert out[1]["novelty_frac"] == 1.0
+    assert out[2]["novelty_frac"] == 1.0
+    assert out[3]["novelty_frac"] == 0.0
+    assert out[3]["n_grams"] == 3 and out[3]["n_novel"] == 0
+
+
+def test_source_overlap_detects_mirror(spark):
+    """A mirrored source pair scores Jaccard 1.0; an unrelated pair
+    is absent (no shared grams -> no row)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight nine"
+    df = spark.createDataFrame(
+        [("s1", a), ("s2", a), ("s3", b)],
+        "source string, text string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in text.source_overlap(df, n=5).collect()
+    }
+    assert rows[("s1", "s2")]["jaccard"] == 1.0
+    assert ("s1", "s3") not in rows and ("s2", "s3") not in rows

@@ -715,3 +715,104 @@ def test_triple_barrier_and_frac_diff(spark):
     for t in (k - 1, 100, n - 1):
         want_v = float(np.dot(w, up[t - k + 1 : t + 1][::-1]))
         assert abs(d04.fd[t] - want_v) < 1e-9
+
+
+def test_hist_chi2_drift_accepts_null_and_rejects_shift(spark, ohlcv_df):
+    """Chi-square drift gate: identical distributions give chi2 ~ 0
+    with p ~ 1; a mean shift rejects at any sane alpha; dof counts the
+    occupied bins minus one; scipy-free Wilson-Hilferty p matches a
+    reference chi2 survival to ~1e-3."""
+    import math
+
+    from financial_data_pipeline_spark.operators.drift import hist_chi2_drift
+
+    base = ohlcv_df.filter("symbol = 'BTCUSDT'")
+    same = hist_chi2_drift(base, base, "close", bins=10).first()
+    assert same["chi2"] < 1e-9 and same["p_value"] > 0.999
+    assert same["dof"] <= 9
+    shifted = base.withColumn("close", F.col("close") + 1500.0)
+    moved = hist_chi2_drift(base, shifted, "close", bins=10).first()
+    assert moved["p_value"] < 0.001 and moved["chi2"] > 50.0
+
+    # Wilson-Hilferty accuracy spot check at dof=9 against the exact
+    # odd-dof chi2 survival (computed via the regularized gamma series)
+    def chi2_sf_exact(x, k):
+        # series for lower incomplete gamma P(k/2, x/2)
+        a, half = k / 2.0, x / 2.0
+        term = math.exp(-half + a * math.log(half) - math.lgamma(a + 1))
+        s, j = term, 0
+        while term > 1e-16 and j < 10000:
+            j += 1
+            term *= half / (a + j)
+            s += term
+        return 1.0 - s
+
+    small = hist_chi2_drift(
+        base, base.withColumn("close", F.col("close") + 30.0), "close"
+    ).first()
+    exact = chi2_sf_exact(small["chi2"], small["dof"])
+    assert abs(small["p_value"] - exact) < 2e-3
+
+
+def test_pacf_recovers_ar1_structure(spark):
+    """On an AR(1) price path, PACF lag 1 ~ phi while lags 2-3 are
+    ~0 (inside +-3/sqrt(n)) — the cutoff property that makes PACF the
+    AR-order pick; also numpy parity for the rho estimates."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators.indicators import pacf
+
+    rng = np.random.default_rng(11)
+    n, phi = 4000, 0.6
+    r = np.zeros(n)
+    for t in range(1, n):
+        r[t] = phi * r[t - 1] + rng.normal(0, 0.01)
+    close = 100.0 * np.exp(np.cumsum(r))
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": close,
+        }
+    )
+    out = pacf(spark.createDataFrame(pdf)).first()
+    band = 3.0 / np.sqrt(n)
+    assert abs(out["pacf_1"] - phi) < 5 * band
+    assert abs(out["pacf_2"]) < band and abs(out["pacf_3"]) < band
+    # numpy parity on rho1 (same biased pairwise-about-full-mean form)
+    rr = np.diff(np.log(close))
+    mu = rr.mean()
+    c0 = ((rr - mu) ** 2).sum()
+    c1 = ((rr[1:] - mu) * (rr[:-1] - mu)).sum()
+    assert abs(out["acf_1"] - c1 / c0) < 1e-9
+
+
+def test_information_coefficient_detects_perfect_signal(spark):
+    """A signal equal to the forward return ranks identically ->
+    IC = 1 every day, huge t-stat; an anti-signal gives IC = -1."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import (
+        information_coefficient,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 24 * 10
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    fwd = np.append(np.diff(np.log(close)), np.nan)
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": close,
+            "volume": fwd,  # the "signal" IS the future return
+        }
+    ).dropna()
+    out = information_coefficient(spark.createDataFrame(pdf)).first()
+    assert out["mean_ic"] > 0.999 and out["n_days"] >= 9
+    anti = pdf.assign(volume=-pdf.volume)
+    out2 = information_coefficient(spark.createDataFrame(anti)).first()
+    assert out2["mean_ic"] < -0.999

@@ -769,3 +769,70 @@ def test_american_put_dominates_european(spark, ohlcv_pdf):
 
     for _, r in out.head(20).iterrows():
         assert abs(r.american_put - crr(r.close, r.realized_vol_ann)) < 1e-9
+
+
+def test_riskmetrics_vol_matches_pandas_ewm(spark):
+    """EWMA variance must match pandas ewm(alpha=0.06, adjust=False)
+    on r^2 (the RiskMetrics recurrence) to float precision — the
+    bounded-window fold is sub-ULP-equivalent to the sequential scan."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import (
+        riskmetrics_vol,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 800
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": close,
+        }
+    )
+    out = (
+        riskmetrics_vol(spark.createDataFrame(pdf), lam=0.94)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    r2 = pd.Series(np.diff(np.log(close)) ** 2)
+    want = np.sqrt(r2.ewm(alpha=0.06, adjust=False).mean()).to_numpy()
+    assert len(out) == n - 1
+    assert np.allclose(out.ewma_vol.to_numpy(), want, rtol=1e-9, atol=1e-14)
+
+
+def test_lead_lag_xcorr_finds_planted_lead(spark):
+    """Symbol A's returns drive symbol B's one bar later: the best lag
+    must be +1 with a dominant correlation, and corr_lag0 stays small."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import (
+        lead_lag_xcorr,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    ra = rng.normal(0, 0.01, n)
+    rb = np.roll(ra, 1) * 0.9 + rng.normal(0, 0.003, n)
+    rb[0] = 0.0
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {"symbol": "A", "timestamp": ts,
+                 "close": 100 * np.exp(np.cumsum(ra))}
+            ),
+            pd.DataFrame(
+                {"symbol": "B", "timestamp": ts,
+                 "close": 50 * np.exp(np.cumsum(rb))}
+            ),
+        ]
+    )
+    out = lead_lag_xcorr(spark.createDataFrame(pdf), max_lag=3).first()
+    assert (out["symbol_a"], out["symbol_b"]) == ("A", "B")
+    assert out["best_lag"] == 1  # A leads B by one bar
+    assert out["best_corr"] > 0.9
+    assert abs(out["corr_lag0"]) < 0.2

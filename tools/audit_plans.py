@@ -144,6 +144,17 @@ def main() -> None:
         "- `lsh_pair_recall` NESTED_LOOP_JOIN: the final row is the",
         "  crossJoin of two ONE-row count aggregates (exact vs LSH pair",
         "  counts) — an O(1) join.",
+        "- `feature_drift_psi` / `js_drift_close` / `hist_chi2_drift`",
+        "  NESTED_LOOP_JOIN: the dense histogram grid is the crossJoin",
+        "  of the LITERAL feature-name list with range(bins) —",
+        "  O(features · bins) rows (20 here), never fact-sized; the",
+        "  per-feature (min, max, total) stats then broadcast-join onto",
+        "  it (drift._hist_grid, the zero-driver-action histogram).",
+        "- `categorical_psi_sources` NESTED_LOOP_JOIN: the (t_ref,",
+        "  t_new) totals are a ONE-row broadcast crossJoin onto the",
+        "  per-category grid — O(categories·1) scalar distribution,",
+        "  same shape as `volume_profile` (keeps totals lazy instead of",
+        "  the former driver .first()).",
         "- `ivf_recall_at_10` NESTED_LOOP_JOIN: IVF probe selection is",
         "  the (queries × centroids) broadcast crossJoin — O(16 · cells)",
         "  rows against a one-row-per-cell centroid table, then a",
