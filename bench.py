@@ -250,6 +250,10 @@ HEADLINE = [
     "kmeans_doc_clusters",
     "riskmetrics_vol",
     "lead_lag_xcorr",
+    "ichimoku_lines",
+    "adx_trend_strength",
+    "cci_20",
+    "mfi_14",
 ]
 
 

@@ -192,6 +192,160 @@ def ema_truncated(
     )
 
 
+def ichimoku(
+    df: DataFrame,
+    by: str = "symbol",
+    ts: str = "timestamp",
+    tenkan_n: int = 9,
+    kijun_n: int = 26,
+    senkou_n: int = 52,
+) -> DataFrame:
+    """Ichimoku Kinko Hyo: the five lines as pure window algebra —
+    rolling midpoints (no smoothing recursion anywhere, unlike
+    EMA-family indicators), with the cloud legs displaced FORWARD
+    (value at t shows the midpoint computed kijun_n bars ago — a lag)
+    and the chikou line displaced BACK (close from kijun_n bars ahead
+    — a lead). Heads shorter than each window emit null (count gate),
+    matching the NaN-head convention of the SMA family. One
+    per-symbol sort shared by every line."""
+    w = Window.partitionBy(by).orderBy(ts)
+
+    def midpoint(n: int):
+        win = w.rowsBetween(-(n - 1), 0)
+        return F.when(
+            F.count(F.lit(1)).over(win) >= n,
+            (F.max("high").over(win) + F.min("low").over(win)) / 2.0,
+        )
+
+    tenkan = midpoint(tenkan_n)
+    kijun = midpoint(kijun_n)
+    return df.select(
+        by,
+        ts,
+        tenkan.alias("tenkan"),
+        kijun.alias("kijun"),
+        F.lag((tenkan + kijun) / 2.0, kijun_n).over(w).alias("senkou_a"),
+        F.lag(midpoint(senkou_n), kijun_n).over(w).alias("senkou_b"),
+        F.lead("close", kijun_n).over(w).alias("chikou"),
+    )
+
+
+def _wilder_fold(col: str, n: int, w_sort, window: int | None = None):
+    """Wilder smoothing S_t = (1−1/n)·S_{t−1} + (1/n)·x_t as the
+    bounded-window fold (the :func:`ema_truncated` device at
+    α = 1/n, seeded with the window's oldest value): terms past
+    W = ceil(−53·ln2/ln(1−1/n)) are below one double ULP, an SQL twin
+    replays it with ``list_reduce`` (same seed convention)."""
+    import math
+
+    a = 1.0 / n
+    W = window or math.ceil(-53.0 * math.log(2.0) / math.log(1.0 - a))
+    win = w_sort.rowsBetween(-(W - 1), 0)
+    arr = F.collect_list(F.col(col).cast("double")).over(win)
+    tail = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+    return F.aggregate(
+        tail,
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + F.lit(a) * x,
+    )
+
+
+def adx(
+    df: DataFrame,
+    n: int = 14,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Average Directional Index (Wilder): trend STRENGTH regardless
+    of direction — the gate that keeps trend-following rules out of
+    chop. ±DM pick the dominant single-sided move per bar, Wilder
+    smoothing (α = 1/n) turns TR/±DM into ±DI, and ADX is the same
+    smoothing applied to DX = 100·|+DI − −DI|/(+DI + −DI).
+
+    Four sequential recurrences, zero Python: each is the bounded
+    truncated fold of :func:`_wilder_fold` (sub-ULP past ~496 rows at
+    n=14), staged via intermediate columns so codegen units stay small
+    (the black_scholes lesson). One per-symbol sort shared by all
+    windows; an SQL twin replays the folds with ``list_reduce``."""
+    w = Window.partitionBy(by).orderBy(ts)
+    up = F.col("high") - F.lag("high").over(w)
+    dn = F.lag("low").over(w) - F.col("low")
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(w)),
+        F.abs(F.col("low") - F.lag("close").over(w)),
+    )
+    base = (
+        df.withColumns(
+            {
+                "__pdm": F.when((up > dn) & (up > 0), up).otherwise(F.lit(0.0)),
+                "__ndm": F.when((dn > up) & (dn > 0), dn).otherwise(F.lit(0.0)),
+                "__tr": tr,
+            }
+        )
+        .filter(F.col("__tr").isNotNull())
+    )
+    base = base.withColumns(
+        {
+            "__str": _wilder_fold("__tr", n, w),
+            "__spdm": _wilder_fold("__pdm", n, w),
+            "__sndm": _wilder_fold("__ndm", n, w),
+        }
+    )
+    pdi = 100.0 * F.col("__spdm") / F.col("__str")
+    ndi = 100.0 * F.col("__sndm") / F.col("__str")
+    base = base.withColumns(
+        {
+            "__pdi": pdi,
+            "__ndi": ndi,
+            # a window with NO directional movement on either side has
+            # DX 0 by convention — and an explicit 0.0 keeps the ADX
+            # fold's window content identical across engines (a null
+            # here would be DROPPED by collect_list but KEPT by SQL
+            # list(), silently desynchronizing the recurrence)
+            "__dx": F.when(
+                (pdi + ndi) > 0, 100.0 * F.abs(pdi - ndi) / (pdi + ndi)
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+    return base.withColumn("__adx", _wilder_fold("__dx", n, w)).select(
+        by,
+        ts,
+        F.col("__pdi").alias("plus_di"),
+        F.col("__ndi").alias("minus_di"),
+        F.col("__dx").alias("dx"),
+        F.col("__adx").alias("adx"),
+    )
+
+
+def mfi(
+    df: DataFrame,
+    n: int = 14,
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Money Flow Index: volume-weighted RSI — positive/negative money
+    flow (typical price × volume, signed by the TP move) summed over
+    the trailing n bars, MFI = 100·pos/(pos+neg). Flat TP bars join
+    neither side (Wilder's convention). Pure conditional window sums
+    over one per-symbol sort; null until n flows exist."""
+    w = Window.partitionBy(by).orderBy(ts)
+    win = w.rowsBetween(-(n - 1), 0)
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    base = df.withColumn("__tp", tp).withColumn(
+        "__dtp", F.col("__tp") - F.lag("__tp").over(w)
+    )
+    base = base.filter(F.col("__dtp").isNotNull())
+    flow = F.col("__tp") * F.col("volume")
+    pos = F.sum(F.when(F.col("__dtp") > 0, flow).otherwise(F.lit(0.0))).over(win)
+    neg = F.sum(F.when(F.col("__dtp") < 0, flow).otherwise(F.lit(0.0))).over(win)
+    out = F.when(
+        (F.count(F.lit(1)).over(win) >= n) & ((pos + neg) > 0),
+        100.0 * pos / (pos + neg),
+    )
+    return base.select(by, ts, out.alias("mfi"))
+
+
 def riskmetrics_vol(
     df: DataFrame,
     price_col: str = "close",

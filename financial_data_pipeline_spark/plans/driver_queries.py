@@ -10310,3 +10310,193 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_lag",
         F.round("best_corr", 6).alias("best_corr"),
     )
+
+
+@query(
+    "ichimoku_lines",
+    BARS_CTE
+    + """
+, mids AS (
+  SELECT symbol, timestamp, close,
+         CASE WHEN count(*) OVER w9 >= 9
+              THEN (max(high) OVER w9 + min(low) OVER w9) / 2.0 END AS tenkan,
+         CASE WHEN count(*) OVER w26 >= 26
+              THEN (max(high) OVER w26 + min(low) OVER w26) / 2.0 END AS kijun,
+         CASE WHEN count(*) OVER w52 >= 52
+              THEN (max(high) OVER w52 + min(low) OVER w52) / 2.0 END AS mid52
+  FROM bars
+  WINDOW w9 AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         w26 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         w52 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(tenkan, 6) AS tenkan, round(kijun, 6) AS kijun,
+       round(lag((tenkan + kijun) / 2.0, 26) OVER w, 6) AS senkou_a,
+       round(lag(mid52, 26) OVER w, 6) AS senkou_b,
+       round(lead(close, 26) OVER w, 6) AS chikou
+FROM mids WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+""",
+)
+def q_ichimoku_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud lines per bar (``indicators.ichimoku``): rolling
+    midpoints with forward-displaced cloud legs and back-displaced
+    chikou — pure window algebra on one per-symbol sort."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.ichimoku(bars)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("tenkan", 6).alias("tenkan"),
+        F.round("kijun", 6).alias("kijun"),
+        F.round("senkou_a", 6).alias("senkou_a"),
+        F.round("senkou_b", 6).alias("senkou_b"),
+        F.round("chikou", 6).alias("chikou"),
+    )
+
+
+@query(
+    "adx_trend_strength",
+    BARS_CTE
+    + """
+, d0 AS (
+  SELECT symbol, timestamp,
+         high - lag(high) OVER w AS up,
+         lag(low) OVER w - low AS dn,
+         greatest(high - low, abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), d AS (
+  SELECT symbol, timestamp,
+         CASE WHEN up > dn AND up > 0 THEN up ELSE 0.0 END AS pdm,
+         CASE WHEN dn > up AND dn > 0 THEN dn ELSE 0.0 END AS ndm, tr
+  FROM d0 WHERE tr IS NOT NULL
+), s AS (
+  SELECT symbol, timestamp,
+         list_reduce(list(tr) OVER wf,
+           (a, b) -> a * (1.0 - 1.0 / 14.0) + (1.0 / 14.0) * b) AS str,
+         list_reduce(list(pdm) OVER wf,
+           (a, b) -> a * (1.0 - 1.0 / 14.0) + (1.0 / 14.0) * b) AS spdm,
+         list_reduce(list(ndm) OVER wf,
+           (a, b) -> a * (1.0 - 1.0 / 14.0) + (1.0 / 14.0) * b) AS sndm
+  FROM d WINDOW wf AS (PARTITION BY symbol ORDER BY timestamp
+                       ROWS BETWEEN 495 PRECEDING AND CURRENT ROW)
+), dx AS (
+  SELECT symbol, timestamp,
+         100.0 * spdm / str AS pdi, 100.0 * sndm / str AS ndi,
+         CASE WHEN (100.0 * spdm / str + 100.0 * sndm / str) > 0
+              THEN 100.0 * abs(100.0 * spdm / str - 100.0 * sndm / str)
+                   / (100.0 * spdm / str + 100.0 * sndm / str)
+              ELSE 0.0 END AS dxv
+  FROM s
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(pdi, 6) AS plus_di, round(ndi, 6) AS minus_di,
+       round(dxv, 6) AS dx,
+       round(list_reduce(list(dxv) OVER wf,
+         (a, b) -> a * (1.0 - 1.0 / 14.0) + (1.0 / 14.0) * b), 6) AS adx
+FROM dx WINDOW wf AS (PARTITION BY symbol ORDER BY timestamp
+                      ROWS BETWEEN 495 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_adx_trend_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX(14) trend strength (``indicators.adx``): Wilder-smoothed
+    ±DI and the doubly-smoothed ADX, each recurrence the bounded
+    truncated fold replayed bit-for-bit by the oracle's list_reduce."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.adx(bars, n=14)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("plus_di", 6).alias("plus_di"),
+        F.round("minus_di", 6).alias("minus_di"),
+        F.round("dx", 6).alias("dx"),
+        F.round("adx", 6).alias("adx"),
+    )
+
+
+@query(
+    "cci_20",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, timestamp, (high + low + close) / 3.0 AS tp FROM bars
+), a AS (
+  SELECT symbol, timestamp, tp,
+         list(tp) OVER (PARTITION BY symbol ORDER BY timestamp
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+  FROM t
+), m AS (
+  SELECT *,
+         list_reduce(list_prepend(0.0, arr), (x, y) -> x + y)
+           / len(arr) AS mu
+  FROM a
+), md AS (
+  SELECT *,
+         list_reduce(
+           list_prepend(0.0, list_transform(arr, v -> abs(v - mu))),
+           (x, y) -> x + y) / len(arr) AS mad
+  FROM m
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN len(arr) >= 20 AND mad > 0
+             THEN (tp - mu) / (0.015 * mad) END, 6) AS cci
+FROM md
+""",
+)
+def q_cci_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCI(20) per bar (``indicators.cci``): typical-price deviation
+    scaled by the window's own MEAN ABSOLUTE deviation — the window
+    materializes as a bounded array with two ordered folds, mirrored
+    exactly by list_reduce/list_transform."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.cci(20), 6).alias("cci"),
+    )
+    return out
+
+
+@query(
+    "mfi_14",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, timestamp, volume, (high + low + close) / 3.0 AS tp
+  FROM bars
+), d AS (
+  SELECT symbol, timestamp, volume, tp,
+         tp - lag(tp) OVER (PARTITION BY symbol ORDER BY timestamp) AS dtp
+  FROM t
+), f AS (SELECT * FROM d WHERE dtp IS NOT NULL)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(*) OVER w >= 14
+                   AND (sum(CASE WHEN dtp > 0 THEN tp * volume ELSE 0.0 END)
+                          OVER w
+                        + sum(CASE WHEN dtp < 0 THEN tp * volume ELSE 0.0 END)
+                          OVER w) > 0
+             THEN 100.0
+                  * sum(CASE WHEN dtp > 0 THEN tp * volume ELSE 0.0 END) OVER w
+                  / (sum(CASE WHEN dtp > 0 THEN tp * volume ELSE 0.0 END) OVER w
+                     + sum(CASE WHEN dtp < 0 THEN tp * volume ELSE 0.0 END)
+                       OVER w)
+             END, 4) AS mfi
+FROM f
+WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_mfi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MFI(14) per bar (``indicators.mfi``): volume-weighted RSI from
+    conditional money-flow window sums (flat bars join neither side).
+    Rounded at 4dp: the two engines slide their window sums in
+    different association orders (recompute vs segment tree), so the
+    ratio is only ULP-identical, not bit-identical."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.mfi(bars, n=14)
+    return out.select(
+        "symbol", _ts_us().alias("ts_us"), F.round("mfi", 4).alias("mfi")
+    )

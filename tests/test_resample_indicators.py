@@ -836,3 +836,151 @@ def test_lead_lag_xcorr_finds_planted_lead(spark):
     assert out["best_lag"] == 1  # A leads B by one bar
     assert out["best_corr"] > 0.9
     assert abs(out["corr_lag0"]) < 0.2
+
+
+def test_ichimoku_matches_pandas(spark):
+    """Ichimoku lines vs the pandas rolling/shift construction."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import ichimoku
+
+    rng = np.random.default_rng(13)
+    n = 300
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    high = close * (1 + np.abs(rng.normal(0, 0.003, n)))
+    low = close * (1 - np.abs(rng.normal(0, 0.003, n)))
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "high": high,
+            "low": low,
+            "close": close,
+        }
+    )
+    out = (
+        ichimoku(spark.createDataFrame(pdf))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    tenkan = (
+        pdf.high.rolling(9).max() + pdf.low.rolling(9).min()
+    ) / 2.0
+    kijun = (
+        pdf.high.rolling(26).max() + pdf.low.rolling(26).min()
+    ) / 2.0
+    mid52 = (
+        pdf.high.rolling(52).max() + pdf.low.rolling(52).min()
+    ) / 2.0
+    want = pd.DataFrame(
+        {
+            "tenkan": tenkan,
+            "kijun": kijun,
+            "senkou_a": ((tenkan + kijun) / 2.0).shift(26),
+            "senkou_b": mid52.shift(26),
+            "chikou": pdf.close.shift(-26),
+        }
+    )
+    for c in want.columns:
+        a, b = out[c].to_numpy(), want[c].to_numpy()
+        ok = np.isclose(a, b, rtol=1e-12, equal_nan=True) | (
+            np.isnan(a) & np.isnan(b)
+        )
+        # pandas NaN == Spark null here
+        mask = ~(pd.isna(a) & pd.isna(b))
+        assert np.isclose(
+            a[mask].astype(float), b[mask].astype(float), rtol=1e-12
+        ).all(), c
+
+
+def test_adx_matches_pandas_wilder(spark):
+    """ADX chain vs pandas ewm(alpha=1/14, adjust=False) seeded the
+    same way (first value) — the truncated fold is sub-ULP-equivalent
+    to the full recursion; trend regime scores higher ADX than chop."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import adx
+
+    rng = np.random.default_rng(17)
+    n = 900
+    drift = np.where(np.arange(n) < n // 2, 0.004, 0.0)  # trend, then chop
+    close = 100.0 * np.exp(np.cumsum(rng.normal(drift, 0.004)))
+    high = close * (1 + np.abs(rng.normal(0, 0.002, n)))
+    low = close * (1 - np.abs(rng.normal(0, 0.002, n)))
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "high": high,
+            "low": low,
+            "close": close,
+        }
+    )
+    out = adx(spark.createDataFrame(pdf)).orderBy("timestamp").toPandas()
+
+    up = pdf.high.diff()
+    dn = -pdf.low.diff()
+    pdm = np.where((up > dn) & (up > 0), up, 0.0)
+    ndm = np.where((dn > up) & (dn > 0), dn, 0.0)
+    # fmax ignores NaN: first row's tr = high-low, matching Spark's
+    # null-skipping greatest()
+    tr = np.fmax.reduce(
+        [
+            (pdf.high - pdf.low).to_numpy(),
+            (pdf.high - pdf.close.shift()).abs().to_numpy(),
+            (pdf.low - pdf.close.shift()).abs().to_numpy(),
+        ]
+    )
+    keep = ~np.isnan(tr)
+    a = 1.0 / 14.0
+
+    def wilder(x):
+        return pd.Series(x).ewm(alpha=a, adjust=False).mean().to_numpy()
+
+    s_tr, s_p, s_n = wilder(tr[keep]), wilder(pdm[keep]), wilder(ndm[keep])
+    pdi, ndi = 100 * s_p / s_tr, 100 * s_n / s_tr
+    denom = pdi + ndi
+    dx = np.where(denom > 0, 100 * np.abs(pdi - ndi) / denom, 0.0)
+    want_adx = wilder(dx)
+    assert np.allclose(out.plus_di.to_numpy(), pdi, rtol=1e-9)
+    assert np.allclose(out.adx.to_numpy(), want_adx, rtol=1e-9)
+    # regime: the trending half ends with stronger ADX than the chop end
+    assert out.adx.iloc[n // 2 - 1] > out.adx.iloc[-1]
+
+
+def test_mfi_matches_pandas(spark):
+    """MFI vs pandas conditional rolling sums; bounded 0..100."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import mfi
+
+    rng = np.random.default_rng(19)
+    n = 400
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    high = close * 1.002
+    low = close * 0.998
+    vol = np.abs(rng.normal(100, 30, n))
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "high": high,
+            "low": low,
+            "close": close,
+            "volume": vol,
+        }
+    )
+    out = mfi(spark.createDataFrame(pdf)).orderBy("timestamp").toPandas()
+    tp = (pdf.high + pdf.low + pdf.close) / 3.0
+    dtp = tp.diff()
+    flow = tp * pdf.volume
+    pos = pd.Series(np.where(dtp > 0, flow, 0.0)).iloc[1:].rolling(14).sum()
+    neg = pd.Series(np.where(dtp < 0, flow, 0.0)).iloc[1:].rolling(14).sum()
+    want = (100.0 * pos / (pos + neg)).to_numpy()
+    got = out.mfi.to_numpy()
+    mask = ~(np.isnan(want) | pd.isna(got))
+    assert np.allclose(got[mask].astype(float), want[mask], rtol=1e-9)
+    assert (got[mask] >= 0).all() and (got[mask] <= 100).all()
