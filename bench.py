@@ -254,6 +254,8 @@ HEADLINE = [
     "adx_trend_strength",
     "cci_20",
     "mfi_14",
+    "volume_spike_car",
+    "dup_rate_by_source",
 ]
 
 

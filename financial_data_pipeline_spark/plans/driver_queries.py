@@ -10500,3 +10500,109 @@ def q_mfi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol", _ts_us().alias("ts_us"), F.round("mfi", 4).alias("mfi")
     )
+
+
+@query(
+    "volume_spike_car",
+    BARS_CTE
+    + """
+, base AS (
+  SELECT symbol, timestamp, close, volume,
+         avg(volume) OVER (PARTITION BY symbol ORDER BY timestamp
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+           AS base_vol,
+         count(volume) OVER (PARTITION BY symbol ORDER BY timestamp
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+           AS n_base,
+         ln(lead(close, 1) OVER w / close) AS car1,
+         ln(lead(close, 3) OVER w / close) AS car3,
+         ln(lead(close, 5) OVER w / close) AS car5
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), marked AS (
+  SELECT symbol, car1, car3, car5,
+         (volume > 2.0 * base_vol) AS spike
+  FROM base
+  WHERE n_base = 24 AND car5 IS NOT NULL
+)
+SELECT symbol,
+       sum(CASE WHEN spike THEN 1 ELSE 0 END)::BIGINT AS n_spikes,
+       round(avg(CASE WHEN spike THEN car1 END) * 10000, 4) AS car1_spike_bps,
+       round(avg(CASE WHEN spike THEN car3 END) * 10000, 4) AS car3_spike_bps,
+       round(avg(CASE WHEN spike THEN car5 END) * 10000, 4) AS car5_spike_bps,
+       round(avg(CASE WHEN NOT spike THEN car5 END) * 10000, 4)
+         AS car5_base_bps
+FROM marked GROUP BY symbol
+""",
+)
+def q_volume_spike_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study: cumulative abnormal return (1/3/5 bars, in bps)
+    after volume spikes (>2x the trailing 24-bar average, current bar
+    excluded) vs the non-spike baseline — does unusual volume predict
+    drift? Pure window algebra: one trailing average, three forward
+    log returns, one aggregate; events with incomplete forward or
+    baseline windows abstain."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    wb = w.rowsBetween(-24, -1)
+    base = bars.select(
+        "symbol",
+        (F.col("volume") > 2.0 * F.avg("volume").over(wb)).alias("spike"),
+        F.count("volume").over(wb).alias("__nb"),
+        F.log(F.lead("close", 1).over(w) / F.col("close")).alias("car1"),
+        F.log(F.lead("close", 3).over(w) / F.col("close")).alias("car3"),
+        F.log(F.lead("close", 5).over(w) / F.col("close")).alias("car5"),
+    ).filter((F.col("__nb") == 24) & F.col("car5").isNotNull())
+    spike = F.col("spike")
+    return base.groupBy("symbol").agg(
+        F.sum(spike.cast("long")).alias("n_spikes"),
+        F.round(F.avg(F.when(spike, F.col("car1"))) * 10000, 4).alias(
+            "car1_spike_bps"
+        ),
+        F.round(F.avg(F.when(spike, F.col("car3"))) * 10000, 4).alias(
+            "car3_spike_bps"
+        ),
+        F.round(F.avg(F.when(spike, F.col("car5"))) * 10000, 4).alias(
+            "car5_spike_bps"
+        ),
+        F.round(F.avg(F.when(~spike, F.col("car5"))) * 10000, 4).alias(
+            "car5_base_bps"
+        ),
+    )
+
+
+@query(
+    "dup_rate_by_source",
+    """
+WITH h AS (
+  SELECT doc_id, source, md5(text) AS th FROM documents
+), c AS (
+  SELECT th, count(*) AS n FROM h GROUP BY th
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       round(sum(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS dup_frac
+FROM h JOIN c USING (th)
+GROUP BY source
+""",
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health: per-source exact-duplicate exposure — the share
+    of a source's documents whose full text appears more than once
+    ANYWHERE in the corpus (md5 groupBy + join back; mirror sites and
+    syndication show up here before any dedup pass runs). Linear,
+    hash-keyed, the same plan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("th"))
+    c = h.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
+    joined = h.join(c, "th")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n") > 1).cast("long")).alias("n_dup_docs"),
+        F.round(
+            F.sum((F.col("n") > 1).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
