@@ -25,7 +25,13 @@ def _melt(df: DataFrame, cols: list[str]) -> DataFrame:
     """(feature, __v) long form of the given numeric columns — one
     pruned scan covers every feature at once (the scan reads only
     ``cols``), so histogramming F features costs the same two passes
-    as histogramming one."""
+    as histogramming one. The single-feature case skips the explode
+    (a plain projection — measurably cheaper on fact-sized input)."""
+    if len(cols) == 1:
+        return df.select(
+            F.lit(cols[0]).alias("feature"),
+            F.col(cols[0]).cast("double").alias("__v"),
+        )
     return df.select(
         F.explode(
             F.array(
@@ -69,43 +75,49 @@ def _hist_grid(
     - the dense feature×bin grid left-joins the two count frames and
       the broadcast totals.
 
-    At 100 TB this is two passes per side covering ALL features (the
-    r02 shape was two passes + two driver round-trips PER feature)."""
+    At 100 TB this is two passes over the reference and ONE over the
+    comparison side, covering ALL features (the r02 shape was two
+    passes + two driver round-trips PER feature): the two sides union
+    with a side tag and bucket-count in a single aggregation; per-
+    feature totals then ride free on the already-aggregated bin rows
+    (null buckets — null feature values — keep their group so totals
+    still count every row, then drop at the dense-grid join)."""
     spark = ref.sparkSession
     mref, mnew = _melt(ref, cols), _melt(new, cols)
     stats = mref.groupBy("feature").agg(
-        F.min("__v").alias("__lo"),
-        F.max("__v").alias("__hi"),
-        F.count(F.lit(1)).alias("__t_ref"),
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
     )
-    tnew = mnew.groupBy("feature").agg(F.count(F.lit(1)).alias("__t_new"))
-
-    def binned(m: DataFrame, name: str) -> DataFrame:
-        width = (F.col("__hi") - F.col("__lo")) / F.lit(bins)
-        bucket = F.least(
-            F.lit(bins - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"),
-            ),
+    u = mref.withColumn("__side", F.lit(0)).unionByName(
+        mnew.withColumn("__side", F.lit(1))
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(bins)
+    bucket = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"),
+        ),
+    )
+    binned = (
+        u.join(F.broadcast(stats), "feature")
+        .select("feature", bucket.alias("bin"), "__side")
+        .groupBy("feature", "bin")
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("n_new"),
         )
-        return (
-            m.join(F.broadcast(stats.select("feature", "__lo", "__hi")), "feature")
-            .select("feature", bucket.alias("bin"))
-            .groupBy("feature", "bin")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
+    )
+    totals = binned.groupBy("feature").agg(
+        F.sum("n_ref").alias("__t_ref"), F.sum("n_new").alias("__t_new")
+    )
     features = spark.createDataFrame([(c,) for c in cols], "feature string")
     grid = (
         features.crossJoin(
             spark.range(bins).select(F.col("id").cast("int").alias("bin"))
         )
-        .join(binned(mref, "n_ref"), ["feature", "bin"], "left")
-        .join(binned(mnew, "n_new"), ["feature", "bin"], "left")
+        .join(binned, ["feature", "bin"], "left")
         .na.fill({"n_ref": 0, "n_new": 0})
-        .join(F.broadcast(stats.select("feature", "__t_ref")), "feature")
-        .join(F.broadcast(tnew), "feature")
+        .join(F.broadcast(totals), "feature")
     )
     return grid
 

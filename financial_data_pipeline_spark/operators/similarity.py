@@ -765,25 +765,35 @@ def lloyd_kmeans(
     centroid matrix). Iterative refinement has no single-statement SQL
     twin — verified by differential test against a NumPy Lloyd
     reference (tests/test_llm_ops.py)."""
-    init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
-    centroids = [list(map(float, r[1])) for r in init_rows]
-    if len(centroids) < k:
-        raise ValueError(f"need at least k={k} vectors, got {len(centroids)}")
-    for _ in range(iters):
-        assigned = kmeans_assign(df, centroids, vec_col)
-        sums = (
-            assigned.select("cluster", F.posexplode(vec_col))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("m"))
-            .collect()
-        )
-        new_c = [list(c) for c in centroids]  # empty cluster keeps old
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
-        for ci, dims in by_cluster.items():
-            new_c[ci] = [dims[p] for p in sorted(dims)]
-        centroids = new_c
-    return kmeans_assign(df, centroids, vec_col), centroids
+    # cache the projected working set once: every Lloyd round reads it
+    # twice (assign + recompute), and without the cache each round
+    # re-scans the source — at 100 TB that is 2·iters full scans.
+    # MEMORY_AND_DISK spill keeps this safe when the projection
+    # exceeds executor memory.
+    work = df.select(id_col, vec_col).persist()
+    try:
+        init_rows = work.orderBy(id_col).limit(k).collect()
+        centroids = [list(map(float, r[1])) for r in init_rows]
+        if len(centroids) < k:
+            raise ValueError(
+                f"need at least k={k} vectors, got {len(centroids)}"
+            )
+        for _ in range(iters):
+            assigned = kmeans_assign(work, centroids, vec_col)
+            sums = (
+                assigned.select("cluster", F.posexplode(vec_col))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("col").alias("m"))
+                .collect()
+            )
+            new_c = [list(c) for c in centroids]  # empty cluster keeps old
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in sums:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+            for ci, dims in by_cluster.items():
+                new_c[ci] = [dims[p] for p in sorted(dims)]
+            centroids = new_c
+        # final assignment joins back any extra caller columns
+        return kmeans_assign(df, centroids, vec_col), centroids
+    finally:
+        work.unpersist()
