@@ -256,6 +256,9 @@ HEADLINE = [
     "mfi_14",
     "volume_spike_car",
     "dup_rate_by_source",
+    "bollinger_reversion_backtest",
+    "kelly_sizing",
+    "almgren_chriss_schedule",
 ]
 
 

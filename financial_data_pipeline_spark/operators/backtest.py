@@ -157,3 +157,133 @@ def sma_grid_backtest(
         (F.exp(F.sum("__taken")) - 1).alias("strategy_return"),
         (F.exp(F.sum("__r")) - 1).alias("buy_hold_return"),
     )
+
+
+def bollinger_reversion_positions(
+    df: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Mean-reversion position frame: enter long when the close drops
+    BELOW the lower Bollinger band, exit when it recovers to the
+    middle band (SMA) — the classic band-reversion rule, complementing
+    the trend-following SMA crossover.
+
+    The hold-until-exit state is gaps-and-islands, not a per-row
+    signal: position_t = the most recent of {entry→1, exit→0}. That is
+    exactly ``last(signal) IGNORE NULLS`` over the unbounded preceding
+    window — window-expressible, deterministic, and mirrored verbatim
+    by SQL ``last_value(... IGNORE NULLS)``. Null bands (warmup) emit
+    no signal; position starts flat. Output matches
+    :func:`backtest_summary`'s contract (position, log_ret)."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    win = w.rowsBetween(-(n - 1), 0)
+    p = F.col(price_col)
+    mid = F.when(F.count(p).over(win) >= n, F.avg(p).over(win))
+    sd = F.when(F.count(p).over(win) >= n, F.stddev_samp(p).over(win))
+    lower = mid - k * sd
+    signal = (
+        F.when(p < lower, F.lit(1))
+        .when(p >= mid, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return (
+        df.withColumn("__sig", signal)
+        .withColumn(
+            "position",
+            F.coalesce(
+                F.last("__sig", ignorenulls=True).over(w), F.lit(0)
+            ),
+        )
+        .withColumn("log_ret", F.coalesce(log_return(price_col, by=by, ts=ts), F.lit(0.0)))
+        .select(*by, ts, "position", "log_ret")
+    )
+
+
+def kelly_sizing(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    bars_per_year: float = 24.0 * 365,
+) -> DataFrame:
+    """Kelly-optimal position size per symbol from the log-return
+    moments: f* = μ/σ² (the continuous-time Kelly fraction), the
+    half-Kelly the desks actually run, and the expected growth rate at
+    full Kelly g = μ²/2σ² (annualized). One window pass + one
+    aggregate; closed-form, oracle-mirrored."""
+    r = log_return(price_col, by=[by], ts=ts)
+    base = df.withColumn("__r", r).filter(F.col("__r").isNotNull())
+    agg = base.groupBy(by).agg(
+        F.count("__r").alias("n_obs"),
+        F.avg("__r").alias("__mu"),
+        F.var_samp("__r").alias("__var"),
+    )
+    f = F.col("__mu") / F.col("__var")
+    return agg.select(
+        by,
+        "n_obs",
+        f.alias("kelly_fraction"),
+        (f / 2.0).alias("half_kelly"),
+        (
+            F.col("__mu") * F.col("__mu") / (2.0 * F.col("__var"))
+            * F.lit(bars_per_year)
+        ).alias("growth_rate_ann"),
+    )
+
+
+def almgren_chriss_schedule(
+    df: DataFrame,
+    n_slices: int = 10,
+    risk_lambda: float = 1e-6,
+    temp_impact_eta: float = 2.5e-6,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    bars_per_day: float = 24.0,
+) -> DataFrame:
+    """Almgren–Chriss optimal liquidation trajectory per symbol over
+    one trading day in ``n_slices`` slices: the closed-form schedule
+    x(t)/X = sinh(κ(T−t))/sinh(κT) with urgency κ = √(λσ²/η) from the
+    symbol's OWN realized daily variance — risk-averse front-loading
+    that degrades to straight-line TWAP as λ→0. The execution-algo
+    counterpart of the VPIN/Kyle microstructure readouts.
+
+    Plan: one aggregate for per-symbol daily σ², then the slice grid
+    is an exploded literal ``sequence`` — |symbols|·(n+1) rows of pure
+    expression algebra (sinh via (eˣ−e⁻ˣ)/2, mirrored verbatim in the
+    oracle). No shuffle after the aggregate."""
+    w = Window.partitionBy(by).orderBy(ts)
+    r = F.log(F.col(price_col) / F.lag(price_col).over(w))
+    vol = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .groupBy(by)
+        .agg((F.var_samp("__r") * F.lit(bars_per_day)).alias("__dvar"))
+    )
+    kappa = F.sqrt(F.lit(risk_lambda) * F.col("__dvar") / F.lit(temp_impact_eta))
+
+    def sinh(x):
+        return (F.exp(x) - F.exp(-x)) / 2.0
+
+    sliced = vol.withColumn(
+        "slice", F.explode(F.sequence(F.lit(0), F.lit(n_slices)))
+    )
+    t_frac = F.col("slice").cast("double") / F.lit(float(n_slices))
+    remaining = sinh(kappa * (1.0 - t_frac)) / sinh(kappa)
+    out = sliced.select(
+        by,
+        "slice",
+        F.sqrt("__dvar").alias("daily_vol"),
+        kappa.alias("kappa"),
+        remaining.alias("remaining_frac"),
+    )
+    wnext = Window.partitionBy(by).orderBy("slice")
+    return out.withColumn(
+        "trade_frac",
+        F.coalesce(F.lag("remaining_frac").over(wnext) - F.col("remaining_frac"), F.lit(0.0)),
+    )

@@ -10606,3 +10606,160 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_frac"),
     )
+
+
+@query(
+    "bollinger_reversion_backtest",
+    BARS_CTE
+    + """
+, p AS (
+  SELECT symbol, timestamp, close,
+         CASE WHEN count(close) OVER win >= 20
+              THEN avg(close) OVER win END AS mid,
+         CASE WHEN count(close) OVER win >= 20
+              THEN stddev_samp(close) OVER win END AS sd,
+         ln(close / lag(close) OVER w) AS lr
+  FROM bars
+  WINDOW win AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w AS (PARTITION BY symbol ORDER BY timestamp)
+), sig AS (
+  SELECT symbol, timestamp, coalesce(lr, 0.0) AS log_ret,
+         CASE WHEN close < mid - 2.0 * sd THEN 1
+              WHEN close >= mid THEN 0 END AS s
+  FROM p
+), pos AS (
+  SELECT symbol, timestamp, log_ret,
+         coalesce(last_value(s IGNORE NULLS) OVER
+           (PARTITION BY symbol ORDER BY timestamp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS position
+  FROM sig
+), f AS (
+  SELECT symbol, log_ret, position,
+         coalesce(lag(position) OVER
+           (PARTITION BY symbol ORDER BY timestamp), 0) AS prev
+  FROM pos
+)
+SELECT symbol,
+       sum(abs(position - prev))::BIGINT AS n_trades,
+       round(exp(sum(prev * log_ret)
+                 + ln(1.0 - 5.0 / 10000.0) * sum(abs(position - prev)))
+             - 1, 6) AS strategy_return,
+       round(exp(sum(log_ret)) - 1, 6) AS buy_hold_return
+FROM f GROUP BY symbol
+""",
+)
+def q_bollinger_reversion_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-reversion backtest per symbol (enter below the lower
+    Bollinger band, exit at the middle band, next-bar fills, 5 bps per
+    position change) — the mean-reversion strategy family next to the
+    trend-following SMA crossover; hold-until-exit state is
+    last-ignore-nulls gaps-and-islands in both engines
+    (``backtest.bollinger_reversion_positions``)."""
+    from financial_data_pipeline_spark.operators.backtest import (
+        backtest_summary,
+        bollinger_reversion_positions,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    pos = bollinger_reversion_positions(bars, n=20, k=2.0)
+    out = backtest_summary(pos, cost_bps=5.0)
+    return out.select(
+        "symbol",
+        "n_trades",
+        F.round("strategy_return", 6).alias("strategy_return"),
+        F.round("buy_hold_return", 6).alias("buy_hold_return"),
+    )
+
+
+@query(
+    "kelly_sizing",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS lr
+  FROM bars
+), a AS (
+  SELECT symbol, count(lr) AS n_obs, avg(lr) AS mu, var_samp(lr) AS v
+  FROM r WHERE lr IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, n_obs,
+       round(mu / v, 6) AS kelly_fraction,
+       round(mu / v / 2.0, 6) AS half_kelly,
+       round(mu * mu / (2.0 * v) * 8760.0, 6) AS growth_rate_ann
+FROM a
+""",
+)
+def q_kelly_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kelly-optimal sizing per symbol from log-return moments
+    (``backtest.kelly_sizing``): f* = mu/sigma^2, half-Kelly, and the
+    annualized growth rate at full Kelly — closed-form, one window +
+    one aggregate."""
+    from financial_data_pipeline_spark.operators.backtest import kelly_sizing
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = kelly_sizing(bars, bars_per_year=8760.0)
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("kelly_fraction", 6).alias("kelly_fraction"),
+        F.round("half_kelly", 6).alias("half_kelly"),
+        F.round("growth_rate_ann", 6).alias("growth_rate_ann"),
+    )
+
+
+@query(
+    "almgren_chriss_schedule",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS lr
+  FROM bars
+), v AS (
+  SELECT symbol, var_samp(lr) * 24.0 AS dvar
+  FROM r WHERE lr IS NOT NULL GROUP BY symbol
+), s AS (
+  SELECT symbol, dvar, sqrt(1e-06 * dvar / 2.5e-06) AS kappa,
+         unnest(generate_series(0, 10)) AS slice
+  FROM v
+), e AS (
+  SELECT symbol, slice, sqrt(dvar) AS daily_vol, kappa,
+         ((exp(kappa * (1.0 - slice / 10.0))
+           - exp(-(kappa * (1.0 - slice / 10.0)))) / 2.0)
+         / ((exp(kappa) - exp(-kappa)) / 2.0) AS remaining_frac
+  FROM s
+)
+SELECT symbol, slice, round(daily_vol, 6) AS daily_vol,
+       round(kappa, 6) AS kappa,
+       round(remaining_frac, 6) AS remaining_frac,
+       round(coalesce(lag(remaining_frac) OVER
+               (PARTITION BY symbol ORDER BY slice) - remaining_frac,
+             0.0), 6) AS trade_frac
+FROM e
+""",
+)
+def q_almgren_chriss_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Almgren-Chriss optimal liquidation schedule per symbol
+    (``backtest.almgren_chriss_schedule``): closed-form
+    sinh(kappa(T-t))/sinh(kappa T) trajectory with urgency from the
+    symbol's own realized daily variance — risk-averse front-loading
+    that a lambda->0 limit turns into TWAP."""
+    from financial_data_pipeline_spark.operators.backtest import (
+        almgren_chriss_schedule,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = almgren_chriss_schedule(bars, n_slices=10)
+    return out.select(
+        "symbol",
+        "slice",
+        F.round("daily_vol", 6).alias("daily_vol"),
+        F.round("kappa", 6).alias("kappa"),
+        F.round("remaining_frac", 6).alias("remaining_frac"),
+        F.round("trade_frac", 6).alias("trade_frac"),
+    )

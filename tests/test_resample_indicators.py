@@ -984,3 +984,101 @@ def test_mfi_matches_pandas(spark):
     mask = ~(np.isnan(want) | pd.isna(got))
     assert np.allclose(got[mask].astype(float), want[mask], rtol=1e-9)
     assert (got[mask] >= 0).all() and (got[mask] <= 100).all()
+
+
+def test_bollinger_reversion_positions_semantics(spark):
+    """Entry fires only after a below-lower-band close, the position
+    holds until the middle band is recovered, and the summary charges
+    costs per position change."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.backtest import (
+        backtest_summary,
+        bollinger_reversion_positions,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 400
+    close = 100.0 + np.cumsum(rng.normal(0, 0.3, n))
+    close[200] -= 6.0  # engineered crash through the lower band
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": close,
+        }
+    )
+    pos = (
+        bollinger_reversion_positions(spark.createDataFrame(pdf))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    assert set(pos.position.unique()) <= {0, 1}
+    assert (pos.position.iloc[:20] == 0).all()  # warmup is flat
+    assert pos.position.iloc[200] == 1 or pos.position.iloc[201] == 1
+    summ = backtest_summary(
+        bollinger_reversion_positions(spark.createDataFrame(pdf)),
+        cost_bps=5.0,
+    ).first()
+    assert summ["n_trades"] >= 2  # at least one round trip
+
+
+def test_kelly_sizing_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.backtest import kelly_sizing
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    r = rng.normal(0.0004, 0.01, n)
+    close = 100.0 * np.exp(np.cumsum(r))
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": close,
+        }
+    )
+    out = kelly_sizing(spark.createDataFrame(pdf)).first()
+    lr = np.diff(np.log(close))
+    want = lr.mean() / lr.var(ddof=1)
+    assert abs(out["kelly_fraction"] - want) < 1e-9
+    assert abs(out["half_kelly"] - want / 2.0) < 1e-9
+    assert out["kelly_fraction"] > 0
+
+
+def test_almgren_chriss_schedule_shape(spark):
+    """Trajectory starts fully loaded, ends flat, decreases
+    monotonically, trades sum to 1, and is front-loaded (earlier
+    slices trade at least as much as later ones — risk aversion)."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.backtest import (
+        almgren_chriss_schedule,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 500
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": close,
+        }
+    )
+    out = (
+        almgren_chriss_schedule(spark.createDataFrame(pdf), n_slices=10)
+        .orderBy("slice")
+        .toPandas()
+    )
+    assert len(out) == 11
+    assert abs(out.remaining_frac.iloc[0] - 1.0) < 1e-12
+    assert abs(out.remaining_frac.iloc[-1]) < 1e-12
+    assert (np.diff(out.remaining_frac) < 0).all()
+    assert abs(out.trade_frac.sum() - 1.0) < 1e-9
+    trades = out.trade_frac.iloc[1:].to_numpy()
+    assert (np.diff(trades) <= 1e-12).all()  # front-loaded
