@@ -259,6 +259,7 @@ HEADLINE = [
     "bollinger_reversion_backtest",
     "kelly_sizing",
     "almgren_chriss_schedule",
+    "boilerplate_lines",
 ]
 
 

