@@ -260,6 +260,7 @@ HEADLINE = [
     "kelly_sizing",
     "almgren_chriss_schedule",
     "boilerplate_lines",
+    "inverse_vol_rebalanced",
 ]
 
 

@@ -287,3 +287,69 @@ def almgren_chriss_schedule(
         "trade_frac",
         F.coalesce(F.lag("remaining_frac").over(wnext) - F.col("remaining_frac"), F.lit(0.0)),
     )
+
+
+def inverse_vol_portfolio_backtest(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+    period: str = "week",
+) -> DataFrame:
+    """Periodically-rebalanced inverse-volatility portfolio: each
+    period (default weekly) holds weights w_i ∝ 1/σ_i computed from
+    the PRIOR period's per-symbol return volatility (no lookahead —
+    the weight a real rebalance could have known), fixed within the
+    period (standard periodic-rebalance approximation). Connects the
+    static ``inverse_vol_portfolio`` weights to realized performance:
+    per-period portfolio return and the cumulative compounded curve.
+
+    Plan: per-(symbol, period) vol aggregate → shifted one period via
+    a per-symbol lag window (periods are tiny rows) → broadcast-joined
+    onto bar returns → one per-timestamp weighted sum → one per-period
+    aggregate of ln(1+r) → ordered cumulative window over periods
+    (runs on the period frame, a handful of rows, never facts)."""
+    w = Window.partitionBy(by).orderBy(ts)
+    r = F.log(F.col(price_col) / F.lag(price_col).over(w))
+    bars = (
+        df.withColumn("__lr", r)
+        .filter(F.col("__lr").isNotNull())
+        .withColumn("__month", F.date_trunc(period, F.col(ts)))
+    )
+    mvol = bars.groupBy(by, "__month").agg(
+        F.stddev_samp("__lr").alias("__vol")
+    )
+    wlag = Window.partitionBy(by).orderBy("__month")
+    prior = mvol.select(
+        by,
+        F.lead("__month").over(wlag).alias("__month"),
+        F.col("__vol").alias("__pvol"),
+    ).filter(F.col("__month").isNotNull() & (F.col("__pvol") > 0))
+    wsum = Window.partitionBy("__month")
+    weights = prior.withColumn(
+        "__w",
+        (1.0 / F.col("__pvol")) / F.sum(1.0 / F.col("__pvol")).over(wsum),
+    )
+    per_ts = (
+        bars.join(F.broadcast(weights), [by, "__month"])
+        .groupBy("__month", ts)
+        .agg(
+            F.sum(F.col("__w") * (F.exp("__lr") - 1.0)).alias("__pr")
+        )
+    )
+    monthly = per_ts.groupBy("__month").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum(F.log(F.lit(1.0) + F.col("__pr"))).alias("__mlog"),
+    )
+    wcum = Window.orderBy("__month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # LOG returns, deliberately: exp() of a long compounded path
+    # overflows double range on volatile inputs and magnifies ULP
+    # noise past any rounding; the log curve is bounded and exact.
+    return monthly.select(
+        F.col("__month").alias("period"),
+        "n_bars",
+        F.col("__mlog").alias("period_log_return"),
+        F.sum("__mlog").over(wcum).alias("cumulative_log_return"),
+    )

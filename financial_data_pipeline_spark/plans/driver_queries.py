@@ -10830,3 +10830,59 @@ def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "inverse_vol_rebalanced",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp, date_trunc('week', timestamp) AS m,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS lr
+  FROM bars
+), b AS (SELECT * FROM r WHERE lr IS NOT NULL),
+mv AS (SELECT symbol, m, stddev_samp(lr) AS vol FROM b GROUP BY 1, 2),
+pr AS (
+  SELECT symbol, lead(m) OVER (PARTITION BY symbol ORDER BY m) AS m,
+         vol AS pvol
+  FROM mv
+), pw AS (SELECT * FROM pr WHERE m IS NOT NULL AND pvol > 0),
+wts AS (
+  SELECT symbol, m,
+         (1.0 / pvol) / sum(1.0 / pvol) OVER (PARTITION BY m) AS w
+  FROM pw
+), pt AS (
+  SELECT b.m, b.timestamp, sum(w.w * (exp(b.lr) - 1.0)) AS prt
+  FROM b JOIN wts w ON b.symbol = w.symbol AND b.m = w.m
+  GROUP BY 1, 2
+), mo AS (
+  SELECT m, count(*) AS n_bars, sum(ln(1.0 + prt)) AS mlog
+  FROM pt GROUP BY m
+)
+SELECT epoch_us(m) AS period_us, n_bars,
+       round(mlog, 6) AS period_log_return,
+       round(sum(mlog) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW), 6) AS cumulative_log_return
+FROM mo
+""",
+)
+def q_inverse_vol_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-rebalanced inverse-volatility portfolio
+    (``backtest.inverse_vol_portfolio_backtest``): weights from the
+    PRIOR period's per-symbol vol (no lookahead), fixed within the
+    period (weekly here — the driver corpus spans one calendar
+    month); per-period and cumulative compounded returns. Connects
+    the static risk weights to realized performance."""
+    from financial_data_pipeline_spark.operators.backtest import (
+        inverse_vol_portfolio_backtest,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = inverse_vol_portfolio_backtest(bars, period="week")
+    return out.select(
+        F.unix_micros("period").alias("period_us"),
+        "n_bars",
+        F.round("period_log_return", 6).alias("period_log_return"),
+        F.round("cumulative_log_return", 6).alias("cumulative_log_return"),
+    )

@@ -1082,3 +1082,45 @@ def test_almgren_chriss_schedule_shape(spark):
     assert abs(out.trade_frac.sum() - 1.0) < 1e-9
     trades = out.trade_frac.iloc[1:].to_numpy()
     assert (np.diff(trades) <= 1e-12).all()  # front-loaded
+
+
+def test_inverse_vol_rebalanced_portfolio_semantics(spark):
+    """No-lookahead weekly rebalance: the first week (no prior stats)
+    is absent, cumulative log return is the running sum of period log
+    returns, and with one DOMINANTLY-quiet symbol the portfolio curve
+    tracks that symbol far closer than the loud one."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.backtest import (
+        inverse_vol_portfolio_backtest,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 24 * 28  # four weeks hourly
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    quiet = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.001, n)))
+    loud = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.05, n)))
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"symbol": "Q", "timestamp": ts, "close": quiet}),
+            pd.DataFrame({"symbol": "L", "timestamp": ts, "close": loud}),
+        ]
+    )
+    out = (
+        inverse_vol_portfolio_backtest(
+            spark.createDataFrame(pdf), period="week"
+        )
+        .orderBy("period")
+        .toPandas()
+    )
+    # 2024-01-01 is a Monday: weeks 2..4 survive (week 1 has no prior)
+    assert len(out) == 3
+    assert np.allclose(
+        out.cumulative_log_return.to_numpy(),
+        out.period_log_return.cumsum().to_numpy(),
+        rtol=1e-12,
+    )
+    # portfolio is ~98% quiet symbol: its weekly log return should be
+    # tiny compared to the loud symbol's own swings
+    assert np.abs(out.period_log_return).max() < 0.05
