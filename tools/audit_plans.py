@@ -155,6 +155,10 @@ def main() -> None:
         "  per-category grid — O(categories·1) scalar distribution,",
         "  same shape as `volume_profile` (keeps totals lazy instead of",
         "  the former driver .first()).",
+        "- `inverse_vol_rebalanced` GLOBAL_WINDOW: the cumulative",
+        "  compounding window runs on the per-PERIOD frame (one row per",
+        "  rebalance week — a handful of rows), never on facts; the",
+        "  fact-sized stages are all keyed on (symbol, period).",
         "- `ivf_recall_at_10` NESTED_LOOP_JOIN: IVF probe selection is",
         "  the (queries × centroids) broadcast crossJoin — O(16 · cells)",
         "  rows against a one-row-per-cell centroid table, then a",
