@@ -261,6 +261,7 @@ HEADLINE = [
     "almgren_chriss_schedule",
     "boilerplate_lines",
     "inverse_vol_rebalanced",
+    "heikin_ashi_candles",
 ]
 
 

@@ -346,6 +346,56 @@ def mfi(
     return base.select(by, ts, out.alias("mfi"))
 
 
+def heikin_ashi(
+    df: DataFrame,
+    by: str = "symbol",
+    ts: str = "timestamp",
+    window: int = 55,
+) -> DataFrame:
+    """Heikin-Ashi candles: ha_close = (O+H+L+C)/4 per bar, and the
+    RECURSIVE ha_open_t = (ha_open_{t−1} + ha_close_{t−1})/2 — the
+    trend-smoothing candle transform charting stacks ship.
+
+    The recursion is an α=½ exponential average of the lagged
+    ha_close, so the :func:`ema_truncated` device applies with a tiny
+    horizon: the seed's influence halves per bar, so a 55-bar window
+    fold (seeded with the window's oldest element of
+    y_t = coalesce(lag(ha_close), (open₁+close₁)/2)) reproduces the
+    full recursion below one double ULP — and the SQL twin truncates
+    IDENTICALLY (list_reduce over the same frame), so the engines
+    agree bit-for-bit by construction. ha_high/ha_low wrap the raw
+    extremes around both derived opens. Pure codegen, one per-symbol
+    sort."""
+    w = Window.partitionBy(by).orderBy(ts)
+    hc = (
+        F.col("open") + F.col("high") + F.col("low") + F.col("close")
+    ) / 4.0
+    base = df.withColumn("__hc", hc).withColumn(
+        "__y",
+        F.coalesce(
+            F.lag("__hc").over(w),
+            (F.col("open") + F.col("close")) / 2.0,
+        ),
+    )
+    win = w.rowsBetween(-(window - 1), 0)
+    arr = F.collect_list("__y").over(win)
+    tail = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+    ho = F.aggregate(
+        tail,
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(0.5) + F.lit(0.5) * x,
+    )
+    base = base.withColumn("__ho", ho)
+    return base.select(
+        by,
+        ts,
+        F.col("__ho").alias("ha_open"),
+        F.greatest("high", "__ho", "__hc").alias("ha_high"),
+        F.least("low", "__ho", "__hc").alias("ha_low"),
+        F.col("__hc").alias("ha_close"),
+    )
+
+
 def riskmetrics_vol(
     df: DataFrame,
     price_col: str = "close",

@@ -10886,3 +10886,49 @@ def q_inverse_vol_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("period_log_return", 6).alias("period_log_return"),
         F.round("cumulative_log_return", 6).alias("cumulative_log_return"),
     )
+
+
+@query(
+    "heikin_ashi_candles",
+    BARS_CTE
+    + """
+, b AS (
+  SELECT symbol, timestamp, open, high, low, close,
+         (open + high + low + close) / 4.0 AS hc
+  FROM bars
+), y AS (
+  SELECT symbol, timestamp, open, high, low, close, hc,
+         coalesce(lag(hc) OVER (PARTITION BY symbol ORDER BY timestamp),
+                  (open + close) / 2.0) AS yv
+  FROM b
+), f AS (
+  SELECT symbol, timestamp, high, low, hc,
+         list_reduce(
+           list(yv) OVER (PARTITION BY symbol ORDER BY timestamp
+                          ROWS BETWEEN 54 PRECEDING AND CURRENT ROW),
+           (a, x) -> a * 0.5 + 0.5 * x) AS ho
+  FROM y
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(ho, 6) AS ha_open,
+       round(greatest(high, ho, hc), 6) AS ha_high,
+       round(least(low, ho, hc), 6) AS ha_low,
+       round(hc, 6) AS ha_close
+FROM f
+""",
+)
+def q_heikin_ashi_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candle transform per bar (``indicators.heikin_ashi``):
+    the recursive ha_open as a 55-bar seeded fold (alpha=1/2 halves
+    the seed's influence per bar — sub-ULP vs the full recursion),
+    truncated identically in the oracle's list_reduce."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.heikin_ashi(bars)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("ha_open", 6).alias("ha_open"),
+        F.round("ha_high", 6).alias("ha_high"),
+        F.round("ha_low", 6).alias("ha_low"),
+        F.round("ha_close", 6).alias("ha_close"),
+    )

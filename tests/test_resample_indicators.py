@@ -1124,3 +1124,45 @@ def test_inverse_vol_rebalanced_portfolio_semantics(spark):
     # portfolio is ~98% quiet symbol: its weekly log return should be
     # tiny compared to the loud symbol's own swings
     assert np.abs(out.period_log_return).max() < 0.05
+
+
+def test_heikin_ashi_matches_iterative_reference(spark):
+    """The fold-based ha_open must match the textbook sequential
+    recursion (seeded (open1+close1)/2) to sub-ULP, and the derived
+    high/low wrap both synthetic opens."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import heikin_ashi
+
+    rng = np.random.default_rng(41)
+    n = 300
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+    openp = np.roll(close, 1) * (1 + rng.normal(0, 0.001, n))
+    openp[0] = 100.0
+    high = np.maximum(openp, close) * 1.001
+    low = np.minimum(openp, close) * 0.999
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "open": openp,
+            "high": high,
+            "low": low,
+            "close": close,
+        }
+    )
+    out = (
+        heikin_ashi(spark.createDataFrame(pdf))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    hc = (openp + high + low + close) / 4.0
+    ho = np.empty(n)
+    ho[0] = (openp[0] + close[0]) / 2.0
+    for t in range(1, n):
+        ho[t] = 0.5 * (ho[t - 1] + hc[t - 1])
+    assert np.allclose(out.ha_close.to_numpy(), hc, rtol=1e-12)
+    assert np.allclose(out.ha_open.to_numpy(), ho, rtol=1e-9)
+    assert (out.ha_high.to_numpy() >= out.ha_open.to_numpy() - 1e-12).all()
+    assert (out.ha_low.to_numpy() <= out.ha_open.to_numpy() + 1e-12).all()
