@@ -2053,3 +2053,150 @@ def american_put_binomial(
     return d.withColumn(
         "american_put", F.element_at(F.col("__v"), 1)
     ).drop("__v", "__u", "__dn", "__p")
+
+
+def vortex(
+    n: int = 14,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Vortex indicator VI+/VI− (Botes & Siepman): uptrend movement
+    |high_t − low_{t−1}| vs downtrend |low_t − high_{t−1}|, each
+    summed over the trailing n bars and normalized by the n-bar true
+    range sum. Pure rolling sums over one per-symbol sort; null until
+    n full (vm, tr) pairs exist (the first bar has no prior close, so
+    the gate counts non-null TRs)."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    win = w.rowsBetween(-(n - 1), 0)
+    vm_plus = F.abs(F.col("high") - F.lag("low").over(w))
+    vm_minus = F.abs(F.col("low") - F.lag("high").over(w))
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(w)),
+        F.abs(F.col("low") - F.lag("close").over(w)),
+    )
+    str_n = F.sum(tr).over(win)
+    gate = F.count(tr).over(win) >= n
+    return {
+        "vi_plus": F.when(gate & (str_n > 0), F.sum(vm_plus).over(win) / str_n),
+        "vi_minus": F.when(
+            gate & (str_n > 0), F.sum(vm_minus).over(win) / str_n
+        ),
+    }
+
+
+def aroon(
+    n: int = 25,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Aroon up/down: 100·(n − bars-since-extreme)/n over the trailing
+    n+1 bars, where ties resolve to the MOST RECENT extreme (the
+    charting convention). Implemented as a bounded collect_list +
+    reversed array_position — per-row O(n), stays in codegen; the SQL
+    twin is the identical list_reverse/list_position expression, so
+    tie-handling agrees by construction. Null until n+1 bars exist."""
+    by = list(by)
+    win = Window.partitionBy(*by).orderBy(ts).rowsBetween(-n, 0)
+    highs = F.collect_list(F.col("high").cast("double")).over(win)
+    lows = F.collect_list(F.col("low").cast("double")).over(win)
+    since_hi = F.array_position(F.reverse(highs), F.array_max(highs)) - 1
+    since_lo = F.array_position(F.reverse(lows), F.array_min(lows)) - 1
+    gate = F.size(highs) >= (n + 1)
+    return {
+        "aroon_up": F.when(
+            gate, 100.0 * (F.lit(n) - since_hi.cast("double")) / F.lit(n)
+        ),
+        "aroon_down": F.when(
+            gate, 100.0 * (F.lit(n) - since_lo.cast("double")) / F.lit(n)
+        ),
+    }
+
+
+def chaikin_flow(
+    n: int = 20,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Chaikin accumulation/distribution line + Chaikin Money Flow:
+    money-flow multiplier ((C−L)−(H−C))/(H−L) (0 on doji bars where
+    H=L, the standard convention) scales volume into money-flow
+    volume; AD is its running sum, CMF(n) the rolling MFV sum over
+    the rolling volume sum. Cumulative + bounded windows share one
+    per-symbol sort."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    win = w.rowsBetween(-(n - 1), 0)
+    rng = F.col("high") - F.col("low")
+    mfm = F.when(
+        rng > 0,
+        ((F.col("close") - F.col("low")) - (F.col("high") - F.col("close")))
+        / rng,
+    ).otherwise(F.lit(0.0))
+    mfv = mfm * F.col("volume")
+    vol_n = F.sum("volume").over(win)
+    return {
+        "ad_line": F.sum(mfv).over(cum),
+        "cmf": F.when(
+            (F.count(F.lit(1)).over(win) >= n) & (vol_n > 0),
+            F.sum(mfv).over(win) / vol_n,
+        ),
+    }
+
+
+def force_index(
+    span: int = 13,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> Column:
+    """Elder's force index: EMA(span) of (close_t − close_{t−1})·volume
+    — the one-bar raw force smoothed by the standard 13-period EMA.
+    The raw force is null on each symbol's first bar; the EMA is the
+    truncated-window fold (:func:`ema_truncated` device) seeded with
+    the first NON-NULL force, so caller must pre-filter the null head
+    (the query drops it, keeping the fold's window content identical
+    across engines — collect_list would silently skip nulls)."""
+    by = list(by)
+    import math
+
+    a = 2.0 / (span + 1.0)
+    W = math.ceil(-53.0 * math.log(2.0) / math.log(1.0 - a))
+    win = Window.partitionBy(*by).orderBy(ts).rowsBetween(-(W - 1), 0)
+    arr = F.collect_list(F.col("__force").cast("double")).over(win)
+    tail = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+    return F.aggregate(
+        tail,
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + F.lit(a) * x,
+    )
+
+
+def ease_of_movement(
+    n: int = 14,
+    volume_scale: float = 1.0e4,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Arms' Ease of Movement: midpoint displacement per unit of
+    volume-adjusted range — emv = Δmid / ((volume/scale)/(H−L)),
+    eom(n) its n-bar SMA. Bars with zero range or zero volume emit
+    null emv (excluded from the SMA by avg's null-skipping on BOTH
+    engines). ``volume_scale`` replaces the classical 1e8 share
+    divisor so synthetic-scale volumes keep O(1) magnitudes."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    win = w.rowsBetween(-(n - 1), 0)
+    mid = (F.col("high") + F.col("low")) / 2.0
+    dmid = mid - F.lag(mid).over(w)
+    box = (F.col("volume") / F.lit(volume_scale)) / (
+        F.col("high") - F.col("low")
+    )
+    emv = F.when(
+        (F.col("high") > F.col("low")) & (F.col("volume") > 0), dmid / box
+    )
+    return {
+        "emv": emv,
+        "eom": F.when(F.count(F.lit(1)).over(win) >= n, F.avg(emv).over(win)),
+    }

@@ -10932,3 +10932,158 @@ def q_heikin_ashi_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ha_low", 6).alias("ha_low"),
         F.round("ha_close", 6).alias("ha_close"),
     )
+
+
+@query(
+    "vortex_aroon",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, timestamp, high, low,
+         abs(high - lag(low) OVER w) AS vmp,
+         abs(low - lag(high) OVER w) AS vmn,
+         greatest(high - low, abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), v AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(tr) OVER w14 >= 14 AND sum(tr) OVER w14 > 0
+              THEN sum(vmp) OVER w14 / sum(tr) OVER w14 END AS vi_plus,
+         CASE WHEN count(tr) OVER w14 >= 14 AND sum(tr) OVER w14 > 0
+              THEN sum(vmn) OVER w14 / sum(tr) OVER w14 END AS vi_minus,
+         list(high) OVER w25 AS lh,
+         list(low) OVER w25 AS ll
+  FROM t
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         w25 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(vi_plus, 6) AS vi_plus,
+       round(vi_minus, 6) AS vi_minus,
+       round(CASE WHEN len(lh) >= 26
+                  THEN 100.0 * (25 - (list_position(list_reverse(lh),
+                                       list_aggregate(lh, 'max')) - 1)) / 25.0
+             END, 6) AS aroon_up,
+       round(CASE WHEN len(ll) >= 26
+                  THEN 100.0 * (25 - (list_position(list_reverse(ll),
+                                       list_aggregate(ll, 'min')) - 1)) / 25.0
+             END, 6) AS aroon_down
+FROM v
+""",
+)
+def q_vortex_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex VI+/VI−(14) + Aroon up/down(25) in one symbol-partitioned
+    window pass (``indicators.vortex/aroon``). Aroon's bars-since-
+    extreme is the reversed-array-position device — most-recent tie
+    resolution agrees across engines by construction."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    vx = indicators.vortex(14)
+    ar = indicators.aroon(25)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(vx["vi_plus"], 6).alias("vi_plus"),
+        F.round(vx["vi_minus"], 6).alias("vi_minus"),
+        F.round(ar["aroon_up"], 6).alias("aroon_up"),
+        F.round(ar["aroon_down"], 6).alias("aroon_down"),
+    )
+
+
+@query(
+    "chaikin_flow",
+    BARS_CTE
+    + """
+, m AS (
+  SELECT symbol, timestamp, volume,
+         CASE WHEN high > low
+              THEN ((close - low) - (high - close)) / (high - low) * volume
+              ELSE 0.0 END AS mfv
+  FROM bars
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sum(mfv) OVER (PARTITION BY symbol ORDER BY timestamp
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS ad_line,
+       round(CASE WHEN count(*) OVER w20 >= 20 AND sum(volume) OVER w20 > 0
+                  THEN sum(mfv) OVER w20 / sum(volume) OVER w20 END, 6) AS cmf
+FROM m
+WINDOW w20 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_chaikin_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin A/D line (running money-flow-volume sum) + Chaikin
+    Money Flow(20) (``indicators.chaikin_flow``) — cumulative and
+    bounded windows share one per-symbol sort. Running sums are
+    order-deterministic (incremental frame evaluation in both
+    engines), so 4-dp rounding is safe."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    cf = indicators.chaikin_flow(20)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(cf["ad_line"], 4).alias("ad_line"),
+        F.round(cf["cmf"], 6).alias("cmf"),
+    )
+
+
+@query(
+    "force_eom",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp, high, low, volume,
+         (close - lag(close) OVER w) * volume AS force,
+         ((high + low) / 2.0
+          - (lag(high) OVER w + lag(low) OVER w) / 2.0) AS dmid
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), f AS (
+  SELECT symbol, timestamp,
+         list_reduce(
+           list(force) OVER (PARTITION BY symbol ORDER BY timestamp
+                             ROWS BETWEEN 238 PRECEDING AND CURRENT ROW),
+           (a, x) -> a * (1.0 - 2.0/14.0) + (2.0/14.0) * x) AS fi,
+         CASE WHEN high > low AND volume > 0
+              THEN dmid / ((volume / 1e4) / (high - low)) END AS emv
+  FROM d WHERE force IS NOT NULL
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(fi, 4) AS force_ema13,
+       round(emv, 6) AS emv,
+       round(CASE WHEN count(*) OVER w14 >= 14 THEN avg(emv) OVER w14 END, 6)
+         AS eom_14
+FROM f
+WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_force_eom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder force index (EMA-13 truncated fold over (Δclose)·volume,
+    null head dropped so the fold windows agree across engines) +
+    Arms' ease of movement(14) with the 1e4 volume scale
+    (``indicators.force_index/ease_of_movement``). avg skips null emv
+    identically in both engines; the count gate counts rows."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    eo = indicators.ease_of_movement(14, 1.0e4)
+    base = (
+        bars.withColumns(
+            {
+                "__force": (F.col("close") - F.lag("close").over(w))
+                * F.col("volume"),
+                # emv's midpoint lag must see the PRE-filter neighbor
+                # (the oracle computes dmid before the null-head drop)
+                "__emv": eo["emv"],
+            }
+        )
+        .filter(F.col("__force").isNotNull())
+    )
+    w14 = w.rowsBetween(-13, 0)
+    eom = F.when(
+        F.count(F.lit(1)).over(w14) >= 14, F.avg("__emv").over(w14)
+    )
+    return base.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.force_index(13), 4).alias("force_ema13"),
+        F.round(F.col("__emv"), 6).alias("emv"),
+        F.round(eom, 6).alias("eom_14"),
+    )

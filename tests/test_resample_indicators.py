@@ -1166,3 +1166,203 @@ def test_heikin_ashi_matches_iterative_reference(spark):
     assert np.allclose(out.ha_open.to_numpy(), ho, rtol=1e-9)
     assert (out.ha_high.to_numpy() >= out.ha_open.to_numpy() - 1e-12).all()
     assert (out.ha_low.to_numpy() <= out.ha_open.to_numpy() + 1e-12).all()
+
+
+def _ohlcv_walk(seed: int = 23, n: int = 400):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    close = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.004, n)))
+    high = close * (1 + np.abs(rng.normal(0, 0.002, n)))
+    low = close * (1 - np.abs(rng.normal(0, 0.002, n)))
+    openp = np.r_[close[0], close[:-1]] * (1 + rng.normal(0, 0.001, n))
+    vol = np.abs(rng.normal(5e4, 1e4, n)) + 1.0
+    return pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "open": openp,
+            "high": high,
+            "low": low,
+            "close": close,
+            "volume": vol,
+        }
+    )
+
+
+def test_vortex_matches_pandas(spark):
+    """VI+/VI− vs pandas rolling sums; VI+ > VI− through a planted
+    uptrend stretch."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(29)
+    vx = indicators.vortex(14)
+    import pyspark.sql.functions as F
+
+    out = (
+        spark.createDataFrame(pdf)
+        .select("timestamp", vx["vi_plus"].alias("vp"), vx["vi_minus"].alias("vn"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    tr = np.fmax.reduce(
+        [
+            (pdf.high - pdf.low).to_numpy(),
+            (pdf.high - pdf.close.shift()).abs().to_numpy(),
+            (pdf.low - pdf.close.shift()).abs().to_numpy(),
+        ]
+    )
+    vmp = (pdf.high - pdf.low.shift()).abs()
+    vmn = (pdf.low - pdf.high.shift()).abs()
+    import pandas as pd
+
+    str14 = pd.Series(tr).rolling(14, min_periods=14).sum()
+    # Spark gates on 14 non-null TRs in the window; TR is non-null from
+    # row 0 (greatest skips the null lagged terms), so plain rolling(14)
+    want_vp = (vmp.rolling(14, min_periods=13).sum() / str14).to_numpy()
+    want_vn = (vmn.rolling(14, min_periods=13).sum() / str14).to_numpy()
+    got_vp = out.vp.to_numpy()
+    keep = ~np.isnan(want_vp) & ~np.isnan(got_vp)
+    assert keep.sum() > 350
+    assert np.allclose(got_vp[keep], want_vp[keep], rtol=1e-9)
+    assert np.allclose(
+        out.vn.to_numpy()[keep], want_vn[keep], rtol=1e-9
+    )
+
+
+def test_aroon_matches_reference_loop(spark):
+    """Aroon up/down vs an explicit bars-since-extreme loop with
+    most-recent tie resolution; bounded [0, 100]."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(31, 200)
+    ar = indicators.aroon(25)
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "timestamp",
+            ar["aroon_up"].alias("up"),
+            ar["aroon_down"].alias("dn"),
+        )
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    n = 25
+    highs, lows = pdf.high.to_numpy(), pdf.low.to_numpy()
+    for i in range(len(pdf)):
+        if i < n:
+            assert np.isnan(out.up.iloc[i]) and np.isnan(out.dn.iloc[i])
+            continue
+        wh = highs[i - n : i + 1]
+        wl = lows[i - n : i + 1]
+        since_hi = n - int(np.flatnonzero(wh == wh.max()).max())
+        since_lo = n - int(np.flatnonzero(wl == wl.min()).max())
+        # most-recent tie: position from the END of the window
+        want_up = 100.0 * (n - since_hi) / n
+        want_dn = 100.0 * (n - since_lo) / n
+        assert abs(out.up.iloc[i] - want_up) < 1e-9
+        assert abs(out.dn.iloc[i] - want_dn) < 1e-9
+        assert 0.0 <= out.up.iloc[i] <= 100.0
+
+
+def test_chaikin_flow_matches_pandas(spark):
+    """AD line / CMF vs pandas cumulative + rolling money-flow sums;
+    CMF bounded [-1, 1]."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(37)
+    cf = indicators.chaikin_flow(20)
+    out = (
+        spark.createDataFrame(pdf)
+        .select("timestamp", cf["ad_line"].alias("ad"), cf["cmf"].alias("cmf"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    rng_ = pdf.high - pdf.low
+    mfm = np.where(
+        rng_ > 0, ((pdf.close - pdf.low) - (pdf.high - pdf.close)) / rng_, 0.0
+    )
+    mfv = mfm * pdf.volume.to_numpy()
+    want_ad = np.cumsum(mfv)
+    import pandas as pd
+
+    want_cmf = (
+        pd.Series(mfv).rolling(20, min_periods=20).sum()
+        / pdf.volume.rolling(20, min_periods=20).sum()
+    ).to_numpy()
+    assert np.allclose(out.ad.to_numpy(), want_ad, rtol=1e-9)
+    got = out.cmf.to_numpy()
+    keep = ~np.isnan(want_cmf)
+    assert np.allclose(got[keep], want_cmf[keep], rtol=1e-9)
+    assert np.nanmax(np.abs(got)) <= 1.0 + 1e-12
+
+
+def test_force_index_matches_pandas_ewm(spark):
+    """Force index vs pandas ewm(span=13, adjust=False) over the
+    null-head-dropped raw force — the truncated fold is sub-ULP."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(41)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    base = (
+        spark.createDataFrame(pdf)
+        .withColumn(
+            "__force",
+            (F.col("close") - F.lag("close").over(w)) * F.col("volume"),
+        )
+        .filter(F.col("__force").isNotNull())
+    )
+    out = (
+        base.select("timestamp", indicators.force_index(13).alias("fi"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    raw = (pdf.close.diff() * pdf.volume).dropna()
+    want = raw.ewm(span=13, adjust=False).mean().to_numpy()
+    assert np.allclose(out.fi.to_numpy(), want, rtol=1e-9)
+
+
+def test_ease_of_movement_matches_pandas(spark):
+    """EMV/EOM vs the classical formula with the 1e4 volume scale;
+    zero-range and zero-volume bars yield null emv."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(43)
+    # plant a doji (zero-range) bar
+    pdf.loc[50, "high"] = pdf.loc[50, "low"]
+    eo = indicators.ease_of_movement(14, 1.0e4)
+    out = (
+        spark.createDataFrame(pdf)
+        .select("timestamp", eo["emv"].alias("emv"), eo["eom"].alias("eom"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    mid = (pdf.high + pdf.low) / 2.0
+    dmid = mid.diff()
+    box = (pdf.volume / 1e4) / (pdf.high - pdf.low)
+    emv = np.where(
+        (pdf.high > pdf.low) & (pdf.volume > 0), dmid / box, np.nan
+    )
+    assert np.isnan(out.emv.iloc[50])
+    keep = ~np.isnan(emv) & ~out.emv.isna().to_numpy()
+    assert np.allclose(out.emv.to_numpy()[keep], emv[keep], rtol=1e-9)
+    want_eom = pd.Series(emv).rolling(14, min_periods=1).mean().to_numpy()
+    got = out.eom.to_numpy()
+    ok = ~np.isnan(got)
+    assert ok.sum() > 350
+    assert np.allclose(got[ok], want_eom[ok], rtol=1e-9)
