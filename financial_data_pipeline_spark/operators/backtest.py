@@ -353,3 +353,50 @@ def inverse_vol_portfolio_backtest(
         F.col("__mlog").alias("period_log_return"),
         F.sum("__mlog").over(wcum).alias("cumulative_log_return"),
     )
+
+
+def donchian_breakout_positions(
+    df: DataFrame,
+    entry_n: int = 20,
+    exit_n: int = 10,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Turtle-style channel breakout position frame: enter long when
+    the close breaks ABOVE the prior ``entry_n``-bar high, exit when
+    it breaks BELOW the prior ``exit_n``-bar low — the trend-following
+    complement to :func:`bollinger_reversion_positions` (same
+    last-IGNORE-NULLS hold-state device, same (position, log_ret)
+    contract for :func:`backtest_summary`).
+
+    The channels use PRIOR bars only (frame ends at 1 PRECEDING) — the
+    breakout must exceed a level known before the bar, else the rule
+    trades on its own bar's extreme (lookahead). Warmup (fewer than n
+    prior bars) emits no signal; position starts flat."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    went = w.rowsBetween(-entry_n, -1)
+    wexit = w.rowsBetween(-exit_n, -1)
+    p = F.col(price_col)
+    hi = F.when(F.count("high").over(went) >= entry_n, F.max("high").over(went))
+    lo = F.when(F.count("low").over(wexit) >= exit_n, F.min("low").over(wexit))
+    signal = (
+        F.when(p > hi, F.lit(1))
+        .when(p < lo, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return (
+        df.withColumn("__sig", signal)
+        .withColumn(
+            "position",
+            F.coalesce(
+                F.last("__sig", ignorenulls=True).over(w), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "log_ret",
+            F.coalesce(log_return(price_col, by=by, ts=ts), F.lit(0.0)),
+        )
+        .select(*by, ts, "position", "log_ret")
+    )

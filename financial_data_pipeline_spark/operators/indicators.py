@@ -2200,3 +2200,243 @@ def ease_of_movement(
         "emv": emv,
         "eom": F.when(F.count(F.lit(1)).over(win) >= n, F.avg(emv).over(win)),
     }
+
+
+def drawdown_durations(
+    df: DataFrame,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Underwater-spell anatomy per group: number of drawdown spells,
+    longest/mean spell length (bars) and deepest depth (percent) —
+    the duration view :func:`max_drawdown`'s single number hides.
+
+    A bar is underwater when price < running max (strictly — touching
+    a new high ends the spell). Spells are gaps-and-islands: a
+    cumulative sum of spell-start flags labels each island, then two
+    aggregates roll spells up per group. All windows partition by the
+    group key (bounded state, no global order)."""
+    by = list(by)
+    p = F.col(price_col)
+    w = Window.partitionBy(*by).orderBy(ts)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    under = (p < F.max(p).over(cum)).cast("int")
+    base = df.withColumn("__under", under).withColumn(
+        "__dd", 100.0 * (1.0 - p / F.max(p).over(cum))
+    )
+    start = (
+        (F.col("__under") == 1)
+        & (F.coalesce(F.lag("__under").over(w), F.lit(0)) == 0)
+    ).cast("bigint")
+    spells = (
+        base.withColumn("__spell", F.sum(start).over(cum))
+        .filter(F.col("__under") == 1)
+        .groupBy(*by, "__spell")
+        .agg(
+            F.count(F.lit(1)).alias("__len"),
+            F.max("__dd").alias("__depth"),
+        )
+    )
+    return spells.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_spells"),
+        F.max("__len").alias("longest_spell"),
+        F.round(F.avg("__len"), 4).alias("avg_spell_len"),
+        F.round(F.max("__depth"), 6).alias("max_depth_pct"),
+    )
+
+
+def variance_ratio(
+    df: DataFrame,
+    q: int = 5,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Lo–MacKinlay variance ratio VR(q) per group with the
+    homoskedastic z statistic: var of overlapping q-period log
+    returns over q x var of 1-period returns. VR < 1 flags mean
+    reversion, > 1 momentum; |z| > 2 rejects the random walk. Window
+    sums + two variance aggregates — the q-sum reuses the one
+    per-group sort."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    win = w.rowsBetween(-(q - 1), 0)
+    r = F.log(F.col(price_col) / F.lag(price_col).over(w))
+    base = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .withColumn(
+            "__rq",
+            F.when(F.count(F.lit(1)).over(win) >= q, F.sum("__r").over(win)),
+        )
+    )
+    n = F.count("__r")
+    vr = F.var_samp("__rq") / (F.lit(float(q)) * F.var_samp("__r"))
+    zden = F.sqrt(
+        F.lit(2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q)) / n
+    )
+    return base.groupBy(*by).agg(
+        n.alias("n_obs"),
+        F.round(vr, 4).alias("vr"),
+        F.round((vr - 1.0) / zden, 4).alias("z_homo"),
+    )
+
+
+def probabilistic_sharpe(
+    df: DataFrame,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Probabilistic Sharpe ratio (Bailey & López de Prado): the
+    probability that the TRUE per-bar Sharpe exceeds 0 given the
+    sample SR, adjusted for skewness and (Pearson) kurtosis of the
+    return series — PSR = Phi(SR·sqrt(n−1) / sqrt(1 − g3·SR +
+    (g4−1)/4·SR²)).
+
+    Central moments come from raw power sums (one aggregate; the
+    engine-portable route — built-in skewness/kurtosis differ in
+    bias convention between engines), Phi is the shared A-S erf
+    polynomial."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    r = F.log(F.col(price_col) / F.lag(price_col).over(w))
+    base = df.withColumn("__r", r).filter(F.col("__r").isNotNull())
+    agg = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("__r").alias("__a1"),
+        F.avg(F.pow("__r", 2)).alias("__a2"),
+        F.avg(F.pow("__r", 3)).alias("__a3"),
+        F.avg(F.pow("__r", 4)).alias("__a4"),
+    )
+    a1, a2, a3, a4 = (F.col(c) for c in ("__a1", "__a2", "__a3", "__a4"))
+    m2 = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
+    m4 = a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * F.pow(a1, 4)
+    sr = a1 / F.sqrt(m2 * F.col("n_obs") / (F.col("n_obs") - 1))
+    g3 = m3 / F.pow(m2, 1.5)
+    g4 = m4 / (m2 * m2)
+    denom = F.sqrt(1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr)
+    psr = _norm_cdf(sr * F.sqrt(F.col("n_obs") - 1.0) / denom)
+    return agg.select(
+        *by,
+        F.col("n_obs"),
+        F.round(sr, 6).alias("sharpe"),
+        F.round(g3, 4).alias("skew"),
+        F.round(g4, 4).alias("kurtosis"),
+        F.round(psr, 6).alias("psr"),
+    )
+
+
+def garch11_vol(
+    df: DataFrame,
+    alpha: float = 0.08,
+    beta: float = 0.90,
+    price_col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """GARCH(1,1) conditional volatility FILTER with pinned (α, β)
+    and variance-targeted ω = v·(1−α−β) (v = each group's
+    unconditional return variance): σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1},
+    seeded at σ²_1 = v. Estimation is out of scope (pinned textbook
+    persistence); the filter is what risk engines run per tick.
+
+    The recursion contracts at rate β, so the :func:`ema_truncated`
+    device applies: folding the last W = ceil(−53·ln2/ln β) lagged r²
+    values (seeded with v) is sub-ULP vs the full recursion. v joins
+    back as a broadcast one-row-per-group dim; the fold stays in
+    codegen."""
+    import math
+
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    W = math.ceil(-53.0 * math.log(2.0) / math.log(beta))
+    r = F.log(F.col(price_col) / F.lag(price_col).over(w))
+    base = (
+        df.withColumn("__r", r)
+        .filter(F.col("__r").isNotNull())
+        .withColumn("__r2", F.col("__r") * F.col("__r"))
+    )
+    v = base.groupBy(*by).agg(F.var_samp("__r").alias("__v"))
+    base = base.join(F.broadcast(v), on=by)
+    arr = F.collect_list("__r2").over(w.rowsBetween(-W, -1))
+    omega = F.col("__v") * F.lit(1.0 - alpha - beta)
+    s2 = F.aggregate(
+        arr,
+        F.col("__v"),
+        lambda acc, x: omega + F.lit(alpha) * x + F.lit(beta) * acc,
+    )
+    return base.select(
+        *by,
+        ts,
+        F.round(100.0 * F.sqrt(s2), 6).alias("garch_vol_pct"),
+        F.round(100.0 * F.sqrt(F.col("__v")), 6).alias("uncond_vol_pct"),
+    )
+
+
+def ou_half_life(
+    df: DataFrame,
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Ornstein–Uhlenbeck half-life of mean reversion for every
+    symbol pair's log-price spread: hedge ratio β =
+    cov(logA, logB)/var(logB) (the Engle–Granger slope), spread
+    s = logA − β·logB, then the AR(1) drift b = cov(Δs, s_{t−1}) /
+    var(s_{t−1}) gives half-life = −ln2/ln(1+b) (defined for
+    −1 < b < 0; null otherwise — a non-reverting spread has none).
+
+    Two aggregate passes over a timestamp-aligned self-join
+    (sym_a < sym_b upper triangle): pass 1 the hedge ratio, pass 2
+    the spread AR(1) — both covariance algebra, no iteration."""
+    p = F.log(F.col(price_col))
+    rr = df.select(
+        F.col(ts).alias("__t"), F.col(by).alias("__s"), p.alias("__p")
+    )
+    a, b = rr.alias("a"), rr.alias("b")
+    pairs = a.join(
+        b,
+        on=(F.col("a.__t") == F.col("b.__t"))
+        & (F.col("a.__s") < F.col("b.__s")),
+    ).select(
+        F.col("a.__s").alias("sym_a"),
+        F.col("b.__s").alias("sym_b"),
+        F.col("a.__t").alias("__t"),
+        F.col("a.__p").alias("__pa"),
+        F.col("b.__p").alias("__pb"),
+    )
+    hedge = pairs.groupBy("sym_a", "sym_b").agg(
+        (F.covar_samp("__pa", "__pb") / F.var_samp("__pb")).alias("__beta"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    sp = pairs.join(F.broadcast(hedge), on=["sym_a", "sym_b"]).withColumn(
+        "__s2", F.col("__pa") - F.col("__beta") * F.col("__pb")
+    )
+    wp = Window.partitionBy("sym_a", "sym_b").orderBy("__t")
+    sp = (
+        sp.withColumn("__slag", F.lag("__s2").over(wp))
+        .withColumn("__ds", F.col("__s2") - F.col("__slag"))
+        .filter(F.col("__ds").isNotNull())
+    )
+    bcoef = F.covar_samp("__ds", "__slag") / F.var_samp("__slag")
+    return sp.groupBy("sym_a", "sym_b").agg(
+        F.first("__beta").alias("__b0"),
+        F.first("n_obs").alias("n_obs"),
+        bcoef.alias("__ar"),
+    ).select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        F.round("__b0", 6).alias("hedge_beta"),
+        F.round("__ar", 6).alias("ar1_coef"),
+        F.round(
+            F.when(
+                (F.col("__ar") > -1.0) & (F.col("__ar") < 0.0),
+                -F.log(F.lit(2.0)) / F.log(1.0 + F.col("__ar")),
+            ),
+            4,
+        ).alias("half_life_bars"),
+    )

@@ -11087,3 +11087,341 @@ def q_force_eom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("__emv"), 6).alias("emv"),
         F.round(eom, 6).alias("eom_14"),
     )
+
+
+@query(
+    "ulcer_martin",
+    BARS_CTE
+    + """
+, m AS (
+  SELECT symbol, timestamp, close,
+         100.0 * (1.0 - close / max(close) OVER cum) AS dd,
+         ln(close / lag(close) OVER w) AS lr
+  FROM bars
+  WINDOW cum AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w AS (PARTITION BY symbol ORDER BY timestamp)
+)
+SELECT symbol,
+       count(*) AS n_obs,
+       round(sqrt(avg(dd * dd)), 6) AS ulcer_index,
+       round(100.0 * (exp(sum(lr)) - 1.0), 6) AS total_return_pct,
+       round(CASE WHEN sqrt(avg(dd * dd)) > 0
+                  THEN 100.0 * (exp(sum(lr)) - 1.0) / sqrt(avg(dd * dd))
+             END, 4) AS martin_ratio
+FROM m GROUP BY symbol
+""",
+)
+def q_ulcer_martin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index (RMS percent drawdown vs the running max) + Martin
+    ratio (total return over ulcer) per symbol — the drawdown-PAIN
+    risk pair next to max_drawdown's single worst number. One running-
+    max window + one aggregate."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    dd = 100.0 * (1.0 - F.col("close") / F.max("close").over(cum))
+    lr = F.log(F.col("close") / F.lag("close").over(w))
+    base = bars.withColumn("__dd", dd).withColumn("__lr", lr)
+    ulcer = F.sqrt(F.avg(F.col("__dd") * F.col("__dd")))
+    tot = 100.0 * (F.exp(F.sum("__lr")) - 1.0)
+    return base.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(ulcer, 6).alias("ulcer_index"),
+        F.round(tot, 6).alias("total_return_pct"),
+        F.round(F.when(ulcer > 0, tot / ulcer), 4).alias("martin_ratio"),
+    )
+
+
+@query(
+    "drawdown_durations",
+    BARS_CTE
+    + """
+, m AS (
+  SELECT symbol, timestamp, close,
+         CASE WHEN close < max(close) OVER cum THEN 1 ELSE 0 END AS under,
+         100.0 * (1.0 - close / max(close) OVER cum) AS dd
+  FROM bars
+  WINDOW cum AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT symbol, timestamp, under, dd,
+         CASE WHEN under = 1
+               AND coalesce(lag(under) OVER w, 0) = 0
+              THEN 1 ELSE 0 END AS start
+  FROM m WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), s AS (
+  SELECT symbol, timestamp, under, dd,
+         sum(start) OVER (PARTITION BY symbol ORDER BY timestamp
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS spell
+  FROM st
+), g AS (
+  SELECT symbol, spell, count(*) AS len, max(dd) AS depth
+  FROM s WHERE under = 1 GROUP BY 1, 2
+)
+SELECT symbol,
+       count(*) AS n_spells,
+       max(len)::BIGINT AS longest_spell,
+       round(avg(len), 4) AS avg_spell_len,
+       round(max(depth), 6) AS max_depth_pct
+FROM g GROUP BY symbol
+""",
+)
+def q_drawdown_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater-spell anatomy per symbol
+    (``indicators.drawdown_durations``): spell count, longest/mean
+    duration in bars, deepest percent depth — gaps-and-islands over
+    the running max, two rollup aggregates."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return indicators.drawdown_durations(bars)
+
+
+@query(
+    "variance_ratio",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+q AS (
+  SELECT symbol, r,
+         CASE WHEN count(*) OVER w5 >= 5 THEN sum(r) OVER w5 END AS rq
+  FROM rr
+  WINDOW w5 AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol,
+       count(r) AS n_obs,
+       round(var_samp(rq) / (5.0 * var_samp(r)), 4) AS vr,
+       round((var_samp(rq) / (5.0 * var_samp(r)) - 1.0)
+             / sqrt(4.8 / count(r)), 4) AS z_homo
+FROM q GROUP BY symbol
+""",
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay variance ratio VR(5) + homoskedastic z per symbol
+    (``indicators.variance_ratio``): overlapping 5-bar return variance
+    over 5x the 1-bar variance — the random-walk test desks run before
+    fitting momentum or reversion models."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return indicators.variance_ratio(bars, q=5)
+
+
+@query(
+    "probabilistic_sharpe",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), a AS (
+  SELECT symbol, count(*) AS n,
+         avg(r) AS a1, avg(r * r) AS a2,
+         avg(r * r * r) AS a3, avg(r * r * r * r) AS a4
+  FROM r WHERE r IS NOT NULL GROUP BY symbol
+), mo AS (
+  SELECT symbol, n, a1,
+         a2 - a1 * a1 AS m2,
+         a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1 AS m3,
+         a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * power(a1, 4.0) AS m4
+  FROM a
+), sr AS (
+  SELECT symbol, n,
+         a1 / sqrt(m2 * n / (n - 1)) AS sr,
+         m3 / power(m2, 1.5) AS g3,
+         m4 / (m2 * m2) AS g4
+  FROM mo
+), z AS (
+  SELECT symbol, n, sr, g3, g4,
+         sr * sqrt(n - 1.0)
+           / sqrt(1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr) / sqrt(2.0)
+           AS z
+  FROM sr
+)
+SELECT symbol, n AS n_obs,
+       round(sr, 6) AS sharpe,
+       round(g3, 4) AS skew,
+       round(g4, 4) AS kurtosis,
+       round(0.5 * (1.0 + sign(z) * (1.0 - (1.0 / (1.0 + 0.3275911 * abs(z)))
+           * (0.254829592 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+              * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+                 * (1.421413741 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+                    * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * abs(z)))
+                       * 1.061405429))))
+           * exp(-abs(z) * abs(z)))), 6) AS psr
+FROM z
+""",
+)
+def q_probabilistic_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic Sharpe ratio per symbol
+    (``indicators.probabilistic_sharpe``): P(true SR > 0) adjusted for
+    return skew and kurtosis — moments from raw power sums (engine-
+    portable, unlike built-in skewness/kurtosis bias conventions),
+    Phi via the shared A-S erf polynomial."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return indicators.probabilistic_sharpe(bars)
+
+
+@query(
+    "garch11_vol",
+    BARS_CTE
+    + """
+, r0 AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), rr AS (SELECT * FROM r0 WHERE r IS NOT NULL),
+v AS (SELECT symbol, var_samp(r) AS v FROM rr GROUP BY symbol),
+j AS (
+  SELECT rr.symbol, rr.timestamp, rr.r * rr.r AS r2, v.v
+  FROM rr JOIN v USING (symbol)
+), f AS (
+  SELECT symbol, timestamp, v,
+         list_reduce(
+           list_prepend(v, coalesce(list(r2) OVER
+             (PARTITION BY symbol ORDER BY timestamp
+              ROWS BETWEEN 349 PRECEDING AND 1 PRECEDING), [])),
+           (a, x) -> v * (1.0 - 0.08 - 0.9) + 0.08 * x + 0.9 * a) AS s2
+  FROM j
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(100.0 * sqrt(s2), 6) AS garch_vol_pct,
+       round(100.0 * sqrt(v), 6) AS uncond_vol_pct
+FROM f
+""",
+)
+def q_garch11_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional volatility filter
+    (``indicators.garch11_vol``, α=0.08, β=0.90, variance-targeted ω):
+    the recursion contracts at rate β so a 350-bar truncated fold
+    seeded with the unconditional variance is sub-ULP vs the full
+    recursion — mirrored by the oracle's list_prepend/list_reduce over
+    the identical lagged frame."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return indicators.garch11_vol(bars, alpha=0.08, beta=0.90).select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        "garch_vol_pct",
+        "uncond_vol_pct",
+    )
+
+
+@query(
+    "ou_half_life",
+    BARS_CTE
+    + """
+, p AS (SELECT symbol, timestamp, ln(close) AS lp FROM bars),
+pr AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.timestamp AS t,
+         a.lp AS pa, b.lp AS pb
+  FROM p a JOIN p b ON a.timestamp = b.timestamp AND a.symbol < b.symbol
+), h AS (
+  SELECT sym_a, sym_b,
+         covar_samp(pa, pb) / var_samp(pb) AS beta,
+         count(*) AS n_obs
+  FROM pr GROUP BY 1, 2
+), sp AS (
+  SELECT pr.sym_a, pr.sym_b, pr.t, h.beta, h.n_obs,
+         pr.pa - h.beta * pr.pb AS s
+  FROM pr JOIN h USING (sym_a, sym_b)
+), d AS (
+  SELECT sym_a, sym_b, beta, n_obs,
+         s - lag(s) OVER w AS ds,
+         lag(s) OVER w AS slag
+  FROM sp WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY t)
+)
+SELECT sym_a, sym_b,
+       any_value(n_obs) AS n_obs,
+       round(any_value(beta), 6) AS hedge_beta,
+       round(covar_samp(ds, slag) / var_samp(slag), 6) AS ar1_coef,
+       round(CASE WHEN covar_samp(ds, slag) / var_samp(slag) > -1.0
+                   AND covar_samp(ds, slag) / var_samp(slag) < 0.0
+                  THEN -ln(2.0)
+                       / ln(1.0 + covar_samp(ds, slag) / var_samp(slag))
+             END, 4) AS half_life_bars
+FROM d WHERE ds IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_ou_half_life(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ornstein–Uhlenbeck half-life of each symbol pair's log-price
+    spread (``indicators.ou_half_life``): Engle–Granger hedge ratio,
+    then the spread's AR(1) drift mapped to bars-to-half-revert —
+    the holding-period number pairs desks size positions with.
+    Extends pairs_cointegration from 'is it stationary' to 'how fast'."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return indicators.ou_half_life(bars)
+
+
+@query(
+    "donchian_breakout_backtest",
+    BARS_CTE
+    + """
+, p AS (
+  SELECT symbol, timestamp, close,
+         CASE WHEN count(high) OVER went >= 20
+              THEN max(high) OVER went END AS hi,
+         CASE WHEN count(low) OVER wexit >= 10
+              THEN min(low) OVER wexit END AS lo,
+         ln(close / lag(close) OVER w) AS lr
+  FROM bars
+  WINDOW went AS (PARTITION BY symbol ORDER BY timestamp
+                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+         wexit AS (PARTITION BY symbol ORDER BY timestamp
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+         w AS (PARTITION BY symbol ORDER BY timestamp)
+), sig AS (
+  SELECT symbol, timestamp, coalesce(lr, 0.0) AS log_ret,
+         CASE WHEN close > hi THEN 1
+              WHEN close < lo THEN 0 END AS s
+  FROM p
+), pos AS (
+  SELECT symbol, timestamp, log_ret,
+         coalesce(last_value(s IGNORE NULLS) OVER
+           (PARTITION BY symbol ORDER BY timestamp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+           AS position
+  FROM sig
+), f AS (
+  SELECT symbol, log_ret, position,
+         coalesce(lag(position) OVER
+           (PARTITION BY symbol ORDER BY timestamp), 0) AS prev
+  FROM pos
+)
+SELECT symbol,
+       sum(abs(position - prev))::BIGINT AS n_trades,
+       round(exp(sum(prev * log_ret)
+                 + ln(1.0 - 5.0 / 10000.0) * sum(abs(position - prev)))
+             - 1, 6) AS strategy_return,
+       round(exp(sum(log_ret)) - 1, 6) AS buy_hold_return
+FROM f GROUP BY symbol
+""",
+)
+def q_donchian_breakout_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle channel-breakout backtest per symbol (enter above the
+    prior 20-bar high, exit below the prior 10-bar low, next-bar
+    fills, 5 bps per position change) — the trend-following
+    counterpart to the band-reversion rule; channels use PRIOR bars
+    only (no same-bar lookahead)
+    (``backtest.donchian_breakout_positions``)."""
+    from financial_data_pipeline_spark.operators.backtest import (
+        backtest_summary,
+        donchian_breakout_positions,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    pos = donchian_breakout_positions(bars, entry_n=20, exit_n=10)
+    out = backtest_summary(pos, cost_bps=5.0)
+    return out.select(
+        "symbol",
+        "n_trades",
+        F.round("strategy_return", 6).alias("strategy_return"),
+        F.round("buy_hold_return", 6).alias("buy_hold_return"),
+    )

@@ -1366,3 +1366,238 @@ def test_ease_of_movement_matches_pandas(spark):
     ok = ~np.isnan(got)
     assert ok.sum() > 350
     assert np.allclose(got[ok], want_eom[ok], rtol=1e-9)
+
+
+def test_drawdown_durations_matches_loop(spark):
+    """Spell count/length/depth vs an explicit underwater-spell loop."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(47, 300)
+    out = (
+        indicators.drawdown_durations(spark.createDataFrame(pdf))
+        .toPandas()
+        .iloc[0]
+    )
+    close = pdf.close.to_numpy()
+    runmax = np.maximum.accumulate(close)
+    under = close < runmax
+    spells, cur = [], 0
+    depths, curd = [], 0.0
+    for i in range(len(close)):
+        if under[i]:
+            cur += 1
+            curd = max(curd, 100.0 * (1 - close[i] / runmax[i]))
+        elif cur:
+            spells.append(cur)
+            depths.append(curd)
+            cur, curd = 0, 0.0
+    if cur:
+        spells.append(cur)
+        depths.append(curd)
+    assert out.n_spells == len(spells)
+    assert out.longest_spell == max(spells)
+    assert abs(out.avg_spell_len - round(sum(spells) / len(spells), 4)) < 1e-9
+    assert abs(out.max_depth_pct - round(max(depths), 6)) < 1e-6
+
+
+def test_variance_ratio_regimes(spark):
+    """VR(q) ~ 1 on a random walk; < 1 on a planted mean-reverting
+    (AR(1) φ<0) series; numpy parity on the estimator."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(53)
+    n = 2000
+    rw = np.cumsum(rng.normal(0, 0.01, n))
+    # mean-reverting: AR(1) log price with strong pullback
+    mr = np.zeros(n)
+    for i in range(1, n):
+        mr[i] = 0.5 * mr[i - 1] + rng.normal(0, 0.01)
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "symbol": s,
+                    "timestamp": pd.date_range(
+                        "2024-01-01", periods=n, freq="h"
+                    ),
+                    "close": 100.0 * np.exp(x),
+                }
+            )
+            for s, x in [("RW", rw), ("MR", mr)]
+        ]
+    )
+    out = (
+        indicators.variance_ratio(spark.createDataFrame(pdf), q=5)
+        .toPandas()
+        .set_index("symbol")
+    )
+    r = np.diff(rw)
+    rq = np.convolve(r, np.ones(5), mode="valid")
+    want = rq.var(ddof=1) / (5.0 * r.var(ddof=1))
+    assert abs(out.loc["RW", "vr"] - round(want, 4)) < 1e-9
+    assert abs(out.loc["RW", "vr"] - 1.0) < 0.15
+    assert out.loc["MR", "vr"] < 0.6
+    assert out.loc["MR", "z_homo"] < -2.0
+
+
+def test_probabilistic_sharpe_matches_formula(spark):
+    """PSR vs the closed form with math.erf; a drifting series scores
+    near 1, a driftless one near 0.5."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(59)
+    n = 1500
+    drift = np.cumsum(rng.normal(0.001, 0.01, n))
+    flat = np.cumsum(rng.normal(0.0, 0.01, n))
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "symbol": s,
+                    "timestamp": pd.date_range(
+                        "2024-01-01", periods=n, freq="h"
+                    ),
+                    "close": 100.0 * np.exp(x),
+                }
+            )
+            for s, x in [("UP", drift), ("FLAT", flat)]
+        ]
+    )
+    out = (
+        indicators.probabilistic_sharpe(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("symbol")
+    )
+    r = np.diff(drift)
+    m = r.mean()
+    m2 = ((r - m) ** 2).mean()
+    m3 = ((r - m) ** 3).mean()
+    m4 = ((r - m) ** 4).mean()
+    sr = m / np.sqrt(m2 * len(r) / (len(r) - 1))
+    g3, g4 = m3 / m2**1.5, m4 / m2**2
+    z = sr * np.sqrt(len(r) - 1) / np.sqrt(1 - g3 * sr + (g4 - 1) / 4 * sr**2)
+    want = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+    # A-S 7.1.26 polynomial carries ~1.5e-7 absolute error vs true erf
+    assert abs(out.loc["UP", "psr"] - want) < 1e-3
+    assert out.loc["UP", "psr"] > 0.9
+    assert 0.05 < out.loc["FLAT", "psr"] < 0.95
+
+
+def test_garch11_vol_matches_recursion(spark):
+    """Truncated GARCH fold vs the exact Python recursion; vol rises
+    after a planted shock cluster and decays back."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(61)
+    n = 1200
+    r = rng.normal(0, 0.004, n)
+    r[600:620] *= 8.0  # volatility cluster
+    close = 100.0 * np.exp(np.cumsum(r))
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": close,
+        }
+    )
+    out = (
+        indicators.garch11_vol(spark.createDataFrame(pdf), 0.08, 0.90)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    rr = np.diff(np.log(close))
+    v = rr.var(ddof=1)
+    a, b = 0.08, 0.90
+    omega = v * (1 - a - b)
+    s = np.empty(len(rr))
+    s[0] = v
+    for i in range(1, len(rr)):
+        s[i] = omega + a * rr[i - 1] ** 2 + b * s[i - 1]
+    want = 100.0 * np.sqrt(s)
+    # the operator emits 6-dp rounded percent vol
+    assert np.allclose(out.garch_vol_pct.to_numpy(), want, atol=1e-6)
+    assert out.garch_vol_pct.iloc[625] > 2.5 * out.garch_vol_pct.iloc[595]
+
+
+def test_ou_half_life_recovers_planted_speed(spark):
+    """A planted OU spread (φ = 0.96 hourly → half-life ≈ 17 bars) is
+    recovered within estimation noise; half-life is null for a
+    non-reverting pair."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(67)
+    n = 4000
+    base = np.cumsum(rng.normal(0, 0.01, n))
+    spread = np.zeros(n)
+    phi = 0.96
+    for i in range(1, n):
+        spread[i] = phi * spread[i - 1] + rng.normal(0, 0.005)
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "symbol": s,
+                    "timestamp": pd.date_range(
+                        "2024-01-01", periods=n, freq="h"
+                    ),
+                    "close": 100.0 * np.exp(x),
+                }
+            )
+            for s, x in [("A", base + spread), ("B", base)]
+        ]
+    )
+    out = indicators.ou_half_life(spark.createDataFrame(pdf)).toPandas()
+    row = out[(out.sym_a == "A") & (out.sym_b == "B")].iloc[0]
+    want_hl = -np.log(2) / np.log(phi)  # ≈ 16.98
+    assert abs(row.hedge_beta - 1.0) < 0.1
+    assert 0.5 * want_hl < row.half_life_bars < 2.0 * want_hl
+
+
+def test_donchian_breakout_no_lookahead(spark):
+    """Entry requires close above the PRIOR 20-bar high (the breakout
+    bar's own high never gates itself); positions fill next bar."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.backtest import (
+        donchian_breakout_positions,
+    )
+
+    n = 80
+    close = np.full(n, 100.0)
+    close[40:] = 120.0  # step breakout at bar 40
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "high": close + 0.5,
+            "low": close - 0.5,
+            "close": close,
+        }
+    )
+    out = (
+        donchian_breakout_positions(spark.createDataFrame(pdf), 20, 10)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    # bar 40 breaks out (close 120 > prior high 100.5) -> position set
+    # AT bar 40; backtest_summary lags fills by one bar
+    assert out.position.iloc[39] == 0
+    assert out.position.iloc[40] == 1
+    assert (out.position.iloc[41:] == 1).all()
