@@ -797,3 +797,77 @@ def lloyd_kmeans(
         return kmeans_assign(df, centroids, vec_col), centroids
     finally:
         work.unpersist()
+
+
+def embedding_pca_spectrum(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    top_k: int = 10,
+) -> DataFrame:
+    """PCA eigen-spectrum of an embedding column: top-k eigenvalues of
+    the covariance matrix with explained-variance ratios — the
+    dimensionality health-check (anisotropy / collapsed-dimension
+    detection) run before whitening or compressing a corpus.
+
+    Plan: one ``mapInPandas`` pass emits per-batch BLAS partials
+    (count, sum vector, flattened VᵀV Gram — O(d²) doubles per batch,
+    independent of rows); a posexplode + groupBy(pos) sums them
+    distributively; the d×d eigendecomposition runs on the driver over
+    exactly d²+d+1 collected doubles (the same bounded-collect
+    contract as the IVF codebooks — d is a schema constant, never
+    data-sized). Eigenvalues are unique up to summation order; the
+    driver reduction sorts partials by position so the fold is
+    deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    part_schema = "n long, s array<double>, g array<double>"
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.vstack(pdf["__v"].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [V.shape[0]],
+                    "s": [V.sum(axis=0).tolist()],
+                    "g": [(V.T @ V).ravel().tolist()],
+                }
+            )
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("__v")
+    )
+    parts = base.mapInPandas(kernel, part_schema)
+    summed = (
+        parts.select(
+            "n", F.posexplode(F.concat(F.col("s"), F.col("g")))
+        )
+        .groupBy("pos")
+        .agg(F.sum("col").alias("v"), F.sum("n").alias("n"))
+    )
+    rows = summed.orderBy("pos").collect()  # bounded: d² + d rows
+    if not rows:
+        raise ValueError("embedding_pca_spectrum: no vectors")
+    n = rows[0]["n"]  # total count, replicated per pos
+    flat = np.array([r["v"] for r in rows])
+    d = int((-1 + np.sqrt(1 + 4 * len(flat))) / 2)
+    s, g = flat[:d], flat[d:].reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = float(evals.sum())
+    k = min(top_k, d)
+    out = pd.DataFrame(
+        {
+            "component": np.arange(1, k + 1, dtype="int64"),
+            "eigenvalue": np.round(evals[:k], 8),
+            "explained_ratio": np.round(evals[:k] / total, 6),
+            "cum_ratio": np.round(np.cumsum(evals[:k]) / total, 6),
+        }
+    )
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.createDataFrame(out)

@@ -11425,3 +11425,121 @@ def q_donchian_breakout_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("strategy_return", 6).alias("strategy_return"),
         F.round("buy_hold_return", 6).alias("buy_hold_return"),
     )
+
+
+@query(
+    "quality_calibration_bins",
+    r"""
+WITH scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS s
+  FROM documents WHERE text IS NOT NULL
+), binned AS (
+  SELECT y, s,
+         least(floor(percent_rank() OVER (ORDER BY s) * 10), 9)::BIGINT
+           AS bin
+  FROM scored
+)
+SELECT bin,
+       count(*) AS n_docs,
+       round(avg(s), 4) AS mean_score,
+       round(avg(y::DOUBLE), 6) AS observed_rate
+FROM binned GROUP BY bin
+""",
+)
+def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a quality heuristic (word count
+    predicting lang=='en', the same scorer doc_quality_auc ranks):
+    percent_rank decile bins — tie-stable across engines, unlike
+    ntile — with per-bin mean score and observed positive rate. The
+    calibration readout every quality-classifier gate needs next to
+    its AUC."""
+    from financial_data_pipeline_spark.operators.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        token_count_ws(F.col("text")).alias("s"),
+    )
+    w = Window.orderBy("s")
+    binned = scored.withColumn(
+        "bin",
+        F.least(F.floor(F.percent_rank().over(w) * 10), F.lit(9)).cast(
+            "bigint"
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("s"), 4).alias("mean_score"),
+        F.round(F.avg(F.col("y").cast("double")), 6).alias("observed_rate"),
+    )
+
+
+@query(
+    "token_fertility_by_lang",
+    r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS bpe,
+         lang
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(ws), 4) AS avg_ws_tokens,
+       round(avg(bpe), 4) AS avg_bpe_tokens,
+       round(avg(CASE WHEN ws > 0 THEN bpe / ws::DOUBLE END), 6)
+         AS fertility
+FROM t GROUP BY lang
+""",
+)
+def q_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word (``text.token_count_bpe / token_count_ws``), the
+    cross-lingual cost metric that drives mixture weighting — a
+    language whose fertility runs high pays more context per word.
+    Map-only + one aggregate."""
+    from financial_data_pipeline_spark.operators.text import (
+        token_count_bpe,
+        token_count_ws,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = docs.select(
+        "lang",
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+    )
+    fert = F.when(
+        F.col("ws") > 0, F.col("bpe") / F.col("ws").cast("double")
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ws"), 4).alias("avg_ws_tokens"),
+        F.round(F.avg("bpe"), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(fert), 6).alias("fertility"),
+    )
+
+
+@query("embedding_pca_spectrum")
+def q_embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA eigen-spectrum of the embeddings table
+    (``similarity.embedding_pca_spectrum``): top-10 covariance
+    eigenvalues + explained-variance ratios via distributed BLAS Gram
+    partials and a driver-side d×d eigh (d=64 schema constant).
+    Rows-only by declaration — eigendecomposition has no
+    single-statement SQL twin; the numpy differential lives in
+    tests/test_ml_ops.py."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        embedding_pca_spectrum,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pca_spectrum(emb, top_k=10)

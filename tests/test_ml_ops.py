@@ -314,3 +314,34 @@ def test_ivfpq_pruned_probe_finds_self_with_trained_cells(spark, emb):
     # codes shape: m entries in [0, k)
     chk = codes.select(F.size("codes").alias("m")).distinct().collect()
     assert [r.m for r in chk] == [4]
+
+
+def test_embedding_pca_spectrum_matches_numpy(spark):
+    """Distributed Gram partials + driver eigh vs a straight numpy PCA
+    on the collected matrix; planted low-rank structure dominates."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.similarity import (
+        embedding_pca_spectrum,
+    )
+
+    rng = np.random.default_rng(71)
+    n, d = 600, 16
+    # rank-2 structure + noise: two dominant directions
+    U = rng.normal(size=(n, 2)) @ (rng.normal(size=(2, d)) * 5.0)
+    X = (U + rng.normal(size=(n, d))).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [r.tolist() for r in X]}
+    )
+    sdf = spark.createDataFrame(pdf).repartition(7)
+    out = (
+        embedding_pca_spectrum(sdf, top_k=5).orderBy("component").toPandas()
+    )
+    Xf = X.astype("float64")
+    cov = np.cov(Xf, rowvar=False, bias=True)
+    want = np.linalg.eigvalsh(cov)[::-1][:5]
+    assert np.allclose(out.eigenvalue.to_numpy(), want, rtol=1e-6, atol=1e-6)
+    # rank-2 planted: first two components dominate
+    assert out.cum_ratio.iloc[1] > 0.8
+    assert abs(out.explained_ratio.sum() - out.cum_ratio.iloc[-1]) < 1e-4
