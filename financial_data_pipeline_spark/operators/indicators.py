@@ -2440,3 +2440,208 @@ def ou_half_life(
             4,
         ).alias("half_life_bars"),
     )
+
+
+def parabolic_sar(
+    df: DataFrame,
+    af_start: float = 0.02,
+    af_step: float = 0.02,
+    af_max: float = 0.2,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Wilder's Parabolic SAR: the stop-and-reverse trail that
+    accelerates toward price while a trend persists and FLIPS sides
+    when crossed. Unlike the EMA family the state (trend side, extreme
+    point, acceleration factor) does not contract — a flip depends on
+    the whole path — so no truncated-window fold applies; this is the
+    honest per-symbol sequential kernel (Arrow ``applyInPandas``,
+    linear per symbol, embarrassingly parallel across symbols), and
+    the oracle replays the identical arithmetic as a recursive CTE
+    stepping bar rank.
+
+    Pinned convention (variants abound):
+    - bar 2 seeds: trend = up iff close₂ > close₁; SAR = the two-bar
+      low extreme (up) / high extreme (down); EP the opposite extreme;
+      AF = ``af_start``.
+    - step: SAR' = SAR + AF·(EP − SAR), clamped to not enter the prior
+      two bars' range (min of the two prior lows for up / max of the
+      two prior highs for down).
+    - flip when the bar crosses SAR': new SAR = old EP, EP = the
+      crossing bar's extreme, AF resets.
+    - else EP/AF ratchet when a new extreme prints.
+    Bar 1 emits null (no state yet)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    by = list(by)
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sar", T.DoubleType(), True),
+            T.StructField("sar_trend", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        n = len(pdf)
+        high = pdf["high"].to_numpy(dtype="float64")
+        low = pdf["low"].to_numpy(dtype="float64")
+        close = pdf["close"].to_numpy(dtype="float64")
+        sar = np.full(n, np.nan)
+        trend = np.zeros(n, dtype="int64")
+        if n >= 2:
+            up = close[1] > close[0]
+            trend[1] = 1 if up else -1
+            sar[1] = min(low[0], low[1]) if up else max(high[0], high[1])
+            ep = max(high[0], high[1]) if up else min(low[0], low[1])
+            af = af_start
+            for i in range(2, n):
+                s0 = sar[i - 1] + af * (ep - sar[i - 1])
+                if trend[i - 1] == 1:
+                    s0 = min(s0, low[i - 1], low[i - 2])
+                    if low[i] < s0:
+                        trend[i] = -1
+                        sar[i] = ep
+                        ep = low[i]
+                        af = af_start
+                    else:
+                        trend[i] = 1
+                        sar[i] = s0
+                        if high[i] > ep:
+                            ep = high[i]
+                            af = min(af + af_step, af_max)
+                else:
+                    s0 = max(s0, high[i - 1], high[i - 2])
+                    if high[i] > s0:
+                        trend[i] = 1
+                        sar[i] = ep
+                        ep = high[i]
+                        af = af_start
+                    else:
+                        trend[i] = -1
+                        sar[i] = s0
+                        if low[i] < ep:
+                            ep = low[i]
+                            af = min(af + af_step, af_max)
+        pdf["sar"] = sar
+        pdf["sar_trend"] = trend
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(kernel, schema=schema)
+
+
+def supertrend(
+    df: DataFrame,
+    n: int = 10,
+    mult: float = 3.0,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """SuperTrend(n, mult) with the SMA-ATR variant (the same rolling
+    mean-TR the ``atr_14`` query pins, count-gated): basic bands
+    (H+L)/2 ± mult·ATR ratchet into final bands (an upper band may
+    only fall while price stays below it; symmetric for the lower),
+    and the line flips sides when the close crosses the active band.
+
+    The ratchet state does not contract (a band can hold its level
+    indefinitely), so like :func:`parabolic_sar` this is the per-
+    symbol sequential Arrow kernel with a recursive-CTE oracle. The
+    bands are window-computed COLUMNS (pure codegen) before the
+    kernel — Python touches only the 4-value recursion. Rows before
+    the ATR gate (first n−1 bars) emit null."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    win = w.rowsBetween(-(n - 1), 0)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(w)),
+        F.abs(F.col("low") - F.lag("close").over(w)),
+    )
+    base = df.withColumn("__tr", tr).withColumn(
+        "__atr",
+        F.when(F.count("__tr").over(win) >= n, F.avg("__tr").over(win)),
+    )
+    mid = (F.col("high") + F.col("low")) / 2.0
+    base = base.withColumn("__bub", mid + F.lit(mult) * F.col("__atr"))
+    base = base.withColumn("__blb", mid - F.lit(mult) * F.col("__atr"))
+
+    schema = T.StructType(
+        list(base.schema.fields)
+        + [
+            T.StructField("supertrend", T.DoubleType(), True),
+            T.StructField("st_trend", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts).reset_index(drop=True)
+        m = len(pdf)
+        close = pdf["close"].to_numpy(dtype="float64")
+        bub = pdf["__bub"].to_numpy(dtype="float64")
+        blb = pdf["__blb"].to_numpy(dtype="float64")
+        st = np.full(m, np.nan)
+        trend = np.zeros(m, dtype="int64")
+        fub = flb = np.nan
+        for i in range(m):
+            if np.isnan(bub[i]):
+                continue
+            if np.isnan(fub):  # first banded bar seeds
+                fub, flb = bub[i], blb[i]
+                trend[i] = 1 if close[i] > fub else -1
+            else:
+                if bub[i] < fub or close[i - 1] > fub:
+                    fub = bub[i]
+                if blb[i] > flb or close[i - 1] < flb:
+                    flb = blb[i]
+                prev = trend[i - 1]
+                if prev == -1 and close[i] > fub:
+                    trend[i] = 1
+                elif prev == 1 and close[i] < flb:
+                    trend[i] = -1
+                else:
+                    trend[i] = prev
+            st[i] = flb if trend[i] == 1 else fub
+        pdf["supertrend"] = st
+        pdf["st_trend"] = trend
+        return pdf
+
+    return (
+        base.groupBy(*by)
+        .applyInPandas(kernel, schema=schema)
+        .drop("__tr", "__atr", "__bub", "__blb")
+    )
+
+
+def trix_frame(
+    df: DataFrame,
+    col: str = "close",
+    span: int = 15,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """TRIX(span): 1-bar percent rate of change of a TRIPLE EMA —
+    three chained smoothing passes kill noise faster than one deep
+    one, and the ROC turns the level into a momentum oscillator.
+
+    Each EMA stage is the :func:`ema_truncated` bounded fold applied
+    to the PREVIOUS stage's materialized column — three staged window
+    passes sharing one per-symbol sort, all codegen, no Python. The
+    truncation composes: every stage's seed influence decays at
+    (1−α) per bar, so each is sub-ULP vs its full recursion, and the
+    SQL twin truncates identically (staged list_reduce CTEs). Columns
+    are staged because a lazily-nested window expression would
+    re-evaluate each EMA stage per consumer."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    out = df.withColumn("__e1", ema_truncated(col, span, by=by, ts=ts))
+    out = out.withColumn("__e2", ema_truncated("__e1", span, by=by, ts=ts))
+    out = out.withColumn("__e3", ema_truncated("__e2", span, by=by, ts=ts))
+    return out.withColumn(
+        "trix_pct",
+        100.0 * (F.col("__e3") / F.lag("__e3").over(w) - 1.0),
+    ).withColumnRenamed("__e3", "ema3").drop("__e1", "__e2")

@@ -11543,3 +11543,214 @@ def q_embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_pca_spectrum(emb, top_k=10)
+
+
+# Parabolic SAR / SuperTrend: non-contracting flip-state recursions —
+# Arrow kernels on the Spark side (per-symbol linear, parallel across
+# symbols), recursive CTEs stepping bar rank as oracles (the _EMA_REC_CTE
+# device). Step expressions are inlined via f-strings because the
+# recursive SELECT's column list must match the seed's.
+
+_SAR_S0_UP = "least(r.sar + r.af * (r.ep - r.sar), b.l1, b.l2)"
+_SAR_S0_DN = "greatest(r.sar + r.af * (r.ep - r.sar), b.h1, b.h2)"
+
+_SAR_REC_CTE = (
+    "WITH RECURSIVE bars AS ("
+    + events_as_ohlcv_sql(60).strip()
+    + f"""
+), base AS (
+  SELECT symbol, timestamp, high, low, close,
+         lag(high) OVER w AS h1, lag(high, 2) OVER w AS h2,
+         lag(low) OVER w AS l1, lag(low, 2) OVER w AS l2,
+         lag(close) OVER w AS c1,
+         row_number() OVER w AS rn
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), rec AS (
+  SELECT symbol, timestamp, rn, high, low, close,
+         CASE WHEN close > c1 THEN 1 ELSE -1 END AS trend,
+         CASE WHEN close > c1 THEN least(l1, low)
+              ELSE greatest(h1, high) END AS sar,
+         CASE WHEN close > c1 THEN greatest(h1, high)
+              ELSE least(l1, low) END AS ep,
+         0.02 AS af
+  FROM base WHERE rn = 2
+  UNION ALL
+  SELECT b.symbol, b.timestamp, b.rn, b.high, b.low, b.close,
+         CASE WHEN r.trend = 1
+              THEN (CASE WHEN b.low < {_SAR_S0_UP} THEN -1 ELSE 1 END)
+              ELSE (CASE WHEN b.high > {_SAR_S0_DN} THEN 1 ELSE -1 END)
+         END AS trend,
+         CASE WHEN r.trend = 1
+              THEN (CASE WHEN b.low < {_SAR_S0_UP} THEN r.ep
+                         ELSE {_SAR_S0_UP} END)
+              ELSE (CASE WHEN b.high > {_SAR_S0_DN} THEN r.ep
+                         ELSE {_SAR_S0_DN} END)
+         END AS sar,
+         CASE WHEN r.trend = 1
+              THEN (CASE WHEN b.low < {_SAR_S0_UP} THEN b.low
+                         ELSE greatest(r.ep, b.high) END)
+              ELSE (CASE WHEN b.high > {_SAR_S0_DN} THEN b.high
+                         ELSE least(r.ep, b.low) END)
+         END AS ep,
+         CASE WHEN r.trend = 1
+              THEN (CASE WHEN b.low < {_SAR_S0_UP} THEN 0.02
+                         WHEN b.high > r.ep THEN least(r.af + 0.02, 0.2)
+                         ELSE r.af END)
+              ELSE (CASE WHEN b.high > {_SAR_S0_DN} THEN 0.02
+                         WHEN b.low < r.ep THEN least(r.af + 0.02, 0.2)
+                         ELSE r.af END)
+         END AS af
+  FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+"""
+)
+
+
+@query(
+    "parabolic_sar",
+    _SAR_REC_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(sar, 6) AS sar, trend AS sar_trend
+FROM rec
+""",
+)
+def q_parabolic_sar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilder's Parabolic SAR (``indicators.parabolic_sar``): the
+    flip-state recursion has no contracting truncation, so the Spark
+    side is the per-symbol Arrow kernel and the oracle replays the
+    identical arithmetic as a recursive CTE stepping bar rank —
+    op-for-op, so both engines agree bit-for-bit before the 6-dp
+    round. Bar 1 (no state) is excluded on both sides."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.parabolic_sar(bars)
+    return out.filter(F.col("sar").isNotNull()).select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("sar", 6).alias("sar"),
+        F.col("sar_trend").cast("int").alias("sar_trend"),
+    )
+
+
+_ST_FUB = (
+    "CASE WHEN b.bub < r.fub OR r.close > r.fub THEN b.bub ELSE r.fub END"
+)
+_ST_FLB = (
+    "CASE WHEN b.blb > r.flb OR r.close < r.flb THEN b.blb ELSE r.flb END"
+)
+
+_ST_REC_CTE = (
+    "WITH RECURSIVE bars AS ("
+    + events_as_ohlcv_sql(60).strip()
+    + f"""
+), tr AS (
+  SELECT symbol, timestamp, high, low, close,
+         greatest(high - low, abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), banded AS (
+  SELECT symbol, timestamp, close,
+         (high + low) / 2.0 + 3.0 * avg(tr) OVER w10 AS bub,
+         (high + low) / 2.0 - 3.0 * avg(tr) OVER w10 AS blb,
+         count(tr) OVER w10 AS ntr
+  FROM tr
+  WINDOW w10 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), base AS (
+  SELECT symbol, timestamp, close, bub, blb,
+         row_number() OVER (PARTITION BY symbol ORDER BY timestamp) AS rn
+  FROM banded WHERE ntr >= 10
+), rec AS (
+  SELECT symbol, timestamp, rn, close, bub, blb,
+         bub AS fub, blb AS flb,
+         CASE WHEN close > bub THEN 1 ELSE -1 END AS trend
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.timestamp, b.rn, b.close, b.bub, b.blb,
+         {_ST_FUB} AS fub,
+         {_ST_FLB} AS flb,
+         CASE WHEN r.trend = -1 AND b.close > {_ST_FUB} THEN 1
+              WHEN r.trend = 1 AND b.close < {_ST_FLB} THEN -1
+              ELSE r.trend END AS trend
+  FROM base b JOIN rec r ON b.symbol = r.symbol AND b.rn = r.rn + 1
+)
+"""
+)
+
+
+@query(
+    "supertrend_bands",
+    _ST_REC_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN trend = 1 THEN flb ELSE fub END, 6) AS supertrend,
+       trend AS st_trend
+FROM rec
+""",
+)
+def q_supertrend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuperTrend(10, 3x) with SMA-ATR bands
+    (``indicators.supertrend``): band ratchet + side flip is the
+    second non-contracting recursion — bands are window-computed
+    codegen columns, only the 4-value state crosses into the Arrow
+    kernel; the oracle recursive-CTE replays it over the banded
+    (ATR-gated) row rank."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.supertrend(bars, n=10, mult=3.0)
+    return out.filter(F.col("supertrend").isNotNull()).select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("supertrend", 6).alias("supertrend"),
+        F.col("st_trend").cast("int").alias("st_trend"),
+    )
+
+
+@query(
+    "trix_15",
+    BARS_CTE
+    + """
+, e1 AS (
+  SELECT symbol, timestamp,
+         list_reduce(
+           list(close) OVER wt,
+           (a, x) -> a * (1.0 - 2.0/16.0) + (2.0/16.0) * x) AS e1
+  FROM bars
+  WINDOW wt AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 275 PRECEDING AND CURRENT ROW)
+), e2 AS (
+  SELECT symbol, timestamp,
+         list_reduce(
+           list(e1) OVER wt,
+           (a, x) -> a * (1.0 - 2.0/16.0) + (2.0/16.0) * x) AS e2
+  FROM e1
+  WINDOW wt AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 275 PRECEDING AND CURRENT ROW)
+), e3 AS (
+  SELECT symbol, timestamp,
+         list_reduce(
+           list(e2) OVER wt,
+           (a, x) -> a * (1.0 - 2.0/16.0) + (2.0/16.0) * x) AS e3
+  FROM e2
+  WINDOW wt AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 275 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(e3, 6) AS ema3,
+       round(100.0 * (e3 / lag(e3) OVER
+         (PARTITION BY symbol ORDER BY timestamp) - 1.0), 6) AS trix_pct
+FROM e3
+""",
+)
+def q_trix_15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIX(15) (``indicators.trix_frame``): triple truncated-EMA fold
+    — three staged window passes, each sub-ULP vs its full recursion
+    and truncated identically by the oracle's staged list_reduce
+    CTEs — then the 1-bar percent ROC."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.trix_frame(bars, span=15)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("ema3", 6).alias("ema3"),
+        F.round("trix_pct", 6).alias("trix_pct"),
+    )

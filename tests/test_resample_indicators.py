@@ -1601,3 +1601,99 @@ def test_donchian_breakout_no_lookahead(spark):
     assert out.position.iloc[39] == 0
     assert out.position.iloc[40] == 1
     assert (out.position.iloc[41:] == 1).all()
+
+
+def test_parabolic_sar_invariants(spark):
+    """SAR stays on the correct side of price per trend side, both
+    flip directions occur on a mean-reverting walk, and a monotone
+    uptrend ratchets SAR nondecreasing."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(73, 500)
+    out = (
+        indicators.parabolic_sar(spark.createDataFrame(pdf))
+        .orderBy("timestamp")
+        .toPandas()
+        .dropna(subset=["sar"])
+    )
+    up = out[out.sar_trend == 1]
+    dn = out[out.sar_trend == -1]
+    assert len(up) and len(dn)  # both sides occur
+    # a bar that would violate the side triggers a flip instead — SAR
+    # never sits inside the bar on the trend side EXCEPT the flip bar
+    # itself (where SAR jumps to the old EP, which the crossing bar
+    # may straddle)
+    flip = out.sar_trend.ne(out.sar_trend.shift()).to_numpy()
+    side_ok_up = (out.sar <= out.low + 1e-9) | (out.sar_trend != 1)
+    side_ok_dn = (out.sar >= out.high - 1e-9) | (out.sar_trend != -1)
+    assert (side_ok_up | flip).all()
+    assert (side_ok_dn | flip).all()
+
+    n = 60
+    mono = pd.DataFrame(
+        {
+            "symbol": "A",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "open": np.arange(n) + 100.0,
+            "high": np.arange(n) + 100.5,
+            "low": np.arange(n) + 99.5,
+            "close": np.arange(n) + 100.0,
+            "volume": 1.0,
+        }
+    )
+    mout = (
+        indicators.parabolic_sar(spark.createDataFrame(mono))
+        .orderBy("timestamp")
+        .toPandas()
+        .dropna(subset=["sar"])
+    )
+    assert (mout.sar_trend == 1).all()
+    assert (np.diff(mout.sar.to_numpy()) >= -1e-12).all()
+
+
+def test_supertrend_invariants(spark):
+    """SuperTrend rides below the close in uptrends and above it in
+    downtrends; both sides occur; the line equals one of the two
+    ratcheted bands."""
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(79, 500)
+    out = (
+        indicators.supertrend(spark.createDataFrame(pdf), n=10, mult=3.0)
+        .orderBy("timestamp")
+        .toPandas()
+        .dropna(subset=["supertrend"])
+    )
+    up = out[out.st_trend == 1]
+    dn = out[out.st_trend == -1]
+    assert len(up) and len(dn)
+    # in an uptrend the line is the lower band: below the close except
+    # possibly the flip bar itself
+    assert (up.supertrend <= up.close + 1e-9).mean() > 0.99
+    assert (dn.supertrend >= dn.close - 1e-9).mean() > 0.99
+
+
+def test_trix_matches_pandas_triple_ewm(spark):
+    """Truncated triple-EMA fold vs pandas ewm chained three times —
+    sub-ULP composition — and the ROC of it."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(83, 600)
+    out = (
+        indicators.trix_frame(spark.createDataFrame(pdf), span=15)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    e = pdf.close
+    for _ in range(3):
+        e = e.ewm(span=15, adjust=False).mean()
+    want_trix = 100.0 * (e / e.shift() - 1.0)
+    assert np.allclose(out.ema3.to_numpy(), e.to_numpy(), rtol=1e-12)
+    got = out.trix_pct.to_numpy()
+    keep = ~np.isnan(got)
+    assert np.allclose(got[keep], want_trix.to_numpy()[keep], atol=1e-10)
