@@ -82,29 +82,16 @@ def backtest_summary(
     )
 
 
-def sma_grid_backtest(
+def _sma_grid_staged(
     df: DataFrame,
     params: list[tuple[int, int]],
     price_col: str = "close",
     by: str = "symbol",
     ts: str = "timestamp",
 ) -> DataFrame:
-    """Evaluate a whole (fast, slow) SMA-crossover grid in ONE plan.
-
-    Rolling-window SMAs can't vary their length per row, so a naive
-    grid sweep re-windows the corpus once per parameter pair. Instead:
-    compute the per-symbol prefix sum ONCE, then recover any-length
-    SMA at row t as (cs_t − cs_{t−n}) / n via an equi-join on the
-    computed key (symbol, rn − n) — n comes from the exploded parameter
-    table, so every pair shares the same two hash joins and the single
-    base scan. At 100 TB this turns |grid| full window passes into one
-    pass + two shuffles keyed on (symbol, rn).
-
-    Precision note: prefix-sum SMA differs from windowed-avg SMA by
-    float cancellation that grows with series length; per-symbol series
-    here are bounded (re-center in chunks if a series exceeds ~1e9
-    rows). Fill/trade semantics match :func:`backtest_summary`.
-    """
+    """Shared stage for the grid family: per-(symbol, fast, slow) rows
+    with __pos/__taken/__trade/__r — see :func:`sma_grid_backtest` for
+    the prefix-sum join device."""
     w = Window.partitionBy(by).orderBy(ts)
     base = (
         df.select(by, ts, F.col(price_col).alias("__p"))
@@ -152,6 +139,33 @@ def sma_grid_backtest(
         .withColumn("__taken", F.coalesce(prev_pos * F.col("__r"), F.lit(0.0)))
         .withColumn("__trade", F.abs(F.col("__pos") - prev_pos))
     )
+    return staged
+
+
+def sma_grid_backtest(
+    df: DataFrame,
+    params: list[tuple[int, int]],
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Evaluate a whole (fast, slow) SMA-crossover grid in ONE plan.
+
+    Rolling-window SMAs can't vary their length per row, so a naive
+    grid sweep re-windows the corpus once per parameter pair. Instead:
+    compute the per-symbol prefix sum ONCE, then recover any-length
+    SMA at row t as (cs_t − cs_{t−n}) / n via an equi-join on the
+    computed key (symbol, rn − n) — n comes from the exploded parameter
+    table, so every pair shares the same two hash joins and the single
+    base scan. At 100 TB this turns |grid| full window passes into one
+    pass + two shuffles keyed on (symbol, rn).
+
+    Precision note: prefix-sum SMA differs from windowed-avg SMA by
+    float cancellation that grows with series length; per-symbol series
+    here are bounded (re-center in chunks if a series exceeds ~1e9
+    rows). Fill/trade semantics match :func:`backtest_summary`.
+    """
+    staged = _sma_grid_staged(df, params, price_col, by, ts)
     return staged.groupBy(by, "fast", "slow").agg(
         F.sum("__trade").cast("long").alias("n_trades"),
         (F.exp(F.sum("__taken")) - 1).alias("strategy_return"),
@@ -399,4 +413,107 @@ def donchian_breakout_positions(
             F.coalesce(log_return(price_col, by=by, ts=ts), F.lit(0.0)),
         )
         .select(*by, ts, "position", "log_ret")
+    )
+
+
+# Φ⁻¹ by bisection over the A-S 7.1.26 Φ polynomial the engine's oracles
+# share — evaluated in PYTHON at plan-build time (the argument depends
+# only on the static grid size N), so both engines consume the same
+# double literal and no inverse-CDF function is needed at run time.
+def _norm_ppf(p: float) -> float:
+    import math
+
+    def phi(z: float) -> float:
+        return 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+    lo, hi = -10.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if phi(mid) < p:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def deflated_sharpe_grid(
+    df: DataFrame,
+    params: list[tuple[int, int]],
+    price_col: str = "close",
+    by: str = "symbol",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Deflated Sharpe ratio (Bailey & López de Prado) of the BEST
+    strategy in an SMA-crossover grid: the multiple-testing correction
+    the plain grid sweep invites you to ignore. The expected max SR of
+    N zero-skill trials, SR* = sqrt(V[SR])·((1−γ)·Φ⁻¹(1−1/N) +
+    γ·Φ⁻¹(1−1/(N·e))), becomes the PSR benchmark for the winner —
+    DSR = Φ((SR_best − SR*)·sqrt(n−1)/sqrt(1 − g3·SR + (g4−1)/4·SR²)).
+
+    Φ⁻¹ is resolved at plan-build time (N is the static grid size), so
+    the run-time plan is: the shared grid stage →  one aggregate per
+    (symbol, trial) for SR + moments → one per-symbol rollup for V[SR]
+    → the deterministic best-trial pick (rank over (sr, fast, slow))
+    → closed-form DSR. No iteration, no Python at run time."""
+    import math
+
+    from financial_data_pipeline_spark.operators.indicators import _norm_cdf
+
+    n_trials = len(params)
+    z1 = _norm_ppf(1.0 - 1.0 / n_trials)
+    z2 = _norm_ppf(1.0 - 1.0 / (n_trials * math.e))
+    emax_mult = (1.0 - _EULER_GAMMA) * z1 + _EULER_GAMMA * z2
+
+    staged = _sma_grid_staged(df, params, price_col, by, ts)
+    t = staged.groupBy(by, "fast", "slow").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.avg("__taken").alias("__a1"),
+        F.avg(F.pow("__taken", 2)).alias("__a2"),
+        F.avg(F.pow("__taken", 3)).alias("__a3"),
+        F.avg(F.pow("__taken", 4)).alias("__a4"),
+    )
+    a1, a2, a3, a4 = (F.col(c) for c in ("__a1", "__a2", "__a3", "__a4"))
+    m2 = a2 - a1 * a1
+    m3 = a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1
+    m4 = a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * F.pow(a1, 4)
+    t = t.select(
+        by,
+        "fast",
+        "slow",
+        "n_obs",
+        F.when(m2 > 0, a1 / F.sqrt(m2 * F.col("n_obs") / (F.col("n_obs") - 1))).alias("__sr"),
+        F.when(m2 > 0, m3 / F.pow(m2, 1.5)).alias("__g3"),
+        F.when(m2 > 0, m4 / (m2 * m2)).alias("__g4"),
+    )
+    per_sym = t.groupBy(by).agg(
+        F.var_samp("__sr").alias("__vsr"),
+        F.count("__sr").alias("n_trials_eff"),
+    )
+    wbest = Window.partitionBy(by).orderBy(
+        F.desc_nulls_last("__sr"), F.desc("fast"), F.desc("slow")
+    )
+    best = (
+        t.withColumn("__rk", F.row_number().over(wbest))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    j = best.join(F.broadcast(per_sym), on=by)
+    sr = F.col("__sr")
+    sr_star = F.sqrt(F.col("__vsr")) * F.lit(emax_mult)
+    denom = F.sqrt(
+        1.0 - F.col("__g3") * sr + (F.col("__g4") - 1.0) / 4.0 * sr * sr
+    )
+    dsr = _norm_cdf((sr - sr_star) * F.sqrt(F.col("n_obs") - 1.0) / denom)
+    return j.select(
+        by,
+        "fast",
+        "slow",
+        F.lit(n_trials).alias("n_trials"),
+        "n_obs",
+        F.round(sr, 6).alias("sharpe_best"),
+        F.round(sr_star, 6).alias("sr_star"),
+        F.round(dsr, 6).alias("dsr"),
     )

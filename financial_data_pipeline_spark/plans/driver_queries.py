@@ -11754,3 +11754,126 @@ def q_trix_15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ema3", 6).alias("ema3"),
         F.round("trix_pct", 6).alias("trix_pct"),
     )
+
+
+_DSR_GRID = [
+    (5, 20), (5, 30), (10, 30), (10, 50), (15, 45),
+    (20, 50), (20, 60), (30, 90), (40, 80),
+]
+
+
+def _dsr_oracle() -> str:
+    import math
+
+    from financial_data_pipeline_spark.operators.backtest import (
+        _EULER_GAMMA,
+        _norm_ppf,
+    )
+
+    n = len(_DSR_GRID)
+    z1 = _norm_ppf(1.0 - 1.0 / n)
+    z2 = _norm_ppf(1.0 - 1.0 / (n * math.e))
+    emax = (1.0 - _EULER_GAMMA) * z1 + _EULER_GAMMA * z2
+    values = ", ".join(f"({f}, {s})" for f, s in _DSR_GRID)
+    phi = (
+        "0.5 * (1.0 + sign(z) * (1.0 - (1.0 / (1.0 + 0.3275911 * abs(z)))"
+        " * (0.254829592 + (1.0 / (1.0 + 0.3275911 * abs(z)))"
+        " * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * abs(z)))"
+        " * (1.421413741 + (1.0 / (1.0 + 0.3275911 * abs(z)))"
+        " * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * abs(z)))"
+        " * 1.061405429))))"
+        " * exp(-abs(z) * abs(z))))"
+    )
+    return (
+        BARS_CTE
+        + f"""
+, b AS (
+  SELECT symbol, timestamp, close,
+         row_number() OVER w AS rn,
+         sum(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cs,
+         ln(close / lag(close) OVER w) AS r
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), g AS (SELECT * FROM (VALUES {values}) AS t(fast, slow)),
+e AS (SELECT b.*, g.fast, g.slow FROM b CROSS JOIN g),
+j AS (
+  SELECT e.symbol, e.timestamp, e.fast, e.slow, e.r,
+         CASE WHEN e.rn >= e.fast
+              THEN (e.cs - coalesce(bf.cs, 0)) / e.fast END AS sma_f,
+         CASE WHEN e.rn >= e.slow
+              THEN (e.cs - coalesce(bs.cs, 0)) / e.slow END AS sma_s
+  FROM e
+  LEFT JOIN b bf ON bf.symbol = e.symbol AND bf.rn = e.rn - e.fast
+  LEFT JOIN b bs ON bs.symbol = e.symbol AND bs.rn = e.rn - e.slow
+), p AS (
+  SELECT symbol, timestamp, fast, slow, r,
+         CASE WHEN sma_f > sma_s THEN 1 ELSE 0 END AS pos
+  FROM j
+), f AS (
+  SELECT symbol, timestamp, fast, slow,
+         coalesce(coalesce(lag(pos) OVER (PARTITION BY symbol, fast, slow
+                                          ORDER BY timestamp), 0) * r,
+                  0.0) AS taken
+  FROM p
+), t AS (
+  SELECT symbol, fast, slow, count(*) AS n_obs,
+         avg(taken) AS a1, avg(taken * taken) AS a2,
+         avg(taken * taken * taken) AS a3,
+         avg(taken * taken * taken * taken) AS a4
+  FROM f GROUP BY 1, 2, 3
+), mo AS (
+  SELECT symbol, fast, slow, n_obs,
+         a2 - a1 * a1 AS m2,
+         a3 - 3 * a1 * a2 + 2 * a1 * a1 * a1 AS m3,
+         a4 - 4 * a1 * a3 + 6 * a1 * a1 * a2 - 3 * power(a1, 4.0) AS m4,
+         a1
+  FROM t
+), sr AS (
+  SELECT symbol, fast, slow, n_obs,
+         CASE WHEN m2 > 0
+              THEN a1 / sqrt(m2 * n_obs / (n_obs - 1)) END AS sr,
+         CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END AS g3,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS g4
+  FROM mo
+), v AS (
+  SELECT symbol, var_samp(sr) AS vsr FROM sr GROUP BY symbol
+), best AS (
+  SELECT * FROM sr
+  QUALIFY row_number() OVER (PARTITION BY symbol
+                             ORDER BY sr DESC NULLS LAST,
+                                      fast DESC, slow DESC) = 1
+), zc AS (
+  SELECT best.symbol, best.fast, best.slow, best.n_obs,
+         best.sr, v.vsr,
+         sqrt(v.vsr) * {emax!r} AS sr_star,
+         (best.sr - sqrt(v.vsr) * {emax!r}) * sqrt(best.n_obs - 1.0)
+           / sqrt(1.0 - best.g3 * best.sr
+                  + (best.g4 - 1.0) / 4.0 * best.sr * best.sr)
+           / sqrt(2.0) AS z
+  FROM best JOIN v USING (symbol)
+)
+SELECT symbol, fast, slow,
+       {n} AS n_trials, n_obs,
+       round(sr, 6) AS sharpe_best,
+       round(sr_star, 6) AS sr_star,
+       round({phi}, 6) AS dsr
+FROM zc
+"""
+    )
+
+
+@query("deflated_sharpe_grid", _dsr_oracle())
+def q_deflated_sharpe_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflated Sharpe ratio of the best SMA-crossover in a 9-trial
+    grid (``backtest.deflated_sharpe_grid``): the multiple-testing
+    correction over the grid sweep — expected-max-SR benchmark from
+    the cross-trial SR variance (Φ⁻¹ constants resolved at plan-build
+    time, shared as literals with the oracle), then the PSR of the
+    winner against it."""
+    from financial_data_pipeline_spark.operators.backtest import (
+        deflated_sharpe_grid,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    return deflated_sharpe_grid(bars, _DSR_GRID)

@@ -1697,3 +1697,35 @@ def test_trix_matches_pandas_triple_ewm(spark):
     got = out.trix_pct.to_numpy()
     keep = ~np.isnan(got)
     assert np.allclose(got[keep], want_trix.to_numpy()[keep], atol=1e-10)
+
+
+def test_deflated_sharpe_grid_semantics(spark):
+    """DSR of a skill-less grid is low even when the best raw Sharpe
+    looks positive (the multiple-testing haircut); Φ⁻¹ bisection
+    matches the classic 97.5% point."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.backtest import (
+        _norm_ppf,
+        deflated_sharpe_grid,
+    )
+
+    assert abs(_norm_ppf(0.975) - 1.959964) < 1e-5
+
+    rng = np.random.default_rng(89)
+    n = 1500
+    pdf = pd.DataFrame(
+        {
+            "symbol": "RW",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="h"),
+            "close": 100.0 * np.exp(np.cumsum(rng.normal(0, 0.005, n))),
+        }
+    )
+    grid = [(5, 20), (10, 30), (10, 50), (20, 50), (20, 60), (30, 90)]
+    out = deflated_sharpe_grid(spark.createDataFrame(pdf), grid).toPandas()
+    row = out.iloc[0]
+    assert row.n_trials == len(grid)
+    assert row.sr_star > 0  # expected max of noise is positive
+    # a pure random walk's best trial should NOT clear the deflated bar
+    assert row.dsr < 0.975
