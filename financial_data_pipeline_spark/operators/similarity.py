@@ -871,3 +871,79 @@ def embedding_pca_spectrum(
 
     spark = SparkSession.getActiveSession()
     return spark.createDataFrame(out)
+
+
+def mmr_diverse_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedy top-k that trades
+    relevance against redundancy — score(d) = λ·cos(q, d) − (1−λ)·
+    max_{s∈selected} cos(d, s). The de-duplicating retrieval layer RAG
+    stacks put between ANN and the context window.
+
+    Plan shape (the production shape): the DISTRIBUTED stage is the
+    relevance scan — cosine against the broadcast query vector, top
+    ``pool`` via TakeOrdered (no global sort). The greedy selection is
+    inherently sequential in k, so it runs on the driver over the
+    bounded pool (``pool`` × d doubles — the IVF-codebook collect
+    contract), in numpy. Ties break by vec_id ascending, pinned on
+    both paths."""
+    import numpy as np
+    import pandas as pd
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    pool_rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__v"),
+            cosine(F.col(vec_col), q).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(pool)
+        .collect()  # bounded: pool rows
+    )
+    ids = np.array([r["vec_id"] for r in pool_rows])
+    rel = np.array([r["rel"] for r in pool_rows])
+    V = np.array([r["__v"] for r in pool_rows], dtype="float64")
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sim = Vn @ Vn.T
+    n = len(ids)
+    selected: list[int] = []
+    avail = np.ones(n, dtype=bool)
+    for _ in range(min(k, n)):
+        if selected:
+            red = sim[:, selected].max(axis=1)
+        else:
+            red = np.zeros(n)
+        score = lam * rel - (1.0 - lam) * red
+        # deterministic: best score, then lowest vec_id
+        order = np.lexsort((ids, -score))
+        pick = next(i for i in order if avail[i])
+        avail[pick] = False
+        selected.append(pick)
+    out = pd.DataFrame(
+        {
+            "rank": np.arange(1, len(selected) + 1, dtype="int64"),
+            "vec_id": ids[selected],
+            "relevance": np.round(rel[selected], 6),
+            "mmr_score": np.round(
+                [
+                    lam * rel[i]
+                    - (1.0 - lam)
+                    * (sim[i, selected[:j]].max() if j else 0.0)
+                    for j, i in enumerate(selected)
+                ],
+                6,
+            ),
+        }
+    )
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession().createDataFrame(out)

@@ -11877,3 +11877,236 @@ def q_deflated_sharpe_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bars = events_as_ohlcv(spark, sf_dir)
     return deflated_sharpe_grid(bars, _DSR_GRID)
+
+
+@query(
+    "intraday_vol_profile",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, hour(timestamp) AS hod, volume,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS lr
+  FROM bars
+)
+SELECT symbol, hod,
+       count(lr) AS n_obs,
+       round(avg(abs(lr)), 6) AS mean_abs_ret,
+       round(stddev_samp(lr), 6) AS ret_std,
+       round(avg(volume), 4) AS avg_volume
+FROM r WHERE lr IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_intraday_vol_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day volatility/liquidity seasonality per symbol: mean
+    |return|, return std and mean volume by clock hour — the U-shape
+    diagnostic behind execution scheduling (when to trade) and the
+    deseasonalization input ``seasonal_anomalies`` models additively.
+    Map-only derivation + one aggregate."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = (
+        bars.withColumn(
+            "lr", F.log(F.col("close") / F.lag("close").over(w))
+        )
+        .filter(F.col("lr").isNotNull())
+        .withColumn("hod", F.hour("timestamp"))
+    )
+    return r.groupBy("symbol", "hod").agg(
+        F.count("lr").alias("n_obs"),
+        F.round(F.avg(F.abs(F.col("lr"))), 6).alias("mean_abs_ret"),
+        F.round(F.stddev_samp("lr"), 6).alias("ret_std"),
+        F.round(F.avg("volume"), 4).alias("avg_volume"),
+    )
+
+
+@query(
+    "rebalance_turnover",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, date_trunc('week', timestamp) AS m,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS lr
+  FROM bars
+), b AS (SELECT * FROM r WHERE lr IS NOT NULL),
+mv AS (SELECT symbol, m, stddev_samp(lr) AS vol FROM b GROUP BY 1, 2),
+pr AS (
+  SELECT symbol, lead(m) OVER (PARTITION BY symbol ORDER BY m) AS m,
+         vol AS pvol
+  FROM mv
+), pw AS (SELECT * FROM pr WHERE m IS NOT NULL AND pvol > 0),
+wts AS (
+  SELECT symbol, m,
+         (1.0 / pvol) / sum(1.0 / pvol) OVER (PARTITION BY m) AS w
+  FROM pw
+), grid AS (
+  SELECT s.symbol, p.m
+  FROM (SELECT DISTINCT symbol FROM wts) s
+  CROSS JOIN (SELECT DISTINCT m FROM wts) p
+), dense AS (
+  SELECT g.symbol, g.m, coalesce(w.w, 0.0) AS w
+  FROM grid g LEFT JOIN wts w ON g.symbol = w.symbol AND g.m = w.m
+), lagged AS (
+  SELECT symbol, m, w,
+         lag(w) OVER (PARTITION BY symbol ORDER BY m) AS w_prev
+  FROM dense
+)
+SELECT epoch_us(m) AS period_us,
+       count(CASE WHEN w > 0 THEN 1 END) AS n_active,
+       round(0.5 * sum(abs(w - w_prev)), 6) AS turnover,
+       round(0.5 * sum(abs(w - w_prev)) * 10.0 / 10000.0 * 100.0, 6)
+         AS cost_drag_pct_at_10bps
+FROM lagged WHERE w_prev IS NOT NULL
+GROUP BY m
+""",
+)
+def q_rebalance_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance turnover of the weekly inverse-vol portfolio: half
+    the L1 weight change per rebalance (entries/exits counted via the
+    densified symbol × period grid) and the cost drag at 10 bps each-
+    way — the execution-cost readout ``inverse_vol_rebalanced``'s
+    frictionless returns omit. All windows run on the aggregated
+    (symbol, week) frame."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    b = (
+        bars.withColumn("m", F.date_trunc("week", F.col("timestamp")))
+        .withColumn("lr", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("lr").isNotNull())
+    )
+    mv = b.groupBy("symbol", "m").agg(F.stddev_samp("lr").alias("vol"))
+    wm = Window.partitionBy("symbol").orderBy("m")
+    pw = (
+        mv.select(
+            "symbol",
+            F.lead("m").over(wm).alias("m"),
+            F.col("vol").alias("pvol"),
+        )
+        .filter(F.col("m").isNotNull() & (F.col("pvol") > 0))
+    )
+    wts = pw.select(
+        "symbol",
+        "m",
+        (
+            (1.0 / F.col("pvol"))
+            / F.sum(1.0 / F.col("pvol")).over(Window.partitionBy("m"))
+        ).alias("w"),
+    )
+    grid = (
+        wts.select("symbol").distinct().crossJoin(wts.select("m").distinct())
+    )
+    dense = grid.join(wts, on=["symbol", "m"], how="left").select(
+        "symbol", "m", F.coalesce("w", F.lit(0.0)).alias("w")
+    )
+    lagged = dense.withColumn("w_prev", F.lag("w").over(wm)).filter(
+        F.col("w_prev").isNotNull()
+    )
+    to = 0.5 * F.sum(F.abs(F.col("w") - F.col("w_prev")))
+    return lagged.groupBy("m").agg(
+        F.count(F.when(F.col("w") > 0, 1)).alias("n_active"),
+        F.round(to, 6).alias("turnover"),
+        F.round(to * 10.0 / 10000.0 * 100.0, 6).alias(
+            "cost_drag_pct_at_10bps"
+        ),
+    ).select(
+        F.unix_micros("m").alias("period_us"),
+        "n_active",
+        "turnover",
+        "cost_drag_pct_at_10bps",
+    )
+
+
+@query(
+    "cross_sectional_momentum",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, date_trunc('week', timestamp) AS m,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS lr
+  FROM bars
+), wk AS (
+  SELECT symbol, m, sum(lr) AS wret
+  FROM r WHERE lr IS NOT NULL GROUP BY 1, 2
+), led AS (
+  SELECT symbol, m, wret,
+         lead(wret) OVER (PARTITION BY symbol ORDER BY m) AS next_ret
+  FROM wk
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY m ORDER BY wret DESC, symbol)
+           AS rk,
+         count(*) OVER (PARTITION BY m) AS n_sym
+  FROM led WHERE next_ret IS NOT NULL
+)
+SELECT epoch_us(m) AS period_us,
+       any_value(n_sym) AS n_symbols,
+       round(avg(CASE WHEN rk <= 2 THEN next_ret END), 6) AS long_ret,
+       round(avg(CASE WHEN rk > n_sym - 2 THEN next_ret END), 6)
+         AS short_ret,
+       round(avg(CASE WHEN rk <= 2 THEN next_ret END)
+             - avg(CASE WHEN rk > n_sym - 2 THEN next_ret END), 6)
+         AS ls_ret
+FROM ranked GROUP BY m
+""",
+)
+def q_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum: rank symbols by trailing-week log
+    return, hold the top-2 long / bottom-2 short the NEXT week (lead,
+    no lookahead; ties break by symbol name) — the relative-strength
+    factor construction, weekly because the corpus spans one calendar
+    month. All windows on the (symbol, week) aggregate frame."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = bars.withColumn(
+        "m", F.date_trunc("week", F.col("timestamp"))
+    ).withColumn("lr", F.log(F.col("close") / F.lag("close").over(w)))
+    wk = (
+        r.filter(F.col("lr").isNotNull())
+        .groupBy("symbol", "m")
+        .agg(F.sum("lr").alias("wret"))
+    )
+    wm = Window.partitionBy("symbol").orderBy("m")
+    led = wk.withColumn("next_ret", F.lead("wret").over(wm)).filter(
+        F.col("next_ret").isNotNull()
+    )
+    wrank = Window.partitionBy("m").orderBy(F.desc("wret"), F.asc("symbol"))
+    ranked = led.withColumn("rk", F.row_number().over(wrank)).withColumn(
+        "n_sym", F.count(F.lit(1)).over(Window.partitionBy("m"))
+    )
+    long_r = F.avg(F.when(F.col("rk") <= 2, F.col("next_ret")))
+    short_r = F.avg(
+        F.when(F.col("rk") > F.col("n_sym") - 2, F.col("next_ret"))
+    )
+    return ranked.groupBy("m").agg(
+        F.first("n_sym").alias("n_symbols"),
+        F.round(long_r, 6).alias("long_ret"),
+        F.round(short_r, 6).alias("short_ret"),
+        F.round(long_r - short_r, 6).alias("ls_ret"),
+    ).select(
+        F.unix_micros("m").alias("period_us"),
+        "n_symbols",
+        "long_ret",
+        "short_ret",
+        "ls_ret",
+    )
+
+
+@query("mmr_diverse_topk")
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-10 against vec_id=0 over a 50-candidate
+    relevance pool (``similarity.mmr_diverse_topk``, λ=0.7):
+    distributed cosine scan + TakeOrdered pool, then the inherently
+    sequential greedy on the bounded pool. Rows-only by declaration —
+    the k-step greedy has no single-statement SQL twin; the numpy
+    differential lives in tests/test_ml_ops.py."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        mmr_diverse_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_diverse_topk(
+        emb, _query_vec(spark, sf_dir), k=10, pool=50, lam=0.7
+    )

@@ -345,3 +345,61 @@ def test_embedding_pca_spectrum_matches_numpy(spark):
     # rank-2 planted: first two components dominate
     assert out.cum_ratio.iloc[1] > 0.8
     assert abs(out.explained_ratio.sum() - out.cum_ratio.iloc[-1]) < 1e-4
+
+
+def test_mmr_diverse_topk_matches_numpy_greedy(spark):
+    """MMR selection vs an independent numpy greedy; with a planted
+    near-duplicate cluster slightly MORE relevant than a diverse set,
+    diversity (λ<1) admits the spread vectors pure relevance would
+    rank below the copies."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.similarity import (
+        mmr_diverse_topk,
+    )
+
+    rng = np.random.default_rng(97)
+    d = 16
+    q = np.zeros(d)
+    q[0] = 1.0
+    # cluster: 5 near-copies at cos ~0.9 to q (one shared off-axis)
+    v1 = 0.9 * q
+    v1[1] = np.sqrt(1 - 0.81)
+    dup = v1 + rng.normal(0, 0.005, size=(5, d))
+    # spread: cos 0.8 to q, mutually diverse off-axis directions
+    rest = []
+    for i in range(45):
+        u = rng.normal(size=d)
+        u[0] = 0.0
+        u[1] *= 0.1  # mostly orthogonal to the cluster's off-axis too
+        u /= np.linalg.norm(u)
+        rest.append(0.8 * q + 0.6 * u)
+    X = np.vstack([dup, np.array(rest)]).astype("float64")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(50), "embedding": [r.tolist() for r in X]}
+    )
+    out = (
+        mmr_diverse_topk(
+            spark.createDataFrame(pdf), q.tolist(), k=8, pool=50, lam=0.6
+        )
+        .orderBy("rank")
+        .toPandas()
+    )
+    # independent greedy
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rel = Xn @ q
+    sim = Xn @ Xn.T
+    chosen = []
+    for _ in range(8):
+        red = sim[:, chosen].max(axis=1) if chosen else np.zeros(50)
+        score = 0.6 * rel - 0.4 * red
+        order = np.lexsort((np.arange(50), -score))
+        pick = next(i for i in order if i not in chosen)
+        chosen.append(pick)
+    assert out.vec_id.tolist() == chosen
+    # pure relevance would rank all 5 copies first; MMR keeps ≤ 2
+    assert sorted(np.argsort(-rel)[:5]) == [0, 1, 2, 3, 4]
+    assert sum(v < 5 for v in out.vec_id) <= 2
+    # the most relevant vector is still rank 1
+    assert out.vec_id.iloc[0] == int(np.argmax(rel))
