@@ -2645,3 +2645,125 @@ def trix_frame(
         "trix_pct",
         100.0 * (F.col("__e3") / F.lag("__e3").over(w) - 1.0),
     ).withColumnRenamed("__e3", "ema3").drop("__e1", "__e2")
+
+
+def elder_ray(
+    span: int = 13,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> dict[str, Column]:
+    """Elder Ray bull/bear power: high − EMA(span), low − EMA(span).
+
+    Measures how far the extremes stray from the smoothed consensus
+    price — positive bull power with a rising EMA is Elder's classic
+    long filter.  The EMA is the :func:`ema_truncated` bounded fold
+    (codegen, no Python, no sequential per-symbol task); both outputs
+    share the one fold column.
+    """
+    e = ema_truncated("close", span, by=by, ts=ts)
+    return {
+        "bull_power": F.col("high") - e,
+        "bear_power": F.col("low") - e,
+    }
+
+
+def stochrsi(
+    n: int = 14,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+    rsi_col: str | Column | None = None,
+) -> Column:
+    """StochRSI(n): the stochastic oscillator applied to RSI(n) —
+    (RSI − min(RSI, n)) / (max(RSI, n) − min(RSI, n)) · 100.
+
+    Rescales RSI onto its own n-bar range so regime shifts in RSI's
+    level don't mute the signal.  Null until a full n-bar RSI window
+    exists and when the range is degenerate (flat RSI) — both guards
+    evaluate identically across engines.  Compose by staging the RSI
+    column first (window-over-window would re-evaluate the inner RSI
+    per consumer); pass it via ``rsi_col``.
+    """
+    c = F.col(rsi_col) if isinstance(rsi_col, str) else (
+        rsi_col if rsi_col is not None else rsi("close", n, by=by, ts=ts)
+    )
+    win = _rolling(list(by), ts, n)
+    lo = F.min(c).over(win)
+    hi = F.max(c).over(win)
+    # ratio parenthesized FIRST: fp rounding is monotone, so
+    # (c−lo)/(hi−lo) ∈ [0,1] exactly and the ×100 cannot overshoot —
+    # the left-to-right form 100·(c−lo)/(hi−lo) lands 1 ULP above 100
+    # whenever c == hi
+    return F.when(
+        (F.count(c).over(win) >= n) & (hi > lo),
+        100.0 * ((c - lo) / (hi - lo)),
+    )
+
+
+def mass_index(
+    df: DataFrame,
+    n: int = 25,
+    span: int = 9,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+    out: str = "mass_index",
+) -> DataFrame:
+    """Mass Index(n): Σ over the last n bars of EMA(span) of the
+    high−low range over its own double smoothing EMA(span)∘EMA(span).
+
+    Donald Dorsey's range-bulge detector — a reading above ~27 flags
+    volatility expansion regardless of direction.  Both EMA stages are
+    :func:`ema_truncated` bounded folds staged as materialized columns
+    (same device as :func:`trix_frame`), then one rolling sum; the
+    whole thing is a single per-symbol sort, zero Python.
+    """
+    by = list(by)
+    staged = df.withColumn("__rng", F.col("high") - F.col("low"))
+    staged = staged.withColumn(
+        "__e1", ema_truncated("__rng", span, by=by, ts=ts)
+    )
+    staged = staged.withColumn(
+        "__e2", ema_truncated("__e1", span, by=by, ts=ts)
+    )
+    win = _rolling(by, ts, n)
+    ratio = F.col("__e1") / F.col("__e2")
+    return staged.withColumn(
+        out,
+        F.when(F.count(ratio).over(win) >= n, F.sum(ratio).over(win)),
+    ).drop("__rng", "__e1", "__e2")
+
+
+_KST_PARAMS = ((10, 10, 1.0), (15, 10, 2.0), (20, 10, 3.0), (30, 15, 4.0))
+
+
+def kst(
+    df: DataFrame,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Know Sure Thing (Pring): Σ wᵢ · SMA(ROC(rocᵢ), smaᵢ) over the
+    standard four legs ``_KST_PARAMS`` + a 9-bar signal SMA.
+
+    Each ROC leg is a lag window; each smoothing is a count-guarded
+    rolling mean; the composite and its signal stage as two more
+    window columns — six windows total, one per-symbol sort, all
+    codegen.  The composite is null until every leg's smoothing
+    window is full (so the signal's head matches pandas' NaN
+    propagation), and the signal needs 9 non-null composites.
+    """
+    by = list(by)
+    out = df
+    legs = []
+    for i, (roc_n, sma_n, wgt) in enumerate(_KST_PARAMS):
+        roc_c = 100.0 * (
+            F.col("close") / lag_col("close", by, ts, offset=roc_n) - 1.0
+        )
+        out = out.withColumn(f"__roc{i}", roc_c)
+        legs.append(
+            F.lit(wgt) * sma(f"__roc{i}", sma_n, by=by, ts=ts)
+        )
+    composite = legs[0]
+    for leg in legs[1:]:
+        composite = composite + leg
+    out = out.withColumn("kst", composite)
+    out = out.withColumn("kst_signal", sma("kst", 9, by=by, ts=ts))
+    return out.drop(*[f"__roc{i}" for i in range(len(_KST_PARAMS))])

@@ -12094,6 +12094,187 @@ def q_cross_sectional_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "elder_ray_13",
+    BARS_CTE
+    + """
+, e AS (
+  SELECT symbol, timestamp, high, low,
+         list_reduce(
+           list(close) OVER wt,
+           (a, x) -> a * (1.0 - 2.0/14.0) + (2.0/14.0) * x) AS ema13
+  FROM bars
+  WINDOW wt AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 238 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(high - ema13, 6) AS bull_power,
+       round(low - ema13, 6) AS bear_power
+FROM e
+""",
+)
+def q_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder Ray bull/bear power (``indicators.elder_ray``): bar
+    extremes minus EMA(13), the EMA as the truncated bounded fold —
+    sub-ULP vs the full recursion and truncated identically by the
+    oracle's list_reduce window."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    er = indicators.elder_ray(13)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(er["bull_power"], 6).alias("bull_power"),
+        F.round(er["bear_power"], 6).alias("bear_power"),
+    )
+
+
+@query(
+    "stochrsi_14",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp) AS delta
+  FROM bars
+), gl AS (
+  SELECT symbol, timestamp,
+         CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+  FROM d
+), r AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(gain) OVER w14 >= 14 THEN avg(gain) OVER w14 END AS ag,
+         CASE WHEN count(loss) OVER w14 >= 14 THEN avg(loss) OVER w14 END AS al
+  FROM gl
+  WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), rs AS (
+  SELECT symbol, timestamp,
+         CASE WHEN al = 0 AND ag > 0 THEN 100.0
+              WHEN al = 0 AND ag = 0 THEN NULL
+              ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi
+  FROM r
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(rsi) OVER w14 >= 14
+                       AND max(rsi) OVER w14 > min(rsi) OVER w14
+                  THEN 100.0 * ((rsi - min(rsi) OVER w14)
+                       / (max(rsi) OVER w14 - min(rsi) OVER w14)) END, 4)
+         AS stochrsi
+FROM rs
+WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_stochrsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StochRSI(14) (``indicators.stochrsi``): the stochastic
+    oscillator applied to RSI(14) so the momentum signal is scaled to
+    its own recent range.  The RSI is staged as a materialized column
+    (window-over-window would re-evaluate it per consumer); 4-dp round
+    because the inner RSI rides on sliding averages whose summation
+    order differs across engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    staged = bars.withColumn("__rsi", indicators.rsi("close", 14))
+    return staged.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(
+            indicators.stochrsi(14, rsi_col=F.col("__rsi")), 4
+        ).alias("stochrsi"),
+    )
+
+
+@query(
+    "mass_index_25",
+    BARS_CTE
+    + """
+, e1 AS (
+  SELECT symbol, timestamp,
+         list_reduce(
+           list(high - low) OVER wt,
+           (a, x) -> a * (1.0 - 2.0/10.0) + (2.0/10.0) * x) AS e1
+  FROM bars
+  WINDOW wt AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 164 PRECEDING AND CURRENT ROW)
+), e2 AS (
+  SELECT symbol, timestamp, e1,
+         list_reduce(
+           list(e1) OVER wt,
+           (a, x) -> a * (1.0 - 2.0/10.0) + (2.0/10.0) * x) AS e2
+  FROM e1
+  WINDOW wt AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 164 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(e1 / e2) OVER w25 >= 25
+                  THEN sum(e1 / e2) OVER w25 END, 4) AS mass_index
+FROM e2
+WINDOW w25 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass Index(25, EMA 9) (``indicators.mass_index``): Dorsey's
+    range-bulge detector — rolling sum of the high−low EMA over its
+    own double smoothing.  Two staged truncated folds + one rolling
+    sum, one per-symbol sort; 4-dp round for the sliding sum's
+    engine-varying association."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.mass_index(bars, n=25, span=9)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("mass_index", 4).alias("mass_index"),
+    )
+
+
+@query(
+    "kst_composite",
+    BARS_CTE
+    + """
+, rocs AS (
+  SELECT symbol, timestamp,
+         100.0 * (close / lag(close, 10) OVER w - 1.0) AS roc0,
+         100.0 * (close / lag(close, 15) OVER w - 1.0) AS roc1,
+         100.0 * (close / lag(close, 20) OVER w - 1.0) AS roc2,
+         100.0 * (close / lag(close, 30) OVER w - 1.0) AS roc3
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), sm AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(roc0) OVER w10 >= 10 THEN avg(roc0) OVER w10 END AS s0,
+         CASE WHEN count(roc1) OVER w10 >= 10 THEN avg(roc1) OVER w10 END AS s1,
+         CASE WHEN count(roc2) OVER w10 >= 10 THEN avg(roc2) OVER w10 END AS s2,
+         CASE WHEN count(roc3) OVER w15 >= 15 THEN avg(roc3) OVER w15 END AS s3
+  FROM rocs
+  WINDOW w10 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         w15 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+), k AS (
+  SELECT symbol, timestamp,
+         1.0 * s0 + 2.0 * s1 + 3.0 * s2 + 4.0 * s3 AS kst
+  FROM sm
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(kst, 4) AS kst,
+       round(CASE WHEN count(kst) OVER w9 >= 9 THEN avg(kst) OVER w9 END, 4)
+         AS kst_signal
+FROM k
+WINDOW w9 AS (PARTITION BY symbol ORDER BY timestamp ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Know Sure Thing (``indicators.kst``): Pring's weighted sum of
+    four smoothed rate-of-change legs + 9-bar signal line — six window
+    columns over ONE per-symbol sort, all codegen.  Null propagation:
+    the composite is null until every leg's smoothing window fills
+    (additive null in both engines), and the signal needs 9 non-null
+    composites."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.kst(bars)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("kst", 4).alias("kst"),
+        F.round("kst_signal", 4).alias("kst_signal"),
+    )
+
+
 @query("mmr_diverse_topk")
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-10 against vec_id=0 over a 50-candidate

@@ -1729,3 +1729,115 @@ def test_deflated_sharpe_grid_semantics(spark):
     assert row.sr_star > 0  # expected max of noise is positive
     # a pure random walk's best trial should NOT clear the deflated bar
     assert row.dsr < 0.975
+
+
+def test_elder_ray_matches_pandas(spark):
+    """Bull/bear power vs pandas ewm(span=13): extremes minus EMA."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(41, 500)
+    er = indicators.elder_ray(13)
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "timestamp",
+            er["bull_power"].alias("bull"),
+            er["bear_power"].alias("bear"),
+        )
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    ema = pdf.close.ewm(span=13, adjust=False).mean().to_numpy()
+    assert np.allclose(out.bull.to_numpy(), pdf.high.to_numpy() - ema, atol=1e-10)
+    assert np.allclose(out.bear.to_numpy(), pdf.low.to_numpy() - ema, atol=1e-10)
+
+
+def test_stochrsi_matches_explicit_loop(spark):
+    """StochRSI(14) vs an explicit pandas rolling min/max of RSI, plus
+    bounds: always within [0, 100]."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(43, 300)
+    staged = spark.createDataFrame(pdf).withColumn(
+        "__rsi", indicators.rsi("close", 14)
+    )
+    out = (
+        staged.select(
+            "timestamp",
+            indicators.stochrsi(14, rsi_col="__rsi").alias("srsi"),
+        )
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    delta = pdf.close.diff()
+    gain = delta.where(delta > 0, 0.0).rolling(14, min_periods=14).mean()
+    loss = (-delta.where(delta < 0, 0.0)).rolling(14, min_periods=14).mean()
+    rsi = 100.0 - 100.0 / (1.0 + gain / loss)
+    lo = rsi.rolling(14, min_periods=14).min()
+    hi = rsi.rolling(14, min_periods=14).max()
+    want = (100.0 * (rsi - lo) / (hi - lo)).to_numpy()
+    got = out.srsi.to_numpy()
+    keep = ~np.isnan(got)
+    assert keep.sum() > 200
+    assert np.allclose(got[keep], want[keep], atol=1e-8)
+    assert ((got[keep] >= 0.0) & (got[keep] <= 100.0)).all()
+
+
+def test_mass_index_matches_pandas(spark):
+    """Mass Index(25, EMA 9) vs pandas double-ewm ratio rolling sum;
+    a planted range explosion lifts the reading."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(47, 400)
+    # plant a volatility bulge: widen the high-low range 4x for 30 bars
+    mid = (pdf.high + pdf.low) / 2.0
+    widen = slice(300, 330)
+    pdf.loc[pdf.index[widen], "high"] = mid[widen] * 1.008
+    pdf.loc[pdf.index[widen], "low"] = mid[widen] * 0.992
+    out = (
+        indicators.mass_index(spark.createDataFrame(pdf), n=25, span=9)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    rng = pdf.high - pdf.low
+    e1 = rng.ewm(span=9, adjust=False).mean()
+    e2 = e1.ewm(span=9, adjust=False).mean()
+    want = (e1 / e2).rolling(25, min_periods=25).sum().to_numpy()
+    got = out.mass_index.to_numpy()
+    keep = ~np.isnan(got)
+    assert np.allclose(got[keep], want[keep], atol=1e-8)
+    # the bulge window's reading exceeds the pre-bulge baseline
+    assert np.nanmax(got[320:340]) > np.nanmean(got[250:300])
+
+
+def test_kst_matches_pandas(spark):
+    """KST composite + signal vs the explicit pandas construction."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(53, 300)
+    out = (
+        indicators.kst(spark.createDataFrame(pdf))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    c = pdf.close
+    legs = []
+    for roc_n, sma_n, wgt in ((10, 10, 1.0), (15, 10, 2.0), (20, 10, 3.0), (30, 15, 4.0)):
+        roc = 100.0 * (c / c.shift(roc_n) - 1.0)
+        legs.append(wgt * roc.rolling(sma_n, min_periods=sma_n).mean())
+    kst = sum(legs)
+    sig = kst.rolling(9, min_periods=9).mean()
+    got_k, got_s = out.kst.to_numpy(), out.kst_signal.to_numpy()
+    keep = ~np.isnan(got_k)
+    assert keep.sum() > 200
+    assert np.allclose(got_k[keep], kst.to_numpy()[keep], atol=1e-8)
+    keep_s = ~np.isnan(got_s)
+    assert np.allclose(got_s[keep_s], sig.to_numpy()[keep_s], atol=1e-8)
