@@ -2732,6 +2732,164 @@ def mass_index(
     ).drop("__rng", "__e1", "__e2")
 
 
+def corwin_schultz(
+    daily: DataFrame,
+    by: list[str] = ("symbol",),
+    ts: str = "day",
+) -> DataFrame:
+    """Corwin–Schultz (2012) high–low spread estimator on daily bars.
+
+    Uses the insight that the daily high/low range reflects both
+    variance and the bid–ask bounce, while the TWO-day range reflects
+    the same spread but twice the variance:
+
+        β = ln(H_t/L_t)² + ln(H_{t−1}/L_{t−1})²
+        γ = ln(max(H_t,H_{t−1}) / min(L_t,L_{t−1}))²
+        α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2))
+        S = 2(eᵅ − 1)/(1 + eᵅ), floored at 0 (negative α ⇒ no
+            detectable spread that day — the standard treatment)
+
+    Pure per-row arithmetic over one lag window — deterministic in
+    both engines, no unordered sums anywhere.  Expects one row per
+    (group, day) with ``high``/``low`` columns; emits ``cs_spread``
+    (floored) and ``cs_alpha``.
+    """
+    import math
+
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    h1, l1 = F.lag("high").over(w), F.lag("low").over(w)
+    beta = (
+        F.pow(F.log(F.col("high") / F.col("low")), 2)
+        + F.pow(F.log(h1 / l1), 2)
+    )
+    gamma = F.pow(
+        F.log(F.greatest(F.col("high"), h1) / F.least(F.col("low"), l1)), 2
+    )
+    denom = F.lit(3.0 - 2.0 * math.sqrt(2.0))
+    alpha = (F.sqrt(2.0 * beta) - F.sqrt(beta)) / denom - F.sqrt(
+        gamma / denom
+    )
+    spread = 2.0 * (F.exp(alpha) - 1.0) / (1.0 + F.exp(alpha))
+    return daily.withColumn("cs_alpha", alpha).withColumn(
+        "cs_spread", F.greatest(spread, F.lit(0.0))
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    col: str = "r",
+    k: int = 100,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Hill estimator of the return-distribution tail index.
+
+    ξ̂ = (1/k) Σᵢ₌₁..k ln(x₍ᵢ₎ / x₍ₖ₊₁₎) over the k largest |values|;
+    tail α = 1/ξ̂ (α < 3 ⇒ infinite-kurtosis territory — fat-tail
+    gate before any Gaussian-assumption model).  Distributed shape:
+    rank by |value| per group (one window sort), keep the top k+1
+    rows, then ONE aggregate per group — x₍ₖ₊₁₎ is exactly the
+    group's min, and the k log-ratio terms fold in rank order via a
+    sorted-array aggregate so both engines sum in the same order.
+    """
+    by = list(by)
+    absr = F.abs(F.col(col))
+    ranked = (
+        df.filter(F.col(col).isNotNull() & (absr > 0))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(*by).orderBy(
+                    F.abs(F.col(col)).desc(), F.col(ts).asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= k + 1)
+        .withColumn("__absr", F.abs(F.col(col)))
+    )
+    # fold ln(x_i) in rank order, subtract k·ln(x_{k+1}) at the end —
+    # algebraically identical to summing ln(x_i/x_{k+1}) but keeps the
+    # fold terms independent of the (aggregated) threshold
+    folded = F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("__rk") <= k,
+                    F.struct(F.col("__rk").alias("rk"),
+                             F.log("__absr").alias("t")),
+                )
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["t"],
+    )
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("__absr").alias("__xk1"),
+        folded.alias("__logsum"),
+    )
+    xi = (F.col("__logsum") - k * F.log("__xk1")) / F.lit(float(k))
+    return (
+        agg.filter(F.col("__n") >= k + 1)
+        .withColumn("hill_xi", xi)
+        .withColumn("tail_alpha", 1.0 / xi)
+        .withColumn("k", F.lit(k))
+        .drop("__n", "__xk1", "__logsum")
+    )
+
+
+def permutation_entropy(
+    df: DataFrame,
+    col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Order-3 permutation entropy (Bandt–Pompe) of a series.
+
+    Each consecutive triple maps to its ordinal pattern via three raw
+    comparisons — code = 4·(x₀<x₁) + 2·(x₁<x₂) + (x₀<x₂), strict
+    less-than so ties resolve identically in every engine (two of the
+    eight codes are logically impossible).  H = −Σ p·ln p over the
+    pattern distribution, normalized by ln 6; ≈1 for white noise,
+    lower for any serial structure — a model-free randomness gate
+    next to ``variance_ratio``.  One lead window + one pattern-count
+    aggregate + an order-deterministic fold over ≤8 groups.
+    """
+    import math
+
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    x0, x1, x2 = F.col(col), F.lead(col, 1).over(w), F.lead(col, 2).over(w)
+    code = (
+        (x0 < x1).cast("int") * 4
+        + (x1 < x2).cast("int") * 2
+        + (x0 < x2).cast("int")
+    )
+    counts = (
+        df.withColumn("__code", code)
+        .filter(F.col("__code").isNotNull())
+        .groupBy(*by, "__code")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = Window.partitionBy(*by)
+    p = F.col("__c") / F.sum("__c").over(tot)
+    terms = counts.withColumn("__term", -p * F.log(p)).withColumn(
+        "__n", F.sum("__c").over(tot)
+    )
+    folded = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__code"), F.col("__term")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__term"],
+    )
+    return terms.groupBy(*by).agg(
+        F.first("__n").alias("n_windows"),
+        (folded / F.lit(math.log(6.0))).alias("perm_entropy"),
+    )
+
+
 _KST_PARAMS = ((10, 10, 1.0), (15, 10, 2.0), (20, 10, 3.0), (30, 15, 4.0))
 
 

@@ -12275,6 +12275,152 @@ def q_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corwin_schultz_spread",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, timestamp::DATE AS day, max(high) AS high, min(low) AS low
+  FROM bars GROUP BY 1, 2
+), lagd AS (
+  SELECT symbol, day, high, low,
+         lag(high) OVER w AS h1, lag(low) OVER w AS l1
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY day)
+), a AS (
+  SELECT symbol, day,
+         (sqrt(2.0 * (pow(ln(high/low), 2) + pow(ln(h1/l1), 2)))
+          - sqrt(pow(ln(high/low), 2) + pow(ln(h1/l1), 2)))
+           / (3.0 - 2.0 * sqrt(2.0))
+         - sqrt(pow(ln(greatest(high, h1) / least(low, l1)), 2)
+                / (3.0 - 2.0 * sqrt(2.0))) AS alpha
+  FROM lagd WHERE h1 IS NOT NULL
+)
+SELECT symbol, day::VARCHAR AS day,
+       round(alpha, 6) AS cs_alpha,
+       round(greatest(2.0 * (exp(alpha) - 1.0) / (1.0 + exp(alpha)), 0.0), 6)
+         AS cs_spread
+FROM a
+""",
+)
+def q_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corwin–Schultz high–low spread estimator
+    (``indicators.corwin_schultz``) on daily bars: the bid–ask spread
+    inferred from one-day vs two-day price ranges — effective
+    transaction-cost telemetry when no quote data exists.  One daily
+    aggregate + one lag window; per-row closed-form arithmetic, no
+    unordered sums."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    daily = bars.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(F.max("high").alias("high"), F.min("low").alias("low"))
+    out = indicators.corwin_schultz(daily, ts="day").filter(
+        F.col("cs_alpha").isNotNull()
+    )
+    return out.select(
+        "symbol",
+        F.col("day").cast("string").alias("day"),
+        F.round("cs_alpha", 6).alias("cs_alpha"),
+        F.round("cs_spread", 6).alias("cs_spread"),
+    )
+
+
+@query(
+    "hill_tail_index",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rk AS (
+  SELECT symbol, abs(r) AS absr,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY abs(r) DESC, timestamp ASC) AS rk
+  FROM r WHERE r IS NOT NULL AND abs(r) > 0
+), agg AS (
+  SELECT symbol, count(*) AS n, min(absr) AS xk1,
+         list_reduce(
+           list_prepend(0.0, list(ln(absr) ORDER BY rk)
+                             FILTER (WHERE rk <= 100)),
+           (a, x) -> a + x) AS logsum
+  FROM rk WHERE rk <= 101 GROUP BY symbol
+), xi AS (
+  SELECT symbol, (logsum - 100 * ln(xk1)) / 100.0 AS xi
+  FROM agg WHERE n >= 101
+)
+SELECT symbol, 100::BIGINT AS k,
+       round(xi, 6) AS hill_xi,
+       round(1.0 / xi, 6) AS tail_alpha
+FROM xi
+""",
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (``indicators.hill_tail_index``) over
+    the 100 largest |log returns| per symbol: ξ̂ and tail α = 1/ξ̂ —
+    the fat-tail gate (α < 3 ⇒ infinite kurtosis) that should precede
+    any Gaussian-risk model.  One rank window + one aggregate; the k
+    log terms fold in rank order so both engines sum identically."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = bars.withColumn(
+        "r", F.log(F.col("close") / F.lag("close").over(w))
+    )
+    out = indicators.hill_tail_index(r, col="r", k=100)
+    return out.select(
+        "symbol",
+        F.col("k").cast("long").alias("k"),
+        F.round("hill_xi", 6).alias("hill_xi"),
+        F.round("tail_alpha", 6).alias("tail_alpha"),
+    )
+
+
+@query(
+    "permutation_entropy",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, close,
+         lead(close, 1) OVER w AS x1, lead(close, 2) OVER w AS x2
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), c AS (
+  SELECT symbol,
+         CASE WHEN close < x1 THEN 4 ELSE 0 END
+         + CASE WHEN x1 < x2 THEN 2 ELSE 0 END
+         + CASE WHEN close < x2 THEN 1 ELSE 0 END AS code
+  FROM t WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+), g AS (
+  SELECT symbol, code, count(*) AS c FROM c GROUP BY 1, 2
+), p AS (
+  SELECT symbol, code, sum(c) OVER (PARTITION BY symbol) AS n,
+         -(c / CAST(sum(c) OVER (PARTITION BY symbol) AS DOUBLE))
+           * ln(c / CAST(sum(c) OVER (PARTITION BY symbol) AS DOUBLE))
+           AS term
+  FROM g
+)
+SELECT symbol, min(n)::BIGINT AS n_windows,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY code)),
+                         (a, x) -> a + x) / 1.791759469228055, 6)
+         AS perm_entropy
+FROM p GROUP BY symbol
+""",
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy (``indicators.permutation_entropy``,
+    Bandt–Pompe): ordinal-pattern distribution entropy normalized by
+    ln 6 — the model-free serial-structure gate next to
+    ``variance_ratio``.  Patterns come from three raw comparisons (no
+    ranking), counts from one aggregate, and the ≤8-term entropy sum
+    folds in code order on both engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.permutation_entropy(bars)
+    return out.select(
+        "symbol",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.round("perm_entropy", 6).alias("perm_entropy"),
+    )
+
+
 @query("mmr_diverse_topk")
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-10 against vec_id=0 over a 50-candidate

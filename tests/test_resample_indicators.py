@@ -1841,3 +1841,141 @@ def test_kst_matches_pandas(spark):
     assert np.allclose(got_k[keep], kst.to_numpy()[keep], atol=1e-8)
     keep_s = ~np.isnan(got_s)
     assert np.allclose(got_s[keep_s], sig.to_numpy()[keep_s], atol=1e-8)
+
+
+def test_corwin_schultz_matches_numpy_and_detects_bounce(spark):
+    """Closed-form replay parity + semantics: planting a bid-ask
+    bounce widens daily ranges relative to two-day ranges and lifts
+    the estimated spread."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(61)
+    n_days = 40
+    mid = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n_days)))
+
+    def daily_frame(half_spread):
+        hi = mid * (1 + np.abs(rng.normal(0, 0.004, n_days))) + half_spread
+        lo = mid * (1 - np.abs(rng.normal(0, 0.004, n_days))) - half_spread
+        return pd.DataFrame(
+            {
+                "symbol": "A",
+                "day": pd.date_range("2024-01-01", periods=n_days),
+                "high": hi,
+                "low": lo,
+            }
+        )
+
+    pdf = daily_frame(half_spread=0.5)
+    out = (
+        indicators.corwin_schultz(spark.createDataFrame(pdf))
+        .orderBy("day")
+        .toPandas()
+    )
+    h, l = pdf.high.to_numpy(), pdf.low.to_numpy()
+    beta = np.log(h / l) ** 2
+    beta2 = beta[1:] + beta[:-1]
+    gamma = np.log(np.maximum(h[1:], h[:-1]) / np.minimum(l[1:], l[:-1])) ** 2
+    den = 3.0 - 2.0 * np.sqrt(2.0)
+    alpha = (np.sqrt(2 * beta2) - np.sqrt(beta2)) / den - np.sqrt(gamma / den)
+    spread = np.maximum(2 * (np.exp(alpha) - 1) / (1 + np.exp(alpha)), 0.0)
+    got = out.cs_spread.to_numpy()[1:]
+    assert np.allclose(got, spread, atol=1e-12)
+    # bounce-free frame estimates materially less spread
+    quiet = (
+        indicators.corwin_schultz(
+            spark.createDataFrame(daily_frame(half_spread=0.0))
+        )
+        .toPandas()
+        .cs_spread.mean()
+    )
+    assert out.cs_spread.mean() > quiet + 0.002
+
+
+def test_hill_tail_index_separates_fat_tails(spark):
+    """Numpy replay parity + semantics: Student-t(3) returns estimate
+    tail alpha near 3, Gaussian returns estimate a much thinner tail."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(67)
+    n = 3000
+    frames = []
+    for sym, r in (
+        ("FAT", rng.standard_t(3, n) * 0.01),
+        ("THIN", rng.normal(0, 0.01, n)),
+    ):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "timestamp": pd.date_range(
+                        "2024-01-01", periods=n, freq="min"
+                    ),
+                    "r": r,
+                }
+            )
+        )
+    pdf = pd.concat(frames)
+    out = (
+        indicators.hill_tail_index(
+            spark.createDataFrame(pdf), col="r", k=150
+        )
+        .toPandas()
+        .set_index("symbol")
+    )
+    # numpy replay for FAT
+    absr = np.abs(pdf[pdf.symbol == "FAT"].r.to_numpy())
+    absr = np.sort(absr[absr > 0])[::-1]
+    want = np.mean(np.log(absr[:150] / absr[150]))
+    assert abs(out.loc["FAT", "hill_xi"] - want) < 1e-10
+    assert 2.0 < out.loc["FAT", "tail_alpha"] < 4.5
+    assert out.loc["THIN", "tail_alpha"] > out.loc["FAT", "tail_alpha"] + 1.5
+
+
+def test_permutation_entropy_regimes(spark):
+    """White noise scores near 1; a monotone ramp collapses to a
+    single ordinal pattern (entropy 0); numpy replay parity."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(71)
+    n = 2000
+    ts = pd.date_range("2024-01-01", periods=n, freq="min")
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {"symbol": "NOISE", "timestamp": ts,
+                 "close": rng.normal(100, 1, n)}
+            ),
+            pd.DataFrame(
+                {"symbol": "RAMP", "timestamp": ts,
+                 "close": np.linspace(100, 200, n)}
+            ),
+        ]
+    )
+    out = (
+        indicators.permutation_entropy(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("symbol")
+    )
+    assert out.loc["NOISE", "perm_entropy"] > 0.99
+    assert out.loc["RAMP", "perm_entropy"] == 0.0
+    assert out.loc["NOISE", "n_windows"] == n - 2
+    # replay
+    x = pdf[pdf.symbol == "NOISE"].close.to_numpy()
+    code = (
+        4 * (x[:-2] < x[1:-1]).astype(int)
+        + 2 * (x[1:-1] < x[2:]).astype(int)
+        + (x[:-2] < x[2:]).astype(int)
+    )
+    _, counts = np.unique(code, return_counts=True)
+    p = counts / counts.sum()
+    want = -(p * np.log(p)).sum() / np.log(6.0)
+    assert abs(out.loc["NOISE", "perm_entropy"] - want) < 1e-10
