@@ -2925,3 +2925,107 @@ def kst(
     out = out.withColumn("kst", composite)
     out = out.withColumn("kst_signal", sma("kst", 9, by=by, ts=ts))
     return out.drop(*[f"__roc{i}" for i in range(len(_KST_PARAMS))])
+
+
+def theil_sen_mann_kendall(
+    daily: DataFrame,
+    col: str = "close",
+    by: list[str] = ("symbol",),
+    ts: str = "day",
+) -> DataFrame:
+    """Theil–Sen slope + Mann–Kendall trend test on a DAILY series.
+
+    Sen's slope is the median of all pairwise slopes — the 29%-
+    breakdown robust trend estimate OLS isn't — and Mann–Kendall's
+    S = Σ_{i<j} sign(xⱼ − xᵢ) gives the distribution-free trend
+    z-test (no-ties variance n(n−1)(2n+5)/18; prices are continuous).
+    The self-join runs on the per-day AGGREGATE frame, O(groups ×
+    days²) with days bounded per window — never on raw bars.  S is an
+    exact integer sum; the median is the exact interpolated quantile;
+    z applies the standard ±1 continuity correction.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    d = daily.withColumn("__rn", F.row_number().over(w)).select(
+        *by, "__rn", F.col(col).alias("__x")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in by] + [
+        F.col("a.__rn") < F.col("b.__rn")
+    ]
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}") for c in by],
+        (
+            (F.col("b.__x") - F.col("a.__x"))
+            / (F.col("b.__rn") - F.col("a.__rn")).cast("double")
+        ).alias("__slope"),
+        F.signum(F.col("b.__x") - F.col("a.__x"))
+        .cast("long")
+        .alias("__sgn"),
+    )
+    n_days = daily.groupBy(*by).agg(F.count(F.lit(1)).alias("n_days"))
+    agg = pairs.groupBy(*by).agg(
+        F.percentile("__slope", 0.5).alias("sen_slope"),
+        F.sum("__sgn").alias("s_stat"),
+    )
+    out = agg.join(n_days, by)
+    n = F.col("n_days").cast("double")
+    var_s = n * (n - 1.0) * (2.0 * n + 5.0) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1.0) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return out.withColumn("mk_z", z).withColumn(
+        "trend",
+        F.when(F.col("mk_z") > 1.959964, F.lit("up"))
+        .when(F.col("mk_z") < -1.959964, F.lit("down"))
+        .otherwise(F.lit("none")),
+    )
+
+
+def ses_eval(
+    daily: DataFrame,
+    col: str = "close",
+    alpha: float = 0.3,
+    by: list[str] = ("symbol",),
+    ts: str = "day",
+) -> DataFrame:
+    """Simple-exponential-smoothing one-step forecast + error report.
+
+    s₁ = x₁, s_t = (1−α)·s_{t−1} + α·x_t; the forecast for t is
+    s_{t−1}, so errors are genuinely out-of-sample at every step.
+    Emits per group: MAE, RMSE, the naive (random-walk) MAE, and
+    MASE = MAE/MAE_naive — the scale-free skill score (<1 beats the
+    naive forecast).  The smoothing state is the same seeded
+    bounded-array fold as :func:`ema_truncated`, here over the FULL
+    per-group prefix (the input is a daily aggregate frame, so the
+    array is bounded by the calendar, not by fact rows).
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    wfull = w.rowsBetween(Window.unboundedPreceding, 0)
+    arr = F.collect_list(F.col(col).cast("double")).over(wfull)
+    tail = F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0)))
+    s = F.aggregate(
+        tail,
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + F.lit(alpha) * x,
+    )
+    staged = (
+        daily.withColumn("__s", s)
+        .withColumn("__fc", F.lag("__s").over(w))
+        .withColumn("__prev", F.lag(col).over(w))
+        .filter(F.col("__fc").isNotNull())
+        .withColumn("__err", F.col(col) - F.col("__fc"))
+        .withColumn("__nerr", F.col(col) - F.col("__prev"))
+    )
+    return staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.avg(F.abs(F.col("__err"))).alias("mae"),
+        F.sqrt(F.avg(F.col("__err") * F.col("__err"))).alias("rmse"),
+        F.avg(F.abs(F.col("__nerr"))).alias("naive_mae"),
+        (
+            F.avg(F.abs(F.col("__err"))) / F.avg(F.abs(F.col("__nerr")))
+        ).alias("mase"),
+    )

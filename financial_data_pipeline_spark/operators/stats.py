@@ -739,3 +739,45 @@ def wilcoxon_signed_rank(
         z.alias("z"),
         F.least(F.lit(1.0), erfc).alias("p_value"),
     )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str = "p_value",
+    q: float = 0.10,
+    tie_cols: list[str] = (),
+) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a hypothesis frame.
+
+    Adds ``bh_rank`` (ascending p, deterministic tiebreak),
+    ``p_adj`` (step-up adjusted p: reverse running min of m·p/rank,
+    capped at 1) and ``discovery`` (rank ≤ k*, where k* is the largest
+    rank with p ≤ q·rank/m).  All three are windows over the
+    HYPOTHESIS frame — one row per test, already aggregated — so the
+    unpartitioned sort is over m rows, not facts (the same bounded
+    GLOBAL_WINDOW contract as the rank-test operators).
+    """
+    tie_cols = list(tie_cols)
+    w_rank = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in tie_cols])
+    w_all = Window.partitionBy()
+    ranked = df.withColumn("bh_rank", F.row_number().over(w_rank)).withColumn(
+        "__m", F.count(F.lit(1)).over(w_all)
+    )
+    raw_adj = F.least(
+        F.lit(1.0), F.col("__m") * F.col(p_col) / F.col("bh_rank")
+    )
+    w_rev = Window.orderBy("bh_rank").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    ranked = ranked.withColumn("p_adj", F.min(raw_adj).over(w_rev))
+    passes = F.when(
+        F.col(p_col) <= F.lit(q) * F.col("bh_rank") / F.col("__m"),
+        F.col("bh_rank"),
+    )
+    kstar = F.max(passes).over(w_all)
+    return ranked.withColumn(
+        "discovery",
+        F.when(kstar.isNull(), F.lit(False)).otherwise(
+            F.col("bh_rank") <= kstar
+        ),
+    ).drop("__m")

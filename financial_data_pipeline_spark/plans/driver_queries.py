@@ -12421,6 +12421,212 @@ def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "theil_sen_trend",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, timestamp::DATE AS day, max_by(close, timestamp) AS close
+  FROM bars GROUP BY 1, 2
+), d AS (
+  SELECT symbol, close AS x,
+         row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+  FROM daily
+), pairs AS (
+  SELECT a.symbol,
+         (b.x - a.x) / CAST(b.rn - a.rn AS DOUBLE) AS slope,
+         CAST(sign(b.x - a.x) AS BIGINT) AS sgn
+  FROM d a JOIN d b ON a.symbol = b.symbol AND a.rn < b.rn
+), agg AS (
+  SELECT symbol, quantile_cont(slope, 0.5) AS sen, sum(sgn)::BIGINT AS s
+  FROM pairs GROUP BY 1
+), nd AS (
+  SELECT symbol, count(*)::BIGINT AS n_days FROM daily GROUP BY 1
+), z AS (
+  SELECT agg.symbol, n_days, sen, s,
+         CASE WHEN s > 0 THEN (s - 1.0)
+                   / sqrt(n_days::DOUBLE * (n_days::DOUBLE - 1.0)
+                          * (2.0 * n_days::DOUBLE + 5.0) / 18.0)
+              WHEN s < 0 THEN (s + 1.0)
+                   / sqrt(n_days::DOUBLE * (n_days::DOUBLE - 1.0)
+                          * (2.0 * n_days::DOUBLE + 5.0) / 18.0)
+              ELSE 0.0 END AS mk_z
+  FROM agg JOIN nd USING (symbol)
+)
+SELECT symbol, n_days, round(sen, 6) AS sen_slope, s AS s_stat,
+       round(mk_z, 4) AS mk_z,
+       CASE WHEN mk_z > 1.959964 THEN 'up'
+            WHEN mk_z < -1.959964 THEN 'down'
+            ELSE 'none' END AS trend
+FROM z
+""",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust slope + Mann–Kendall trend test
+    (``indicators.theil_sen_mann_kendall``) on daily closes: the
+    distribution-free trend screen (median pairwise slope, sign-sum
+    z).  The O(days²) pair join runs on the per-day AGGREGATE frame
+    (≤31 rows per symbol per month), never on raw bars."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    daily = bars.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(F.max_by("close", "timestamp").alias("close"))
+    out = indicators.theil_sen_mann_kendall(daily, col="close", ts="day")
+    return out.select(
+        "symbol",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.round("mk_z", 4).alias("mk_z"),
+        "trend",
+    )
+
+
+_PHI_ERF_SQL = (
+    "(1.0 - ((1.0 / (1.0 + 0.3275911 * (abs({t}) / sqrt(2.0))))"
+    " * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs({t}) / sqrt(2.0))))"
+    " * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (abs({t}) / sqrt(2.0))))"
+    " * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (abs({t}) / sqrt(2.0))))"
+    " * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (abs({t}) / sqrt(2.0))))"
+    " * 1.061405429)))))"
+    " * exp(-(abs({t}) / sqrt(2.0)) * (abs({t}) / sqrt(2.0))))"
+)
+
+
+@query(
+    "bh_fdr_hourly",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, hour(timestamp) AS hr,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), g AS (
+  SELECT symbol, hr, count(r)::BIGINT AS n, avg(r) AS m,
+         stddev_samp(r) AS sd
+  FROM r WHERE r IS NOT NULL GROUP BY 1, 2
+), tt AS (
+  SELECT symbol, hr, n, m / (sd / sqrt(n::DOUBLE)) AS t FROM g
+), pp AS (
+  SELECT symbol, hr, n, t,
+         2.0 * (1.0 - 0.5 * (1.0 + sign(abs(t)) * """
+    + _PHI_ERF_SQL.format(t="t")
+    + """)) AS p
+  FROM tt
+), rk AS (
+  SELECT *, row_number() OVER (ORDER BY p ASC, symbol ASC, hr ASC) AS bh_rank,
+         count(*) OVER () AS m_all
+  FROM pp
+), adj AS (
+  SELECT *,
+         min(least(1.0, m_all * p / bh_rank))
+           OVER (ORDER BY bh_rank
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS p_adj,
+         max(CASE WHEN p <= 0.10 * bh_rank / m_all THEN bh_rank END)
+           OVER () AS kstar
+  FROM rk
+)
+SELECT symbol, hr, n, round(t, 4) AS t_stat, round(p, 6) AS p_value,
+       bh_rank::BIGINT AS bh_rank, round(p_adj, 6) AS p_adj,
+       CASE WHEN kstar IS NULL THEN FALSE
+            ELSE bh_rank <= kstar END AS discovery
+FROM adj
+""",
+)
+def q_bh_fdr_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR screening (``stats.bh_fdr``) over the
+    symbol × hour-of-day calendar-effect battery: one t-test per
+    (symbol, hour) mean hourly return, then step-up adjusted p-values
+    and a q=0.10 discovery flag — the multiple-testing guard any
+    seasonal-anomaly screen needs.  BH's unpartitioned windows run on
+    the 120-row hypothesis frame, not on facts."""
+    from financial_data_pipeline_spark.operators.indicators import _norm_cdf
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = bars.withColumn(
+        "r", F.log(F.col("close") / F.lag("close").over(w))
+    ).filter(F.col("r").isNotNull())
+    g = r.groupBy(
+        "symbol", F.hour("timestamp").cast("long").alias("hr")
+    ).agg(
+        F.count("r").alias("n"),
+        F.avg("r").alias("m"),
+        F.stddev_samp("r").alias("sd"),
+    )
+    t = F.col("m") / (F.col("sd") / F.sqrt(F.col("n").cast("double")))
+    hyp = g.select(
+        "symbol",
+        "hr",
+        "n",
+        t.alias("t"),
+        (2.0 * (1.0 - _norm_cdf(F.abs(t)))).alias("p"),
+    )
+    out = stats.bh_fdr(hyp, p_col="p", q=0.10, tie_cols=["symbol", "hr"])
+    return out.select(
+        "symbol",
+        "hr",
+        "n",
+        F.round("t", 4).alias("t_stat"),
+        F.round("p", 6).alias("p_value"),
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        F.round("p_adj", 6).alias("p_adj"),
+        "discovery",
+    )
+
+
+@query(
+    "ses_forecast_eval",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, timestamp::DATE AS day, max_by(close, timestamp) AS close
+  FROM bars GROUP BY 1, 2
+), s AS (
+  SELECT symbol, day, close,
+         list_reduce(
+           list(close) OVER (PARTITION BY symbol ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW),
+           (a, x) -> a * (1.0 - 0.3) + 0.3 * x) AS s
+  FROM daily
+), e AS (
+  SELECT symbol,
+         close - lag(s) OVER w AS err,
+         close - lag(close) OVER w AS nerr
+  FROM s WINDOW w AS (PARTITION BY symbol ORDER BY day)
+)
+SELECT symbol, count(*)::BIGINT AS n_eval,
+       round(avg(abs(err)), 6) AS mae,
+       round(sqrt(avg(err * err)), 6) AS rmse,
+       round(avg(abs(nerr)), 6) AS naive_mae,
+       round(avg(abs(err)) / avg(abs(nerr)), 6) AS mase
+FROM e WHERE err IS NOT NULL GROUP BY symbol
+""",
+)
+def q_ses_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing forecast skill report
+    (``indicators.ses_eval``, α=0.3): one-step-ahead MAE/RMSE and
+    MASE vs the random-walk naive — the honest forecast-evaluation
+    loop (every forecast uses only prior days).  The smoothing state
+    is a seeded prefix fold on the daily aggregate frame; both
+    engines replay it element-identically."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    daily = bars.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(F.max_by("close", "timestamp").alias("close"))
+    out = indicators.ses_eval(daily, alpha=0.3, ts="day")
+    return out.select(
+        "symbol",
+        "n_eval",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("naive_mae", 6).alias("naive_mae"),
+        F.round("mase", 6).alias("mase"),
+    )
+
+
 @query("mmr_diverse_topk")
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-10 against vec_id=0 over a 50-candidate

@@ -816,3 +816,109 @@ def test_information_coefficient_detects_perfect_signal(spark):
     anti = pdf.assign(volume=-pdf.volume)
     out2 = information_coefficient(spark.createDataFrame(anti)).first()
     assert out2["mean_ic"] < -0.999
+
+
+def test_bh_fdr_matches_reference_stepup(spark):
+    """BH step-up on a crafted p battery vs the textbook procedure:
+    adjusted p's, ranks, and the discovery cut all agree; an all-null
+    battery yields zero discoveries."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.stats import bh_fdr
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216]
+    pdf = pd.DataFrame({"hyp": [f"h{i}" for i in range(len(ps))], "p": ps})
+    out = (
+        bh_fdr(spark.createDataFrame(pdf), p_col="p", q=0.05, tie_cols=["hyp"])
+        .orderBy("bh_rank")
+        .toPandas()
+    )
+    m = len(ps)
+    raw = np.minimum(1.0, np.array(ps) * m / (np.arange(m) + 1))
+    want_adj = np.minimum.accumulate(raw[::-1])[::-1]
+    assert np.allclose(out.p_adj.to_numpy(), want_adj, atol=1e-12)
+    # classic example: k* = 5 at q=0.05 (p_(5)=0.042 <= 0.025? no —
+    # recompute: largest i with p_i <= 0.005*i)
+    thresh = 0.05 * (np.arange(m) + 1) / m
+    passes = np.where(np.array(ps) <= thresh)[0]
+    kstar = passes.max() + 1 if len(passes) else 0
+    want_disc = (np.arange(m) + 1) <= kstar
+    assert (out.discovery.to_numpy() == want_disc).all()
+    # no-discovery battery: every p above its threshold
+    quiet = pd.DataFrame(
+        {"hyp": ["a", "b", "c"], "p": [0.5, 0.7, 0.9]}
+    )
+    out2 = bh_fdr(spark.createDataFrame(quiet), p_col="p", q=0.05,
+                  tie_cols=["hyp"]).toPandas()
+    assert not out2.discovery.any()
+
+
+def test_theil_sen_robust_to_outliers(spark):
+    """Sen's slope recovers a planted trend despite corrupted days
+    (where OLS would be dragged), and Mann-Kendall calls the trend."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import (
+        theil_sen_mann_kendall,
+    )
+
+    rng = np.random.default_rng(73)
+    n = 30
+    x = 100.0 + 0.8 * np.arange(n) + rng.normal(0, 0.3, n)
+    x[[5, 17]] += 40.0  # gross outliers
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "day": pd.date_range("2024-01-01", periods=n),
+            "close": x,
+        }
+    )
+    out = theil_sen_mann_kendall(
+        spark.createDataFrame(pdf), col="close", ts="day"
+    ).toPandas()
+    row = out.iloc[0]
+    # numpy replay of the median pairwise slope
+    i, j = np.triu_indices(n, k=1)
+    slopes = (x[j] - x[i]) / (j - i)
+    assert abs(row.sen_slope - np.median(slopes)) < 1e-10
+    assert abs(row.sen_slope - 0.8) < 0.1  # outliers didn't drag it
+    assert row.trend == "up" and row.mk_z > 1.96
+    # reversed series trends down
+    pdf2 = pdf.assign(close=x[::-1])
+    out2 = theil_sen_mann_kendall(
+        spark.createDataFrame(pdf2), col="close", ts="day"
+    ).toPandas()
+    assert out2.iloc[0].trend == "down"
+
+
+def test_ses_eval_matches_pandas_and_beats_naive_on_reversion(spark):
+    """SES state replays pandas ewm(alpha, adjust=False); on a
+    mean-reverting series the smoothed forecast beats the random-walk
+    naive (MASE < 1)."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators.indicators import ses_eval
+
+    rng = np.random.default_rng(79)
+    n = 120
+    x = 100.0 + rng.normal(0, 1.0, n)  # iid around a level
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "day": pd.date_range("2024-01-01", periods=n),
+            "close": x,
+        }
+    )
+    out = ses_eval(spark.createDataFrame(pdf), alpha=0.3, ts="day").toPandas()
+    row = out.iloc[0]
+    s = pd.Series(x).ewm(alpha=0.3, adjust=False).mean()
+    err = x[1:] - s.to_numpy()[:-1]
+    nerr = np.diff(x)
+    assert row.n_eval == n - 1
+    assert abs(row.mae - np.abs(err).mean()) < 1e-10
+    assert abs(row.rmse - np.sqrt((err**2).mean())) < 1e-10
+    assert abs(row.mase - np.abs(err).mean() / np.abs(nerr).mean()) < 1e-10
+    assert row.mase < 1.0
