@@ -3029,3 +3029,109 @@ def ses_eval(
             F.avg(F.abs(F.col("__err"))) / F.avg(F.abs(F.col("__nerr")))
         ).alias("mase"),
     )
+
+
+def ultimate_oscillator(
+    p1: int = 7,
+    p2: int = 14,
+    p3: int = 28,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> Column:
+    """Ultimate Oscillator (Larry Williams 1976): buying pressure
+    BP = close − min(low, prev_close) against the true range
+    TR = max(high, prev_close) − min(low, prev_close), blended at
+    three horizons: 100·(4·A(p1) + 2·A(p2) + A(p3)) / 7 with
+    A(n) = ΣBP(n) / ΣTR(n).
+
+    Three rolling-sum pairs over ONE per-symbol sort (the windows
+    share the sort order, so Spark plans a single Window exec chain);
+    null until the longest horizon has p3 non-null (BP, TR) pairs and
+    whenever a TR sum is zero (flat market). All codegen."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    pc = F.lag("close").over(w)
+    bp = F.col("close") - F.least(F.col("low"), pc)
+    tr = F.greatest(F.col("high"), pc) - F.least(F.col("low"), pc)
+
+    def avg_n(n: int) -> Column:
+        win = w.rowsBetween(-(n - 1), 0)
+        s_tr = F.sum(tr).over(win)
+        gate = (F.count(bp).over(win) >= n) & (s_tr > 0)
+        return F.when(gate, F.sum(bp).over(win) / s_tr)
+
+    return (
+        100.0
+        * (4.0 * avg_n(p1) + 2.0 * avg_n(p2) + avg_n(p3))
+        / 7.0
+    )
+
+
+def chande_momentum(
+    n: int = 14,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> Column:
+    """Chande Momentum Oscillator: 100·(ΣG − ΣL)/(ΣG + ΣL) over the
+    trailing n one-bar diffs, where G/L split the diff by sign.
+    Unlike RSI it keeps the raw sums unsmoothed, so it is a pure pair
+    of rolling sums — no recurrence, no seed. Null until n non-null
+    diffs exist or when the market is perfectly flat (ΣG + ΣL = 0)."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    d = F.col("close") - F.lag("close").over(w)
+    win = w.rowsBetween(-(n - 1), 0)
+    g = F.sum(F.greatest(d, F.lit(0.0))).over(win)
+    l = F.sum(F.greatest(-d, F.lit(0.0))).over(win)
+    gate = (F.count(d).over(win) >= n) & ((g + l) > 0)
+    return F.when(gate, 100.0 * (g - l) / (g + l))
+
+
+def detrended_price(
+    n: int = 20,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> Column:
+    """Detrended Price Oscillator: close from (n/2 + 1) bars ago minus
+    the current n-bar SMA — centering the moving average removes the
+    trend and leaves the cycle component. One lag + one rolling mean
+    over the shared per-symbol sort; null until both the n-bar window
+    is full and the centered lag exists."""
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    shift = n // 2 + 1
+    win = w.rowsBetween(-(n - 1), 0)
+    lagged = F.lag("close", shift).over(w)
+    gate = (F.count("close").over(win) >= n) & lagged.isNotNull()
+    return F.when(gate, lagged - F.avg("close").over(win))
+
+
+def weighted_ma(
+    col: str | Column,
+    n: int,
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+) -> Column:
+    """Linearly-weighted moving average: Σ i·x_i / Σ i with weight 1 on
+    the oldest and n on the newest bar of the trailing window.
+
+    Implemented as a bounded collect_list + zip_with(sequence) fold so
+    the summation ORDER is pinned (oldest→newest) — the DuckDB twin
+    (list(...) OVER + list_reduce over the same zip) replays it
+    element-identically, which an unordered windowed sum would not
+    guarantee. Null until the window holds n values. NOTE: the source
+    column must be non-null on every input row (collect_list drops
+    nulls, DuckDB list() keeps them) — pre-filter null rows first."""
+    c = F.col(col) if isinstance(col, str) else col
+    win = Window.partitionBy(*list(by)).orderBy(ts).rowsBetween(-(n - 1), 0)
+    xs = F.collect_list(c.cast("double")).over(win)
+    weighted = F.zip_with(
+        xs,
+        F.sequence(F.lit(1), F.size(xs)),
+        lambda x, i: x * i.cast("double"),
+    )
+    denom = F.lit(n * (n + 1) / 2.0)
+    return F.when(
+        F.size(xs) >= n,
+        F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x) / denom,
+    )

@@ -12643,3 +12643,258 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_diverse_topk(
         emb, _query_vec(spark, sf_dir), k=10, pool=50, lam=0.7
     )
+
+
+@query(
+    "ultimate_oscillator",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp,
+         close - least(low, lag(close) OVER w) AS bp,
+         greatest(high, lag(close) OVER w)
+           - least(low, lag(close) OVER w) AS tr
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), s AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(bp) OVER w7 >= 7 AND sum(tr) OVER w7 > 0
+              THEN sum(bp) OVER w7 / sum(tr) OVER w7 END AS a7,
+         CASE WHEN count(bp) OVER w14 >= 14 AND sum(tr) OVER w14 > 0
+              THEN sum(bp) OVER w14 / sum(tr) OVER w14 END AS a14,
+         CASE WHEN count(bp) OVER w28 >= 28 AND sum(tr) OVER w28 > 0
+              THEN sum(bp) OVER w28 / sum(tr) OVER w28 END AS a28
+  FROM d
+  WINDOW w7 AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         w14 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         w28 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(100.0 * (4.0 * a7 + 2.0 * a14 + a28) / 7.0, 4) AS uo
+FROM s
+""",
+)
+def q_ultimate_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ultimate Oscillator 7/14/28 (``indicators.ultimate_oscillator``):
+    three buying-pressure/true-range rolling-sum ratios blended 4:2:1 —
+    one per-symbol sort, all codegen. Ratio of sliding sums → 4 dp
+    (segment-tree vs recompute associativity, the mfi rule)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    uo = indicators.ultimate_oscillator(7, 14, 28)
+    return bars.select(
+        "symbol", _ts_us().alias("ts_us"), F.round(uo, 4).alias("uo")
+    )
+
+
+@query(
+    "cmo_dpo",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp, close,
+         close - lag(close) OVER w AS df,
+         lag(close, 11) OVER w AS centered
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(CASE WHEN count(df) OVER w14 >= 14
+                   AND sum(greatest(df, 0.0)) OVER w14
+                     + sum(greatest(-df, 0.0)) OVER w14 > 0
+             THEN 100.0 * (sum(greatest(df, 0.0)) OVER w14
+                           - sum(greatest(-df, 0.0)) OVER w14)
+                  / (sum(greatest(df, 0.0)) OVER w14
+                     + sum(greatest(-df, 0.0)) OVER w14) END, 4) AS cmo,
+       round(CASE WHEN count(close) OVER w20 >= 20
+                   AND centered IS NOT NULL
+             THEN centered - avg(close) OVER w20 END, 6) AS dpo
+FROM d
+WINDOW w14 AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+       w20 AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_cmo_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chande Momentum Oscillator(14) + Detrended Price Oscillator(20)
+    (``indicators.chande_momentum`` / ``detrended_price``) — unsmoothed
+    gain/loss rolling sums and the centered-SMA detrend, sharing one
+    per-symbol sort. CMO is a sliding-sum ratio → 4 dp; DPO is a
+    difference → 6 dp."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    return bars.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round(indicators.chande_momentum(14), 4).alias("cmo"),
+        F.round(indicators.detrended_price(20), 6).alias("dpo"),
+    )
+
+
+@query(
+    "calmar_omega_tail",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, close,
+         ln(close / lag(close) OVER w) AS r,
+         max(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+)
+SELECT symbol,
+       count(r)::BIGINT AS n_obs,
+       round(CASE WHEN max(1 - close / peak) > 0
+             THEN sum(r) / max(1 - close / peak) END, 6) AS calmar,
+       round(CASE WHEN sum(greatest(-r, 0.0)) > 0
+             THEN sum(greatest(r, 0.0)) / sum(greatest(-r, 0.0)) END, 6)
+         AS omega,
+       round(CASE WHEN abs(quantile_cont(r, 0.05)) > 0
+             THEN quantile_cont(r, 0.95) / abs(quantile_cont(r, 0.05)) END,
+             6) AS tail_ratio
+FROM d GROUP BY 1
+""",
+)
+def q_calmar_omega_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol Calmar (total log return over max drawdown), Omega
+    at threshold 0 (Σ gains / Σ losses) and tail ratio (q95/|q05|) in
+    ONE aggregate after the shared lag/running-max window — the
+    drawdown- and tail-aware companions of ``risk_ratios``. Exact
+    interpolated percentiles (swap percentile_approx at 100 TB)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    peak = Window.partitionBy("symbol").orderBy("timestamp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = bars.select(
+        "symbol",
+        "close",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+        F.max("close").over(peak).alias("peak"),
+    )
+    r = F.col("r")
+    dd = F.max(F.lit(1.0) - F.col("close") / F.col("peak"))
+    gains = F.sum(F.greatest(r, F.lit(0.0)))
+    losses = F.sum(F.greatest(-r, F.lit(0.0)))
+    q95 = F.percentile(r, F.lit(0.95))
+    q05 = F.percentile(r, F.lit(0.05))
+    return d.groupBy("symbol").agg(
+        F.count("r").alias("n_obs"),
+        F.round(F.when(dd > 0, F.sum("r") / dd), 6).alias("calmar"),
+        F.round(F.when(losses > 0, gains / losses), 6).alias("omega"),
+        F.round(F.when(F.abs(q05) > 0, q95 / F.abs(q05)), 6).alias(
+            "tail_ratio"
+        ),
+    )
+
+
+@query(
+    "up_down_capture",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+mkt AS (SELECT timestamp, avg(r) AS rm FROM rr GROUP BY 1)
+SELECT rr.symbol,
+       sum(CASE WHEN rm > 1e-9 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+       sum(CASE WHEN rm < -1e-9 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+       round(avg(CASE WHEN rm > 1e-9 THEN rr.r END)
+             / avg(CASE WHEN rm > 1e-9 THEN rm END), 6) AS up_capture,
+       round(avg(CASE WHEN rm < -1e-9 THEN rr.r END)
+             / avg(CASE WHEN rm < -1e-9 THEN rm END), 6) AS down_capture
+FROM rr JOIN mkt USING (timestamp)
+GROUP BY 1
+""",
+)
+def q_up_down_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up/down capture ratios per symbol vs the equal-weight market
+    (same market frame as ``market_beta``): mean asset return over mean
+    market return, conditioned on market-up / market-down hours. The
+    up/down split uses a ±1e-9 dead zone so the unordered cross-
+    sectional mean can never flip a bucket between engines (returns
+    here are O(1), ULP noise is ~1e-16). Market frame is a tiny
+    per-timestamp aggregate — broadcast back, no second shuffle."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+        .select("symbol", "timestamp", "r")
+    )
+    mkt = rr.groupBy("timestamp").agg(F.avg("r").alias("rm"))
+    j = rr.join(F.broadcast(mkt), "timestamp")
+    up = F.col("rm") > 1e-9
+    down = F.col("rm") < -1e-9
+    return j.groupBy("symbol").agg(
+        F.sum(up.cast("long")).alias("n_up"),
+        F.sum(down.cast("long")).alias("n_down"),
+        F.round(
+            F.avg(F.when(up, F.col("r"))) / F.avg(F.when(up, F.col("rm"))), 6
+        ).alias("up_capture"),
+        F.round(
+            F.avg(F.when(down, F.col("r")))
+            / F.avg(F.when(down, F.col("rm"))),
+            6,
+        ).alias("down_capture"),
+    )
+
+
+@query(
+    "coppock_curve",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, CAST(timestamp AS DATE) AS day,
+         arg_max(close, epoch_us(timestamp)) AS close
+  FROM bars GROUP BY 1, 2
+), roc AS (
+  SELECT symbol, day,
+         100.0 * (close / lag(close, 14) OVER w - 1.0)
+           + 100.0 * (close / lag(close, 11) OVER w - 1.0) AS rsum
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY day)
+), rr AS (SELECT * FROM roc WHERE rsum IS NOT NULL),
+lists AS (
+  SELECT symbol, day,
+         list(rsum) OVER (PARTITION BY symbol ORDER BY day
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+  FROM rr
+)
+SELECT symbol, CAST(day AS VARCHAR) AS day,
+       round(CASE WHEN len(xs) >= 10 THEN
+         list_reduce(
+           list_transform(range(1, len(xs) + 1),
+                          i -> xs[i] * CAST(i AS DOUBLE)),
+           (a, x) -> a + x) / 55.0 END, 6) AS coppock
+FROM lists
+""",
+)
+def q_coppock_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve on daily closes: WMA(10) of ROC(14) + ROC(11)
+    (``indicators.weighted_ma``). The WMA is an order-pinned
+    collect_list + zip_with fold (oldest weight 1 → newest weight 10),
+    replayed element-identically by the DuckDB list_transform/
+    list_reduce twin — an unordered weighted window sum would not hash
+    across engines. Null-ROC warmup rows are filtered BEFORE the list
+    window in both engines (collect_list drops nulls, list() keeps
+    them — the frame must be identical)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    daily = bars.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(F.max_by("close", F.unix_micros("timestamp")).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    roc = daily.withColumn(
+        "rsum",
+        100.0 * (F.col("close") / F.lag("close", 14).over(w) - 1.0)
+        + 100.0 * (F.col("close") / F.lag("close", 11).over(w) - 1.0),
+    ).filter(F.col("rsum").isNotNull())
+    wma = indicators.weighted_ma("rsum", 10, ts="day")
+    return roc.select(
+        "symbol",
+        F.col("day").cast("string").alias("day"),
+        F.round(wma, 6).alias("coppock"),
+    )

@@ -1979,3 +1979,116 @@ def test_permutation_entropy_regimes(spark):
     p = counts / counts.sum()
     want = -(p * np.log(p)).sum() / np.log(6.0)
     assert abs(out.loc["NOISE", "perm_entropy"] - want) < 1e-10
+
+
+def test_ultimate_oscillator_matches_pandas(spark):
+    """UO(7,14,28) vs explicit pandas BP/TR rolling sums; bounded in
+    [0, 100] wherever defined."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(53, 300)
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "timestamp",
+            indicators.ultimate_oscillator(7, 14, 28).alias("uo"),
+        )
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    # fmin/fmax mirror Spark/DuckDB least/greatest (null-SKIPPING):
+    # the first bar has no prev_close, so BP/TR fall back to low/high
+    pc = pdf.close.shift()
+    bp = pdf.close - np.fmin(pdf.low, pc)
+    tr = np.fmax(pdf.high, pc) - np.fmin(pdf.low, pc)
+
+    def ratio(n):
+        return (
+            bp.rolling(n, min_periods=n).sum()
+            / tr.rolling(n, min_periods=n).sum()
+        )
+
+    want = (
+        100.0 * (4.0 * ratio(7) + 2.0 * ratio(14) + ratio(28)) / 7.0
+    ).to_numpy()
+    got = out.uo.to_numpy()
+    keep = ~np.isnan(got)
+    assert keep.sum() > 250
+    assert np.allclose(got[keep], want[keep], atol=1e-8)
+    assert ((got[keep] >= 0.0) & (got[keep] <= 100.0)).all()
+    # warmup: 27 lookback rows are null (bar 0 itself contributes a
+    # valid BP/TR via the null-skipping least/greatest)
+    assert np.isnan(got[:27]).all()
+
+
+def test_chande_momentum_matches_pandas(spark):
+    """CMO(14) vs pandas sign-split rolling sums; odd/even sign flips
+    keep both buckets populated."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(59, 300)
+    out = (
+        spark.createDataFrame(pdf)
+        .select("timestamp", indicators.chande_momentum(14).alias("cmo"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    d = pdf.close.diff()
+    g = d.where(d > 0, 0.0).rolling(14, min_periods=14).sum()
+    l = (-d.where(d < 0, 0.0)).rolling(14, min_periods=14).sum()
+    want = (100.0 * (g - l) / (g + l)).to_numpy()
+    got = out.cmo.to_numpy()
+    keep = ~np.isnan(got)
+    assert keep.sum() > 280
+    assert np.allclose(got[keep], want[keep], atol=1e-8)
+    assert ((got[keep] >= -100.0) & (got[keep] <= 100.0)).all()
+
+
+def test_detrended_price_matches_pandas(spark):
+    """DPO(20) vs pandas shift(11) − rolling(20).mean()."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(61, 200)
+    out = (
+        spark.createDataFrame(pdf)
+        .select("timestamp", indicators.detrended_price(20).alias("dpo"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    want = (
+        pdf.close.shift(11) - pdf.close.rolling(20, min_periods=20).mean()
+    ).to_numpy()
+    got = out.dpo.to_numpy()
+    keep = ~np.isnan(got)
+    assert keep.sum() > 170
+    assert np.allclose(got[keep], want[keep], atol=1e-10)
+
+
+def test_weighted_ma_matches_explicit_weights(spark):
+    """WMA(5): linear weights 1..5, newest heaviest — exact vs a numpy
+    dot product per window."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    pdf = _ohlcv_walk(67, 60)
+    out = (
+        spark.createDataFrame(pdf)
+        .select("timestamp", indicators.weighted_ma("close", 5).alias("wma"))
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    x = pdf.close.to_numpy()
+    wts = np.arange(1, 6, dtype=float)
+    want = np.full(len(x), np.nan)
+    for i in range(4, len(x)):
+        want[i] = x[i - 4 : i + 1] @ wts / 15.0
+    got = out.wma.to_numpy()
+    assert np.isnan(got[:4]).all()
+    assert np.allclose(got[4:], want[4:], atol=1e-10)
