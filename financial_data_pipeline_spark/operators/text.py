@@ -647,3 +647,55 @@ def source_overlap(
         )
     )
     return out
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Self-trained BIGRAM negative-log-likelihood per document — the
+    order-aware upgrade of :func:`unigram_logprob_score`: each token is
+    scored by −ln P(w_t | w_{t−1}) under the corpus's own bigram
+    counts, so scrambled or templated text that unigram statistics
+    can't separate scores high. No smoothing is needed: the "model"
+    is trained on the same corpus, so every observed bigram has
+    count ≥ 1.
+
+    Output: (id, n_bigrams, avg_neg_logprob) over documents with ≥2
+    tokens; P(w_t | w_{t−1}) = c(w_{t−1}, w_t) / c_ctx(w_{t−1}) where
+    the context count is the number of bigrams starting with w_{t−1}.
+
+    Plan: bigrams are formed INSIDE the token array (zip of the array
+    with its own 1-shift) before a single explode — no per-token
+    window, no positional shuffle; then one bigram-count aggregate,
+    one context-count aggregate, and a re-join (AQE absorbs stopword-
+    pair skew). Everything is built-ins; at 100 TB the two count
+    frames are the only shuffles and both are map-side combined.
+    """
+    arr = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    pairs = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    b = (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    vb = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = b.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("cc")
+    )
+    scored = (
+        b.join(vb, on=["w1", "w2"])
+        .join(ctx, on="w1")
+        .select(id_col, (-F.log(F.col("cb") / F.col("cc"))).alias("nll"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("nll").alias("avg_neg_logprob"),
+    )

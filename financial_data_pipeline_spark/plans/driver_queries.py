@@ -12898,3 +12898,274 @@ def q_coppock_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         F.round(wma, 6).alias("coppock"),
     )
+
+
+# Φ⁻¹(0.05): plan-time constant (same device as deflated_sharpe_grid's
+# inverse-CDF constants — no erf/probit builtin needed in either engine).
+_Z05 = -1.6448536269514722
+
+
+@query(
+    "cornish_fisher_var",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), m AS (
+  SELECT symbol, count(r) AS n, sum(r) AS s1, sum(r * r) AS s2,
+         sum(r * r * r) AS s3, sum(r * r * r * r) AS s4
+  FROM r WHERE r IS NOT NULL GROUP BY symbol
+), mm AS (
+  SELECT symbol, n, s1 / n AS mu,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         (s3 / n - 3 * (s1 / n) * (s2 / n)
+          + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+           / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) AS sk,
+         (s4 / n - 4 * (s1 / n) * (s3 / n)
+          + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+          - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+           / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3 AS ek
+  FROM m
+), z AS (
+  SELECT symbol, n, mu, sqrt(m2) AS sigma, sk, ek,
+         -1.6448536269514722
+           + (pow(-1.6448536269514722, 2) - 1) * sk / 6.0
+           + (pow(-1.6448536269514722, 3) - 3 * (-1.6448536269514722))
+             * ek / 24.0
+           - (2 * pow(-1.6448536269514722, 3)
+              - 5 * (-1.6448536269514722)) * sk * sk / 36.0 AS zcf
+  FROM mm
+)
+SELECT symbol, n AS n_obs,
+       round(-(mu + sigma * (-1.6448536269514722)), 6) AS var_normal_95,
+       round(zcf, 6) AS z_cf,
+       round(-(mu + sigma * zcf), 6) AS var_cf_95
+FROM z
+""",
+)
+def q_cornish_fisher_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cornish-Fisher modified VaR at 95% per symbol: the Gaussian
+    quantile corrected for the distribution's own skewness and excess
+    kurtosis (z_cf = z + (z²−1)s/6 + (z³−3z)k/24 − (2z³−5z)s²/36).
+    Moments come from RAW POWER SUMS in one map-side-combined
+    aggregate (same device as ``return_moment_stats``) so neither
+    engine's sample-correction convention is in play; Φ⁻¹(0.05) is a
+    plan-time constant. Complements the empirical ``value_at_risk``."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = F.log(F.col("close") / F.lag("close").over(w))
+    base = bars.select("symbol", r.alias("r")).filter(F.col("r").isNotNull())
+    m = base.groupBy("symbol").agg(
+        F.count("r").alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") ** 2).alias("s2"),
+        F.sum(F.col("r") ** 3).alias("s3"),
+        F.sum(F.col("r") ** 4).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    sk = (
+        F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu**3
+    ) / m2**1.5
+    ek = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu**4
+    ) / (m2 * m2) - 3
+    z = F.lit(_Z05)
+    zcf = (
+        z
+        + (z * z - 1) * sk / 6.0
+        + (z * z * z - 3 * z) * ek / 24.0
+        - (2 * z * z * z - 5 * z) * sk * sk / 36.0
+    )
+    sigma = F.sqrt(m2)
+    return m.select(
+        "symbol",
+        n.alias("n_obs"),
+        F.round(-(mu + sigma * z), 6).alias("var_normal_95"),
+        F.round(zcf, 6).alias("z_cf"),
+        F.round(-(mu + sigma * zcf), 6).alias("var_cf_95"),
+    )
+
+
+@query(
+    "arch_lm_test",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), a AS (
+  SELECT symbol, r * r AS a2,
+         lag(r * r) OVER (PARTITION BY symbol ORDER BY timestamp) AS a2p
+  FROM r WHERE r IS NOT NULL
+)
+SELECT symbol, count(*)::BIGINT AS n_pairs,
+       round(corr(a2, a2p), 6) AS rho1,
+       round(count(*) * corr(a2, a2p) * corr(a2, a2p), 4) AS lm_stat,
+       round(count(*) * corr(a2, a2p) * corr(a2, a2p), 4) > 3.8415
+         AS reject_5pct
+FROM a WHERE a2p IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_arch_lm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH(1) LM test per symbol: with one lag, the auxiliary
+    regression's R² is exactly corr(r²_t, r²_{t−1})², so LM = n·ρ₁² —
+    no matrix solve needed. One lag window over squared returns + one
+    aggregate; the 5% rejection flag compares the ROUNDED statistic to
+    the χ²(1) critical value 3.8415 (plan-time constant), so the flag
+    is a pure function of the hash-compared value. Volatility
+    clustering is what ``garch11_vol`` then models."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = F.log(F.col("close") / F.lag("close").over(w))
+    rr = bars.select(
+        "symbol", "timestamp", r.alias("r")
+    ).filter(F.col("r").isNotNull())
+    a = (
+        rr.withColumn("a2", F.col("r") * F.col("r"))
+        .withColumn("a2p", F.lag("a2").over(w))
+        .filter(F.col("a2p").isNotNull())
+    )
+    lm = F.round(
+        F.count(F.lit(1)) * F.corr("a2", "a2p") * F.corr("a2", "a2p"), 4
+    )
+    return a.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("a2", "a2p"), 6).alias("rho1"),
+        lm.alias("lm_stat"),
+        (lm > 3.8415).alias("reject_5pct"),
+    )
+
+
+@query(
+    "runs_test",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp))
+           AS r
+  FROM bars
+), s AS (
+  SELECT symbol,
+         CASE WHEN r >= 0 THEN 1 ELSE 0 END AS sgn,
+         lag(CASE WHEN r >= 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY symbol ORDER BY timestamp) AS sgn_prev
+  FROM r WHERE r IS NOT NULL
+), agg AS (
+  SELECT symbol,
+         count(*)::BIGINT AS n,
+         sum(sgn)::BIGINT AS n_pos,
+         (count(*) - sum(sgn))::BIGINT AS n_neg,
+         (1 + sum(CASE WHEN sgn_prev IS NOT NULL AND sgn <> sgn_prev
+                       THEN 1 ELSE 0 END))::BIGINT AS runs
+  FROM s GROUP BY 1
+)
+SELECT symbol, n, n_pos, n_neg, runs,
+       round(1.0 + 2.0 * n_pos * n_neg / n, 4) AS e_runs,
+       round((runs - (1.0 + 2.0 * n_pos * n_neg / n))
+             / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n)
+                    / (1.0 * n * n * (n - 1))), 6) AS z_stat
+FROM agg
+""",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on return signs per symbol: counts
+    maximal same-sign runs (1 + sign flips) and standardizes against
+    the exact permutation mean/variance — the classic randomness check
+    next to ``return_autocorr_lag1``. Integer counts all the way to
+    the final two expressions, so cross-engine parity is exact by
+    construction (zero returns count as positive, pinned convention)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    r = F.log(F.col("close") / F.lag("close").over(w))
+    s = (
+        bars.select("symbol", "timestamp", r.alias("r"))
+        .filter(F.col("r").isNotNull())
+        .withColumn(
+            "sgn", F.when(F.col("r") >= 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .withColumn("sgn_prev", F.lag("sgn").over(w))
+    )
+    flip = F.when(
+        F.col("sgn_prev").isNotNull()
+        & (F.col("sgn") != F.col("sgn_prev")),
+        1,
+    ).otherwise(0)
+    agg = s.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sgn").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("sgn")).cast("long").alias("n_neg"),
+        (1 + F.sum(flip)).cast("long").alias("runs"),
+    )
+    n, npos, nneg, runs = (
+        F.col("n"),
+        F.col("n_pos"),
+        F.col("n_neg"),
+        F.col("runs"),
+    )
+    e_runs = 1.0 + 2.0 * npos * nneg / n
+    var = (
+        2.0 * npos * nneg * (2.0 * npos * nneg - n)
+        / (1.0 * n * n * (n - 1))
+    )
+    return agg.select(
+        "symbol",
+        "n",
+        "n_pos",
+        "n_neg",
+        "runs",
+        F.round(e_runs, 4).alias("e_runs"),
+        F.round((runs - e_runs) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+@query(
+    "bigram_logprob",
+    r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents
+), idx AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+  FROM arrs WHERE len(a) >= 2
+), b AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM idx
+), vb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*)::DOUBLE AS cc FROM b GROUP BY 1)
+SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(-ln(vb.cb / ctx.cc)), 4) AS avg_neg_logprob
+FROM b JOIN vb USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY 1
+""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware perplexity proxy: per-doc mean −ln P(w_t | w_{t−1})
+    under the corpus's own bigram counts
+    (``text.bigram_logprob_score``). Bigrams form inside the token
+    array (zip with its own shift) before ONE explode — no positional
+    window; then two map-side-combined count aggregates and a re-join.
+    4 dp (mean-of-logs summation-order noise, the unigram rule)."""
+    from financial_data_pipeline_spark.operators.text import (
+        bigram_logprob_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob_score(docs)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("avg_neg_logprob", 4).alias("avg_neg_logprob"),
+    )

@@ -1065,3 +1065,35 @@ def test_boilerplate_lines_finds_planted_chrome(spark):
     r = out[0]
     assert r["source"] == "sA" and r["line"] == header
     assert r["n"] == 4 and r["n_docs"] == 10
+
+
+def test_bigram_logprob_matches_pure_python(spark):
+    """Exact differential vs a dict-counted bigram model, plus:
+    scrambled word order must score higher than the fluent original
+    even when unigram counts are identical."""
+    import math
+    from collections import Counter
+
+    fluent = "the market closed higher today and the market closed lower"
+    scrambled = "closed the today market and higher lower market the closed"
+    rows = [(1, fluent), (2, fluent), (3, scrambled), (4, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.bigram_logprob_score(df).collect()}
+
+    docs = {i: t.lower().split() for i, t in rows}
+    bi = Counter()
+    ctx = Counter()
+    for t in docs.values():
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] += 1
+            ctx[a] += 1
+    for i, t in docs.items():
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            assert i not in got  # <2 tokens: absent
+            continue
+        want = sum(-math.log(bi[p] / ctx[p[0]]) for p in pairs) / len(pairs)
+        assert got[i].n_bigrams == len(pairs)
+        assert abs(got[i].avg_neg_logprob - want) < 1e-9
+    # order-awareness: same unigrams, different sequence → higher NLL
+    assert got[3].avg_neg_logprob > got[1].avg_neg_logprob
