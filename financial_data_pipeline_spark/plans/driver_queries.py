@@ -13169,3 +13169,277 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round("avg_neg_logprob", 4).alias("avg_neg_logprob"),
     )
+
+
+@query(
+    "token_sort_dedup",
+    r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_sort(list_filter(
+             regexp_split_to_array(trim(lower(text)), '\s+'),
+             x -> x <> '')), ' ')) AS fp
+  FROM documents
+)
+SELECT doc_id, fp,
+       min(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+       count(*) OVER (PARTITION BY fp)::BIGINT AS group_size
+FROM fp
+QUALIFY group_size >= 2
+""",
+)
+def q_token_sort_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-sort near-dedup: documents are fingerprinted by the MD5 of
+    their SORTED lowercase token multiset, so reordered/shuffled copies
+    that exact-hash dedup misses land in one group (the fuzzy-matching
+    'token sort ratio' idea at exact-match cost). One map-side
+    fingerprint + one fp-partitioned window; emits only docs in groups
+    ≥ 2 with the min-id canonical. Tokens sort by binary UTF-8 in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.array_sort(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", F.md5(F.concat_ws(" ", arr)).alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") >= 2)
+    )
+
+
+@query(
+    "revenue_pareto_deciles",
+    """
+WITH spend AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS s
+  FROM orders GROUP BY 1
+), d AS (
+  SELECT o_custkey, s,
+         ntile(10) OVER (ORDER BY s DESC, o_custkey) AS decile
+  FROM spend
+), t AS (SELECT sum(s) AS tot FROM spend)
+SELECT decile,
+       count(*)::BIGINT AS n_customers,
+       round(sum(s), 2) AS revenue,
+       round(sum(s) / max(tot), 6) AS share,
+       round(sum(sum(s)) OVER (ORDER BY decile) / max(tot), 6) AS cum_share
+FROM d CROSS JOIN t
+GROUP BY decile
+""",
+)
+def q_revenue_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration curve: customers bucketed into spend
+    deciles (ntile over the per-customer aggregate, custkey tie-break,
+    spend pre-rounded so float ordering can't flip ties) → per-decile
+    revenue, share and cumulative share. The distribution-level view
+    next to ``customer_spend_gini``; the global window runs over 10
+    aggregated rows, not the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("s")
+    )
+    d = spend.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("s"), F.asc("o_custkey"))),
+    )
+    tot = spend.agg(F.sum("s").alias("tot"))
+    per = (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("s"), 2).alias("revenue"),
+            F.round(F.sum("s") / F.max("tot"), 6).alias("share"),
+            F.sum("s").alias("__rev"),
+            F.max("tot").alias("__tot"),
+        )
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per.withColumn(
+        "cum_share", F.round(F.sum("__rev").over(cum) / F.col("__tot"), 6)
+    ).drop("__rev", "__tot")
+
+
+@query(
+    "order_interarrival_stats",
+    """
+WITH g AS (
+  SELECT o_custkey, o_orderdate,
+         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+), d AS (
+  SELECT o_custkey, date_diff('day', prev, o_orderdate) AS gap
+  FROM g WHERE prev IS NOT NULL
+)
+SELECT o_custkey,
+       count(*)::BIGINT AS n_gaps,
+       min(gap)::BIGINT AS min_gap_days,
+       round(avg(gap), 4) AS avg_gap_days,
+       max(gap)::BIGINT AS max_gap_days
+FROM d GROUP BY 1
+""",
+)
+def q_order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per repeat customer (≥2 orders): the
+    purchase-cadence feature behind churn/LTV models. One per-customer
+    lag window (orderkey tie-break pins same-day orders) + one
+    aggregate; day gaps are exact integers, so parity is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = (
+        orders.withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev").alias("gap"),
+        )
+    )
+    return d.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").cast("long").alias("min_gap_days"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    )
+
+
+@query(
+    "idiosyncratic_vol",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+mkt AS (SELECT timestamp, avg(r) AS rm FROM rr GROUP BY 1)
+SELECT rr.symbol,
+       count(*)::BIGINT AS n_obs,
+       round(var_samp(rr.r), 6) AS total_var,
+       round(pow(covar_samp(rr.r, mkt.rm) / var_samp(mkt.rm), 2)
+             * var_samp(mkt.rm), 6) AS systematic_var,
+       round(var_samp(rr.r)
+             - pow(covar_samp(rr.r, mkt.rm) / var_samp(mkt.rm), 2)
+               * var_samp(mkt.rm), 6) AS idio_var,
+       round(pow(corr(rr.r, mkt.rm), 2), 6) AS r2
+FROM rr JOIN mkt USING (timestamp)
+GROUP BY 1
+""",
+)
+def q_idiosyncratic_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-factor variance decomposition per symbol: total variance
+    = β²·Var(market) + idiosyncratic, with R² = corr² — the CAPM
+    residual-risk readout on the same market frame as ``market_beta``
+    (one tiny timestamp-keyed broadcast join, one aggregate)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+        .select("symbol", "timestamp", "r")
+    )
+    mkt = rr.groupBy("timestamp").agg(F.avg("r").alias("rm"))
+    j = rr.join(F.broadcast(mkt), "timestamp")
+    beta = F.covar_samp("r", "rm") / F.var_samp("rm")
+    sys_var = beta * beta * F.var_samp("rm")
+    return j.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.var_samp("r"), 6).alias("total_var"),
+        F.round(sys_var, 6).alias("systematic_var"),
+        F.round(F.var_samp("r") - sys_var, 6).alias("idio_var"),
+        F.round(F.corr("r", "rm") ** 2, 6).alias("r2"),
+    )
+
+
+@query(
+    "volatility_cones",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+v AS (
+  SELECT symbol, timestamp,
+         CASE WHEN count(r) OVER w6 >= 6
+              THEN round(stddev_samp(r) OVER w6, 8) END AS v6,
+         CASE WHEN count(r) OVER w12 >= 12
+              THEN round(stddev_samp(r) OVER w12, 8) END AS v12,
+         CASE WHEN count(r) OVER w24 >= 24
+              THEN round(stddev_samp(r) OVER w24, 8) END AS v24
+  FROM rr
+  WINDOW w6 AS (PARTITION BY symbol ORDER BY timestamp
+                ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+         w12 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         w24 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+), long AS (
+  SELECT symbol, 6 AS horizon, v6 AS v FROM v WHERE v6 IS NOT NULL
+  UNION ALL
+  SELECT symbol, 12, v12 FROM v WHERE v12 IS NOT NULL
+  UNION ALL
+  SELECT symbol, 24, v24 FROM v WHERE v24 IS NOT NULL
+)
+SELECT symbol, horizon,
+       count(*)::BIGINT AS n_windows,
+       round(min(v), 6) AS vol_min,
+       round(quantile_cont(v, 0.25), 6) AS vol_q25,
+       round(quantile_cont(v, 0.50), 6) AS vol_med,
+       round(quantile_cont(v, 0.75), 6) AS vol_q75,
+       round(max(v), 6) AS vol_max
+FROM long GROUP BY 1, 2
+""",
+)
+def q_volatility_cones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility cones: the distribution (min/quartiles/max) of
+    rolling realized vol at 6/12/24-bar horizons per symbol — the
+    option-trader's 'is current vol rich or cheap for this horizon'
+    chart. Three shared-sort rolling stddevs are ROUNDED to 8 dp
+    BEFORE the quantiles so both engines interpolate bit-identical
+    inputs (sliding-aggregate associativity differs: segment tree vs
+    recompute); one long-format union + one aggregate."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+        .select("symbol", "timestamp", "r")
+    )
+    staged = rr
+    cols = {}
+    for n in (6, 12, 24):
+        win = w.rowsBetween(-(n - 1), 0)
+        cols[f"v{n}"] = F.when(
+            F.count("r").over(win) >= n,
+            F.round(F.stddev_samp("r").over(win), 8),
+        )
+    staged = rr.withColumns(cols)
+    parts = [
+        staged.filter(F.col(f"v{n}").isNotNull()).select(
+            "symbol",
+            F.lit(n).alias("horizon"),
+            F.col(f"v{n}").alias("v"),
+        )
+        for n in (6, 12, 24)
+    ]
+    long = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return long.groupBy("symbol", "horizon").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.min("v"), 6).alias("vol_min"),
+        F.round(F.percentile("v", F.lit(0.25)), 6).alias("vol_q25"),
+        F.round(F.percentile("v", F.lit(0.50)), 6).alias("vol_med"),
+        F.round(F.percentile("v", F.lit(0.75)), 6).alias("vol_q75"),
+        F.round(F.max("v"), 6).alias("vol_max"),
+    )

@@ -1097,3 +1097,36 @@ def test_bigram_logprob_matches_pure_python(spark):
         assert abs(got[i].avg_neg_logprob - want) < 1e-9
     # order-awareness: same unigrams, different sequence → higher NLL
     assert got[3].avg_neg_logprob > got[1].avg_neg_logprob
+
+
+def test_token_sort_dedup_catches_shuffled_copies(spark):
+    """Reordered copies share a fingerprint; different multisets
+    (even same vocab, different counts) do not."""
+    from pyspark.sql import Window
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "Delta gamma BETA alpha"),      # case+order shuffle of 1
+        (3, "alpha beta gamma"),             # subset: distinct
+        (4, "alpha alpha beta gamma delta"),  # multiset differs: distinct
+        (5, "  alpha   beta gamma delta "),   # whitespace noise of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    arr = F.array_sort(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    w = Window.partitionBy("fp")
+    got = (
+        df.select("doc_id", F.md5(F.concat_ws(" ", arr)).alias("fp"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") >= 2)
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in got}
+    assert set(by_id) == {1, 2, 5}
+    assert {by_id[i].canonical_id for i in (1, 2, 5)} == {1}
+    assert by_id[1].group_size == 3
