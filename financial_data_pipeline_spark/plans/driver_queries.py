@@ -13443,3 +13443,199 @@ def q_volatility_cones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("v", F.lit(0.75)), 6).alias("vol_q75"),
         F.round(F.max("v"), 6).alias("vol_max"),
     )
+
+
+@query(
+    "funnel_latency",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY 1
+)
+SELECT v.user_id,
+       epoch_us(v.t_view) AS first_view_us,
+       epoch_us(p.t_purchase) AS first_purchase_us,
+       (epoch_us(p.t_purchase) - epoch_us(v.t_view)) // 60000000
+         AS latency_min
+FROM v JOIN p USING (user_id)
+""",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert per user: first view → first purchase AFTER that
+    view, latency in whole minutes (exact integer micros arithmetic —
+    no float in the hash). The latency companion of
+    ``funnel_conversion``: one conditional-min aggregate, one
+    post-view filter join, one final min — all key-partitioned on
+    user_id, so at 100 TB the three stages share one shuffle key."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    j = v.join(p, "user_id")
+    view_us = F.unix_micros("t_view")
+    buy_us = F.unix_micros("t_purchase")
+    return j.select(
+        "user_id",
+        view_us.alias("first_view_us"),
+        buy_us.alias("first_purchase_us"),
+        F.floor((buy_us - view_us) / F.lit(60000000)).alias("latency_min"),
+    )
+
+
+@query(
+    "lang_source_assoc",
+    """
+WITH o AS (
+  SELECT lang, source, count(*)::DOUBLE AS obs
+  FROM documents GROUP BY 1, 2
+), rm AS (SELECT lang, sum(obs) AS rt FROM o GROUP BY 1),
+cm AS (SELECT source, sum(obs) AS ct FROM o GROUP BY 1),
+n AS (SELECT sum(obs) AS n FROM o),
+cells AS (
+  SELECT o.obs, rm.rt * cm.ct / n.n AS exp
+  FROM o JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN n
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM rm)::BIGINT AS n_langs,
+       (SELECT count(*) FROM cm)::BIGINT AS n_sources,
+       round(sum((obs - exp) * (obs - exp) / exp), 4) AS chi2_observed,
+       round(sqrt(sum((obs - exp) * (obs - exp) / exp)
+                  / ((SELECT n FROM n)
+                     * (least((SELECT count(*) FROM rm),
+                              (SELECT count(*) FROM cm)) - 1))), 6)
+         AS cramers_v
+FROM cells
+""",
+)
+def q_lang_source_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language × source association strength: χ² over the OBSERVED
+    contingency cells (expected = row·col margins / n) and Cramér's V —
+    'is language independent of source' for corpus-mixture design.
+    One cell aggregate + two tiny margin frames broadcast back; only
+    observed cells enter the sum (absent cells contribute e, and
+    Σe over absent cells = n − Σe_observed, a correction not needed
+    for V's rank ordering — both engines sum the same cells)."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    rm = o.groupBy("lang").agg(F.sum("obs").alias("rt"))
+    cm = o.groupBy("source").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    n_langs = rm.count()
+    n_sources = cm.count()
+    cells = (
+        o.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "obs",
+            (F.col("rt") * F.col("ct") / F.col("n")).alias("exp"),
+            "n",
+        )
+    )
+    chi2 = F.sum(
+        (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")
+    )
+    k = min(n_langs, n_sources) - 1
+    return cells.agg(
+        F.sum("obs").cast("long").alias("n_docs"),
+        F.lit(n_langs).cast("long").alias("n_langs"),
+        F.lit(n_sources).cast("long").alias("n_sources"),
+        F.round(chi2, 4).alias("chi2_observed"),
+        F.round(F.sqrt(chi2 / (F.max("n") * F.lit(float(k)))), 6).alias(
+            "cramers_v"
+        ),
+    )
+
+
+@query(
+    "ewma_pair_cov",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+pairs AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.timestamp,
+         a.r AS ra, b.r AS rb,
+         row_number() OVER (PARTITION BY a.symbol, b.symbol
+                            ORDER BY a.timestamp DESC) - 1 AS k
+  FROM rr a JOIN rr b
+    ON a.timestamp = b.timestamp AND a.symbol < b.symbol
+)
+SELECT sym_a, sym_b, count(*)::BIGINT AS n_terms,
+       round((1 - 0.94) * sum(pow(0.94, k) * ra * rb), 6) AS ewma_cov,
+       round((1 - 0.94) * sum(pow(0.94, k) * ra * rb)
+             / sqrt((1 - 0.94) * sum(pow(0.94, k) * ra * ra)
+                    * (1 - 0.94) * sum(pow(0.94, k) * rb * rb)), 6)
+         AS ewma_corr
+FROM pairs WHERE k < 450
+GROUP BY 1, 2
+""",
+)
+def q_ewma_pair_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA covariance/correlation snapshot per symbol
+    pair (λ=0.94): the recency-weighted co-movement estimate risk
+    desks feed into VaR. Because each term's weight λ^k is a PURE
+    FUNCTION of its recency rank, the recurrence flattens into one
+    weighted aggregate — no fold, no state; terms beyond k=450
+    (sub-ULP at λ=0.94) are dropped identically in both engines. The
+    co-timestamp self-join keys on (timestamp); at 100 TB the pair
+    matrix grows O(S²) in symbols, so shard the symbol universe or
+    move to a factor model before S ~ thousands."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+        .select("symbol", "timestamp", "r")
+    )
+    a = rr.select(
+        F.col("symbol").alias("sym_a"), "timestamp", F.col("r").alias("ra")
+    )
+    b = rr.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("timestamp").alias("ts_b"),
+        F.col("r").alias("rb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("timestamp") == F.col("ts_b"))
+        & (F.col("sym_a") < F.col("sym_b")),
+    ).withColumn(
+        "k",
+        F.row_number().over(
+            Window.partitionBy("sym_a", "sym_b").orderBy(
+                F.desc("timestamp")
+            )
+        )
+        - 1,
+    ).filter(F.col("k") < 450)
+    lam = 0.94
+    wt = F.pow(F.lit(lam), F.col("k"))
+    cov = (1 - lam) * F.sum(wt * F.col("ra") * F.col("rb"))
+    va = (1 - lam) * F.sum(wt * F.col("ra") * F.col("ra"))
+    vb = (1 - lam) * F.sum(wt * F.col("rb") * F.col("rb"))
+    return pairs.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(cov, 6).alias("ewma_cov"),
+        F.round(cov / F.sqrt(va * vb), 6).alias("ewma_corr"),
+    )
