@@ -13639,3 +13639,199 @@ def q_ewma_pair_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov, 6).alias("ewma_cov"),
         F.round(cov / F.sqrt(va * vb), 6).alias("ewma_corr"),
     )
+
+
+@query(
+    "conditional_drawdown",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol,
+         1 - close / max(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS dd,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), q AS (
+  SELECT symbol, quantile_cont(dd, 0.95) AS dd95 FROM d GROUP BY 1
+)
+SELECT d.symbol,
+       count(*)::BIGINT AS n_obs,
+       round(avg(d.dd), 6) AS pain_index,
+       round(CASE WHEN avg(d.dd) > 0
+             THEN sum(d.r) / avg(d.dd) END, 6) AS pain_ratio,
+       round(max(q.dd95), 6) AS dd_q95,
+       round(avg(CASE WHEN d.dd >= q.dd95 THEN d.dd END), 6) AS cdar_95
+FROM d JOIN q USING (symbol)
+GROUP BY 1
+""",
+)
+def q_conditional_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown-distribution risk per symbol: pain index (mean
+    underwater depth), pain ratio (total log return over pain), and
+    CDaR-95 (mean of the worst 5% drawdown states, conditional on the
+    exact interpolated 95th percentile broadcast back) — the
+    path-dependent tail view that point VaR misses. Same two-stage
+    quantile-then-tail-mean shape as ``value_at_risk``; the returns
+    lag and running-max share one per-symbol sort."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    peak = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = bars.select(
+        "symbol",
+        (1 - F.col("close") / F.max("close").over(peak)).alias("dd"),
+        F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+    )
+    q = d.groupBy("symbol").agg(
+        F.percentile("dd", F.lit(0.95)).alias("dd95")
+    )
+    j = d.join(F.broadcast(q), "symbol")
+    pain = F.avg("dd")
+    return j.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(pain, 6).alias("pain_index"),
+        F.round(F.when(pain > 0, F.sum("r") / pain), 6).alias("pain_ratio"),
+        F.round(F.max("dd95"), 6).alias("dd_q95"),
+        F.round(
+            F.avg(F.when(F.col("dd") >= F.col("dd95"), F.col("dd"))), 6
+        ).alias("cdar_95"),
+    )
+
+
+@query(
+    "tracking_error",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+mkt AS (SELECT timestamp, avg(r) AS rm FROM rr GROUP BY 1)
+SELECT rr.symbol,
+       count(*)::BIGINT AS n_obs,
+       round(avg(rr.r - mkt.rm), 6) AS active_return,
+       round(stddev_samp(rr.r - mkt.rm), 6) AS tracking_error,
+       round(avg(rr.r - mkt.rm) / stddev_samp(rr.r - mkt.rm), 6)
+         AS info_ratio,
+       round((avg(rr.r) / stddev_samp(rr.r)) * stddev_samp(mkt.rm), 6)
+         AS m2_excess
+FROM rr JOIN mkt USING (timestamp)
+GROUP BY 1
+""",
+)
+def q_tracking_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-management stats per symbol vs the equal-weight market:
+    mean active return, tracking error (std of the active return),
+    information ratio, and the M² excess (Sharpe rescaled to market
+    vol — Modigliani-Modigliani without the rf constant). One
+    aggregate on the same broadcast market frame as ``market_beta`` /
+    ``idiosyncratic_vol``."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+        .select("symbol", "timestamp", "r")
+    )
+    mkt = rr.groupBy("timestamp").agg(F.avg("r").alias("rm"))
+    j = rr.join(F.broadcast(mkt), "timestamp")
+    act = F.col("r") - F.col("rm")
+    return j.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg(act), 6).alias("active_return"),
+        F.round(F.stddev_samp(act), 6).alias("tracking_error"),
+        F.round(F.avg(act) / F.stddev_samp(act), 6).alias("info_ratio"),
+        F.round(
+            (F.avg("r") / F.stddev_samp("r")) * F.stddev_samp("rm"), 6
+        ).alias("m2_excess"),
+    )
+
+
+@query(
+    "trade_mae",
+    BARS_CTE
+    + """
+, p AS (
+  SELECT symbol, timestamp, close, high, low,
+         CASE WHEN avg(close) OVER w20 > avg(close) OVER w50
+              THEN 1 ELSE 0 END AS position
+  FROM bars
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w50 AS (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+), st AS (
+  SELECT *,
+         CASE WHEN position = 1
+               AND coalesce(lag(position)
+                     OVER (PARTITION BY symbol ORDER BY timestamp), 0) = 0
+              THEN 1 ELSE 0 END AS started
+  FROM p
+), seg AS (
+  SELECT *,
+         sum(started) OVER (PARTITION BY symbol ORDER BY timestamp)
+           AS trade_id
+  FROM st
+), trades AS (
+  SELECT symbol, trade_id,
+         count(*)::BIGINT AS n_bars,
+         arg_min(close, epoch_us(timestamp)) AS entry_close,
+         min(low) AS min_low,
+         max(high) AS max_high
+  FROM seg WHERE position = 1
+  GROUP BY 1, 2
+)
+SELECT symbol,
+       count(*)::BIGINT AS n_trades,
+       round(avg(n_bars), 4) AS avg_bars_held,
+       round(avg(1 - min_low / entry_close), 6) AS avg_mae,
+       round(max(1 - min_low / entry_close), 6) AS max_mae,
+       round(avg(max_high / entry_close - 1), 6) AS avg_mfe
+FROM trades GROUP BY 1
+""",
+)
+def q_trade_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max adverse / favorable excursion per SMA(20/50)-crossover
+    trade: each long run is segmented gaps-and-islands style (entry
+    flag cumsum), then one per-trade aggregate (entry close via
+    arg_min-by-time, worst low, best high) and one per-symbol rollup —
+    the stop-placement analytics layer over the same position frame as
+    ``sma_crossover_backtest``. No Python state; two window passes
+    sharing the per-symbol sort."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w20 = Window.partitionBy("symbol").orderBy("timestamp").rowsBetween(-19, 0)
+    w50 = Window.partitionBy("symbol").orderBy("timestamp").rowsBetween(-49, 0)
+    ws = Window.partitionBy("symbol").orderBy("timestamp")
+    p = bars.withColumn(
+        "position",
+        F.when(
+            F.avg("close").over(w20) > F.avg("close").over(w50), 1
+        ).otherwise(0),
+    )
+    started = F.when(
+        (F.col("position") == 1)
+        & (F.coalesce(F.lag("position").over(ws), F.lit(0)) == 0),
+        1,
+    ).otherwise(0)
+    seg = p.withColumn(
+        "trade_id",
+        F.sum(started).over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    ).filter(F.col("position") == 1)
+    trades = seg.groupBy("symbol", "trade_id").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.min_by("close", F.unix_micros("timestamp")).alias("entry_close"),
+        F.min("low").alias("min_low"),
+        F.max("high").alias("max_high"),
+    )
+    mae = 1 - F.col("min_low") / F.col("entry_close")
+    mfe = F.col("max_high") / F.col("entry_close") - 1
+    return trades.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.round(F.avg("n_bars"), 4).alias("avg_bars_held"),
+        F.round(F.avg(mae), 6).alias("avg_mae"),
+        F.round(F.max(mae), 6).alias("max_mae"),
+        F.round(F.avg(mfe), 6).alias("avg_mfe"),
+    )
