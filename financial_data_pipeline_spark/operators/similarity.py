@@ -947,3 +947,94 @@ def mmr_diverse_topk(
     from pyspark.sql import SparkSession
 
     return SparkSession.getActiveSession().createDataFrame(out)
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    """Euclidean distance between two equal-length double arrays as an
+    order-pinned fold: zip_with squared diffs, then a left-to-right
+    aggregate seeded with 0.0 — the identical summation order a DuckDB
+    ``list_reduce`` twin replays, so rounded distances hash across
+    engines."""
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda s, x: s + x))
+
+
+def lof_scores(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 20_000,
+) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over an embedding
+    column, k neighbors, exact all-pairs Euclidean distances.
+
+    Output: (id, k_dist, lrd, lof) — lof ≈ 1 for inliers, ≫ 1 for
+    points whose local density is far below their neighbors'.
+
+    Entirely relational (no Python state): self-join pairs → distance
+    (ROUNDED to 8 dp BEFORE ranking so the (d, neighbor) tie-break is
+    engine-reproducible) → row_number top-k → k-dist per point →
+    reach-dist = max(k-dist(o), d(p,o)) → lrd = 1/mean(reach-dist) →
+    lof = mean(lrd_o)/lrd_p via one more self-join on the kNN edge
+    list.
+
+    Scale contract: the pair join is O(n²) — ``max_rows`` guards it
+    (same device as ``cosine_pairs``). At corpus scale, run it per
+    IVF/LSH block (``ivf_topk`` partitioning) so each block's n stays
+    bounded; LOF is a LOCAL density measure, so block-local neighbors
+    are the semantically right candidate set anyway.
+    """
+    from pyspark.sql import Window
+
+    cnt = df.count()
+    if cnt > max_rows:
+        raise ValueError(
+            f"lof_scores is exact O(n^2); {cnt} rows exceeds max_rows="
+            f"{max_rows} — run per IVF/LSH block instead"
+        )
+    a = df.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("j"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    pairs = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.round(euclidean(F.col("va"), F.col("vb")), 8).alias("d"),
+        )
+    )
+    wk = Window.partitionBy("i").orderBy("d", "j")
+    knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= k
+    )
+    kdist = knn.groupBy("i").agg(F.max("d").alias("k_dist"))
+    # reach-dist needs the NEIGHBOR's k-dist
+    edges = knn.join(
+        kdist.select(F.col("i").alias("j"), F.col("k_dist").alias("kd_j")),
+        on="j",
+    ).select("i", "j", F.greatest(F.col("d"), F.col("kd_j")).alias("reach"))
+    lrd = edges.groupBy("i").agg(
+        (F.lit(1.0) / F.avg("reach")).alias("lrd")
+    )
+    lof = (
+        knn.select("i", "j")
+        .join(lrd.select(F.col("i").alias("j"), F.col("lrd").alias("lrd_j")), on="j")
+        .groupBy("i")
+        .agg(F.avg("lrd_j").alias("mean_lrd_nbrs"))
+        .join(lrd, on="i")
+        .select(
+            F.col("i").alias(id_col),
+            (F.col("mean_lrd_nbrs") / F.col("lrd")).alias("lof"),
+            "lrd",
+        )
+    )
+    return (
+        lof.join(kdist.select(F.col("i").alias(id_col), "k_dist"), on=id_col)
+        .select(id_col, "k_dist", "lrd", "lof")
+    )

@@ -13835,3 +13835,55 @@ def q_trade_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(mae), 6).alias("max_mae"),
         F.round(F.avg(mfe), 6).alias("avg_mfe"),
     )
+
+
+@query(
+    "lof_outliers",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         round(sqrt(list_reduce(
+           list_transform(range(1, len(a.v) + 1),
+                          t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t])),
+           (s, x) -> s + x)), 8) AS d
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT i, j, d,
+         row_number() OVER (PARTITION BY i ORDER BY d, j) AS rn
+  FROM pairs QUALIFY rn <= 5
+), kdist AS (SELECT i, max(d) AS k_dist FROM knn GROUP BY 1),
+edges AS (
+  SELECT knn.i, knn.j, greatest(knn.d, kj.k_dist) AS reach
+  FROM knn JOIN kdist kj ON knn.j = kj.i
+), lrd AS (SELECT i, 1.0 / avg(reach) AS lrd FROM edges GROUP BY 1),
+lof AS (
+  SELECT knn.i, avg(lj.lrd) AS mean_lrd_nbrs
+  FROM knn JOIN lrd lj ON knn.j = lj.i
+  GROUP BY 1
+)
+SELECT lof.i AS vec_id,
+       round(kdist.k_dist, 6) AS k_dist,
+       round(lrd.lrd, 6) AS lrd,
+       round(lof.mean_lrd_nbrs / lrd.lrd, 6) AS lof
+FROM lof JOIN lrd USING (i) JOIN kdist USING (i)
+""",
+)
+def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (k=5) over the embeddings table
+    (``similarity.lof_scores``): exact all-pairs Euclidean kNN →
+    reachability density → density ratio, fully relational. Distances
+    round to 8 dp BEFORE the (d, neighbor) rank so the kNN edge list
+    is engine-identical; the left-to-right zip_with/aggregate fold is
+    replayed by DuckDB's list_reduce with the same 0.0 seed. O(n²)
+    guarded — the scale path runs it per IVF block."""
+    from financial_data_pipeline_spark.operators.similarity import lof_scores
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lof_scores(emb, k=5)
+    return out.select(
+        "vec_id",
+        F.round("k_dist", 6).alias("k_dist"),
+        F.round("lrd", 6).alias("lrd"),
+        F.round("lof", 6).alias("lof"),
+    )

@@ -403,3 +403,43 @@ def test_mmr_diverse_topk_matches_numpy_greedy(spark):
     assert sum(v < 5 for v in out.vec_id) <= 2
     # the most relevant vector is still rank 1
     assert out.vec_id.iloc[0] == int(np.argmax(rel))
+
+
+def test_lof_scores_matches_numpy_reference(spark):
+    """Exact differential vs a direct numpy LOF (k=3) on a planted
+    two-cluster + far-outlier layout; the outlier's LOF must dominate."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators.similarity import lof_scores
+
+    rng = np.random.default_rng(7)
+    tight = rng.normal(0.0, 0.05, (12, 4))
+    loose = rng.normal(5.0, 0.5, (8, 4))
+    outlier = np.array([[20.0, 20.0, 20.0, 20.0]])
+    X = np.vstack([tight, loose, outlier])
+    k = 3
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.vec_id: r for r in lof_scores(df, k=k, max_rows=100).collect()
+    }
+
+    n = len(X)
+    d = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    d = np.round(d, 8)
+    np.fill_diagonal(d, np.inf)
+    nbrs = {}
+    for i in range(n):
+        order = sorted((d[i, j], j) for j in range(n) if j != i)
+        nbrs[i] = [j for _, j in order[:k]]
+    kdist = {i: max(d[i, j] for j in nbrs[i]) for i in range(n)}
+    lrd = {
+        i: 1.0 / (sum(max(kdist[j], d[i, j]) for j in nbrs[i]) / k)
+        for i in range(n)
+    }
+    for i in range(n):
+        want_lof = sum(lrd[j] for j in nbrs[i]) / k / lrd[i]
+        assert abs(got[i].lof - want_lof) < 1e-8, i
+        assert abs(got[i].k_dist - kdist[i]) < 1e-8, i
+    assert got[n - 1].lof > 3.0
+    assert got[n - 1].lof > max(got[i].lof for i in range(n - 1)) * 2
