@@ -225,6 +225,49 @@ def main() -> None:
         "  (`by=[...]`, as `ks_drift_by_dow` uses) partition it; the",
         "  crossJoin is the one-row rank-sum × one-row tie-correction",
         "  combine, an O(1) join (the `ab_test_welch` shape).",
+        "- `temperature_mixture_plan` GLOBAL_WINDOW: the tempered-share",
+        "  normalizer window runs over the per-SOURCE aggregate (one row",
+        "  per source — tens of rows), never the documents.",
+        "- `bm25_search` NESTED_LOOP_JOIN: corpus stats (n_docs, avgdl)",
+        "  are a ONE-row broadcast crossJoin onto the tf frame — the",
+        "  `tfidf_top_terms` scalar-distribution shape.",
+        "- `hybrid_search_rrf` NESTED_LOOP_JOIN + GLOBAL_WINDOW: rank",
+        "  fusion is BY DEFINITION a global rank, computed over the two",
+        "  BOUNDED top-k candidate pools (≤ 2k rows), not the corpus;",
+        "  the crossJoins distribute the one-row corpus stats (BM25 leg)",
+        "  and the literal query vector (cosine leg).",
+        "- `purged_fold_counts` NESTED_LOOP_JOIN: the fold time",
+        "  boundaries are a ONE-row broadcast crossJoin onto the bars —",
+        "  the `walk_forward_plan` shape, O(n·1).",
+        "- `theta_retention_days` NESTED_LOOP_JOIN: the observation",
+        "  horizon (global max ts) is a ONE-row broadcast crossJoin —",
+        "  the `user_retention_km` shape.",
+        "- `quality_calibration_bins` GLOBAL_WINDOW: percent_rank for the",
+        "  reliability deciles is a pooled total order BY DEFINITION and",
+        "  runs on the per-doc (score, label) projection; at corpus scale",
+        "  swap the exact rank for approx-quantile bin edges",
+        "  (percentile_approx) — documented in curation.py.",
+        "- `rebalance_turnover` NESTED_LOOP_JOIN: the week-grid",
+        "  densification crossJoins the DISTINCT symbol list (a handful of",
+        "  rows) with the DISTINCT week list (single-digit rows) —",
+        "  O(symbols·weeks) grid rows, never fact-sized.",
+        "- `bh_fdr_hourly` GLOBAL_WINDOW: Benjamini-Hochberg is a global",
+        "  rank over the HYPOTHESIS frame (one row per symbol×hour, ≤",
+        "  a few hundred), never the bars — the multiple-testing ladder",
+        "  is a total order by definition.",
+        "- `revenue_pareto_deciles` NESTED_LOOP_JOIN + GLOBAL_WINDOW:",
+        "  ntile(10) over the per-customer AGGREGATE (the",
+        "  `customer_spend_rank` shape); the revenue total is a ONE-row",
+        "  broadcast crossJoin, and the cumulative-share window runs over",
+        "  exactly 10 decile rows.",
+        "- `lang_source_assoc` NESTED_LOOP_JOIN: the grand total n is a",
+        "  ONE-row broadcast crossJoin onto the contingency CELL frame",
+        "  (≤ langs × sources rows) — scalar distribution, O(cells·1).",
+        "- `lof_outliers` NESTED_LOOP_JOIN: the all-pairs i≠j self-join",
+        "  is the DELIBERATE exact-kNN candidate set, hard-guarded by",
+        "  max_rows (20k → ≤ 4·10⁸ cheap distance rows); the documented",
+        "  scale path runs the identical plan per IVF/LSH block where",
+        "  block-local density is the semantically right neighborhood.",
         "",
     ]
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
