@@ -262,6 +262,62 @@ HEADLINE = [
     "boilerplate_lines",
     "inverse_vol_rebalanced",
     "heikin_ashi_candles",
+    "vortex_aroon",
+    "chaikin_flow",
+    "force_eom",
+    "ulcer_martin",
+    "drawdown_durations",
+    "variance_ratio",
+    "probabilistic_sharpe",
+    "garch11_vol",
+    "ou_half_life",
+    "donchian_breakout_backtest",
+    "quality_calibration_bins",
+    "token_fertility_by_lang",
+    "embedding_pca_spectrum",
+    "parabolic_sar",
+    "supertrend_bands",
+    "trix_15",
+    "deflated_sharpe_grid",
+    "intraday_vol_profile",
+    "rebalance_turnover",
+    "cross_sectional_momentum",
+    "elder_ray_13",
+    "stochrsi_14",
+    "mass_index_25",
+    "kst_composite",
+    "corwin_schultz_spread",
+    "hill_tail_index",
+    "permutation_entropy",
+    "theil_sen_trend",
+    "bh_fdr_hourly",
+    "ses_forecast_eval",
+    "mmr_diverse_topk",
+    "ultimate_oscillator",
+    "cmo_dpo",
+    "calmar_omega_tail",
+    "up_down_capture",
+    "coppock_curve",
+    "cornish_fisher_var",
+    "arch_lm_test",
+    "runs_test",
+    "bigram_logprob",
+    "token_sort_dedup",
+    "revenue_pareto_deciles",
+    "order_interarrival_stats",
+    "idiosyncratic_vol",
+    "volatility_cones",
+    "funnel_latency",
+    "lang_source_assoc",
+    "ewma_pair_cov",
+    "conditional_drawdown",
+    "tracking_error",
+    "trade_mae",
+    "lof_outliers",
+    "event_type_pagerank",
+    "theil_decomposition",
+    "supplier_hhi_by_nation",
+    "holt_forecast_eval",
 ]
 
 

@@ -3135,3 +3135,76 @@ def weighted_ma(
         F.size(xs) >= n,
         F.aggregate(weighted, F.lit(0.0), lambda a, x: a + x) / denom,
     )
+
+
+def holt_eval(
+    daily: DataFrame,
+    col: str = "close",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    by: list[str] = ("symbol",),
+    ts: str = "day",
+) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing) one-step
+    forecast + error report — :func:`ses_eval` with a trend state:
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1},  l_1 = x_1, b_1 = 0
+
+    and the forecast for t is l_{t−1} + b_{t−1} (out-of-sample at
+    every step). The COUPLED two-variable recurrence folds as a
+    STRUCT-state aggregate over the per-group prefix: each element is
+    lifted to {'l': x, 'b': 0}, the seed is the first element, and the
+    merge recomputes new_l inline in both fields. Bounded by the
+    calendar (daily frame), not fact rows. Emits MAE/RMSE, naive MAE
+    and MASE per group.
+
+    Oracle note: DuckDB's ``list_reduce`` struct lambdas evaluate
+    fields SEQUENTIALLY, mutating the accumulator in place (the 'b'
+    field would see the already-updated 'l'), so the SQL twin replays
+    the recurrence as a recursive CTE stepping day rank instead
+    (the ``parabolic_sar`` device) — Spark's ``aggregate`` evaluates
+    the whole struct against the pre-step accumulator, matching the
+    textbook recurrence exactly (differential-tested in
+    tests/test_resample_indicators.py).
+    """
+    by = list(by)
+    w = Window.partitionBy(*by).orderBy(ts)
+    wfull = w.rowsBetween(Window.unboundedPreceding, 0)
+    one_a = 1.0 - alpha
+    one_b = 1.0 - beta
+    arr = F.collect_list(F.col(col).cast("double")).over(wfull)
+    lifted = F.transform(
+        F.slice(arr, F.lit(2), F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+    )
+    seed = F.struct(
+        F.element_at(arr, 1).alias("l"), F.lit(0.0).alias("b")
+    )
+
+    def step(acc, e):
+        new_l = F.lit(alpha) * e["l"] + F.lit(one_a) * (acc["l"] + acc["b"])
+        new_b = (
+            F.lit(beta) * (new_l - acc["l"]) + F.lit(one_b) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(lifted, seed, step)
+    staged = (
+        daily.withColumn("__lv", st["l"])
+        .withColumn("__tr", st["b"])
+        .withColumn("__fc", F.lag(F.col("__lv") + F.col("__tr")).over(w))
+        .withColumn("__prev", F.lag(col).over(w))
+        .filter(F.col("__fc").isNotNull())
+        .withColumn("__err", F.col(col) - F.col("__fc"))
+        .withColumn("__nerr", F.col(col) - F.col("__prev"))
+    )
+    return staged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.avg(F.abs(F.col("__err"))).alias("mae"),
+        F.sqrt(F.avg(F.col("__err") * F.col("__err"))).alias("rmse"),
+        F.avg(F.abs(F.col("__nerr"))).alias("naive_mae"),
+        (
+            F.avg(F.abs(F.col("__err"))) / F.avg(F.abs(F.col("__nerr")))
+        ).alias("mase"),
+    )

@@ -13887,3 +13887,314 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lrd", 6).alias("lrd"),
         F.round("lof", 6).alias("lof"),
     )
+
+
+def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain (pr0..pr{iters}) — the SQL
+    twin of the Spark plan-time loop in ``q_event_type_pagerank``."""
+    head = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), bigram AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         count(*)::DOUBLE AS c
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), edges AS (
+  SELECT from_type, to_type,
+         c / sum(c) OVER (PARTITION BY from_type) AS p
+  FROM bigram
+), nodes AS (
+  SELECT from_type AS t FROM edges
+  UNION SELECT to_type FROM edges
+), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+pr0 AS (SELECT t, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
+"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""", pr{k} AS (
+  SELECT nd.t,
+         (1 - {d}) / max(nn.n) + {d} * coalesce(sum(e.p * p.rank), 0)
+           AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN edges e ON e.to_type = nd.t
+  LEFT JOIN pr{k - 1} p ON p.t = e.from_type
+  GROUP BY nd.t
+)"""
+        )
+    tail = f"""
+SELECT t AS event_type, round(rank, 6) AS pagerank
+FROM pr{iters}
+"""
+    return head + "".join(steps) + tail
+
+
+@query("event_type_pagerank", _pagerank_sql(10))
+def q_event_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (d=0.85, 10
+    unrolled power iterations): which stage of the funnel accumulates
+    probability mass under random navigation. The graph is the TINY
+    aggregated (types × types) edge frame — each iteration is a
+    broadcast join + 25-row aggregate built at PLAN time (no driver
+    collect, no .first(); the loop unrolls into one lazy DAG, exactly
+    like the DuckDB twin's chained CTEs). At web scale swap the
+    unrolled loop for checkpointed iterations over the edge list."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    bigram = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    edges = bigram.select(
+        "from_type",
+        "to_type",
+        (
+            F.col("c")
+            / F.sum("c").over(Window.partitionBy("from_type"))
+        ).alias("p"),
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("from_type").alias("t"))
+        .union(edges.select("to_type"))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    nodes_n = nodes.crossJoin(F.broadcast(nn)).localCheckpoint()
+    d = 0.85
+    ranks = nodes_n.select("t", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(10):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("t").alias("from_type"), "rank"),
+                "from_type",
+            )
+            .groupBy(F.col("to_type").alias("t"))
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+        )
+        ranks = nodes_n.join(F.broadcast(contrib), "t", "left").select(
+            "t",
+            (
+                (1 - d) / F.col("n")
+                + d * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(
+        F.col("t").alias("event_type"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+@query(
+    "theil_decomposition",
+    """
+WITH x AS (
+  SELECT source, greatest(length(text), 1)::DOUBLE AS x
+  FROM documents WHERE text IS NOT NULL
+), tot AS (SELECT count(*)::DOUBLE AS n, avg(x) AS mu FROM x),
+tg AS (
+  SELECT source, count(*)::DOUBLE AS ng, avg(x) AS mug
+  FROM x GROUP BY source
+), wg AS (
+  SELECT x.source, avg((x.x / tg.mug) * ln(x.x / tg.mug)) AS t_g
+  FROM x JOIN tg USING (source) GROUP BY x.source
+), tt AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         round(avg((x.x / tot.mu) * ln(x.x / tot.mu)), 6) AS theil_total
+  FROM x CROSS JOIN tot
+), parts AS (
+  SELECT round(sum((tg.ng / tot.n) * (tg.mug / tot.mu)
+                   * ln(tg.mug / tot.mu)), 6) AS theil_between,
+         round(sum((tg.ng / tot.n) * (tg.mug / tot.mu) * wg.t_g), 6)
+           AS theil_within
+  FROM tg JOIN wg USING (source) CROSS JOIN tot
+)
+SELECT tt.n_docs, tt.theil_total, parts.theil_between, parts.theil_within
+FROM tt CROSS JOIN parts
+""",
+)
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of document lengths decomposed into
+    BETWEEN-source and WITHIN-source components (T = T_b + Σ share·T_g
+    exactly) — 'is corpus length inequality a source-mix artifact or
+    intrinsic'. Two tiny aggregates + one-row crossJoins; the identity
+    holds to rounding in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    x = docs.select(
+        "source",
+        F.greatest(F.length("text"), F.lit(1)).cast("double").alias("x"),
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mu"),
+    )
+    tg = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.avg("x").alias("mug"),
+    )
+    wg = (
+        x.join(F.broadcast(tg), "source")
+        .groupBy("source")
+        .agg(
+            F.avg(
+                (F.col("x") / F.col("mug"))
+                * F.log(F.col("x") / F.col("mug"))
+            ).alias("t_g")
+        )
+    )
+    tt = x.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.avg(
+                (F.col("x") / F.col("mu")) * F.log(F.col("x") / F.col("mu"))
+            ),
+            6,
+        ).alias("theil_total"),
+    )
+    share = (F.col("ng") / F.col("n")) * (F.col("mug") / F.col("mu"))
+    parts = (
+        tg.join(F.broadcast(wg), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(share * F.log(F.col("mug") / F.col("mu"))), 6
+            ).alias("theil_between"),
+            F.round(F.sum(share * F.col("t_g")), 6).alias("theil_within"),
+        )
+    )
+    return tt.crossJoin(F.broadcast(parts))
+
+
+@query(
+    "supplier_hhi_by_nation",
+    """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT s_nationkey, sum(r) AS tot, count(*)::BIGINT AS n_suppliers
+  FROM rev GROUP BY 1
+)
+SELECT n.n_name AS nation,
+       max(nat.n_suppliers) AS n_suppliers,
+       round(max(nat.tot), 2) AS revenue,
+       round(sum(pow(rev.r / nat.tot, 2)) * 10000, 4) AS hhi
+FROM rev
+JOIN nat USING (s_nationkey)
+JOIN nation n ON n.n_nationkey = rev.s_nationkey
+GROUP BY 1
+""",
+)
+def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: Herfindahl-Hirschman
+    index (Σ share² × 10000) over lineitem revenue — the antitrust-
+    style concentration readout on the TPC-H schema. One fact
+    aggregate keyed (nation, supplier), a tiny nation rollup broadcast
+    back, and the nation dim broadcast-joined for names."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("r")
+        )
+    )
+    nat = rev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("tot"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        rev.join(F.broadcast(nat), "s_nationkey")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            rev.s_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_suppliers").alias("n_suppliers"),
+            F.round(F.max("tot"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.pow(F.col("r") / F.col("tot"), 2)) * 10000, 4
+            ).alias("hhi"),
+        )
+        .select("nation", "n_suppliers", "revenue", "hhi")
+    )
+
+
+@query(
+    "holt_forecast_eval",
+    "WITH RECURSIVE bars AS ("
+    + events_as_ohlcv_sql(60).strip()
+    + """
+), daily AS (
+  SELECT symbol, CAST(timestamp AS DATE) AS day,
+         arg_max(close, epoch_us(timestamp)) AS close
+  FROM bars GROUP BY 1, 2
+), base AS (
+  SELECT symbol, day, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY day) AS rn
+  FROM daily
+), rec AS (
+  SELECT symbol, day, rn, close,
+         close AS l, 0.0::DOUBLE AS b, NULL::DOUBLE AS fc
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b2.symbol, b2.day, b2.rn, b2.close,
+         0.3 * b2.close
+           + (1.0::DOUBLE - 0.3::DOUBLE) * (r.l + r.b) AS l,
+         0.1 * ((0.3 * b2.close
+                 + (1.0::DOUBLE - 0.3::DOUBLE) * (r.l + r.b)) - r.l)
+           + (1.0::DOUBLE - 0.1::DOUBLE) * r.b AS b,
+         r.l + r.b AS fc
+  FROM rec r JOIN base b2
+    ON b2.symbol = r.symbol AND b2.rn = r.rn + 1
+), e AS (
+  SELECT symbol, close - fc AS err,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY day)
+           AS nerr
+  FROM rec
+)
+SELECT symbol, count(*)::BIGINT AS n_eval,
+       round(avg(abs(err)), 6) AS mae,
+       round(sqrt(avg(err * err)), 6) AS rmse,
+       round(avg(abs(nerr)), 6) AS naive_mae,
+       round(avg(abs(err)) / avg(abs(nerr)), 6) AS mase
+FROM e WHERE err IS NOT NULL GROUP BY symbol
+""",
+)
+def q_holt_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast skill report (``indicators.
+    holt_eval``, α=0.3, β=0.1): one-step-ahead MAE/RMSE/MASE vs the
+    random-walk naive, next to ``ses_forecast_eval`` — the trend state
+    folds as a STRUCT-state prefix aggregate both engines replay
+    element-identically (new_l recomputed inline in both fields, same
+    IEEE ops)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    daily = bars.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(F.max_by("close", F.unix_micros("timestamp")).alias("close"))
+    out = indicators.holt_eval(daily, alpha=0.3, beta=0.1, ts="day")
+    return out.select(
+        "symbol",
+        "n_eval",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("naive_mae", 6).alias("naive_mae"),
+        F.round("mase", 6).alias("mase"),
+    )

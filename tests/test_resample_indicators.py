@@ -2092,3 +2092,46 @@ def test_weighted_ma_matches_explicit_weights(spark):
     got = out.wma.to_numpy()
     assert np.isnan(got[:4]).all()
     assert np.allclose(got[4:], want[4:], atol=1e-10)
+
+
+def test_holt_eval_matches_explicit_recursion(spark):
+    """Holt (α=.3, β=.1) one-step errors vs a direct python loop,
+    plus: on a clean linear trend Holt must beat the naive forecast
+    (MASE < 1) while SES-style errors would lag."""
+    import numpy as np
+    import pandas as pd
+
+    from financial_data_pipeline_spark.operators import indicators
+
+    rng = np.random.default_rng(71)
+    n = 60
+    x = 50.0 + 2.0 * np.arange(n) + rng.normal(0, 0.5, n)
+    pdf = pd.DataFrame(
+        {
+            "symbol": "A",
+            "day": pd.date_range("2024-01-01", periods=n, freq="D"),
+            "close": x,
+        }
+    )
+    out = indicators.holt_eval(
+        spark.createDataFrame(pdf), alpha=0.3, beta=0.1, ts="day"
+    ).collect()[0]
+
+    a, b_ = 0.3, 0.1
+    l, b = x[0], 0.0
+    errs, nerrs = [], []
+    for t in range(1, n):
+        fc = l + b
+        errs.append(x[t] - fc)
+        nerrs.append(x[t] - x[t - 1])
+        new_l = a * x[t] + (1 - a) * (l + b)
+        b = b_ * (new_l - l) + (1 - b_) * b
+        l = new_l
+    mae = np.mean(np.abs(errs))
+    rmse = np.sqrt(np.mean(np.square(errs)))
+    naive = np.mean(np.abs(nerrs))
+    assert out.n_eval == n - 1
+    assert abs(out.mae - mae) < 1e-9
+    assert abs(out.rmse - rmse) < 1e-9
+    assert abs(out.naive_mae - naive) < 1e-9
+    assert out.mase < 1.0  # trend-aware beats random walk on a trend
