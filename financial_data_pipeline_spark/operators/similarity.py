@@ -993,10 +993,15 @@ def lof_scores(
             f"lof_scores is exact O(n^2); {cnt} rows exceeds max_rows="
             f"{max_rows} — run per IVF/LSH block instead"
         )
+    # The streamed side of the broadcast-nested-loop pair join must be
+    # spread across cores — a small parquet arrives as ONE partition,
+    # which would serialize all n² distance evaluations into a single
+    # task (measured 44s → ~2s at n=2000 on local[32]).
+    par = df.sparkSession.sparkContext.defaultParallelism
     a = df.select(
         F.col(id_col).alias("i"),
         F.col(vec_col).cast("array<double>").alias("va"),
-    )
+    ).repartition(par)
     b = df.select(
         F.col(id_col).alias("j"),
         F.col(vec_col).cast("array<double>").alias("vb"),
