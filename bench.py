@@ -318,6 +318,8 @@ HEADLINE = [
     "theil_decomposition",
     "supplier_hhi_by_nation",
     "holt_forecast_eval",
+    "part_skyline",
+    "windowed_funnel_depth",
 ]
 
 

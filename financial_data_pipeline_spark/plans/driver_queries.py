@@ -14198,3 +14198,125 @@ def q_holt_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("naive_mae", 6).alias("naive_mae"),
         F.round("mase", 6).alias("mase"),
     )
+
+
+@query(
+    "part_skyline",
+    """
+WITH pp AS (
+  SELECT p_partkey, p_retailprice AS price, p_size AS sz FROM part
+), per_price AS (
+  SELECT price, max(sz) AS msize FROM pp GROUP BY 1
+), pm AS (
+  SELECT price, msize,
+         max(msize) OVER (ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+  FROM per_price
+)
+SELECT pp.p_partkey, pp.price, pp.sz AS size
+FROM pp JOIN pm USING (price)
+WHERE pp.sz = pm.msize AND pp.sz > coalesce(pm.prev_max, -1)
+""",
+)
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts on (price ↓ better, size ↑
+    better): parts no other part dominates. The classic O(n²)
+    dominance self-join collapses to ONE prefix-max window over the
+    DISTINCT-price frame (strictly-cheaper max via a 1-PRECEDING rows
+    frame on deduplicated prices) + an equi-join back — linear scan,
+    one tiny window, exact tie semantics (equal price+size pairs are
+    mutually non-dominated and both survive)."""
+    part = load_table(spark, sf_dir, "part")
+    pp = part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("sz"),
+    )
+    per_price = pp.groupBy("price").agg(F.max("sz").alias("msize"))
+    wp = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pm = per_price.withColumn("prev_max", F.max("msize").over(wp))
+    return (
+        pp.join(F.broadcast(pm), "price")
+        .filter(
+            (F.col("sz") == F.col("msize"))
+            & (F.col("sz") > F.coalesce(F.col("prev_max"), F.lit(-1)))
+        )
+        .select("p_partkey", "price", F.col("sz").alias("size"))
+    )
+
+
+@query(
+    "windowed_funnel_depth",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+    AND e.ts <= v.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    AND e.ts <= c.t2 + INTERVAL 7 DAY
+  GROUP BY 1
+), depth AS (
+  SELECT v.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS depth
+  FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+)
+SELECT depth, count(*)::BIGINT AS n_users
+FROM depth GROUP BY 1
+""",
+)
+def q_windowed_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel-style depth: users advancing view →
+    click-within-7-days → purchase-within-7-days-of-click (greedy
+    first-event chain), bucketed by furthest stage reached. Three
+    user-keyed conditional-min aggregates chained by filtered joins —
+    every stage shuffles on the SAME user_id key, so at 100 TB the
+    chain is one exchange reused (AQE coalesces), never an
+    event-level self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("INTERVAL 7 DAYS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        v.join(c.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("__p").isNotNull(), 3)
+            .when(F.col("__c").isNotNull(), 2)
+            .otherwise(1)
+            .alias("depth"),
+        )
+    )
+    return depth.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
