@@ -14320,3 +14320,192 @@ def q_windowed_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return depth.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "var_backtest_kupiec",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+v AS (
+  SELECT symbol, timestamp, r,
+         CASE WHEN count(r) OVER w >= 100
+              THEN avg(r) OVER w
+                   - 1.6448536269514722 * stddev_samp(r) OVER w END
+           AS thr
+  FROM rr
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+), b AS (
+  SELECT symbol,
+         CASE WHEN r < thr THEN 1 ELSE 0 END AS br,
+         lag(CASE WHEN r < thr THEN 1 ELSE 0 END)
+           OVER (PARTITION BY symbol ORDER BY timestamp) AS br_prev
+  FROM v WHERE thr IS NOT NULL
+), agg AS (
+  SELECT symbol,
+         count(*)::BIGINT AS n,
+         sum(br)::BIGINT AS x,
+         sum(CASE WHEN br_prev = 0 AND br = 0 THEN 1 ELSE 0 END)::BIGINT AS n00,
+         sum(CASE WHEN br_prev = 0 AND br = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+         sum(CASE WHEN br_prev = 1 AND br = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+         sum(CASE WHEN br_prev = 1 AND br = 1 THEN 1 ELSE 0 END)::BIGINT AS n11
+  FROM b GROUP BY 1
+)
+SELECT symbol, n, x,
+       round(x / CAST(n AS DOUBLE), 6) AS breach_rate,
+       round(CASE WHEN x > 0 AND x < n THEN
+         -2.0 * ((n - x) * ln(1.0 - 0.05) + x * ln(0.05))
+         + 2.0 * ((n - x) * ln(1.0 - x / CAST(n AS DOUBLE))
+                  + x * ln(x / CAST(n AS DOUBLE))) END, 4) AS kupiec_lr,
+       round(CASE WHEN n01 > 0 AND n00 > 0 AND n10 > 0 AND n11 > 0 THEN
+         -2.0 * ((n00 + n10) * ln(1.0 - (n01 + n11)
+                                        / CAST(n00 + n01 + n10 + n11 AS DOUBLE))
+                 + (n01 + n11) * ln((n01 + n11)
+                                    / CAST(n00 + n01 + n10 + n11 AS DOUBLE)))
+         + 2.0 * (n00 * ln(1.0 - n01 / CAST(n00 + n01 AS DOUBLE))
+                  + n01 * ln(n01 / CAST(n00 + n01 AS DOUBLE))
+                  + n10 * ln(1.0 - n11 / CAST(n10 + n11 AS DOUBLE))
+                  + n11 * ln(n11 / CAST(n10 + n11 AS DOUBLE))) END, 4)
+         AS christoffersen_lr
+FROM agg
+""",
+)
+def q_var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regulatory VaR backtest per symbol: a rolling parametric 95%
+    VaR from the PRIOR 100 bars (1-PRECEDING frame — no lookahead)
+    generates the breach series; Kupiec's proportion-of-failures LR
+    tests coverage and Christoffersen's independence LR tests breach
+    clustering (from the breach-transition counts). Integer counts
+    all the way into the closed-form log-likelihoods; degenerate
+    cells null the statistics identically in both engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    prior = w.rowsBetween(-100, -1)
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+    )
+    thr = F.when(
+        F.count("r").over(prior) >= 100,
+        F.avg("r").over(prior)
+        - 1.6448536269514722 * F.stddev_samp("r").over(prior),
+    )
+    b = (
+        rr.withColumn("thr", thr)
+        .filter(F.col("thr").isNotNull())
+        .withColumn(
+            "br", F.when(F.col("r") < F.col("thr"), 1).otherwise(0)
+        )
+        .withColumn("br_prev", F.lag("br").over(w))
+    )
+    tc = lambda a, c: F.sum(
+        F.when((F.col("br_prev") == a) & (F.col("br") == c), 1).otherwise(0)
+    ).cast("long")
+    agg = b.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("br").cast("long").alias("x"),
+        tc(0, 0).alias("n00"),
+        tc(0, 1).alias("n01"),
+        tc(1, 0).alias("n10"),
+        tc(1, 1).alias("n11"),
+    )
+    n = F.col("n").cast("double")
+    x = F.col("x").cast("double")
+    pihat = x / n
+    kupiec = F.when(
+        (F.col("x") > 0) & (F.col("x") < F.col("n")),
+        -2.0 * ((n - x) * F.log(F.lit(1.0 - 0.05)) + x * F.log(F.lit(0.05)))
+        + 2.0 * ((n - x) * F.log(1.0 - pihat) + x * F.log(pihat)),
+    )
+    n00, n01, n10, n11 = (
+        F.col("n00").cast("double"),
+        F.col("n01").cast("double"),
+        F.col("n10").cast("double"),
+        F.col("n11").cast("double"),
+    )
+    tot = n00 + n01 + n10 + n11
+    pi = (n01 + n11) / tot
+    pi01 = n01 / (n00 + n01)
+    pi11 = n11 / (n10 + n11)
+    christ = F.when(
+        (F.col("n01") > 0)
+        & (F.col("n00") > 0)
+        & (F.col("n10") > 0)
+        & (F.col("n11") > 0),
+        -2.0 * ((n00 + n10) * F.log(1.0 - pi) + (n01 + n11) * F.log(pi))
+        + 2.0
+        * (
+            n00 * F.log(1.0 - pi01)
+            + n01 * F.log(pi01)
+            + n10 * F.log(1.0 - pi11)
+            + n11 * F.log(pi11)
+        ),
+    )
+    return agg.select(
+        "symbol",
+        "n",
+        "x",
+        F.round(x / n, 6).alias("breach_rate"),
+        F.round(kupiec, 4).alias("kupiec_lr"),
+        F.round(christ, 4).alias("christoffersen_lr"),
+    )
+
+
+@query(
+    "event_seq_pairs",
+    """
+WITH firsts AS (
+  SELECT user_id, event_type, min(ts) AS t
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type AS first_type, b.event_type AS then_type,
+       sum(CASE WHEN a.t < b.t THEN 1 ELSE 0 END)::BIGINT AS n_ordered,
+       count(*)::BIGINT AS n_both,
+       round(sum(CASE WHEN a.t < b.t THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS order_propensity
+FROM firsts a JOIN firsts b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
+)
+def q_event_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern propensity for every unordered event-type
+    pair: of the users who did BOTH types, what share did A strictly
+    before B (first occurrences compared; ties count to neither,
+    exact timestamps)? One user-keyed conditional-min aggregate +
+    a user-local self-join on the ≤|types| rows per user — the
+    any-gap complement of the adjacent-only
+    ``event_transition_matrix``."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t")
+    )
+    a = firsts.select(
+        "user_id", F.col("event_type").alias("first_type"), F.col("t").alias("ta")
+    )
+    b = firsts.select(
+        F.col("user_id").alias("ub"),
+        F.col("event_type").alias("then_type"),
+        F.col("t").alias("tb"),
+    )
+    j = a.join(
+        b,
+        (F.col("user_id") == F.col("ub"))
+        & (F.col("first_type") < F.col("then_type")),
+    )
+    ordered = F.sum(
+        F.when(F.col("ta") < F.col("tb"), 1).otherwise(0)
+    ).cast("long")
+    return j.groupBy("first_type", "then_type").agg(
+        ordered.alias("n_ordered"),
+        F.count(F.lit(1)).alias("n_both"),
+        F.round(
+            ordered.cast("double") / F.count(F.lit(1)), 6
+        ).alias("order_propensity"),
+    )
