@@ -320,6 +320,8 @@ HEADLINE = [
     "holt_forecast_eval",
     "part_skyline",
     "windowed_funnel_depth",
+    "var_backtest_kupiec",
+    "event_seq_pairs",
 ]
 
 
