@@ -768,6 +768,51 @@ class LakeTable:
             keep.append(f.path)
         return keep
 
+    # -- named refs (tags) --------------------------------------------
+
+    def _tags_path(self) -> str:
+        return os.path.join(_mdir(self.root), "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """Name → version refs (the Iceberg tag idea): durable,
+        human-named pointers into history that survive rollbacks and
+        snapshot expiry checks."""
+        try:
+            with open(self._tags_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a snapshot (default: current HEAD). A tag is
+        one JSON map entry — re-tagging an existing name moves it
+        (audit trail is git-like: the snapshot manifests themselves
+        are immutable). Raises on unknown/staged versions so a tag can
+        never dangle at creation time."""
+        v = self.head_version() if version is None else version
+        if v == 0 or v not in self.snapshots():
+            raise ValueError(f"cannot tag unknown version {v}")
+        if self._load_snapshot(v).staged:
+            raise ValueError(f"cannot tag staged (unpublished) version {v}")
+        tags = self.tags()
+        tags[name] = v
+        with open(self._tags_path(), "w") as f:
+            json.dump(tags, f)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        with open(self._tags_path(), "w") as f:
+            json.dump(tags, f)
+
+    def resolve_ref(self, ref: str) -> int:
+        """Resolve a tag name to its version (ValueError if absent)."""
+        tags = self.tags()
+        if ref not in tags:
+            raise ValueError(f"unknown tag {ref!r}")
+        return tags[ref]
+
     def read(
         self,
         version: int | None = None,
@@ -776,6 +821,7 @@ class LakeTable:
         hi=None,
         merge_schema: bool = False,
         eq: "tuple | None" = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Snapshot read with optional stats pruning. The predicate is
         re-applied by the caller's own ``filter`` (pruning is a
@@ -787,6 +833,10 @@ class LakeTable:
         snapshot's files): columns absent in older files read as null.
         Renames/type changes stay out of scope (transactional-catalog
         seam, see module docstring)."""
+        if ref is not None:
+            if version is not None:
+                raise ValueError("pass either version or ref, not both")
+            version = self.resolve_ref(ref)
         files = self.pruned_files(version, pred_col, lo, hi, eq=eq)
         if not files:
             snap_files = self._load_snapshot(

@@ -574,3 +574,41 @@ def test_bloom_index_tolerates_nulls(spark, tmp_path):
     # an all-NULL commit builds an empty bitmap that prunes everything
     t.commit(spark.createDataFrame([(5, None)], "id long, name string"))
     assert t.read(eq=("name", "zeta")).filter("name = 'zeta'").count() == 0
+
+
+def test_tags_pin_versions_and_survive_rollback(spark, table):
+    """Named refs: tag HEAD, tag an explicit version, read(ref=),
+    re-tag moves the pointer, tags survive a rollback past them,
+    dangling/staged targets are rejected."""
+    v1 = table.commit(_batch(spark, 0, 2, "a"))
+    table.tag("release-1")  # defaults to HEAD
+    v2 = table.commit(_batch(spark, 2, 4, "b"))
+    table.tag("release-2", v2)
+
+    assert table.tags() == {"release-1": v1, "release-2": v2}
+    assert table.read(ref="release-1").count() == 200
+    assert table.read(ref="release-2").count() == 400
+
+    # re-tag moves the pointer
+    table.tag("release-1", v2)
+    assert table.resolve_ref("release-1") == v2
+
+    # rollback past the tag: the tagged snapshot stays readable by ref
+    table.tag("release-1", v1)
+    table.rollback(v1)
+    assert table.read(ref="release-2").count() == 400
+
+    # guard rails
+    with pytest.raises(ValueError):
+        table.tag("dangling", 999)
+    with pytest.raises(ValueError):
+        table.read(ref="nope")
+    with pytest.raises(ValueError):
+        table.read(version=v1, ref="release-1")
+
+    staged = table.stage(_batch(spark, 4, 5, "c"))
+    with pytest.raises(ValueError):
+        table.tag("unpublished", staged)
+
+    table.drop_tag("release-2")
+    assert "release-2" not in table.tags()
