@@ -322,6 +322,10 @@ HEADLINE = [
     "windowed_funnel_depth",
     "var_backtest_kupiec",
     "event_seq_pairs",
+    "ngram_containment_pairs",
+    "heaps_law_fit",
+    "copurchase_degree_hist",
+    "asof_forward_tolerance",
 ]
 
 

@@ -856,3 +856,70 @@ def keep_canonical(
         F.col("doc_id").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with shingle-set CONTAINMENT ≥ threshold,
+    where containment = |A∩B| / min(|A|, |B|) — the asymmetric
+    near-dup metric that catches quotes, excerpts and supersets whose
+    Jaccard stays low because the LENGTHS differ (a 10-shingle doc
+    fully inside a 500-shingle doc has Jaccard ≈ 0.02 but containment
+    1.0). Same single-pass inverted-index pair expansion as
+    :func:`jaccard_pairs` (shingle rows carry both set sizes, hot
+    buckets capped); only the final ratio differs, so the two metrics
+    share every scale property."""
+    sh = _sized_hashed_shingle_rows(df, text_col, id_col, k)
+    buckets = (
+        sh.groupBy("shh")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("sz"))
+                )
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    buckets = capped_buckets(buckets, max_bucket_size, None)
+    xs = F.col("xs")
+    pair_arr = F.flatten(
+        F.transform(
+            xs,
+            lambda x, i: F.transform(
+                F.slice(xs, i + 2, F.size(xs)),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sz"].alias("sz_a"),
+                    y["sz"].alias("sz_b"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.round(
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

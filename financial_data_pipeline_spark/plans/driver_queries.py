@@ -14509,3 +14509,188 @@ def q_event_seq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ordered.cast("double") / F.count(F.lit(1)), 6
         ).alias("order_propensity"),
     )
+
+
+@query(
+    "ngram_containment_pairs",
+    r"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        FROM documents)
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(i / least(x.sz, y.sz)::DOUBLE, 6) AS containment
+FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE i / least(x.sz, y.sz)::DOUBLE >= 0.8
+""",
+)
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram CONTAINMENT near-dup pairs (≥0.8, |A∩B|/min) —
+    ``dedup.containment_pairs``: the asymmetric metric that catches
+    quotes/excerpts whose Jaccard stays low because lengths differ.
+    Same one-pass inverted-index pair expansion as
+    ``ngram_jaccard_pairs``."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, k=3, threshold=0.8)
+
+
+@query(
+    "heaps_law_fit",
+    r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), per_src AS (
+  SELECT source, count(*)::DOUBLE AS n_tokens,
+         count(DISTINCT tok)::DOUBLE AS vocab
+  FROM toks GROUP BY 1
+)
+SELECT count(*)::BIGINT AS n_sources,
+       round(covar_samp(ln(vocab), ln(n_tokens))
+             / var_samp(ln(n_tokens)), 6) AS beta,
+       round(exp(avg(ln(vocab))
+                 - covar_samp(ln(vocab), ln(n_tokens))
+                   / var_samp(ln(n_tokens)) * avg(ln(n_tokens))), 4) AS k,
+       round(pow(corr(ln(vocab), ln(n_tokens)), 2), 6) AS r2
+FROM per_src
+""",
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K·nᵝ across sources: log-log OLS of vocab
+    size on token count over the per-source points — 'how fast does
+    vocabulary grow with corpus size' for tokenizer/mixture budgeting
+    (natural text: β ≈ 0.4-0.6). One tokenize pass, one per-source
+    count(+distinct) aggregate, one closed-form regression row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tokens"),
+        F.countDistinct("tok").cast("double").alias("vocab"),
+    )
+    lv, ln_ = F.log("vocab"), F.log("n_tokens")
+    beta = F.covar_samp(lv, ln_) / F.var_samp(ln_)
+    return per_src.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(F.avg(lv) - beta * F.avg(ln_)), 4).alias("k"),
+        F.round(F.corr(lv, ln_) ** 2, 6).alias("r2"),
+    )
+
+
+@query(
+    "copurchase_degree_hist",
+    """
+WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (
+  SELECT a.l_partkey AS part, count(DISTINCT b.l_partkey) AS degree
+  FROM pp a JOIN pp b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1
+)
+SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_parts
+FROM deg GROUP BY 1
+""",
+)
+def q_copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph degree distribution: for each part, how many
+    DISTINCT other parts ever share an order with it, histogrammed —
+    the connectivity profile behind ``part_basket_rules``. The pair
+    expansion is order-local (orders hold a handful of parts), so the
+    self-join is keyed on l_orderkey and never quadratic in the
+    catalog."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    b = pp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    deg = (
+        pp.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok"))
+            & (F.col("l_partkey") != F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.countDistinct("pb").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+
+
+@query(
+    "asof_forward_tolerance",
+    "WITH bars AS ("
+    + events_as_ohlcv_sql(240).strip()
+    + """),
+m AS (
+  SELECT e.event_id, e.event_type AS symbol, e.ts, e.value,
+         (SELECT min(b.timestamp) FROM bars b
+          WHERE b.symbol = e.event_type AND b.timestamp >= e.ts
+            AND b.timestamp <= e.ts + INTERVAL 6 HOUR) AS bar_ts
+  FROM events e
+)
+SELECT m.event_id, m.symbol, epoch_us(m.ts) AS ts_us, m.value,
+       b.close AS bar_close, epoch_us(m.bar_ts) AS bar_ts_us
+FROM m LEFT JOIN bars b
+  ON b.symbol = m.symbol AND b.timestamp = m.bar_ts
+""",
+)
+def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of with a 6-hour tolerance: every event gets the
+    close of the FIRST 4h bar at-or-after it, or null past the
+    tolerance (``operators.asof.asof_join(direction='forward',
+    tolerance_seconds=21600)`` — same union+window merge composition,
+    one by-key shuffle, no join operator). The oracle emulates forward
+    semantics with a correlated min-subquery (DuckDB's native ASOF is
+    backward-only) — exercising the operator's full direction ×
+    tolerance surface."""
+    from financial_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", F.col("event_type").alias("symbol"), "ts", "value"
+    )
+    bars = events_as_ohlcv(spark, sf_dir, 240).select(
+        "symbol",
+        F.col("timestamp").alias("ts"),
+        F.col("close").alias("bar_close"),
+    )
+    j = asof_join(
+        left,
+        bars,
+        on="ts",
+        by="symbol",
+        matched_ts_col="bar_ts",
+        direction="forward",
+        tolerance_seconds=6 * 3600,
+    )
+    return j.select(
+        "event_id",
+        "symbol",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "bar_close",
+        F.unix_micros("bar_ts").alias("bar_ts_us"),
+    )
