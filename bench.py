@@ -326,6 +326,8 @@ HEADLINE = [
     "heaps_law_fit",
     "copurchase_degree_hist",
     "asof_forward_tolerance",
+    "returns_anova_dow",
+    "label_centroid_sims",
 ]
 
 

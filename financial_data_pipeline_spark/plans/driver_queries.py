@@ -14694,3 +14694,160 @@ def q_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_close",
         F.unix_micros("bar_ts").alias("bar_ts_us"),
     )
+
+
+@query(
+    "returns_anova_dow",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, dayofweek(timestamp) AS dow,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+g AS (
+  SELECT symbol, dow, count(*)::DOUBLE AS ng, avg(r) AS mg,
+         sum(r * r) - count(*) * avg(r) * avg(r) AS ssw_g
+  FROM rr GROUP BY 1, 2
+), tot AS (
+  SELECT symbol, count(*)::DOUBLE AS n, avg(r) AS mu,
+         count(DISTINCT dow)::DOUBLE AS k
+  FROM rr GROUP BY 1
+)
+SELECT g.symbol,
+       max(tot.n)::BIGINT AS n_obs,
+       max(tot.k)::BIGINT AS k_groups,
+       round(sum(g.ng * (g.mg - tot.mu) * (g.mg - tot.mu))
+             / (max(tot.k) - 1)
+             / (sum(g.ssw_g) / (max(tot.n) - max(tot.k))), 4) AS f_stat
+FROM g JOIN tot USING (symbol)
+GROUP BY 1
+""",
+)
+def q_returns_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of hourly log returns across day-of-week groups
+    per symbol: F = between-group MS / within-group MS from one
+    grouped aggregate (within-SS via the power-sum identity) — the
+    parametric companion of ``ks_drift_by_dow`` for calendar-effect
+    screening. Two keyed aggregates + a broadcast totals join."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.select(
+            "symbol",
+            F.dayofweek("timestamp").alias("dow"),
+            F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    g = rr.groupBy("symbol", "dow").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.avg("r").alias("mg"),
+        (
+            F.sum(F.col("r") * F.col("r"))
+            - F.count(F.lit(1)) * F.avg("r") * F.avg("r")
+        ).alias("ssw_g"),
+    )
+    tot = rr.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("r").alias("mu"),
+        F.countDistinct("dow").cast("double").alias("k"),
+    )
+    j = g.join(F.broadcast(tot), "symbol")
+    ssb = F.sum(
+        F.col("ng") * (F.col("mg") - F.col("mu")) * (F.col("mg") - F.col("mu"))
+    )
+    return j.groupBy("symbol").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.max("k").cast("long").alias("k_groups"),
+        F.round(
+            ssb
+            / (F.max("k") - 1)
+            / (F.sum("ssw_g") / (F.max("n") - F.max("k"))),
+            4,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "label_centroid_sims",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, i, avg(v[i]) AS c
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+  GROUP BY 1, 2
+), norms AS (
+  SELECT label, sqrt(sum(c * c)) AS nrm, count(*)::BIGINT AS dim
+  FROM dims GROUP BY 1
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+  FROM dims a JOIN dims b ON a.i = b.i AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       round(d.dot / (x.nrm * y.nrm), 6) AS cos_sim
+FROM dots d
+JOIN norms x ON x.label = d.label_a
+JOIN norms y ON y.label = d.label_b
+""",
+)
+def q_label_centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the cluster-geometry sanity readout (well-separated
+    labels → low off-diagonal cosine). Centroids come from ONE
+    dimension-exploded aggregate (rows × dim, map-side combined, no
+    vector collect); the label × label join runs on |labels|·dim
+    rows. Dot products sum over the dim KEY, so the unordered-sum
+    noise is identical in both engines at 6 dp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = (
+        e.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    norms = dims.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = dims.select(
+        F.col("label").alias("label_a"), "i", F.col("c").alias("ca")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"),
+        F.col("i").alias("ib"),
+        F.col("c").alias("cb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("i") == F.col("ib"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(
+                norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+            ),
+            "label_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+            ),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
