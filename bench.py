@@ -328,6 +328,8 @@ HEADLINE = [
     "asof_forward_tolerance",
     "returns_anova_dow",
     "label_centroid_sims",
+    "dfa_exponent",
+    "lang_detect_kappa",
 ]
 
 

@@ -14851,3 +14851,200 @@ def q_label_centroid_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "dfa_exponent",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+mu AS (SELECT symbol, avg(r) AS mu FROM rr GROUP BY 1),
+prof AS (
+  SELECT rr.symbol,
+         sum(rr.r - mu.mu) OVER (PARTITION BY rr.symbol ORDER BY rr.timestamp
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS y,
+         row_number() OVER (PARTITION BY rr.symbol
+                            ORDER BY rr.timestamp) - 1 AS t
+  FROM rr JOIN mu USING (symbol)
+), scaled AS (
+  SELECT p.symbol, s.n, p.y, p.t, p.t // s.n AS box,
+         p.t % s.n AS u
+  FROM prof p CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS n) s
+), boxes AS (
+  SELECT symbol, n, box,
+         count(*) AS cnt,
+         sum(y * y) - count(*) * avg(y) * avg(y) AS syy,
+         sum(y * u) - count(*) * avg(y) * avg(u) AS sxy,
+         sum(u * u) - count(*) * avg(u) * avg(u) AS sxx
+  FROM scaled GROUP BY 1, 2, 3
+), fn AS (
+  SELECT symbol, n,
+         sqrt(sum(syy - sxy * sxy / sxx) / sum(cnt)) AS f
+  FROM boxes WHERE cnt = n GROUP BY 1, 2
+)
+SELECT symbol, count(*)::BIGINT AS n_scales,
+       round(covar_samp(ln(f), ln(n)) / var_samp(ln(n)), 4) AS dfa_alpha,
+       round(pow(corr(ln(f), ln(n)), 2), 6) AS fit_r2
+FROM fn GROUP BY 1
+""",
+)
+def q_dfa_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended Fluctuation Analysis exponent per symbol (scales
+    8/16/32/64): the integrated profile is split into full boxes, a
+    per-box LINEAR detrend's residual RMS comes from the closed-form
+    OLS identity SSE = Syy − Sxy²/Sxx (one grouped aggregate — no
+    per-box regression loop), and α is the log-log slope of F(n) —
+    the trend-robust cousin of ``hurst_exponent`` (α ≈ 0.5 random
+    walk, > 0.5 persistent). Scales fan out as a 4-row literal
+    crossJoin; everything else is keyed on (symbol, scale, box)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.select(
+            "symbol",
+            "timestamp",
+            F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    mu = rr.groupBy("symbol").agg(F.avg("r").alias("mu"))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prof = rr.join(F.broadcast(mu), "symbol").select(
+        "symbol",
+        F.sum(F.col("r") - F.col("mu")).over(cum).alias("y"),
+        (F.row_number().over(w) - 1).alias("t"),
+    )
+    scales = F.explode(F.array(*[F.lit(n) for n in (8, 16, 32, 64)]))
+    scaled = prof.select(
+        "symbol", "y", "t", scales.alias("n")
+    ).select(
+        "symbol",
+        "n",
+        "y",
+        (F.col("t") % F.col("n")).cast("double").alias("u"),
+        F.floor(F.col("t") / F.col("n")).alias("box"),
+    )
+    cnt = F.count(F.lit(1))
+    boxes = scaled.groupBy("symbol", "n", "box").agg(
+        cnt.alias("cnt"),
+        (F.sum(F.col("y") * F.col("y")) - cnt * F.avg("y") * F.avg("y")).alias(
+            "syy"
+        ),
+        (F.sum(F.col("y") * F.col("u")) - cnt * F.avg("y") * F.avg("u")).alias(
+            "sxy"
+        ),
+        (F.sum(F.col("u") * F.col("u")) - cnt * F.avg("u") * F.avg("u")).alias(
+            "sxx"
+        ),
+    )
+    fn = (
+        boxes.filter(F.col("cnt") == F.col("n"))
+        .groupBy("symbol", "n")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.col("syy") - F.col("sxy") * F.col("sxy") / F.col("sxx")
+                )
+                / F.sum("cnt")
+            ).alias("f")
+        )
+    )
+    lf, ln_ = F.log("f"), F.log(F.col("n").cast("double"))
+    return fn.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_scales"),
+        F.round(F.covar_samp(lf, ln_) / F.var_samp(ln_), 4).alias(
+            "dfa_alpha"
+        ),
+        F.round(F.corr(lf, ln_) ** 2, 6).alias("fit_r2"),
+    )
+
+
+@query(
+    "lang_detect_kappa",
+    "WITH pred AS ("
+    + _lang_detect_sql().strip()
+    + """),
+conf AS (
+  SELECT lang_actual, lang_pred, count(*)::DOUBLE AS c
+  FROM pred GROUP BY 1, 2
+), nn AS (SELECT sum(c) AS n FROM conf),
+marg AS (
+  SELECT coalesce(a.k, p.k) AS k,
+         coalesce(a.ca, 0) AS ca, coalesce(p.cp, 0) AS cp
+  FROM (SELECT lang_actual AS k, sum(c) AS ca FROM conf GROUP BY 1) a
+  FULL JOIN (SELECT lang_pred AS k, sum(c) AS cp FROM conf GROUP BY 1) p
+    ON a.k = p.k
+), pe AS (
+  SELECT sum(ca * cp) / (max(nn.n) * max(nn.n)) AS pe
+  FROM marg CROSS JOIN nn
+), po AS (
+  SELECT sum(CASE WHEN lang_actual = lang_pred THEN c ELSE 0 END)
+           / max(nn.n) AS po,
+         max(nn.n)::BIGINT AS n_docs
+  FROM conf CROSS JOIN nn
+)
+SELECT po.n_docs,
+       round(po.po, 6) AS accuracy,
+       round(pe.pe, 6) AS expected_agreement,
+       round((po.po - pe.pe) / (1.0 - pe.pe), 6) AS kappa
+FROM po CROSS JOIN pe
+""",
+)
+def q_lang_detect_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the marker-based language detector against the
+    labeled ``lang`` column: chance-corrected agreement from the
+    confusion-matrix margins (full-join handles the asymmetric 'und'
+    class). One detector pass + three tiny aggregates — the model-eval
+    readout on top of ``lang_detect``/``nb_lang_score``."""
+    from financial_data_pipeline_spark.operators.text import detect_language
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_actual"),
+        detect_language(F.col("text")).alias("lang_pred"),
+    )
+    conf = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = conf.agg(F.sum("c").alias("n"))
+    a = conf.groupBy(F.col("lang_actual").alias("k")).agg(
+        F.sum("c").alias("ca")
+    )
+    p = conf.groupBy(F.col("lang_pred").alias("kp")).agg(
+        F.sum("c").alias("cp")
+    )
+    marg = a.join(p, a.k == p.kp, "full").select(
+        F.coalesce(F.col("ca"), F.lit(0.0)).alias("ca"),
+        F.coalesce(F.col("cp"), F.lit(0.0)).alias("cp"),
+    )
+    pe = marg.crossJoin(F.broadcast(n)).agg(
+        (F.sum(F.col("ca") * F.col("cp")) / (F.max("n") * F.max("n"))).alias(
+            "pe"
+        )
+    )
+    po = conf.crossJoin(F.broadcast(n)).agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("lang_actual") == F.col("lang_pred"), F.col("c")
+                ).otherwise(0.0)
+            )
+            / F.max("n")
+        ).alias("po"),
+        F.max("n").cast("long").alias("n_docs"),
+    )
+    j = po.crossJoin(F.broadcast(pe))
+    return j.select(
+        "n_docs",
+        F.round("po", 6).alias("accuracy"),
+        F.round("pe", 6).alias("expected_agreement"),
+        F.round(
+            (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")), 6
+        ).alias("kappa"),
+    )
