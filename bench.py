@@ -330,6 +330,8 @@ HEADLINE = [
     "label_centroid_sims",
     "dfa_exponent",
     "lang_detect_kappa",
+    "term_burstiness",
+    "doc_keywords",
 ]
 
 

@@ -15048,3 +15048,140 @@ def q_lang_detect_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")), 6
         ).alias("kappa"),
     )
+
+
+@query(
+    "term_burstiness",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, doc_id, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2
+), nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+stats AS (
+  SELECT tok,
+         sum(c) AS total,
+         count(*)::BIGINT AS df,
+         sum(c) / max(nd.n_docs) AS mean_c,
+         (sum(c * c) - sum(c) * sum(c) / max(nd.n_docs))
+           / (max(nd.n_docs) - 1) AS var_c
+  FROM tf CROSS JOIN nd GROUP BY tok
+)
+SELECT tok, total::BIGINT AS total, df,
+       round(var_c / mean_c, 4) AS vmr
+FROM stats
+ORDER BY total DESC, tok ASC
+LIMIT 20
+""",
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness of the 20 most frequent terms:
+    variance-to-mean ratio of per-document counts with ABSENT docs
+    counted as zeros (the power-sum identity over n_docs — no dense
+    zero-fill materializes). VMR ≈ 1 is Poisson scatter; bursty
+    content words run high, function words low — the signal behind
+    stopword lists and term-weighting choices."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    n = F.max("n_docs")
+    stats = tf.crossJoin(F.broadcast(nd)).groupBy("tok").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("df"),
+        (F.sum("c") / n).alias("mean_c"),
+        (
+            (F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c") / n)
+            / (n - 1)
+        ).alias("var_c"),
+    )
+    return (
+        stats.select(
+            "tok",
+            F.col("total").cast("long").alias("total"),
+            "df",
+            F.round(F.col("var_c") / F.col("mean_c"), 4).alias("vmr"),
+        )
+        .orderBy(F.desc("total"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "doc_keywords",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2
+), df AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln((nd.n + 1.0) / (df.df + 1.0)), 8) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, tok AS keyword, tfidf,
+       row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tfidf DESC, tok ASC) AS rank
+FROM scored
+QUALIFY rank <= 3
+""",
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed IDF, score rounded
+    to 8 dp BEFORE the (score, term) rank so tie-breaks are engine-
+    identical) — the per-document extraction complement of the
+    corpus-level ``tfidf_top_terms``. One tokenize pass, two count
+    aggregates, one per-doc top-k window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                8,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("keyword"), "tfidf", "rank")
+    )
