@@ -332,6 +332,8 @@ HEADLINE = [
     "lang_detect_kappa",
     "term_burstiness",
     "doc_keywords",
+    "ewma_control_chart",
+    "event_trigram_transitions",
 ]
 
 

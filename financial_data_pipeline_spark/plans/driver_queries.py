@@ -15185,3 +15185,123 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", F.col("tok").alias("keyword"), "tfidf", "rank")
     )
+
+
+@query(
+    "ewma_control_chart",
+    """
+WITH RECURSIVE cnt AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         count(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT event_type, hour, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM cnt
+), rec AS (
+  SELECT event_type, hour, rn, c, c AS z FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.event_type, b.hour, b.rn, b.c,
+         0.2 * b.c + (1.0::DOUBLE - 0.2::DOUBLE) * r.z AS z
+  FROM rec r JOIN base b
+    ON b.event_type = r.event_type AND b.rn = r.rn + 1
+), lim AS (
+  SELECT event_type, avg(c) AS mu, stddev_samp(c) AS sd
+  FROM cnt GROUP BY 1
+)
+SELECT r.event_type, epoch_us(r.hour) AS hour_us,
+       r.c::BIGINT AS n_events,
+       round(r.z, 6) AS ewma,
+       round(l.mu + 3.0 * l.sd * sqrt(0.2 / (2.0 - 0.2)), 6) AS ucl,
+       round(l.mu - 3.0 * l.sd * sqrt(0.2 / (2.0 - 0.2)), 6) AS lcl,
+       (round(r.z, 6) > round(l.mu + 3.0 * l.sd * sqrt(0.2 / (2.0 - 0.2)), 6)
+        OR round(r.z, 6) < round(l.mu - 3.0 * l.sd * sqrt(0.2 / (2.0 - 0.2)), 6))
+         AS breach
+FROM rec r JOIN lim l USING (event_type)
+""",
+)
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ=0.2, 3σ asymptotic limits) over hourly
+    event counts per type — the SPC monitoring layer next to
+    ``cusum_changepoints``: slow drifts in arrival rate breach the
+    chart long before a raw-count threshold fires. The EWMA is the
+    ``ema_truncated`` codegen fold (span 9 ⇒ α exactly 0.2); the
+    oracle replays the exact recursion as a recursive CTE; breach
+    flags derive from the ROUNDED statistic and limits, so the
+    boolean is a pure function of hash-compared values. Empty hours
+    are absent from the series by construction (both engines bucket
+    identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    z = indicators.ema_truncated("c", 9, by=["event_type"], ts="hour")
+    lam = 0.2
+    lim = cnt.groupBy("event_type").agg(
+        F.avg("c").alias("mu"), F.stddev_samp("c").alias("sd")
+    )
+    half_width = 3.0 * F.col("sd") * F.sqrt(F.lit(lam / (2.0 - lam)))
+    staged = (
+        cnt.withColumn("z", z)
+        .join(F.broadcast(lim), "event_type")
+        .select(
+            "event_type",
+            F.unix_micros("hour").alias("hour_us"),
+            F.col("c").cast("long").alias("n_events"),
+            F.round("z", 6).alias("ewma"),
+            F.round(F.col("mu") + half_width, 6).alias("ucl"),
+            F.round(F.col("mu") - half_width, 6).alias("lcl"),
+        )
+    )
+    return staged.withColumn(
+        "breach",
+        (F.col("ewma") > F.col("ucl")) | (F.col("ewma") < F.col("lcl")),
+    )
+
+
+@query(
+    "event_trigram_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         lead(event_type) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tri AS (
+  SELECT t1, t2, t3, count(*) AS c
+  FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, c AS transitions,
+       round(c / CAST(sum(c) OVER (PARTITION BY t1, t2) AS DOUBLE), 6)
+         AS probability
+FROM tri
+""",
+)
+def q_event_trigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transitions P(next | prev two) of user
+    event types: two lead windows on one per-user sort build trigrams,
+    one count aggregate, row-normalization over the tiny (types³)
+    frame — does history beyond one step matter (compare against
+    ``event_transition_matrix``'s first-order rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type").over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    tri = seq.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    tot = Window.partitionBy("t1", "t2")
+    return tri.select(
+        "t1",
+        "t2",
+        "t3",
+        "transitions",
+        F.round(
+            F.col("transitions")
+            / F.sum("transitions").over(tot).cast("double"),
+            6,
+        ).alias("probability"),
+    )
