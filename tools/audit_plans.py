@@ -263,6 +263,16 @@ def main() -> None:
         "- `lang_source_assoc` NESTED_LOOP_JOIN: the grand total n is a",
         "  ONE-row broadcast crossJoin onto the contingency CELL frame",
         "  (≤ langs × sources rows) — scalar distribution, O(cells·1).",
+        "- `theil_decomposition` / `lang_detect_kappa` /",
+        "  `term_burstiness` / `doc_keywords` NESTED_LOOP_JOIN: each is",
+        "  a ONE-row global-total (or n-docs) broadcast crossJoin onto an",
+        "  aggregated frame — the `tfidf_top_terms` scalar-distribution",
+        "  shape, O(rows·1), never a pair blowup.",
+        "- `part_skyline` GLOBAL_WINDOW: the strictly-cheaper prefix max",
+        "  is a total order on price BY DEFINITION and runs on the",
+        "  DEDUPLICATED per-price frame (|distinct prices| rows), never",
+        "  the part table; this window is exactly what replaces the",
+        "  O(n²) dominance self-join.",
         "- `lof_outliers` NESTED_LOOP_JOIN: the all-pairs i≠j self-join",
         "  is the DELIBERATE exact-kNN candidate set, hard-guarded by",
         "  max_rows (20k → ≤ 4·10⁸ cheap distance rows); the documented",
