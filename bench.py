@@ -334,6 +334,7 @@ HEADLINE = [
     "doc_keywords",
     "ewma_control_chart",
     "event_trigram_transitions",
+    "source_kl_divergence",
 ]
 
 

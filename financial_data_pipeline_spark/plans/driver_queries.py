@@ -15305,3 +15305,74 @@ def q_event_trigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("probability"),
     )
+
+
+@query(
+    "source_kl_divergence",
+    r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), st AS (
+  SELECT source, tok, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2
+), ct AS (SELECT tok, sum(c) AS cf FROM st GROUP BY 1),
+totals AS (
+  SELECT (SELECT sum(cf) FROM ct) AS n_corpus,
+         (SELECT count(*) FROM ct)::DOUBLE AS v
+), ssum AS (SELECT source, sum(c) AS n_src FROM st GROUP BY 1)
+SELECT st.source,
+       ssum.n_src::BIGINT AS n_tokens,
+       count(*)::BIGINT AS vocab_src,
+       round(sum((st.c / ssum.n_src)
+                 * ln((st.c / ssum.n_src)
+                      / ((ct.cf + 1.0) / (totals.n_corpus + totals.v)))),
+             6) AS kl_vs_corpus
+FROM st
+JOIN ct USING (tok)
+JOIN ssum USING (source)
+CROSS JOIN totals
+GROUP BY 1, 2
+""",
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ‖ corpus) over unigram token distributions per
+    source (corpus side add-one smoothed over the shared vocabulary,
+    so every source token has a defined q) — 'how far does each
+    source's language drift from the mixture', the divergence
+    companion of ``categorical_psi_sources`` at token granularity.
+    One tokenize pass, two count aggregates, a tok-keyed join (AQE
+    absorbs stopword skew) and a one-row totals crossJoin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ct = st.groupBy("tok").agg(F.sum("c").alias("cf"))
+    totals = ct.agg(
+        F.sum("cf").alias("n_corpus"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ssum = st.groupBy("source").agg(F.sum("c").alias("n_src"))
+    p = F.col("c") / F.col("n_src")
+    q = (F.col("cf") + 1.0) / (F.col("n_corpus") + F.col("v"))
+    j = (
+        st.join(ct, "tok")
+        .join(F.broadcast(ssum), "source")
+        .crossJoin(F.broadcast(totals))
+    )
+    return j.groupBy(
+        "source", F.col("n_src").cast("long").alias("n_tokens")
+    ).agg(
+        F.count(F.lit(1)).alias("vocab_src"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+    )

@@ -1130,3 +1130,22 @@ def test_token_sort_dedup_catches_shuffled_copies(spark):
     assert set(by_id) == {1, 2, 5}
     assert {by_id[i].canonical_id for i in (1, 2, 5)} == {1}
     assert by_id[1].group_size == 3
+
+
+def test_containment_pairs_catches_excerpts_jaccard_misses(spark):
+    """A short quote fully inside a long doc: containment = 1.0 even
+    though Jaccard is tiny; unrelated docs stay absent."""
+    base = " ".join(f"w{i}" for i in range(120))       # 118 3-shingles
+    quote = " ".join(f"w{i}" for i in range(10))       # 8 3-shingles, all inside
+    rows = [
+        (1, base),
+        (2, quote),
+        (3, "completely different tokens " * 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.containment
+           for r in dedup.containment_pairs(df, k=3, threshold=0.8).collect()}
+    assert got == {(1, 2): 1.0}
+    jac = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.jaccard_pairs(df, k=3, threshold=0.01).collect()}
+    assert jac[(1, 2)] < 0.1  # the excerpt is invisible to Jaccard
