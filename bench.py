@@ -335,6 +335,8 @@ HEADLINE = [
     "ewma_control_chart",
     "event_trigram_transitions",
     "source_kl_divergence",
+    "yang_zhang_vol",
+    "lo_adjusted_sharpe",
 ]
 
 

@@ -15376,3 +15376,158 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("vocab_src"),
         F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
     )
+
+
+@query(
+    "yang_zhang_vol",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, CAST(timestamp AS DATE) AS day,
+         arg_min(open, epoch_us(timestamp)) AS o,
+         max(high) AS h, min(low) AS l,
+         arg_max(close, epoch_us(timestamp)) AS c
+  FROM bars GROUP BY 1, 2
+), t AS (
+  SELECT symbol,
+         ln(o / lag(c) OVER w) AS ov,
+         ln(c / o) AS cc,
+         ln(h / o) * (ln(h / o) - ln(c / o))
+           + ln(l / o) * (ln(l / o) - ln(c / o)) AS rs
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY day)
+), tt AS (SELECT * FROM t WHERE ov IS NOT NULL)
+SELECT symbol,
+       count(*)::BIGINT AS n_days,
+       round(sqrt(var_samp(ov)), 6) AS sigma_overnight,
+       round(sqrt(var_samp(cc)), 6) AS sigma_open_close,
+       round(sqrt(avg(rs)), 6) AS sigma_rs,
+       round(sqrt(var_samp(ov)
+                  + (0.34 / (1.34 + (count(*) + 1.0) / (count(*) - 1.0)))
+                    * var_samp(cc)
+                  + (1.0 - 0.34 / (1.34 + (count(*) + 1.0)
+                                   / (count(*) - 1.0))) * avg(rs)), 6)
+         AS sigma_yang_zhang
+FROM tt GROUP BY 1
+""",
+)
+def q_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yang-Zhang volatility per symbol from daily OHLC (aggregated
+    from the hourly bars): the minimum-variance drift-independent
+    estimator combining overnight variance, open-to-close variance
+    and the Rogers-Satchell term with the canonical k weight — one
+    daily rollup, one lag window, one aggregate. Completes the range-
+    estimator family next to ``range_volatility``
+    (Parkinson/Garman-Klass)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    us = F.unix_micros("timestamp")
+    daily = bars.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(
+        F.min_by("open", us).alias("o"),
+        F.max("high").alias("h"),
+        F.min("low").alias("l"),
+        F.max_by("close", us).alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    t = daily.select(
+        "symbol",
+        F.log(F.col("o") / F.lag("c").over(w)).alias("ov"),
+        F.log(F.col("c") / F.col("o")).alias("cc"),
+        (
+            F.log(F.col("h") / F.col("o"))
+            * (F.log(F.col("h") / F.col("o")) - F.log(F.col("c") / F.col("o")))
+            + F.log(F.col("l") / F.col("o"))
+            * (F.log(F.col("l") / F.col("o")) - F.log(F.col("c") / F.col("o")))
+        ).alias("rs"),
+    ).filter(F.col("ov").isNotNull())
+    n = F.count(F.lit(1)).cast("double")
+    k = 0.34 / (1.34 + (n + 1.0) / (n - 1.0))
+    return t.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sqrt(F.var_samp("ov")), 6).alias("sigma_overnight"),
+        F.round(F.sqrt(F.var_samp("cc")), 6).alias("sigma_open_close"),
+        F.round(F.sqrt(F.avg("rs")), 6).alias("sigma_rs"),
+        F.round(
+            F.sqrt(
+                F.var_samp("ov") + k * F.var_samp("cc") + (1.0 - k) * F.avg("rs")
+            ),
+            6,
+        ).alias("sigma_yang_zhang"),
+    )
+
+
+@query(
+    "lo_adjusted_sharpe",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (
+  SELECT symbol, r,
+         lag(r, 1) OVER w AS r1, lag(r, 2) OVER w AS r2,
+         lag(r, 3) OVER w AS r3, lag(r, 4) OVER w AS r4,
+         lag(r, 5) OVER w AS r5
+  FROM r WHERE r IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), agg AS (
+  SELECT symbol, count(*)::BIGINT AS n_obs,
+         avg(r) / stddev_samp(r) AS sr,
+         corr(r, r1) AS p1, corr(r, r2) AS p2, corr(r, r3) AS p3,
+         corr(r, r4) AS p4, corr(r, r5) AS p5
+  FROM rr GROUP BY 1
+)
+SELECT symbol, n_obs,
+       round(sr, 6) AS sharpe_per_bar,
+       round(CASE WHEN 24.0 + 2.0 * ((24 - 1) * p1 + (24 - 2) * p2
+                                     + (24 - 3) * p3 + (24 - 4) * p4
+                                     + (24 - 5) * p5) > 0
+             THEN sr * sqrt(24.0)
+                  / sqrt(24.0 + 2.0 * ((24 - 1) * p1 + (24 - 2) * p2
+                                       + (24 - 3) * p3 + (24 - 4) * p4
+                                       + (24 - 5) * p5)) END, 6)
+         AS sharpe_daily_lo,
+       round(sr * sqrt(24.0), 6) AS sharpe_daily_iid
+FROM agg
+""",
+)
+def q_lo_adjusted_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo (2002) autocorrelation-adjusted Sharpe: the per-bar SR scaled
+    to daily (q=24 hourly bars) with the √q replaced by
+    q/√(q + 2Σ(q−k)ρ_k) over the first five return autocorrelations —
+    serial correlation makes naive √q annualization overstate SR.
+    One lag fan-out + one aggregate (corr pairs); the windows share
+    the per-symbol sort. Null when the adjustment denominator is
+    non-positive (extreme negative autocorrelation — the estimator's
+    own domain limit, guarded identically in both engines)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+    )
+    for i in range(1, 6):
+        rr = rr.withColumn(f"r{i}", F.lag("r", i).over(w))
+    q = 24.0
+    agg = rr.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.avg("r") / F.stddev_samp("r")).alias("sr"),
+        *[F.corr("r", f"r{i}").alias(f"p{i}") for i in range(1, 6)],
+    )
+    denom = q + 2.0 * sum(
+        (q - i) * F.col(f"p{i}") for i in range(1, 6)
+    )
+    return agg.select(
+        "symbol",
+        "n_obs",
+        F.round("sr", 6).alias("sharpe_per_bar"),
+        F.round(
+            F.when(denom > 0, F.col("sr") * F.sqrt(F.lit(q)) / F.sqrt(denom)),
+            6,
+        ).alias("sharpe_daily_lo"),
+        F.round(F.col("sr") * F.sqrt(F.lit(q)), 6).alias(
+            "sharpe_daily_iid"
+        ),
+    )
