@@ -337,6 +337,8 @@ HEADLINE = [
     "source_kl_divergence",
     "yang_zhang_vol",
     "lo_adjusted_sharpe",
+    "revenue_mom_yoy",
+    "cohort_ltv_by_year",
 ]
 
 

@@ -15531,3 +15531,126 @@ def q_lo_adjusted_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sharpe_daily_iid"
         ),
     )
+
+
+@query(
+    "revenue_mom_yoy",
+    """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(month, '%Y-%m-%d %H:%M:%S') AS month, revenue, n_orders,
+       round(100.0 * (revenue / lag(revenue) OVER (ORDER BY month) - 1.0), 4)
+         AS mom_pct,
+       round(100.0 * (revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0),
+             4) AS yoy_pct,
+       round(avg(revenue) OVER (ORDER BY month
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             2) AS rev_3mo_avg
+FROM m
+""",
+)
+def q_revenue_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with MoM %, YoY % (lag 12) and a trailing
+    3-month average — the canonical BI growth readout over the
+    multi-year orders table. The global windows run on the per-MONTH
+    aggregate (≤ ~84 rows across TPC-H's seven years), never the
+    fact table; revenue is pre-rounded so the growth ratios divide
+    identical numerators in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    w3 = w.rowsBetween(-2, 0)
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "revenue",
+        "n_orders",
+        F.round(
+            100.0 * (F.col("revenue") / F.lag("revenue").over(w) - 1.0), 4
+        ).alias("mom_pct"),
+        F.round(
+            100.0 * (F.col("revenue") / F.lag("revenue", 12).over(w) - 1.0),
+            4,
+        ).alias("yoy_pct"),
+        F.round(F.avg("revenue").over(w3), 2).alias("rev_3mo_avg"),
+    )
+
+
+@query(
+    "cohort_ltv_by_year",
+    """
+WITH first_order AS (
+  SELECT o_custkey, min(year(o_orderdate)) AS cohort_year
+  FROM orders GROUP BY 1
+), rev AS (
+  SELECT f.cohort_year,
+         year(o.o_orderdate) - f.cohort_year AS age_years,
+         sum(o.o_totalprice) AS revenue,
+         count(DISTINCT o.o_custkey) AS active_customers
+  FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+), size_ AS (
+  SELECT cohort_year, count(*)::BIGINT AS cohort_size
+  FROM first_order GROUP BY 1
+)
+SELECT r.cohort_year, r.age_years, s.cohort_size,
+       r.active_customers::BIGINT AS active_customers,
+       round(r.revenue, 2) AS revenue,
+       round(sum(r.revenue) OVER (PARTITION BY r.cohort_year
+                                  ORDER BY r.age_years) / s.cohort_size, 4)
+         AS cum_ltv_per_customer
+FROM rev r JOIN size_ s USING (cohort_year)
+""",
+)
+def q_cohort_ltv_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cohort LTV curves: customers grouped by first-order
+    year, revenue tracked by cohort age, cumulative LTV per customer
+    via a window over the tiny (cohort × age) grid — the acquisition-
+    vintage view behind ``cohort_retention`` (which tracks presence,
+    not value). Two user-keyed aggregates + one grid window."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    rev = (
+        orders.join(first, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (F.year("o_orderdate") - F.col("cohort_year")).alias(
+                "age_years"
+            ),
+        )
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    size_ = first.groupBy("cohort_year").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    w = Window.partitionBy("cohort_year").orderBy("age_years").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(F.broadcast(size_), "cohort_year")
+        .select(
+            "cohort_year",
+            "age_years",
+            "cohort_size",
+            F.col("active_customers").cast("long").alias(
+                "active_customers"
+            ),
+            F.round("revenue", 2).alias("revenue"),
+            F.round(
+                F.sum("revenue").over(w) / F.col("cohort_size"), 4
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
