@@ -339,6 +339,8 @@ HEADLINE = [
     "lo_adjusted_sharpe",
     "revenue_mom_yoy",
     "cohort_ltv_by_year",
+    "discount_elasticity",
+    "order_line_hist",
 ]
 
 

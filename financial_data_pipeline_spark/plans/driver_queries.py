@@ -15654,3 +15654,63 @@ def q_cohort_ltv_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+@query(
+    "discount_elasticity",
+    """
+WITH b AS (
+  SELECT round(l_discount, 2) AS discount,
+         l_quantity,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+)
+SELECT discount,
+       count(*)::BIGINT AS n_lines,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(sum(rev), 2) AS revenue
+FROM b GROUP BY 1
+""",
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand response by discount level: line count, mean quantity
+    and net revenue per discount tier (discounts are fixed 1%-steps,
+    rounded to a stable 2-dp group key) — the pricing-analytics
+    readout behind ``discount_revenue_delta``. One grouped
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round("l_discount", 2).alias("discount"),
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return b.groupBy("discount").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "order_line_hist",
+    """
+WITH per_order AS (
+  SELECT l_orderkey, count(*)::BIGINT AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT n_lines, count(*)::BIGINT AS n_orders
+FROM per_order GROUP BY 1
+""",
+)
+def q_order_line_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size histogram: line count per order, then orders per
+    line count — the basket-size distribution companion of
+    ``customer_order_distribution`` (orders per customer). Two
+    map-side-combined aggregates, both keyed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
