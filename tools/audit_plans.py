@@ -263,8 +263,13 @@ def main() -> None:
         "- `lang_source_assoc` NESTED_LOOP_JOIN: the grand total n is a",
         "  ONE-row broadcast crossJoin onto the contingency CELL frame",
         "  (≤ langs × sources rows) — scalar distribution, O(cells·1).",
+        "- `revenue_mom_yoy` GLOBAL_WINDOW: the MoM/YoY lag windows run",
+        "  on the per-MONTH aggregate (≤ ~84 rows over TPC-H's seven",
+        "  years) — a calendar series is a total order by definition;",
+        "  the order facts never see the window.",
         "- `theil_decomposition` / `lang_detect_kappa` /",
-        "  `term_burstiness` / `doc_keywords` NESTED_LOOP_JOIN: each is",
+        "  `term_burstiness` / `doc_keywords` / `source_kl_divergence`",
+        "  NESTED_LOOP_JOIN: each is",
         "  a ONE-row global-total (or n-docs) broadcast crossJoin onto an",
         "  aggregated frame — the `tfidf_top_terms` scalar-distribution",
         "  shape, O(rows·1), never a pair blowup.",
