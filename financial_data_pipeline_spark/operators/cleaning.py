@@ -154,13 +154,20 @@ def bfill(
     partition_by: list[str] = ("symbol",),
     order_by="timestamp",
 ) -> DataFrame:
-    """Backward-fill nulls (``fillna(method="bfill")``)."""
+    """Backward-fill nulls (``fillna(method="bfill")``).
+
+    Evaluated as ``last(ignorenulls)`` over the REVERSED sort with an
+    unbounded-PRECEDING frame: Spark computes unbounded-FOLLOWING
+    aggregate frames by re-scanning the tail for every row (O(n²) per
+    partition), while the preceding frame is one incremental pass —
+    identical results, linear cost (same device as
+    ``asof.asof_join``'s forward fill)."""
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(*_order_cols(order_by))
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(*[F.col(c).desc() for c in _order_cols(order_by)])
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return df.withColumns({c: F.first(c, ignorenulls=True).over(w) for c in cols})
+    return df.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in cols})
 
 
 def impute_ffill_bfill(
@@ -197,10 +204,14 @@ def interpolate_linear(
         .orderBy(ts)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # next-known lookups run over the REVERSED sort with a preceding
+    # frame (strictly-before in reversed order = strictly-after in time)
+    # — unbounded-FOLLOWING aggregate frames are O(n²) in Spark (see
+    # bfill).
     wn = (
         Window.partitionBy(*partition_by)
-        .orderBy(ts)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col(ts).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     updates = {}
     for c in cols:
@@ -208,8 +219,8 @@ def interpolate_linear(
         known_t = F.when(v.isNotNull(), t_us)
         pv = F.last(v, ignorenulls=True).over(wp)
         pt = F.last(known_t, ignorenulls=True).over(wp)
-        nv = F.first(v, ignorenulls=True).over(wn)
-        nt = F.first(known_t, ignorenulls=True).over(wn)
+        nv = F.last(v, ignorenulls=True).over(wn)
+        nt = F.last(known_t, ignorenulls=True).over(wn)
         interp = pv + (nv - pv) * (t_us - pt) / (nt - pt)
         updates[c] = (
             F.when(v.isNotNull(), v)

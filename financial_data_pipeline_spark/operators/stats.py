@@ -766,8 +766,11 @@ def bh_fdr(
     raw_adj = F.least(
         F.lit(1.0), F.col("__m") * F.col(p_col) / F.col("bh_rank")
     )
-    w_rev = Window.orderBy("bh_rank").rowsBetween(
-        0, Window.unboundedFollowing
+    # reverse running min over the DESC rank order with a preceding
+    # frame — unbounded-FOLLOWING aggregate frames are O(m²) in Spark
+    # (m is small here, but the linear form costs nothing)
+    w_rev = Window.orderBy(F.col("bh_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
     )
     ranked = ranked.withColumn("p_adj", F.min(raw_adj).over(w_rev))
     passes = F.when(

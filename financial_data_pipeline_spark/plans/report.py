@@ -126,11 +126,16 @@ def _flag_frame(
             }
         )
         # masked bfill of the ffilled series: first non-null KEPT ffill
-        # value at or after the row
-        wbf = w.rowsBetween(0, Window.unboundedFollowing)
+        # value at or after the row — evaluated over the REVERSED sort
+        # with a preceding frame (unbounded-FOLLOWING aggregate frames
+        # are O(n²) in Spark; see cleaning.bfill)
+        w_rev = Window.partitionBy("symbol").orderBy(
+            F.col("timestamp").desc_nulls_first()
+        )
+        wbf = w_rev.rowsBetween(Window.unboundedPreceding, 0)
         out = out.withColumns(
             {
-                f"__i_{c}": F.first(
+                f"__i_{c}": F.last(
                     F.when(F.col("__kept"), F.col(f"__ff_{c}")), ignorenulls=True
                 ).over(wbf)
                 for c in cols
@@ -141,7 +146,10 @@ def _flag_frame(
         # known values strictly before/after, time-weighted blend
         t_us = F.unix_micros(F.col("timestamp")).cast("double")
         wp = w.rowsBetween(Window.unboundedPreceding, -1)
-        wn = w.rowsBetween(1, Window.unboundedFollowing)
+        # strictly-after lookups over the REVERSED sort (see above)
+        wn = Window.partitionBy("symbol").orderBy(
+            F.col("timestamp").desc_nulls_first()
+        ).rowsBetween(Window.unboundedPreceding, -1)
         upd = {}
         for c in cols:
             v = F.col(f"__c_{c}")
@@ -149,8 +157,8 @@ def _flag_frame(
             masked_t = F.when(F.col("__kept") & v.isNotNull(), t_us)
             pv = F.last(masked_v, ignorenulls=True).over(wp)
             pt = F.last(masked_t, ignorenulls=True).over(wp)
-            nv = F.first(masked_v, ignorenulls=True).over(wn)
-            nt = F.first(masked_t, ignorenulls=True).over(wn)
+            nv = F.last(masked_v, ignorenulls=True).over(wn)
+            nt = F.last(masked_t, ignorenulls=True).over(wn)
             upd[f"__i_{c}"] = (
                 F.when(v.isNotNull(), v)
                 .when(pv.isNull(), nv)
