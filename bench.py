@@ -341,6 +341,8 @@ HEADLINE = [
     "cohort_ltv_by_year",
     "discount_elasticity",
     "order_line_hist",
+    "levene_test_dow",
+    "silhouette_by_label",
 ]
 
 

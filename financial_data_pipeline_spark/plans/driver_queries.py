@@ -15714,3 +15714,165 @@ def q_order_line_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_order.groupBy("n_lines").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "levene_test_dow",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, dayofweek(timestamp) AS dow,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+med AS (
+  SELECT symbol, dow, quantile_cont(r, 0.5) AS med
+  FROM rr GROUP BY 1, 2
+), z AS (
+  SELECT rr.symbol, rr.dow, abs(rr.r - med.med) AS z
+  FROM rr JOIN med USING (symbol, dow)
+), g AS (
+  SELECT symbol, dow, count(*)::DOUBLE AS ng, avg(z) AS mg,
+         sum(z * z) - count(*) * avg(z) * avg(z) AS ssw_g
+  FROM z GROUP BY 1, 2
+), tot AS (
+  SELECT symbol, count(*)::DOUBLE AS n, avg(z) AS mu,
+         count(DISTINCT dow)::DOUBLE AS k
+  FROM z GROUP BY 1
+)
+SELECT g.symbol,
+       max(tot.n)::BIGINT AS n_obs,
+       max(tot.k)::BIGINT AS k_groups,
+       round(sum(g.ng * (g.mg - tot.mu) * (g.mg - tot.mu))
+             / (max(tot.k) - 1)
+             / (sum(g.ssw_g) / (max(tot.n) - max(tot.k))), 4)
+         AS levene_w
+FROM g JOIN tot USING (symbol)
+GROUP BY 1
+""",
+)
+def q_levene_test_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe/Levene variance-homogeneity test across
+    day-of-week groups per symbol: the ANOVA F applied to absolute
+    deviations from the GROUP MEDIAN (the robust variant) — 'does
+    volatility itself vary by weekday', the second-moment companion
+    of ``returns_anova_dow``. Exact group medians broadcast back,
+    then the same two-aggregate F pipeline."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.select(
+            "symbol",
+            F.dayofweek("timestamp").alias("dow"),
+            F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    med = rr.groupBy("symbol", "dow").agg(
+        F.percentile("r", F.lit(0.5)).alias("med")
+    )
+    z = rr.join(F.broadcast(med), ["symbol", "dow"]).select(
+        "symbol", "dow", F.abs(F.col("r") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("symbol", "dow").agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.avg("z").alias("mg"),
+        (
+            F.sum(F.col("z") * F.col("z"))
+            - F.count(F.lit(1)) * F.avg("z") * F.avg("z")
+        ).alias("ssw_g"),
+    )
+    tot = z.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("z").alias("mu"),
+        F.countDistinct("dow").cast("double").alias("k"),
+    )
+    j = g.join(F.broadcast(tot), "symbol")
+    ssb = F.sum(
+        F.col("ng") * (F.col("mg") - F.col("mu")) * (F.col("mg") - F.col("mu"))
+    )
+    return j.groupBy("symbol").agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.max("k").cast("long").alias("k_groups"),
+        F.round(
+            ssb
+            / (F.max("k") - 1)
+            / (F.sum("ssw_g") / (F.max("n") - F.max("k"))),
+            4,
+        ).alias("levene_w"),
+    )
+
+
+@query(
+    "silhouette_by_label",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
+         round(sqrt(list_reduce(
+           list_transform(range(1, len(a.v) + 1),
+                          t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t])),
+           (s, x) -> s + x)), 8) AS d
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), md AS (
+  SELECT i, li, lj, avg(d) AS mean_d FROM pairs GROUP BY 1, 2, 3
+), ab AS (
+  SELECT i, li,
+         max(CASE WHEN li = lj THEN mean_d END) AS a,
+         min(CASE WHEN li <> lj THEN mean_d END) AS b
+  FROM md GROUP BY 1, 2
+)
+SELECT li AS label,
+       count(*)::BIGINT AS n_vecs,
+       round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean silhouette coefficient per label over the embeddings
+    ((b−a)/max(a,b): a = mean distance to own label, b = lowest mean
+    distance to any other label) — THE cluster-separation score, fully
+    relational on the same rounded-distance pair frame as
+    ``lof_outliers`` (repartitioned pair join, exact at this scale;
+    per-IVF-block at corpus scale). Points whose label has no second
+    member drop out identically in both engines."""
+    from financial_data_pipeline_spark.operators.similarity import euclidean
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("li"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    ).repartition(par)
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("lj"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "li",
+        "lj",
+        F.round(euclidean(F.col("va"), F.col("vb")), 8).alias("d"),
+    )
+    md = pairs.groupBy("i", "li", "lj").agg(F.avg("d").alias("mean_d"))
+    ab = md.groupBy("i", "li").agg(
+        F.max(
+            F.when(F.col("li") == F.col("lj"), F.col("mean_d"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("li") != F.col("lj"), F.col("mean_d"))
+        ).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        ab.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy(F.col("li").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(sil), 6).alias("mean_silhouette"),
+        )
+    )
