@@ -343,6 +343,8 @@ HEADLINE = [
     "order_line_hist",
     "levene_test_dow",
     "silhouette_by_label",
+    "cluster_validity_indices",
+    "lang_source_mutual_info",
 ]
 
 

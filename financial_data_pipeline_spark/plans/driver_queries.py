@@ -15876,3 +15876,203 @@ def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(sil), 6).alias("mean_silhouette"),
         )
     )
+
+
+@query(
+    "cluster_validity_indices",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT label, i, avg(v[i]) AS c, count(*) AS nl
+  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+  GROUP BY 1, 2
+), gdims AS (SELECT i, avg(c_all) AS g FROM (
+  SELECT i, v[i] AS c_all FROM e, unnest(generate_series(1, len(v))) AS t(i)
+) GROUP BY 1),
+pt AS (
+  SELECT e.vec_id, e.label,
+         sum((e.v[d.i] - d.c) * (e.v[d.i] - d.c)) AS sq_to_centroid
+  FROM e JOIN dims d ON d.label = e.label
+  GROUP BY 1, 2
+), s AS (
+  SELECT label, count(*)::DOUBLE AS nl, avg(sqrt(sq_to_centroid)) AS s,
+         sum(sq_to_centroid) AS wss
+  FROM pt GROUP BY 1
+), bs AS (
+  SELECT d.label, sum((d.c - g.g) * (d.c - g.g)) AS sq_to_global
+  FROM dims d JOIN gdims g USING (i) GROUP BY 1
+), cd AS (
+  SELECT a.label AS la, b.label AS lb,
+         sqrt(sum((a.c - b.c) * (a.c - b.c))) AS d
+  FROM dims a JOIN dims b ON a.i = b.i AND a.label <> b.label
+  GROUP BY 1, 2
+), db_terms AS (
+  SELECT cd.la, max((sa.s + sb.s) / cd.d) AS r
+  FROM cd JOIN s sa ON sa.label = cd.la JOIN s sb ON sb.label = cd.lb
+  GROUP BY 1
+), tot AS (
+  SELECT (SELECT count(*) FROM e)::DOUBLE AS n,
+         (SELECT count(*) FROM s)::DOUBLE AS k
+)
+SELECT tot.n::BIGINT AS n_vecs, tot.k::BIGINT AS k_labels,
+       round((SELECT sum(bs.sq_to_global * s.nl)
+              FROM bs JOIN s USING (label)) / (tot.k - 1)
+             / ((SELECT sum(wss) FROM s) / (tot.n - tot.k)), 4)
+         AS calinski_harabasz,
+       round((SELECT avg(r) FROM db_terms), 6) AS davies_bouldin
+FROM tot
+""",
+)
+def q_cluster_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz (between/within dispersion ratio) and
+    Davies-Bouldin (worst centroid-pair compactness-to-separation)
+    over the labeled embeddings — the two centroid-based cluster
+    validity scores next to the pointwise ``silhouette_by_label``.
+    Everything flows from ONE dimension-exploded centroid aggregate:
+    no point-pair join at all, so this is the O(n·d) scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("vec_id", "label", F.posexplode("v").alias("i", "x"))
+    dims = ex.groupBy("label", "i").agg(
+        F.avg("x").alias("c"), F.count(F.lit(1)).alias("nl")
+    )
+    gdims = ex.groupBy("i").agg(F.avg("x").alias("g"))
+    pt = (
+        ex.join(F.broadcast(dims.select("label", "i", "c")), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "sq_to_centroid"
+            )
+        )
+    )
+    s = pt.groupBy("label").agg(
+        F.count(F.lit(1)).cast("double").alias("nl"),
+        F.avg(F.sqrt("sq_to_centroid")).alias("s"),
+        F.sum("sq_to_centroid").alias("wss"),
+    )
+    bs = (
+        dims.join(F.broadcast(gdims), "i")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))).alias(
+                "sq_to_global"
+            )
+        )
+    )
+    da = dims.select(F.col("label").alias("la"), "i", F.col("c").alias("ca"))
+    db_ = dims.select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cb")
+    )
+    cd = (
+        da.join(
+            db_,
+            (F.col("i") == F.col("ib")) & (F.col("la") != F.col("lb")),
+        )
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            ).alias("d")
+        )
+    )
+    sa = s.select(F.col("label").alias("la"), F.col("s").alias("s_a"))
+    sb = s.select(F.col("label").alias("lb"), F.col("s").alias("s_b"))
+    db_terms = (
+        cd.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .groupBy("la")
+        .agg(F.max((F.col("s_a") + F.col("s_b")) / F.col("d")).alias("r"))
+    )
+    ssb = (
+        bs.join(s.select("label", "nl"), "label")
+        .agg(F.sum(F.col("sq_to_global") * F.col("nl")).alias("ssb"))
+    )
+    wss = s.agg(F.sum("wss").alias("wss"), F.count(F.lit(1)).cast("double").alias("k"))
+    n = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    db_avg = db_terms.agg(F.avg("r").alias("db"))
+    j = (
+        ssb.crossJoin(F.broadcast(wss))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(db_avg))
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_vecs"),
+        F.col("k").cast("long").alias("k_labels"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("wss") / (F.col("n") - F.col("k"))),
+            4,
+        ).alias("calinski_harabasz"),
+        F.round(F.col("db"), 6).alias("davies_bouldin"),
+    )
+
+
+@query(
+    "lang_source_mutual_info",
+    """
+WITH o AS (
+  SELECT lang, source, count(*)::DOUBLE AS c
+  FROM documents GROUP BY 1, 2
+), n AS (SELECT sum(c) AS n FROM o),
+rm AS (SELECT lang, sum(c) AS rt FROM o GROUP BY 1),
+cm AS (SELECT source, sum(c) AS ct FROM o GROUP BY 1),
+mi AS (
+  SELECT sum((o.c / n.n) * ln((o.c / n.n) / ((rm.rt / n.n) * (cm.ct / n.n))))
+           AS mi
+  FROM o JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN n
+), ents AS (
+  SELECT (SELECT -sum((rt / n.n) * ln(rt / n.n)) FROM rm CROSS JOIN n) AS hx,
+         (SELECT -sum((ct / n.n) * ln(ct / n.n)) FROM cm CROSS JOIN n) AS hy
+)
+SELECT (SELECT n FROM n)::BIGINT AS n_docs,
+       round(mi.mi, 6) AS mutual_info_nats,
+       round(ents.hx, 6) AS h_lang,
+       round(ents.hy, 6) AS h_source,
+       round(mi.mi / sqrt(ents.hx * ents.hy), 6) AS nmi
+FROM mi CROSS JOIN ents
+""",
+)
+def q_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and √(H·H)-normalized NMI) between language
+    and source from the observed contingency cells — the information-
+    theoretic twin of ``lang_source_assoc``'s χ²/Cramér's V. Margins
+    broadcast onto the tiny cell frame; absent cells contribute zero
+    by definition (0·ln0 = 0), so summing observed cells is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = o.agg(F.sum("c").alias("n"))
+    rm = o.groupBy("lang").agg(F.sum("c").alias("rt"))
+    cm = o.groupBy("source").agg(F.sum("c").alias("ct"))
+    cells = (
+        o.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.col("c") / F.col("n")
+    px = F.col("rt") / F.col("n")
+    py = F.col("ct") / F.col("n")
+    mi = cells.agg(
+        F.sum(p * F.log(p / (px * py))).alias("mi"),
+        F.max("n").alias("n"),
+    )
+    hx = rm.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("rt") / F.col("n")) * F.log(F.col("rt") / F.col("n")))).alias("hx")
+    )
+    hy = cm.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("ct") / F.col("n")) * F.log(F.col("ct") / F.col("n")))).alias("hy")
+    )
+    j = mi.crossJoin(F.broadcast(hx)).crossJoin(F.broadcast(hy))
+    return j.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("mi", 6).alias("mutual_info_nats"),
+        F.round("hx", 6).alias("h_lang"),
+        F.round("hy", 6).alias("h_source"),
+        F.round(
+            F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6
+        ).alias("nmi"),
+    )
