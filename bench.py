@@ -345,6 +345,7 @@ HEADLINE = [
     "silhouette_by_label",
     "cluster_validity_indices",
     "lang_source_mutual_info",
+    "conditional_beta",
 ]
 
 

@@ -16076,3 +16076,96 @@ def q_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6
         ).alias("nmi"),
     )
+
+
+@query(
+    "conditional_beta",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+mkt AS (
+  SELECT timestamp, avg(r) AS rm FROM rr GROUP BY 1
+), cumf AS (
+  SELECT timestamp, rm,
+         sum(rm) OVER (ORDER BY timestamp) AS cum
+  FROM mkt
+), mkt_dd AS (
+  SELECT timestamp, rm,
+         round(1.0 - exp(cum - max(cum)
+                           OVER (ORDER BY timestamp
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)), 8) AS dd
+  FROM cumf
+), states AS (
+  SELECT timestamp, rm, dd >= 0.5 AS stressed FROM mkt_dd
+)
+SELECT rr.symbol,
+       sum(CASE WHEN s.stressed THEN 1 ELSE 0 END)::BIGINT AS n_stressed,
+       sum(CASE WHEN s.stressed THEN 0 ELSE 1 END)::BIGINT AS n_normal,
+       round(covar_samp(CASE WHEN s.stressed THEN rr.r END,
+                        CASE WHEN s.stressed THEN s.rm END)
+             / var_samp(CASE WHEN s.stressed THEN s.rm END), 6)
+         AS beta_stressed,
+       round(covar_samp(CASE WHEN NOT s.stressed THEN rr.r END,
+                        CASE WHEN NOT s.stressed THEN s.rm END)
+             / var_samp(CASE WHEN NOT s.stressed THEN s.rm END), 6)
+         AS beta_normal
+FROM rr JOIN states s USING (timestamp)
+GROUP BY 1
+""",
+)
+def q_conditional_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime-conditional CAPM beta: each symbol's beta measured
+    separately inside market-drawdown stress (equal-weight market
+    ≥50% below its running compounded peak — this synthetic market's
+    hourly σ≈0.8 makes deep drawdowns routine) vs normal hours — 'does
+    my hedge hold when it matters'. The market drawdown state is a
+    running-sum/running-max window on the TINY per-hour market frame,
+    ROUNDED to 8 dp before the threshold so the regime flags are
+    engine-identical; conditional covariances ride the same broadcast
+    join as ``market_beta``."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+        .select("symbol", "timestamp", "r")
+    )
+    mkt = rr.groupBy("timestamp").agg(F.avg("r").alias("rm"))
+    wt = Window.orderBy("timestamp").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("rm").over(Window.orderBy("timestamp").rowsBetween(
+        Window.unboundedPreceding, 0
+    ))
+    states = (
+        mkt.withColumn("cum", cum)
+        .withColumn("peak", F.max("cum").over(wt))
+        .select(
+            "timestamp",
+            "rm",
+            (F.round(1.0 - F.exp(F.col("cum") - F.col("peak")), 8) >= 0.5).alias(
+                "stressed"
+            ),
+        )
+    )
+    j = rr.join(F.broadcast(states), "timestamp")
+    rs = F.when(F.col("stressed"), F.col("r"))
+    ms = F.when(F.col("stressed"), F.col("rm"))
+    rn = F.when(~F.col("stressed"), F.col("r"))
+    mn = F.when(~F.col("stressed"), F.col("rm"))
+    return j.groupBy("symbol").agg(
+        F.sum(F.col("stressed").cast("long")).alias("n_stressed"),
+        F.sum((~F.col("stressed")).cast("long")).alias("n_normal"),
+        F.round(F.covar_samp(rs, ms) / F.var_samp(ms), 6).alias(
+            "beta_stressed"
+        ),
+        F.round(F.covar_samp(rn, mn) / F.var_samp(mn), 6).alias(
+            "beta_normal"
+        ),
+    )
