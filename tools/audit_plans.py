@@ -263,6 +263,19 @@ def main() -> None:
         "- `lang_source_assoc` NESTED_LOOP_JOIN: the grand total n is a",
         "  ONE-row broadcast crossJoin onto the contingency CELL frame",
         "  (≤ langs × sources rows) — scalar distribution, O(cells·1).",
+        "- `silhouette_by_label` NESTED_LOOP_JOIN: the i≠j pair",
+        "  self-join is the deliberate exact all-pairs distance frame",
+        "  (repartitioned across cores, the `lof_outliers` contract);",
+        "  per-IVF-block at corpus scale.",
+        "- `cluster_validity_indices` / `lang_source_mutual_info`",
+        "  NESTED_LOOP_JOIN: one-row totals / tiny centroid frames",
+        "  crossJoined for lazy scalar distribution — O(rows·1); the",
+        "  label×label centroid join is |labels|²·dim, never",
+        "  point-pair-sized.",
+        "- `conditional_beta` GLOBAL_WINDOW: the running-peak drawdown",
+        "  state is computed on the per-HOUR market frame (one row per",
+        "  timestamp — hundreds of rows), never on symbol×hour facts;",
+        "  a single market clock is a total order by definition.",
         "- `revenue_mom_yoy` GLOBAL_WINDOW: the MoM/YoY lag windows run",
         "  on the per-MONTH aggregate (≤ ~84 rows over TPC-H's seven",
         "  years) — a calendar series is a total order by definition;",
