@@ -346,6 +346,8 @@ HEADLINE = [
     "cluster_validity_indices",
     "lang_source_mutual_info",
     "conditional_beta",
+    "knn_label_accuracy",
+    "pmi_top_bigrams",
 ]
 
 

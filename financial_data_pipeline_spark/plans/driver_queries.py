@@ -16169,3 +16169,155 @@ def q_conditional_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_normal"
         ),
     )
+
+
+@query(
+    "knn_label_accuracy",
+    """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS i, a.label AS li, b.label AS lj, b.vec_id AS j,
+         round(sqrt(list_reduce(
+           list_transform(range(1, len(a.v) + 1),
+                          t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t])),
+           (s, x) -> s + x)), 8) AS d
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT i, li, lj,
+         row_number() OVER (PARTITION BY i ORDER BY d, j) AS rn
+  FROM pairs QUALIFY rn <= 5
+), votes AS (
+  SELECT i, li, lj, count(*) AS c FROM knn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT i, li, lj AS pred,
+         row_number() OVER (PARTITION BY i ORDER BY c DESC, lj ASC) AS r
+  FROM votes QUALIFY r = 1
+)
+SELECT li AS label,
+       count(*)::BIGINT AS n_vecs,
+       round(avg(CASE WHEN li = pred THEN 1.0 ELSE 0.0 END), 6)
+         AS loo_accuracy
+FROM pred GROUP BY 1
+""",
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN label-prediction accuracy per label over the
+    embeddings (majority vote, deterministic (count desc, label asc)
+    tie-break) — 'are the labels recoverable from geometry', the
+    supervised companion of ``silhouette_by_label``. Same rounded-
+    distance repartitioned pair frame; per-IVF-block at corpus
+    scale."""
+    from financial_data_pipeline_spark.operators.similarity import euclidean
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = emb.select(
+        F.col("vec_id").alias("i"),
+        F.col("label").alias("li"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    ).repartition(par)
+    b = emb.select(
+        F.col("vec_id").alias("j"),
+        F.col("label").alias("lj"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i",
+        "li",
+        "lj",
+        "j",
+        F.round(euclidean(F.col("va"), F.col("vb")), 8).alias("d"),
+    )
+    wk = Window.partitionBy("i").orderBy("d", "j")
+    knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= 5
+    )
+    votes = knn.groupBy("i", "li", "lj").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("i").orderBy(F.desc("c"), F.asc("lj"))
+    pred = votes.withColumn("r", F.row_number().over(wv)).filter(
+        F.col("r") == 1
+    )
+    return pred.groupBy(F.col("li").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.avg(F.when(F.col("li") == F.col("lj"), 1.0).otherwise(0.0)), 6
+        ).alias("loo_accuracy"),
+    )
+
+
+@query(
+    "pmi_top_bigrams",
+    r"""
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS a
+  FROM documents
+), idx AS (
+  SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+  FROM arrs WHERE len(a) >= 2
+), b AS (SELECT a[i] AS w1, a[i + 1] AS w2 FROM idx),
+bi AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM b GROUP BY 1, 2),
+nb AS (SELECT sum(cb) AS n FROM bi),
+u1 AS (SELECT w1 AS w, sum(cb) AS c1 FROM bi GROUP BY 1),
+u2 AS (SELECT w2 AS w, sum(cb) AS c2 FROM bi GROUP BY 1)
+SELECT bi.w1, bi.w2, bi.cb::BIGINT AS count,
+       round(ln((bi.cb / nb.n)
+                / ((u1.c1 / nb.n) * (u2.c2 / nb.n))), 6) AS pmi
+FROM bi
+JOIN u1 ON u1.w = bi.w1
+JOIN u2 ON u2.w = bi.w2
+CROSS JOIN nb
+WHERE bi.cb >= 5
+ORDER BY pmi DESC, bi.w1 ASC, bi.w2 ASC
+LIMIT 20
+""",
+)
+def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information
+    (ln p(ab)/(p(a)p(b)) over bigram position counts, support ≥ 5,
+    deterministic (pmi desc, bigram asc) order on the ROUNDED score) —
+    the classic collocation extractor over the corpus, sharing the
+    in-array bigram construction with ``bigram_logprob``."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: x != "",
+    )
+    pairs_arr = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    b = docs.select(F.explode(pairs_arr).alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bi = b.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cb")
+    )
+    nb = bi.agg(F.sum("cb").alias("n"))
+    u1 = bi.groupBy(F.col("w1").alias("w")).agg(F.sum("cb").alias("c1"))
+    u2 = bi.groupBy(F.col("w2").alias("w")).agg(F.sum("cb").alias("c2"))
+    j = (
+        bi.filter(F.col("cb") >= 5)
+        .join(u1.withColumnRenamed("w", "w1"), "w1")
+        .join(u2.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cb") / F.col("n"))
+            / ((F.col("c1") / F.col("n")) * (F.col("c2") / F.col("n")))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
