@@ -348,6 +348,7 @@ HEADLINE = [
     "conditional_beta",
     "knn_label_accuracy",
     "pmi_top_bigrams",
+    "lang_log_odds_tokens",
 ]
 
 

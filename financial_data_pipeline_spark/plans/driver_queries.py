@@ -16321,3 +16321,103 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+@query(
+    "lang_log_odds_tokens",
+    r"""
+WITH toks AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE AS y1,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS y2
+  FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(y1) AS n1, sum(y2) AS n2,
+         0.01 * count(*) AS aa, count(*)::DOUBLE AS v
+  FROM cnt
+), z AS (
+  SELECT cnt.tok, cnt.y1::BIGINT AS count_en, cnt.y2::BIGINT AS count_rest,
+         round((ln((cnt.y1 + 0.01) / (tot.n1 + tot.aa - cnt.y1 - 0.01))
+                - ln((cnt.y2 + 0.01) / (tot.n2 + tot.aa - cnt.y2 - 0.01)))
+               / sqrt(1.0 / (cnt.y1 + 0.01) + 1.0 / (cnt.y2 + 0.01)), 6)
+           AS z
+  FROM cnt CROSS JOIN tot
+  WHERE cnt.y1 + cnt.y2 >= 10
+), ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY z DESC, tok ASC) AS r_top,
+         row_number() OVER (ORDER BY z ASC, tok ASC) AS r_bot
+  FROM z
+)
+SELECT tok, count_en, count_rest, z,
+       CASE WHEN r_top <= 10 THEN 'en' ELSE 'rest' END AS marks
+FROM ranked WHERE r_top <= 10 OR r_bot <= 10
+""",
+)
+def q_lang_log_odds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe's 'fightin' words': informative-Dirichlet-prior log-odds
+    z-scores of token usage, English vs the rest of the corpus —
+    the principled keyword-contrast method (raw log-odds overweights
+    rare words; the prior shrinks them). Top-10 markers each way,
+    support ≥ 10, deterministic (rounded z, token) order. One token
+    count aggregate + a one-row totals crossJoin + two rank windows
+    over the filtered token frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("lang") == "en").cast("int").alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.col("grp")).cast("double").alias("y1"),
+        F.sum(1 - F.col("grp")).cast("double").alias("y2"),
+    )
+    tot = cnt.agg(
+        F.sum("y1").alias("n1"),
+        F.sum("y2").alias("n2"),
+        (0.01 * F.count(F.lit(1))).alias("aa"),
+    )
+    a = 0.01
+    y1, y2 = F.col("y1"), F.col("y2")
+    delta = F.log(
+        (y1 + a) / (F.col("n1") + F.col("aa") - y1 - a)
+    ) - F.log((y2 + a) / (F.col("n2") + F.col("aa") - y2 - a))
+    zc = F.round(
+        delta / F.sqrt(1.0 / (y1 + a) + 1.0 / (y2 + a)), 6
+    )
+    z = (
+        cnt.filter((y1 + y2) >= 10)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            y1.cast("long").alias("count_en"),
+            y2.cast("long").alias("count_rest"),
+            zc.alias("z"),
+        )
+    )
+    wt = Window.orderBy(F.desc("z"), F.asc("tok"))
+    wb = Window.orderBy(F.asc("z"), F.asc("tok"))
+    ranked = z.withColumn("r_top", F.row_number().over(wt)).withColumn(
+        "r_bot", F.row_number().over(wb)
+    )
+    return (
+        ranked.filter((F.col("r_top") <= 10) | (F.col("r_bot") <= 10))
+        .select(
+            "tok",
+            "count_en",
+            "count_rest",
+            "z",
+            F.when(F.col("r_top") <= 10, F.lit("en"))
+            .otherwise(F.lit("rest"))
+            .alias("marks"),
+        )
+    )
