@@ -263,6 +263,17 @@ def main() -> None:
         "- `lang_source_assoc` NESTED_LOOP_JOIN: the grand total n is a",
         "  ONE-row broadcast crossJoin onto the contingency CELL frame",
         "  (≤ langs × sources rows) — scalar distribution, O(cells·1).",
+        "- `knn_label_accuracy` NESTED_LOOP_JOIN: same deliberate",
+        "  all-pairs distance frame as `silhouette_by_label` /",
+        "  `lof_outliers` (repartitioned, per-IVF-block at scale).",
+        "- `pmi_top_bigrams` NESTED_LOOP_JOIN: the bigram grand total",
+        "  is a ONE-row broadcast crossJoin onto the support-filtered",
+        "  bigram frame — O(bigrams·1) scalar distribution.",
+        "- `lang_log_odds_tokens` NESTED_LOOP_JOIN + GLOBAL_WINDOW:",
+        "  one-row totals crossJoin, and the two top/bottom-10 rank",
+        "  windows run on the support-filtered TOKEN frame (a",
+        "  vocabulary, not facts) — a global leaderboard is a total",
+        "  order by definition.",
         "- `silhouette_by_label` NESTED_LOOP_JOIN: the i≠j pair",
         "  self-join is the deliberate exact all-pairs distance frame",
         "  (repartitioned across cores, the `lof_outliers` contract);",
