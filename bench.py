@@ -349,6 +349,9 @@ HEADLINE = [
     "knn_label_accuracy",
     "pmi_top_bigrams",
     "lang_log_odds_tokens",
+    "rolling_sharpe",
+    "vwap_twap_gap",
+    "event_entropy_rate",
 ]
 
 

@@ -16421,3 +16421,177 @@ def q_lang_log_odds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("marks"),
         )
     )
+
+
+@query(
+    "rolling_sharpe",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS r
+  FROM bars
+), rr AS (SELECT * FROM r WHERE r IS NOT NULL),
+roll AS (
+  SELECT symbol,
+         CASE WHEN count(r) OVER w >= 100
+              THEN round(avg(r) OVER w / stddev_samp(r) OVER w, 4) END AS sr
+  FROM rr
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol,
+       count(sr)::BIGINT AS n_windows,
+       round(avg(sr), 6) AS mean_rolling_sr,
+       round(stddev_samp(sr), 6) AS sr_stability,
+       round(avg(CASE WHEN sr > 0 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_positive
+FROM roll GROUP BY 1
+""",
+)
+def q_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 100-bar Sharpe stability per symbol: the mean and
+    dispersion of the rolling SR plus the fraction of windows where it
+    is positive — 'is the edge persistent or episodic'. The rolling
+    ratio is ROUNDED to 4 dp before the summary (sliding-sum
+    associativity, the mfi rule), so the positivity branch compares
+    identical values in both engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn("r", F.log(F.col("close") / F.lag("close").over(w)))
+        .filter(F.col("r").isNotNull())
+    )
+    win = w.rowsBetween(-99, 0)
+    sr = F.when(
+        F.count("r").over(win) >= 100,
+        F.round(F.avg("r").over(win) / F.stddev_samp("r").over(win), 4),
+    )
+    roll = rr.select("symbol", sr.alias("sr"))
+    return roll.groupBy("symbol").agg(
+        F.count("sr").alias("n_windows"),
+        F.round(F.avg("sr"), 6).alias("mean_rolling_sr"),
+        F.round(F.stddev_samp("sr"), 6).alias("sr_stability"),
+        F.round(
+            F.avg(F.when(F.col("sr") > 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_positive"),
+    )
+
+
+@query(
+    "vwap_twap_gap",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, CAST(timestamp AS DATE) AS day,
+         sum(close * volume) / sum(volume) AS vwap,
+         avg(close) AS twap,
+         count(*)::BIGINT AS n_bars
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol, CAST(day AS VARCHAR) AS day, n_bars,
+       round(vwap, 6) AS vwap,
+       round(twap, 6) AS twap,
+       round(10000.0 * (vwap - twap) / twap, 4) AS gap_bps
+FROM d
+""",
+)
+def q_vwap_twap_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily VWAP vs TWAP per symbol with the gap in basis points —
+    positive means volume concentrates at high prices (momentum-
+    chasing flow), the execution-benchmark diagnostic on top of
+    ``vwap_daily``. One grouped aggregate, ratios rounded identically
+    in both engines."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    d = bars.groupBy(
+        "symbol", F.to_date("timestamp").alias("day")
+    ).agg(
+        (F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias(
+            "vwap"
+        ),
+        F.avg("close").alias("twap"),
+        F.count(F.lit(1)).alias("n_bars"),
+    )
+    return d.select(
+        "symbol",
+        F.col("day").cast("string").alias("day"),
+        "n_bars",
+        F.round("vwap", 6).alias("vwap"),
+        F.round("twap", 6).alias("twap"),
+        F.round(
+            10000.0 * (F.col("vwap") - F.col("twap")) / F.col("twap"), 4
+        ).alias("gap_bps"),
+    )
+
+
+@query(
+    "event_entropy_rate",
+    """
+WITH seq AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS b
+  FROM events
+), bi AS (
+  SELECT a, b, count(*)::DOUBLE AS c
+  FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+), n AS (SELECT sum(c) AS n FROM bi),
+ma AS (SELECT a, sum(c) AS ca FROM bi GROUP BY 1),
+h0 AS (
+  SELECT -sum((ca / n.n) * ln(ca / n.n)) AS h0
+  FROM ma CROSS JOIN n
+), h1 AS (
+  SELECT -sum((bi.c / n.n) * ln(bi.c / ma.ca)) AS h1
+  FROM bi JOIN ma USING (a) CROSS JOIN n
+)
+SELECT (SELECT n FROM n)::BIGINT AS n_transitions,
+       round(h0.h0, 6) AS marginal_entropy,
+       round(h1.h1, 6) AS entropy_rate,
+       round(1.0 - h1.h1 / h0.h0, 6) AS predictability_gain
+FROM h0 CROSS JOIN h1
+""",
+)
+def q_event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order entropy rate of the user event stream:
+    H(next | prev) = −Σ p(a,b) ln p(b|a) vs the marginal H(next), and
+    the predictability gain 1 − H₁/H₀ — how much knowing the previous
+    event type narrows the next (the scalar readout over
+    ``event_transition_matrix``). Tiny aggregates over the bigram
+    frame; p(b|a) = c(a,b)/c(a·) exactly in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    bi = seq.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    n = bi.agg(F.sum("c").alias("n"))
+    ma = bi.groupBy("a").agg(F.sum("c").alias("ca"))
+    h0 = ma.crossJoin(F.broadcast(n)).agg(
+        (-F.sum((F.col("ca") / F.col("n")) * F.log(F.col("ca") / F.col("n"))))
+        .alias("h0"),
+        F.max("n").alias("n"),
+    )
+    h1 = (
+        bi.join(F.broadcast(ma), "a")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("ca"))
+                )
+            ).alias("h1")
+        )
+    )
+    j = h0.crossJoin(F.broadcast(h1))
+    return j.select(
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round("h0", 6).alias("marginal_entropy"),
+        F.round("h1", 6).alias("entropy_rate"),
+        F.round(1.0 - F.col("h1") / F.col("h0"), 6).alias(
+            "predictability_gain"
+        ),
+    )
