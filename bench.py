@@ -352,6 +352,8 @@ HEADLINE = [
     "rolling_sharpe",
     "vwap_twap_gap",
     "event_entropy_rate",
+    "win_loss_streaks",
+    "top_drawdown_episodes",
 ]
 
 

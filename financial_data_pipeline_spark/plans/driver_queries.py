@@ -16595,3 +16595,159 @@ def q_event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predictability_gain"
         ),
     )
+
+
+@query(
+    "win_loss_streaks",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         CASE WHEN ln(close / lag(close) OVER (PARTITION BY symbol
+                                               ORDER BY timestamp)) >= 0
+              THEN 1 ELSE 0 END AS up,
+         ln(close / lag(close) OVER (PARTITION BY symbol
+                                     ORDER BY timestamp)) AS lr
+  FROM bars
+), rr AS (SELECT * FROM r WHERE lr IS NOT NULL),
+isl AS (
+  SELECT symbol, up,
+         row_number() OVER (PARTITION BY symbol ORDER BY timestamp)
+           - row_number() OVER (PARTITION BY symbol, up
+                                ORDER BY timestamp) AS grp
+  FROM rr
+), runs AS (
+  SELECT symbol, up, grp, count(*)::BIGINT AS len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT symbol,
+       max(CASE WHEN up = 1 THEN len END)::BIGINT AS longest_win_streak,
+       max(CASE WHEN up = 0 THEN len END)::BIGINT AS longest_loss_streak,
+       round(avg(CASE WHEN up = 1 THEN len END), 4) AS avg_win_streak,
+       round(avg(CASE WHEN up = 0 THEN len END), 4) AS avg_loss_streak,
+       count(*)::BIGINT AS n_streaks
+FROM runs GROUP BY 1
+""",
+)
+def q_win_loss_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win/loss streak profile per symbol: maximal same-sign return
+    runs via the classic gaps-and-islands double row_number (one
+    per-symbol sort, both window orders share it), then one run
+    aggregate — longest and mean streaks each way, the intuition-level
+    readout behind ``runs_test``'s z-score (zero returns count as
+    wins, same pinned convention)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    rr = (
+        bars.withColumn(
+            "lr", F.log(F.col("close") / F.lag("close").over(w))
+        )
+        .filter(F.col("lr").isNotNull())
+        .withColumn(
+            "up", F.when(F.col("lr") >= 0, F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    wu = Window.partitionBy("symbol", "up").orderBy("timestamp")
+    isl = rr.withColumn(
+        "grp", F.row_number().over(w) - F.row_number().over(wu)
+    )
+    runs = isl.groupBy("symbol", "up", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    wl = F.when(F.col("up") == 1, F.col("len"))
+    ll = F.when(F.col("up") == 0, F.col("len"))
+    return runs.groupBy("symbol").agg(
+        F.max(wl).cast("long").alias("longest_win_streak"),
+        F.max(ll).cast("long").alias("longest_loss_streak"),
+        F.round(F.avg(wl), 4).alias("avg_win_streak"),
+        F.round(F.avg(ll), 4).alias("avg_loss_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+@query(
+    "top_drawdown_episodes",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol, timestamp, close,
+         max(close) OVER (PARTITION BY symbol ORDER BY timestamp
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+  FROM bars
+), flagged AS (
+  SELECT symbol, timestamp, close, peak,
+         CASE WHEN close < peak THEN 1 ELSE 0 END AS under
+  FROM d
+), isl AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY symbol ORDER BY timestamp)
+           - row_number() OVER (PARTITION BY symbol, under
+                                ORDER BY timestamp) AS grp
+  FROM flagged
+), ep AS (
+  SELECT symbol, grp,
+         count(*)::BIGINT AS n_bars,
+         epoch_us(min(timestamp)) AS start_us,
+         epoch_us(max(timestamp)) AS end_us,
+         round(max(1.0 - close / peak), 6) AS max_depth,
+         epoch_us(arg_max(timestamp, 1.0 - close / peak)) AS trough_us
+  FROM isl WHERE under = 1
+  GROUP BY 1, 2
+)
+SELECT symbol, n_bars, start_us, end_us, trough_us, max_depth,
+       row_number() OVER (PARTITION BY symbol
+                          ORDER BY max_depth DESC, start_us ASC) AS rank
+FROM ep
+QUALIFY rank <= 3
+""",
+)
+def q_top_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3 deepest underwater EPISODES per symbol with start / end /
+    trough timestamps and max depth — the narrative detail behind
+    ``max_drawdown``/``drawdown_durations``: spells segment
+    gaps-and-islands style under the running peak, one aggregate per
+    spell, then a per-symbol depth rank (ROUNDED depth + start tie-
+    break, engine-stable). The trough is the arg_max of depth within
+    the spell; depth ties inside a spell resolve to the max timestamp
+    in BOTH engines (max_by/arg_max greatest-key convention)."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    peak = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = bars.select(
+        "symbol",
+        "timestamp",
+        "close",
+        F.max("close").over(peak).alias("peak"),
+    ).withColumn(
+        "under", F.when(F.col("close") < F.col("peak"), 1).otherwise(0)
+    )
+    wu = Window.partitionBy("symbol", "under").orderBy("timestamp")
+    isl = d.withColumn(
+        "grp", F.row_number().over(w) - F.row_number().over(wu)
+    ).filter(F.col("under") == 1)
+    depth = 1.0 - F.col("close") / F.col("peak")
+    us = F.unix_micros("timestamp")
+    ep = isl.groupBy("symbol", "grp").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        F.round(F.max(depth), 6).alias("max_depth"),
+        F.max_by(us, depth).alias("trough_us"),
+    )
+    wr = Window.partitionBy("symbol").orderBy(
+        F.desc("max_depth"), F.asc("start_us")
+    )
+    return (
+        ep.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "symbol",
+            "n_bars",
+            "start_us",
+            "end_us",
+            "trough_us",
+            "max_depth",
+            "rank",
+        )
+    )
