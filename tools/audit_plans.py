@@ -266,6 +266,9 @@ def main() -> None:
         "- `knn_label_accuracy` NESTED_LOOP_JOIN: same deliberate",
         "  all-pairs distance frame as `silhouette_by_label` /",
         "  `lof_outliers` (repartitioned, per-IVF-block at scale).",
+        "- `event_entropy_rate` NESTED_LOOP_JOIN: one-row transition",
+        "  total crossJoined onto the (types × types) bigram frame —",
+        "  O(cells·1) scalar distribution.",
         "- `pmi_top_bigrams` NESTED_LOOP_JOIN: the bigram grand total",
         "  is a ONE-row broadcast crossJoin onto the support-filtered",
         "  bigram frame — O(bigrams·1) scalar distribution.",
