@@ -77,6 +77,14 @@ class Snapshot:
     # design and must not count as "someone committed past your base"
     # in the optimistic-concurrency staleness check.
     staged: bool = False
+    # The version this snapshot was DERIVED from (carried files, merge
+    # survivors). Recorded so publish() can re-run the staleness check
+    # at publish time — a staged snapshot passes _advance's check when
+    # written, but a concurrent commit between stage and publish makes
+    # it stale again. Older manifests lack the field; version-1 is the
+    # correct reconstruction for them (every writer derives from the
+    # version directly below the one it claims).
+    base: int = 0
 
 
 def _mdir(root: str) -> str:
@@ -275,6 +283,7 @@ class LakeTable:
             files=[FileStat(**fs) for fs in d["files"]],
             app_meta=d.get("app_meta", {}),
             staged=d.get("staged", False),
+            base=d.get("base", d["version"] - 1),
         )
 
     def _detached_path(self) -> str:
@@ -390,6 +399,7 @@ class LakeTable:
                     "files": [vars(fs) for fs in files],
                     "app_meta": meta,
                     "staged": not move_head,
+                    "base": base,
                 },
                 f,
             )
@@ -560,19 +570,46 @@ class LakeTable:
             mode, carried + new, app_meta, move_head=False, base=base
         )
 
-    def publish(self, version: int) -> None:
+    def publish(self, version: int, force: bool = False) -> None:
         """Write-audit-publish, step 3: make a staged version visible.
         Publishing flips the snapshot's ``staged`` flag — from here on
         it is committed history and a concurrent writer deriving from
         an older base must see it as a conflict. Publishing a version
         older than HEAD is a rollback spelling (equally O(1 metadata))
-        and detaches the bypassed suffix like :meth:`rollback`."""
+        and detaches the bypassed suffix like :meth:`rollback`.
+
+        OCC holds THROUGH the stage→publish window: a staged snapshot
+        whose recorded base has been committed past (any non-staged,
+        non-detached snapshot newer than the base, other than the
+        staged target itself) raises ``CommitConflict`` instead of
+        silently detaching the concurrent commit — the same staleness
+        rule ``_advance`` applies at write time, re-checked at the
+        moment the stage would go live (Iceberg's stale-WAP-publish
+        must rebase or fail). ``force=True`` is the explicit rollback
+        spelling: publish anyway and detach the bypassed suffix."""
         if version not in self.snapshots():
             raise ValueError(f"unknown version {version}")
         snap_path = self._snapshot_path(version)
         with open(snap_path) as f:
             d = json.load(f)
         if d.get("staged", False):
+            base = d.get("base", d["version"] - 1)
+            detached = self._detached()
+            stale = [
+                v
+                for v in self.snapshots()
+                if v > base
+                and v != version
+                and v not in detached
+                and not self._load_snapshot(v).staged
+            ]
+            if stale and not force:
+                raise CommitConflict(
+                    f"staged version {version} (base {base}) is stale: "
+                    f"version(s) {stale} were committed after it was "
+                    "staged; re-stage against the new HEAD, or "
+                    "publish(force=True) to roll back over them"
+                )
             d["staged"] = False
             tmp = snap_path + ".tmp"
             with open(tmp, "w") as f:
@@ -695,12 +732,18 @@ class LakeTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Retention: drop all but the newest ``keep_last`` snapshots
-        (HEAD is always kept) and DELETE data files referenced by no
-        surviving snapshot — the vacuum step that reclaims storage once
-        time-travel history is no longer needed. Returns deleted
-        paths."""
+        (HEAD and every TAGGED snapshot are always kept — a tag is a
+        durable named ref, so ``read(ref=...)`` can never dangle after
+        a vacuum, matching Iceberg tag retention) and DELETE data files
+        referenced by no surviving snapshot — the vacuum step that
+        reclaims storage once time-travel history is no longer needed.
+        Returns deleted paths."""
         versions = self.snapshots()
-        keep = set(versions[-keep_last:]) | {self.head_version()}
+        keep = (
+            set(versions[-keep_last:])
+            | {self.head_version()}
+            | set(self.tags().values())
+        )
         drop = [v for v in versions if v not in keep]
         live = set()
         for v in keep:

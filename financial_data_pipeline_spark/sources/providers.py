@@ -198,7 +198,10 @@ def fetch_with_rate_limit(
     ``limiter``, then attempt up to ``max_attempts`` times.
 
     - HTTP 429 → honor the server's ``Retry-After`` header when present
-      (seconds), else exponential backoff ``delay·2^attempt``; retry.
+      and numeric (seconds), else exponential backoff
+      ``delay·2^attempt``; retry. RFC 7231 also allows an HTTP-date
+      ``Retry-After`` — a non-numeric value falls back to the
+      exponential schedule instead of raising out of the retry loop.
     - HTTP 200 → return ``response.json()``.
     - other statuses → ``response.raise_for_status()``.
     - transport errors → flat ``rate_limit_delay`` sleep and retry;
@@ -210,9 +213,11 @@ def fetch_with_rate_limit(
     ``requests.Session.get`` straight in. Returns ``None`` when every
     attempt was rate-limited (the reference's exhausted-retries
     contract)."""
-    if limiter is not None:
-        limiter.wait(url)
     for attempt in range(max_attempts):
+        # pace every attempt, not just the first — a retry is a new
+        # request against the same budget
+        if limiter is not None:
+            limiter.wait(url)
         try:
             resp = get(url)
         except transport_errors:
@@ -225,11 +230,12 @@ def fetch_with_rate_limit(
             retry_after = (getattr(resp, "headers", None) or {}).get(
                 "Retry-After"
             )
-            delay = (
-                float(retry_after)
-                if retry_after is not None
-                else rate_limit_delay * (2**attempt)
-            )
+            delay = rate_limit_delay * (2**attempt)
+            if retry_after is not None:
+                try:
+                    delay = float(retry_after)
+                except (TypeError, ValueError):
+                    pass  # HTTP-date form → exponential fallback
             sleep(delay)
             continue
         if status == 200:

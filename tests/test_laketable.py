@@ -465,9 +465,21 @@ def test_publish_makes_staged_version_conflictable(spark, tmp_path):
     v3 = t._advance("append", t._load_snapshot(base).files + files, base=base)
     assert v3 == 3
 
+    # the stage→publish window is OCC-protected too: v3 committed past
+    # the stage's base (v1), so a plain publish is a lost update and
+    # must conflict, not silently detach v3 (Iceberg stale-WAP rule)
+    with _pytest.raises(CommitConflict, match="stale"):
+        t.publish(staged)
+    assert t.head_version() == 3  # the concurrent commit survives
+
+    # force=True is the explicit rollback spelling: v2 goes live, v3
+    # becomes detached (time-travelable) history
+    t.publish(staged, force=True)
+    assert t.head_version() == staged
+    assert t.read(version=3).count() == 4  # detached, still readable
+
     # after publish, the staged version is committed history: a writer
     # still deriving from v1 must conflict
-    t.publish(staged)
     stale_files = t._write_files(
         spark.range(6, 8).selectExpr("id", "id AS v")
     )
@@ -612,3 +624,29 @@ def test_tags_pin_versions_and_survive_rollback(spark, table):
 
     table.drop_tag("release-2")
     assert "release-2" not in table.tags()
+
+
+def test_tagged_snapshot_survives_expiry(spark, table):
+    """expire_snapshots keeps every tagged version (Iceberg tag
+    retention): the tag's manifest and data files survive a vacuum
+    that would otherwise reclaim them, so read(ref=) never dangles;
+    dropping the tag makes the snapshot expirable again."""
+    import os
+
+    v1 = table.commit(_batch(spark, 0, 2, "a"))
+    table.tag("pinned", v1)
+    table.commit(_batch(spark, 5, 6, "fresh"), mode="overwrite")  # v2
+    table.commit(_batch(spark, 7, 8, "newer"), mode="overwrite")  # v3
+
+    deleted = table.expire_snapshots(keep_last=1)
+    # v2 (untagged, not HEAD) is reclaimed; tagged v1 survives intact
+    assert table.snapshots() == [v1, 3]
+    assert table.read(ref="pinned").count() == 200
+    for p in table.pruned_files(version=v1):
+        assert os.path.exists(p)
+    assert all(p not in set(table.pruned_files(version=v1)) for p in deleted)
+
+    # untag → the snapshot becomes ordinary expirable history
+    table.drop_tag("pinned")
+    table.expire_snapshots(keep_last=1)
+    assert table.snapshots() == [3]

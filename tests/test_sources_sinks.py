@@ -286,6 +286,38 @@ def test_fetch_with_rate_limit_honors_retry_after():
         )
 
 
+def test_fetch_with_rate_limit_date_retry_after_and_pacing():
+    """RFC 7231 allows an HTTP-date Retry-After: the non-numeric form
+    must fall back to the exponential schedule, not raise out of the
+    retry loop; and the limiter paces EVERY attempt, not only the
+    first."""
+    responses = iter(
+        [
+            _FakeResp(
+                429, headers={"Retry-After": "Wed, 21 Oct 2015 07:28:00 GMT"}
+            ),
+            _FakeResp(200, payload={"ok": 1}),
+        ]
+    )
+    slept = []
+    waited = []
+
+    class _Limiter:
+        def wait(self, url):
+            waited.append(url)
+
+    out = providers.fetch_with_rate_limit(
+        lambda url: next(responses),
+        "https://x/klines",
+        rate_limit_delay=1.0,
+        limiter=_Limiter(),
+        sleep=slept.append,
+    )
+    assert out == {"ok": 1}
+    assert slept == [1.0]  # date form → 1.0 * 2**0 exponential fallback
+    assert waited == ["https://x/klines"] * 2  # one wait per attempt
+
+
 def test_fetch_with_timeout_normalizes():
     def slow_get(url, timeout=None):
         raise TimeoutError("socket timed out")
