@@ -62,27 +62,29 @@ def _ordered_bin_fold(key_col: str, term) -> "F.Column":
     )
 
 
-def _hist_grid(
+def _hist_compact(
     ref: DataFrame, new: DataFrame, cols: list[str], bins: int
 ) -> DataFrame:
-    """(feature, bin, n_ref, n_new, __t_ref, __t_new) histogram grid
-    for every feature in ONE lazy plan — reference-side equal-width
-    bins, edge-clamped, zero driver actions:
+    """ONE row per feature: ``(feature, __t_ref, __t_new, __m)`` where
+    ``__m`` maps occupied bin → (n_ref, n_new) — the whole drift
+    histogram as a compact per-feature value, zero driver actions:
 
-    - per-feature (min, max, count) is one aggregate over the melted
+    - per-feature (min, max) is one aggregate over the melted
       reference, broadcast back to both sides (no ``.first()``);
-    - each side bucket-counts with one groupBy(feature, bin);
-    - the dense feature×bin grid left-joins the two count frames and
-      the broadcast totals.
+    - both sides union with a side tag and bucket-count in a single
+      groupBy(feature, bin);
+    - one more groupBy(feature) folds the ≤ bins+1 count rows into the
+      map and the side totals.
 
     At 100 TB this is two passes over the reference and ONE over the
-    comparison side, covering ALL features (the r02 shape was two
-    passes + two driver round-trips PER feature): the two sides union
-    with a side tag and bucket-count in a single aggregation; per-
-    feature totals then ride free on the already-aggregated bin rows
-    (null buckets — null feature values — keep their group so totals
-    still count every row, then drop at the dense-grid join)."""
-    spark = ref.sparkSession
+    comparison side, covering ALL features, and exactly THREE
+    exchanges total (stats agg, (feature, bin) agg, feature agg — the
+    last two on already-reduced rows); consumers densify the map with
+    array expressions instead of a dense-grid join, so no further
+    shuffle ever touches the data. NULL feature values keep a null
+    bucket through the count (``__t_*`` totals count every row, like
+    an oracle ``count(*)``) and drop at the map build — a null is
+    missing data, not lowest-bin mass."""
     mref, mnew = _melt(ref, cols), _melt(new, cols)
     stats = mref.groupBy("feature").agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
@@ -91,11 +93,14 @@ def _hist_grid(
         mnew.withColumn("__side", F.lit(1))
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(bins)
-    bucket = F.least(
-        F.lit(bins - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"),
+    bucket = F.when(
+        F.col("__v").isNotNull(),
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("__v") - F.col("__lo")) / width).cast("int"),
+            ),
         ),
     )
     binned = (
@@ -107,39 +112,71 @@ def _hist_grid(
             F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("n_new"),
         )
     )
-    totals = binned.groupBy("feature").agg(
-        F.sum("n_ref").alias("__t_ref"), F.sum("n_new").alias("__t_new")
+    return binned.groupBy("feature").agg(
+        F.sum("n_ref").alias("__t_ref"),
+        F.sum("n_new").alias("__t_new"),
+        F.map_from_entries(
+            # null-bin rows (null feature values) yield a null struct,
+            # which collect_list drops — counted in totals, not binned
+            F.collect_list(
+                F.when(
+                    F.col("bin").isNotNull(),
+                    F.struct(
+                        F.col("bin"),
+                        F.struct(F.col("n_ref"), F.col("n_new")),
+                    ),
+                )
+            )
+        ).alias("__m"),
     )
-    features = spark.createDataFrame([(c,) for c in cols], "feature string")
-    grid = (
-        features.crossJoin(
-            spark.range(bins).select(F.col("id").cast("int").alias("bin"))
-        )
-        .join(binned, ["feature", "bin"], "left")
-        .na.fill({"n_ref": 0, "n_new": 0})
-        .join(F.broadcast(totals), "feature")
+
+
+def _bin_counts(b):
+    """(n_ref, n_new) for dense bin ``b`` out of the compact map —
+    absent (empty) bins read as 0/0."""
+    e = F.try_element_at(F.col("__m"), b)
+    return (
+        F.coalesce(e["n_ref"], F.lit(0)),
+        F.coalesce(e["n_new"], F.lit(0)),
     )
-    return grid
+
+
+def _dense_bin_fold(bins: int, term_of_bin) -> "F.Column":
+    """Order-deterministic Σ over the dense bin range 0..bins−1: a
+    left-fold over ``sequence(0, bins-1)`` seeded with 0.0 — the same
+    term order as a SQL ``list_reduce(list(x ORDER BY bin))`` twin, so
+    the folded double is bit-identical across engines. ``term_of_bin``
+    maps the bin-index column to that bin's term."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc + term_of_bin(b),
+    )
 
 
 def psi_features(
     ref: DataFrame, new: DataFrame, cols: list[str], bins: int = 10
 ) -> DataFrame:
     """PSI per feature: ``(feature, psi, n_ref, n_new)``, one row per
-    column, computed as ONE job chain with zero driver actions (see
-    :func:`_hist_grid`). Values outside the reference range clamp into
-    the edge bins (out-of-range mass counts as extreme-bin drift
-    rather than vanishing); +0.5 Laplace smoothing keeps empty bins
-    finite. The 10-term sum folds in bin order so the result is
-    bit-reproducible across engines."""
-    grid = _hist_grid(ref, new, cols, bins)
-    p = (F.col("n_ref") + 0.5) / (F.col("__t_ref") + F.lit(0.5 * bins))
-    q = (F.col("n_new") + 0.5) / (F.col("__t_new") + F.lit(0.5 * bins))
-    term = (p - q) * F.log(p / q)
-    return grid.groupBy("feature").agg(
-        _ordered_bin_fold("bin", term).alias("psi"),
-        F.first("__t_ref").cast("bigint").alias("n_ref"),
-        F.first("__t_new").cast("bigint").alias("n_new"),
+    column, computed as ONE job chain with zero driver actions and
+    three exchanges total (see :func:`_hist_compact`). Values outside
+    the reference range clamp into the edge bins (out-of-range mass
+    counts as extreme-bin drift rather than vanishing); +0.5 Laplace
+    smoothing keeps empty bins finite. The 10-term sum folds in dense
+    bin order so the result is bit-reproducible across engines."""
+    h = _hist_compact(ref, new, cols, bins)
+
+    def term(b):
+        n_ref, n_new = _bin_counts(b)
+        p = (n_ref + 0.5) / (F.col("__t_ref") + F.lit(0.5 * bins))
+        q = (n_new + 0.5) / (F.col("__t_new") + F.lit(0.5 * bins))
+        return (p - q) * F.log(p / q)
+
+    return h.select(
+        "feature",
+        _dense_bin_fold(bins, term).alias("psi"),
+        F.col("__t_ref").cast("bigint").alias("n_ref"),
+        F.col("__t_new").cast("bigint").alias("n_new"),
     )
 
 
@@ -169,44 +206,55 @@ def hist_chi2_drift(
     the gate a small serving window needs before alarming.
 
     Empty bins (row total 0) contribute nothing and shed a degree of
-    freedom, the standard treatment. The p-value uses the
-    Wilson–Hilferty cube-root normal approximation (χ²/d ≈ normal —
-    |ε| < 1e-3 for d ≥ 3, monotone), through the same A-S erf
+    freedom, the standard treatment; a cell whose EXPECTED count is 0
+    (one side entirely empty) is skipped rather than divided by — and
+    the p-value is null (not NaN) whenever the test is degenerate:
+    dof < 1 (all mass in one bin) or an empty side. The p-value uses
+    the Wilson–Hilferty cube-root normal approximation (χ²/d ≈ normal
+    — |ε| < 1e-3 for d ≥ 3, monotone), through the same A-S erf
     polynomial as ``indicators.vpin``, so both engines compute the
-    identical closed form. Same two-pass histogram plan as
-    :func:`psi`: zero driver actions, one aggregate, bin-ordered fold.
+    identical closed form. Same compact histogram plan as :func:`psi`:
+    zero driver actions, three exchanges, dense bin-ordered fold.
     """
     from financial_data_pipeline_spark.operators.indicators import _norm_cdf
 
-    grid = _hist_grid(ref, new, [col], bins)
-    rt = F.col("n_ref") + F.col("n_new")  # per-bin row total
+    h = _hist_compact(ref, new, [col], bins)
     gt = F.col("__t_ref") + F.col("__t_new")
-    e_ref = rt * F.col("__t_ref") / gt
-    e_new = rt * F.col("__t_new") / gt
-    term = F.when(
-        rt > 0,
-        F.pow(F.col("n_ref") - e_ref, F.lit(2.0)) / e_ref
-        + F.pow(F.col("n_new") - e_new, F.lit(2.0)) / e_new,
-    ).otherwise(F.lit(0.0))
-    agg = grid.groupBy("feature").agg(
-        _ordered_bin_fold("bin", term).alias("chi2"),
-        (
-            F.sum((rt > 0).cast("long")) - F.lit(1)
-        ).alias("dof"),
-        F.first("__t_ref").cast("bigint").alias("n_ref"),
-        F.first("__t_new").cast("bigint").alias("n_new"),
+
+    def term(b):
+        n_ref, n_new = _bin_counts(b)
+        rt = n_ref + n_new  # per-bin row total
+        e_ref = rt * F.col("__t_ref") / gt
+        e_new = rt * F.col("__t_new") / gt
+        side = lambda n, e: F.when(  # noqa: E731 — tiny cell guard
+            e > 0, F.pow(n - e, F.lit(2.0)) / e
+        ).otherwise(F.lit(0.0))
+        return F.when(rt > 0, side(n_ref, e_ref) + side(n_new, e_new)).otherwise(
+            F.lit(0.0)
+        )
+
+    agg = h.select(
+        "feature",
+        _dense_bin_fold(bins, term).alias("chi2"),
+        # every map entry is a non-empty (rt > 0) in-range bin
+        (F.size("__m").cast("long") - F.lit(1)).alias("dof"),
+        F.col("__t_ref").cast("bigint").alias("n_ref"),
+        F.col("__t_new").cast("bigint").alias("n_new"),
     )
     d = F.col("dof").cast("double")
     z = (
         F.pow(F.col("chi2") / d, F.lit(1.0) / 3.0)
         - (1.0 - 2.0 / (9.0 * d))
     ) / F.sqrt(2.0 / (9.0 * d))
-    pval = 1.0 - _norm_cdf(z)
+    pval = F.when(
+        (F.col("dof") >= 1) & (F.col("n_ref") > 0) & (F.col("n_new") > 0),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), 1.0 - _norm_cdf(z))),
+    )  # degenerate test → null, never NaN
     return agg.select(
         "feature",
         "chi2",
         "dof",
-        F.least(F.lit(1.0), F.greatest(F.lit(0.0), pval)).alias("p_value"),
+        pval.alias("p_value"),
         "n_ref",
         "n_new",
     )
@@ -388,20 +436,25 @@ def js_divergence(
     same reference-range equal-width bins as :func:`psi` — the BOUNDED
     drift metric (0 ≤ JS ≤ ln 2, symmetric, never infinite), preferred
     when the comparison feeds an alert threshold that must not blow up
-    on an empty bin. Same two-pass histogram plan and Laplace
-    smoothing; only the combine differs:
+    on an empty bin. Same compact histogram plan (three exchanges) and
+    Laplace smoothing; only the combine differs:
     JS = ½·KL(p‖m) + ½·KL(q‖m), m = (p+q)/2 — folded per bin as
-    ½·(p·ln(p/m) + q·ln(q/m)) in bin order (bit-reproducible).
+    ½·(p·ln(p/m) + q·ln(q/m)) in dense bin order (bit-reproducible).
     """
-    grid = _hist_grid(ref, new, [col], bins)
-    p = (F.col("n_ref") + 0.5) / (F.col("__t_ref") + F.lit(0.5 * bins))
-    q = (F.col("n_new") + 0.5) / (F.col("__t_new") + F.lit(0.5 * bins))
-    m = (p + q) / 2.0
-    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
-    return grid.groupBy("feature").agg(
-        _ordered_bin_fold("bin", term).alias("js_divergence"),
-        F.first("__t_ref").cast("bigint").alias("n_ref"),
-        F.first("__t_new").cast("bigint").alias("n_new"),
+    h = _hist_compact(ref, new, [col], bins)
+
+    def term(b):
+        n_ref, n_new = _bin_counts(b)
+        p = (n_ref + 0.5) / (F.col("__t_ref") + F.lit(0.5 * bins))
+        q = (n_new + 0.5) / (F.col("__t_new") + F.lit(0.5 * bins))
+        m = (p + q) / 2.0
+        return F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+
+    return h.select(
+        "feature",
+        _dense_bin_fold(bins, term).alias("js_divergence"),
+        F.col("__t_ref").cast("bigint").alias("n_ref"),
+        F.col("__t_new").cast("bigint").alias("n_new"),
     )
 
 

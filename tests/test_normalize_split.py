@@ -754,6 +754,39 @@ def test_hist_chi2_drift_accepts_null_and_rejects_shift(spark, ohlcv_df):
     assert abs(small["p_value"] - exact) < 2e-3
 
 
+def test_drift_degenerate_inputs_yield_null_not_nan(spark):
+    """Guard rails on the drift family: a single-bin distribution
+    (dof 0) or an empty comparison side must emit a NULL p_value —
+    never NaN (NaN passes least/greatest clamps and poisons alert
+    comparisons) and never a divide-by-zero; and null feature values
+    count in the side totals but not in any bin (a null is missing
+    data, not lowest-bin mass)."""
+    import pyspark.sql.functions as F
+
+    from financial_data_pipeline_spark.operators.drift import (
+        hist_chi2_drift,
+        psi_features,
+    )
+
+    const = spark.range(50).select(F.lit(3.0).alias("x"))
+    row = hist_chi2_drift(const, const, "x").first()
+    assert row["dof"] == 0 and row["p_value"] is None
+
+    empty = spark.createDataFrame([], "x double")
+    varied = spark.range(100).select((F.col("id") % 10).cast("double").alias("x"))
+    row2 = hist_chi2_drift(varied, empty, "x").first()
+    assert row2["n_new"] == 0 and row2["p_value"] is None
+    assert row2["chi2"] == row2["chi2"]  # finite, not NaN
+
+    with_null = varied.unionByName(
+        spark.createDataFrame([(None,), (None,)], "x double")
+    )
+    r = psi_features(with_null, varied, ["x"]).first()
+    assert r["n_ref"] == 102  # totals count every row (oracle count(*))
+    same = psi_features(varied, varied, ["x"]).first()
+    assert abs(r["psi"] - same["psi"]) < 0.05  # nulls don't fake drift mass
+
+
 def test_pacf_recovers_ar1_structure(spark):
     """On an AR(1) price path, PACF lag 1 ~ phi while lags 2-3 are
     ~0 (inside +-3/sqrt(n)) — the cutoff property that makes PACF the
