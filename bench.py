@@ -354,6 +354,9 @@ HEADLINE = [
     "event_entropy_rate",
     "win_loss_streaks",
     "top_drawdown_episodes",
+    "lof_outliers_blocked",
+    "silhouette_by_label_blocked",
+    "knn_label_accuracy_blocked",
 ]
 
 

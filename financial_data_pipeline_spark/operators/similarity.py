@@ -959,60 +959,114 @@ def euclidean(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda s, x: s + x))
 
 
+def _distance_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str | None,
+    max_rows: int,
+    caller: str,
+    extra_cols: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """The shared pair frame of the all-pairs family (LOF, silhouette,
+    kNN accuracy): (i, j, d[, extras]) with the Euclidean distance
+    ROUNDED to 8 dp BEFORE any ranking so (d, neighbor) tie-breaks are
+    engine-reproducible.
+
+    Two execution paths, the same split as ``cosine_pairs``:
+
+    - ``block_col`` given (LSH bucket / IVF cell — the 100 TB path):
+      an ordinary equi-join on the block key plus ``i != j`` — pairs
+      exist only within a block, cost Σ_b n_b², sub-quadratic whenever
+      the blocking scheme bounds n_b (add hyperplanes / centroids as
+      the corpus grows). No driver action, no broadcast of the corpus.
+    - no ``block_col`` (exact all-pairs): O(n²) broadcast-nested-loop,
+      hard-guarded by ``max_rows`` (one count) — past the cap the
+      caller must supply a block column.
+
+    ``extra_cols`` maps extra input columns to (a-side alias, b-side
+    alias) pairs encoded as "a_alias,b_alias"; pass "" to skip a side.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    extra = extra_cols or {}
+
+    def side(tag: str, idx: int) -> DataFrame:
+        cols = [
+            F.col(id_col).alias(tag),
+            F.col(vec_col).cast("array<double>").alias(f"v{tag}"),
+        ]
+        for c, aliases in extra.items():
+            alias = aliases.split(",")[idx]
+            if alias:
+                cols.append(F.col(c).alias(alias))
+        if block_col is not None:
+            cols.append(F.col(block_col).alias(f"__blk_{tag}"))
+        return df.select(*cols)
+
+    if block_col is None:
+        cnt = df.count()
+        if cnt > max_rows:
+            raise ValueError(
+                f"{caller} is exact O(n^2); {cnt} rows exceeds max_rows="
+                f"{max_rows} — pass block_col (LSH bucket / IVF cell) "
+                "for the blocked scale path"
+            )
+        # The streamed side of the broadcast-nested-loop pair join must
+        # be spread across cores — a small parquet arrives as ONE
+        # partition, which would serialize all n² distance evaluations
+        # into a single task (measured 44s → ~2s at n=2000 on
+        # local[32]).
+        a = side("i", 0).repartition(par)
+        cond = F.col("i") != F.col("j")
+    else:
+        # equi-join on the block key: Spark shuffles both sides on
+        # __blk itself (sort-merge / shuffled-hash) — no repartition
+        # hint needed, and parallelism = number of occupied blocks,
+        # which the blocking scheme keeps growing with the corpus
+        a = side("i", 0)
+        cond = (F.col("__blk_i") == F.col("__blk_j")) & (
+            F.col("i") != F.col("j")
+        )
+    b = side("j", 1)
+    keep = ["i", "j"] + [
+        alias for aliases in extra.values() for alias in aliases.split(",") if alias
+    ]
+    return a.join(b, cond).select(
+        *keep, F.round(euclidean(F.col("vi"), F.col("vj")), 8).alias("d")
+    )
+
+
 def lof_scores(
     df: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_rows: int = 20_000,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Local Outlier Factor (Breunig et al. 2000) over an embedding
-    column, k neighbors, exact all-pairs Euclidean distances.
+    column, k neighbors, Euclidean distances.
 
     Output: (id, k_dist, lrd, lof) — lof ≈ 1 for inliers, ≫ 1 for
     points whose local density is far below their neighbors'.
 
-    Entirely relational (no Python state): self-join pairs → distance
-    (ROUNDED to 8 dp BEFORE ranking so the (d, neighbor) tie-break is
-    engine-reproducible) → row_number top-k → k-dist per point →
-    reach-dist = max(k-dist(o), d(p,o)) → lrd = 1/mean(reach-dist) →
+    Entirely relational (no Python state): pair frame → distance →
+    row_number top-k → k-dist per point → reach-dist =
+    max(k-dist(o), d(p,o)) → lrd = 1/mean(reach-dist) →
     lof = mean(lrd_o)/lrd_p via one more self-join on the kNN edge
     list.
 
-    Scale contract: the pair join is O(n²) — ``max_rows`` guards it
-    (same device as ``cosine_pairs``). At corpus scale, run it per
-    IVF/LSH block (``ivf_topk`` partitioning) so each block's n stays
-    bounded; LOF is a LOCAL density measure, so block-local neighbors
-    are the semantically right candidate set anyway.
-    """
+    Scale contract (see :func:`_distance_pairs`): without ``block_col``
+    the pair join is exact O(n²) and ``max_rows``-guarded; WITH
+    ``block_col`` (LSH bucket / IVF cell) pairs are block-local — the
+    100 TB path, and semantically right anyway since LOF is a LOCAL
+    density measure. Blocks smaller than k+1 simply yield fewer
+    neighbors (a singleton block drops out of the result), identical
+    in any engine."""
     from pyspark.sql import Window
 
-    cnt = df.count()
-    if cnt > max_rows:
-        raise ValueError(
-            f"lof_scores is exact O(n^2); {cnt} rows exceeds max_rows="
-            f"{max_rows} — run per IVF/LSH block instead"
-        )
-    # The streamed side of the broadcast-nested-loop pair join must be
-    # spread across cores — a small parquet arrives as ONE partition,
-    # which would serialize all n² distance evaluations into a single
-    # task (measured 44s → ~2s at n=2000 on local[32]).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    a = df.select(
-        F.col(id_col).alias("i"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-    ).repartition(par)
-    b = df.select(
-        F.col(id_col).alias("j"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-    )
-    pairs = (
-        a.join(b, F.col("i") != F.col("j"))
-        .select(
-            "i",
-            "j",
-            F.round(euclidean(F.col("va"), F.col("vb")), 8).alias("d"),
-        )
+    pairs = _distance_pairs(
+        df, vec_col, id_col, block_col, max_rows, "lof_scores"
     )
     wk = Window.partitionBy("i").orderBy("d", "j")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
@@ -1042,4 +1096,94 @@ def lof_scores(
     return (
         lof.join(kdist.select(F.col("i").alias(id_col), "k_dist"), on=id_col)
         .select(id_col, "k_dist", "lrd", "lof")
+    )
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 20_000,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Mean silhouette coefficient per label: (label, n_vecs,
+    mean_silhouette) with s = (b − a)/max(a, b), a = mean distance to
+    own label, b = lowest mean distance to any other label. Points
+    whose label has no second member (within the block, when blocked)
+    drop out.
+
+    Same pair frame and scale contract as :func:`lof_scores` — with
+    ``block_col`` the candidate set is block-local (neighbors an LSH
+    bucket / IVF cell puts nearby), the 100 TB path; silhouette is a
+    neighborhood-contrast measure, so block-local contrast is the
+    scalable estimator of the same quantity."""
+    pairs = _distance_pairs(
+        df,
+        vec_col,
+        id_col,
+        block_col,
+        max_rows,
+        "silhouette_by_label",
+        extra_cols={label_col: "li,lj"},
+    )
+    md = pairs.groupBy("i", "li", "lj").agg(F.avg("d").alias("mean_d"))
+    ab = md.groupBy("i", "li").agg(
+        F.max(F.when(F.col("li") == F.col("lj"), F.col("mean_d"))).alias("a"),
+        F.min(F.when(F.col("li") != F.col("lj"), F.col("mean_d"))).alias("b"),
+    )
+    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+    return (
+        ab.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy(F.col("li").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg(sil).alias("mean_silhouette"),
+        )
+    )
+
+
+def knn_label_accuracy(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 20_000,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Leave-one-out k-NN label-prediction accuracy per label:
+    (label, n_vecs, loo_accuracy) under majority vote with the
+    deterministic (count desc, label asc) tie-break — 'are the labels
+    recoverable from geometry'.
+
+    Same pair frame and scale contract as :func:`lof_scores`; with
+    ``block_col`` the electorate is the block-local k nearest (points
+    in sub-(k+1) blocks vote with fewer neighbors; singleton blocks
+    drop out), identical in any engine."""
+    from pyspark.sql import Window
+
+    pairs = _distance_pairs(
+        df,
+        vec_col,
+        id_col,
+        block_col,
+        max_rows,
+        "knn_label_accuracy",
+        extra_cols={label_col: "li,lj"},
+    )
+    wk = Window.partitionBy("i").orderBy("d", "j")
+    knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= k
+    )
+    votes = knn.groupBy("i", "li", "lj").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.partitionBy("i").orderBy(F.desc("c"), F.asc("lj"))
+    pred = votes.withColumn("r", F.row_number().over(wv)).filter(
+        F.col("r") == 1
+    )
+    return pred.groupBy(F.col("li").alias(label_col)).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg(
+            F.when(F.col("li") == F.col("lj"), 1.0).otherwise(0.0)
+        ).alias("loo_accuracy"),
     )

@@ -13889,6 +13889,164 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blocked_emb_pairs_cte() -> str:
+    """Shared oracle prefix of the blocked all-pairs family: the SAME
+    4 seeded-hyperplane LSH buckets as the Spark side (identical plane
+    literals, identical left-fold dot product) and the block-local
+    rounded-distance pair frame — pairs exist only within a bucket."""
+    bucket = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
+            lits=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(_pair_block_planes())
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS i, a.label AS li, b.label AS lj, b.vec_id AS j,
+         round(sqrt(list_reduce(
+           list_transform(range(1, len(a.v) + 1),
+                          t -> (a.v[t] - b.v[t]) * (a.v[t] - b.v[t])),
+           (s, x) -> s + x)), 8) AS d
+  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)"""
+
+
+@query(
+    "lof_outliers_blocked",
+    _blocked_emb_pairs_cte()
+    + """
+, knn AS (
+  SELECT i, j, d,
+         row_number() OVER (PARTITION BY i ORDER BY d, j) AS rn
+  FROM pairs QUALIFY rn <= 5
+), kdist AS (SELECT i, max(d) AS k_dist FROM knn GROUP BY 1),
+edges AS (
+  SELECT knn.i, knn.j, greatest(knn.d, kj.k_dist) AS reach
+  FROM knn JOIN kdist kj ON knn.j = kj.i
+), lrd AS (SELECT i, 1.0 / avg(reach) AS lrd FROM edges GROUP BY 1),
+lof AS (
+  SELECT knn.i, avg(lj.lrd) AS mean_lrd_nbrs
+  FROM knn JOIN lrd lj ON knn.j = lj.i
+  GROUP BY 1
+)
+SELECT lof.i AS vec_id,
+       round(kdist.k_dist, 6) AS k_dist,
+       round(lrd.lrd, 6) AS lrd,
+       round(lof.mean_lrd_nbrs / lrd.lrd, 6) AS lof
+FROM lof JOIN lrd USING (i) JOIN kdist USING (i)
+""",
+)
+def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CALLABLE 100 TB LOF path: LSH-bucket the corpus (4 seeded
+    hyperplanes → 16 blocks) and run the identical relational LOF
+    pipeline with the pair join restricted to same-bucket — an
+    ordinary equi-join on the block key instead of the guarded O(n²)
+    broadcast-nested-loop, cost Σ_b n_b² (sub-quadratic whenever the
+    plane count grows with the corpus so block sizes stay bounded).
+    LOF is a LOCAL density measure, so block-local neighbors are the
+    semantically right candidate set; the oracle replays the same
+    buckets from the same plane literals."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        lof_scores,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    )
+    out = lof_scores(emb, k=5, block_col="block")
+    return out.select(
+        "vec_id",
+        F.round("k_dist", 6).alias("k_dist"),
+        F.round("lrd", 6).alias("lrd"),
+        F.round("lof", 6).alias("lof"),
+    )
+
+
+@query(
+    "silhouette_by_label_blocked",
+    _blocked_emb_pairs_cte()
+    + """
+, md AS (
+  SELECT i, li, lj, avg(d) AS mean_d FROM pairs GROUP BY 1, 2, 3
+), ab AS (
+  SELECT i, li,
+         max(CASE WHEN li = lj THEN mean_d END) AS a,
+         min(CASE WHEN li <> lj THEN mean_d END) AS b
+  FROM md GROUP BY 1, 2
+)
+SELECT li AS label,
+       count(*)::BIGINT AS n_vecs,
+       round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette
+FROM ab WHERE a IS NOT NULL AND b IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked silhouette — the shipped scale path for the cluster-
+    separation score: mean distances computed over same-bucket pairs
+    only (equi-join on the LSH block key, never all-pairs). Points
+    lacking a same-label or other-label neighbor WITHIN their bucket
+    drop out identically in both engines."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        lsh_bucket,
+        silhouette_by_label,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    )
+    out = silhouette_by_label(emb, block_col="block")
+    return out.select(
+        "label",
+        "n_vecs",
+        F.round("mean_silhouette", 6).alias("mean_silhouette"),
+    )
+
+
+@query(
+    "knn_label_accuracy_blocked",
+    _blocked_emb_pairs_cte()
+    + """
+, knn AS (
+  SELECT i, li, lj,
+         row_number() OVER (PARTITION BY i ORDER BY d, j) AS rn
+  FROM pairs QUALIFY rn <= 5
+), votes AS (
+  SELECT i, li, lj, count(*) AS c FROM knn GROUP BY 1, 2, 3
+), pred AS (
+  SELECT i, li, lj AS pred,
+         row_number() OVER (PARTITION BY i ORDER BY c DESC, lj ASC) AS r
+  FROM votes QUALIFY r = 1
+)
+SELECT li AS label,
+       count(*)::BIGINT AS n_vecs,
+       round(avg(CASE WHEN li = pred THEN 1.0 ELSE 0.0 END), 6)
+         AS loo_accuracy
+FROM pred GROUP BY 1
+""",
+)
+def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked leave-one-out 5-NN accuracy — the shipped scale path:
+    the electorate is the block-local k nearest (LSH equi-join, never
+    all-pairs); sub-(k+1) blocks vote with fewer neighbors and
+    singleton blocks drop out, identically in both engines."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_label_accuracy,
+        lsh_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    )
+    out = knn_label_accuracy(emb, k=5, block_col="block")
+    return out.select(
+        "label", "n_vecs", F.round("loo_accuracy", 6).alias("loo_accuracy")
+    )
+
+
 def _pagerank_sql(iters: int = 10, d: float = 0.85) -> str:
     """Unrolled power-iteration CTE chain (pr0..pr{iters}) — the SQL
     twin of the Spark plan-time loop in ``q_event_type_pagerank``."""
@@ -15836,45 +15994,19 @@ def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance to any other label) — THE cluster-separation score, fully
     relational on the same rounded-distance pair frame as
     ``lof_outliers`` (repartitioned pair join, exact at this scale;
-    per-IVF-block at corpus scale). Points whose label has no second
-    member drop out identically in both engines."""
-    from financial_data_pipeline_spark.operators.similarity import euclidean
+    see ``silhouette_by_label_blocked`` for the shipped scale path).
+    Points whose label has no second member drop out identically in
+    both engines."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        silhouette_by_label,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.select(
-        F.col("vec_id").alias("i"),
-        F.col("label").alias("li"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    ).repartition(par)
-    b = emb.select(
-        F.col("vec_id").alias("j"),
-        F.col("label").alias("lj"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    )
-    pairs = a.join(b, F.col("i") != F.col("j")).select(
-        "i",
-        "li",
-        "lj",
-        F.round(euclidean(F.col("va"), F.col("vb")), 8).alias("d"),
-    )
-    md = pairs.groupBy("i", "li", "lj").agg(F.avg("d").alias("mean_d"))
-    ab = md.groupBy("i", "li").agg(
-        F.max(
-            F.when(F.col("li") == F.col("lj"), F.col("mean_d"))
-        ).alias("a"),
-        F.min(
-            F.when(F.col("li") != F.col("lj"), F.col("mean_d"))
-        ).alias("b"),
-    )
-    sil = (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
-    return (
-        ab.filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .groupBy(F.col("li").alias("label"))
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg(sil), 6).alias("mean_silhouette"),
-        )
+    out = silhouette_by_label(emb)
+    return out.select(
+        "label",
+        "n_vecs",
+        F.round("mean_silhouette", 6).alias("mean_silhouette"),
     )
 
 
@@ -16205,43 +16337,16 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (majority vote, deterministic (count desc, label asc)
     tie-break) — 'are the labels recoverable from geometry', the
     supervised companion of ``silhouette_by_label``. Same rounded-
-    distance repartitioned pair frame; per-IVF-block at corpus
-    scale."""
-    from financial_data_pipeline_spark.operators.similarity import euclidean
+    distance repartitioned pair frame; see
+    ``knn_label_accuracy_blocked`` for the shipped scale path."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_label_accuracy,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    a = emb.select(
-        F.col("vec_id").alias("i"),
-        F.col("label").alias("li"),
-        F.col("embedding").cast("array<double>").alias("va"),
-    ).repartition(par)
-    b = emb.select(
-        F.col("vec_id").alias("j"),
-        F.col("label").alias("lj"),
-        F.col("embedding").cast("array<double>").alias("vb"),
-    )
-    pairs = a.join(b, F.col("i") != F.col("j")).select(
-        "i",
-        "li",
-        "lj",
-        "j",
-        F.round(euclidean(F.col("va"), F.col("vb")), 8).alias("d"),
-    )
-    wk = Window.partitionBy("i").orderBy("d", "j")
-    knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= 5
-    )
-    votes = knn.groupBy("i", "li", "lj").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.partitionBy("i").orderBy(F.desc("c"), F.asc("lj"))
-    pred = votes.withColumn("r", F.row_number().over(wv)).filter(
-        F.col("r") == 1
-    )
-    return pred.groupBy(F.col("li").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(
-            F.avg(F.when(F.col("li") == F.col("lj"), 1.0).otherwise(0.0)), 6
-        ).alias("loo_accuracy"),
+    out = knn_label_accuracy(emb, k=5)
+    return out.select(
+        "label", "n_vecs", F.round("loo_accuracy", 6).alias("loo_accuracy")
     )
 
 

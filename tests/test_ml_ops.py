@@ -443,3 +443,82 @@ def test_lof_scores_matches_numpy_reference(spark):
         assert abs(got[i].k_dist - kdist[i]) < 1e-8, i
     assert got[n - 1].lof > 3.0
     assert got[n - 1].lof > max(got[i].lof for i in range(n - 1)) * 2
+
+
+def test_blocked_all_pairs_family(spark):
+    """The callable 100 TB path: with block_col, LOF / silhouette /
+    kNN-accuracy restrict pairs to the block (equi-join, no O(n²)
+    BNLJ), the max_rows guard is bypassed (no driver count), and with
+    every row in ONE block the results equal the exact unblocked ones;
+    singleton blocks drop out; the unblocked path still raises past
+    max_rows."""
+    import numpy as np
+    import pytest as _pytest
+
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_label_accuracy,
+        lof_scores,
+        silhouette_by_label,
+    )
+
+    rng = np.random.default_rng(11)
+    X = np.vstack(
+        [rng.normal(0.0, 0.3, (15, 4)), rng.normal(4.0, 0.3, (15, 4))]
+    )
+    rows = [
+        (int(i), [float(x) for x in X[i]], int(i // 15)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    # one-block ≡ exact: blocked pipeline on a constant block column
+    one = df.withColumn("blk", F.lit(0))
+    exact = {r.vec_id: r for r in lof_scores(df, k=3, max_rows=100).collect()}
+    blocked = {
+        r.vec_id: r for r in lof_scores(one, k=3, block_col="blk").collect()
+    }
+    assert set(exact) == set(blocked)
+    for i in exact:
+        assert abs(exact[i].lof - blocked[i].lof) < 1e-12
+
+    s_exact = {r.label: r for r in silhouette_by_label(df).collect()}
+    s_one = {
+        r.label: r
+        for r in silhouette_by_label(one, block_col="blk").collect()
+    }
+    assert s_exact.keys() == s_one.keys()
+    for lbl in s_exact:
+        assert (
+            abs(s_exact[lbl].mean_silhouette - s_one[lbl].mean_silhouette)
+            < 1e-12
+        )
+
+    a_exact = knn_label_accuracy(df, k=3).collect()
+    a_one = knn_label_accuracy(one, k=3, block_col="blk").collect()
+    assert sorted(map(tuple, a_exact)) == sorted(map(tuple, a_one))
+
+    # real blocking by cluster: block-local neighbors are the cluster,
+    # so the two tight clusters score near-perfect separation
+    by_cluster = df.withColumn("blk", F.col("label"))
+    s_blk = {
+        r.label: r
+        for r in silhouette_by_label(by_cluster, block_col="blk").collect()
+    }
+    # no other-label neighbor within a pure block → all points drop out
+    assert s_blk == {}
+    acc = knn_label_accuracy(by_cluster, k=3, block_col="blk").collect()
+    assert all(r.loo_accuracy == 1.0 for r in acc)
+
+    # singleton block drops out of LOF; other block unaffected
+    lone = df.withColumn(
+        "blk", F.when(F.col("vec_id") == 0, F.lit(99)).otherwise(F.lit(0))
+    )
+    lofs = lof_scores(lone, k=3, block_col="blk").collect()
+    assert {r.vec_id for r in lofs} == set(range(1, 30))
+
+    # guard still bites the unblocked path — and not the blocked one
+    with _pytest.raises(ValueError, match="block_col"):
+        lof_scores(df, k=3, max_rows=10).collect()
+    assert (
+        len(lof_scores(one, k=3, max_rows=10, block_col="blk").collect())
+        == 30
+    )

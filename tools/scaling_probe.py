@@ -24,6 +24,13 @@ Amplification is workload-preserving, not duplication:
 - ``embeddings`` — each copy jitters vectors deterministically by a
   copy-specific orthogonal-ish sign/permutation pattern and remaps
   ids, keeping norms and cluster geometry without exact duplicates.
+- ``customer`` / ``orders`` / ``lineitem`` — each copy shifts cust and
+  order keys into disjoint ranges (orders keep referencing their
+  copy's customers; lineitems their copy's orders) while part/supplier
+  keys stay in the ORIGINAL range — real growth: more customers
+  placing more orders against the same catalog, so customer-grained
+  pair structure (baskets, co-purchase) repeats k× instead of
+  exploding k²×, and part/supplier joins fan out k× deeper.
 
 Usage::
 
@@ -74,7 +81,67 @@ PROBES = [
     "ks_drift_by_dow",
     "token_entropy",
     "mann_whitney_purchase_view",
+    # round-4: TPC-H-fact heavies (customer/orders/lineitem amplified
+    # with disjoint key spaces; part/supplier catalog shared)
+    "trimmed_mean_prices",
+    "orders_profile",
+    "part_basket_rules",
+    "copurchase_degree_hist",
+    "blamed_suppliers",
+    "min_cost_supplier_per_part",
+    "nation_trade_volume",
+    "lineitems_in_order_windows",
+    "dominant_part_suppliers",
+    "market_share_by_year",
+    "return_correlation_gram",
+    "pairwise_cointegration",
 ]
+
+
+def _adaptive_blocked_probes(k: int):
+    """The blocked all-pairs family probed under its actual 100 TB
+    contract: the hyperplane count grows with the corpus so the
+    EXPECTED BLOCK SIZE stays constant — 4 planes at 1×, 4+log2(k) at
+    k× (k=8 → 7 planes → 128 buckets). Fixed planes at k× would grow
+    every block k× and the pair join k²× — that is mis-deployment, not
+    the operator; this probe measures the deployment the docstrings
+    prescribe. Returns [(label, builder(spark, sf_dir, n_planes))] and
+    the (planes_1x, planes_kx) pair."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from financial_data_pipeline_spark.operators.similarity import (
+        knn_label_accuracy,
+        lof_scores,
+        lsh_bucket,
+        seeded_planes,
+        silhouette_by_label,
+    )
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    def blocked(op):
+        def build(spark, sf_dir, n_planes):
+            emb = load_table(spark, sf_dir, "embeddings").withColumn(
+                "block",
+                lsh_bucket(F.col("embedding"), seeded_planes(n_planes, 64, seed=7)),
+            )
+            return op(emb)
+
+        return build
+
+    probes = [
+        ("lof_outliers_blocked", blocked(lambda e: lof_scores(e, k=5, block_col="block"))),
+        (
+            "silhouette_by_label_blocked",
+            blocked(lambda e: silhouette_by_label(e, block_col="block")),
+        ),
+        (
+            "knn_label_accuracy_blocked",
+            blocked(lambda e: knn_label_accuracy(e, k=5, block_col="block")),
+        ),
+    ]
+    return probes, (4, 4 + max(0, round(math.log2(k))))
 
 
 def amplify(spark, k: int, out_dir: str) -> None:
@@ -139,15 +206,49 @@ def amplify(spark, k: int, out_dir: str) -> None:
         .parquet(f"{out_dir}/embeddings.parquet")
     )
 
-    for t in [
-        "region",
-        "nation",
-        "customer",
-        "supplier",
-        "part",
-        "orders",
-        "lineitem",
-    ]:
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    (
+        cust.select("*", copies)
+        .select(
+            (F.col("c_custkey") + F.col("__c").cast("long") * 10_000_000).alias(
+                "c_custkey"
+            ),
+            *[c for c in cust.columns if c != "c_custkey"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/customer.parquet")
+    )
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    (
+        orders.select("*", copies)
+        .select(
+            (F.col("o_orderkey") + F.col("__c").cast("long") * 1_000_000_000).alias(
+                "o_orderkey"
+            ),
+            (F.col("o_custkey") + F.col("__c").cast("long") * 10_000_000).alias(
+                "o_custkey"
+            ),
+            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/orders.parquet")
+    )
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    (
+        li.select("*", copies)
+        .select(
+            (F.col("l_orderkey") + F.col("__c").cast("long") * 1_000_000_000).alias(
+                "l_orderkey"
+            ),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/lineitem.parquet")
+    )
+
+    for t in ["region", "nation", "supplier", "part"]:
         shutil.copy(f"{BASE}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
@@ -182,6 +283,25 @@ def main() -> int:
         tk = run(name, tmp)
         rows.append((name, round(t1, 3), round(tk, 3), round(tk / t1, 2)))
         print(f"{name}: {t1:.2f}s -> {tk:.2f}s  ({tk / t1:.2f}x)", file=sys.stderr)
+
+    adaptive, (p1, pk) = _adaptive_blocked_probes(k)
+    for name, build in adaptive:
+        label = f"{name} [planes {p1}->{pk}]"
+
+        def run_adaptive(sf_dir: str, n_planes: int) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build(spark, sf_dir, n_planes).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1 = run_adaptive(BASE, p1)
+        tk = run_adaptive(tmp, pk)
+        rows.append((label, round(t1, 3), round(tk, 3), round(tk / t1, 2)))
+        print(f"{label}: {t1:.2f}s -> {tk:.2f}s  ({tk / t1:.2f}x)", file=sys.stderr)
 
     lines = [
         "# SCALING — measured k-times scale-up behavior",
