@@ -144,12 +144,15 @@ def main() -> None:
         "- `lsh_pair_recall` NESTED_LOOP_JOIN: the final row is the",
         "  crossJoin of two ONE-row count aggregates (exact vs LSH pair",
         "  counts) — an O(1) join.",
-        "- `feature_drift_psi` / `js_drift_close` / `hist_chi2_drift`",
-        "  NESTED_LOOP_JOIN: the dense histogram grid is the crossJoin",
-        "  of the LITERAL feature-name list with range(bins) —",
-        "  O(features · bins) rows (20 here), never fact-sized; the",
-        "  per-feature (min, max, total) stats then broadcast-join onto",
-        "  it (drift._hist_grid, the zero-driver-action histogram).",
+        "- `js_drift_close` / `hist_chi2_drift` NESTED_LOOP_JOIN: the",
+        "  SINGLE-feature case of `drift._hist_compact` — the per-",
+        "  feature (min, max) stats join's key is the same literal on",
+        "  both sides, so Catalyst constant-folds the equi-condition",
+        "  and the ONE-row broadcast stats frame joins as a BNLJ —",
+        "  O(n·1) scalar distribution, the `volume_profile` shape.",
+        "  (`feature_drift_psi`, multi-feature, keeps a real key and",
+        "  shows the BHJ; the former dense-grid crossJoin is gone —",
+        "  bins densify in a map+sequence fold, 20→12 exchanges.)",
         "- `categorical_psi_sources` NESTED_LOOP_JOIN: the (t_ref,",
         "  t_new) totals are a ONE-row broadcast crossJoin onto the",
         "  per-category grid — O(categories·1) scalar distribution,",
