@@ -30,7 +30,11 @@ Amplification is workload-preserving, not duplication:
   keys stay in the ORIGINAL range — real growth: more customers
   placing more orders against the same catalog, so customer-grained
   pair structure (baskets, co-purchase) repeats k× instead of
-  exploding k²×, and part/supplier joins fan out k× deeper.
+  exploding k²×, and part/supplier joins fan out k× deeper. Copy c's
+  dates also shift by c·8 years: a PURELY temporal join (range join,
+  no equi key) would otherwise see every copy's points land in every
+  copy's windows — k²× true matches, the artificial quadratic truth
+  this amplifier exists to avoid.
 
 Usage::
 
@@ -94,7 +98,7 @@ PROBES = [
     "dominant_part_suppliers",
     "market_share_by_year",
     "return_correlation_gram",
-    "pairwise_cointegration",
+    "pairs_cointegration",
 ]
 
 
@@ -219,6 +223,7 @@ def amplify(spark, k: int, out_dir: str) -> None:
         .parquet(f"{out_dir}/customer.parquet")
     )
 
+    shift_years = F.make_interval(years=F.col("__c") * 8)
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
     (
         orders.select("*", copies)
@@ -229,7 +234,12 @@ def amplify(spark, k: int, out_dir: str) -> None:
             (F.col("o_custkey") + F.col("__c").cast("long") * 10_000_000).alias(
                 "o_custkey"
             ),
-            *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+            (F.col("o_orderdate") + shift_years).alias("o_orderdate"),
+            *[
+                c
+                for c in orders.columns
+                if c not in ("o_orderkey", "o_custkey", "o_orderdate")
+            ],
         )
         .write.mode("overwrite")
         .parquet(f"{out_dir}/orders.parquet")
@@ -242,7 +252,8 @@ def amplify(spark, k: int, out_dir: str) -> None:
             (F.col("l_orderkey") + F.col("__c").cast("long") * 1_000_000_000).alias(
                 "l_orderkey"
             ),
-            *[c for c in li.columns if c != "l_orderkey"],
+            (F.col("l_shipdate") + shift_years).alias("l_shipdate"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_shipdate")],
         )
         .write.mode("overwrite")
         .parquet(f"{out_dir}/lineitem.parquet")
