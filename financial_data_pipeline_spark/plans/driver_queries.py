@@ -16856,3 +16856,202 @@ def q_top_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch twins (§2.10): the driver's oracle gate exercising the
+# EXACT streaming plan builders on batch frames. Structured Streaming
+# transformations are ordinary DataFrame plans — withWatermark is a no-op
+# on a batch Dataset — so each twin below runs the same code path the
+# stream runs, and the existing stream≡batch pytests
+# (tests/test_drift_stream.py, test_cusum_stream.py,
+# test_continuous_aggregate.py) close the loop from these plans to real
+# micro-batched execution with state, restarts and watermarks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "windowed_psi_stream_twin",
+    BARS_CTE
+    + """
+, ref AS (SELECT close FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
+b AS (SELECT min(close) AS lo, max(close) AS hi FROM ref),
+rc AS (
+  SELECT g.bin, coalesce(t.n, 0) AS c
+  FROM generate_series(0, 9) AS g(bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM ref, b GROUP BY 1
+  ) t USING (bin)
+), tr AS (SELECT sum(c)::DOUBLE AS t FROM rc),
+nw AS (
+  SELECT date_trunc('day', timestamp) AS w, close
+  FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16'
+), wt AS (SELECT w, count(*) AS n_new FROM nw GROUP BY 1),
+wc AS (
+  SELECT w, least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+         count(*) AS n
+  FROM nw, b GROUP BY 1, 2
+), grid AS (
+  SELECT wt.w, g.bin, coalesce(wc.n, 0) AS nn, wt.n_new, rc.c, tr.t
+  FROM wt CROSS JOIN generate_series(0, 9) AS g(bin)
+  LEFT JOIN wc ON wc.w = wt.w AND wc.bin = g.bin
+  JOIN rc ON rc.bin = g.bin
+  CROSS JOIN tr
+)
+SELECT epoch_us(w) AS window_start_us,
+       round(list_reduce(
+         list(((c + 0.5) / (t + 5.0) - (nn + 0.5) / (n_new + 5.0))
+              * (ln((c + 0.5) / (t + 5.0)) - ln((nn + 0.5) / (n_new + 5.0)))
+              ORDER BY bin),
+         (a, x) -> a + x), 6) AS psi,
+       first(n_new)::BIGINT AS n_new
+FROM grid GROUP BY w
+""",
+)
+def q_windowed_psi_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's plan on a batch frame: reference
+    frozen at the 2024-01-16 split (``drift_stream.freeze_reference``,
+    the deploy artifact — bins+2 numbers, the two driver actions are
+    the deploy step by design), then ``drift_stream.streaming_psi``
+    verbatim over daily event-time windows (its withWatermark is a
+    no-op in batch). Per window: one row (window_start, psi, n_new),
+    the same +0.5-smoothed fold the streaming sink emits — so the
+    driver's DuckDB gate covers the streaming arithmetic, and
+    ``tests/test_drift_stream.py`` covers the micro-batch/state/
+    watermark execution of the identical builder."""
+    from financial_data_pipeline_spark.streaming.drift_stream import (
+        freeze_reference,
+        streaming_psi,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    reference = freeze_reference(
+        bars.filter(F.col("timestamp") < "2024-01-16").select("close"),
+        "close",
+        bins=10,
+    )
+    out = streaming_psi(
+        bars.filter(F.col("timestamp") >= "2024-01-16"),
+        reference,
+        "close",
+        ts="timestamp",
+        window="1 day",
+        watermark="2 hours",
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.round("psi", 6).alias("psi"),
+        "n_new",
+    )
+
+
+@query(
+    "cusum_frozen_stream_twin",
+    BARS_CTE
+    + """
+, st AS (
+  SELECT symbol, avg(close) AS mu, stddev_samp(close) AS sd
+  FROM bars WHERE timestamp < TIMESTAMP '2024-01-16' GROUP BY 1
+), z AS (
+  SELECT b.symbol, timestamp, (close - mu) / sd AS z
+  FROM bars b JOIN st USING (symbol)
+  WHERE timestamp >= TIMESTAMP '2024-01-16'
+), p AS (
+  SELECT symbol, timestamp,
+         sum(z - 0.5) OVER w AS pu,
+         sum(-z - 0.5) OVER w AS pd
+  FROM z
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT symbol, timestamp,
+         pu - least(min(pu) OVER w, 0.0) AS cu,
+         pd - least(min(pd) OVER w, 0.0) AS cd
+  FROM p
+  WINDOW w AS (PARTITION BY symbol ORDER BY timestamp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(cu, 6) AS cusum_up, round(cd, 6) AS cusum_down,
+       (round(cu, 6) > 8.0 OR round(cd, 6) > 8.0) AS changepoint
+FROM c
+""",
+)
+def q_cusum_frozen_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CUSUM's exact semantics on a batch frame: the
+    serving window standardized against stats FROZEN on the training
+    window (state can't see the future mean — the
+    ``cusum_stream.streaming_cusum`` contract), which
+    ``tests/test_cusum_stream.py`` proves bit-equal to this batch form
+    across micro-batch slicings and a restart. ``drift.cusum_flags``
+    with ``ref_stats`` is the shared plan; zero driver actions (the
+    frozen stats ride a broadcast join)."""
+    from financial_data_pipeline_spark.operators.drift import cusum_flags
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    ref_stats = (
+        bars.filter(F.col("timestamp") < "2024-01-16")
+        .groupBy("symbol")
+        .agg(
+            F.avg("close").alias("mu"),
+            F.stddev_samp("close").alias("sd"),
+        )
+    )
+    out = cusum_flags(
+        bars.filter(F.col("timestamp") >= "2024-01-16"),
+        "close",
+        drift=0.5,
+        threshold=8.0,
+        ref_stats=ref_stats,
+    )
+    cu = F.round("cusum_up", 6)
+    cd = F.round("cusum_down", 6)
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        cu.alias("cusum_up"),
+        cd.alias("cusum_down"),
+        ((cu > 8.0) | (cd > 8.0)).alias("changepoint"),
+    )
+
+
+@query(
+    "continuous_ohlcv_stream_twin",
+    BARS_CTE
+    + """
+SELECT symbol,
+       epoch_us(make_timestamp((epoch_us(timestamp) // 14400000000) * 14400000000)) AS bucket_us,
+       arg_min(open, epoch_us(timestamp)) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, epoch_us(timestamp)) AS close,
+       round(sum(volume), 4) AS volume
+FROM bars GROUP BY 1, 2
+""",
+)
+def q_continuous_ohlcv_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate rollup's plan on a batch frame:
+    ``continuous_aggregate.continuous_ohlcv`` verbatim (1h bars → 4h
+    OHLCV via min_by/max_by in one windowed aggregate; its watermark
+    is a no-op in batch). Value-identical to ``resample_4h`` BY
+    CONSTRUCTION — that equality is the materialized-view refresh
+    contract, and ``tests/test_continuous_aggregate.py`` proves the
+    same builder emits these rows exactly once under micro-batched
+    arrival with late data."""
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        continuous_ohlcv,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = continuous_ohlcv(bars, timeframe="4 hours", watermark="3 hours")
+    return out.select(
+        "symbol",
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 4).alias("volume"),
+    )

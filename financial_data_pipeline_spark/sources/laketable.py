@@ -22,7 +22,12 @@ Scope: append/overwrite commits, JSON manifests under
 version-named snapshot file is created with O_EXCL, so exactly one of
 two racing writers wins a version and the loser gets
 ``CommitConflict`` to re-derive and retry (Delta's putIfAbsent-on-log
-commit point; maps to if-none-match puts on object stores). A
+commit point; maps to if-none-match puts on object stores). Verified
+guarantee (tests/test_laketable_multiprocess.py): two SEPARATE OS
+processes, each its own JVM/SparkSession, racing N commits each with
+retry-on-conflict converge to exactly N+N consecutive committed
+versions with zero lost rows; the single-process race and the
+stage→publish window are covered in tests/test_laketable.py. A
 multi-engine catalog and full conflict CLASSIFICATION (disjoint-file
 merges could auto-retry) stay documented seams.
 The stats collection is ONE Spark job over the just-written files

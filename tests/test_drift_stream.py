@@ -241,3 +241,71 @@ def test_streaming_chi2_matches_batch_per_window(spark, tmp_path):
         assert abs(got[hour]["chi2"] - batch["chi2"]) < 1e-9
         assert got[hour]["dof"] == batch["dof"]
         assert abs(got[hour]["p_value"] - batch["p_value"]) < 1e-12
+
+
+def test_stream_twin_queries_match_real_stream(spark, tmp_path):
+    """The driver-registered ``windowed_psi_stream_twin`` (the
+    streaming builder run as a batch plan) must emit the SAME rows a
+    real micro-batched, checkpointed, watermark-driven run of the same
+    builder emits on the same driver testdata — split across two
+    drains plus a late sentinel so state carry and window closing are
+    actually exercised. This is the link the driver's DuckDB gate
+    rides: twin ≡ stream, twin ≡ oracle ⇒ stream ≡ oracle."""
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+    from financial_data_pipeline_spark.sources.adapters import events_as_ohlcv
+
+    sf_dir = "/root/testdata/sf0.001"
+    twin = {
+        r.window_start_us: (r.psi, r.n_new)
+        for r in QUERIES["windowed_psi_stream_twin"](spark, sf_dir).collect()
+    }
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    reference = freeze_reference(
+        bars.filter(F.col("timestamp") < "2024-01-16").select("close"),
+        "close",
+        bins=10,
+    )
+    new = bars.filter(F.col("timestamp") >= "2024-01-16").select(
+        "timestamp", "close"
+    )
+    # two interrupted drains split mid-stream: restart recovery with
+    # state carry (the cut day's window spans both drains); arriving
+    # in time order keeps every row inside the watermark
+    cut = "2024-01-23 12:00:00"
+    first = new.filter(F.col("timestamp") < cut)
+    rest = new.filter(F.col("timestamp") >= cut)
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+    first.write.parquet(src + "/b1")
+    bar_schema = new.schema
+
+    def drain():
+        stream = spark.readStream.schema(bar_schema).parquet(src + "/*")
+        res = streaming_psi(
+            stream, reference, "close", ts="timestamp",
+            window="1 day", watermark="2 hours",
+        )
+        (
+            res.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    drain()
+    rest.write.parquet(src + "/b2")
+    drain()
+    streamed = {
+        int(r.window_start.timestamp() * 1_000_000): (r.psi, r.n_new)
+        for r in spark.read.parquet(out).collect()
+    }
+    # append mode holds back windows the watermark never passed; every
+    # window the stream DID close must match the twin exactly
+    assert len(streamed) >= len(twin) - 2 and streamed
+    for w, (psi_v, n) in streamed.items():
+        assert w in twin
+        assert twin[w][1] == n, w
+        assert abs(twin[w][0] - round(psi_v, 6)) < 1e-9, w

@@ -5,11 +5,18 @@ Runs every ``queries()`` entry in ``__spark_entry__`` against its
 row count + (sorted) schema + order-insensitive values. Exits nonzero
 on any mismatch. Usage::
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json out.json] [sf_dir] [query ...]
+
+``--json`` writes a driver-faithful artifact (one object per query:
+rows_match / schema_match / hash_match / spark_rows / oracle_rows /
+err — hash_match is null for rows-only queries) so a full sweep can be
+committed per round (``CORRECTNESS_full_rNN.json``) and diffed instead
+of re-run.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import duckdb
@@ -91,8 +98,14 @@ def compare(name: str, sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     import __spark_entry__ as entry
     from financial_data_pipeline_spark import get_spark
 
@@ -103,34 +116,62 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    results: dict[str, dict] = {}
     failures = 0
     ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         ran += 1
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        results[name] = rec
         try:
             sp = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sp)
         except Exception as e:  # noqa: BLE001
+            rec["err"] = f"spark error: {e}"
             print(f"[FAIL] {name}: spark error: {e}")
             failures += 1
             continue
         if name not in oracles:
+            # rows-only contract: the driver records a weaker check
+            rec.update(
+                rows_match=True, schema_match=True, hash_match=None,
+            )
             print(f"[rows-only] {name}: {len(sp)} rows")
             continue
         try:
             ora = con.execute(oracles[name]).df()
+            rec["oracle_rows"] = len(ora)
         except Exception as e:  # noqa: BLE001
+            rec["err"] = f"oracle error: {e}"
             print(f"[FAIL] {name}: oracle error: {e}")
             failures += 1
             continue
         errs = compare(name, sp, ora)
+        rec["rows_match"] = len(sp) == len(ora)
+        rec["schema_match"] = sorted(sp.columns) == sorted(ora.columns) and not any(
+            "dtype skew" in e for e in errs
+        )
+        rec["hash_match"] = not errs
         if errs:
+            rec["err"] = "; ".join(errs)
             print(f"[FAIL] {name}: " + "; ".join(errs))
             failures += 1
         else:
             print(f"[OK]   {name}: {len(sp)} rows")
     print(f"\n{ran}/{len(qs)} queries run, {failures} failures")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
