@@ -360,6 +360,14 @@ HEADLINE = [
     "windowed_psi_stream_twin",
     "cusum_frozen_stream_twin",
     "continuous_ohlcv_stream_twin",
+    "windowed_chi2_stream_twin",
+    "session_window_stream_twin",
+    "hopping_volume_stream_twin",
+    "amihud_illiquidity",
+    "roll_spread",
+    "returns_moments",
+    "order_flow_imbalance",
+    "large_orders_topk",
 ]
 
 

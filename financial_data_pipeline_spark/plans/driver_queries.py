@@ -17055,3 +17055,438 @@ def q_continuous_ohlcv_stream_twin(spark: SparkSession, sf_dir: str) -> DataFram
         "close",
         F.round("volume", 4).alias("volume"),
     )
+
+
+@query(
+    "windowed_chi2_stream_twin",
+    BARS_CTE
+    + """
+, ref AS (SELECT close FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
+b AS (SELECT min(close) AS lo, max(close) AS hi FROM ref),
+rc AS (
+  SELECT g.bin, coalesce(t.n, 0) AS c
+  FROM generate_series(0, 9) AS g(bin)
+  LEFT JOIN (
+    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+           count(*) AS n
+    FROM ref, b GROUP BY 1
+  ) t USING (bin)
+), tr AS (SELECT sum(c)::DOUBLE AS t FROM rc),
+nw AS (
+  SELECT date_trunc('day', timestamp) AS w, close
+  FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16'
+), wt AS (SELECT w, count(*) AS n_new FROM nw GROUP BY 1),
+wc AS (
+  SELECT w, least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+         count(*) AS n
+  FROM nw, b GROUP BY 1, 2
+), grid AS (
+  SELECT wt.w, g.bin, coalesce(wc.n, 0)::DOUBLE AS nn,
+         wt.n_new, rc.c::DOUBLE AS c, tr.t,
+         rc.c::DOUBLE + coalesce(wc.n, 0)::DOUBLE AS rt,
+         tr.t + wt.n_new::DOUBLE AS gt
+  FROM wt CROSS JOIN generate_series(0, 9) AS g(bin)
+  LEFT JOIN wc ON wc.w = wt.w AND wc.bin = g.bin
+  JOIN rc ON rc.bin = g.bin
+  CROSS JOIN tr
+), agg AS (
+  SELECT w,
+         list_reduce(list(CASE WHEN rt > 0 THEN
+             pow(c - rt * t / gt, 2.0) / (rt * t / gt)
+             + pow(nn - rt * n_new::DOUBLE / gt, 2.0) / (rt * n_new::DOUBLE / gt)
+           ELSE 0.0 END ORDER BY bin), (a, x) -> a + x) AS chi2,
+         (sum((rt > 0)::BIGINT) - 1)::INT AS dof,
+         first(n_new)::BIGINT AS n_new
+  FROM grid GROUP BY w
+), wh AS (
+  SELECT *, (pow(chi2 / dof::DOUBLE, 1.0 / 3.0)
+             - (1.0 - 2.0 / (9.0 * dof::DOUBLE)))
+            / sqrt(2.0 / (9.0 * dof::DOUBLE)) AS z
+  FROM agg
+), e AS (
+  SELECT *, abs(z) / sqrt(2.0) AS az,
+         1.0 / (1.0 + 0.3275911 * abs(z) / sqrt(2.0)) AS t
+  FROM wh
+)
+SELECT epoch_us(w) AS window_start_us, round(chi2, 6) AS chi2, dof,
+       round(least(1.0, greatest(0.0,
+         1.0 - 0.5 * (1.0 + sign(z) * (1.0 - (t * (0.254829592 + t
+             * (-0.284496736 + t * (1.421413741 + t * (-1.453152027
+             + t * 1.061405429))))) * exp(-az * az))))), 6) AS p_value,
+       n_new
+FROM e
+""",
+)
+def q_windowed_chi2_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming chi-square drift TEST's plan on a batch frame
+    (``drift_stream.streaming_chi2`` verbatim, daily windows, frozen
+    reference): per closed window a p-value answers 'does this window
+    beat sampling noise at its own size' — the alert gate PSI/JS can't
+    give. Same deploy-artifact reference as ``windowed_psi_stream_twin``;
+    the oracle replays the Wilson–Hilferty + A-S erf closed form."""
+    from financial_data_pipeline_spark.streaming.drift_stream import (
+        freeze_reference,
+        streaming_chi2,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    reference = freeze_reference(
+        bars.filter(F.col("timestamp") < "2024-01-16").select("close"),
+        "close",
+        bins=10,
+    )
+    out = streaming_chi2(
+        bars.filter(F.col("timestamp") >= "2024-01-16"),
+        reference,
+        "close",
+        ts="timestamp",
+        window="1 day",
+        watermark="2 hours",
+    )
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.round("chi2", 6).alias("chi2"),
+        "dof",
+        F.round("p_value", 6).alias("p_value"),
+        "n_new",
+    )
+
+
+@query(
+    "session_window_stream_twin",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts - prev_ts >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL '30 minutes') AS session_end_us,
+       count(*)::BIGINT AS n_events
+FROM islands GROUP BY user_id, sid
+""",
+)
+def q_session_window_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE streaming sessionization run as a batch plan:
+    ``continuous_aggregate.session_window_events`` (F.session_window,
+    30-minute gap, per user) — dynamic windows ``[first,
+    last + gap)``, end-exclusive, merged in state on a stream and by
+    ordinary aggregation in batch. The oracle is the classic
+    gaps-and-islands rendering (lag → new-session flag → island id),
+    proving the two formulations coincide row-for-row."""
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        session_window_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_events(
+        ev, gap="30 minutes", ts="ts", key="user_id"
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
+@query(
+    "hopping_volume_stream_twin",
+    BARS_CTE
+    + """
+, hop AS (
+  SELECT symbol,
+         make_timestamp((epoch_us(timestamp) // 1800000000 - j) * 1800000000) AS bucket_ts,
+         volume, high, low
+  FROM bars, generate_series(0, 3) AS g(j)
+)
+SELECT symbol, epoch_us(bucket_ts) AS bucket_us,
+       round(sum(volume), 4) AS volume,
+       max(high) AS high,
+       min(low) AS low,
+       count(*)::BIGINT AS n_bars
+FROM hop GROUP BY 1, 2
+""",
+)
+def q_hopping_volume_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hopping-window (sliding) streaming aggregate as a batch
+    plan: ``continuous_aggregate.hopping_volume`` verbatim — 2 h
+    windows sliding every 30 min, so each bar lands in exactly
+    window/slide = 4 overlapping buckets. The oracle expands each bar
+    to its 4 slide-aligned bucket starts with generate_series — the
+    same event-expansion Spark performs before the shuffle."""
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        hopping_volume,
+    )
+
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = hopping_volume(
+        bars, window="2 hours", slide="30 minutes", watermark="3 hours"
+    )
+    return out.select(
+        "symbol",
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        F.round("volume", 4).alias("volume"),
+        "high",
+        "low",
+        "n_bars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 analytics batch: microstructure + distribution-shape + TPC-H q18
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "amihud_illiquidity",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, date_trunc('day', timestamp) AS d,
+         arg_min(close, epoch_us(timestamp)) AS first_close,
+         arg_max(close, epoch_us(timestamp)) AS last_close,
+         sum(close * volume) AS dollar_vol
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol, count(*)::BIGINT AS n_days,
+       round(avg(abs(last_close / first_close - 1.0) / dollar_vol) * 1e6, 6)
+         AS amihud_x1e6
+FROM daily GROUP BY 1
+""",
+)
+def q_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity per symbol: mean over days of
+    |daily return| / dollar volume (×1e6) — the standard price-impact
+    proxy when quote data is absent. One day-grained aggregate then a
+    symbol rollup; first/last close pinned by epoch order."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    us = F.unix_micros("timestamp")
+    daily = bars.groupBy(
+        "symbol", F.date_trunc("day", "timestamp").alias("d")
+    ).agg(
+        F.min_by("close", us).alias("first_close"),
+        F.max_by("close", us).alias("last_close"),
+        F.sum(F.col("close") * F.col("volume")).alias("dollar_vol"),
+    )
+    illiq = F.abs(F.col("last_close") / F.col("first_close") - 1.0) / F.col(
+        "dollar_vol"
+    )
+    return daily.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(illiq) * 1e6, 6).alias("amihud_x1e6"),
+    )
+
+
+@query(
+    "roll_spread",
+    BARS_CTE
+    + """
+, d AS (
+  SELECT symbol,
+         close - lag(close) OVER w AS dp,
+         lag(close) OVER w - lag(close, 2) OVER w AS dp_prev
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY timestamp)
+), c AS (
+  SELECT symbol, count(*)::BIGINT AS n_diffs,
+         round(covar_samp(dp, dp_prev), 8) AS cov
+  FROM d WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+  GROUP BY 1
+)
+SELECT symbol, n_diffs, cov AS serial_cov,
+       round(2.0 * sqrt(greatest(0.0, -cov)), 6) AS roll_spread
+FROM c
+""",
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll (1984) implied effective spread per symbol:
+    2·√(−cov(Δp_t, Δp_{t−1})) from the serial covariance of price
+    changes — bid-ask bounce makes successive changes negatively
+    correlated, and the spread is recoverable from trades alone.
+    Branchless: cov rounds to 8 dp, then greatest(0, −cov) zeroes the
+    positive-cov (no-bounce) case instead of branching on the sign of
+    an unordered float sum."""
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    bars = events_as_ohlcv(spark, sf_dir)
+    d = bars.select(
+        "symbol",
+        (F.col("close") - F.lag("close").over(w)).alias("dp"),
+        (F.lag("close").over(w) - F.lag("close", 2).over(w)).alias("dp_prev"),
+    ).filter(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
+    c = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_diffs"),
+        F.round(F.covar_samp("dp", "dp_prev"), 8).alias("cov"),
+    )
+    return c.select(
+        "symbol",
+        "n_diffs",
+        F.col("cov").alias("serial_cov"),
+        F.round(
+            2.0 * F.sqrt(F.greatest(F.lit(0.0), -F.col("cov"))), 6
+        ).alias("roll_spread"),
+    )
+
+
+@query(
+    "returns_moments",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS ret
+  FROM bars
+), rr AS (SELECT symbol, ret FROM r WHERE ret IS NOT NULL),
+mu AS (SELECT symbol, avg(ret) AS m FROM rr GROUP BY 1),
+mom AS (
+  SELECT rr.symbol, count(*)::BIGINT AS n,
+         avg(pow(ret - m, 2.0)) AS m2,
+         avg(pow(ret - m, 3.0)) AS m3,
+         avg(pow(ret - m, 4.0)) AS m4
+  FROM rr JOIN mu ON rr.symbol = mu.symbol GROUP BY 1
+)
+SELECT symbol, n,
+       round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+FROM mom
+""",
+)
+def q_returns_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of hourly log returns
+    per symbol, from explicit central moments (two-pass: mean, then
+    avg powers via a broadcast join) — the fat-tail/asymmetry profile
+    VaR models start from, pinned to one moment convention instead of
+    each engine's own skewness()/kurtosis() flavor."""
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    bars = events_as_ohlcv(spark, sf_dir)
+    r = bars.select(
+        "symbol",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    mu = r.groupBy("symbol").agg(F.avg("ret").alias("m"))
+    c = F.col("ret") - F.col("m")
+    mom = r.join(F.broadcast(mu), "symbol").groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.pow(c, F.lit(2.0))).alias("m2"),
+        F.avg(F.pow(c, F.lit(3.0))).alias("m3"),
+        F.avg(F.pow(c, F.lit(4.0))).alias("m4"),
+    )
+    return mom.select(
+        "symbol",
+        "n",
+        F.round(F.col("m3") / F.pow("m2", F.lit(1.5)), 6).alias("skewness"),
+        F.round(
+            F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 6
+        ).alias("excess_kurtosis"),
+    )
+
+
+@query(
+    "order_flow_imbalance",
+    BARS_CTE
+    + """
+, t AS (
+  SELECT symbol, timestamp, volume,
+         sign(close - lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS s0
+  FROM bars
+), carried AS (
+  SELECT symbol, timestamp, volume,
+         last_value(CASE WHEN s0 <> 0.0 THEN s0 END IGNORE NULLS)
+           OVER (PARTITION BY symbol ORDER BY timestamp
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM t
+)
+SELECT symbol, date_trunc('day', timestamp)::DATE::VARCHAR AS d,
+       count(*)::BIGINT AS n_bars,
+       round(sum(volume * s) / sum(volume), 6) AS ofi
+FROM carried WHERE s IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-rule order-flow imbalance per symbol-day: each bar's
+    volume signed by the direction of its price change, with unchanged
+    prices INHERITING the previous sign (the Lee-Ready tick test),
+    then Σ(signed volume)/Σ(volume) per day. The sign carry is a
+    linear last(ignorenulls) unbounded-PRECEDING frame (never the
+    O(n²) FOLLOWING shape); day emitted as a string on both sides."""
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    bars = events_as_ohlcv(spark, sf_dir)
+    t = bars.select(
+        "symbol",
+        "timestamp",
+        "volume",
+        F.signum(F.col("close") - F.lag("close").over(w)).alias("s0"),
+    )
+    carried = t.select(
+        "symbol",
+        "timestamp",
+        "volume",
+        F.last(
+            F.when(F.col("s0") != 0.0, F.col("s0")), ignorenulls=True
+        ).over(wc).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    return carried.groupBy(
+        "symbol",
+        F.date_trunc("day", "timestamp").cast("date").cast("string").alias("d"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(
+            F.sum(F.col("volume") * F.col("s")) / F.sum("volume"), 6
+        ).alias("ofi"),
+    )
+
+
+@query(
+    "large_orders_topk",
+    """
+WITH q AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+)
+SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS orderdate_us,
+       o.o_totalprice, round(q.sum_qty, 4) AS sum_qty
+FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""",
+)
+def q_large_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape (large-volume customers): orders whose total
+    lineitem quantity exceeds 250, top-100 by order value — an
+    aggregate-then-semi-join where the HAVING prunes the fact side
+    to ~1% before the orders join (broadcastable survivor set), and
+    TakeOrdered replaces a global sort. Deterministic (price desc,
+    orderkey asc) tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    q = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(q), o.o_orderkey == q.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            "o_totalprice",
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

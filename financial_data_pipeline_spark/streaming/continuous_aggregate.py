@@ -133,6 +133,39 @@ def drain_to_parquet(
     q.awaitTermination()
 
 
+def session_window_events(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    ts: str = "ts",
+    key: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key session windows via ``F.session_window`` — Spark's
+    native streaming sessionization: consecutive events closer than
+    ``gap`` merge into one session whose window is
+    ``[first_event, last_event + gap)`` (end-exclusive: an event
+    landing exactly at the current end starts a NEW session). State is
+    the open sessions per key, merged as events arrive and closed at
+    the watermark — the dynamic-window operator the fixed ``window()``
+    buckets can't express.
+
+    The same call works on a batch frame (watermark no-op), which is
+    what the driver's ``session_window_stream_twin`` oracle-checks
+    against a gaps-and-islands SQL twin.
+    """
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def hopping_volume(
     stream: DataFrame,
     window: str = "2 hours",

@@ -268,3 +268,67 @@ def test_streaming_curation_pipeline_end_to_end(spark, tmp_path):
     assert "<EMAIL>" in texts[dup_id]
     assert "alice@example.com" not in texts[dup_id]
     assert "<IP>" in texts[4] and "10.0.0.1" not in texts[4]
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming session windows (F.session_window state merge) == the
+    identical batch plan, across a restart that splits one session in
+    half — the restored state must EXTEND the open session, not start a
+    new one."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from financial_data_pipeline_spark.streaming.continuous_aggregate import (
+        session_window_events,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    t0 = dt.datetime(2025, 1, 1, 9, 0, 0)
+
+    def ev(minute, uid):
+        return (t0 + dt.timedelta(minutes=minute), uid)
+
+    # user 1: one session 0-20' split across the restart at 10', then
+    # a separate session at 60'; user 2: a single event
+    part1 = [ev(0, 1), ev(10, 1), ev(5, 2)]
+    part2 = [ev(20, 1), ev(60, 1), ev(200, 1)]  # 200' advances watermark
+    src = tmp_path / "sess_src"
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    spark.createDataFrame(part1, schema).write.parquet(str(src / "b1"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        drain_to_parquet(
+            session_window_events(stream, gap="30 minutes", watermark="1 hour"),
+            out,
+            ckpt,
+        )
+
+    drain()
+    spark.createDataFrame(part2, schema).write.parquet(str(src / "b2"))
+    drain()
+
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = session_window_events(
+        spark.createDataFrame(part1 + part2, schema), gap="30 minutes"
+    )
+    want = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in batch.collect()
+    }
+    # append mode holds back sessions the final watermark hasn't passed
+    # (the 200' sentinel); every emitted session must match batch
+    assert got
+    assert (1, t0, t0 + dt.timedelta(minutes=50)) in got  # merged across restart
+    for k, n in got.items():
+        assert want[k] == n, k
