@@ -147,6 +147,24 @@ def main() -> int:
             f"stats-pruned files for a 1-day window: {len(pruned)} of "
             f"{len(lake.pruned_files())}"
         )
+        # write-audit-publish + a durable named ref: the stage lands a
+        # real constraint-checked snapshot invisible to readers, the
+        # audit reads those exact bytes, publish is the O(1) HEAD move
+        # (OCC-checked against commits racing into the window), and the
+        # tag survives retention
+        lake.tag("demo-baseline")
+        staged = lake.stage(
+            clean.filter(F.col("symbol") == "BTCUSDT")
+            .limit(24)
+            .repartitionByRange(2, "timestamp")
+        )
+        audited = lake.read(version=staged).count()
+        lake.publish(staged)
+        print(
+            f"WAP: staged v{staged} audited at {audited} rows, published; "
+            f"tag demo-baseline -> v{lake.resolve_ref('demo-baseline')} "
+            f"({lake.read(ref='demo-baseline').count()} rows)"
+        )
 
         # 9. Query — the flagship aggregate over the lake's live view
         _banner("9. query: per-symbol summary over the lake head")
