@@ -368,6 +368,11 @@ HEADLINE = [
     "returns_moments",
     "order_flow_imbalance",
     "large_orders_topk",
+    "garman_klass_vol",
+    "dau_wau_stickiness",
+    "overnight_intraday_split",
+    "type_token_ratio_by_source",
+    "dom_return_profile",
 ]
 
 

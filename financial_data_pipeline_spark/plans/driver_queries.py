@@ -15,6 +15,7 @@ Timestamps are emitted as epoch-microsecond BIGINTs (``unix_micros`` /
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -17489,4 +17490,224 @@ def q_large_orders_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
+    )
+
+
+@query(
+    "garman_klass_vol",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, date_trunc('day', timestamp) AS d,
+         arg_min(open, epoch_us(timestamp)) AS o,
+         max(high) AS h, min(low) AS l,
+         arg_max(close, epoch_us(timestamp)) AS c
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol, count(*)::BIGINT AS n_days,
+       round(sqrt(252.0 * avg(
+         0.5 * pow(ln(h / l), 2.0)
+         - (2.0 * ln(2.0) - 1.0) * pow(ln(c / o), 2.0)
+       )), 6) AS gk_vol_annualized
+FROM daily GROUP BY 1
+""",
+)
+def q_garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman–Klass OHLC volatility per symbol: the range-based
+    estimator ½ln²(H/L) − (2ln2−1)ln²(C/O) on daily rollups of the
+    hourly bars, annualized √252 — ~7× more efficient than
+    close-to-close on the same days (the `yang_zhang_vol` sibling
+    without the overnight term)."""
+    us = F.unix_micros("timestamp")
+    bars = events_as_ohlcv(spark, sf_dir)
+    daily = bars.groupBy(
+        "symbol", F.date_trunc("day", "timestamp").alias("d")
+    ).agg(
+        F.min_by("open", us).alias("o"),
+        F.max("high").alias("h"),
+        F.min("low").alias("l"),
+        F.max_by("close", us).alias("c"),
+    )
+    gk = 0.5 * F.pow(F.log(F.col("h") / F.col("l")), F.lit(2.0)) - (
+        2.0 * math.log(2.0) - 1.0
+    ) * F.pow(F.log(F.col("c") / F.col("o")), F.lit(2.0))
+    return daily.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sqrt(252.0 * F.avg(gk)), 6).alias("gk_vol_annualized"),
+    )
+
+
+@query(
+    "dau_wau_stickiness",
+    """
+WITH daily AS (
+  SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS d,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+), weekly AS (
+  SELECT date_trunc('week', ts) AS wk, count(DISTINCT user_id) AS wau
+  FROM events GROUP BY 1
+)
+SELECT epoch_us(daily.wk) AS week_us,
+       count(*)::BIGINT AS n_days,
+       round(avg(dau), 4) AS avg_dau,
+       first(wau)::BIGINT AS wau,
+       round(avg(dau) / first(wau), 6) AS stickiness
+FROM daily JOIN weekly ON daily.wk = weekly.wk
+GROUP BY daily.wk
+""",
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week: mean daily active users over
+    weekly active users — the engagement ratio product analytics
+    alerts on. Two distinct-count aggregates joined on the week key
+    (broadcastable: one row per week)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        daily.join(F.broadcast(weekly), "wk")
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("dau"), 4).alias("avg_dau"),
+            F.first("wau").alias("wau"),
+            F.round(F.avg("dau") / F.first("wau"), 6).alias("stickiness"),
+        )
+        .select(
+            F.unix_micros("wk").alias("week_us"),
+            "n_days",
+            "avg_dau",
+            "wau",
+            "stickiness",
+        )
+    )
+
+
+@query(
+    "overnight_intraday_split",
+    BARS_CTE
+    + """
+, daily AS (
+  SELECT symbol, date_trunc('day', timestamp) AS d,
+         arg_min(close, epoch_us(timestamp)) AS first_close,
+         arg_max(close, epoch_us(timestamp)) AS last_close
+  FROM bars GROUP BY 1, 2
+), seq AS (
+  SELECT symbol, d, first_close, last_close,
+         lag(last_close) OVER (PARTITION BY symbol ORDER BY d) AS prev_last
+  FROM daily
+)
+SELECT symbol, count(*)::BIGINT AS n_days,
+       round(avg(first_close / prev_last - 1.0), 6) AS avg_overnight_ret,
+       round(avg(last_close / first_close - 1.0), 6) AS avg_intraday_ret
+FROM seq WHERE prev_last IS NOT NULL GROUP BY 1
+""",
+)
+def q_overnight_intraday_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight vs intraday return decomposition per symbol: mean
+    (day's first close / previous day's last close − 1) against mean
+    (last/first − 1 within the day) — the classic session-attribution
+    split; one day-grained rollup, one lag, one aggregate."""
+    us = F.unix_micros("timestamp")
+    bars = events_as_ohlcv(spark, sf_dir)
+    daily = bars.groupBy(
+        "symbol", F.date_trunc("day", "timestamp").alias("d")
+    ).agg(
+        F.min_by("close", us).alias("first_close"),
+        F.max_by("close", us).alias("last_close"),
+    )
+    wd = Window.partitionBy("symbol").orderBy("d")
+    seq = daily.withColumn("prev_last", F.lag("last_close").over(wd)).filter(
+        F.col("prev_last").isNotNull()
+    )
+    return seq.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.avg(F.col("first_close") / F.col("prev_last") - 1.0), 6
+        ).alias("avg_overnight_ret"),
+        F.round(
+            F.avg(F.col("last_close") / F.col("first_close") - 1.0), 6
+        ).alias("avg_intraday_ret"),
+    )
+
+
+@query(
+    "type_token_ratio_by_source",
+    r"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), t AS (SELECT source, tok FROM toks WHERE tok <> '')
+SELECT source,
+       count(*)::BIGINT AS n_tokens,
+       count(DISTINCT tok)::BIGINT AS n_types,
+       round(count(DISTINCT tok) / count(*)::DOUBLE, 6) AS ttr,
+       round(count(DISTINCT tok) / sqrt(count(*)::DOUBLE), 6) AS guiraud_r
+FROM t GROUP BY 1
+""",
+)
+def q_type_token_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio and Guiraud's R
+    (types/√tokens, the length-corrected form) — the vocabulary-
+    richness signal a corpus-mixing policy reads next to Heaps' law.
+    One tokenize-explode, one distinct-count aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"),
+        F.round(
+            F.countDistinct("tok") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("ttr"),
+        F.round(
+            F.countDistinct("tok")
+            / F.sqrt(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("guiraud_r"),
+    )
+
+
+@query(
+    "dom_return_profile",
+    BARS_CTE
+    + """
+, r AS (
+  SELECT symbol, timestamp,
+         ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY timestamp)) AS ret
+  FROM bars
+)
+SELECT dayofmonth(timestamp)::INT AS dom,
+       count(*)::BIGINT AS n,
+       round(avg(ret) * 1e4, 4) AS mean_ret_bps,
+       round(stddev_samp(ret) * 1e4, 4) AS sd_ret_bps
+FROM r WHERE ret IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_dom_return_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-of-month seasonality profile: mean and dispersion of hourly
+    log returns (bps) pooled across symbols per day-of-month — the
+    calendar-anomaly companion of ``returns_anova_dow``. Map-side
+    partial aggregation; 30 output rows."""
+    w = Window.partitionBy("symbol").orderBy("timestamp")
+    bars = events_as_ohlcv(spark, sf_dir)
+    r = bars.select(
+        F.dayofmonth("timestamp").alias("dom"),
+        F.log(F.col("close") / F.lag("close").over(w)).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    return r.groupBy("dom").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("ret") * 1e4, 4).alias("mean_ret_bps"),
+        F.round(F.stddev_samp("ret") * 1e4, 4).alias("sd_ret_bps"),
     )
