@@ -11894,7 +11894,9 @@ SELECT symbol, hod,
        count(lr) AS n_obs,
        round(avg(abs(lr)), 6) AS mean_abs_ret,
        round(stddev_samp(lr), 6) AS ret_std,
-       round(avg(volume), 4) AS avg_volume
+       round(list_reduce(list(round(volume, 6) ORDER BY round(volume, 6)),
+                         (a, b) -> a + b)
+             / count(volume), 4) AS avg_volume
 FROM r WHERE lr IS NOT NULL
 GROUP BY 1, 2
 """,
@@ -11904,7 +11906,11 @@ def q_intraday_vol_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     |return|, return std and mean volume by clock hour — the U-shape
     diagnostic behind execution scheduling (when to trade) and the
     deseasonalization input ``seasonal_anomalies`` models additively.
-    Map-only derivation + one aggregate."""
+    Map-only derivation + one aggregate. avg_volume pre-rounds each
+    bar's volume to 6 dp (the bar volume is itself an unordered event
+    sum, so the engines' doubles differ by ulps) and folds in sorted
+    value order — an unordered float mean rounded at 4 dp landed on a
+    .5 boundary at sf0.001 and flipped."""
     bars = events_as_ohlcv(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("timestamp")
     r = (
@@ -11914,11 +11920,16 @@ def q_intraday_vol_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lr").isNotNull())
         .withColumn("hod", F.hour("timestamp"))
     )
+    vol_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.round("volume", 6))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     return r.groupBy("symbol", "hod").agg(
         F.count("lr").alias("n_obs"),
         F.round(F.avg(F.abs(F.col("lr"))), 6).alias("mean_abs_ret"),
         F.round(F.stddev_samp("lr"), 6).alias("ret_std"),
-        F.round(F.avg("volume"), 4).alias("avg_volume"),
+        F.round(vol_sum / F.count("volume"), 4).alias("avg_volume"),
     )
 
 
