@@ -744,6 +744,7 @@ def lloyd_kmeans(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_decimals: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Distributed Lloyd k-means over an embedding column — the
     document-clustering primitive (topic buckets for mixture planning,
@@ -762,9 +763,13 @@ def lloyd_kmeans(
     An emptied cluster keeps its previous centroid.
 
     Returns (assigned frame with ``cluster``/``sq_dist``, final
-    centroid matrix). Iterative refinement has no single-statement SQL
-    twin — verified by differential test against a NumPy Lloyd
-    reference (tests/test_llm_ops.py)."""
+    centroid matrix). Verified by differential test against a NumPy
+    Lloyd reference (tests/test_llm_ops.py); with
+    ``centroid_decimals`` set, each driver-hop centroid mean is
+    rounded to that many decimals — the per-(cluster, dim) mean is an
+    unordered float sum whose ulps differ per engine, and rounding
+    pins the iterate so an unrolled recursive SQL twin (the pagerank
+    device) replays the identical trajectory."""
     # cache the projected working set once: every Lloyd round reads it
     # twice (assign + recompute), and without the cache each round
     # re-scans the source — at 100 TB that is 2·iters full scans.
@@ -791,7 +796,12 @@ def lloyd_kmeans(
             for r in sums:
                 by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
             for ci, dims in by_cluster.items():
-                new_c[ci] = [dims[p] for p in sorted(dims)]
+                new_c[ci] = [
+                    dims[p]
+                    if centroid_decimals is None
+                    else round(dims[p], centroid_decimals)
+                    for p in sorted(dims)
+                ]
             centroids = new_c
         # final assignment joins back any extra caller columns
         return kmeans_assign(df, centroids, vec_col), centroids

@@ -10196,21 +10196,83 @@ def q_information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_doc_clusters")  # iterative Lloyd refinement: no
-# single-statement SQL twin exists; differential-tested against a
-# NumPy reference in tests/test_llm_ops.py (rows-only driver check)
+def _lloyd_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd-iteration CTE chain (the ``event_type_pagerank``
+    device applied to k-means): c0 = the k lowest-id vectors, then per
+    iteration an assignment CTE (argmin over the point×centroid
+    distance frame, ties to the lowest cluster id) and a centroid CTE
+    (per-dim means ROUNDED to 6 dp — the same pin the Spark side's
+    driver hop applies — with empty clusters keeping their previous
+    centroid), finishing with the final assignment under the last
+    centroids. Distances left-fold exactly like the Spark
+    ``zip_with``+``aggregate`` expressions."""
+    dist = (
+        "list_reduce(list_transform(range(1, {d} + 1), "
+        "t -> (e.v[t] - c.cent[t]) * (e.v[t] - c.cent[t])), "
+        "(s, x) -> s + x)".format(d=dim)
+    )
+    parts = [
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, v AS cent
+  FROM e ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for n in range(1, iters + 1):
+        prev = f"c{n - 1}"
+        parts.append(
+            f"""
+, d{n} AS (
+  SELECT e.vec_id, e.v, c.cid, {dist} AS d
+  FROM e, {prev} c
+), a{n} AS (
+  SELECT vec_id, v, cid FROM d{n}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+), m{n} AS (
+  SELECT cid, t.dim, round(avg(v[t.dim]), 6) AS m
+  FROM a{n}, unnest(generate_series(1, {dim})) AS t(dim)
+  GROUP BY 1, 2
+), c{n} AS (
+  SELECT p.cid, coalesce(nc.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY dim) AS cent FROM m{n} GROUP BY 1
+  ) nc USING (cid)
+)"""
+        )
+    parts.append(
+        f"""
+, df AS (
+  SELECT e.vec_id, c.cid, {dist} AS d
+  FROM e, c{iters} c
+), af AS (
+  SELECT vec_id, cid, d FROM df
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
+SELECT cid AS cluster, count(*)::BIGINT AS n_vecs,
+       round(avg(d), 4) AS mean_sq_dist
+FROM af GROUP BY 1 ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+@query("kmeans_doc_clusters", _lloyd_oracle_sql())
 def q_kmeans_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table
     (``similarity.lloyd_kmeans``, k=8, 3 rounds, deterministic
     lowest-id init): per-cluster size + mean squared distance — the
     document-clustering primitive mixture planning and per-cluster
-    dedup consume."""
+    dedup consume. Formerly a rows-only check: with each driver-hop
+    centroid mean pinned to 6 dp the whole trajectory is
+    engine-reproducible, so the DuckDB twin replays all three
+    iterations as an unrolled CTE chain and value-checks the result
+    (the ``event_type_pagerank`` device)."""
     from financial_data_pipeline_spark.operators.similarity import (
         lloyd_kmeans,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = lloyd_kmeans(emb, k=8, iters=3)
+    assigned, _ = lloyd_kmeans(emb, k=8, iters=3, centroid_decimals=6)
     return (
         assigned.groupBy("cluster")
         .agg(
