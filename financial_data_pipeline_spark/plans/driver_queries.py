@@ -12701,14 +12701,71 @@ def q_ses_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mmr_diverse_topk")
+def _mmr_oracle_sql(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR CTE chain (the same device as the Lloyd and
+    pagerank oracles): the relevance pool, then one CTE per greedy
+    step — candidates not yet selected, scored λ·rel − (1−λ)·max
+    cosine to the selected set, argmax with the (score DESC, vec_id
+    ASC) tie-break — finished by a UNION ALL that stamps the ranks.
+    ``(1.0 - {lam})`` is written as the SUBTRACTION so both engines
+    carry the identical IEEE double (1−0.7 ≠ decimal 0.3)."""
+    steps = [
+        f"""
+s1 AS MATERIALIZED (
+  SELECT vec_id, rel, {lam} * rel AS score FROM pool
+  ORDER BY score DESC, vec_id ASC LIMIT 1
+)"""
+    ]
+    for n in range(2, k + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, n)
+        )
+        steps.append(
+            f"""
+s{n} AS MATERIALIZED (
+  SELECT p.vec_id, p.rel,
+         {lam} * p.rel - (1.0 - {lam})
+           * max(list_cosine_similarity(p.v, sv.v)) AS score
+  FROM pool p
+  JOIN pool sv ON sv.vec_id IN ({sel})
+  WHERE p.vec_id NOT IN ({sel})
+  GROUP BY p.vec_id, p.rel
+  ORDER BY score DESC, p.vec_id ASC LIMIT 1
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f"SELECT {n}::BIGINT AS rank, vec_id, round(rel, 6) AS relevance,"
+        f" round(score, 6) AS mmr_score FROM s{n}"
+        for n in range(1, k + 1)
+    )
+    return (
+        f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+pool AS MATERIALIZED (
+  SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.qv) AS rel
+  FROM e, q
+  ORDER BY rel DESC, e.vec_id ASC LIMIT {pool}
+),"""
+        + ",".join(steps)
+        + "\n"
+        + final
+    )
+
+
+@query("mmr_diverse_topk", _mmr_oracle_sql())
 def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diverse top-10 against vec_id=0 over a 50-candidate
     relevance pool (``similarity.mmr_diverse_topk``, λ=0.7):
     distributed cosine scan + TakeOrdered pool, then the inherently
-    sequential greedy on the bounded pool. Rows-only by declaration —
-    the k-step greedy has no single-statement SQL twin; the numpy
-    differential lives in tests/test_ml_ops.py."""
+    sequential greedy on the bounded pool. Formerly rows-only: the
+    k-step greedy unrolls into a 10-CTE chain the DuckDB twin replays
+    step for step (argmax + tie-break per step), so the driver
+    value-checks the full selection path; the numpy differential in
+    tests/test_ml_ops.py still covers the operator directly."""
     from financial_data_pipeline_spark.operators.similarity import (
         mmr_diverse_topk,
     )
