@@ -686,3 +686,69 @@ def test_aqe_splits_planted_skew_join(spark):
     finally:
         for k, v in before.items():
             spark.conf.set(k, v)
+
+
+@settings(**SETTINGS)
+@given(
+    ref_vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+            st.none(),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    new_vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-2e4, max_value=2e4, allow_nan=False, width=32),
+            st.none(),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+def test_hist_compact_psi_matches_bruteforce(spark, ref_vals, new_vals):
+    """The compact drift histogram (map of occupied bins + sequence
+    fold) must agree with a brute-force Python replay of the PSI
+    contract on arbitrary inputs: reference-range equal-width bins,
+    edge clamping, +0.5 smoothing, nulls counted in totals but never
+    binned, the whole sum folded in dense bin order."""
+    import math
+
+    from financial_data_pipeline_spark.operators.drift import psi_features
+
+    bins = 10
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "x double")
+    new = spark.createDataFrame(
+        [(v,) for v in new_vals], "x double"
+    )
+    row = psi_features(ref, new, ["x"], bins=bins).first()
+
+    # brute force
+    rv = [v for v in ref_vals if v is not None]
+    nv = [v for v in new_vals if v is not None]
+    lo, hi = (min(rv), max(rv)) if rv else (None, None)
+    counts = {0: [0] * bins, 1: [0] * bins}
+    for side, vals in ((0, rv), (1, nv)):
+        for v in vals:
+            if lo is None:
+                continue
+            width = (hi - lo) / bins
+            if width == 0:
+                b = 0  # (v-lo)/0 is NaN/inf; clamp path pins to 0 or 9
+                b = min(bins - 1, max(0, b))
+            else:
+                b = min(bins - 1, max(0, int(math.floor((v - lo) / width))))
+            counts[side][b] += 1
+    t_ref, t_new = len(ref_vals), len(new_vals)
+    assert row["n_ref"] == t_ref and row["n_new"] == t_new
+    psi = 0.0
+    for b in range(bins):
+        p = (counts[0][b] + 0.5) / (t_ref + 0.5 * bins)
+        q = (counts[1][b] + 0.5) / (t_new + 0.5 * bins)
+        psi += (p - q) * math.log(p / q)
+    if rv and min(rv) < max(rv):
+        assert row["psi"] == pytest.approx(psi, rel=1e-9, abs=1e-12)
+    # identical sides => zero drift, always
+    same = psi_features(ref, ref, ["x"], bins=bins).first()
+    assert abs(same["psi"]) < 1e-12
