@@ -16996,7 +16996,7 @@ def q_top_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on a batch Dataset — so each twin below runs the same code path the
 # stream runs, and the existing stream≡batch pytests
 # (tests/test_drift_stream.py, test_cusum_stream.py,
-# test_continuous_aggregate.py) close the loop from these plans to real
+# test_stream_recovery.py) close the loop from these plans to real
 # micro-batched execution with state, restarts and watermarks.
 # ---------------------------------------------------------------------------
 
@@ -17168,9 +17168,10 @@ def q_continuous_ohlcv_stream_twin(spark: SparkSession, sf_dir: str) -> DataFram
     OHLCV via min_by/max_by in one windowed aggregate; its watermark
     is a no-op in batch). Value-identical to ``resample_4h`` BY
     CONSTRUCTION — that equality is the materialized-view refresh
-    contract, and ``tests/test_continuous_aggregate.py`` proves the
-    same builder emits these rows exactly once under micro-batched
-    arrival with late data."""
+    contract, and ``tests/test_stream_recovery.py`` /
+    ``tests/test_metadata_pipeline_streaming.py`` prove the same
+    builder emits these rows exactly once under micro-batched arrival,
+    late data and a checkpoint restart."""
     from financial_data_pipeline_spark.streaming.continuous_aggregate import (
         continuous_ohlcv,
     )
