@@ -441,6 +441,13 @@ def main() -> None:
         if rc == 0:
             with open(child_out) as fh:
                 sessions.append(json.load(fh))
+        else:
+            print(
+                f"[bench] child session exited rc={rc}; falling back to a "
+                "single-session run (per-query minima lose cross-JVM "
+                "de-noising)",
+                file=sys.stderr,
+            )
     except Exception as e:  # noqa: BLE001 — fall back to one session
         print(f"[bench] child session failed ({e}); single-session run", file=sys.stderr)
     finally:

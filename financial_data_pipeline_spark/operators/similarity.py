@@ -783,12 +783,20 @@ def lloyd_kmeans(
             raise ValueError(
                 f"need at least k={k} vectors, got {len(centroids)}"
             )
+        # the pin must be ENGINE-side (F.round), not Python round():
+        # Spark round and DuckDB round agree across the whole green
+        # query suite, while Python's banker's rounding disagrees with
+        # both just below decimal half boundaries — a data-dependent
+        # flake the oracle twin would eventually hit
+        mean_col = F.avg("col")
+        if centroid_decimals is not None:
+            mean_col = F.round(mean_col, centroid_decimals)
         for _ in range(iters):
             assigned = kmeans_assign(work, centroids, vec_col)
             sums = (
                 assigned.select("cluster", F.posexplode(vec_col))
                 .groupBy("cluster", "pos")
-                .agg(F.avg("col").alias("m"))
+                .agg(mean_col.alias("m"))
                 .collect()
             )
             new_c = [list(c) for c in centroids]  # empty cluster keeps old
@@ -796,12 +804,7 @@ def lloyd_kmeans(
             for r in sums:
                 by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
             for ci, dims in by_cluster.items():
-                new_c[ci] = [
-                    dims[p]
-                    if centroid_decimals is None
-                    else round(dims[p], centroid_decimals)
-                    for p in sorted(dims)
-                ]
+                new_c[ci] = [dims[p] for p in sorted(dims)]
             centroids = new_c
         # final assignment joins back any extra caller columns
         return kmeans_assign(df, centroids, vec_col), centroids
@@ -932,7 +935,11 @@ def mmr_diverse_topk(
             red = sim[:, selected].max(axis=1)
         else:
             red = np.zeros(n)
-        score = lam * rel - (1.0 - lam) * red
+        # round BEFORE ranking (repo convention: rerank_topk 6dp,
+        # lof 8dp): near-tied candidates then TIE exactly in every
+        # engine and fall through to the vec_id break, instead of
+        # ordering on BLAS-vs-fold ulp noise
+        score = np.round(lam * rel - (1.0 - lam) * red, 9)
         # deterministic: best score, then lowest vec_id
         order = np.lexsort((ids, -score))
         pick = next(i for i in order if avail[i])
@@ -996,7 +1003,14 @@ def _distance_pairs(
 
     ``extra_cols`` maps extra input columns to (a-side alias, b-side
     alias) pairs encoded as "a_alias,b_alias"; pass "" to skip a side.
+
+    NULL vectors are dropped up front: a null embedding would yield
+    NULL distances, and Spark windows sort NULLS FIRST while SQL twins
+    sort them last — the one asymmetry that could poison a kNN edge
+    list. A vectorless row has no geometry; it belongs in no
+    neighborhood.
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     par = df.sparkSession.sparkContext.defaultParallelism
     extra = extra_cols or {}
 

@@ -12713,7 +12713,7 @@ def _mmr_oracle_sql(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
         f"""
 s1 AS MATERIALIZED (
   SELECT vec_id, rel, {lam} * rel AS score FROM pool
-  ORDER BY score DESC, vec_id ASC LIMIT 1
+  ORDER BY round(score, 9) DESC, vec_id ASC LIMIT 1
 )"""
     ]
     for n in range(2, k + 1):
@@ -12730,7 +12730,7 @@ s{n} AS MATERIALIZED (
   JOIN pool sv ON sv.vec_id IN ({sel})
   WHERE p.vec_id NOT IN ({sel})
   GROUP BY p.vec_id, p.rel
-  ORDER BY score DESC, p.vec_id ASC LIMIT 1
+  ORDER BY round(score, 9) DESC, p.vec_id ASC LIMIT 1
 )"""
         )
     final = "\nUNION ALL\n".join(
@@ -13971,7 +13971,8 @@ def q_trade_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "lof_outliers",
     """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
 pairs AS (
   SELECT a.vec_id AS i, b.vec_id AS j,
          round(sqrt(list_reduce(
@@ -14032,7 +14033,8 @@ def _blocked_emb_pairs_cte() -> str:
         for i, p in enumerate(_pair_block_planes())
     )
     return f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
 bb AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
 pairs AS (
   SELECT a.vec_id AS i, a.label AS li, b.label AS lj, b.vec_id AS j,
@@ -16096,7 +16098,8 @@ def q_levene_test_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "silhouette_by_label",
     """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
 pairs AS (
   SELECT a.vec_id AS i, a.label AS li, b.label AS lj,
          round(sqrt(list_reduce(
@@ -16437,7 +16440,8 @@ def q_conditional_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "knn_label_accuracy",
     """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
 pairs AS (
   SELECT a.vec_id AS i, a.label AS li, b.label AS lj, b.vec_id AS j,
          round(sqrt(list_reduce(
@@ -17001,17 +17005,26 @@ def q_top_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "windowed_psi_stream_twin",
-    BARS_CTE
-    + """
+def _frozen_close_hist_cte() -> str:
+    """Shared oracle prefix of the windowed drift stream twins: the
+    frozen reference histogram (pre-2024-01-16 close, 10 equal-width
+    bins with the SAME hi==lo -> width 1.0 guard as
+    ``drift_stream.freeze_reference``) and the per-day serving-window
+    bin counts. Maintained once — the PSI and chi2 twins append only
+    their own combine."""
+    return """
 , ref AS (SELECT close FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
-b AS (SELECT min(close) AS lo, max(close) AS hi FROM ref),
+b AS (
+  SELECT min(close) AS lo, max(close) AS hi,
+         CASE WHEN max(close) = min(close) THEN 1.0
+              ELSE (max(close) - min(close)) / 10.0 END AS w
+  FROM ref
+),
 rc AS (
   SELECT g.bin, coalesce(t.n, 0) AS c
   FROM generate_series(0, 9) AS g(bin)
   LEFT JOIN (
-    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+    SELECT least(9, greatest(0, floor((close - b.lo) / b.w)))::INT AS bin,
            count(*) AS n
     FROM ref, b GROUP BY 1
   ) t USING (bin)
@@ -17021,10 +17034,18 @@ nw AS (
   FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16'
 ), wt AS (SELECT w, count(*) AS n_new FROM nw GROUP BY 1),
 wc AS (
-  SELECT w, least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
+  SELECT nw.w, least(9, greatest(0, floor((close - b.lo) / b.w)))::INT AS bin,
          count(*) AS n
   FROM nw, b GROUP BY 1, 2
-), grid AS (
+)"""
+
+
+@query(
+    "windowed_psi_stream_twin",
+    BARS_CTE
+    + _frozen_close_hist_cte()
+    + """
+, grid AS (
   SELECT wt.w, g.bin, coalesce(wc.n, 0) AS nn, wt.n_new, rc.c, tr.t
   FROM wt CROSS JOIN generate_series(0, 9) AS g(bin)
   LEFT JOIN wc ON wc.w = wt.w AND wc.bin = g.bin
@@ -17192,27 +17213,9 @@ def q_continuous_ohlcv_stream_twin(spark: SparkSession, sf_dir: str) -> DataFram
 @query(
     "windowed_chi2_stream_twin",
     BARS_CTE
+    + _frozen_close_hist_cte()
     + """
-, ref AS (SELECT close FROM bars WHERE timestamp < TIMESTAMP '2024-01-16'),
-b AS (SELECT min(close) AS lo, max(close) AS hi FROM ref),
-rc AS (
-  SELECT g.bin, coalesce(t.n, 0) AS c
-  FROM generate_series(0, 9) AS g(bin)
-  LEFT JOIN (
-    SELECT least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
-           count(*) AS n
-    FROM ref, b GROUP BY 1
-  ) t USING (bin)
-), tr AS (SELECT sum(c)::DOUBLE AS t FROM rc),
-nw AS (
-  SELECT date_trunc('day', timestamp) AS w, close
-  FROM bars WHERE timestamp >= TIMESTAMP '2024-01-16'
-), wt AS (SELECT w, count(*) AS n_new FROM nw GROUP BY 1),
-wc AS (
-  SELECT w, least(9, greatest(0, floor((close - b.lo) / ((b.hi - b.lo) / 10.0))))::INT AS bin,
-         count(*) AS n
-  FROM nw, b GROUP BY 1, 2
-), grid AS (
+, grid AS (
   SELECT wt.w, g.bin, coalesce(wc.n, 0)::DOUBLE AS nn,
          wt.n_new, rc.c::DOUBLE AS c, tr.t,
          rc.c::DOUBLE + coalesce(wc.n, 0)::DOUBLE AS rt,

@@ -598,23 +598,24 @@ class LakeTable:
         with open(snap_path) as f:
             d = json.load(f)
         if d.get("staged", False):
-            base = d.get("base", d["version"] - 1)
-            detached = self._detached()
-            stale = [
-                v
-                for v in self.snapshots()
-                if v > base
-                and v != version
-                and v not in detached
-                and not self._load_snapshot(v).staged
-            ]
-            if stale and not force:
-                raise CommitConflict(
-                    f"staged version {version} (base {base}) is stale: "
-                    f"version(s) {stale} were committed after it was "
-                    "staged; re-stage against the new HEAD, or "
-                    "publish(force=True) to roll back over them"
-                )
+            if not force:  # force skips the (O(history) manifest) scan
+                base = d.get("base", d["version"] - 1)
+                detached = self._detached()
+                stale = [
+                    v
+                    for v in self.snapshots()
+                    if v > base
+                    and v != version
+                    and v not in detached
+                    and not self._load_snapshot(v).staged
+                ]
+                if stale:
+                    raise CommitConflict(
+                        f"staged version {version} (base {base}) is stale: "
+                        f"version(s) {stale} were committed after it was "
+                        "staged; re-stage against the new HEAD, or "
+                        "publish(force=True) to roll back over them"
+                    )
             d["staged"] = False
             tmp = snap_path + ".tmp"
             with open(tmp, "w") as f:

@@ -522,3 +522,15 @@ def test_blocked_all_pairs_family(spark):
         len(lof_scores(one, k=3, max_rows=10, block_col="blk").collect())
         == 30
     )
+
+    # a NULL embedding has no geometry: dropped up front, never a
+    # NULLS-FIRST kNN edge, and the other rows' scores are unchanged
+    with_null = one.unionByName(
+        spark.createDataFrame(
+            [(99, None, 0, 0)], "vec_id long, embedding array<double>, label int, blk int"
+        )
+    )
+    ln = {r.vec_id: r.lof for r in lof_scores(with_null, k=3, block_col="blk").collect()}
+    assert 99 not in ln and set(ln) == set(range(30))
+    for i in blocked:
+        assert abs(ln[i] - blocked[i].lof) < 1e-12

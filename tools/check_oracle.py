@@ -64,11 +64,12 @@ def _kind(dt) -> str:
 
 
 def compare(name: str, sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
-    errs = []
-    if len(sp) != len(ora):
-        return [f"rowcount {len(sp)} vs {len(ora)}"]
+    # columns + dtype skew are checked BEFORE the rowcount so the
+    # --json artifact's schema_match is honest even when rowcounts
+    # differ (a rowcount early-return used to mask dtype regressions)
     if sorted(sp.columns) != sorted(ora.columns):
         return [f"columns {sorted(sp.columns)} vs {sorted(ora.columns)}"]
+    errs = []
     for c in sorted(sp.columns):
         ka, kb = _kind(sp[c].dtype), _kind(ora[c].dtype)
         if {ka, kb} == {"int", "float"}:
@@ -76,6 +77,8 @@ def compare(name: str, sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
                 f"col {c}: dtype skew {sp[c].dtype} vs {ora[c].dtype}"
                 " (driver value-hash would mismatch)"
             )
+    if len(sp) != len(ora):
+        return errs + [f"rowcount {len(sp)} vs {len(ora)}"]
     if errs:
         return errs
     a, b = canon(sp), canon(ora)
