@@ -935,12 +935,16 @@ def mmr_diverse_topk(
             red = sim[:, selected].max(axis=1)
         else:
             red = np.zeros(n)
-        # round BEFORE ranking (repo convention: rerank_topk 6dp,
+        # pin BEFORE ranking (repo convention: rerank_topk 6dp,
         # lof 8dp): near-tied candidates then TIE exactly in every
         # engine and fall through to the vec_id break, instead of
-        # ordering on BLAS-vs-fold ulp noise
-        score = np.round(lam * rel - (1.0 - lam) * red, 9)
-        # deterministic: best score, then lowest vec_id
+        # ordering on BLAS-vs-fold ulp noise. The key is the SAME
+        # IEEE expression the DuckDB twin orders by —
+        # floor(score*1e9 + 0.5) — not np.round, whose banker's
+        # half-to-even disagrees with SQL round() exactly on the
+        # half boundaries the pin is meant to neutralize.
+        score = np.floor((lam * rel - (1.0 - lam) * red) * 1e9 + 0.5)
+        # deterministic: best key, then lowest vec_id
         order = np.lexsort((ids, -score))
         pick = next(i for i in order if avail[i])
         avail[pick] = False

@@ -12705,15 +12705,18 @@ def _mmr_oracle_sql(k: int = 10, pool: int = 50, lam: float = 0.7) -> str:
     """Unrolled greedy-MMR CTE chain (the same device as the Lloyd and
     pagerank oracles): the relevance pool, then one CTE per greedy
     step — candidates not yet selected, scored λ·rel − (1−λ)·max
-    cosine to the selected set, argmax with the (score DESC, vec_id
-    ASC) tie-break — finished by a UNION ALL that stamps the ranks.
+    cosine to the selected set, argmax keyed on
+    ``floor(score*1e9 + 0.5)`` (the IDENTICAL integer pin the engine
+    computes — not round(), whose half-away rule disagrees with
+    numpy's banker's rounding on half boundaries) with the vec_id ASC
+    tie-break — finished by a UNION ALL that stamps the ranks.
     ``(1.0 - {lam})`` is written as the SUBTRACTION so both engines
     carry the identical IEEE double (1−0.7 ≠ decimal 0.3)."""
     steps = [
         f"""
 s1 AS MATERIALIZED (
   SELECT vec_id, rel, {lam} * rel AS score FROM pool
-  ORDER BY round(score, 9) DESC, vec_id ASC LIMIT 1
+  ORDER BY floor(score * 1e9 + 0.5) DESC, vec_id ASC LIMIT 1
 )"""
     ]
     for n in range(2, k + 1):
@@ -12730,7 +12733,7 @@ s{n} AS MATERIALIZED (
   JOIN pool sv ON sv.vec_id IN ({sel})
   WHERE p.vec_id NOT IN ({sel})
   GROUP BY p.vec_id, p.rel
-  ORDER BY round(score, 9) DESC, p.vec_id ASC LIMIT 1
+  ORDER BY floor(score * 1e9 + 0.5) DESC, p.vec_id ASC LIMIT 1
 )"""
         )
     final = "\nUNION ALL\n".join(

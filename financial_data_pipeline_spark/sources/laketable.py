@@ -90,6 +90,13 @@ class Snapshot:
     # correct reconstruction for them (every writer derives from the
     # version directly below the one it claims).
     base: int = 0
+    # A commit that won its O_EXCL version file but then observed a
+    # concurrent publish() landing inside its create→HEAD window marks
+    # ITSELF aborted instead of moving HEAD (see _advance's post-create
+    # re-check). Aborted snapshots are not committed history: they
+    # never trip the staleness check, are never detached, and are not
+    # retained by expire_snapshots.
+    aborted: bool = False
 
 
 def _mdir(root: str) -> str:
@@ -289,6 +296,7 @@ class LakeTable:
             app_meta=d.get("app_meta", {}),
             staged=d.get("staged", False),
             base=d.get("base", d["version"] - 1),
+            aborted=d.get("aborted", False),
         )
 
     def _detached_path(self) -> str:
@@ -311,7 +319,9 @@ class LakeTable:
         newer = [
             v
             for v in self.snapshots()
-            if v > version and not self._load_snapshot(v).staged
+            if v > version
+            and not self._load_snapshot(v).staged
+            and not self._load_snapshot(v).aborted
         ]
         if not newer:
             return
@@ -358,23 +368,32 @@ class LakeTable:
         (carried files, merge survivors) — captured once at the top of
         commit()/stage()/merge()/delete() so a concurrent commit in the
         derive window cannot be silently built over. Staleness check:
-        any committed (non-staged, non-detached) snapshot newer than
-        ``base`` means the derivation is stale → ``CommitConflict``.
-        The O_EXCL create of the version-named file then closes the
-        remaining window where two writers pass the check off the same
-        listing — exactly one creates v{N} (the putIfAbsent-on-log
-        commit point Delta uses; maps to if-none-match puts on object
-        stores). HEAD is a convenience pointer written AFTER the real
+        any committed (non-staged, non-aborted, non-detached) snapshot
+        newer than ``base`` means the derivation is stale →
+        ``CommitConflict``. The O_EXCL create of the version-named file
+        then closes the remaining window where two writers pass the
+        check off the same listing — exactly one creates v{N} (the
+        putIfAbsent-on-log commit point Delta uses; maps to
+        if-none-match puts on object stores).
+
+        Two plain commits can only race on the O_EXCL create (both
+        target the same next version). A concurrent ``publish`` is the
+        one writer that commits WITHOUT creating a version file (it
+        flips an existing staged manifest), so the create alone cannot
+        arbitrate against it: the staleness check is therefore RE-RUN
+        after the create, and a publish that flipped inside the
+        scan→create window makes this commit mark itself ``aborted``
+        (never moving HEAD) and raise. publish() runs the mirror-image
+        re-check after its flip — at most one of the two racers can
+        pass both its checks (each re-check happens-after the other
+        side's commit action), so either one wins or both abort and
+        retry; HEAD is never overwritten to drop a committed snapshot.
+        HEAD itself stays a convenience pointer written AFTER the real
         commit point and recomputable from the manifest listing."""
         if base is None:
             base = self.head_version()
         existing = self.snapshots()
-        detached = self._detached()
-        stale = [
-            v
-            for v in existing
-            if v > base and v not in detached and not self._load_snapshot(v).staged
-        ]
+        stale = self._committed_past(base)
         if stale:
             raise CommitConflict(
                 f"base version {base} is stale: version(s) "
@@ -382,8 +401,8 @@ class LakeTable:
                 "re-derive the commit against the new snapshot"
             )
         # next version goes PAST the highest existing snapshot, not
-        # just base+1: detached (rolled-back) and staged (WAP) snapshot
-        # files still exist for time travel and must never be
+        # just base+1: detached (rolled-back), staged (WAP) and aborted
+        # snapshot files still exist for time travel and must never be
         # overwritten by a new commit's version number
         version = max(base, existing[-1] if existing else 0) + 1
         meta = dict(self._load_snapshot(base).app_meta) if base > 0 else {}
@@ -409,9 +428,62 @@ class LakeTable:
                 f,
             )
         if move_head:
+            # post-create re-check: a concurrent publish() flipping a
+            # staged snapshot in the scan→create window is the one
+            # commit the O_EXCL create cannot arbitrate against — if
+            # one landed, abort THIS commit (flag the manifest, leave
+            # HEAD alone) instead of overwriting the published HEAD
+            late = self._committed_past(base, exclude=version)
+            if late:
+                self._set_snapshot_flag(version, "aborted", True)
+                raise CommitConflict(
+                    f"base version {base} went stale inside the commit "
+                    f"window: version(s) {late} were published "
+                    f"concurrently; commit {version} aborted — re-read "
+                    "HEAD and retry against the new snapshot"
+                )
             with open(self._head_path(), "w") as f:
                 json.dump({"version": version}, f)
         return version
+
+    def _committed_past(
+        self, base: int, exclude: int | None = None
+    ) -> list[int]:
+        """Committed versions newer than ``base`` — the OCC staleness
+        predicate shared by _advance (pre- and post-create) and
+        publish (pre- and post-flip). Staged (WAP branches), aborted
+        (lost publish races) and detached (rolled-back) snapshots are
+        not committed history; a listed-but-unreadable manifest is an
+        in-flight concurrent commit and counts as committed (the
+        conservative reading — callers raise and retry)."""
+        detached = self._detached()
+        out = []
+        for v in self.snapshots():
+            if v <= base or v == exclude or v in detached:
+                continue
+            try:
+                s = self._load_snapshot(v)
+            except FileNotFoundError:
+                continue  # expired by a concurrent vacuum after listing
+            except (json.JSONDecodeError, KeyError):
+                out.append(v)  # mid-write by a concurrent committer
+                continue
+            if not s.staged and not s.aborted:
+                out.append(v)
+        return out
+
+    def _set_snapshot_flag(self, version: int, key: str, value) -> None:
+        """Atomically rewrite one manifest field (write-temp +
+        os.replace — readers see the old or the new manifest, never a
+        partial one)."""
+        path = self._snapshot_path(version)
+        with open(path) as f:
+            d = json.load(f)
+        d[key] = value
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, path)
 
     def app_meta(self) -> dict:
         """The head snapshot's app-level metadata map."""
@@ -556,8 +628,10 @@ class LakeTable:
         was always written AFTER the snapshot file (the commit point),
         ``stage`` is literally ``commit`` minus the pointer update.
         A staged-then-abandoned version is simply never published —
-        its files age out through ``expire_snapshots`` + orphan
-        retention like any other unreferenced snapshot.
+        it is reclaimed by ``expire_snapshots(keep_staged=False)``
+        once no publish is pending (the default vacuum keeps staged
+        snapshots so an in-flight WAP audit can't be destroyed by a
+        concurrent retention run).
         """
         if mode not in ("append", "overwrite"):
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -585,30 +659,33 @@ class LakeTable:
 
         OCC holds THROUGH the stage→publish window: a staged snapshot
         whose recorded base has been committed past (any non-staged,
-        non-detached snapshot newer than the base, other than the
-        staged target itself) raises ``CommitConflict`` instead of
-        silently detaching the concurrent commit — the same staleness
-        rule ``_advance`` applies at write time, re-checked at the
-        moment the stage would go live (Iceberg's stale-WAP-publish
-        must rebase or fail). ``force=True`` is the explicit rollback
-        spelling: publish anyway and detach the bypassed suffix."""
+        non-aborted, non-detached snapshot newer than the base, other
+        than the staged target itself) raises ``CommitConflict``
+        instead of silently detaching the concurrent commit — the same
+        staleness rule ``_advance`` applies at write time, re-checked
+        at the moment the stage goes live (Iceberg's stale-WAP-publish
+        must rebase or fail). The flip of the ``staged`` flag is the
+        commit point, and the staleness check is re-run AFTER it
+        (un-flipping and raising on a late conflict); ``_advance``
+        runs the mirror-image re-check after its O_EXCL create, so a
+        commit racing publish itself cannot be silently detached — at
+        most one side passes both of its checks (each side's re-check
+        happens-after the other's commit action; both may abort and
+        retry). ``force=True`` is the explicit rollback spelling:
+        publish anyway and detach the bypassed suffix."""
         if version not in self.snapshots():
             raise ValueError(f"unknown version {version}")
         snap_path = self._snapshot_path(version)
         with open(snap_path) as f:
             d = json.load(f)
+        if d.get("aborted", False):
+            raise ValueError(
+                f"version {version} is an aborted commit, not publishable"
+            )
         if d.get("staged", False):
+            base = d.get("base", d["version"] - 1)
             if not force:  # force skips the (O(history) manifest) scan
-                base = d.get("base", d["version"] - 1)
-                detached = self._detached()
-                stale = [
-                    v
-                    for v in self.snapshots()
-                    if v > base
-                    and v != version
-                    and v not in detached
-                    and not self._load_snapshot(v).staged
-                ]
+                stale = self._committed_past(base, exclude=version)
                 if stale:
                     raise CommitConflict(
                         f"staged version {version} (base {base}) is stale: "
@@ -621,6 +698,19 @@ class LakeTable:
             with open(tmp, "w") as f:
                 json.dump(d, f)
             os.replace(tmp, snap_path)
+            if not force:
+                # post-flip re-check: a commit whose O_EXCL create
+                # landed inside the scan→flip window — un-flip (the
+                # stage stays re-publishable) and surface the conflict
+                late = self._committed_past(base, exclude=version)
+                if late:
+                    self._set_snapshot_flag(version, "staged", True)
+                    raise CommitConflict(
+                        f"staged version {version} (base {base}) went "
+                        f"stale inside the publish window: version(s) "
+                        f"{late} were committed concurrently; publish "
+                        "rolled back — re-stage or retry"
+                    )
         if version < self.head_version():
             self._detach_above(version)
         with open(self._head_path(), "w") as f:
@@ -736,20 +826,31 @@ class LakeTable:
             if fs.path not in base
         ]
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(
+        self, keep_last: int = 1, keep_staged: bool = True
+    ) -> list[str]:
         """Retention: drop all but the newest ``keep_last`` snapshots
-        (HEAD and every TAGGED snapshot are always kept — a tag is a
-        durable named ref, so ``read(ref=...)`` can never dangle after
-        a vacuum, matching Iceberg tag retention) and DELETE data files
-        referenced by no surviving snapshot — the vacuum step that
-        reclaims storage once time-travel history is no longer needed.
-        Returns deleted paths."""
+        (HEAD, every TAGGED snapshot, and — by default — every STAGED
+        one are always kept: a tag is a durable named ref so
+        ``read(ref=...)`` can never dangle after a vacuum, matching
+        Iceberg tag retention, and a staged snapshot is an in-flight
+        WAP branch whose audit/publish must not race the vacuum —
+        expiring it would make the later ``publish`` fail AND destroy
+        its data files) and DELETE data files referenced by no
+        surviving snapshot — the vacuum step that reclaims storage
+        once time-travel history is no longer needed. Abandoned stages
+        are reclaimed explicitly with ``keep_staged=False`` once no
+        publish is pending. Returns deleted paths."""
         versions = self.snapshots()
         keep = (
             set(versions[-keep_last:])
             | {self.head_version()}
             | set(self.tags().values())
         )
+        if keep_staged:
+            keep |= {
+                v for v in versions if self._load_snapshot(v).staged
+            }
         drop = [v for v in versions if v not in keep]
         live = set()
         for v in keep:

@@ -193,15 +193,20 @@ def fetch_with_rate_limit(
     limiter: "RateLimiter | None" = None,
     sleep: Callable[[float], None] = time.sleep,
     transport_errors: tuple[type[Exception], ...] = (IOError,),
+    retry_after_cap: float = 120.0,
 ):
     """Rate-limit-aware fetch (``data_cleaner.py:556-595``): pace via
     ``limiter``, then attempt up to ``max_attempts`` times.
 
     - HTTP 429 → honor the server's ``Retry-After`` header when present
-      and numeric (seconds), else exponential backoff
-      ``delay·2^attempt``; retry. RFC 7231 also allows an HTTP-date
-      ``Retry-After`` — a non-numeric value falls back to the
-      exponential schedule instead of raising out of the retry loop.
+      and a sane number of seconds (``0 <= v <= retry_after_cap``),
+      else exponential backoff ``delay·2^attempt``; retry. RFC 7231
+      also allows an HTTP-date ``Retry-After`` — a non-numeric value
+      falls back to the exponential schedule instead of raising out of
+      the retry loop, and so does an out-of-range numeric one: a
+      negative value would make ``time.sleep`` raise ``ValueError``
+      and escape the loop, a huge one would stall the client
+      unboundedly.
     - HTTP 200 → return ``response.json()``.
     - other statuses → ``response.raise_for_status()``.
     - transport errors → flat ``rate_limit_delay`` sleep and retry;
@@ -233,7 +238,12 @@ def fetch_with_rate_limit(
             delay = rate_limit_delay * (2**attempt)
             if retry_after is not None:
                 try:
-                    delay = float(retry_after)
+                    parsed = float(retry_after)
+                    # clamp: negative would raise out of sleep(),
+                    # huge would stall unboundedly — both fall back
+                    # to the exponential schedule
+                    if 0.0 <= parsed <= retry_after_cap:
+                        delay = parsed
                 except (TypeError, ValueError):
                     pass  # HTTP-date form → exponential fallback
             sleep(delay)

@@ -650,3 +650,132 @@ def test_tagged_snapshot_survives_expiry(spark, table):
     table.drop_tag("pinned")
     table.expire_snapshots(keep_last=1)
     assert table.snapshots() == [3]
+
+
+def test_staged_snapshot_survives_expiry(spark, table):
+    """An in-flight WAP stage must not be destroyed by a concurrent
+    retention run: expire_snapshots keeps staged snapshots by default
+    (their publish would otherwise fail with 'unknown version' AND the
+    data files would already be gone); keep_staged=False is the
+    explicit reclaim spelling for abandoned stages."""
+    import os
+
+    table.commit(_batch(spark, 0, 2, "a"))            # v1
+    staged = table.stage(_batch(spark, 2, 4, "wap"))  # v2, staged
+    table.commit(_batch(spark, 5, 6, "c"))            # v3, HEAD
+
+    table.expire_snapshots(keep_last=1)
+    # the stage slipped out of the keep window but survives anyway
+    assert staged in table.snapshots()
+    for p in table.pruned_files(version=staged):
+        assert os.path.exists(p)
+    # ...and its publish still completes (rollback spelling: v3 passed it)
+    table.publish(staged, force=True)
+    assert table.head_version() == staged
+
+    # an ABANDONED stage is reclaimed explicitly
+    table.commit(_batch(spark, 7, 8, "d"), mode="overwrite")
+    abandoned = table.stage(_batch(spark, 8, 9, "junk"))
+    table.commit(_batch(spark, 9, 10, "e"), mode="overwrite")
+    table.expire_snapshots(keep_last=1, keep_staged=False)
+    assert abandoned not in table.snapshots()
+
+
+def test_commit_racing_publish_aborts_not_detaches(spark, tmp_path):
+    """The commit-vs-publish race the OCC docstring promises to close:
+    a publish() landing between a commit's staleness scan and its HEAD
+    move must NOT be silently detached — the commit's post-create
+    re-check sees the flipped stage, marks itself aborted (HEAD
+    untouched), and raises CommitConflict; a retry then succeeds
+    against the published HEAD."""
+    from financial_data_pipeline_spark.sources.laketable import (
+        CommitConflict,
+        LakeTable,
+    )
+
+    root = str(tmp_path / "lake")
+    t = LakeTable(spark, root, stat_cols=["day"])
+    t.commit(_batch(spark, 0, 2, "a"))                # v1
+    staged = t.stage(_batch(spark, 2, 4, "wap"))      # v2 (base 1)
+
+    publisher = LakeTable(spark, root, stat_cols=["day"])
+    real = LakeTable._committed_past
+    calls = {"n": 0}
+
+    def race(base, exclude=None):
+        # first call = the commit's PRE-create scan: let it pass, then
+        # land the publish inside the scan->create window
+        calls["n"] += 1
+        if calls["n"] == 1:
+            out = real(t, base, exclude)
+            publisher.publish(staged)
+            return out
+        return real(t, base, exclude)
+
+    t._committed_past = race
+    with pytest.raises(CommitConflict, match="aborted"):
+        t.commit(_batch(spark, 5, 6, "racer"))
+    del t._committed_past
+
+    # the published stage won; the racer aborted instead of detaching it
+    assert t.head_version() == staged
+    assert not t._detached()
+    aborted = [v for v in t.snapshots() if t._load_snapshot(v).aborted]
+    assert len(aborted) == 1
+    assert {r.tag for r in t.read().select("tag").distinct().collect()} == {
+        "a",
+        "wap",
+    }
+    # aborted commits are dead: not publishable, and a retry versions past
+    with pytest.raises(ValueError, match="aborted"):
+        t.publish(aborted[0])
+    v_retry = t.commit(_batch(spark, 5, 6, "racer"))
+    assert v_retry > aborted[0]
+    assert t.read().filter("tag = 'racer'").count() == 100
+
+
+def test_publish_racing_commit_unflips_and_raises(spark, tmp_path):
+    """The mirror half: a commit landing between publish's staleness
+    scan and its staged-flag flip must not have its HEAD overwritten —
+    publish's post-flip re-check un-flips the stage and raises, the
+    concurrent commit survives, and the stage stays re-publishable
+    (force) or re-stageable."""
+    from financial_data_pipeline_spark.sources.laketable import (
+        CommitConflict,
+        LakeTable,
+    )
+
+    root = str(tmp_path / "lake")
+    t = LakeTable(spark, root, stat_cols=["day"])
+    t.commit(_batch(spark, 0, 2, "a"))                # v1
+    staged = t.stage(_batch(spark, 2, 4, "wap"))      # v2 (base 1)
+
+    committer = LakeTable(spark, root, stat_cols=["day"])
+    real = LakeTable._committed_past
+    calls = {"n": 0}
+
+    def race(base, exclude=None):
+        # first call = publish's PRE-flip scan: let it pass, then land
+        # a full concurrent commit inside the scan->flip window
+        calls["n"] += 1
+        if calls["n"] == 1:
+            out = real(t, base, exclude)
+            committer.commit(_batch(spark, 5, 6, "racer"))
+            return out
+        return real(t, base, exclude)
+
+    t._committed_past = race
+    with pytest.raises(CommitConflict, match="publish window"):
+        t.publish(staged)
+    del t._committed_past
+
+    # the commit survives as HEAD; the stage is back to staged
+    assert t.head_version() == 3
+    assert t.read().filter("tag = 'racer'").count() == 100
+    assert t._load_snapshot(staged).staged
+    # plain retry now sees the commit via the ordinary pre-check...
+    with pytest.raises(CommitConflict, match="stale"):
+        t.publish(staged)
+    # ...and force remains the explicit rollback spelling
+    t.publish(staged, force=True)
+    assert t.head_version() == staged

@@ -318,6 +318,32 @@ def test_fetch_with_rate_limit_date_retry_after_and_pacing():
     assert waited == ["https://x/klines"] * 2  # one wait per attempt
 
 
+def test_fetch_with_rate_limit_clamps_out_of_range_retry_after():
+    """A numeric-but-hostile Retry-After must not escape the retry
+    loop: a negative value would make time.sleep raise ValueError, a
+    huge one would stall the client unboundedly — both fall back to
+    the exponential schedule; an in-range value still wins."""
+    responses = iter(
+        [
+            _FakeResp(429, headers={"Retry-After": "-5"}),
+            _FakeResp(429, headers={"Retry-After": "999999"}),
+            _FakeResp(429, headers={"Retry-After": "3"}),
+            _FakeResp(200, payload={"ok": 1}),
+        ]
+    )
+    slept = []
+    out = providers.fetch_with_rate_limit(
+        lambda url: next(responses),
+        "https://x/klines",
+        rate_limit_delay=1.0,
+        sleep=slept.append,
+        retry_after_cap=120.0,
+    )
+    assert out == {"ok": 1}
+    # -5 → 1.0*2**0, 999999 → 1.0*2**1, 3 (in range) → honored
+    assert slept == [1.0, 2.0, 3.0]
+
+
 def test_fetch_with_timeout_normalizes():
     def slow_get(url, timeout=None):
         raise TimeoutError("socket timed out")
