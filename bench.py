@@ -16,364 +16,25 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Heavy-path representative subset of the driver-contract inventory.
-HEADLINE = [
-    "ohlcv_bars",
-    "symbol_stats",
-    "resample_4h_filled",
-    "sma_bollinger",
-    "rsi_14",
-    "atr_14",
-    "ema_macd",
-    "calculate_all",
-    "zscore_outlier_clean",
-    "sliding_windows",
-    "dedup_keep_first",
-    "ffill_impute",
-    "iqr_clip",
-    "normalize_zscore",
-    "quality_score",
-    "chronological_split",
-    "volume_profile",
-    "pricing_summary",
-    "revenue_by_nation",
-    "lineage_join",
-    "shipping_priority",
-    "returned_revenue_by_customer",
-    "asof_join_events_bars",
-    "top_orders",
-    "text_stats",
-    "exact_dedup",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "dedup_clusters",
-    "keep_canonical_docs",
-    "embedding_topk",
-    "lsh_ann_topk",
-    "embedding_pairs",
-    "gopher_quality_flags",
-    "pii_redaction",
-    "contamination_check",
-    "stratified_sample_docs",
-    "domain_mixture_plan",
-    "user_sessions",
-    "user_session_stats",
-    "ngram_vocab",
-    "exact_k_sample",
-    "corpus_length_stats",
-    "events_type_pivot",
-    "orders_priority_rollup",
-    "customer_spend_rank",
-    "funnel_conversion",
-    "next_day_retention",
-    "events_props_json",
-    "lapsed_customers",
-    "returned_orders_semi",
-    "distinct_users_daily",
-    "events_dow_cube",
-    "purchase_signup_days_intersect",
-    "purchase_no_view_days_except",
-    "big_ticket_orders",
-    "rich_lapsed_by_segment",
-    "purchase_view_full_outer",
-    "rolling_24h_volume",
-    "edit_distance_pairs",
-    "bar_gaps",
-    "vwap_daily",
-    "nation_trade_volume",
-    "promo_revenue_share",
-    "small_quantity_revenue",
-    "scd2_customer_segments",
-    "tfidf_top_terms",
-    "corpus_length_stats_approx",
-    "distinct_users_daily_approx",
-    "embedding_dim_stats",
-    "doc_chunks",
-    "customer_running_spend",
-    "ohlc_unpivot",
-    "chunk_packing_plan",
-    "embedding_norms",
-    "video_frame_calendar",
-    "validation_report",
-    "status_report",
-    "embedding_pairs_blocked",
-    "lineitems_in_order_windows",
-    "knn_join_top5",
-    "text_cleaning",
-    "ema_truncated",
-    "interpolate_impute",
-    "rank_normalize",
-    "feature_drift_psi",
-    "top_bigram_repetition",
-    "validation_report_strict",
-    "line_dedup_rebuild",
-    "blamed_suppliers",
-    "top_revenue_suppliers",
-    "unigram_logprob",
-    "ann_recall_at_10",
-    "ann_recall_multiprobe",
-    "nb_lang_score",
-    "late_order_priority_counts",
-    "market_share_by_year",
-    "customer_order_distribution",
-    "disjunctive_part_revenue",
-    "curation_report",
-    "lsh_pair_recall",
-    "discount_revenue_delta",
-    "priority_shipping_lag_counts",
-    "ivf_recall_at_10",
-    "events_grouping_sets",
-    "semantic_dedup",
-    "exact_dedup_keep2",
-    "trimmed_mean_prices",
-    "distinct_users_weekly_sketch",
-    "events_props_variant",
-    "sql_top_nations_by_year",
-    "kfold_counts",
-    "realized_vol_daily",
-    "max_drawdown",
-    "volume_bars",
-    "return_correlation",
-    "sma_crossover_backtest",
-    "sma_grid_backtest",
-    "walk_forward_plan",
-    "heavy_hitter_tokens",
-    "quantized_ann_recall",
-    "min_cost_supplier_per_part",
-    "profit_by_nation_year",
-    "major_value_parts",
-    "supplier_count_by_part_attrs",
-    "dominant_part_suppliers",
-    "lineitem_expectations",
-    "return_moment_stats",
-    "return_autocorr_lag1",
-    "candle_patterns",
-    "close_decile_bins",
-    "substring_overlap_pairs",
-    "point_in_time_features",
-    "prototypicality_prune",
-    "return_correlation_gram",
-    "dollar_bars",
-    "cluster_balanced_sample",
-    "temperature_mixture_plan",
-    "compression_ratio_stats",
-    "pq_ann_topk",
-    "orders_segment_at_order_time",
-    "market_beta",
-    "orders_profile",
-    "user_features_at_purchase",
-    "shuffle_shard_plan",
-    "bm25_search",
-    "mad_outlier_counts",
-    "hybrid_search_rrf",
-    "seasonal_naive_eval",
-    "resample_4h",
-    "time_features",
-    "validation_counters",
-    "interval_mode",
-    "latest_per_customer",
-    "latest_timestamp",
-    "date_range_null_counts",
-    "split_by_time",
-    "lang_detect",
-    "doc_fingerprint",
-    "ivf_topk",
-    "multimodal_features",
-    "split_by_date",
-    "random_split_props",
-    "resample_1w",
-    "multi_timeframe_counts",
-    "denormalize_roundtrip",
-    "query_ohlcv_desc_limit",
-    "purged_fold_counts",
-    "risk_ratios",
-    "microstructure_metrics",
-    "theta_retention_days",
-    "seasonal_anomalies",
-    "source_policy_filter",
-    "pairs_cointegration",
-    "bpe_merges",
-    "cusum_changepoints",
-    "target_encoding_loo",
-    "cohort_retention",
-    "top_event_paths",
-    "ab_test_welch",
-    "oscillators",
-    "obv_roc",
-    "price_channels",
-    "range_volatility",
-    "ks_drift_by_dow",
-    "token_entropy",
-    "mann_whitney_purchase_view",
-    "benford_order_totals",
-    "spearman_return_corr",
-    "hurst_exponent",
-    "pivot_points",
-    "weighted_doc_sample",
-    "kyle_lambda",
-    "js_drift_close",
-    "value_at_risk",
-    "readability",
-    "inverse_vol_portfolio",
-    "cuped_variance_reduction",
-    "user_retention_km",
-    "customer_spend_gini",
-    "ljung_box",
-    "hampel_outliers",
-    "rolling_beta",
-    "jarque_bera",
-    "chi2_type_by_dow",
-    "conversion_attribution",
-    "event_transition_matrix",
-    "part_basket_rules",
-    "rfm_segments",
-    "doc_quality_auc",
-    "jump_detection",
-    "newey_west_mean",
-    "categorical_psi_sources",
-    "vpin_toxicity",
-    "black_scholes_atm",
-    "zipf_fit",
-    "implied_vol_solve",
-    "wilcoxon_user_spend",
-    "american_put_crr",
-    "triple_barrier_labels",
-    "frac_diff_log_close",
-    "anchored_vwap",
-    "chandelier_exit",
-    "pacf_returns",
-    "hist_chi2_drift",
-    "ngram_novelty",
-    "source_overlap_jaccard",
-    "information_coefficient",
-    "kmeans_doc_clusters",
-    "riskmetrics_vol",
-    "lead_lag_xcorr",
-    "ichimoku_lines",
-    "adx_trend_strength",
-    "cci_20",
-    "mfi_14",
-    "volume_spike_car",
-    "dup_rate_by_source",
-    "bollinger_reversion_backtest",
-    "kelly_sizing",
-    "almgren_chriss_schedule",
-    "boilerplate_lines",
-    "inverse_vol_rebalanced",
-    "heikin_ashi_candles",
-    "vortex_aroon",
-    "chaikin_flow",
-    "force_eom",
-    "ulcer_martin",
-    "drawdown_durations",
-    "variance_ratio",
-    "probabilistic_sharpe",
-    "garch11_vol",
-    "ou_half_life",
-    "donchian_breakout_backtest",
-    "quality_calibration_bins",
-    "token_fertility_by_lang",
-    "embedding_pca_spectrum",
-    "parabolic_sar",
-    "supertrend_bands",
-    "trix_15",
-    "deflated_sharpe_grid",
-    "intraday_vol_profile",
-    "rebalance_turnover",
-    "cross_sectional_momentum",
-    "elder_ray_13",
-    "stochrsi_14",
-    "mass_index_25",
-    "kst_composite",
-    "corwin_schultz_spread",
-    "hill_tail_index",
-    "permutation_entropy",
-    "theil_sen_trend",
-    "bh_fdr_hourly",
-    "ses_forecast_eval",
-    "mmr_diverse_topk",
-    "ultimate_oscillator",
-    "cmo_dpo",
-    "calmar_omega_tail",
-    "up_down_capture",
-    "coppock_curve",
-    "cornish_fisher_var",
-    "arch_lm_test",
-    "runs_test",
-    "bigram_logprob",
-    "token_sort_dedup",
-    "revenue_pareto_deciles",
-    "order_interarrival_stats",
-    "idiosyncratic_vol",
-    "volatility_cones",
-    "funnel_latency",
-    "lang_source_assoc",
-    "ewma_pair_cov",
-    "conditional_drawdown",
-    "tracking_error",
-    "trade_mae",
-    "lof_outliers",
-    "event_type_pagerank",
-    "theil_decomposition",
-    "supplier_hhi_by_nation",
-    "holt_forecast_eval",
-    "part_skyline",
-    "windowed_funnel_depth",
-    "var_backtest_kupiec",
-    "event_seq_pairs",
-    "ngram_containment_pairs",
-    "heaps_law_fit",
-    "copurchase_degree_hist",
-    "asof_forward_tolerance",
-    "returns_anova_dow",
-    "label_centroid_sims",
-    "dfa_exponent",
-    "lang_detect_kappa",
-    "term_burstiness",
-    "doc_keywords",
-    "ewma_control_chart",
-    "event_trigram_transitions",
-    "source_kl_divergence",
-    "yang_zhang_vol",
-    "lo_adjusted_sharpe",
-    "revenue_mom_yoy",
-    "cohort_ltv_by_year",
-    "discount_elasticity",
-    "order_line_hist",
-    "levene_test_dow",
-    "silhouette_by_label",
-    "cluster_validity_indices",
-    "lang_source_mutual_info",
-    "conditional_beta",
-    "knn_label_accuracy",
-    "pmi_top_bigrams",
-    "lang_log_odds_tokens",
-    "rolling_sharpe",
-    "vwap_twap_gap",
-    "event_entropy_rate",
-    "win_loss_streaks",
-    "top_drawdown_episodes",
-    "lof_outliers_blocked",
-    "silhouette_by_label_blocked",
-    "knn_label_accuracy_blocked",
-    "windowed_psi_stream_twin",
-    "cusum_frozen_stream_twin",
-    "continuous_ohlcv_stream_twin",
-    "windowed_chi2_stream_twin",
-    "session_window_stream_twin",
-    "hopping_volume_stream_twin",
-    "amihud_illiquidity",
-    "roll_spread",
-    "returns_moments",
-    "order_flow_imbalance",
-    "large_orders_topk",
-    "garman_klass_vol",
-    "dau_wau_stickiness",
-    "overnight_intraday_split",
-    "type_token_ratio_by_source",
-    "dom_return_profile",
-]
+# Every registered driver query is benched: HEADLINE is DERIVED from
+# the registry (minus the explicit exclusion list below), so a newly
+# registered query is picked up automatically instead of silently
+# missing from the bench until someone extends a hand-maintained list
+# (r3 shipped 56 un-benched queries exactly that way). An exclusion
+# must name a real query — a stale entry fails the run loudly.
+BENCH_EXCLUDE: frozenset[str] = frozenset()
+
+
+def headline() -> list[str]:
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+
+    unknown = BENCH_EXCLUDE - set(QUERIES)
+    if unknown:
+        raise SystemExit(
+            f"bench.py BENCH_EXCLUDE names unregistered queries: "
+            f"{sorted(unknown)} — fix the exclusion list"
+        )
+    return [n for n in QUERIES if n not in BENCH_EXCLUDE]
 
 
 def sweep(sf_dir: str) -> dict:
@@ -399,9 +60,7 @@ def sweep(sf_dir: str) -> dict:
     # rides out OS page-cache / GC noise; the metric measures the
     # engine, not the compiler or the neighbor.
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
+    for name in headline():
         per_query[name] = round(min(run(name) for _ in range(3)), 3)
     calibration = round(min(run("symbol_stats") for _ in range(3)), 3)
     return {"queries": per_query, "calibration": calibration}
