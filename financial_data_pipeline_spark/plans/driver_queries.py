@@ -5910,8 +5910,12 @@ def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     "major_value_parts",
     """
 WITH pv AS (
-  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
-  FROM lineitem GROUP BY l_partkey
+  SELECT l_partkey,
+         list_reduce(list_prepend(0.0::DOUBLE, list(amt ORDER BY amt)),
+                     (a, x) -> a + x) AS part_value
+  FROM (SELECT l_partkey,
+               l_extendedprice * (1 - l_discount) AS amt FROM lineitem)
+  GROUP BY l_partkey
 )
 SELECT pv.l_partkey AS partkey, round(pv.part_value, 2) AS part_value
 FROM pv, (SELECT sum(part_value) AS total FROM pv) t
@@ -5923,12 +5927,24 @@ def q_major_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GLOBAL total — the scalar subquery is the per-part aggregate
     re-aggregated to one row and broadcast via crossJoin (1-row build
     side, never a driver collect). The base aggregate is computed once
-    and reused for both sides of the comparison."""
+    and reused for both sides of the comparison.
+
+    part_value is an ORDERED fold, not F.sum: the amounts are exact
+    ≤4-decimal values (2dp price × 2dp discount), so per-part sums
+    land EXACTLY on half-cent boundaries and the 2dp rounding then
+    depends on the accumulation order — the r05 alt-partitioning sweep
+    caught a flip under repartition(7). Sorting the (bounded, ~30 rows
+    per part) value list pins the order in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
+    amt = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "double"
+    )
     pv = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "part_value"
-        )
+        F.aggregate(
+            F.array_sort(F.collect_list(amt)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("part_value")
     )
     total = pv.agg(F.sum("part_value").alias("total"))
     return (
@@ -7783,20 +7799,27 @@ WITH agg AS (
   FROM orders GROUP BY 1
 ), g AS (SELECT avg(o_totalprice) AS gm FROM orders)
 SELECT o_orderkey, o_orderpriority,
-       round(((s - o_totalprice) + 10.0 * gm) / ((n - 1) + 10.0), 6) AS te
+       round(((s - o_totalprice) + 10.0 * gm) / ((n - 1) + 10.0), 4) AS te
 FROM orders JOIN agg USING (o_orderpriority) CROSS JOIN g
 """,
 )
 def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free smoothed leave-one-out target encoding of order
     priority against order value — per-row encodings value-compared
-    (the facts never shuffle; category aggregates broadcast back)."""
+    (the facts never shuffle; category aggregates broadcast back).
+
+    te is pinned at 4dp, not 6: the per-priority sums are unordered
+    folds over thousands of ~1e5-magnitude prices, so te carries
+    ~1e-7 of layout-dependent float noise — right at a 6dp half
+    boundary (the r05 alt-partitioning sweep caught a flip). 4dp gives
+    a ~500× noise margin on a ~1e4-magnitude value without the
+    anti-scale ordered fold (the group lists are unbounded here)."""
     from financial_data_pipeline_spark.operators.encoding import target_encode_loo
 
     orders = load_table(spark, sf_dir, "orders")
     out = target_encode_loo(orders, "o_orderpriority", "o_totalprice")
     return out.select(
-        "o_orderkey", "o_orderpriority", F.round("te", 6).alias("te")
+        "o_orderkey", "o_orderpriority", F.round("te", 4).alias("te")
     )
 
 

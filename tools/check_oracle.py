@@ -107,13 +107,43 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    # Partitioning-invariance knobs: the whole registry must produce
+    # identical results under a hostile layout — a different shuffle
+    # width AND a prime-count repartition of every input table (ordered
+    # folds, pre-rounding pins and window tie-breaks are the engine's
+    # correctness backbone; two past bugs surfaced ONLY under layout
+    # change). Used by the committed CORRECTNESS_full_rNN_altpart.json.
+    shuffle_n = 16
+    if "--shuffle-partitions" in argv:
+        i = argv.index("--shuffle-partitions")
+        shuffle_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    repart_n = None
+    if "--repartition" in argv:
+        i = argv.index("--repartition")
+        repart_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     import __spark_entry__ as entry
     from financial_data_pipeline_spark import get_spark
 
-    spark = get_spark(shuffle_partitions=16)
+    spark = get_spark(shuffle_partitions=shuffle_n)
     spark.sparkContext.setLogLevel("ERROR")
+    if repart_n is not None:
+        from financial_data_pipeline_spark.plans import driver_queries as _dq
+
+        _orig_load = _dq.load_table
+
+        def _load_repart(spark, sf_dir, name, **kw):
+            return _orig_load(spark, sf_dir, name, **kw).repartition(repart_n)
+
+        _dq.load_table = _load_repart
+        # the SQL front door resolves load_table from its own module
+        # namespace — patch it too so view registration is repartitioned
+        from financial_data_pipeline_spark.plans import sql_frontdoor as _fd
+
+        _fd.load_table = _load_repart
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
