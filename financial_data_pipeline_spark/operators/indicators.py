@@ -154,6 +154,91 @@ def with_ema(
     return df.groupBy(*by).applyInPandas(kernel, schema=schema)
 
 
+def with_ema_chunked(
+    df: DataFrame,
+    col: str = "close",
+    spans: list[int] = (12, 26),
+    by: list[str] = ("symbol",),
+    ts: str = "timestamp",
+    out_prefix: str = "ema_",
+    chunk_rows: int = 65536,
+    partitions: int | None = None,
+) -> DataFrame:
+    """EMA with NO one-giant-symbol task — the hot-key mitigation for
+    :func:`with_ema` (risk register SURVEY.md §7.4 item 1; measured by
+    ``tools/skew_probe.py`` under an 80%-hot symbol).
+
+    ``with_ema`` streams each group through ONE Arrow task, so a hot
+    symbol serializes 80% of the data into a single Python worker.
+    Here each group is cut into fixed ``chunk_rows`` chunks by GLOBAL
+    rank (``splitter.global_row_index`` — range partition + offsets,
+    never a single-partition window), every chunk is shipped together
+    with the previous W rows of its group as WARMUP (W = the
+    ``ema_truncated`` ulp horizon per span: weights older than W rows
+    are below one double ULP of the result), and each (group, chunk)
+    runs the exact pandas recurrence in parallel; warmup rows are
+    dropped after seeding. Chunks overlap-read ceil(W/chunk_rows)
+    neighbors, so keep ``chunk_rows ≥ W`` (478 for span 26; the 65536
+    default costs <1% duplication and, measured at a 5M-row hot
+    symbol, matches the sequential kernel's wall clock while keeping
+    every Arrow batch and task bounded — the actual 100 TB win is
+    that no group ever has to FIT one Python worker).
+
+    Accuracy contract = ``ema_truncated``'s: rows less than W into the
+    stream are EXACT (they see their full true history); later rows
+    agree with the sequential kernel to < 1e-12 relative. Timestamp
+    ties within a group are ordered arbitrarily — the same contract as
+    ``with_ema``'s pandas sort."""
+    import math
+
+    from pyspark.sql import types as T
+
+    from financial_data_pipeline_spark.operators.splitter import (
+        global_row_index,
+    )
+
+    spans = list(spans)
+    by = list(by)
+    out_cols = [f"{out_prefix}{s}" for s in spans]
+    W = max(
+        math.ceil(-53.0 * math.log(2.0) / math.log(1.0 - 2.0 / (s + 1.0)))
+        for s in spans
+    )
+    in_cols = df.columns
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(c, T.DoubleType(), True) for c in out_cols]
+    )
+
+    ranked, _ = global_row_index(df, [*by, ts], partitions)
+    gmin = ranked.groupBy(*by).agg(F.min("__rn").alias("__rn0"))
+    rn_in = F.col("__rn") - F.col("__rn0")  # 0-based rank within group
+    base = ranked.join(gmin, on=by).withColumn(
+        "__chunk", F.floor(rn_in / chunk_rows)
+    )
+    real = base.withColumn("__warm", F.lit(False))
+    last_need = F.floor((rn_in + W) / chunk_rows)
+    warm = (
+        base.filter(last_need > F.col("__chunk"))
+        .withColumn(
+            "__chunk",
+            F.explode(F.sequence(F.col("__chunk") + 1, last_need)),
+        )
+        .withColumn("__warm", F.lit(True))
+    )
+    staged = real.unionByName(warm)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        for s, out in zip(spans, out_cols):
+            pdf[out] = pdf[col].ewm(span=s, adjust=False).mean()
+        return pdf.loc[~pdf["__warm"], in_cols + out_cols]
+
+    return staged.groupBy(*by, "__chunk").applyInPandas(
+        kernel, schema=schema
+    )
+
+
 def ema_truncated(
     col: str,
     span: int,

@@ -988,6 +988,7 @@ def _distance_pairs(
     max_rows: int,
     caller: str,
     extra_cols: "dict[str, str] | None" = None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """The shared pair frame of the all-pairs family (LOF, silhouette,
     kNN accuracy): (i, j, d[, extras]) with the Euclidean distance
@@ -1013,10 +1014,56 @@ def _distance_pairs(
     sort them last — the one asymmetry that could poison a kNN edge
     list. A vectorless row has no geometry; it belongs in no
     neighborhood.
+
+    ``max_block_rows`` (blocked path only) is the HOT-BLOCK guard: a
+    single block holding a large share of the corpus turns Σ n_b² into
+    the very n² the blocking exists to avoid. With the cap set, block
+    sizes are counted (one aggregate) and every oversized block is
+    SUBDIVIDED by ceil(log2(n_b / cap)) extra seeded-hyperplane bits
+    on the vectors themselves — expected child size ≈ cap, cost stays
+    Σ cap·n_b ≈ linear. Subdivision tightens the neighborhood
+    approximation exactly the way growing the plane count with the
+    corpus does (the documented deployment schedule); truly coincident
+    vectors are the one layout hyperplanes cannot split — those are
+    genuine n² neighbor sets, not a partitioning artifact.
     """
     df = df.filter(F.col(vec_col).isNotNull())
     par = df.sparkSession.sparkContext.defaultParallelism
     extra = extra_cols or {}
+
+    if block_col is not None and max_block_rows is not None:
+        probe = df.select(vec_col).first()
+        if probe is not None:
+            dim = len(probe[0])
+            sig = lsh_bucket(
+                F.col(vec_col).cast("array<double>"),
+                seeded_planes(16, dim, seed=104729),
+            )
+            sizes = df.groupBy(block_col).agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            bits = F.greatest(
+                F.lit(0),
+                F.ceil(
+                    F.log2(F.col("__n") / F.lit(float(max_block_rows)))
+                ).cast("int"),
+            )
+            df = (
+                df.join(sizes.select(block_col, bits.alias("__bits")), on=block_col)
+                .withColumn(
+                    "__blk_sub",
+                    F.concat_ws(
+                        ":",
+                        F.col(block_col).cast("string"),
+                        F.pmod(
+                            sig,
+                            F.pow(F.lit(2.0), F.col("__bits")).cast("long"),
+                        ).cast("string"),
+                    ),
+                )
+                .drop("__bits")
+            )
+            block_col = "__blk_sub"
 
     def side(tag: str, idx: int) -> DataFrame:
         cols = [
@@ -1047,11 +1094,16 @@ def _distance_pairs(
         a = side("i", 0).repartition(par)
         cond = F.col("i") != F.col("j")
     else:
-        # equi-join on the block key: Spark shuffles both sides on
-        # __blk itself (sort-merge / shuffled-hash) — no repartition
-        # hint needed, and parallelism = number of occupied blocks,
-        # which the blocking scheme keeps growing with the corpus
-        a = side("i", 0)
+        # equi-join on the block key — but the STREAMED side must be
+        # spread first: a corpus small enough for Catalyst to
+        # broadcast the build side arrives as few parquet partitions,
+        # and the per-pair distance fold then evaluates inside those
+        # few tasks (measured 233s → ~13s on a 2·10⁷-pair hot block).
+        # Hashing on (block, id) spreads every block's probe rows
+        # across all cores under a broadcast join; if the sides grow
+        # past broadcast the SMJ re-shuffles by the block key itself
+        # and AQE skew-join splits any hot key's partition.
+        a = side("i", 0).repartition(par, F.col("__blk_i"), F.col("i"))
         cond = (F.col("__blk_i") == F.col("__blk_j")) & (
             F.col("i") != F.col("j")
         )
@@ -1071,6 +1123,7 @@ def lof_scores(
     id_col: str = "vec_id",
     max_rows: int = 20_000,
     block_col: str | None = None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Local Outlier Factor (Breunig et al. 2000) over an embedding
     column, k neighbors, Euclidean distances.
@@ -1094,7 +1147,13 @@ def lof_scores(
     from pyspark.sql import Window
 
     pairs = _distance_pairs(
-        df, vec_col, id_col, block_col, max_rows, "lof_scores"
+        df,
+        vec_col,
+        id_col,
+        block_col,
+        max_rows,
+        "lof_scores",
+        max_block_rows=max_block_rows,
     )
     wk = Window.partitionBy("i").orderBy("d", "j")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
@@ -1134,6 +1193,7 @@ def silhouette_by_label(
     id_col: str = "vec_id",
     max_rows: int = 20_000,
     block_col: str | None = None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Mean silhouette coefficient per label: (label, n_vecs,
     mean_silhouette) with s = (b − a)/max(a, b), a = mean distance to
@@ -1154,6 +1214,7 @@ def silhouette_by_label(
         max_rows,
         "silhouette_by_label",
         extra_cols={label_col: "li,lj"},
+        max_block_rows=max_block_rows,
     )
     md = pairs.groupBy("i", "li", "lj").agg(F.avg("d").alias("mean_d"))
     ab = md.groupBy("i", "li").agg(
@@ -1179,6 +1240,7 @@ def knn_label_accuracy(
     id_col: str = "vec_id",
     max_rows: int = 20_000,
     block_col: str | None = None,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Leave-one-out k-NN label-prediction accuracy per label:
     (label, n_vecs, loo_accuracy) under majority vote with the
@@ -1199,6 +1261,7 @@ def knn_label_accuracy(
         max_rows,
         "knn_label_accuracy",
         extra_cols={label_col: "li,lj"},
+        max_block_rows=max_block_rows,
     )
     wk = Window.partitionBy("i").orderBy("d", "j")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(

@@ -534,3 +534,51 @@ def test_blocked_all_pairs_family(spark):
     assert 99 not in ln and set(ln) == set(range(30))
     for i in blocked:
         assert abs(ln[i] - blocked[i].lof) < 1e-12
+
+
+def test_max_block_rows_subdivides_hot_blocks(spark):
+    """The hot-block guard: with max_block_rows, an oversized block is
+    subdivided by extra seeded hyperplanes until expected child size
+    is within the cap — pair volume collapses from n_hot^2 toward
+    cap*n_hot — while blocks already under the cap are untouched (one
+    ':0' suffix, identical pair set and LOF values)."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators.similarity import (
+        _distance_pairs,
+        lof_scores,
+    )
+
+    rng = np.random.default_rng(5)
+    n_hot, n_cold = 400, 40
+    X = rng.normal(0.0, 1.0, (n_hot + n_cold, 8))
+    rows = [
+        (int(i), [float(x) for x in X[i]], 0 if i < n_hot else 1 + i % 4)
+        for i in range(n_hot + n_cold)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "blk"])
+
+    uncapped = _distance_pairs(
+        df, "embedding", "vec_id", "blk", 10**9, "t"
+    ).count()
+    capped = _distance_pairs(
+        df, "embedding", "vec_id", "blk", 10**9, "t", max_block_rows=50
+    ).count()
+    # hot block alone contributes 400*399 uncapped pairs; subdivision
+    # into ~2^3 children cuts that by roughly the subdivision factor
+    assert uncapped >= n_hot * (n_hot - 1)
+    assert capped < uncapped / 3
+
+    # blocks under the cap are semantically untouched: same LOF values
+    # with a cap far above every block size
+    small = df.filter(F.col("blk") > 0)
+    plain = {r.vec_id: r.lof for r in lof_scores(small, k=3, block_col="blk").collect()}
+    wide_cap = {
+        r.vec_id: r.lof
+        for r in lof_scores(
+            small, k=3, block_col="blk", max_block_rows=10_000
+        ).collect()
+    }
+    assert plain.keys() == wide_cap.keys()
+    for i in plain:
+        assert abs(plain[i] - wide_cap[i]) < 1e-12

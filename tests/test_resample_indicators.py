@@ -2135,3 +2135,52 @@ def test_holt_eval_matches_explicit_recursion(spark):
     assert abs(out.rmse - rmse) < 1e-9
     assert abs(out.naive_mae - naive) < 1e-9
     assert out.mase < 1.0  # trend-aware beats random walk on a trend
+
+
+def test_with_ema_chunked_matches_sequential_kernel(spark):
+    """The hot-key EMA mitigation: chunked + warmup-overlap execution
+    (parallel across chunks, no one-giant-symbol Arrow task) agrees
+    with the sequential with_ema kernel to the ema_truncated accuracy
+    contract — exact for the first W rows, < 1e-12 relative after —
+    including when the warmup horizon spans MULTIPLE chunks
+    (chunk_rows=256 < W(span 26)=478) and across a repartitioned,
+    shuffled input."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(3)
+    frames = []
+    for sym, n in (("HOT", 4000), ("A", 700), ("B", 37)):
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "timestamp": pd.date_range(
+                        "2024-01-01", periods=n, freq="min"
+                    ),
+                    "close": 100 + np.cumsum(rng.normal(0, 0.5, n)),
+                }
+            )
+        )
+    pdf = pd.concat(frames, ignore_index=True)
+    df = spark.createDataFrame(pdf).repartition(13)
+
+    seq = (
+        indicators.with_ema(df, spans=[12, 26])
+        .orderBy("symbol", "timestamp")
+        .toPandas()
+    )
+    chk = (
+        indicators.with_ema_chunked(df, spans=[12, 26], chunk_rows=256)
+        .orderBy("symbol", "timestamp")
+        .toPandas()
+    )
+    assert len(seq) == len(chk) == len(pdf)
+    assert (seq.symbol.values == chk.symbol.values).all()
+    for c in ("ema_12", "ema_26"):
+        assert np.allclose(seq[c].values, chk[c].values, rtol=1e-12, atol=0), c
+    # heads are EXACT: every row of a sub-W symbol sees full history
+    b_seq = seq[seq.symbol == "B"]
+    b_chk = chk[chk.symbol == "B"]
+    assert (b_seq.ema_26.values == b_chk.ema_26.values).all()
