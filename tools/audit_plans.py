@@ -245,6 +245,12 @@ def main() -> None:
         "- `theta_retention_days` NESTED_LOOP_JOIN: the observation",
         "  horizon (global max ts) is a ONE-row broadcast crossJoin —",
         "  the `user_retention_km` shape.",
+        "- `embedding_pca_spectrum` NESTED_LOOP_JOIN + GLOBAL_WINDOW:",
+        "  the invariant frame crossJoins the 10-row spectrum with the",
+        "  ONE-row independently-computed trace, and the monotone/cum",
+        "  windows run over exactly those 10 component rows — both",
+        "  constant-size BY CONSTRUCTION; the distributed work (Gram",
+        "  partials, per-dimension var_pop) stays keyed and windowless.",
         "- `quality_calibration_bins` GLOBAL_WINDOW: percent_rank for the",
         "  reliability deciles is a pooled total order BY DEFINITION and",
         "  runs on the per-doc (score, label) projection; at corpus scale",
