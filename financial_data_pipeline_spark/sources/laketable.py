@@ -765,10 +765,15 @@ class LakeTable:
         self, version: int, keys: DataFrame, k0: str
     ) -> tuple[list[FileStat], list[FileStat]]:
         """(touched, carried): files whose [min, max] for ``k0`` can /
-        cannot intersect the key frame's value range."""
+        cannot intersect the key frame's value range. Bounds are
+        normalized through ``_json_scalar`` because manifest stats
+        store dates/timestamps as ISO-8601 strings (which compare
+        correctly as strings) — merge/delete/refresh on a date key
+        would otherwise compare str against datetime."""
         from pyspark.sql import functions as F
 
-        bounds = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+        raw = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+        bounds = {"lo": _json_scalar(raw["lo"]), "hi": _json_scalar(raw["hi"])}
         touched, carried = [], []
         for fs in self._load_snapshot(version).files:
             mn, mx = fs.stats[k0]

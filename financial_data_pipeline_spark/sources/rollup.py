@@ -1,0 +1,124 @@
+"""Incremental continuous-aggregate refresh on the lake.
+
+The reference stores bars in a TimescaleDB hypertable
+(``src/data_etl/storage/timeseries_db.py:172`` —
+``create_hypertable``); Timescale's signature feature on top of that
+is the CONTINUOUS AGGREGATE: a materialized rollup that a refresh
+policy keeps current by recomputing only the time buckets invalidated
+by new/late/changed rows. This module is that feature re-expressed
+lake-first:
+
+- the **invalidation log** is derived, not maintained: the change data
+  feed between the last-refreshed source version and HEAD
+  (:func:`laketable.table_changes` — a manifest diff, cost tracks the
+  churn) yields every changed row image, and bucketing those images
+  yields exactly the set of dirty rollup keys;
+- the **refresh** recomputes ONLY those keys from source HEAD (a
+  broadcast semi-join prunes the scan; with the bucket column in the
+  source's ``stat_cols`` the file skipping makes it partition-pruned),
+  then lands survivors + fresh rows as ONE commit that rewrites only
+  the target files whose key range intersects the dirty set — buckets
+  whose source rows all disappeared drop out (upsert-with-deletes);
+- the **watermark** (``rollup_src_version``) rides the same manifest
+  write via ``app_meta``, so refresh state is atomic with the data it
+  describes: a crash between refreshes re-runs idempotently, never
+  double-applies, never skips.
+
+100 TB shape: refresh cost is O(churned files) + O(dirty buckets'
+source rows) + O(target files overlapping dirty keys) — independent of
+both table sizes when churn is local (the streaming-append case). A
+source vacuum that expired the watermark version degrades to a full
+rebuild instead of failing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .laketable import LakeTable, table_changes
+
+WATERMARK_KEY = "rollup_src_version"
+
+
+def refresh_rollup(
+    source: LakeTable,
+    target: LakeTable,
+    key_of: Callable[[DataFrame], DataFrame],
+    agg: Callable[[DataFrame], DataFrame],
+    key_cols: list[str],
+) -> int:
+    """Refresh ``target`` (the materialized rollup) against ``source``.
+
+    ``key_of(df)`` adds the rollup key columns to raw source rows
+    (e.g. the time bucket + symbol); ``agg(df_with_keys)`` aggregates a
+    keyed frame into rollup rows, one per distinct key. The composition
+    ``agg(key_of(...))`` must be key-complete: every input row maps to
+    exactly one key, every key aggregates to exactly one output row.
+
+    Returns the target version the refresh landed (the current head
+    when there is nothing to do)."""
+    k0 = key_cols[0]
+    if k0 not in target.stat_cols:
+        raise ValueError(
+            f"refresh_rollup needs key column {k0!r} in the TARGET's "
+            "stat_cols so the dirty-key rewrite can prune files"
+        )
+    src_head = source.head_version()
+    wm = int(target.app_meta().get(WATERMARK_KEY, 0))
+    if src_head == wm:
+        return target.head_version()  # nothing committed since — no-op
+
+    def full_rebuild() -> int:
+        fresh = agg(key_of(source.read()))
+        return target.commit(
+            fresh, mode="overwrite", app_meta={WATERMARK_KEY: src_head}
+        )
+
+    if wm == 0 or target.head_version() == 0:
+        return full_rebuild()
+    try:
+        changes = table_changes(source, wm, src_head)
+    except FileNotFoundError:
+        # the watermark snapshot was vacuumed out of source history —
+        # the invalidation interval is gone; degrade to a full rebuild
+        return full_rebuild()
+
+    # dirty keys: bucket the changed row images (insert AND delete
+    # sides — a delete invalidates its bucket exactly like an insert)
+    touched = (
+        key_of(changes.drop("_change_type", "_change_copies"))
+        .select(*key_cols)
+        .distinct()
+    )
+    # recompute ONLY the dirty keys from source HEAD; the semi-join is
+    # broadcast (dirty-key count tracks churn, not table size)
+    fresh = agg(
+        key_of(source.read()).join(
+            F.broadcast(touched), on=key_cols, how="left_semi"
+        )
+    )
+    # one-commit upsert-with-deletes: rewrite only target files whose
+    # k0 range can intersect a dirty key; anti-join on the DIRTY set
+    # (not the fresh keys) so a bucket with no surviving source rows
+    # disappears instead of going stale
+    base = target.head_version()
+    touched_files, carried = target._split_by_key_range(base, touched, k0)
+    if touched_files:
+        old = target.spark.read.parquet(*[fs.path for fs in touched_files])
+        survivors = old.join(
+            F.broadcast(touched), on=key_cols, how="left_anti"
+        )
+        combined = survivors.unionByName(fresh)
+    else:
+        combined = fresh
+    target._check_schema_compat(combined)
+    target._enforce_constraints(combined)
+    return target._advance(
+        "refresh",
+        carried + target._write_files(combined),
+        {WATERMARK_KEY: src_head},
+        base=base,
+    )
