@@ -989,6 +989,7 @@ def _distance_pairs(
     caller: str,
     extra_cols: "dict[str, str] | None" = None,
     max_block_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """The shared pair frame of the all-pairs family (LOF, silhouette,
     kNN accuracy): (i, j, d[, extras]) with the Euclidean distance
@@ -1032,9 +1033,12 @@ def _distance_pairs(
     extra = extra_cols or {}
 
     if block_col is not None and max_block_rows is not None:
-        probe = df.select(vec_col).first()
-        if probe is not None:
-            dim = len(probe[0])
+        if dim is None:
+            # one bounded probe job just to learn the vector width —
+            # pass ``dim`` (a schema constant) to skip it
+            probe = df.select(vec_col).first()
+            dim = len(probe[0]) if probe is not None else None
+        if dim is not None:
             sig = lsh_bucket(
                 F.col(vec_col).cast("array<double>"),
                 seeded_planes(16, dim, seed=104729),
@@ -1124,6 +1128,7 @@ def lof_scores(
     max_rows: int = 20_000,
     block_col: str | None = None,
     max_block_rows: int | None = None,
+    block_dim: int | None = None,
 ) -> DataFrame:
     """Local Outlier Factor (Breunig et al. 2000) over an embedding
     column, k neighbors, Euclidean distances.
@@ -1154,6 +1159,7 @@ def lof_scores(
         max_rows,
         "lof_scores",
         max_block_rows=max_block_rows,
+        dim=block_dim,
     )
     wk = Window.partitionBy("i").orderBy("d", "j")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
@@ -1194,6 +1200,7 @@ def silhouette_by_label(
     max_rows: int = 20_000,
     block_col: str | None = None,
     max_block_rows: int | None = None,
+    block_dim: int | None = None,
 ) -> DataFrame:
     """Mean silhouette coefficient per label: (label, n_vecs,
     mean_silhouette) with s = (b − a)/max(a, b), a = mean distance to
@@ -1215,6 +1222,7 @@ def silhouette_by_label(
         "silhouette_by_label",
         extra_cols={label_col: "li,lj"},
         max_block_rows=max_block_rows,
+        dim=block_dim,
     )
     md = pairs.groupBy("i", "li", "lj").agg(F.avg("d").alias("mean_d"))
     ab = md.groupBy("i", "li").agg(
@@ -1241,6 +1249,7 @@ def knn_label_accuracy(
     max_rows: int = 20_000,
     block_col: str | None = None,
     max_block_rows: int | None = None,
+    block_dim: int | None = None,
 ) -> DataFrame:
     """Leave-one-out k-NN label-prediction accuracy per label:
     (label, n_vecs, loo_accuracy) under majority vote with the
@@ -1262,6 +1271,7 @@ def knn_label_accuracy(
         "knn_label_accuracy",
         extra_cols={label_col: "li,lj"},
         max_block_rows=max_block_rows,
+        dim=block_dim,
     )
     wk = Window.partitionBy("i").orderBy("d", "j")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(

@@ -1787,13 +1787,20 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 SELECT symbol, epoch_us(timestamp) AS ts_us,
        round(percent_rank() OVER (PARTITION BY symbol ORDER BY close ASC), 6) AS close_pr,
-       round(percent_rank() OVER (PARTITION BY symbol ORDER BY volume ASC), 6) AS volume_pr
+       round(percent_rank() OVER (PARTITION BY symbol ORDER BY round(volume, 6) ASC), 6) AS volume_pr
 FROM bars
 """,
 )
 def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-rank feature scaling per symbol (robust normalization
-    for heavy tails; SQL-standard tie semantics in both engines)."""
+    for heavy tails; SQL-standard tie semantics in both engines).
+
+    The volume rank key is PINNED to 6 dp first: bar volume is an
+    unordered float sum, so two truly-tied bars drift apart by an ulp
+    under a different partition layout and percent_rank breaks the tie
+    differently per engine (caught by the r05 alt-partitioning sweep
+    once the repartition patch reached events_as_ohlcv). close is a
+    picked event value (arg-max), exact — no pin needed."""
     from financial_data_pipeline_spark.operators.normalize import rank_normalize
 
     bars = events_as_ohlcv(spark, sf_dir)
@@ -1801,7 +1808,7 @@ def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         bars.select(
             "symbol", "timestamp",
             F.col("close").alias("close_pr"),
-            F.col("volume").alias("volume_pr"),
+            F.round("volume", 6).alias("volume_pr"),
         ),
         cols=["close_pr", "volume_pr"],
     )
@@ -7711,9 +7718,14 @@ r{n} AS MATERIALIZED (
   ) WHERE NOT pkept
 )"""
         )
+    # engine parity: learn_bpe_merges stops once the argmax pair count
+    # drops below min_count=2 (and counts never recover — merging a
+    # count-1 pair only creates pairs of count ≤ 1), so each emitted
+    # round is gated on cnt >= 2 to match the early stop on sparse
+    # corpora instead of emitting 12 rows unconditionally
     final = "\nUNION ALL\n".join(
         f'SELECT {n - 1} AS rank, l AS "left", r AS "right",'
-        f" cnt AS pair_count FROM t{n}"
+        f" cnt AS pair_count FROM t{n} WHERE cnt >= 2"
         for n in range(1, n_merges + 1)
     )
     return ",".join(parts) + "\n" + final

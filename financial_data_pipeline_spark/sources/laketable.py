@@ -45,6 +45,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
+# an unreadable manifest older than this is a dead writer's debris
+# (the create→json-write window is milliseconds), not an in-flight
+# commit — see _committed_past / expire_snapshots
+_DEBRIS_AGE_S = 60.0
 _HEAD = "HEAD.json"
 
 
@@ -109,6 +113,20 @@ def _json_scalar(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+def _nullsafe_key_cond(left: "DataFrame", right: "DataFrame", cols: list[str]):
+    """Null-safe conjunction over key columns for the keyed rewrites
+    (merge/delete/refresh). Plain ``on=cols`` equality never matches a
+    NULL key, so a null-keyed row would silently dodge every anti-join
+    — surviving a delete, duplicating under a merge, going stale under
+    a refresh. NULL is a real key value (groupBy keeps the null
+    group); the rewrites must treat it as one."""
+    cond = None
+    for c in cols:
+        e = left[c].eqNullSafe(right[c])
+        cond = e if cond is None else cond & e
+    return cond
 
 
 def _collect_stats(
@@ -316,13 +334,9 @@ class LakeTable:
         """Record every committed snapshot newer than ``version`` as
         detached — called when HEAD moves BACKWARD (rollback / publish
         of an older version), which abandons that suffix of history."""
-        newer = [
-            v
-            for v in self.snapshots()
-            if v > version
-            and not self._load_snapshot(v).staged
-            and not self._load_snapshot(v).aborted
-        ]
+        # committed history above `version` — the same predicate (and
+        # unreadable-manifest hardening) as the OCC staleness check
+        newer = self._committed_past(version)
         if not newer:
             return
         detached = self._detached() | set(newer)
@@ -453,9 +467,15 @@ class LakeTable:
         predicate shared by _advance (pre- and post-create) and
         publish (pre- and post-flip). Staged (WAP branches), aborted
         (lost publish races) and detached (rolled-back) snapshots are
-        not committed history; a listed-but-unreadable manifest is an
+        not committed history. A listed-but-unreadable manifest is an
         in-flight concurrent commit and counts as committed (the
-        conservative reading — callers raise and retry)."""
+        conservative reading — callers raise and retry) — UNLESS it has
+        been unreadable for longer than ``_DEBRIS_AGE_S``: a writer
+        that died between its O_EXCL create and the json write leaves
+        permanent debris, and counting that as committed forever would
+        wedge the table behind a CommitConflict that advises retrying
+        (retries could never succeed). Aged debris is skipped here and
+        reclaimed by ``expire_snapshots``."""
         detached = self._detached()
         out = []
         for v in self.snapshots():
@@ -466,11 +486,21 @@ class LakeTable:
             except FileNotFoundError:
                 continue  # expired by a concurrent vacuum after listing
             except (json.JSONDecodeError, KeyError):
-                out.append(v)  # mid-write by a concurrent committer
+                if self._manifest_age(v) > _DEBRIS_AGE_S:
+                    continue  # dead writer's debris, not history
+                out.append(v)  # mid-write by a live concurrent committer
                 continue
             if not s.staged and not s.aborted:
                 out.append(v)
         return out
+
+    def _manifest_age(self, version: int) -> float:
+        """Seconds since the manifest file was last written; +inf when
+        it vanished (a concurrent vacuum won — certainly not mid-write)."""
+        try:
+            return time.time() - os.path.getmtime(self._snapshot_path(version))
+        except OSError:
+            return float("inf")
 
     def _set_snapshot_flag(self, version: int, key: str, value) -> None:
         """Atomically rewrite one manifest field (write-temp +
@@ -747,18 +777,15 @@ class LakeTable:
         self._check_schema_compat(updates)
         self._enforce_constraints(updates)
         touched, carried = self._split_by_key_range(base, updates, k0)
-        if touched:
-            old = self.spark.read.parquet(*[fs.path for fs in touched])
-            survivors = old.join(
-                updates.select(*key_cols).distinct(),
-                on=key_cols,
-                how="left_anti",
-            )
-            combined = survivors.unionByName(updates)
-        else:
-            combined = updates
-        return self._advance(
-            "merge", carried + self._write_files(combined), app_meta, base=base
+        return self._rewrite_keyed(
+            updates.select(*key_cols).distinct(),
+            key_cols,
+            updates,
+            "merge",
+            app_meta=app_meta,
+            base=base,
+            touched=touched,
+            carried=carried,
         )
 
     def _split_by_key_range(
@@ -773,17 +800,18 @@ class LakeTable:
         from pyspark.sql import functions as F
 
         raw = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
-        bounds = {"lo": _json_scalar(raw["lo"]), "hi": _json_scalar(raw["hi"])}
+        lo, hi = _json_scalar(raw["lo"]), _json_scalar(raw["hi"])
         touched, carried = [], []
         for fs in self._load_snapshot(version).files:
             mn, mx = fs.stats[k0]
-            intersects = (
-                mn is not None
-                and mx is not None
-                and bounds["lo"] is not None
-                and mx >= bounds["lo"]
-                and bounds["hi"] >= mn
-            )
+            # polarity matters: a file we cannot PROVE disjoint must be
+            # REWRITTEN (touched), or a matching row in it silently
+            # dodges the merge/delete/refresh anti-join — unknown file
+            # stats (all-null k0, zero rows) and an all-null key frame
+            # (min/max skip nulls, but files may still hold null-key
+            # rows) both fall back to touched
+            unknown = mn is None or mx is None or lo is None
+            intersects = unknown or (mx >= lo and hi >= mn)
             (touched if intersects else carried).append(fs)
         return touched, carried
 
@@ -803,15 +831,57 @@ class LakeTable:
         base = self.head_version()
         if base == 0:
             raise ValueError("delete on an empty table")
-        touched, carried = self._split_by_key_range(base, keys, k0)
-        if not touched:
-            return self._advance("delete", carried, base=base)
-        old = self.spark.read.parquet(*[fs.path for fs in touched])
-        survivors = old.join(
-            keys.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        return self._rewrite_keyed(
+            keys.select(*key_cols).distinct(),
+            key_cols,
+            None,
+            "delete",
+            base=base,
+        )
+
+    def _rewrite_keyed(
+        self,
+        anti_keys: DataFrame,
+        key_cols: list[str],
+        new_rows: "DataFrame | None",
+        mode: str,
+        app_meta: dict | None = None,
+        base: int | None = None,
+        touched: "list[FileStat] | None" = None,
+        carried: "list[FileStat] | None" = None,
+    ) -> int:
+        """The ONE keyed copy-on-write rewrite merge/delete/refresh all
+        share: files whose first-key range can intersect ``anti_keys``
+        are re-read, rows matching a key (NULL-SAFE) are dropped,
+        ``new_rows`` (if any) are appended, and everything lands as a
+        single snapshot via the commit protocol. Callers may pass a
+        precomputed (touched, carried) split to avoid re-running the
+        bounds aggregate."""
+        if base is None:
+            base = self.head_version()
+        if touched is None or carried is None:
+            touched, carried = self._split_by_key_range(
+                base, anti_keys, key_cols[0]
+            )
+        if touched:
+            old = self.spark.read.parquet(*[fs.path for fs in touched])
+            survivors = old.join(
+                anti_keys,
+                on=_nullsafe_key_cond(old, anti_keys, key_cols),
+                how="left_anti",
+            )
+            combined = (
+                survivors.unionByName(new_rows)
+                if new_rows is not None
+                else survivors
+            )
+        else:
+            combined = new_rows
+        new_files = (
+            self._write_files(combined) if combined is not None else []
         )
         return self._advance(
-            "delete", carried + self._write_files(survivors), base=base
+            mode, carried + new_files, app_meta, base=base
         )
 
     def added_files(self, since_version: int, to_version: int | None = None) -> list[str]:
@@ -845,8 +915,28 @@ class LakeTable:
         surviving snapshot — the vacuum step that reclaims storage
         once time-travel history is no longer needed. Abandoned stages
         are reclaimed explicitly with ``keep_staged=False`` once no
-        publish is pending. Returns deleted paths."""
+        publish is pending. Returns deleted paths.
+
+        Robust against the concurrent states the OCC check tolerates:
+        a manifest mid-write by a live committer is KEPT untouched
+        this round; aged-out unreadable debris (a writer that died
+        between O_EXCL create and the json write — see
+        ``_committed_past``) is reclaimed as a bare manifest (its data
+        files were never referenced by any readable snapshot; they age
+        out with orphan retention). The vacuum never aborts mid-run on
+        either state."""
         versions = self.snapshots()
+        snaps: dict[int, "Snapshot | None"] = {}
+        debris: list[int] = []
+        for v in versions:
+            try:
+                snaps[v] = self._load_snapshot(v)
+            except FileNotFoundError:
+                snaps[v] = None  # concurrent vacuum won
+            except (json.JSONDecodeError, KeyError):
+                snaps[v] = None
+                if self._manifest_age(v) > _DEBRIS_AGE_S:
+                    debris.append(v)  # dead writer — reclaimable
         keep = (
             set(versions[-keep_last:])
             | {self.head_version()}
@@ -854,19 +944,27 @@ class LakeTable:
         )
         if keep_staged:
             keep |= {
-                v for v in versions if self._load_snapshot(v).staged
+                v for v, s in snaps.items() if s is not None and s.staged
             }
-        drop = [v for v in versions if v not in keep]
+        drop = [
+            v
+            for v in versions
+            if (v not in keep and snaps.get(v) is not None) or v in debris
+        ]
         live = set()
         for v in keep:
-            live.update(fs.path for fs in self._load_snapshot(v).files)
+            if snaps.get(v) is not None:
+                live.update(fs.path for fs in snaps[v].files)
         deleted = []
         for v in drop:
-            for fs in self._load_snapshot(v).files:
+            for fs in snaps[v].files if snaps.get(v) is not None else []:
                 if fs.path not in live and os.path.exists(fs.path):
                     os.remove(fs.path)
                     deleted.append(fs.path)
-            os.remove(self._snapshot_path(v))
+            try:
+                os.remove(self._snapshot_path(v))
+            except FileNotFoundError:
+                pass  # concurrent vacuum won the race to reclaim it
         return deleted
 
     def rollback(self, version: int) -> None:

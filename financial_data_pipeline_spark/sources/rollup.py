@@ -38,7 +38,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .laketable import LakeTable, table_changes
+from .laketable import LakeTable, _nullsafe_key_cond, table_changes
 
 WATERMARK_KEY = "rollup_src_version"
 
@@ -93,32 +93,30 @@ def refresh_rollup(
         .select(*key_cols)
         .distinct()
     )
+
     # recompute ONLY the dirty keys from source HEAD; the semi-join is
-    # broadcast (dirty-key count tracks churn, not table size)
+    # broadcast (dirty-key count tracks churn, not table size) and
+    # NULL-SAFE — a null bucket (null ts → null day) is a real rollup
+    # group that groupBy keeps, so the dirty joins must match it
+    keyed = key_of(source.read())
     fresh = agg(
-        key_of(source.read()).join(
-            F.broadcast(touched), on=key_cols, how="left_semi"
+        keyed.join(
+            F.broadcast(touched),
+            on=_nullsafe_key_cond(keyed, touched, key_cols),
+            how="left_semi",
         )
     )
-    # one-commit upsert-with-deletes: rewrite only target files whose
-    # k0 range can intersect a dirty key; anti-join on the DIRTY set
-    # (not the fresh keys) so a bucket with no surviving source rows
-    # disappears instead of going stale
-    base = target.head_version()
-    touched_files, carried = target._split_by_key_range(base, touched, k0)
-    if touched_files:
-        old = target.spark.read.parquet(*[fs.path for fs in touched_files])
-        survivors = old.join(
-            F.broadcast(touched), on=key_cols, how="left_anti"
-        )
-        combined = survivors.unionByName(fresh)
-    else:
-        combined = fresh
-    target._check_schema_compat(combined)
-    target._enforce_constraints(combined)
-    return target._advance(
+    # one-commit upsert-with-deletes via the shared keyed rewrite:
+    # only target files whose k0 range can intersect a dirty key are
+    # re-read; the anti-join runs on the DIRTY set (not the fresh
+    # keys) so a bucket with no surviving source rows disappears
+    # instead of going stale; the watermark rides the same commit
+    target._check_schema_compat(fresh)
+    target._enforce_constraints(fresh)
+    return target._rewrite_keyed(
+        touched,
+        key_cols,
+        fresh,
         "refresh",
-        carried + target._write_files(combined),
-        {WATERMARK_KEY: src_head},
-        base=base,
+        app_meta={WATERMARK_KEY: src_head},
     )

@@ -779,3 +779,40 @@ def test_publish_racing_commit_unflips_and_raises(spark, tmp_path):
     # ...and force remains the explicit rollback spelling
     t.publish(staged, force=True)
     assert t.head_version() == staged
+
+
+def test_debris_manifest_aging(spark, table, tmp_path):
+    """A writer that dies between its O_EXCL manifest create and the
+    json write leaves an unreadable version file. While FRESH it is
+    treated as an in-flight commit (conservative CommitConflict);
+    once AGED past the debris horizon it stops wedging the table —
+    commits succeed past it and the vacuum reclaims the bare manifest
+    without aborting."""
+    import os
+    import time as _time
+
+    from financial_data_pipeline_spark.sources import laketable as lt
+    from financial_data_pipeline_spark.sources.laketable import CommitConflict
+
+    table.commit(_batch(spark, 0, 2, "a"))  # v1
+    # simulate the dead writer: an EMPTY v2 manifest
+    debris = table._snapshot_path(2)
+    open(debris, "x").close()
+
+    # fresh debris = maybe mid-write: conservative conflict
+    with pytest.raises(CommitConflict):
+        table.commit(_batch(spark, 2, 3, "b"))
+
+    # age it out: the table un-wedges (no retry loop spins forever)
+    old = _time.time() - lt._DEBRIS_AGE_S - 5
+    os.utime(debris, (old, old))
+    v = table.commit(_batch(spark, 2, 3, "b"))
+    assert v == 3  # numbered PAST the debris, never overwriting it
+    assert table.read().count() == 300
+
+    # the vacuum reclaims the bare manifest instead of crashing
+    deleted = table.expire_snapshots(keep_last=10)
+    assert not os.path.exists(debris)
+    assert table.snapshots() == [1, 3]
+    assert table.read().count() == 300
+    assert all(os.path.exists(p) for p in table.pruned_files())

@@ -136,3 +136,42 @@ def test_refresh_requires_stat_key(spark, tmp_path):
     source.commit(_rows(spark, 0, 1, "BTC", 0))
     with pytest.raises(ValueError, match="stat_cols"):
         refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"])
+
+
+def test_refresh_handles_null_key_buckets(spark, tables):
+    """A null bucket key (null ts -> null day) is a real rollup group:
+    it must refresh and delete like any other — plain key equality in
+    the dirty-key joins would strand it stale after the initial build."""
+    source, target = tables
+    rows = _rows(spark, 0, 2, "BTC", 0)
+    with_null = rows.unionByName(
+        spark.createDataFrame(
+            [(None, "BTC", 7.0), (None, "BTC", 9.0)],
+            "ts timestamp, symbol string, value double",
+        )
+    )
+    source.commit(with_null)
+    refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"])
+    _assert_matches_recompute(spark, source, target)
+    null_row = target.read().filter(F.col("day").isNull()).collect()
+    assert len(null_row) == 1 and null_row[0]["total"] == 16.0
+
+    # a later commit adds more null-ts rows: the null bucket is dirty
+    source.commit(
+        spark.createDataFrame(
+            [(None, "BTC", 4.0)], "ts timestamp, symbol string, value double"
+        )
+    )
+    refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"])
+    _assert_matches_recompute(spark, source, target)
+    assert (
+        target.read().filter(F.col("day").isNull()).collect()[0]["total"]
+        == 20.0
+    )
+
+    # deleting every null-ts row empties the bucket: the rollup row goes
+    null_keys = source.read().filter(F.col("ts").isNull())
+    source.delete(null_keys.select("ts", "symbol"), ["ts", "symbol"])
+    refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"])
+    _assert_matches_recompute(spark, source, target)
+    assert target.read().filter(F.col("day").isNull()).count() == 0

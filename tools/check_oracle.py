@@ -139,11 +139,15 @@ def main() -> int:
             return _orig_load(spark, sf_dir, name, **kw).repartition(repart_n)
 
         _dq.load_table = _load_repart
-        # the SQL front door resolves load_table from its own module
-        # namespace — patch it too so view registration is repartitioned
+        # patch EVERY namespace that resolves load_table at call time:
+        # the SQL front door (view registration) and adapters itself —
+        # events_as_ohlcv and friends call the module-global, so the
+        # whole bar-query family would otherwise dodge the repartition
         from financial_data_pipeline_spark.plans import sql_frontdoor as _fd
+        from financial_data_pipeline_spark.sources import adapters as _ad
 
         _fd.load_table = _load_repart
+        _ad.load_table = _load_repart
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
