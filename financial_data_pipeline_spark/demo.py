@@ -166,11 +166,55 @@ def main() -> int:
             f"({lake.read(ref='demo-baseline').count()} rows)"
         )
 
-        # 9. Query — the flagship aggregate over the lake's live view
-        _banner("9. query: per-symbol summary over the lake head")
-        lake.read().groupBy("symbol").agg(
-            F.count(F.lit(1)).alias("bars"),
-            F.round(F.avg("close"), 2).alias("avg_close"),
+        # 9. Continuous aggregate — the Timescale-parity materialized
+        # rollup: first refresh = full build, then a late-data commit
+        # invalidates ONE day and only that bucket recomputes (the CDF
+        # between watermark and HEAD is the invalidation log)
+        _banner("9. continuous aggregate: incremental rollup refresh")
+        from financial_data_pipeline_spark.sources.rollup import (
+            refresh_rollup,
+        )
+
+        daily = LakeTable(spark, f"{workdir}/daily", stat_cols=["day"])
+
+        def key_of(df):
+            return df.withColumn("day", F.to_date("timestamp"))
+
+        def agg(df):
+            # range-cluster the rollup on its bucket key so each file
+            # carries a tight [min, max] day — that is what lets the
+            # incremental refresh CARRY the untouched files
+            return (
+                df.groupBy("day", "symbol")
+                .agg(
+                    F.count(F.lit(1)).alias("bars"),
+                    F.round(F.avg("close"), 2).alias("avg_close"),
+                    F.round(F.sum("volume"), 1).alias("volume"),
+                )
+                .repartitionByRange(4, "day")
+            )
+
+        refresh_rollup(lake, daily, key_of, agg, ["day", "symbol"])
+        built = daily.read().count()
+        lake.commit(  # late bars into one already-rolled-up day
+            clean.filter(F.col("symbol") == "ETHUSDT")
+            .limit(6)
+            .repartitionByRange(1, "timestamp")
+        )
+        files_before = set(daily.pruned_files())
+        refresh_rollup(lake, daily, key_of, agg, ["day", "symbol"])
+        carried = len(files_before & set(daily.pruned_files()))
+        print(
+            f"rollup: {built} day-symbol rows built, late commit "
+            f"refreshed incrementally ({carried} of {len(files_before)} "
+            f"target files carried untouched)"
+        )
+
+        # 10. Query — the flagship aggregate over the rollup itself
+        _banner("10. query: per-symbol summary over the daily rollup")
+        daily.read().groupBy("symbol").agg(
+            F.sum("bars").alias("bars"),
+            F.round(F.avg("avg_close"), 2).alias("avg_close"),
             F.round(F.sum("volume"), 1).alias("volume"),
         ).orderBy("symbol").show()
 
