@@ -200,8 +200,18 @@ def with_ema_chunked(
     spans = list(spans)
     by = list(by)
     out_cols = [f"{out_prefix}{s}" for s in spans]
+    # span=1 means alpha = 2/(s+1) = 1: the EMA is the value itself, so
+    # the warmup horizon is exactly one row — the general formula's
+    # log(1-alpha) = log(0) would raise. Spans below 1 have alpha > 1
+    # (log of a negative): not an EMA; reject rather than silently
+    # producing a negative horizon (pandas ewm requires span >= 1 too).
+    for s in spans:
+        if s < 1:
+            raise ValueError(f"EMA span must be >= 1, got {s!r}")
     W = max(
-        math.ceil(-53.0 * math.log(2.0) / math.log(1.0 - 2.0 / (s + 1.0)))
+        1
+        if s == 1
+        else math.ceil(-53.0 * math.log(2.0) / math.log(1.0 - 2.0 / (s + 1.0)))
         for s in spans
     )
     in_cols = df.columns

@@ -48,7 +48,15 @@ _MANIFEST_DIR = "_manifests"
 # an unreadable manifest older than this is a dead writer's debris
 # (the create→json-write window is milliseconds), not an in-flight
 # commit — see _committed_past / expire_snapshots
-_DEBRIS_AGE_S = 60.0
+# how long a listed-but-unreadable manifest must sit unchanged before
+# it is treated as a dead writer's debris rather than a live writer
+# mid-dump. Set WELL above any plausible stall (GC pause, suspended
+# process, slow FS) — a live writer reclassified as debris would have
+# its manifest unlinked under it by expire_snapshots. _advance's
+# post-dump liveness re-check closes that window even if a stall ever
+# exceeds this, so the constant only tunes how long genuine debris can
+# delay reclamation.
+_DEBRIS_AGE_S = 900.0
 _HEAD = "HEAD.json"
 
 
@@ -155,6 +163,16 @@ def _collect_stats(
     for c in stat_cols:
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
+        # per-file NULL count per stat column: min/max skip nulls, so
+        # range pruning alone can never prove a file holds NO null-keyed
+        # rows — the keyed rewrites (merge/delete/refresh) need this to
+        # prune files when the key frame mixes null and non-null keys
+        # (otherwise every file must be rewritten whenever any key is
+        # null). Stored as __nulls_{c}; absent in old manifests → the
+        # split treats the count as unknown (conservatively touched).
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
     for c in bloom_cols:
         # per-row k positions (md5 of "col:k:value" — mirrors
         # _bloom_positions exactly). NULL values contribute no
@@ -202,6 +220,8 @@ def _collect_stats(
             c: [_json_scalar(r[f"__min_{c}"]), _json_scalar(r[f"__max_{c}"])]
             for c in stat_cols
         }
+        for c in stat_cols:
+            stats[f"__nulls_{c}"] = int(r[f"__nulls_{c}"] or 0)
         for c in bloom_cols:
             bits = 0
             for w in range(n_words):
@@ -223,7 +243,10 @@ def _collect_stats(
                 FileStat(
                     path=path,
                     rows=0,
-                    stats={c: [None, None] for c in stat_cols},
+                    stats={
+                        **{c: [None, None] for c in stat_cols},
+                        **{f"__nulls_{c}": 0 for c in stat_cols},
+                    },
                 )
             )
     return out
@@ -281,6 +304,11 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.stat_cols = stat_cols
+        # test-only fault-injection seam: the crash-matrix tests set
+        # this to a callable that raises at a named step boundary
+        # (e.g. "advance:post_create"), simulating a writer dying at
+        # that exact point. Production leaves it None (zero overhead).
+        self.fault_hook = None
         # equality-pruning companion to the min/max range stats: a
         # tiny per-file Bloom bitmap per listed column (the Delta
         # bloom-filter-index / Iceberg bloom idea). High-cardinality
@@ -288,6 +316,15 @@ class LakeTable:
         # ids, content hashes) range-prune terribly but bloom-prune
         # to ~one file.
         self.bloom_cols = list(bloom_cols or [])
+
+    def _fault(self, point: str) -> None:
+        """Crash-point boundary marker. Named points cover every
+        durable-state transition of commit/stage/publish/rewrite/
+        expire; ``tests/test_laketable_crash_matrix.py`` kills a writer
+        at each one and asserts the table stays readable and
+        recoverable. No-op unless ``fault_hook`` is set."""
+        if self.fault_hook is not None:
+            self.fault_hook(point)
 
     # -- metadata ----------------------------------------------------
     def _head_path(self) -> str:
@@ -421,6 +458,7 @@ class LakeTable:
         version = max(base, existing[-1] if existing else 0) + 1
         meta = dict(self._load_snapshot(base).app_meta) if base > 0 else {}
         meta.update(app_meta or {})
+        self._fault("advance:pre_create")
         try:
             f = open(self._snapshot_path(version), "x")
         except FileExistsError:
@@ -428,6 +466,7 @@ class LakeTable:
                 f"version {version} was committed concurrently; re-read "
                 "HEAD and retry the commit against the new snapshot"
             ) from None
+        self._fault("advance:post_create")  # the debris window
         with f:
             json.dump(
                 {
@@ -440,6 +479,23 @@ class LakeTable:
                     "base": base,
                 },
                 f,
+            )
+        self._fault("advance:post_dump")
+        # post-dump liveness check: a writer stalled long enough between
+        # its O_EXCL create and the json.dump (GC pause, suspended
+        # process, slow FS) can have its still-empty manifest classified
+        # as aged debris and unlinked by a concurrent expire_snapshots —
+        # the dump above then lands in an UNLINKED inode. Moving HEAD to
+        # (or later publishing) a nonexistent manifest would brick reads
+        # until the next commit, so re-verify the path before declaring
+        # success. (_DEBRIS_AGE_S is also set well above any plausible
+        # stall; this check closes the window regardless.)
+        if not os.path.exists(self._snapshot_path(version)):
+            raise CommitConflict(
+                f"manifest for version {version} was reclaimed as debris "
+                "by a concurrent expire_snapshots while this commit was "
+                "stalled mid-write; the commit did not land — re-read "
+                "HEAD and retry"
             )
         if move_head:
             # post-create re-check: a concurrent publish() flipping a
@@ -456,8 +512,10 @@ class LakeTable:
                     f"concurrently; commit {version} aborted — re-read "
                     "HEAD and retry against the new snapshot"
                 )
+            self._fault("advance:pre_head")
             with open(self._head_path(), "w") as f:
                 json.dump({"version": version}, f)
+            self._fault("advance:post_head")
         return version
 
     def _committed_past(
@@ -633,6 +691,7 @@ class LakeTable:
         # the two reads is silently built over (lost update)
         base = self.head_version()
         new = self._write_files(df)
+        self._fault("commit:post_write_files")
         carried = (
             self._load_snapshot(base).files
             if mode == "append" and base > 0
@@ -670,6 +729,7 @@ class LakeTable:
         self._enforce_constraints(df)
         base = self.head_version()
         new = self._write_files(df)
+        self._fault("stage:post_write_files")
         carried = (
             self._load_snapshot(base).files
             if mode == "append" and base > 0
@@ -727,7 +787,9 @@ class LakeTable:
             tmp = snap_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(d, f)
+            self._fault("publish:pre_flip")
             os.replace(tmp, snap_path)
+            self._fault("publish:post_flip")
             if not force:
                 # post-flip re-check: a commit whose O_EXCL create
                 # landed inside the scan→flip window — un-flip (the
@@ -743,6 +805,7 @@ class LakeTable:
                     )
         if version < self.head_version():
             self._detach_above(version)
+        self._fault("publish:pre_head")
         with open(self._head_path(), "w") as f:
             json.dump({"version": version}, f)
 
@@ -791,28 +854,57 @@ class LakeTable:
     def _split_by_key_range(
         self, version: int, keys: DataFrame, k0: str
     ) -> tuple[list[FileStat], list[FileStat]]:
-        """(touched, carried): files whose [min, max] for ``k0`` can /
-        cannot intersect the key frame's value range. Bounds are
-        normalized through ``_json_scalar`` because manifest stats
-        store dates/timestamps as ISO-8601 strings (which compare
-        correctly as strings) — merge/delete/refresh on a date key
-        would otherwise compare str against datetime."""
+        """(touched, carried): files that can / cannot hold a row
+        matching the key frame on ``k0``. Bounds are normalized through
+        ``_json_scalar`` because manifest stats store dates/timestamps
+        as ISO-8601 strings (which compare correctly as strings) —
+        merge/delete/refresh on a date key would otherwise compare str
+        against datetime.
+
+        The bounds aggregate computes min/max AND count AND has_null in
+        one job, because min/max alone lie twice: (a) they SKIP nulls,
+        so a key frame mixing a null key with non-null keys has real
+        [lo, hi] bounds yet still matches null-keyed rows in files whose
+        ranges are disjoint — those files must stay touched unless their
+        per-file ``__nulls_{k0}`` stat proves they hold no null-keyed
+        rows; (b) an EMPTY key frame also yields lo=None, and treating
+        that like the all-null case would rewrite the whole table for a
+        no-op — count=0 short-circuits to everything-carried instead
+        (callers then advance metadata-only).
+
+        Polarity throughout: a file we cannot PROVE cannot match must be
+        REWRITTEN (touched), or a matching row in it silently dodges the
+        merge/delete/refresh anti-join."""
         from pyspark.sql import functions as F
 
-        raw = keys.agg(F.min(k0).alias("lo"), F.max(k0).alias("hi")).first()
+        raw = keys.agg(
+            F.min(k0).alias("lo"),
+            F.max(k0).alias("hi"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(F.col(k0).isNull()).alias("has_null"),
+        ).first()
+        files = self._load_snapshot(version).files
+        if raw["cnt"] == 0:
+            return [], list(files)  # no keys → nothing can match
         lo, hi = _json_scalar(raw["lo"]), _json_scalar(raw["hi"])
+        has_null = bool(raw["has_null"])
         touched, carried = [], []
-        for fs in self._load_snapshot(version).files:
+        for fs in files:
             mn, mx = fs.stats[k0]
-            # polarity matters: a file we cannot PROVE disjoint must be
-            # REWRITTEN (touched), or a matching row in it silently
-            # dodges the merge/delete/refresh anti-join — unknown file
-            # stats (all-null k0, zero rows) and an all-null key frame
-            # (min/max skip nulls, but files may still hold null-key
-            # rows) both fall back to touched
-            unknown = mn is None or mx is None or lo is None
-            intersects = unknown or (mx >= lo and hi >= mn)
-            (touched if intersects else carried).append(fs)
+            nulls = fs.stats.get(f"__nulls_{k0}")  # None = old manifest
+            # can this file hold a NULL-keyed row matching a null key?
+            may_hold_null = fs.rows != 0 and (nulls is None or nulls > 0)
+            null_hit = has_null and may_hold_null
+            # can this file hold a non-null-keyed row in [lo, hi]?
+            if lo is None or fs.rows == 0:
+                range_hit = False  # no non-null keys / no rows at all
+            elif mn is None or mx is None:
+                # min/max unknown with rows present: all rows null-keyed
+                # IF the null count proves it, else unknown → touched
+                range_hit = not (nulls is not None and nulls == fs.rows)
+            else:
+                range_hit = mx >= lo and hi >= mn
+            (touched if null_hit or range_hit else carried).append(fs)
         return touched, carried
 
     def delete(self, keys: DataFrame, key_cols: list[str]) -> int:
@@ -880,6 +972,7 @@ class LakeTable:
         new_files = (
             self._write_files(combined) if combined is not None else []
         )
+        self._fault("rewrite:post_write_files")
         return self._advance(
             mode, carried + new_files, app_meta, base=base
         )
@@ -961,10 +1054,13 @@ class LakeTable:
                 if fs.path not in live and os.path.exists(fs.path):
                     os.remove(fs.path)
                     deleted.append(fs.path)
+                    self._fault("expire:mid_data_delete")
+            self._fault("expire:pre_manifest_delete")
             try:
                 os.remove(self._snapshot_path(v))
             except FileNotFoundError:
                 pass  # concurrent vacuum won the race to reclaim it
+            self._fault("expire:post_manifest_delete")
         return deleted
 
     def rollback(self, version: int) -> None:
@@ -1149,9 +1245,9 @@ def compact(
         )
     else:
         df = df.coalesce(n_out)
-    return table._advance(
-        "compact", carried + table._write_files(df), base=head
-    )
+    new_files = table._write_files(df)
+    table._fault("compact:post_write_files")
+    return table._advance("compact", carried + new_files, base=head)
 
 
 def read_as_of(table: LakeTable, ts: float) -> DataFrame:

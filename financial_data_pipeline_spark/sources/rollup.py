@@ -94,6 +94,21 @@ def refresh_rollup(
         .distinct()
     )
 
+    if touched.isEmpty():
+        # the CDF netted to zero rows (e.g. a source compaction rewrote
+        # files with identical content, or every change in the interval
+        # was later undone): nothing is dirty. Advance the watermark
+        # metadata-only — every target file carries, no data job runs —
+        # instead of pushing an empty key frame through the rewrite
+        # (which would write an empty file set just to move a number).
+        head = target.head_version()
+        return target._advance(
+            "refresh",
+            target._load_snapshot(head).files,
+            app_meta={WATERMARK_KEY: src_head},
+            base=head,
+        )
+
     # recompute ONLY the dirty keys from source HEAD; the semi-join is
     # broadcast (dirty-key count tracks churn, not table size) and
     # NULL-SAFE — a null bucket (null ts → null day) is a real rollup

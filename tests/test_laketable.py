@@ -816,3 +816,136 @@ def test_debris_manifest_aging(spark, table, tmp_path):
     assert table.snapshots() == [1, 3]
     assert table.read().count() == 300
     assert all(os.path.exists(p) for p in table.pruned_files())
+
+
+def test_delete_mixed_null_and_range_keys_prunes_and_purges(spark, tmp_path):
+    """A key frame MIXING a null key with non-null keys: min/max skip
+    the null, so range pruning alone would CARRY a range-disjoint file
+    that holds null-keyed rows — its rows would dodge the eqNullSafe
+    anti-join and survive the compliance purge. The per-file null-count
+    stat must force exactly the null-bearing files to be rewritten,
+    while null-free range-disjoint files still prune."""
+    table = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    table.commit(_batch(spark, 0, 2, "a"))  # file set A: days 0-1, no nulls
+    # file set B: day 8 rows PLUS null-day rows, range disjoint from the
+    # delete's non-null key (day 5)
+    with_null = spark.createDataFrame(
+        [(8, 800, "b"), (8, 801, "b"), (None, 900, "b"), (None, 901, "b")],
+        "day int, value long, tag string",
+    ).coalesce(1)
+    table.commit(with_null)
+    table.commit(_batch(spark, 5, 6, "c"))  # file set C: day 5
+    before = set(table.pruned_files())
+    keys = spark.createDataFrame(
+        [(5, 500), (None, 900)], "day int, value long"
+    )
+    v = table.delete(keys, key_cols=["day", "value"])
+    out = table.read()
+    # both the non-null and the NULL-keyed row are gone
+    assert out.filter((F.col("day") == 5) & (F.col("value") == 500)).count() == 0
+    assert out.filter(F.col("day").isNull() & (F.col("value") == 900)).count() == 0
+    # unmatched rows survive, including the OTHER null-day row
+    assert out.filter(F.col("day").isNull()).count() == 1
+    assert out.count() == 200 + 3 + 99  # 304 committed, 2 deleted
+    # the null-free, range-disjoint day-0/1 files were CARRIED
+    after = {f.path for f in table._load_snapshot(v).files}
+    day01 = set(table.pruned_files(version=1))
+    assert day01 <= after and day01 <= before
+    # the null-bearing file was REWRITTEN even though its day range
+    # [8, 8] is disjoint from the non-null key range [5, 5]
+    nullfile = set(table.pruned_files(version=2)) - day01
+    assert nullfile and not (nullfile & after)
+
+
+def test_delete_all_null_keys_still_prunes_null_free_files(spark, tmp_path):
+    """An ALL-null key frame (lo/hi both None) must rewrite only files
+    that can hold null-keyed rows — files whose null count is 0 carry."""
+    table = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    table.commit(_batch(spark, 0, 2, "a"))
+    table.commit(
+        spark.createDataFrame(
+            [(None, 900, "b")], "day int, value long, tag string"
+        ).coalesce(1)
+    )
+    keys = spark.createDataFrame([(None, 900)], "day int, value long")
+    v = table.delete(keys, key_cols=["day", "value"])
+    assert table.read().filter(F.col("day").isNull()).count() == 0
+    assert table.read().count() == 200
+    after = {f.path for f in table._load_snapshot(v).files}
+    assert set(table.pruned_files(version=1)) <= after  # carried
+
+
+def test_delete_null_keys_conservative_without_null_stats(spark, tmp_path):
+    """Old manifests predate the __nulls_ stat: with the count unknown,
+    a null key must force every non-empty file to be rewritten (the
+    conservative polarity) — correctness over pruning."""
+    import json as _json
+
+    table = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    table.commit(_batch(spark, 0, 2, "a"))
+    table.commit(
+        spark.createDataFrame(
+            [(None, 900, "b")], "day int, value long, tag string"
+        ).coalesce(1)
+    )
+    # simulate a pre-upgrade manifest: strip the null-count stats
+    head = table.head_version()
+    path = table._snapshot_path(head)
+    with open(path) as f:
+        d = _json.load(f)
+    for fs in d["files"]:
+        fs["stats"] = {
+            k: s for k, s in fs["stats"].items() if not k.startswith("__nulls_")
+        }
+    with open(path, "w") as f:
+        _json.dump(d, f)
+    keys = spark.createDataFrame([(None, 900)], "day int, value long")
+    v = table.delete(keys, key_cols=["day", "value"])
+    assert table.read().filter(F.col("day").isNull()).count() == 0
+    # every file was rewritten (nothing carried): unknown nulls → touched
+    after = {f.path for f in table._load_snapshot(v).files}
+    assert not (after & set(table.pruned_files(version=head)))
+
+
+def test_delete_empty_keys_is_metadata_only(spark, table):
+    """An EMPTY key frame nets a metadata-only advance: every file
+    carries byte-identical (no silent full-table rewrite), the version
+    still advances so the caller observes the delete happened."""
+    table.commit(_batch(spark, 0, 2, "a"))
+    before = set(table.pruned_files())
+    head = table.head_version()
+    v = table.delete(
+        _batch(spark, 50, 51, "zz").select("day", "value").limit(0),
+        key_cols=["day", "value"],
+    )
+    assert v == head + 1
+    assert set(table.pruned_files()) == before  # same paths — no rewrite
+    assert table.read().count() == 200
+
+
+def test_advance_aborts_when_manifest_reclaimed_mid_dump(spark, table):
+    """The debris race: a writer stalled between its O_EXCL create and
+    json.dump long enough for a concurrent expire_snapshots to reclaim
+    its manifest as aged debris finishes its dump into an UNLINKED
+    inode. The post-dump liveness check must refuse to move HEAD to the
+    vanished manifest (reads would break until the next commit)."""
+    import os
+
+    from financial_data_pipeline_spark.sources.laketable import CommitConflict
+
+    table.commit(_batch(spark, 0, 2, "a"))  # v1
+    head_before = table.head_version()
+
+    def kill_manifest(point):
+        if point == "advance:post_dump":
+            os.remove(table._snapshot_path(2))  # the concurrent expire
+
+    table.fault_hook = kill_manifest
+    with pytest.raises(CommitConflict, match="reclaimed as debris"):
+        table.commit(_batch(spark, 2, 3, "b"))
+    table.fault_hook = None
+    # HEAD never moved; the table reads fine and the next commit lands
+    assert table.head_version() == head_before
+    assert table.read().count() == 200
+    table.commit(_batch(spark, 2, 3, "b"))
+    assert table.read().count() == 300

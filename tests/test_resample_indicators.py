@@ -2184,3 +2184,29 @@ def test_with_ema_chunked_matches_sequential_kernel(spark):
     b_seq = seq[seq.symbol == "B"]
     b_chk = chk[chk.symbol == "B"]
     assert (b_seq.ema_26.values == b_chk.ema_26.values).all()
+
+
+def test_with_ema_chunked_validates_spans(spark):
+    """span=1 means alpha=1 (EMA == the series itself, warmup W=1); the
+    general ulp-horizon formula would hit log(0). Spans < 1 are not an
+    EMA and must be rejected, matching pandas ewm's span >= 1 rule."""
+    import pandas as pd
+    import pytest as _pytest
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A"] * 40,
+            "timestamp": pd.date_range("2024-01-01", periods=40, freq="h"),
+            "close": [float(i % 7 + 1) for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        indicators.with_ema_chunked(df, spans=[1], chunk_rows=8)
+        .orderBy("timestamp")
+        .toPandas()
+    )
+    # alpha=1: the EMA is exactly the input series
+    assert (out["ema_1"] == out["close"]).all()
+    with _pytest.raises(ValueError, match="span"):
+        indicators.with_ema_chunked(df, spans=[0])

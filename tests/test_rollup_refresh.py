@@ -175,3 +175,30 @@ def test_refresh_handles_null_key_buckets(spark, tables):
     refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"])
     _assert_matches_recompute(spark, source, target)
     assert target.read().filter(F.col("day").isNull()).count() == 0
+
+
+def test_refresh_zero_churn_bumps_watermark_metadata_only(spark, tables):
+    """A source interval whose CDF nets to ZERO rows (a compaction
+    rewrites files with identical content) must advance the watermark
+    metadata-only: every target file carries byte-identical — never a
+    silent full-table rewrite of the rollup."""
+    from financial_data_pipeline_spark.sources.laketable import compact
+
+    source, target = tables
+    source.commit(
+        _rows(spark, 0, 4, "BTC", 0).repartition(6)  # small files
+    )
+    refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"])
+    before_files = set(target.pruned_files())
+    before_head = target.head_version()
+
+    compact(source, small_file_rows=10_000)  # content-identical rewrite
+    v = refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"])
+    assert v == before_head + 1  # watermark advanced in a new version
+    assert target.app_meta()[WATERMARK_KEY] == source.head_version()
+    assert set(target.pruned_files()) == before_files  # zero rewrites
+    _assert_matches_recompute(spark, source, target)
+    # and the refresh after the no-op is a true no-op (same head)
+    assert (
+        refresh_rollup(source, target, _key_of, _agg, ["day", "symbol"]) == v
+    )
