@@ -980,6 +980,16 @@ def euclidean(a: Column, b: Column) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda s, x: s + x))
 
 
+# Default hot-block cap for the blocked all-pairs family. Σ_b n_b² with
+# n_b ≤ 4096 keeps every per-block pair frame under ~17M rows (seconds
+# of work per block on one core, safely in memory); an 80%-hot bucket
+# at corpus scale would otherwise re-create the n² the blocking exists
+# to avoid. Oversized blocks are subdivided with extra seeded
+# hyperplane bits — see ``_distance_pairs``. Opt out with
+# ``max_block_rows=0``.
+DEFAULT_MAX_BLOCK_ROWS = 4096
+
+
 def _distance_pairs(
     df: DataFrame,
     vec_col: str,
@@ -1018,21 +1028,30 @@ def _distance_pairs(
 
     ``max_block_rows`` (blocked path only) is the HOT-BLOCK guard: a
     single block holding a large share of the corpus turns Σ n_b² into
-    the very n² the blocking exists to avoid. With the cap set, block
-    sizes are counted (one aggregate) and every oversized block is
-    SUBDIVIDED by ceil(log2(n_b / cap)) extra seeded-hyperplane bits
-    on the vectors themselves — expected child size ≈ cap, cost stays
-    Σ cap·n_b ≈ linear. Subdivision tightens the neighborhood
-    approximation exactly the way growing the plane count with the
-    corpus does (the documented deployment schedule); truly coincident
-    vectors are the one layout hyperplanes cannot split — those are
-    genuine n² neighbor sets, not a partitioning artifact.
+    the very n² the blocking exists to avoid. Block sizes are counted
+    (one aggregate) and every oversized block is SUBDIVIDED by
+    ceil(log2(n_b / cap)) extra seeded-hyperplane bits on the vectors
+    themselves — expected child size ≈ cap, cost stays Σ cap·n_b ≈
+    linear. Subdivision tightens the neighborhood approximation exactly
+    the way growing the plane count with the corpus does (the
+    documented deployment schedule); truly coincident vectors are the
+    one layout hyperplanes cannot split — those are genuine n² neighbor
+    sets, not a partitioning artifact.
+
+    The guard is ON BY DEFAULT at ``DEFAULT_MAX_BLOCK_ROWS`` (None
+    inherits it): a user calling the blocked path at 100 TB must not
+    need to know about hot buckets to survive one (measured 101 s →
+    16 s at an 80%-hot block, SKEW.md). Pass ``max_block_rows=0`` to
+    explicitly disable (exact block-local semantics regardless of
+    size).
     """
     df = df.filter(F.col(vec_col).isNotNull())
     par = df.sparkSession.sparkContext.defaultParallelism
     extra = extra_cols or {}
 
-    if block_col is not None and max_block_rows is not None:
+    if block_col is not None and max_block_rows is None:
+        max_block_rows = DEFAULT_MAX_BLOCK_ROWS
+    if block_col is not None and max_block_rows is not None and max_block_rows > 0:
         if dim is None:
             # one bounded probe job just to learn the vector width —
             # pass ``dim`` (a schema constant) to skip it
@@ -1148,7 +1167,9 @@ def lof_scores(
     100 TB path, and semantically right anyway since LOF is a LOCAL
     density measure. Blocks smaller than k+1 simply yield fewer
     neighbors (a singleton block drops out of the result), identical
-    in any engine."""
+    in any engine. Hot blocks are auto-subdivided past
+    ``DEFAULT_MAX_BLOCK_ROWS`` (``max_block_rows=None`` inherits it;
+    0 disables)."""
     from pyspark.sql import Window
 
     pairs = _distance_pairs(

@@ -644,6 +644,38 @@ def q_ema_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ema_chunked",
+    _EMA_REC_CTE
+    + """
+SELECT symbol, epoch_us(timestamp) AS ts_us,
+       round(ema_12, 6) AS ema_12, round(ema_26, 6) AS ema_26
+FROM rec
+""",
+)
+def q_ema_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 skew path: the CHUNKED grouped-map EMA
+    (``indicators.with_ema_chunked`` — fixed-size (group, chunk) tasks
+    with a W-row warmup overlap, so no hot symbol ever serializes into
+    one Python worker; measured in SKEW.md under an 80%-hot symbol)
+    checked against the SAME recursive-CTE oracle as the exact kernel:
+    warmup W is the ulp horizon, so chunked values agree with the
+    sequential recurrence below the 6-decimal rounding grid.
+    chunk_rows=512 ≥ W(26)=478 forces real chunk splits at every test
+    SF (677 bars/symbol at sf0.01) while honoring the one-neighbor
+    overlap recommendation."""
+    bars = events_as_ohlcv(spark, sf_dir)
+    out = indicators.with_ema_chunked(
+        bars, spans=[12, 26], chunk_rows=512
+    )
+    return out.select(
+        "symbol",
+        _ts_us().alias("ts_us"),
+        F.round("ema_12", 6).alias("ema_12"),
+        F.round("ema_26", 6).alias("ema_26"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / top-k / greatest-per-group (O2, A13, A4, A5)
 # ---------------------------------------------------------------------------
@@ -14258,21 +14290,60 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The hot-block cap the registered blocked queries pass explicitly:
+# small enough that the subdivision guard actually FIRES on the test
+# corpora (biggest bucket ≈ 46/51/170 rows at sf0.001/0.01/0.1), so the
+# oracle exercises the exact production code path a 100 TB hot bucket
+# would take. Production callers inherit similarity.DEFAULT_MAX_BLOCK_ROWS.
+_PAIR_BLOCK_CAP = 40
+
+
+def _pair_sub_planes() -> list[list[float]]:
+    """The 16 seeded hyperplanes ``_distance_pairs`` subdivides hot
+    blocks with (similarity.py: seed 104729) — identical literals on
+    both engines."""
+    from financial_data_pipeline_spark.operators.similarity import seeded_planes
+
+    return seeded_planes(16, 64, seed=104729)
+
+
 def _blocked_emb_pairs_cte() -> str:
     """Shared oracle prefix of the blocked all-pairs family: the SAME
     4 seeded-hyperplane LSH buckets as the Spark side (identical plane
-    literals, identical left-fold dot product) and the block-local
-    rounded-distance pair frame — pairs exist only within a bucket."""
+    literals, identical left-fold dot product), the SAME hot-block
+    subdivision (blocks past ``_PAIR_BLOCK_CAP`` rows split by
+    ceil(log2(n/cap)) bits of the 16-plane seed-104729 signature —
+    replaying ``_distance_pairs``'s guard), and the block-local
+    rounded-distance pair frame — pairs exist only within a
+    (bucket, sub) child block."""
     bucket = " + ".join(
         "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
             lits=", ".join(repr(x) for x in p), w=1 << i
         )
         for i, p in enumerate(_pair_block_planes())
     )
+    sig = " + ".join(
+        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
+            lits=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(_pair_sub_planes())
+    )
     return f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
           WHERE embedding IS NOT NULL),
-bb AS (SELECT vec_id, label, v, {bucket} AS bucket FROM e),
+bb0 AS (SELECT vec_id, label, v, {bucket} AS bucket0, {sig} AS sig FROM e),
+sz AS (
+  SELECT bucket0,
+         greatest(0, CAST(ceil(log2(count(*) / {_PAIR_BLOCK_CAP}.0)) AS INT))
+           AS bits
+  FROM bb0 GROUP BY 1
+),
+bb AS (
+  SELECT vec_id, label, v,
+         CAST(bucket0 AS VARCHAR) || ':' ||
+         CAST(sig % (1 << bits) AS VARCHAR) AS bucket
+  FROM bb0 JOIN sz USING (bucket0)
+),
 pairs AS (
   SELECT a.vec_id AS i, a.label AS li, b.label AS lj, b.vec_id AS j,
          round(sqrt(list_reduce(
@@ -14317,7 +14388,10 @@ def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane count grows with the corpus so block sizes stay bounded).
     LOF is a LOCAL density measure, so block-local neighbors are the
     semantically right candidate set; the oracle replays the same
-    buckets from the same plane literals."""
+    buckets from the same plane literals. The hot-block guard runs LIVE
+    here (``max_block_rows=_PAIR_BLOCK_CAP`` subdivides the biggest
+    buckets on every test SF; the oracle replays the subdivision) —
+    production callers inherit ``DEFAULT_MAX_BLOCK_ROWS``."""
     from financial_data_pipeline_spark.operators.similarity import (
         lof_scores,
         lsh_bucket,
@@ -14326,7 +14400,10 @@ def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
     )
-    out = lof_scores(emb, k=5, block_col="block")
+    out = lof_scores(
+        emb, k=5, block_col="block",
+        max_block_rows=_PAIR_BLOCK_CAP, block_dim=64,
+    )
     return out.select(
         "vec_id",
         F.round("k_dist", 6).alias("k_dist"),
@@ -14359,7 +14436,8 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     separation score: mean distances computed over same-bucket pairs
     only (equi-join on the LSH block key, never all-pairs). Points
     lacking a same-label or other-label neighbor WITHIN their bucket
-    drop out identically in both engines."""
+    drop out identically in both engines. Hot-block guard live at
+    ``_PAIR_BLOCK_CAP`` (oracle replays the subdivision)."""
     from financial_data_pipeline_spark.operators.similarity import (
         lsh_bucket,
         silhouette_by_label,
@@ -14368,7 +14446,10 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
     )
-    out = silhouette_by_label(emb, block_col="block")
+    out = silhouette_by_label(
+        emb, block_col="block",
+        max_block_rows=_PAIR_BLOCK_CAP, block_dim=64,
+    )
     return out.select(
         "label",
         "n_vecs",
@@ -14402,7 +14483,9 @@ def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked leave-one-out 5-NN accuracy — the shipped scale path:
     the electorate is the block-local k nearest (LSH equi-join, never
     all-pairs); sub-(k+1) blocks vote with fewer neighbors and
-    singleton blocks drop out, identically in both engines."""
+    singleton blocks drop out, identically in both engines. Hot-block
+    guard live at ``_PAIR_BLOCK_CAP`` (oracle replays the
+    subdivision)."""
     from financial_data_pipeline_spark.operators.similarity import (
         knn_label_accuracy,
         lsh_bucket,
@@ -14411,7 +14494,10 @@ def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
     )
-    out = knn_label_accuracy(emb, k=5, block_col="block")
+    out = knn_label_accuracy(
+        emb, k=5, block_col="block",
+        max_block_rows=_PAIR_BLOCK_CAP, block_dim=64,
+    )
     return out.select(
         "label", "n_vecs", F.round("loo_accuracy", 6).alias("loo_accuracy")
     )
