@@ -18168,3 +18168,110 @@ def q_dom_return_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("ret") * 1e4, 4).alias("mean_ret_bps"),
         F.round(F.stddev_samp("ret") * 1e4, 4).alias("sd_ret_bps"),
     )
+
+
+@query(
+    "rollup_refresh_lifecycle",
+    """
+WITH final AS (
+  SELECT ts::DATE AS day, event_type, value
+  FROM events
+  WHERE NOT (event_type = 'purchase'
+             AND ts::DATE BETWEEN DATE '2024-01-10' AND DATE '2024-01-12')
+)
+SELECT CAST(day AS VARCHAR) AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       round(list_reduce(list_prepend(0.0::DOUBLE,
+                                      list(value ORDER BY value)),
+                         (a, x) -> a + x), 6) AS total_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM final
+GROUP BY day, event_type
+""",
+)
+def q_rollup_refresh_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental continuous-aggregate refresh (sources/rollup.py,
+    the TimescaleDB continuous-aggregate analog — reference
+    timescaledb_schema.sql continuous aggregate + refresh policy) run
+    through a full LIFECYCLE, hash-matched against a from-scratch
+    recompute:
+
+    1. bulk history commit (days 1-20, one deterministic subset held
+       out) → initial full build;
+    2. streaming append (days 21-30) → only the new buckets refresh;
+    3. LATE data (the held-out event_id % 7 == 3 slice of days 1-20)
+       → old buckets are invalidated through the change feed and
+       recomputed;
+    4. compliance delete (every 'purchase' of Jan 10-12) → the dirty
+       buckets recompute from the surviving rows; a bucket emptied by
+       the delete disappears (upsert-with-deletes).
+
+    Each refresh recomputes ONLY CDF-invalidated buckets (incrementality
+    itself is pinned by file-path asserts in test_rollup_refresh.py);
+    the final rollup must equal DuckDB's one-shot GROUP BY over the
+    final source state regardless of the refresh history. total_value
+    is an ORDERED fold both engines — the 2-decimal values sum onto
+    exact rounding boundaries, so F.sum's partition order could flip
+    the 6dp rounding (the major_value_parts lesson). The rollup is
+    bounded (days × event types), localCheckpoint-pinned so the temp
+    lake can be reclaimed before the driver collects."""
+    import shutil
+    import tempfile
+
+    from financial_data_pipeline_spark.sources.laketable import LakeTable
+    from financial_data_pipeline_spark.sources.rollup import refresh_rollup
+
+    tmp = tempfile.mkdtemp(prefix="fdp_rollup_q_")
+    try:
+        source = LakeTable(spark, f"{tmp}/src", stat_cols=["ts"])
+        target = LakeTable(spark, f"{tmp}/agg", stat_cols=["day"])
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        day = F.to_date("ts")
+        late = F.pmod(F.col("event_id"), F.lit(7)) == F.lit(3)
+
+        def key_of(df: DataFrame) -> DataFrame:
+            return df.withColumn("day", F.to_date("ts"))
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("day", "event_type").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.col("value"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("total_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+
+        keys = ["day", "event_type"]
+        source.commit(
+            ev.filter((day <= F.lit("2024-01-20")) & ~late)
+            .repartitionByRange(4, "ts")
+        )
+        refresh_rollup(source, target, key_of, agg, keys)
+        source.commit(
+            ev.filter(day > F.lit("2024-01-20")).repartitionByRange(2, "ts")
+        )
+        refresh_rollup(source, target, key_of, agg, keys)
+        source.commit(ev.filter((day <= F.lit("2024-01-20")) & late))
+        refresh_rollup(source, target, key_of, agg, keys)
+        purged = source.read().filter(
+            F.to_date("ts").between("2024-01-10", "2024-01-12")
+            & (F.col("event_type") == "purchase")
+        )
+        source.delete(purged.select("ts", "event_id"), ["ts", "event_id"])
+        refresh_rollup(source, target, key_of, agg, keys)
+        return target.read().select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("total_value", 6).alias("total_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
