@@ -1063,6 +1063,37 @@ class LakeTable:
             self._fault("expire:post_manifest_delete")
         return deleted
 
+    def recover_head(self) -> int:
+        """Crash repair: HEAD is a convenience pointer written AFTER
+        the real commit point (the manifest dump — see ``_advance``),
+        so a writer dying between the two leaves a committed snapshot
+        HEAD doesn't name. That snapshot is real history — later
+        writers correctly see it in the staleness check and conflict —
+        but nothing would ever move HEAD up to it, wedging the table.
+        Advance HEAD to the newest committed (non-staged, non-aborted,
+        non-detached, readable) snapshot at or above the current head.
+        Safe to run any time: a no-op when HEAD is current, never
+        moves HEAD backwards, never targets an unreadable (mid-write /
+        debris) manifest. Returns the (possibly repaired) head
+        version. The crash-matrix test drives every writer death
+        window through this recovery."""
+        head = self.head_version()
+        best = head
+        detached = self._detached()
+        for v in self.snapshots():
+            if v <= best or v in detached:
+                continue
+            try:
+                s = self._load_snapshot(v)
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                continue  # debris / mid-write — not committed history
+            if not s.staged and not s.aborted:
+                best = v
+        if best != head:
+            with open(self._head_path(), "w") as f:
+                json.dump({"version": best}, f)
+        return best
+
     def rollback(self, version: int) -> None:
         """Point HEAD at an existing snapshot — O(1 metadata write).
         Newer committed snapshots become DETACHED history: still
