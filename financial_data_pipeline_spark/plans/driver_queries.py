@@ -6724,23 +6724,87 @@ def q_temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_plan(docs, token_budget=1_000_000, alpha=0.3)
 
 
-@query("compression_ratio_stats")
+# Planted probe texts for the zlib-ratio invariants: a maximally
+# repetitive document (must compress far below) and a fixed
+# high-entropy hex blob (must compress far above it). Literals, so
+# both engines can count their exact lengths.
+_ZLIB_DUP_UNIT = "the quick brown fox "
+_ZLIB_DUP_REPS = 25
+_ZLIB_UNIQ_TEXT = (
+    "3f9a7c1e8b24d06a5e91cf47b8a20d3c6f15e97402cab8d1639f0e7a54c2b8d0"
+    "91e6a3f7c04b5d28a6e1f9370cd4b852fa1e60c3d7942b08e5f6a1c49d37b20e"
+    "7a85c1f3069db4e2a70f58c6d193e4b0f26a9c81d05e7b34fa62c90e18d5b47c"
+)
+
+
+@query(
+    "compression_ratio_stats",
+    f"""
+WITH d AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT -1, repeat('{_ZLIB_DUP_UNIT}', {_ZLIB_DUP_REPS}), '__planted__'
+  UNION ALL
+  SELECT -2, '{_ZLIB_UNIQ_TEXT}', '__planted__'
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       TRUE AS ratios_positive,
+       TRUE AS ratios_bounded,
+       TRUE AS planted_ok
+FROM d GROUP BY source
+""",
+)
 def q_compression_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entropy-proxy quality signal: per-source distribution of the
-    zlib compression ratio (Arrow-batched kernel; zlib has no SQL twin
-    so this is a declared rows-only check — the kernel itself is
-    differentially tested against direct zlib in tests)."""
+    """Entropy-proxy quality signal: per-source zlib compression-ratio
+    profile (Arrow-batched ``mapInPandas`` kernel — zlib has no SQL
+    twin). Upgraded from rows-only to HASH-MATCHED via the sketch
+    treatment: the exact columns (doc count, total chars) are computed
+    in both engines, and the kernel's output is pinned by invariant
+    booleans compared against the oracle's literal TRUE —
+
+    - ``ratios_positive``: every ratio > 0 (nonempty compressed bytes);
+    - ``ratios_bounded``: every ratio ≤ 1 + 24/len(text) (zlib's
+      stored-block worst case is ~11–16 bytes of overhead, so even an
+      incompressible text can't exceed this; a kernel emitting
+      compressed/uncompressed swapped, or bytes-vs-chars confusion,
+      breaks it);
+    - ``planted_ok``: two PLANTED rows ride the corpus through the
+      same kernel — a 25×-repeated phrase must compress below 0.2 and
+      strictly below the fixed 192-char hex blob (duplicate-text ratio
+      < unique-text ratio; the zlib-version-robust form of pinning the
+      ratio values themselves).
+
+    The kernel is also differentially tested against direct zlib in
+    tests; this closes the last rows-only oracle in the registry."""
     from financial_data_pipeline_spark.operators.curation import (
         compression_ratio,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    scored = compression_ratio(docs)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    planted = spark.createDataFrame(
+        [
+            (-1, _ZLIB_DUP_UNIT * _ZLIB_DUP_REPS, "__planted__"),
+            (-2, _ZLIB_UNIQ_TEXT, "__planted__"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    scored = compression_ratio(docs.unionByName(planted))
+    r = F.col("compression_ratio")
+    dup_r = F.min(F.when(F.col("doc_id") == -1, r))
+    uniq_r = F.min(F.when(F.col("doc_id") == -2, r))
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("compression_ratio"), 6).alias("avg_ratio"),
-        F.round(F.min("compression_ratio"), 6).alias("min_ratio"),
-        F.round(F.max("compression_ratio"), 6).alias("max_ratio"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.bool_and(r > 0.0).alias("ratios_positive"),
+        F.bool_and(
+            r <= 1.0 + 24.0 / F.length("text").cast("double")
+        ).alias("ratios_bounded"),
+        F.coalesce(
+            (dup_r < F.lit(0.2)) & (dup_r < uniq_r), F.lit(True)
+        ).alias("planted_ok"),
     )
 
 
