@@ -148,6 +148,37 @@ def _adaptive_blocked_probes(k: int):
     return probes, (4, 4 + max(0, round(math.log2(k))))
 
 
+def amplify_documents(spark, k: int, out_dir: str) -> None:
+    """Uniform k× documents: each copy prefixes every token with
+    ``c<i>.`` so shingle/minhash/simhash spaces stay disjoint across
+    copies (true pair counts scale k×, not k²×). Shared by the uniform
+    scaling probe and the skew probe's uniform leg."""
+    from pyspark.sql import functions as F
+
+    copies = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__c")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    pref = F.concat(F.lit("c"), F.col("__c"), F.lit("."))
+    retok = F.array_join(
+        F.transform(
+            F.split("text", r"\s+"),
+            lambda t: F.when(t == "", t).otherwise(F.concat(pref, t)),
+        ),
+        " ",
+    )
+    (
+        docs.select("*", copies)
+        .select(
+            (F.col("doc_id") + F.col("__c").cast("long") * 10_000_000).alias("doc_id"),
+            retok.alias("text"),
+            "lang",
+            F.concat_ws("~", "source", F.col("__c")).alias("source"),
+            F.length(retok).alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+
 def amplify(spark, k: int, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
@@ -171,27 +202,7 @@ def amplify(spark, k: int, out_dir: str) -> None:
         .parquet(f"{out_dir}/events.parquet")
     )
 
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    pref = F.concat(F.lit("c"), F.col("__c"), F.lit("."))
-    retok = F.array_join(
-        F.transform(
-            F.split("text", r"\s+"),
-            lambda t: F.when(t == "", t).otherwise(F.concat(pref, t)),
-        ),
-        " ",
-    )
-    (
-        docs.select("*", copies)
-        .select(
-            (F.col("doc_id") + F.col("__c").cast("long") * 10_000_000).alias("doc_id"),
-            retok.alias("text"),
-            "lang",
-            F.concat_ws("~", "source", F.col("__c")).alias("source"),
-            F.length(retok).alias("n_chars"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/documents.parquet")
-    )
+    amplify_documents(spark, k, out_dir)
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     jitter = F.transform(

@@ -192,7 +192,250 @@ def _blocked_probes(hot_frac: float, k: int):
     ]
 
 
+# ~40-token synthetic boilerplate: the classic 100 TB dedup failure
+# mode is a template (cookie banner, license header) shared by a huge
+# slice of the corpus — every such doc lands in the SAME LSH band
+# buckets and the SAME shingle inverted-index buckets.
+BOILERPLATE = (
+    "terms of service agreement this website uses cookies to improve "
+    "your experience by continuing to browse you accept our privacy "
+    "policy and consent to data collection all rights reserved contact "
+    "support for questions about billing shipping returns and refunds"
+)
+
+
+def amplify_skew_documents(spark, k: int, out_dir: str, hot_frac: float) -> None:
+    """Documents amplified k× where ``hot_frac`` of the amplified rows
+    become NEAR-identical boilerplate: the shared ~40-token template
+    plus ONE unique trailing token per doc (so exact-hash dedup canNOT
+    remove them — only near-dup machinery sees the family, and its
+    band/shingle buckets hold hot_frac of the whole corpus). Cold rows
+    use the uniform per-copy token prefix (disjoint shingle spaces).
+    Deterministic hash split, no RNG."""
+    from pyspark.sql import functions as F
+
+    copies = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__c")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    pct = int(round(hot_frac * 100))
+    new_id = F.col("doc_id") + F.col("__c").cast("long") * 10_000_000
+    hot = F.pmod(F.xxhash64(F.col("doc_id"), F.col("__c")), F.lit(100)) < pct
+    pref = F.concat(F.lit("c"), F.col("__c"), F.lit("."))
+    retok = F.array_join(
+        F.transform(
+            F.split("text", r"\s+"),
+            lambda t: F.when(t == "", t).otherwise(F.concat(pref, t)),
+        ),
+        " ",
+    )
+    hot_text = F.concat(F.lit(BOILERPLATE + " u"), new_id.cast("string"))
+    text = F.when(hot, hot_text).otherwise(retok)
+    (
+        docs.select("*", copies)
+        .select(
+            new_id.alias("doc_id"),
+            text.alias("text"),
+            "lang",
+            F.concat_ws("~", "source", F.col("__c")).alias("source"),
+            F.length(text).alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+
+
+def dedup_probe(k: int, hot_frac: float) -> int:
+    """Verdict-r5 item 5: measure the minhash/jaccard family on a hot
+    boilerplate corpus, with the shipped ``capped_buckets`` guard
+    (dedup.py) as the mitigation — registered defaults
+    (max_bucket_size=1000) vs an explicitly uncapped run at a size
+    where the quadratic is still feasible to time. Appends a
+    ``## Text-dedup hot corpus`` section to SKEW.md."""
+    from pyspark.sql import Observation
+
+    from financial_data_pipeline_spark import get_spark
+    from financial_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidates,
+    )
+    from financial_data_pipeline_spark.plans.driver_queries import QUERIES
+    from tools.scaling_probe import amplify_documents
+
+    spark = get_spark(app_name="fdp-dedup-skew-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    uni = tempfile.mkdtemp(prefix="fdp_dskew_uni_")
+    hot = tempfile.mkdtemp(prefix="fdp_dskew_hot_")
+    mild = tempfile.mkdtemp(prefix="fdp_dskew_mild_")
+    n_docs = 5000 * k
+    # feasible uncapped point: a hot family of ~2000 docs is ~2e6 true
+    # pairs (~9e7 verify structs) — big enough to measure the
+    # quadratic, small enough to finish; 80% of 40k docs would be
+    # ~5e8 pairs in ONE capped-off bucket row (the OOM the cap exists
+    # to prevent), so the uncapped leg runs on the mild layout only.
+    mild_frac = 2000 / n_docs
+    print(f"amplifying documents x{k} uniform -> {uni}", file=sys.stderr)
+    amplify_documents(spark, k, uni)
+    print(
+        f"amplifying documents x{k} hot_frac={hot_frac} -> {hot}",
+        file=sys.stderr,
+    )
+    amplify_skew_documents(spark, k, hot, hot_frac)
+    print(
+        f"amplifying documents x{k} hot_frac={mild_frac:.4f} (uncapped leg) "
+        f"-> {mild}",
+        file=sys.stderr,
+    )
+    amplify_skew_documents(spark, k, mild, mild_frac)
+
+    def run(fn, sf_dir: str, runs: int = 2) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rows = []
+    for name in ("minhash_lsh_pairs", "ngram_jaccard_pairs"):
+        tu = run(QUERIES[name], uni)
+        tsk = run(QUERIES[name], hot)
+        rows.append(
+            (
+                f"{name} (registered, cap=1000)",
+                f"{int(hot_frac * 100)}% boilerplate corpus",
+                round(tu, 3),
+                round(tsk, 3),
+                round(tsk / tu, 2),
+            )
+        )
+        print(
+            f"{name}: uniform {tu:.2f}s  hot {tsk:.2f}s  ({tsk / tu:.2f}x)",
+            file=sys.stderr,
+        )
+
+    # surface the guard's own telemetry on the hot corpus: how many
+    # buckets were dropped, how big the biggest was
+    obs = Observation("lsh_cap")
+    from financial_data_pipeline_spark.sources.adapters import load_table
+
+    cand = lsh_candidates(
+        load_table(spark, hot, "documents"), num_perm=16, bands=8, observation=obs
+    )
+    n_cand = cand.count()
+    dropped = obs.get
+    print(
+        f"hot corpus lsh_candidates: {n_cand} candidates, "
+        f"dropped_buckets={dropped.get('dropped_buckets')}, "
+        f"max_bucket_docs={dropped.get('max_bucket_docs')}",
+        file=sys.stderr,
+    )
+
+    # uncapped quadratic, measured where it still finishes: the mild
+    # layout's single ~2000-doc family, cap lifted in BOTH stages
+    def minhash_uncapped(spark, d):
+        docs = load_table(spark, d, "documents")
+        c = lsh_candidates(docs, num_perm=16, bands=8, max_bucket_size=10**9)
+        return jaccard_pairs(
+            docs, k=3, threshold=0.5, candidates=c, max_bucket_size=10**9
+        )
+
+    t_capped = run(QUERIES["minhash_lsh_pairs"], mild, runs=2)
+    t_uncapped = run(minhash_uncapped, mild, runs=1)
+    rows.append(
+        (
+            "minhash_lsh_pairs mild hot family (~2000 docs), cap=1000",
+            "hot family dropped by the cap",
+            None,
+            round(t_capped, 3),
+            None,
+        )
+    )
+    rows.append(
+        (
+            "minhash uncapped, same mild layout",
+            "~2e6-pair quadratic paid in full",
+            None,
+            round(t_uncapped, 3),
+            None,
+        )
+    )
+    print(
+        f"mild layout: capped {t_capped:.2f}s  uncapped {t_uncapped:.2f}s "
+        f"({t_uncapped / t_capped:.1f}x)",
+        file=sys.stderr,
+    )
+
+    lines = [
+        "",
+        "## Text-dedup hot corpus (round 6)",
+        "",
+        f"`tools/skew_probe.py --dedup {k} {hot_frac}`: documents "
+        f"amplified {k}× ({n_docs} docs) twice — uniformly and with "
+        f"{int(hot_frac * 100)}% of rows turned into NEAR-identical "
+        "boilerplate (shared ~40-token template + one unique trailing "
+        "token, so exact dedup cannot remove the family and every hot "
+        "doc lands in the same LSH band / shingle buckets). The shipped "
+        "mitigation is `capped_buckets` (operators/dedup.py): buckets "
+        "over `max_bucket_size` (default 1000, what the registered "
+        "queries run) are dropped before pair expansion, with "
+        "`Observation` telemetry instead of silent truncation.",
+        "",
+        "| probe | layout | uniform sec | hot sec | ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for name, why, tu, tsk, r in rows:
+        lines.append(
+            f"| {name} | {why} | {tu if tu is not None else '—'} |"
+            f" {tsk if tsk is not None else '—'} |"
+            f" {r if r is not None else '—'} |"
+        )
+    lines += [
+        "",
+        f"- Hot-corpus candidate count {n_cand} with "
+        f"dropped_buckets={dropped.get('dropped_buckets')}, "
+        f"max_bucket_docs={dropped.get('max_bucket_docs')} — the "
+        "boilerplate family's band buckets are all dropped by the cap, "
+        "so the registered path's cost stays at the COLD corpus's "
+        "scale. Semantics: this is an explicit recall trade — a "
+        f"{int(hot_frac * 100)}%-of-corpus near-dup family is "
+        "quadratically many TRUE pairs (~5×10⁸ here), which no engine "
+        "should materialize; production handles the family via "
+        "`dedup_clusters`/`exact_dedup` on a canonicalized text or by "
+        "acting on the cap telemetry, not by emitting every pair.",
+        "- The uncapped leg (cap lifted in both stages) pays the "
+        "quadratic honestly at a size where it still finishes: the "
+        "~2000-doc family alone costs "
+        f"{t_uncapped:.1f}s vs {t_capped:.1f}s capped "
+        f"({t_uncapped / t_capped:.1f}×) — and grows with the SQUARE "
+        "of the family while the capped path is flat. At 80% of 40k "
+        "docs the uncapped single-bucket pair array (~5×10⁸ structs in "
+        "one row) is the executor OOM the cap exists to prevent.",
+    ]
+    with open("SKEW.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(
+        json.dumps(
+            {
+                "k": k,
+                "hot_frac": hot_frac,
+                "dedup_results": rows,
+                "candidates_hot": n_cand,
+                "dropped_buckets": dropped.get("dropped_buckets"),
+                "max_bucket_docs": dropped.get("max_bucket_docs"),
+            }
+        )
+    )
+    for d in (uni, hot, mild):
+        shutil.rmtree(d, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
+    if "--dedup" in sys.argv:
+        argv = [a for a in sys.argv[1:] if a != "--dedup"]
+        k = int(argv[0]) if argv else 8
+        hot_frac = float(argv[1]) if len(argv) > 1 else 0.8
+        return dedup_probe(k, hot_frac)
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     hot_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.8
 
