@@ -1260,6 +1260,63 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_against_history",
+    """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN 'shared batch duplicate body'
+              ELSE text END AS text
+  FROM documents
+), bh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
+  FROM b
+), k AS (
+  SELECT doc_id, content_hash
+  FROM (SELECT doc_id, content_hash,
+               row_number() OVER (PARTITION BY content_hash
+                                  ORDER BY doc_id) AS rn
+        FROM bh)
+  WHERE rn = 1
+), h AS (
+  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_hash
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT k.doc_id, k.content_hash
+FROM k ANTI JOIN h USING (content_hash)
+""",
+)
+def q_dedup_against_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-history streaming dedup, oracle-checked on its batch
+    body (``streaming/dedup_stream.py:dedup_against_history`` — the
+    foreachBatch shape: keep-lowest within the micro-batch, then
+    anti-join the compacted lake-side hash table). The testdata has no
+    natural exact duplicates, so the batch plants both mechanisms
+    deterministically: docs with ``doc_id % 7 == 2`` collapse onto one
+    shared text (in-batch keep-first must leave exactly one survivor)
+    and history holds the ORIGINAL texts of the ``doc_id % 3 == 0``
+    slice (their unmodified batch twins must be anti-joined away)."""
+    from financial_data_pipeline_spark.operators.dedup import _hash60
+    from financial_data_pipeline_spark.streaming.dedup_stream import (
+        dedup_against_history,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2, F.lit("shared batch duplicate body")
+        ).otherwise(F.col("text")),
+    )
+    history = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(_hash60(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    return dedup_against_history(batch, history).select("doc_id", "content_hash")
+
+
+@query(
     "ngram_jaccard_pairs",
     r"""
 WITH sh AS (
