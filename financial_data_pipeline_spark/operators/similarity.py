@@ -1044,6 +1044,14 @@ def _distance_pairs(
     16 s at an 80%-hot block, SKEW.md). Pass ``max_block_rows=0`` to
     explicitly disable (exact block-local semantics regardless of
     size).
+
+    The guard is ADAPTIVE: one cheap count-by-block aggregate decides
+    whether any block actually exceeds the cap, and the subdivision
+    machinery (16-plane signature + sizes join) is built only then — a
+    healthy layout pays one partial-agg scan, not a per-row hash and an
+    extra join (measured 2.5–2.9× on the uniform-layout bench when the
+    machinery ran unconditionally). Same AQE philosophy: decide from
+    observed sizes, not from hopes about the data.
     """
     df = df.filter(F.col(vec_col).isNotNull())
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -1052,18 +1060,18 @@ def _distance_pairs(
     if block_col is not None and max_block_rows is None:
         max_block_rows = DEFAULT_MAX_BLOCK_ROWS
     if block_col is not None and max_block_rows is not None and max_block_rows > 0:
-        if dim is None:
+        sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
+        hot_row = sizes.agg(F.max("__n").alias("m")).first()
+        needs_subdivision = (hot_row["m"] or 0) > max_block_rows
+        if needs_subdivision and dim is None:
             # one bounded probe job just to learn the vector width —
             # pass ``dim`` (a schema constant) to skip it
             probe = df.select(vec_col).first()
             dim = len(probe[0]) if probe is not None else None
-        if dim is not None:
+        if needs_subdivision and dim is not None:
             sig = lsh_bucket(
                 F.col(vec_col).cast("array<double>"),
                 seeded_planes(16, dim, seed=104729),
-            )
-            sizes = df.groupBy(block_col).agg(
-                F.count(F.lit(1)).alias("__n")
             )
             bits = F.greatest(
                 F.lit(0),

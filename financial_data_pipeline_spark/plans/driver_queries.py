@@ -14428,44 +14428,57 @@ def _pair_sub_planes() -> list[list[float]]:
     return seeded_planes(16, 64, seed=104729)
 
 
-def _blocked_emb_pairs_cte() -> str:
+def _blocked_emb_pairs_cte(subdivide: bool = True) -> str:
     """Shared oracle prefix of the blocked all-pairs family: the SAME
     4 seeded-hyperplane LSH buckets as the Spark side (identical plane
-    literals, identical left-fold dot product), the SAME hot-block
-    subdivision (blocks past ``_PAIR_BLOCK_CAP`` rows split by
-    ceil(log2(n/cap)) bits of the 16-plane seed-104729 signature —
-    replaying ``_distance_pairs``'s guard), and the block-local
-    rounded-distance pair frame — pairs exist only within a
-    (bucket, sub) child block."""
+    literals, identical left-fold dot product) and the block-local
+    rounded-distance pair frame.
+
+    ``subdivide=True`` additionally replays ``_distance_pairs``'s
+    hot-block guard (blocks past ``_PAIR_BLOCK_CAP`` rows split by
+    ceil(log2(n/cap)) bits of the 16-plane seed-104729 signature) —
+    used by ``lof_outliers_blocked``, which runs the guard LIVE with
+    cap=40 so the subdivision is oracle-exercised at every test SF.
+    ``subdivide=False`` is the plain same-bucket frame — the twin of
+    the DEFAULT guard (cap 4096), whose adaptive skip leaves blocks
+    untouched at every test corpus size (max block ≪ 4096)."""
     bucket = " + ".join(
         "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
             lits=", ".join(repr(x) for x in p), w=1 << i
         )
         for i, p in enumerate(_pair_block_planes())
     )
-    sig = " + ".join(
-        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
-            lits=", ".join(repr(x) for x in p), w=1 << i
-        )
-        for i, p in enumerate(_pair_sub_planes())
-    )
-    return f"""
+    head = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
           WHERE embedding IS NOT NULL),
-bb0 AS (SELECT vec_id, label, v, {bucket} AS bucket0, {sig} AS sig FROM e),
+bb0 AS (SELECT vec_id, label, v, {bucket} AS bucket0 FROM e),
+"""
+    if subdivide:
+        sig = " + ".join(
+            "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)"
+            .format(lits=", ".join(repr(x) for x in p), w=1 << i)
+            for i, p in enumerate(_pair_sub_planes())
+        )
+        head += f"""sg AS (SELECT *, {sig} AS sig FROM bb0),
 sz AS (
   SELECT bucket0,
          greatest(0, CAST(ceil(log2(count(*) / {_PAIR_BLOCK_CAP}.0)) AS INT))
            AS bits
-  FROM bb0 GROUP BY 1
+  FROM sg GROUP BY 1
 ),
 bb AS (
   SELECT vec_id, label, v,
          CAST(bucket0 AS VARCHAR) || ':' ||
          CAST(sig % (1 << bits) AS VARCHAR) AS bucket
-  FROM bb0 JOIN sz USING (bucket0)
+  FROM sg JOIN sz USING (bucket0)
 ),
-pairs AS (
+"""
+    else:
+        head += """bb AS (
+  SELECT vec_id, label, v, bucket0 AS bucket FROM bb0
+),
+"""
+    return head + """pairs AS (
   SELECT a.vec_id AS i, a.label AS li, b.label AS lj, b.vec_id AS j,
          round(sqrt(list_reduce(
            list_transform(range(1, len(a.v) + 1),
@@ -14535,7 +14548,7 @@ def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "silhouette_by_label_blocked",
-    _blocked_emb_pairs_cte()
+    _blocked_emb_pairs_cte(subdivide=False)
     + """
 , md AS (
   SELECT i, li, lj, avg(d) AS mean_d FROM pairs GROUP BY 1, 2, 3
@@ -14557,8 +14570,10 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     separation score: mean distances computed over same-bucket pairs
     only (equi-join on the LSH block key, never all-pairs). Points
     lacking a same-label or other-label neighbor WITHIN their bucket
-    drop out identically in both engines. Hot-block guard live at
-    ``_PAIR_BLOCK_CAP`` (oracle replays the subdivision)."""
+    drop out identically in both engines. Runs the DEFAULT hot-block
+    guard (cap 4096): its adaptive size-check sees every test-SF block
+    far under the cap and skips the subdivision machinery — the live
+    subdivision oracle is ``lof_outliers_blocked`` (cap 40)."""
     from financial_data_pipeline_spark.operators.similarity import (
         lsh_bucket,
         silhouette_by_label,
@@ -14567,10 +14582,7 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
     )
-    out = silhouette_by_label(
-        emb, block_col="block",
-        max_block_rows=_PAIR_BLOCK_CAP, block_dim=64,
-    )
+    out = silhouette_by_label(emb, block_col="block", block_dim=64)
     return out.select(
         "label",
         "n_vecs",
@@ -14580,7 +14592,7 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "knn_label_accuracy_blocked",
-    _blocked_emb_pairs_cte()
+    _blocked_emb_pairs_cte(subdivide=False)
     + """
 , knn AS (
   SELECT i, li, lj,
@@ -14604,9 +14616,9 @@ def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked leave-one-out 5-NN accuracy — the shipped scale path:
     the electorate is the block-local k nearest (LSH equi-join, never
     all-pairs); sub-(k+1) blocks vote with fewer neighbors and
-    singleton blocks drop out, identically in both engines. Hot-block
-    guard live at ``_PAIR_BLOCK_CAP`` (oracle replays the
-    subdivision)."""
+    singleton blocks drop out, identically in both engines. Runs the
+    DEFAULT hot-block guard (cap 4096, adaptive skip at test-SF block
+    sizes); the live subdivision oracle is ``lof_outliers_blocked``."""
     from financial_data_pipeline_spark.operators.similarity import (
         knn_label_accuracy,
         lsh_bucket,
@@ -14615,10 +14627,7 @@ def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
     )
-    out = knn_label_accuracy(
-        emb, k=5, block_col="block",
-        max_block_rows=_PAIR_BLOCK_CAP, block_dim=64,
-    )
+    out = knn_label_accuracy(emb, k=5, block_col="block", block_dim=64)
     return out.select(
         "label", "n_vecs", F.round("loo_accuracy", 6).alias("loo_accuracy")
     )

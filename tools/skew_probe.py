@@ -176,8 +176,13 @@ def _blocked_probes(hot_frac: float, k: int):
     return [
         (
             f"lof_blocked hot={int(hot_frac * 100)}% UNCAPPED",
+            # max_block_rows=0 explicitly DISABLES the guard — since it
+            # became the default (DEFAULT_MAX_BLOCK_ROWS), a bare call
+            # would subdivide the hot block and this leg would no longer
+            # measure the honest n² the cap exists to prevent
             lambda spark, sf_dir: lof_scores(
-                with_blocks(spark, sf_dir), k=5, block_col="block"
+                with_blocks(spark, sf_dir), k=5, block_col="block",
+                max_block_rows=0,
             ),
         ),
         (
