@@ -989,6 +989,12 @@ def euclidean(a: Column, b: Column) -> Column:
 # ``max_block_rows=0``.
 DEFAULT_MAX_BLOCK_ROWS = 4096
 
+# Subdivision signature parameters — imported by the driver queries'
+# DuckDB oracle builder (driver_queries._pair_sub_planes) so the two
+# engines can never silently desynchronize on plane count or seed.
+SUBDIV_PLANES = 16
+SUBDIV_SEED = 104729
+
 
 def _distance_pairs(
     df: DataFrame,
@@ -1071,7 +1077,7 @@ def _distance_pairs(
         if needs_subdivision and dim is not None:
             sig = lsh_bucket(
                 F.col(vec_col).cast("array<double>"),
-                seeded_planes(16, dim, seed=104729),
+                seeded_planes(SUBDIV_PLANES, dim, seed=SUBDIV_SEED),
             )
             bits = F.greatest(
                 F.lit(0),

@@ -14420,12 +14420,16 @@ _PAIR_BLOCK_CAP = 40
 
 
 def _pair_sub_planes() -> list[list[float]]:
-    """The 16 seeded hyperplanes ``_distance_pairs`` subdivides hot
-    blocks with (similarity.py: seed 104729) — identical literals on
-    both engines."""
-    from financial_data_pipeline_spark.operators.similarity import seeded_planes
+    """The seeded hyperplanes ``_distance_pairs`` subdivides hot blocks
+    with — plane count and seed imported from similarity.py so the
+    oracle can never silently desynchronize from the kernel."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        SUBDIV_PLANES,
+        SUBDIV_SEED,
+        seeded_planes,
+    )
 
-    return seeded_planes(16, 64, seed=104729)
+    return seeded_planes(SUBDIV_PLANES, 64, seed=SUBDIV_SEED)
 
 
 def _blocked_emb_pairs_cte(subdivide: bool = True) -> str:

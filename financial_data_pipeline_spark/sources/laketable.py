@@ -467,19 +467,17 @@ class LakeTable:
                 "HEAD and retry the commit against the new snapshot"
             ) from None
         self._fault("advance:post_create")  # the debris window
+        payload = {
+            "version": version,
+            "ts": time.time(),
+            "mode": mode,
+            "files": [vars(fs) for fs in files],
+            "app_meta": meta,
+            "staged": not move_head,
+            "base": base,
+        }
         with f:
-            json.dump(
-                {
-                    "version": version,
-                    "ts": time.time(),
-                    "mode": mode,
-                    "files": [vars(fs) for fs in files],
-                    "app_meta": meta,
-                    "staged": not move_head,
-                    "base": base,
-                },
-                f,
-            )
+            json.dump(payload, f)
         self._fault("advance:post_dump")
         # post-dump liveness check: a writer stalled long enough between
         # its O_EXCL create and the json.dump (GC pause, suspended
@@ -489,7 +487,10 @@ class LakeTable:
         # (or later publishing) a nonexistent manifest would brick reads
         # until the next commit, so re-verify the path before declaring
         # success. (_DEBRIS_AGE_S is also set well above any plausible
-        # stall; this check closes the window regardless.)
+        # stall; expire_snapshots additionally re-checks unreadability
+        # and age immediately before its unlink, and the post-HEAD
+        # self-heal below re-dumps the payload if the unlink still
+        # slipped between this check and the HEAD move.)
         if not os.path.exists(self._snapshot_path(version)):
             raise CommitConflict(
                 f"manifest for version {version} was reclaimed as debris "
@@ -516,6 +517,18 @@ class LakeTable:
             with open(self._head_path(), "w") as f:
                 json.dump({"version": version}, f)
             self._fault("advance:post_head")
+            # post-HEAD self-heal: a concurrent expire_snapshots that
+            # classified this manifest as debris BEFORE the dump above
+            # can still unlink it between the existence re-check and
+            # the HEAD move. We own this version number (the O_EXCL
+            # winner), so atomically re-materialize the payload — a
+            # readable manifest is never re-classified as debris, which
+            # terminates the race instead of merely narrowing it.
+            if not os.path.exists(self._snapshot_path(version)):
+                tmp = self._snapshot_path(version) + ".heal"
+                with open(tmp, "w") as f:
+                    json.dump(payload, f)
+                os.replace(tmp, self._snapshot_path(version))
         return version
 
     def _committed_past(
@@ -1056,6 +1069,24 @@ class LakeTable:
                     deleted.append(fs.path)
                     self._fault("expire:mid_data_delete")
             self._fault("expire:pre_manifest_delete")
+            if v in debris:
+                # TOCTOU re-check: the debris classification above may
+                # be minutes old by the time this loop reaches it (data
+                # files of other snapshots are deleted in between). If
+                # the stalled writer completed its json.dump since, the
+                # manifest is now readable — a COMMIT, not debris —
+                # and unlinking it would strand HEAD on a missing
+                # manifest. Re-verify unreadability AND age (a fresh
+                # mtime means a writer is alive on it) immediately
+                # before the unlink.
+                try:
+                    self._load_snapshot(v)
+                    continue  # writer finished — this is history now
+                except FileNotFoundError:
+                    continue  # concurrent vacuum won
+                except (json.JSONDecodeError, KeyError):
+                    if self._manifest_age(v) <= _DEBRIS_AGE_S:
+                        continue  # mtime moved — writer still alive
             try:
                 os.remove(self._snapshot_path(v))
             except FileNotFoundError:
@@ -1070,16 +1101,48 @@ class LakeTable:
         HEAD doesn't name. That snapshot is real history — later
         writers correctly see it in the staleness check and conflict —
         but nothing would ever move HEAD up to it, wedging the table.
-        Advance HEAD to the newest committed (non-staged, non-aborted,
-        non-detached, readable) snapshot at or above the current head.
-        Safe to run any time: a no-op when HEAD is current, never
-        moves HEAD backwards, never targets an unreadable (mid-write /
-        debris) manifest. Returns the (possibly repaired) head
-        version. The crash-matrix test drives every writer death
-        window through this recovery."""
+        Advance HEAD along the BASE CHAIN to the newest committed
+        (non-staged, non-aborted, non-detached, readable) snapshot
+        reachable from the current head: a candidate is promoted only
+        when its recorded ``base`` equals the head being repaired (then
+        the next candidate must chain from IT, and so on). The chain
+        check is what makes recovery safe against the one race O_EXCL
+        cannot arbitrate: a crashed commit that lost a publish race has
+        ``base`` pointing BELOW the published head, and blindly
+        promoting it would silently drop the published snapshot's files
+        from the live view — such an orphan is skipped (later writers
+        conflict against it via the staleness check until it ages into
+        debris or is rolled back explicitly).
+
+        If HEAD itself names an unreadable manifest (a stalled writer's
+        snapshot reclaimed as debris after HEAD moved — the last
+        un-closable sliver of that race), fall back to the newest
+        readable committed snapshot below it: the lost commit's
+        manifest is gone, so pointing at the last intact history is the
+        only repair that leaves the table readable.
+
+        Safe to run any time: a no-op when HEAD is current and
+        readable. Returns the (possibly repaired) head version. The
+        crash-matrix test drives every writer death window through this
+        recovery."""
         head = self.head_version()
         best = head
         detached = self._detached()
+        if head > 0:
+            try:
+                self._load_snapshot(head)
+            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                readable = []
+                for v in self.snapshots():
+                    if v >= head or v in detached:
+                        continue
+                    try:
+                        s = self._load_snapshot(v)
+                    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                        continue
+                    if not s.staged and not s.aborted:
+                        readable.append(v)
+                best = max(readable, default=0)
         for v in self.snapshots():
             if v <= best or v in detached:
                 continue
@@ -1087,7 +1150,7 @@ class LakeTable:
                 s = self._load_snapshot(v)
             except (FileNotFoundError, json.JSONDecodeError, KeyError):
                 continue  # debris / mid-write — not committed history
-            if not s.staged and not s.aborted:
+            if not s.staged and not s.aborted and s.base == best:
                 best = v
         if best != head:
             with open(self._head_path(), "w") as f:

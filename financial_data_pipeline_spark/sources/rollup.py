@@ -101,11 +101,17 @@ def refresh_rollup(
         # metadata-only — every target file carries, no data job runs —
         # instead of pushing an empty key frame through the rewrite
         # (which would write an empty file set just to move a number).
+        # max() against the base's CURRENT watermark keeps the mark
+        # monotone when a faster concurrent refresher already advanced
+        # it past our src_head; the pinned base makes this exact (a
+        # commit landing after the read raises CommitConflict).
         head = target.head_version()
+        head_snap = target._load_snapshot(head)
+        head_wm = int(head_snap.app_meta.get(WATERMARK_KEY, 0))
         return target._advance(
             "refresh",
-            target._load_snapshot(head).files,
-            app_meta={WATERMARK_KEY: src_head},
+            head_snap.files,
+            app_meta={WATERMARK_KEY: max(src_head, head_wm)},
             base=head,
         )
 
@@ -128,10 +134,39 @@ def refresh_rollup(
     # instead of going stale; the watermark rides the same commit
     target._check_schema_compat(fresh)
     target._enforce_constraints(fresh)
-    return target._rewrite_keyed(
+    v = target._rewrite_keyed(
         touched,
         key_cols,
         fresh,
         "refresh",
         app_meta={WATERMARK_KEY: src_head},
     )
+    # Watermark monotonicity repair: _rewrite_keyed resolves its own
+    # base, so a slower refresher can land AFTER a faster one and merge
+    # src_head over a higher mark (data converges either way — the
+    # intervals just get re-refreshed — but a regressed mark forces
+    # redundant recompute and, if the older source snapshot was
+    # vacuumed, a spurious full rebuild). If the base we actually
+    # committed over carried a higher mark, bump it back forward with a
+    # metadata-only advance pinned to our own version. Best-effort: a
+    # conflict here means yet another refresher committed past us, and
+    # ITS mark (its own fresh src_head) supersedes both.
+    snap = target._load_snapshot(v)
+    base_wm = (
+        int(target._load_snapshot(snap.base).app_meta.get(WATERMARK_KEY, 0))
+        if snap.base > 0
+        else 0
+    )
+    if base_wm > src_head:
+        from .laketable import CommitConflict
+
+        try:
+            v = target._advance(
+                "refresh",
+                snap.files,
+                app_meta={WATERMARK_KEY: base_wm},
+                base=v,
+            )
+        except CommitConflict:
+            pass
+    return v
