@@ -519,11 +519,19 @@ class LakeTable:
             self._fault("advance:post_head")
             # post-HEAD self-heal: a concurrent expire_snapshots that
             # classified this manifest as debris BEFORE the dump above
-            # can still unlink it between the existence re-check and
+            # can still reclaim it between the existence re-check and
             # the HEAD move. We own this version number (the O_EXCL
-            # winner), so atomically re-materialize the payload — a
-            # readable manifest is never re-classified as debris, which
-            # terminates the race instead of merely narrowing it.
+            # winner), so atomically re-materialize the payload. This
+            # heal and expire's rename-then-recheck reclaim protocol
+            # together terminate the race: expire reclaims by RENAME
+            # and re-reads HEAD after it — if HEAD already names this
+            # version it restores the manifest (the dump landed in the
+            # renamed inode — we hold the fd); if HEAD moves after
+            # expire's re-read, this heal re-creates the payload at the
+            # original path, which the reclaim never touches again. A
+            # readable manifest is never re-classified as debris, so
+            # every interleaving ends with HEAD naming a readable
+            # manifest.
             if not os.path.exists(self._snapshot_path(version)):
                 tmp = self._snapshot_path(version) + ".heal"
                 with open(tmp, "w") as f:
@@ -1031,6 +1039,18 @@ class LakeTable:
         files were never referenced by any readable snapshot; they age
         out with orphan retention). The vacuum never aborts mid-run on
         either state."""
+        # sweep quarantine leftovers: an expire that died between its
+        # debris rename and the remove leaves v*.json.debris files —
+        # invisible to snapshots()/readers, reclaim them once aged
+        mdir = _mdir(self.root)
+        for p in os.listdir(mdir):
+            if p.endswith(".json.debris"):
+                full = os.path.join(mdir, p)
+                try:
+                    if time.time() - os.path.getmtime(full) > _DEBRIS_AGE_S:
+                        os.remove(full)
+                except OSError:
+                    pass  # concurrent sweep won
         versions = self.snapshots()
         snaps: dict[int, "Snapshot | None"] = {}
         debris: list[int] = []
@@ -1078,7 +1098,7 @@ class LakeTable:
                 # and unlinking it would strand HEAD on a missing
                 # manifest. Re-verify unreadability AND age (a fresh
                 # mtime means a writer is alive on it) immediately
-                # before the unlink.
+                # before the reclaim.
                 try:
                     self._load_snapshot(v)
                     continue  # writer finished — this is history now
@@ -1087,6 +1107,34 @@ class LakeTable:
                 except (json.JSONDecodeError, KeyError):
                     if self._manifest_age(v) <= _DEBRIS_AGE_S:
                         continue  # mtime moved — writer still alive
+                # Reclaim via RENAME, not unlink, then re-read HEAD.
+                # The residual race the re-check above cannot see: the
+                # stalled writer dumps AFTER it, passes its own
+                # existence re-check, and moves HEAD — an unlink here
+                # would strand HEAD on a missing manifest and silently
+                # lose the acknowledged commit. The rename closes it:
+                # the writer holds the open fd, so a dump completed
+                # before the rename landed in the renamed inode intact;
+                # if HEAD already names v the commit is acknowledged →
+                # restore the (complete) manifest and keep it. If HEAD
+                # does not name v yet, either the writer never passed
+                # its existence re-check (it raises "did not land" —
+                # reclaim is consistent) or it is between that check
+                # and the HEAD move — its post-HEAD self-heal then
+                # re-materializes the payload at the original path
+                # (see _advance), which this reclaim never touches.
+                self._fault("expire:pre_debris_reclaim")
+                quarantined = self._snapshot_path(v) + ".debris"
+                try:
+                    os.replace(self._snapshot_path(v), quarantined)
+                except FileNotFoundError:
+                    continue  # concurrent vacuum won
+                if self.head_version() == v:
+                    os.replace(quarantined, self._snapshot_path(v))
+                    continue  # acknowledged commit — history, not debris
+                os.remove(quarantined)
+                self._fault("expire:post_manifest_delete")
+                continue
             try:
                 os.remove(self._snapshot_path(v))
             except FileNotFoundError:
@@ -1115,11 +1163,17 @@ class LakeTable:
         debris or is rolled back explicitly).
 
         If HEAD itself names an unreadable manifest (a stalled writer's
-        snapshot reclaimed as debris after HEAD moved — the last
-        un-closable sliver of that race), fall back to the newest
-        readable committed snapshot below it: the lost commit's
-        manifest is gone, so pointing at the last intact history is the
-        only repair that leaves the table readable.
+        snapshot reclaimed as debris after HEAD moved), fall back to
+        the newest readable committed snapshot below it: the lost
+        commit's manifest is gone, so pointing at the last intact
+        history is the only repair that leaves the table readable. A
+        committed snapshot whose recorded ``base`` EQUALS the lost head
+        (a writer that derived from it, dumped its manifest, then died
+        before moving HEAD) is still chained history — it passed its
+        own staleness checks against the lost version — so the chain
+        walk bridges the gap and promotes it; skipping it would move
+        HEAD backwards below a readable committed snapshot and wedge
+        every future commit behind a CommitConflict against it.
 
         Safe to run any time: a no-op when HEAD is current and
         readable. Returns the (possibly repaired) head version. The
@@ -1127,11 +1181,13 @@ class LakeTable:
         recovery."""
         head = self.head_version()
         best = head
+        lost = None
         detached = self._detached()
         if head > 0:
             try:
                 self._load_snapshot(head)
             except (FileNotFoundError, json.JSONDecodeError, KeyError):
+                lost = head  # the reclaimed version — a chain bridge
                 readable = []
                 for v in self.snapshots():
                     if v >= head or v in detached:
@@ -1150,8 +1206,20 @@ class LakeTable:
                 s = self._load_snapshot(v)
             except (FileNotFoundError, json.JSONDecodeError, KeyError):
                 continue  # debris / mid-write — not committed history
-            if not s.staged and not s.aborted and s.base == best:
+            if s.staged or s.aborted:
+                continue
+            if s.base == best:
                 best = v
+            elif lost is not None and s.base == lost and v > lost:
+                # bridge through the reclaimed head: this snapshot
+                # committed over the lost version (it passed staleness
+                # checks against it), so it IS the chain's continuation.
+                # Consume the bridge — at most one non-aborted snapshot
+                # can legitimately chain from any one base (the second
+                # racer's post-create re-check marks it aborted), and
+                # the ascending walk picks the earliest claimant.
+                best = v
+                lost = None
         if best != head:
             with open(self._head_path(), "w") as f:
                 json.dump({"version": best}, f)

@@ -115,11 +115,21 @@ def refresh_rollup(
             base=head,
         )
 
-    # recompute ONLY the dirty keys from source HEAD; the semi-join is
-    # broadcast (dirty-key count tracks churn, not table size) and
-    # NULL-SAFE — a null bucket (null ts → null day) is a real rollup
-    # group that groupBy keeps, so the dirty joins must match it
-    keyed = key_of(source.read())
+    # recompute ONLY the dirty keys, reading the source PINNED at
+    # src_head — the exact version the invalidation interval was
+    # computed against — so the rewritten data is consistent with the
+    # watermark we commit (an unpinned read resolves HEAD at call time,
+    # which may have advanced past the interval and would leave keys
+    # changed in the gap marked refreshed but never recomputed). The
+    # semi-join is broadcast (dirty-key count tracks churn, not table
+    # size) and NULL-SAFE — a null bucket (null ts → null day) is a
+    # real rollup group that groupBy keeps, so the dirty joins must
+    # match it
+    try:
+        keyed = key_of(source.read(version=src_head))
+    except FileNotFoundError:
+        # src_head vacuumed between head_version() and the read
+        return full_rebuild()
     fresh = agg(
         keyed.join(
             F.broadcast(touched),
@@ -143,14 +153,20 @@ def refresh_rollup(
     )
     # Watermark monotonicity repair: _rewrite_keyed resolves its own
     # base, so a slower refresher can land AFTER a faster one and merge
-    # src_head over a higher mark (data converges either way — the
-    # intervals just get re-refreshed — but a regressed mark forces
-    # redundant recompute and, if the older source snapshot was
-    # vacuumed, a spurious full rebuild). If the base we actually
-    # committed over carried a higher mark, bump it back forward with a
-    # metadata-only advance pinned to our own version. Best-effort: a
-    # conflict here means yet another refresher committed past us, and
-    # ITS mark (its own fresh src_head) supersedes both.
+    # src_head over a higher mark. A regressed mark is SAFE (the next
+    # refresh re-covers (src_head, head] and heals any key this rewrite
+    # clobbered with data from the older source snapshot) but wasteful;
+    # bumping it forward is cheap but only CORRECT when no key we just
+    # rewrote also changed inside (src_head, base_wm] — for such a key
+    # our rewrite replaced the faster racer's fresher rows with
+    # source@src_head rows, and a bumped mark would declare that
+    # interval refreshed so the staleness would never heal. So: bump
+    # only when the interval's own dirty keys provably miss ours;
+    # otherwise leave the regressed mark and let the next refresh
+    # recompute the overlap. Best-effort either way: a CommitConflict
+    # means yet another refresher committed past us, and ITS mark
+    # supersedes both; a vacuumed interval means safety is unprovable,
+    # so keep the self-healing regressed mark.
     snap = target._load_snapshot(v)
     base_wm = (
         int(target._load_snapshot(snap.base).app_meta.get(WATERMARK_KEY, 0))
@@ -160,6 +176,22 @@ def refresh_rollup(
     if base_wm > src_head:
         from .laketable import CommitConflict
 
+        try:
+            gap = table_changes(source, src_head, base_wm)
+        except FileNotFoundError:
+            return v  # interval vacuumed — cannot prove the bump safe
+        gap_keys = (
+            key_of(gap.drop("_change_type", "_change_copies"))
+            .select(*key_cols)
+            .distinct()
+        )
+        overlap = gap_keys.join(
+            F.broadcast(touched),
+            on=_nullsafe_key_cond(gap_keys, touched, key_cols),
+            how="left_semi",
+        )
+        if not overlap.isEmpty():
+            return v  # we overwrote fresher rows — regressed mark heals
         try:
             v = target._advance(
                 "refresh",

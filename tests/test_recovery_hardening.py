@@ -38,13 +38,19 @@ def _batch(spark, lo, hi, tag="t"):
     )
 
 
-def _orphan_manifest(table: LakeTable, version: int, base: int) -> None:
+def _orphan_manifest(
+    table: LakeTable, version: int, base: int, donor: int | None = None
+) -> None:
     """Hand-craft the artifact of the one race O_EXCL cannot arbitrate:
     a committed-looking manifest whose recorded base predates the
     current head (its writer passed the pre-create staleness check
     before a concurrent publish landed, then died before the
-    post-create re-check could mark it aborted)."""
-    donor = table._load_snapshot(base if base > 0 else 1)
+    post-create re-check could mark it aborted). ``donor`` names the
+    snapshot to copy the file list from when ``base`` itself is not a
+    readable snapshot (the reclaimed-head bridge scenario)."""
+    donor = table._load_snapshot(
+        donor if donor is not None else (base if base > 0 else 1)
+    )
     with open(table._snapshot_path(version), "w") as f:
         json.dump(
             {
@@ -90,73 +96,122 @@ def test_recover_head_repairs_unreadable_head_manifest(spark, tmp_path):
     assert t.read().count() == 80
 
 
-def test_refresh_watermark_monotone_when_racer_already_advanced(
+def _key_of(df):
+    return df  # day already present
+
+
+def _agg(df):
+    return df.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+
+
+def _run_stale_refresher(src, tgt, monkeypatch, stale_src_head, stale_wm):
+    """Replay a slow refresher that froze its bookkeeping reads at
+    (wm=stale_wm, src_head=stale_src_head) before a faster racer
+    landed. Only those two reads are frozen — table_changes, the
+    pinned source read, and the gap-safety check all run for real,
+    exactly as in the live interleaving."""
+    monkeypatch.setattr(src, "head_version", lambda: stale_src_head)
+    monkeypatch.setattr(
+        tgt, "app_meta", lambda: {WATERMARK_KEY: stale_wm}
+    )
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
+    monkeypatch.undo()
+
+
+def _rollup_state(tgt):
+    return {
+        (r["day"], r["n"], r["total"]) for r in tgt.read().collect()
+    }
+
+
+def test_refresh_regressed_mark_on_clobber_then_heals(
     spark, tmp_path, monkeypatch
 ):
-    """The slow-refresher interleaving, deterministically: the target's
-    head already carries wm=3 (a faster racer) when our refresh —
-    started against src_head=2 — lands. The landed state must keep
-    wm=3, not regress to 2."""
+    """The permanent-staleness race (round-6 ADVICE, high): a slow
+    refresher pinned at src_head=2 lands AFTER a fast racer refreshed
+    through 3, clobbering the racer's fresher rows for overlapping
+    keys. Bumping the mark to 3 would declare (2,3] refreshed and the
+    staleness would never heal. The fix keeps the regressed mark (the
+    gap's dirty keys intersect ours), so the NEXT refresh re-covers
+    (2, head] and converges to the from-scratch state."""
     src = LakeTable(spark, str(tmp_path / "src"), stat_cols=["day"])
     tgt = LakeTable(spark, str(tmp_path / "agg"), stat_cols=["day"])
 
-    def key_of(df):
-        return df  # day already present
-
-    def agg(df):
-        return df.groupBy("day").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
-        )
-
     src.commit(_batch(spark, 0, 40, "a"))  # src v1
-    refresh_rollup(src, tgt, key_of, agg, ["day"])  # wm = 1
-    src.commit(_batch(spark, 40, 60, "b"))  # src v2
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])  # wm = 1
+    src.commit(_batch(spark, 40, 60, "b"))  # src v2 — days overlap v3's
     src.commit(_batch(spark, 60, 70, "c"))  # src v3
 
-    # fast racer B: refreshed through src v3 → wm = 3
-    refresh_rollup(src, tgt, key_of, agg, ["day"])
+    # fast racer B: refreshed through src v3 → wm = 3, data fresh
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
     assert int(tgt.app_meta()[WATERMARK_KEY]) == 3
+    fresh = _rollup_state(tgt)
 
-    # slow racer A: froze its reads at (wm=1, src_head=2) before B
-    # landed — replay its commit now. Only the FIRST head_version()
-    # call (refresh's src_head read) sees the stale value; read()
-    # resolves the true head exactly as in the real interleaving, so
-    # A's recompute sees all current source rows (the no-skip
-    # contract) while its bookkeeping carries the stale mark.
-    real_changes = src.read().filter(F.col("tag") == "b")
-    real_head = src.head_version
-    calls = {"n": 0}
-
-    def stale_once():
-        calls["n"] += 1
-        return 2 if calls["n"] == 1 else real_head()
-
-    monkeypatch.setattr(src, "head_version", stale_once)
-    monkeypatch.setattr(
-        tgt, "app_meta", lambda: {WATERMARK_KEY: 1}
+    # slow racer A lands: its pinned read@2 overwrites overlapping
+    # keys with source@2 data — the mark must REGRESS to 2 (bumping
+    # to 3 would hide the staleness forever)
+    _run_stale_refresher(src, tgt, monkeypatch, stale_src_head=2, stale_wm=1)
+    assert int(tgt.app_meta()[WATERMARK_KEY]) == 2, (
+        "gap keys intersect the rewrite — the mark must stay regressed "
+        "so the next refresh heals the clobbered keys"
     )
-    monkeypatch.setattr(
-        rollup_mod,
-        "table_changes",
-        lambda *_a, **_k: real_changes.withColumn(
-            "_change_type", F.lit("insert")
-        ).withColumn("_change_copies", F.lit(1)),
+    assert _rollup_state(tgt) != fresh, (
+        "precondition: A really did clobber B's fresher rows (otherwise "
+        "this test no longer exercises the race)"
     )
-    refresh_rollup(src, tgt, key_of, agg, ["day"])
 
-    monkeypatch.undo()
-    assert int(tgt.app_meta()[WATERMARK_KEY]) == 3, (
-        "slow racer must not drag the watermark backwards"
-    )
-    # and the data still equals a from-scratch recompute
-    expect = {
+    # the regressed mark self-heals: one ordinary refresh re-covers
+    # (2, head] and restores the from-scratch state
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
+    assert int(tgt.app_meta()[WATERMARK_KEY]) == 3
+    assert _rollup_state(tgt) == fresh
+    assert _rollup_state(tgt) == {
         (r["day"], r["n"], r["total"])
-        for r in agg(key_of(src.read())).collect()
+        for r in _agg(_key_of(src.read())).collect()
     }
-    got = {
-        (r["day"], r["n"], r["total"]) for r in tgt.read().collect()
-    }
-    assert got == expect
+
+
+def test_refresh_bumps_mark_when_gap_keys_disjoint(
+    spark, tmp_path, monkeypatch
+):
+    """Same race, safe ordering: the keys changed in (src_head,
+    base_wm] are DISJOINT from the slow refresher's rewrite, so its
+    source@2 recompute equals source@3 for every key it touched — the
+    monotonicity bump to 3 is provably safe and must happen (a
+    regressed mark here is pure redundant recompute)."""
+    src = LakeTable(spark, str(tmp_path / "src"), stat_cols=["day"])
+    tgt = LakeTable(spark, str(tmp_path / "agg"), stat_cols=["day"])
+
+    def days(lo, hi, day_mod, tag):
+        return spark.range(lo, hi).select(
+            (F.col("id") % day_mod).cast("int").alias("day"),
+            F.col("id").alias("value"),
+            F.lit(tag).alias("tag"),
+        )
+
+    src.commit(days(0, 40, 4, "a"))  # v1: days 0..3
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])  # wm = 1
+    src.commit(days(40, 60, 2, "b"))  # v2: days 0,1
+    src.commit(  # v3: days 8,9 only — disjoint from v2's
+        spark.range(60, 70).select(
+            (F.col("id") % 2 + 8).cast("int").alias("day"),
+            F.col("id").alias("value"),
+            F.lit("c").alias("tag"),
+        )
+    )
+
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])  # B: wm = 3
+    fresh = _rollup_state(tgt)
+
+    _run_stale_refresher(src, tgt, monkeypatch, stale_src_head=2, stale_wm=1)
+    assert int(tgt.app_meta()[WATERMARK_KEY]) == 3, (
+        "disjoint gap keys — the monotonicity bump is safe and expected"
+    )
+    assert _rollup_state(tgt) == fresh, (
+        "nothing was clobbered: days 0,1 agree between source@2 and @3"
+    )
 
 
 def test_refresh_watermark_monotone_on_metadata_only_path(
@@ -189,6 +244,104 @@ def test_refresh_watermark_monotone_on_metadata_only_path(
 
     monkeypatch.undo()
     assert int(tgt.app_meta()[WATERMARK_KEY]) == 3
+
+
+def test_recover_head_bridges_through_reclaimed_head(spark, tmp_path):
+    """The wedge (round-6 ADVICE, medium): HEAD names unreadable
+    debris (v3), and a snapshot committed with base == that lost head
+    (v4 — its writer crashed post-dump, pre-HEAD-move). The fallback
+    must promote THROUGH the gap to v4, not fall back below it: moving
+    HEAD to v2 would leave committed v4 permanently conflicting every
+    future commit via the staleness check."""
+    t = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    t.commit(_batch(spark, 0, 50, "a"))  # v1
+    t.commit(_batch(spark, 50, 80, "b"))  # v2
+    # v3: the lost head — manifest reclaimed after HEAD moved
+    with open(t._head_path(), "w") as f:
+        json.dump({"version": 3}, f)
+    # v4: committed with base == 3, writer died before moving HEAD
+    _orphan_manifest(t, 4, base=3, donor=2)
+
+    assert t.recover_head() == 4, "must bridge the reclaimed-head gap"
+    assert t.head_version() == 4
+    t.read().count()  # table readable
+    # and the table is NOT wedged: a fresh commit succeeds
+    v = t.commit(_batch(spark, 80, 90, "c"))
+    assert v == 5
+
+    # control: an orphan whose base is BELOW the lost head is still
+    # skipped (the publish-race safety recover_head exists to protect)
+    t2 = LakeTable(spark, str(tmp_path / "tbl2"), stat_cols=["day"])
+    t2.commit(_batch(spark, 0, 50, "a"))  # v1
+    t2.commit(_batch(spark, 50, 80, "b"))  # v2
+    with open(t2._head_path(), "w") as f:
+        json.dump({"version": 3}, f)
+    _orphan_manifest(t2, 4, base=1)  # base below the lost head
+    assert t2.recover_head() == 2, "off-chain orphan must not win"
+
+
+def test_expire_restores_manifest_when_head_moved_after_recheck(
+    spark, tmp_path
+):
+    """The residual reclaim race (round-6 ADVICE, medium): the stalled
+    writer completes its dump AND moves HEAD after expire's TOCTOU
+    re-check but before the reclaim. The rename-then-recheck protocol
+    must notice HEAD == v and restore the manifest (the dump landed in
+    the renamed inode) instead of unlinking the acknowledged commit."""
+    import time as _time
+
+    from financial_data_pipeline_spark.sources import laketable as lt
+
+    t = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    t.commit(_batch(spark, 0, 50, "a"))  # v1
+    t.commit(_batch(spark, 50, 80, "b"))  # v2
+
+    path = t._snapshot_path(3)
+    open(path, "x").close()
+    old = _time.time() - lt._DEBRIS_AGE_S - 5
+    os.utime(path, (old, old))
+
+    # the writer wakes INSIDE the reclaim window: AFTER expire's
+    # TOCTOU re-check (the expire:pre_debris_reclaim fault point fires
+    # between the re-check and the rename) it completes its dump,
+    # passes its own existence re-check, and moves HEAD — the exact
+    # interleaving an unlink-based reclaim would turn into a silently
+    # lost acknowledged commit
+    def wake(point):
+        if point == "expire:pre_debris_reclaim" and os.path.getsize(path) == 0:
+            _orphan_manifest(t, 3, base=2)
+            with open(t._head_path(), "w") as f:
+                json.dump({"version": 3}, f)
+
+    t.fault_hook = wake
+    t.expire_snapshots(keep_last=1)
+    t.fault_hook = None
+
+    # the acknowledged commit survived: HEAD readable, manifest intact
+    assert t.head_version() == 3
+    assert os.path.getsize(path) > 0
+    t._load_snapshot(3)
+    assert t.read().count() == 80
+    assert not os.path.exists(path + ".debris")
+
+
+def test_expire_sweeps_aged_debris_quarantine(spark, tmp_path):
+    """A crashed expire leaves v*.json.debris quarantine files; the
+    next expire reclaims them once aged (and never before)."""
+    import time as _time
+
+    from financial_data_pipeline_spark.sources import laketable as lt
+
+    t = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    t.commit(_batch(spark, 0, 50, "a"))
+    q = t._snapshot_path(9) + ".debris"
+    open(q, "x").close()
+    t.expire_snapshots(keep_last=1)
+    assert os.path.exists(q), "fresh quarantine must not be swept"
+    old = _time.time() - lt._DEBRIS_AGE_S - 5
+    os.utime(q, (old, old))
+    t.expire_snapshots(keep_last=1)
+    assert not os.path.exists(q), "aged quarantine is reclaimed"
 
 
 def test_expire_spares_manifest_completed_after_debris_classification(
