@@ -1066,36 +1066,71 @@ def _distance_pairs(
     if block_col is not None and max_block_rows is None:
         max_block_rows = DEFAULT_MAX_BLOCK_ROWS
     if block_col is not None and max_block_rows is not None and max_block_rows > 0:
-        sizes = df.groupBy(block_col).agg(F.count(F.lit(1)).alias("__n"))
-        hot_row = sizes.agg(F.max("__n").alias("m")).first()
-        needs_subdivision = (hot_row["m"] or 0) > max_block_rows
+        # ONE aggregate job decides AND carries the subdivision plan:
+        # collect only the OVERSIZED blocks' (key, count) — rare by
+        # construction (the guard exists because hot blocks are the
+        # exception; a row per oversized block is the same bounded
+        # driver contract as the block-size histogram). The bits map is
+        # then a driver-built broadcast, so neither pair side recomputes
+        # the sizes aggregate and the corpus is never shuffled for it.
+        hot = (
+            df.groupBy(block_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block_rows)
+            .collect()
+        )
+        needs_subdivision = bool(hot)
         if needs_subdivision and dim is None:
             # one bounded probe job just to learn the vector width —
             # pass ``dim`` (a schema constant) to skip it
             probe = df.select(vec_col).first()
             dim = len(probe[0]) if probe is not None else None
         if needs_subdivision and dim is not None:
+            import math
+
+            bits_rows = [
+                (
+                    r[block_col],
+                    max(
+                        0,
+                        math.ceil(math.log2(r["__n"] / float(max_block_rows))),
+                    ),
+                )
+                for r in hot
+                if r[block_col] is not None  # a null key never equi-joins
+            ]
             sig = lsh_bucket(
                 F.col(vec_col).cast("array<double>"),
                 seeded_planes(SUBDIV_PLANES, dim, seed=SUBDIV_SEED),
             )
-            bits = F.greatest(
-                F.lit(0),
-                F.ceil(
-                    F.log2(F.col("__n") / F.lit(float(max_block_rows)))
-                ).cast("int"),
+        if needs_subdivision and dim is not None and bits_rows:
+            bits_df = df.sparkSession.createDataFrame(
+                bits_rows, [block_col, "__bits"]
             )
             df = (
-                df.join(sizes.select(block_col, bits.alias("__bits")), on=block_col)
+                # left join: cold blocks (and null keys) keep bits=0 —
+                # their sub-block key equals the original block key
+                df.join(F.broadcast(bits_df), on=block_col, how="left")
+                .withColumn(
+                    "__bits", F.coalesce(F.col("__bits"), F.lit(0))
+                )
                 .withColumn(
                     "__blk_sub",
-                    F.concat_ws(
-                        ":",
-                        F.col(block_col).cast("string"),
-                        F.pmod(
-                            sig,
-                            F.pow(F.lit(2.0), F.col("__bits")).cast("long"),
-                        ).cast("string"),
+                    # a null block key stays null (it never equi-joins,
+                    # so its rows pair with nothing — same as the plain
+                    # blocked path); concat_ws would silently collapse
+                    # it into a real sub-key
+                    F.when(
+                        F.col(block_col).isNull(), F.lit(None)
+                    ).otherwise(
+                        F.concat_ws(
+                            ":",
+                            F.col(block_col).cast("string"),
+                            F.pmod(
+                                sig,
+                                F.pow(F.lit(2.0), F.col("__bits")).cast("long"),
+                            ).cast("string"),
+                        )
                     ),
                 )
                 .drop("__bits")

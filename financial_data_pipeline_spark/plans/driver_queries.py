@@ -14411,12 +14411,20 @@ def q_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The hot-block cap the registered blocked queries pass explicitly:
-# small enough that the subdivision guard actually FIRES on the test
-# corpora (biggest bucket ≈ 46/51/170 rows at sf0.001/0.01/0.1), so the
-# oracle exercises the exact production code path a 100 TB hot bucket
-# would take. Production callers inherit similarity.DEFAULT_MAX_BLOCK_ROWS.
+# The hot-block cap ``pair_subdivision_probe`` passes explicitly:
+# small enough that the subdivision guard actually FIRES on its bounded
+# probe corpus at every SF, so the oracle exercises the exact production
+# code path a 100 TB hot bucket would take. Every other blocked query —
+# including ``lof_outliers_blocked`` — runs the production default
+# (similarity.DEFAULT_MAX_BLOCK_ROWS) so the bench measures the plan
+# production callers actually get.
 _PAIR_BLOCK_CAP = 40
+
+# Row bound of the dedicated subdivision probe: with 16 bucket0 blocks,
+# ~64 rows/block lands past the cap (bits = ceil(log2(64/40)) = 1) in
+# the typical block, so the guard demonstrably splits at every test SF
+# while the probe stays O(1)-sized regardless of corpus scale.
+_PAIR_PROBE_ROWS = 1024
 
 
 def _pair_sub_planes() -> list[list[float]]:
@@ -14432,7 +14440,9 @@ def _pair_sub_planes() -> list[list[float]]:
     return seeded_planes(SUBDIV_PLANES, 64, seed=SUBDIV_SEED)
 
 
-def _blocked_emb_pairs_cte(subdivide: bool = True) -> str:
+def _blocked_emb_pairs_cte(
+    subdivide: bool = True, limit: int | None = None
+) -> str:
     """Shared oracle prefix of the blocked all-pairs family: the SAME
     4 seeded-hyperplane LSH buckets as the Spark side (identical plane
     literals, identical left-fold dot product) and the block-local
@@ -14441,20 +14451,25 @@ def _blocked_emb_pairs_cte(subdivide: bool = True) -> str:
     ``subdivide=True`` additionally replays ``_distance_pairs``'s
     hot-block guard (blocks past ``_PAIR_BLOCK_CAP`` rows split by
     ceil(log2(n/cap)) bits of the 16-plane seed-104729 signature) —
-    used by ``lof_outliers_blocked``, which runs the guard LIVE with
-    cap=40 so the subdivision is oracle-exercised at every test SF.
-    ``subdivide=False`` is the plain same-bucket frame — the twin of
-    the DEFAULT guard (cap 4096), whose adaptive skip leaves blocks
-    untouched at every test corpus size (max block ≪ 4096)."""
+    used by ``pair_subdivision_probe``, which runs the guard LIVE with
+    cap=40 on a bounded corpus so the subdivision is oracle-exercised
+    at every test SF. ``subdivide=False`` is the plain same-bucket
+    frame — the twin of the DEFAULT guard (cap 4096), whose adaptive
+    skip leaves blocks untouched at every test corpus size (max block
+    ≪ 4096). ``limit`` bounds the input to vec_id < limit — vec_ids
+    are dense from 0, so this is the ``limit`` smallest vectors via a
+    pushed-down scan filter, with no global sort (the probe's
+    fixed-size corpus)."""
     bucket = " + ".join(
         "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
             lits=", ".join(repr(x) for x in p), w=1 << i
         )
         for i, p in enumerate(_pair_block_planes())
     )
+    bound = "" if limit is None else f" AND vec_id < {limit}"
     head = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-          WHERE embedding IS NOT NULL),
+          WHERE embedding IS NOT NULL{bound}),
 bb0 AS (SELECT vec_id, label, v, {bucket} AS bucket0 FROM e),
 """
     if subdivide:
@@ -14494,7 +14509,7 @@ bb AS (
 
 @query(
     "lof_outliers_blocked",
-    _blocked_emb_pairs_cte()
+    _blocked_emb_pairs_cte(subdivide=False)
     + """
 , knn AS (
   SELECT i, j, d,
@@ -14526,10 +14541,11 @@ def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     plane count grows with the corpus so block sizes stay bounded).
     LOF is a LOCAL density measure, so block-local neighbors are the
     semantically right candidate set; the oracle replays the same
-    buckets from the same plane literals. The hot-block guard runs LIVE
-    here (``max_block_rows=_PAIR_BLOCK_CAP`` subdivides the biggest
-    buckets on every test SF; the oracle replays the subdivision) —
-    production callers inherit ``DEFAULT_MAX_BLOCK_ROWS``."""
+    buckets from the same plane literals. Runs the DEFAULT hot-block
+    guard (cap 4096, adaptive skip at test-SF block sizes) — this query
+    measures the exact plan production callers get; the forced-
+    subdivision path is oracle-exercised by the dedicated
+    ``pair_subdivision_probe``."""
     from financial_data_pipeline_spark.operators.similarity import (
         lof_scores,
         lsh_bucket,
@@ -14538,15 +14554,66 @@ def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
     )
-    out = lof_scores(
-        emb, k=5, block_col="block",
-        max_block_rows=_PAIR_BLOCK_CAP, block_dim=64,
-    )
+    out = lof_scores(emb, k=5, block_col="block", block_dim=64)
     return out.select(
         "vec_id",
         F.round("k_dist", 6).alias("k_dist"),
         F.round("lrd", 6).alias("lrd"),
         F.round("lof", 6).alias("lof"),
+    )
+
+
+@query(
+    "pair_subdivision_probe",
+    _blocked_emb_pairs_cte(subdivide=True, limit=_PAIR_PROBE_ROWS)
+    + """
+SELECT i AS vec_id,
+       count(*)::BIGINT AS n_nbrs,
+       round((list(d ORDER BY d, j))[5], 6) AS k_dist
+FROM pairs GROUP BY 1
+""",
+)
+def q_pair_subdivision_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedicated live-subdivision oracle: the blocked pair frame
+    over the ``_PAIR_PROBE_ROWS`` smallest vec_ids with
+    ``max_block_rows`` forced down to ``_PAIR_BLOCK_CAP`` so
+    ``_distance_pairs``'s hot-block guard demonstrably FIRES (typical
+    block ≈ 64 rows → one signature bit splits it) and the DuckDB twin
+    replays the exact ceil(log2(n/cap))-bit subdivision from the
+    shared SUBDIV_PLANES/SUBDIV_SEED constants. Per-vector neighbor
+    count + 5th-smallest distance pins the subdivided pair MULTISET in
+    one aggregation — the probe is deliberately minimal (fixed-size
+    input, one shuffle) so the forced path no longer pollutes the
+    bench timing of ``lof_outliers_blocked``, which now measures the
+    production default end-to-end."""
+    # _distance_pairs is the guarded kernel under every blocked query;
+    # the probe drives it directly so nothing dilutes the measurement
+    from financial_data_pipeline_spark.operators.similarity import (
+        _distance_pairs,
+        lsh_bucket,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(
+            F.col("embedding").isNotNull()
+            & (F.col("vec_id") < _PAIR_PROBE_ROWS)
+        )
+        .withColumn("block", lsh_bucket(F.col("embedding"), _pair_block_planes()))
+    )
+    pairs = _distance_pairs(
+        emb, "embedding", "vec_id", "block", 20_000,
+        "pair_subdivision_probe",
+        max_block_rows=_PAIR_BLOCK_CAP, dim=64,
+    )
+    # 5th-smallest d per i == k_dist(k=5): a value-level order statistic,
+    # so the (d, j) tie-break can't change it; lists are bounded by the
+    # post-subdivision block size (≈ cap), never corpus-scale
+    return pairs.groupBy(F.col("i").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.round(
+            F.element_at(F.sort_array(F.collect_list("d")), 5), 6
+        ).alias("k_dist"),
     )
 
 
@@ -14577,7 +14644,7 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     drop out identically in both engines. Runs the DEFAULT hot-block
     guard (cap 4096): its adaptive size-check sees every test-SF block
     far under the cap and skips the subdivision machinery — the live
-    subdivision oracle is ``lof_outliers_blocked`` (cap 40)."""
+    subdivision oracle is ``pair_subdivision_probe`` (cap 40)."""
     from financial_data_pipeline_spark.operators.similarity import (
         lsh_bucket,
         silhouette_by_label,
@@ -14622,7 +14689,7 @@ def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); sub-(k+1) blocks vote with fewer neighbors and
     singleton blocks drop out, identically in both engines. Runs the
     DEFAULT hot-block guard (cap 4096, adaptive skip at test-SF block
-    sizes); the live subdivision oracle is ``lof_outliers_blocked``."""
+    sizes); the live subdivision oracle is ``pair_subdivision_probe``."""
     from financial_data_pipeline_spark.operators.similarity import (
         knn_label_accuracy,
         lsh_bucket,
