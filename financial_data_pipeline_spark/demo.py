@@ -210,8 +210,52 @@ def main() -> int:
             f"target files carried untouched)"
         )
 
-        # 10. Query — the flagship aggregate over the rollup itself
-        _banner("10. query: per-symbol summary over the daily rollup")
+        # 10. Crash recovery — kill a writer between its manifest dump
+        # and the HEAD move (the one window where a commit is real but
+        # HEAD doesn't name it), show the table still reads cleanly,
+        # then repair with recover_head: it walks the base chain and
+        # promotes the orphaned-but-committed snapshot
+        _banner("10. durability: writer killed mid-commit -> recover_head")
+
+        class _Died(RuntimeError):
+            pass
+
+        def die_pre_head(point):
+            if point == "advance:pre_head":
+                raise _Died(point)
+
+        head_before = lake.head_version()
+        rows_before = lake.read().count()
+        lake.fault_hook = die_pre_head
+        try:
+            lake.commit(
+                clean.filter(F.col("symbol") == "BTCUSDT")
+                .limit(8)
+                .repartitionByRange(1, "timestamp")
+            )
+            raise AssertionError("fault hook should have killed the commit")
+        except _Died:
+            pass
+        finally:
+            lake.fault_hook = None
+        assert lake.head_version() == head_before
+        assert lake.read().count() == rows_before  # readers unaffected
+        repaired = lake.recover_head()
+        print(
+            f"writer died post-dump/pre-HEAD at v{head_before}; reads "
+            f"stayed on v{head_before} ({rows_before} rows); recover_head "
+            f"promoted the committed orphan -> v{repaired} "
+            f"({lake.read().count()} rows), next commit is unblocked"
+        )
+        assert repaired > head_before
+        lake.commit(  # the table is not wedged
+            clean.filter(F.col("symbol") == "ETHUSDT")
+            .limit(4)
+            .repartitionByRange(1, "timestamp")
+        )
+
+        # 11. Query — the flagship aggregate over the rollup itself
+        _banner("11. query: per-symbol summary over the daily rollup")
         daily.read().groupBy("symbol").agg(
             F.sum("bars").alias("bars"),
             F.round(F.avg("avg_close"), 2).alias("avg_close"),

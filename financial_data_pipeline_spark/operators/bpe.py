@@ -89,6 +89,18 @@ def _merge_fold(sym: Column, left: str, right: str) -> Column:
     return F.aggregate(sym, init, step, finish)
 
 
+# NOTE (r7, measured): gating the fold behind a per-row "contains the
+# pair" predicate (when(exists(...), fold).otherwise(sym)) is a
+# PESSIMIZATION here, not the obvious win: Catalyst's projection
+# collapse merges the per-round selects into one nested expression, so
+# the extra exists() roughly triples the expression size PER ROUND —
+# exponential analysis blowup between checkpoints (a 12-round learn at
+# checkpoint_every=8 stopped terminating; at checkpoint_every=4 it ran
+# 2.7 s -> 3.8 s). The plain fold's per-row cost is not the bottleneck
+# at any measured scale (the 12 sequential argmax jobs are — see
+# BENCH_DETAIL), so each round folds every row unconditionally.
+
+
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     n = F.size("sym")
     pairs = F.arrays_zip(

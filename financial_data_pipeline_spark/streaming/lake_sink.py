@@ -58,11 +58,18 @@ def lake_batch_writer(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table, query_key):
             return  # replayed delivery; already in the table
+        # fault-injection seam (same hook as the lake commit protocol's
+        # advance:* points): the streaming crash matrix kills the
+        # writer here — before the lake commit and between the lake
+        # commit and the checkpoint commit — and asserts exactly-once
+        # across restart
+        table._fault("lake_sink:pre_commit")
         meta = {_META_PREFIX + query_key: int(batch_id)}
         if mode == "merge":
             table.merge(batch_df, key_cols, app_meta=meta)
         else:
             table.commit(batch_df, mode="append", app_meta=meta)
+        table._fault("lake_sink:post_commit")
 
     return handle
 

@@ -94,14 +94,25 @@ def timed_run(spark, build_df, runs: int = 1) -> dict:
 
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    names = sys.argv[2].split(",") if len(sys.argv) > 2 else TOP5
+    # an explicit query list narrows the probe to exactly those queries
+    # (the blocked family is added only on the default full run)
+    explicit = len(sys.argv) > 2 and sys.argv[2] not in ("", "-")
+    names = sys.argv[2].split(",") if explicit else TOP5
+    shuffle_parts = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from financial_data_pipeline_spark import get_spark
     from financial_data_pipeline_spark.plans.driver_queries import QUERIES
     from tools.scaling_probe import _adaptive_blocked_probes, amplify
 
+    extra_conf = {"spark.ui.enabled": "true"}
     spark = get_spark(
-        app_name="fdp-deep-probe", extra_conf={"spark.ui.enabled": "true"}
+        app_name="fdp-deep-probe",
+        extra_conf=extra_conf,
+        **(
+            {"shuffle_partitions": shuffle_parts}
+            if shuffle_parts is not None
+            else {}
+        ),
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -123,7 +134,9 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    adaptive, (p1, pk) = _adaptive_blocked_probes(k)
+    adaptive, (p1, pk) = (
+        _adaptive_blocked_probes(k) if not explicit else ([], (0, 0))
+    )
     for name, build in adaptive:
         label = f"{name} [planes {p1}->{pk}]"
         r1 = timed_run(spark, lambda: build(spark, BASE, p1), runs=2)
@@ -140,13 +153,24 @@ def main() -> int:
     def mb(b: int) -> str:
         return f"{b / 1e6:.0f}MB" if b else "0"
 
+    probed = (
+        "the top-5 heaviest bench queries plus the adaptive-planes "
+        "blocked family"
+        if not explicit
+        else ", ".join(names)
+    )
+    parts_note = (
+        f", {shuffle_parts} shuffle partitions"
+        if shuffle_parts is not None
+        else ""
+    )
     lines = [
         "",
-        f"## Round-6 deep point ({k}×, spill & peak memory)",
+        f"## Deep point ({k}×, spill & peak memory{parts_note})",
         "",
-        f"`tools/deep_probe.py {k}`: the top-5 heaviest bench queries "
-        f"plus the adaptive-planes blocked family at {k}× "
-        f"({k // 10}× the full sf1 volume on one 32-thread JVM), with "
+        f"`tools/deep_probe.py {k}`: {probed} at {k}× "
+        f"({k // 10}× the full sf1 volume on one 32-thread JVM"
+        f"{parts_note}), with "
         "executor metrics from the status REST API. `peak stage mem` "
         "is the max per-stage `peakExecutionMemory` across the run — "
         "the number that must stay under executor memory at any scale; "
