@@ -37,6 +37,38 @@ def headline() -> list[str]:
     return [n for n in QUERIES if n not in BENCH_EXCLUDE]
 
 
+def regression_gate(
+    per_query: dict[str, float],
+    prev: dict[str, float],
+    floor: float = 1.0,
+    ratio: float = 2.0,
+) -> tuple[float | None, dict[str, float], list[str]]:
+    """The noise-aware regression predicate, pure so it unit-tests:
+    returns (inflation_index, per-query ratios, candidate names).
+
+    inflation_index = MEDIAN per-query ratio over the comparable set —
+    a busier container inflates every query roughly uniformly (r6:
+    1.09× median across 355 untouched queries), and flagging that as
+    per-query regressions is noise. A candidate must be >= ``floor``
+    seconds (sub-second deltas are noise-floor per BASELINE.md) AND
+    > ``ratio`` after normalizing by the inflation index. Callers
+    additionally require candidates to SURVIVE an idle re-run."""
+    common = sorted(k for k in set(per_query) & set(prev) if prev[k] > 0)
+    if not common:
+        return None, {}, []
+    import statistics
+
+    ratios = {k: per_query[k] / prev[k] for k in common}
+    inflation = round(statistics.median(ratios.values()), 3)
+    norm = max(inflation, 1e-9)
+    candidates = [
+        k
+        for k in common
+        if per_query[k] >= floor and ratios[k] / norm > ratio
+    ]
+    return inflation, ratios, candidates
+
+
 def _time_one(fn, spark, sf_dir: str) -> float:
     """Time one noop-sink execution of a registered query plan."""
     t0 = time.perf_counter()
@@ -152,18 +184,10 @@ def main() -> None:
             prev = json.load(fh).get("queries", {})
     except (FileNotFoundError, json.JSONDecodeError):
         prev = {}
-    common = sorted(k for k in set(per_query) & set(prev) if prev[k] > 0)
+    inflation, ratios, candidates = regression_gate(per_query, prev)
+    common = sorted(ratios)
     if common:
-        import statistics
-
-        ratios = {k: per_query[k] / prev[k] for k in common}
-        inflation = round(statistics.median(ratios.values()), 3)
         norm = max(inflation, 1e-9)
-        candidates = [
-            k
-            for k in common
-            if per_query[k] >= 1.0 and ratios[k] / norm > 2.0
-        ]
         if candidates:
             # idle re-run: the sweeps are done, this JVM is quiet —
             # re-time each candidate and keep the min; a flag that a
