@@ -72,3 +72,44 @@ def dedup_against_history(batch: DataFrame, history: DataFrame) -> DataFrame:
     return in_batch.join(
         history.select("content_hash"), on="content_hash", how="left_anti"
     )
+
+
+def dedup_ingest_writer(table, query_key: str = "dedup_ingest"):
+    """The production ``foreachBatch`` handler for exactly-once
+    unbounded-history dedup ingest: each micro-batch is deduplicated
+    in-batch, anti-joined against the lake table's own ``content_hash``
+    column (the compacted history), and the survivors — hashes riding
+    along — land as ONE manifest commit carrying the lake sink's batch
+    ledger. A crash between the lake commit and the checkpoint commit
+    replays the batch; the ledger skips it, so a duplicate can never be
+    re-admitted and a novel doc is never lost
+    (``tests/test_streaming_crash_matrix.py`` kills this handler in
+    every death window and asserts both).
+
+    ``table`` is the :class:`~financial_data_pipeline_spark.sources.
+    laketable.LakeTable` that is BOTH the sink and the history — one
+    commit keeps data, hash set, and ledger atomic. State is O(0) on
+    the streaming side; the history anti-join is one shuffle keyed on
+    the 8-byte hash (broadcast when the history fits), per the 100 TB
+    design in the module docstring."""
+    from .lake_sink import _META_PREFIX, last_committed_batch
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(table, query_key):
+            return  # replayed delivery; already in the table
+        if table.head_version() > 0:
+            history = table.read().select("content_hash")
+        else:
+            history = batch.sparkSession.createDataFrame(
+                [], "content_hash long"
+            )
+        fresh = dedup_against_history(batch, history)
+        table._fault("lake_sink:pre_commit")
+        table.commit(
+            fresh,
+            mode="append",
+            app_meta={_META_PREFIX + query_key: int(batch_id)},
+        )
+        table._fault("lake_sink:post_commit")
+
+    return handle

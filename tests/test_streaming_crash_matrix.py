@@ -37,7 +37,7 @@ from financial_data_pipeline_spark.sources import laketable as lt
 from financial_data_pipeline_spark.sources.laketable import LakeTable
 from financial_data_pipeline_spark.sources.rollup import refresh_rollup
 from financial_data_pipeline_spark.streaming.dedup_stream import (
-    dedup_against_history,
+    dedup_ingest_writer,
 )
 from financial_data_pipeline_spark.streaming.lake_sink import (
     last_committed_batch,
@@ -176,32 +176,10 @@ def test_dedup_ingest_exactly_once_across_crash(spark, tmp_path):
     table = LakeTable(spark, str(tmp_path / "docs_lake"), stat_cols=["doc_id"])
 
     def ingest():
-        def handle(batch, batch_id):
-            if batch_id <= last_committed_batch(table, "ingest"):
-                return
-            history = (
-                table.read().select("content_hash")
-                if table.head_version() > 0
-                else None
-            )
-            fresh = dedup_against_history(
-                batch,
-                history
-                if history is not None
-                else batch.select(F.col("doc_id").cast("long").alias("content_hash")).limit(0),
-            )
-            table._fault("lake_sink:pre_commit")
-            table.commit(
-                fresh.select("doc_id", "text", "ts", "content_hash"),
-                mode="append",
-                app_meta={"stream_batch:ingest": int(batch_id)},
-            )
-            table._fault("lake_sink:post_commit")
-
         (
             spark.readStream.schema(DOC_SCHEMA)
             .parquet(str(src / "*"))
-            .writeStream.foreachBatch(handle)
+            .writeStream.foreachBatch(dedup_ingest_writer(table, "ingest"))
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
