@@ -178,19 +178,26 @@ def refresh_rollup(
 
         try:
             gap = table_changes(source, src_head, base_wm)
-        except FileNotFoundError:
-            return v  # interval vacuumed — cannot prove the bump safe
-        gap_keys = (
-            key_of(gap.drop("_change_type", "_change_copies"))
-            .select(*key_cols)
-            .distinct()
-        )
-        overlap = gap_keys.join(
-            F.broadcast(touched),
-            on=_nullsafe_key_cond(gap_keys, touched, key_cols),
-            how="left_semi",
-        )
-        if not overlap.isEmpty():
+            gap_keys = (
+                key_of(gap.drop("_change_type", "_change_copies"))
+                .select(*key_cols)
+                .distinct()
+            )
+            overlap_empty = gap_keys.join(
+                F.broadcast(touched),
+                on=_nullsafe_key_cond(gap_keys, touched, key_cols),
+                how="left_semi",
+            ).isEmpty()
+        except Exception:  # noqa: BLE001 — deliberately broad: the
+            # evaluation lazily re-reads BOTH change intervals' parquet,
+            # which a concurrent source vacuum can delete mid-job (the
+            # manifest miss raises Python FileNotFoundError, a data-file
+            # miss surfaces as a JVM error through py4j). Either way
+            # safety is unprovable, and the fallback — keep the
+            # regressed mark — is always correct: the next refresh
+            # re-covers the interval and heals.
+            return v
+        if not overlap_empty:
             return v  # we overwrote fresher rows — regressed mark heals
         try:
             v = target._advance(
