@@ -995,6 +995,15 @@ DEFAULT_MAX_BLOCK_ROWS = 4096
 SUBDIV_PLANES = 16
 SUBDIV_SEED = 104729
 
+# Hot-block guard driver bound: at most this many oversized-block
+# (key, count) rows are ever collect()ed to plan the subdivision as a
+# driver-built broadcast. A corpus whose blocking scheme leaves MORE
+# oversized blocks than this (e.g. a mis-sized IVF grid at 100 TB)
+# switches to a fully distributed plan — the sizes aggregate is
+# shuffle-joined and the bits computed JVM-side — so the driver never
+# holds O(#blocks) state regardless of block-key cardinality.
+HOT_COLLECT_CAP = 8192
+
 
 def _distance_pairs(
     df: DataFrame,
@@ -1068,18 +1077,23 @@ def _distance_pairs(
     if block_col is not None and max_block_rows is not None and max_block_rows > 0:
         # ONE aggregate job decides AND carries the subdivision plan:
         # collect only the OVERSIZED blocks' (key, count) — rare by
-        # construction (the guard exists because hot blocks are the
-        # exception; a row per oversized block is the same bounded
-        # driver contract as the block-size histogram). The bits map is
-        # then a driver-built broadcast, so neither pair side recomputes
-        # the sizes aggregate and the corpus is never shuffled for it.
-        hot = (
+        # construction for LSH/IVF layouts sized per the runbook (the
+        # guard exists because hot blocks are the exception). The
+        # collect is BOUNDED at ``HOT_COLLECT_CAP`` rows: a general
+        # blocked corpus (e.g. a mis-sized IVF grid where thousands of
+        # cells modestly exceed the cap) must not turn the guard into
+        # an unbounded driver fetch. Past the cap the bits map stays
+        # DISTRIBUTED — the same sizes aggregate is joined to the
+        # corpus and the subdivision bits are computed JVM-side, at the
+        # cost of one extra shuffle join instead of a broadcast.
+        hot_agg = (
             df.groupBy(block_col)
             .agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_block_rows)
-            .collect()
         )
+        hot = hot_agg.limit(HOT_COLLECT_CAP + 1).collect()
         needs_subdivision = bool(hot)
+        bits_df = None
         if needs_subdivision and dim is None:
             # one bounded probe job just to learn the vector width —
             # pass ``dim`` (a schema constant) to skip it
@@ -1088,29 +1102,56 @@ def _distance_pairs(
         if needs_subdivision and dim is not None:
             import math
 
-            bits_rows = [
-                (
-                    r[block_col],
-                    max(
-                        0,
-                        math.ceil(math.log2(r["__n"] / float(max_block_rows))),
-                    ),
-                )
-                for r in hot
-                if r[block_col] is not None  # a null key never equi-joins
-            ]
             sig = lsh_bucket(
                 F.col(vec_col).cast("array<double>"),
                 seeded_planes(SUBDIV_PLANES, dim, seed=SUBDIV_SEED),
             )
-        if needs_subdivision and dim is not None and bits_rows:
-            bits_df = df.sparkSession.createDataFrame(
-                bits_rows, [block_col, "__bits"]
-            )
+            if len(hot) <= HOT_COLLECT_CAP:
+                bits_rows = [
+                    (
+                        r[block_col],
+                        max(
+                            0,
+                            math.ceil(
+                                math.log2(r["__n"] / float(max_block_rows))
+                            ),
+                        ),
+                    )
+                    for r in hot
+                    if r[block_col] is not None  # null never equi-joins
+                ]
+                if bits_rows:
+                    bits_df = F.broadcast(
+                        df.sparkSession.createDataFrame(
+                            bits_rows, [block_col, "__bits"]
+                        )
+                    )
+            else:
+                # distributed fallback: too many oversized blocks for a
+                # driver round-trip — same bits formula, computed in
+                # the sizes aggregate and shuffle-joined (AQE may still
+                # pick broadcast if the aggregate turns out small)
+                bits_df = hot_agg.filter(
+                    F.col(block_col).isNotNull()
+                ).select(
+                    block_col,
+                    F.greatest(
+                        F.lit(0),
+                        F.ceil(
+                            F.log2(
+                                F.col("__n")
+                                / F.lit(float(max_block_rows))
+                            )
+                        ),
+                    )
+                    .cast("int")
+                    .alias("__bits"),
+                )
+        if bits_df is not None:
             df = (
                 # left join: cold blocks (and null keys) keep bits=0 —
                 # their sub-block key equals the original block key
-                df.join(F.broadcast(bits_df), on=block_col, how="left")
+                df.join(bits_df, on=block_col, how="left")
                 .withColumn(
                     "__bits", F.coalesce(F.col("__bits"), F.lit(0))
                 )

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -1041,12 +1042,31 @@ class LakeTable:
         either state."""
         # sweep quarantine leftovers: an expire that died between its
         # debris rename and the remove leaves v*.json.debris files —
-        # invisible to snapshots()/readers, reclaim them once aged
+        # invisible to snapshots()/readers, reclaim them once aged.
+        # But NOT unconditionally: if a prior expire crashed between
+        # the debris rename and its HEAD re-check below, and the
+        # stalled writer had already dumped and moved HEAD (its
+        # post-HEAD self-heal saw the manifest present pre-rename, so
+        # it did not re-materialize), the .debris file is the ONLY
+        # copy of an acknowledged commit's manifest. Restore it to its
+        # original path when HEAD still names that version and the
+        # manifest is absent — exactly mirroring the inline head==v
+        # restore in the reclaim loop — and only remove otherwise.
         mdir = _mdir(self.root)
         for p in os.listdir(mdir):
             if p.endswith(".json.debris"):
                 full = os.path.join(mdir, p)
+                m = re.match(r"^v(\d+)\.json\.debris$", p)
+                dv = int(m.group(1)) if m else -1
+                orig = self._snapshot_path(dv) if dv >= 0 else None
                 try:
+                    if (
+                        orig is not None
+                        and self.head_version() == dv
+                        and not os.path.exists(orig)
+                    ):
+                        os.replace(full, orig)  # acknowledged commit
+                        continue
                     if time.time() - os.path.getmtime(full) > _DEBRIS_AGE_S:
                         os.remove(full)
                 except OSError:
@@ -1129,6 +1149,7 @@ class LakeTable:
                     os.replace(self._snapshot_path(v), quarantined)
                 except FileNotFoundError:
                     continue  # concurrent vacuum won
+                self._fault("expire:post_debris_rename")
                 if self.head_version() == v:
                     os.replace(quarantined, self._snapshot_path(v))
                     continue  # acknowledged commit — history, not debris
@@ -1184,9 +1205,27 @@ class LakeTable:
         lost = None
         detached = self._detached()
         if head > 0:
+            head_lost = False
             try:
                 self._load_snapshot(head)
-            except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            except FileNotFoundError:
+                # Before demoting, check the debris quarantine: an
+                # expire that crashed between its debris rename and the
+                # HEAD re-check leaves the acknowledged head manifest
+                # parked at v*.json.debris — restoring it IS the repair
+                # (no history is lost), demotion is the last resort.
+                debris_twin = self._snapshot_path(head) + ".debris"
+                head_lost = True
+                if os.path.exists(debris_twin):
+                    try:
+                        os.replace(debris_twin, self._snapshot_path(head))
+                        self._load_snapshot(head)
+                        head_lost = False
+                    except (OSError, json.JSONDecodeError, KeyError):
+                        head_lost = True
+            except (json.JSONDecodeError, KeyError):
+                head_lost = True
+            if head_lost:
                 lost = head  # the reclaimed version — a chain bridge
                 readable = []
                 for v in self.snapshots():

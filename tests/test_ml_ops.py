@@ -582,3 +582,40 @@ def test_max_block_rows_subdivides_hot_blocks(spark):
     assert plain.keys() == wide_cap.keys()
     for i in plain:
         assert abs(plain[i] - wide_cap[i]) < 1e-12
+
+
+def test_hot_block_guard_distributed_fallback(spark, monkeypatch):
+    """Round-8 ADVICE (low): the guard's driver collect is BOUNDED.
+    With more oversized blocks than HOT_COLLECT_CAP the bits map must
+    be computed distributed (sizes shuffle-join, JVM-side log2) and
+    produce EXACTLY the same sub-blocked pair set as the driver-built
+    broadcast path — the cap changes the physical plan, never the
+    semantics."""
+    import numpy as np
+
+    from financial_data_pipeline_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(11)
+    # 6 blocks of 30 rows each, cap 10 → every block oversized
+    n_blk, per = 6, 30
+    X = rng.normal(0.0, 1.0, (n_blk * per, 8))
+    rows = [
+        (int(i), [float(x) for x in X[i]], i % n_blk)
+        for i in range(n_blk * per)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "blk"])
+
+    def pairs():
+        return {
+            (r.i, r.j, r.d)
+            for r in sim._distance_pairs(
+                df, "embedding", "vec_id", "blk", 10**9, "t",
+                max_block_rows=10,
+            ).collect()
+        }
+
+    driver_path = pairs()  # 6 oversized blocks << default cap
+    monkeypatch.setattr(sim, "HOT_COLLECT_CAP", 2)
+    fallback_path = pairs()  # 6 > 2 → distributed bits map
+    assert fallback_path == driver_path
+    assert len(driver_path) > 0

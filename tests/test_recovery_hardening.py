@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from financial_data_pipeline_spark.sources.laketable import LakeTable
@@ -377,3 +378,93 @@ def test_expire_spares_manifest_completed_after_debris_classification(
     assert os.path.getsize(path) > 0
     assert 3 in t.snapshots()
     assert t.recover_head() == 3
+
+
+def test_sweep_restores_debris_of_acknowledged_head(spark, tmp_path):
+    """Round-8 ADVICE (medium): an expire that crashes between the
+    debris rename and its HEAD re-check — after the stalled writer
+    dumped and moved HEAD — leaves the .debris file as the ONLY copy
+    of an acknowledged commit's manifest. The aged-debris quarantine
+    sweep must RESTORE it (HEAD names the version, manifest absent),
+    never reclaim it; reclaiming would demote HEAD below a committed
+    snapshot and silently lose the acknowledged commit."""
+    import time as _time
+
+    from financial_data_pipeline_spark.sources import laketable as lt
+
+    t = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    t.commit(_batch(spark, 0, 50, "a"))  # v1
+    t.commit(_batch(spark, 50, 80, "b"))  # v2
+
+    # dead-writer debris: empty manifest aged past the horizon
+    path = t._snapshot_path(3)
+    open(path, "x").close()
+    old = _time.time() - lt._DEBRIS_AGE_S - 5
+    os.utime(path, (old, old))
+
+    class _Died(Exception):
+        pass
+
+    # interleaving: writer completes dump + moves HEAD inside the
+    # reclaim window (after the TOCTOU re-check), then expire dies
+    # right after the debris rename — before its HEAD re-read.
+    def wake_then_die(point):
+        if point == "expire:pre_debris_reclaim" and os.path.getsize(path) == 0:
+            _orphan_manifest(t, 3, base=2)
+            with open(t._head_path(), "w") as f:
+                json.dump({"version": 3}, f)
+        if point == "expire:post_debris_rename":
+            raise _Died(point)
+
+    t.fault_hook = wake_then_die
+    with pytest.raises(_Died):
+        t.expire_snapshots(keep_last=1)
+    t.fault_hook = None
+
+    # crash state: HEAD==3, manifest gone, .debris is the only copy
+    assert t.head_version() == 3
+    assert not os.path.exists(path)
+    q = path + ".debris"
+    assert os.path.exists(q) and os.path.getsize(q) > 0
+    old = _time.time() - lt._DEBRIS_AGE_S - 5
+    os.utime(q, (old, old))  # age it — the sweep must STILL restore
+
+    t.expire_snapshots(keep_last=1)  # the sweep runs first
+
+    assert os.path.exists(path), "sweep must restore, not reclaim"
+    assert not os.path.exists(q)
+    assert t.head_version() == 3
+    t._load_snapshot(3)
+    assert t.read().count() == 80
+    # and the table is not wedged
+    assert t.commit(_batch(spark, 80, 90, "c")) == 4
+
+
+def test_recover_head_restores_debris_twin_before_demoting(
+    spark, tmp_path
+):
+    """recover_head on the same crash state (HEAD names a version whose
+    manifest is parked at v*.json.debris): restore the quarantined
+    manifest instead of demoting HEAD below the acknowledged commit."""
+    t = LakeTable(spark, str(tmp_path / "tbl"), stat_cols=["day"])
+    t.commit(_batch(spark, 0, 50, "a"))  # v1
+    t.commit(_batch(spark, 50, 80, "b"))  # v2
+    _orphan_manifest(t, 3, base=2)
+    with open(t._head_path(), "w") as f:
+        json.dump({"version": 3}, f)
+    # expire crashed post-rename: manifest parked in quarantine
+    os.replace(t._snapshot_path(3), t._snapshot_path(3) + ".debris")
+
+    assert t.recover_head() == 3, "debris twin is the repair, not demotion"
+    assert os.path.exists(t._snapshot_path(3))
+    assert not os.path.exists(t._snapshot_path(3) + ".debris")
+    assert t.read().count() == 80
+
+    # control: unreadable debris twin (writer never dumped) still demotes
+    t2 = LakeTable(spark, str(tmp_path / "tbl2"), stat_cols=["day"])
+    t2.commit(_batch(spark, 0, 50, "a"))  # v1
+    t2.commit(_batch(spark, 50, 80, "b"))  # v2
+    open(t2._snapshot_path(3) + ".debris", "x").close()
+    with open(t2._head_path(), "w") as f:
+        json.dump({"version": 3}, f)
+    assert t2.recover_head() == 2, "empty debris twin cannot be promoted"
