@@ -91,9 +91,28 @@ def dedup_keep_first(
 
 def coerce_numeric(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """``pd.to_numeric(errors="coerce")`` analog: junk → null
-    (``data_cleaner.py:117-118``)."""
+    (``data_cleaner.py:117-118``).
+
+    Overflow parity (found by ``tools/fuzz_oracle.py``): pandas treats
+    a finite literal that overflows double ("1e400") as a COERCE
+    failure → NaN, while Spark's cast saturates to ±Infinity. Only an
+    EXPLICIT infinity token may stay infinite, so a string column's
+    cast is post-filtered: ±inf results whose source text isn't an
+    infinity literal become null."""
     cols = cols or [c for c in OHLCV_COLUMNS if c in df.columns]
-    return df.withColumns({c: F.col(c).cast("double") for c in cols})
+    dtypes = dict(df.dtypes)
+    updates = {}
+    for c in cols:
+        cast = F.col(c).cast("double")
+        if dtypes.get(c) == "string":
+            inf_token = F.lower(F.trim(F.col(c))).isin(
+                "inf", "+inf", "-inf", "infinity", "+infinity", "-infinity"
+            )
+            cast = F.when(
+                F.abs(cast) == F.lit(float("inf")), F.when(inf_token, cast)
+            ).otherwise(cast)
+        updates[c] = cast
+    return df.withColumns(updates)
 
 
 def normalize_timestamp(
