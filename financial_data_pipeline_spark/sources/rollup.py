@@ -33,6 +33,7 @@ rebuild instead of failing.
 
 from __future__ import annotations
 
+import logging
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -40,7 +41,23 @@ from pyspark.sql import functions as F
 
 from .laketable import LakeTable, _nullsafe_key_cond, table_changes
 
+_log = logging.getLogger(__name__)
+
 WATERMARK_KEY = "rollup_src_version"
+
+#: Observability counters for the watermark-monotonicity repair (the
+#: race-loser path of concurrent refreshers). The gap-safety fallback
+#: (``fallback_unprovable``) is deliberately silent-but-correct in
+#: control flow — a persistent failure (e.g. a vacuum policy that
+#: always reclaims the gap interval before the proof runs) degrades
+#: into permanent regressed-mark churn; these counters (plus a WARNING
+#: log naming the exception class) make that visible to an operator.
+#: Cumulative per process; tests snapshot-and-diff around a refresh.
+GAP_REPAIR_COUNTERS = {
+    "bumped": 0,  # proof succeeded — mark bumped forward to base_wm
+    "regressed_overlap": 0,  # gap keys overlap the rewrite — kept back
+    "fallback_unprovable": 0,  # proof evaluation failed — kept back
+}
 
 
 def refresh_rollup(
@@ -188,16 +205,29 @@ def refresh_rollup(
                 on=_nullsafe_key_cond(gap_keys, touched, key_cols),
                 how="left_semi",
             ).isEmpty()
-        except Exception:  # noqa: BLE001 — deliberately broad: the
+        except Exception as e:  # noqa: BLE001 — deliberately broad: the
             # evaluation lazily re-reads BOTH change intervals' parquet,
             # which a concurrent source vacuum can delete mid-job (the
             # manifest miss raises Python FileNotFoundError, a data-file
             # miss surfaces as a JVM error through py4j). Either way
             # safety is unprovable, and the fallback — keep the
             # regressed mark — is always correct: the next refresh
-            # re-covers the interval and heals.
+            # re-covers the interval and heals. Count + log so a
+            # PERSISTENT proof failure (permanent regressed-mark churn)
+            # is visible, not silent.
+            GAP_REPAIR_COUNTERS["fallback_unprovable"] += 1
+            _log.warning(
+                "rollup gap-safety proof failed (%s: %s); keeping the "
+                "regressed watermark %d (< %d) — next refresh re-covers "
+                "the interval",
+                type(e).__name__,
+                e,
+                src_head,
+                base_wm,
+            )
             return v
         if not overlap_empty:
+            GAP_REPAIR_COUNTERS["regressed_overlap"] += 1
             return v  # we overwrote fresher rows — regressed mark heals
         try:
             v = target._advance(
@@ -206,6 +236,7 @@ def refresh_rollup(
                 app_meta={WATERMARK_KEY: base_wm},
                 base=v,
             )
+            GAP_REPAIR_COUNTERS["bumped"] += 1
         except CommitConflict:
             pass
     return v

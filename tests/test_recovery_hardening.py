@@ -468,3 +468,91 @@ def test_recover_head_restores_debris_twin_before_demoting(
     with open(t2._head_path(), "w") as f:
         json.dump({"version": 3}, f)
     assert t2.recover_head() == 2, "empty debris twin cannot be promoted"
+
+
+def _gap_counters():
+    return dict(rollup_mod.GAP_REPAIR_COUNTERS)
+
+
+def _gap_delta(before):
+    return {
+        k: rollup_mod.GAP_REPAIR_COUNTERS[k] - before[k]
+        for k in before
+        if rollup_mod.GAP_REPAIR_COUNTERS[k] != before[k]
+    }
+
+
+def test_gap_safety_fallback_counter_on_forced_vacuum_race(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 verdict item 4: the deliberately-broad gap-safety except
+    is correct but was silent. Force the vacuum race — table_changes
+    succeeds for the refresh interval but raises when the repair
+    evaluates the GAP interval — and assert the fallback counter
+    increments (and the mark stays regressed, the always-safe state)."""
+    src = LakeTable(spark, str(tmp_path / "src"), stat_cols=["day"])
+    tgt = LakeTable(spark, str(tmp_path / "agg"), stat_cols=["day"])
+
+    src.commit(_batch(spark, 0, 40, "a"))  # v1
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])  # wm = 1
+    src.commit(_batch(spark, 40, 60, "b"))  # v2
+    src.commit(_batch(spark, 60, 70, "c"))  # v3
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])  # fast racer: wm = 3
+
+    real_changes = rollup_mod.table_changes
+
+    def vacuumed_gap(table, lo, hi):
+        if (lo, hi) == (2, 3):  # the gap interval (src_head, base_wm]
+            raise FileNotFoundError("snapshot 3 reclaimed by vacuum")
+        return real_changes(table, lo, hi)
+
+    monkeypatch.setattr(rollup_mod, "table_changes", vacuumed_gap)
+    monkeypatch.setattr(src, "head_version", lambda: 2)
+    monkeypatch.setattr(tgt, "app_meta", lambda: {WATERMARK_KEY: 1})
+    before = _gap_counters()
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
+    monkeypatch.undo()
+
+    assert _gap_delta(before) == {"fallback_unprovable": 1}
+    assert int(tgt.app_meta()[WATERMARK_KEY]) == 2, (
+        "unprovable safety must keep the self-healing regressed mark"
+    )
+    # and it heals on the next ordinary refresh
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
+    assert int(tgt.app_meta()[WATERMARK_KEY]) == 3
+
+
+def test_gap_counters_on_happy_and_race_paths(spark, tmp_path, monkeypatch):
+    """The counters classify every repair outcome: an ordinary refresh
+    touches none of them; the overlap race increments
+    regressed_overlap; the disjoint race increments bumped."""
+    src = LakeTable(spark, str(tmp_path / "src"), stat_cols=["day"])
+    tgt = LakeTable(spark, str(tmp_path / "agg"), stat_cols=["day"])
+    src.commit(_batch(spark, 0, 40, "a"))
+    before = _gap_counters()
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
+    src.commit(_batch(spark, 40, 60, "b"))
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
+    assert _gap_delta(before) == {}, "happy path must not count"
+
+    # overlap race (same interleaving as the clobber test)
+    src.commit(_batch(spark, 60, 70, "c"))
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])
+    before = _gap_counters()
+    _run_stale_refresher(src, tgt, monkeypatch, stale_src_head=2, stale_wm=1)
+    assert _gap_delta(before) == {"regressed_overlap": 1}
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])  # heal
+
+    # disjoint race → bumped (days 8,9 in the gap, days 0..6 rewritten)
+    src.commit(
+        spark.range(70, 80).select(
+            (F.col("id") % 2 + 8).cast("int").alias("day"),
+            F.col("id").alias("value"),
+            F.lit("d").alias("tag"),
+        )
+    )  # v4: days 8,9 only
+    refresh_rollup(src, tgt, _key_of, _agg, ["day"])  # wm = 4
+    before = _gap_counters()
+    _run_stale_refresher(src, tgt, monkeypatch, stale_src_head=3, stale_wm=2)
+    assert _gap_delta(before) == {"bumped": 1}
+    assert int(tgt.app_meta()[WATERMARK_KEY]) == 4
