@@ -391,6 +391,7 @@ def bm25_scores(
         .crossJoin(F.broadcast(corpus))
         .select(
             "id",
+            "tok",
             (
                 F.log(
                     1.0
@@ -406,8 +407,25 @@ def bm25_scores(
             ).alias("term_score"),
         )
     )
-    return scored.groupBy("id").agg(F.sum("term_score").alias("bm25")).select(
-        F.col("id").alias(id_col), "bm25"
+    # ORDERED fold, not F.sum: the per-doc score sums ≤|query| doubles
+    # whose accumulation order would otherwise follow partition layout,
+    # so reruns could ULP-flip deep lexical ranks (the r08 sf0.1 sweep
+    # caught an 8e-6 RRF drift from exactly this). Summing in sorted
+    # token order pins the result — same device as major_value_parts'
+    # ordered part_value fold; the oracle mirrors it with
+    # list(expr ORDER BY tok).
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tok"), F.col("term_score")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["term_score"],
+            ).alias("bm25")
+        )
+        .select(F.col("id").alias(id_col), "bm25")
     )
 
 

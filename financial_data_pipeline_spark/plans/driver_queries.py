@@ -5904,7 +5904,7 @@ WITH ps AS (
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT p.p_partkey AS partkey, s.s_name AS supplier_name,
-       n.n_name AS nation, round(ps.unit_cost, 4) AS unit_cost
+       n.n_name AS nation, ps.unit_cost AS unit_cost
 FROM ps
 JOIN part p ON p.p_partkey = ps.l_partkey
 JOIN supplier s ON s.s_suppkey = ps.l_suppkey
@@ -5951,7 +5951,12 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("partkey"),
             F.col("s_name").alias("supplier_name"),
             F.col("n_name").alias("nation"),
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # NO rounding: unit_cost is a min over bitwise-identical
+            # IEEE quotients, so both engines already agree exactly —
+            # while round-to-4dp sat on a decimal half boundary
+            # (438.078750) where Spark's BigDecimal-exact rounding and
+            # DuckDB's scaled-multiply rounding split (r08 sf0.1 sweep)
+            F.col("unit_cost"),
         )
     )
 
@@ -7271,11 +7276,11 @@ WITH toks AS (
   SELECT tok, count(*) AS df FROM tf GROUP BY 1
 )
 SELECT tf.doc_id,
-       round(sum(
+       round(list_reduce(list_prepend(0.0::DOUBLE, list(
          ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
          * (tf.tf * 2.2)
          / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / corpus.avgdl))
-       ), 6) AS bm25
+         ORDER BY tf.tok)), (a, x) -> a + x), 6) AS bm25
 FROM tf JOIN dfreq USING (tok), corpus
 GROUP BY 1
 """,
@@ -7345,10 +7350,14 @@ WITH toks AS (
   GROUP BY 1, 2
 ), dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
 bm AS (
+  -- ordered fold in token order, mirroring bm25_scores' pinned
+  -- accumulation (rerun ULP drift flipped deep ranks at sf0.1)
   SELECT tf.doc_id,
-         sum(ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         list_reduce(list_prepend(0.0::DOUBLE, list(
+             ln(1.0 + (corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
              * (tf.tf * 2.2)
-             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl))) AS s
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / corpus.avgdl))
+             ORDER BY tf.tok)), (a, x) -> a + x) AS s
   FROM tf JOIN dfreq USING (tok), corpus
   GROUP BY 1
 ), bmr AS (
@@ -12741,8 +12750,13 @@ def q_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
     BARS_CTE
     + """
 , daily AS (
+  -- a non-positive daily low makes the log-range estimator undefined
+  -- (Spark nulls the log, DuckDB yields NaN / errors on zero) — such
+  -- days are not valid price bars; drop them BEFORE the lag so the
+  -- day-to-day alignment stays identical in both engines (sf0.1
+  -- events dip negative; the r08 sweep caught the rowcount split)
   SELECT symbol, timestamp::DATE AS day, max(high) AS high, min(low) AS low
-  FROM bars GROUP BY 1, 2
+  FROM bars GROUP BY 1, 2 HAVING min(low) > 0
 ), lagd AS (
   SELECT symbol, day, high, low,
          lag(high) OVER w AS h1, lag(low) OVER w AS l1
@@ -12771,9 +12785,14 @@ def q_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + one lag window; per-row closed-form arithmetic, no
     unordered sums."""
     bars = events_as_ohlcv(spark, sf_dir)
-    daily = bars.groupBy(
-        "symbol", F.to_date("timestamp").alias("day")
-    ).agg(F.max("high").alias("high"), F.min("low").alias("low"))
+    daily = (
+        bars.groupBy("symbol", F.to_date("timestamp").alias("day"))
+        .agg(F.max("high").alias("high"), F.min("low").alias("low"))
+        # non-positive low → log-range undefined; drop BEFORE the lag
+        # (mirrors the oracle's HAVING) so both engines lag over the
+        # same day sequence
+        .filter(F.col("low") > 0)
+    )
     out = indicators.corwin_schultz(daily, ts="day").filter(
         F.col("cs_alpha").isNotNull()
     )
@@ -15380,7 +15399,17 @@ SELECT count(*)::BIGINT AS n_sources,
        round(exp(avg(ln(vocab))
                  - covar_samp(ln(vocab), ln(n_tokens))
                    / var_samp(ln(n_tokens)) * avg(ln(n_tokens))), 4) AS k,
-       round(pow(corr(ln(vocab), ln(n_tokens)), 2), 6) AS r2
+       -- DEGENERATE-FIT GUARD: with a constant series (the synthetic
+       -- corpus has identical vocab per source) corr is 0/0 — and the
+       -- two engines' accumulation orders can land on either NaN or
+       -- 0.0 of that indeterminate form (the r08 sf0.1 sweep caught
+       -- the flake). Pin it: r2 is NULL unless both series carry real
+       -- variance (relative threshold, no knife edge in practice).
+       round(CASE WHEN var_samp(ln(vocab)) * 1e12
+                    > pow(avg(ln(vocab)), 2) + 1e-300
+                   AND var_samp(ln(n_tokens)) * 1e12
+                    > pow(avg(ln(n_tokens)), 2) + 1e-300
+              THEN pow(corr(ln(vocab), ln(n_tokens)), 2) END, 6) AS r2
 FROM per_src
 """,
 )
@@ -15406,11 +15435,18 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lv, ln_ = F.log("vocab"), F.log("n_tokens")
     beta = F.covar_samp(lv, ln_) / F.var_samp(ln_)
+    # degenerate-fit guard, mirroring the oracle: a constant series
+    # makes corr an indeterminate 0/0 whose NaN-vs-0.0 outcome is
+    # accumulation-order-dependent — r2 is NULL unless both series
+    # carry real variance (relative threshold)
+    has_var = (
+        F.var_samp(lv) * 1e12 > F.pow(F.avg(lv), 2) + F.lit(1e-300)
+    ) & (F.var_samp(ln_) * 1e12 > F.pow(F.avg(ln_), 2) + F.lit(1e-300))
     return per_src.agg(
         F.count(F.lit(1)).alias("n_sources"),
         F.round(beta, 6).alias("beta"),
         F.round(F.exp(F.avg(lv) - beta * F.avg(ln_)), 4).alias("k"),
-        F.round(F.corr(lv, ln_) ** 2, 6).alias("r2"),
+        F.round(F.when(has_var, F.corr(lv, ln_) ** 2), 6).alias("r2"),
     )
 
 
@@ -16203,6 +16239,11 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
          max(high) AS h, min(low) AS l,
          arg_max(close, epoch_us(timestamp)) AS c
   FROM bars GROUP BY 1, 2
+  -- low ≤ o,c ≤ high by construction, so min(low) > 0 makes every log
+  -- argument positive; a non-positive day has no defined log-range
+  -- estimator (DuckDB errors on ln(0), Spark nulls — the r08 sf0.1
+  -- sweep hit the error). Drop BEFORE the lag for aligned day chains.
+  HAVING min(low) > 0
 ), t AS (
   SELECT symbol,
          ln(o / lag(c) OVER w) AS ov,
@@ -16235,13 +16276,17 @@ def q_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Parkinson/Garman-Klass)."""
     bars = events_as_ohlcv(spark, sf_dir)
     us = F.unix_micros("timestamp")
-    daily = bars.groupBy(
-        "symbol", F.to_date("timestamp").alias("day")
-    ).agg(
-        F.min_by("open", us).alias("o"),
-        F.max("high").alias("h"),
-        F.min("low").alias("l"),
-        F.max_by("close", us).alias("c"),
+    daily = (
+        bars.groupBy("symbol", F.to_date("timestamp").alias("day"))
+        .agg(
+            F.min_by("open", us).alias("o"),
+            F.max("high").alias("h"),
+            F.min("low").alias("l"),
+            F.max_by("close", us).alias("c"),
+        )
+        # non-positive low → some log argument ≤ 0 (low ≤ o,c ≤ high);
+        # drop BEFORE the lag, mirroring the oracle's HAVING
+        .filter(F.col("l") > 0)
     )
     w = Window.partitionBy("symbol").orderBy("day")
     t = daily.select(
