@@ -312,6 +312,57 @@ def lsh_bucket(
     return bucket
 
 
+#: Measured base point of the LSH plane schedule (SCALING.md /
+#: RUNBOOK.md "planes ≈ 4 + log2(k)"): 4 planes at the 500-vector base
+#: corpus keep expected block size ≈ 31 rows; each corpus doubling adds
+#: one plane so Σ_b n_b² stays linear in the corpus. MAX_PLANES bounds
+#: the bucket id to a comfortable int range (2^24 buckets).
+BASE_CORPUS_ROWS = 500
+BASE_PLANES = 4
+MAX_PLANES = 24
+
+
+def plane_schedule(n_rows: int) -> int:
+    """Plane count for an ``n_rows`` corpus on the measured schedule:
+    ``min(24, BASE_PLANES + max(0, floor(log2(n/base) + 0.5)))``.
+
+    floor(x + 0.5) — not banker's ``round`` — so the DuckDB oracle's
+    arithmetic twin (`floor(log2(...) + 0.5)`) is literally the same
+    function; measured sub-linear 41–55× at 128× data under this
+    schedule (SCALING.md deep points)."""
+    import math
+
+    if n_rows <= 0:
+        return BASE_PLANES
+    grow = math.floor(math.log2(n_rows / BASE_CORPUS_ROWS) + 0.5)
+    return min(MAX_PLANES, BASE_PLANES + max(0, grow))
+
+
+def derived_planes(
+    df: "DataFrame | None" = None,
+    *,
+    n_rows: int | None = None,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Seeded hyperplanes sized by :func:`plane_schedule` — the
+    default a 100 TB caller should use so blocked-pair cost stays
+    linear without hand-tuning: pass either the corpus frame (one
+    ``count()`` job, plus one ``first()`` if ``dim`` is omitted) or a
+    known/estimated ``n_rows`` + ``dim`` for a zero-job derivation."""
+    if n_rows is None:
+        if df is None:
+            raise ValueError("pass df or n_rows")
+        n_rows = df.count()
+    if dim is None:
+        if df is None:
+            raise ValueError("pass dim when deriving from n_rows alone")
+        probe = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+        dim = len(probe[0]) if probe is not None else 0
+    return seeded_planes(plane_schedule(n_rows), dim, seed=seed)
+
+
 def seeded_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic random hyperplanes, rounded to 6 decimals so the
     identical literals can be embedded in an oracle SQL string (both

@@ -1512,24 +1512,62 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.45)
 
 
-def _pair_block_planes() -> list[list[float]]:
-    from financial_data_pipeline_spark.operators.similarity import seeded_planes
+def _pair_block_planes(n_rows: int | None = None) -> list[list[float]]:
+    """Blocked-family hyperplanes. With ``n_rows`` the plane count
+    follows the measured corpus schedule (``similarity.plane_schedule``
+    — RUNBOOK's `planes ≈ 4 + log2(k)` applied by DEFAULT, r08 verdict
+    item 8); without it, the fixed 4-plane base used by the bounded
+    subdivision probe. ``seeded_planes`` is prefix-stable (plane i is
+    drawn before plane i+1), so a larger schedule extends — never
+    reshuffles — the smaller one."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        plane_schedule,
+        seeded_planes,
+    )
 
-    return seeded_planes(4, 64, seed=7)
+    n = 4 if n_rows is None else plane_schedule(n_rows)
+    return seeded_planes(n, 64, seed=7)
+
+
+#: SQL text bound on dynamic plane literals: covers corpora up to
+#: 500·2^8.5 ≈ 181k vectors — far past any oracle-runnable SF.
+_SQL_MAX_PLANES = 12
+
+#: DuckDB twin of similarity.plane_schedule (floor(x+0.5), not
+#: banker's round, so the two are literally the same function).
+_NBITS_SQL = (
+    "(SELECT least(24, 4 + greatest(0, "
+    "CAST(floor(log2(count(*) / 500.0) + 0.5) AS INT))) AS nbits "
+    "FROM embeddings)"
+)
+
+
+def _dyn_bucket_sql(vcol: str = "v") -> str:
+    """Bucket expression whose bit count is gated by ``nb.nbits`` —
+    the corpus-derived plane schedule computed IN the oracle query, so
+    both engines size the blocking from the same count."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        seeded_planes,
+    )
+
+    return " + ".join(
+        "(CASE WHEN {i} < nb.nbits AND list_inner_product({v}, [{lits}])"
+        " >= 0 THEN {w} ELSE 0 END)".format(
+            i=i, v=vcol, lits=", ".join(repr(x) for x in p), w=1 << i
+        )
+        for i, p in enumerate(seeded_planes(_SQL_MAX_PLANES, 64, seed=7))
+    )
 
 
 def _blocked_pairs_sql() -> str:
     """Oracle twin of the LSH-blocked pair join: identical plane
-    literals → identical buckets; pairs restricted to same-bucket."""
-    bucket = " + ".join(
-        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
-            lits=", ".join(repr(x) for x in p), w=1 << i
-        )
-        for i, p in enumerate(_pair_block_planes())
-    )
+    literals → identical buckets; pairs restricted to same-bucket.
+    Plane count derives from the corpus count (nb CTE), exactly like
+    the Spark side's ``plane_schedule(emb.count())``."""
     return f"""
-WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bb AS (SELECT vec_id, v, {bucket} AS bucket FROM b)
+WITH nb AS {_NBITS_SQL},
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, v, {_dyn_bucket_sql()} AS bucket FROM b, nb)
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
 FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
@@ -1548,9 +1586,9 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket(F.col("embedding"), _pair_block_planes())
-    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _pair_block_planes(emb.count())  # corpus-derived schedule
+    emb = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     return cosine_pairs(emb, threshold=0.45, block_col="bucket")
 
 
@@ -5295,17 +5333,12 @@ def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_sql() -> str:
     """Blocked-pair graph + recursive closure + anti join — the full
-    SemDeDup twin on the same 4-plane blocks as
+    SemDeDup twin on the same corpus-derived blocks as
     ``embedding_pairs_blocked``."""
-    bucket = " + ".join(
-        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
-            lits=", ".join(repr(x) for x in p), w=1 << i
-        )
-        for i, p in enumerate(_pair_block_planes())
-    )
     return f"""
-WITH RECURSIVE b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bb AS (SELECT vec_id, v, {bucket} AS bucket FROM b),
+WITH RECURSIVE nb AS {_NBITS_SQL},
+b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bb AS (SELECT vec_id, v, {_dyn_bucket_sql()} AS bucket FROM b, nb),
 p AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b
   FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
@@ -5339,7 +5372,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     blocked = emb.withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
     )
     return semantic_dedup(blocked, threshold=0.45, block_col="block").select(
         "vec_id"
@@ -14460,7 +14493,9 @@ def _pair_sub_planes() -> list[list[float]]:
 
 
 def _blocked_emb_pairs_cte(
-    subdivide: bool = True, limit: int | None = None
+    subdivide: bool = True,
+    limit: int | None = None,
+    dynamic_planes: bool = False,
 ) -> str:
     """Shared oracle prefix of the blocked all-pairs family: the SAME
     4 seeded-hyperplane LSH buckets as the Spark side (identical plane
@@ -14479,17 +14514,26 @@ def _blocked_emb_pairs_cte(
     are dense from 0, so this is the ``limit`` smallest vectors via a
     pushed-down scan filter, with no global sort (the probe's
     fixed-size corpus)."""
-    bucket = " + ".join(
-        "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
-            lits=", ".join(repr(x) for x in p), w=1 << i
+    if dynamic_planes:
+        # corpus-derived plane count (nb CTE) — the shipped-default
+        # schedule of the production blocked family (r08 item 8)
+        bucket = _dyn_bucket_sql()
+        nb_cte = f"nb AS {_NBITS_SQL},\n"
+        nb_src = ", nb"
+    else:
+        bucket = " + ".join(
+            "(CASE WHEN list_inner_product(v, [{lits}]) >= 0 THEN {w} ELSE 0 END)".format(
+                lits=", ".join(repr(x) for x in p), w=1 << i
+            )
+            for i, p in enumerate(_pair_block_planes())
         )
-        for i, p in enumerate(_pair_block_planes())
-    )
+        nb_cte = ""
+        nb_src = ""
     bound = "" if limit is None else f" AND vec_id < {limit}"
     head = f"""
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+WITH {nb_cte}e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
           WHERE embedding IS NOT NULL{bound}),
-bb0 AS (SELECT vec_id, label, v, {bucket} AS bucket0 FROM e),
+bb0 AS (SELECT vec_id, label, v, {bucket} AS bucket0 FROM e{nb_src}),
 """
     if subdivide:
         sig = " + ".join(
@@ -14528,7 +14572,7 @@ bb AS (
 
 @query(
     "lof_outliers_blocked",
-    _blocked_emb_pairs_cte(subdivide=False)
+    _blocked_emb_pairs_cte(subdivide=False, dynamic_planes=True)
     + """
 , knn AS (
   SELECT i, j, d,
@@ -14570,8 +14614,9 @@ def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.withColumn(
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
     )
     out = lof_scores(emb, k=5, block_col="block", block_dim=64)
     return out.select(
@@ -14638,7 +14683,7 @@ def q_pair_subdivision_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "silhouette_by_label_blocked",
-    _blocked_emb_pairs_cte(subdivide=False)
+    _blocked_emb_pairs_cte(subdivide=False, dynamic_planes=True)
     + """
 , md AS (
   SELECT i, li, lj, avg(d) AS mean_d FROM pairs GROUP BY 1, 2, 3
@@ -14669,8 +14714,9 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
         silhouette_by_label,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.withColumn(
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
     )
     out = silhouette_by_label(emb, block_col="block", block_dim=64)
     return out.select(
@@ -14682,7 +14728,7 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "knn_label_accuracy_blocked",
-    _blocked_emb_pairs_cte(subdivide=False)
+    _blocked_emb_pairs_cte(subdivide=False, dynamic_planes=True)
     + """
 , knn AS (
   SELECT i, li, lj,
@@ -14714,8 +14760,9 @@ def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucket,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes())
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.withColumn(
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
     )
     out = knn_label_accuracy(emb, k=5, block_col="block", block_dim=64)
     return out.select(

@@ -619,3 +619,36 @@ def test_hot_block_guard_distributed_fallback(spark, monkeypatch):
     fallback_path = pairs()  # 6 > 2 → distributed bits map
     assert fallback_path == driver_path
     assert len(driver_path) > 0
+
+
+def test_plane_schedule_and_derived_planes(spark):
+    """RUNBOOK's `planes ≈ 4 + log2(k)` sizing rule as the shipped
+    default (r08 verdict item 8): the schedule matches the measured
+    probe points, seeded_planes is prefix-stable (a bigger schedule
+    extends — never reshuffles — a smaller one), and derived_planes
+    sizes from a frame count or a passed estimate identically."""
+    from financial_data_pipeline_spark.operators.similarity import (
+        BASE_CORPUS_ROWS,
+        derived_planes,
+        plane_schedule,
+        seeded_planes,
+    )
+
+    assert plane_schedule(0) == 4
+    assert plane_schedule(BASE_CORPUS_ROWS) == 4  # the measured base
+    assert plane_schedule(BASE_CORPUS_ROWS * 8) == 7  # 4 + log2(8)
+    assert plane_schedule(2000) == 6  # sf0.1 embeddings
+    assert plane_schedule(10**12) == 24  # capped
+    # the schedule is monotone — more corpus never means fewer planes
+    pts = [plane_schedule(n) for n in (1, 10, 500, 10**3, 10**6, 10**9)]
+    assert pts == sorted(pts)
+
+    # prefix stability: plane i is independent of the schedule length
+    assert seeded_planes(8, 16, seed=7)[:4] == seeded_planes(4, 16, seed=7)
+
+    df = spark.range(0, BASE_CORPUS_ROWS * 2).selectExpr(
+        "id AS vec_id", "array(cast(id AS double), 1.0d) AS embedding"
+    )
+    via_df = derived_planes(df)
+    via_est = derived_planes(n_rows=BASE_CORPUS_ROWS * 2, dim=2)
+    assert via_df == via_est == seeded_planes(5, 2, seed=7)
