@@ -2572,6 +2572,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+@query("dedup_clusters_distributed", _DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The >2M-edge SCALE PATH of ``dedup_clusters`` forced live
+    (``driver_threshold=0`` → distributed min-label propagation, the
+    branch a 100 TB pair graph takes) against the same recursive-CTE
+    closure oracle — the size-triggered fallback is oracle-exercised
+    at every SF even though test corpora never organically exceed the
+    driver threshold (r08 verdict item 1's forcing-fixture clause).
+    Must be value-identical to ``dedup_clusters``."""
+    from financial_data_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, k=3, threshold=0.5)
+    return dedup_clusters(pairs, driver_threshold=0)
+
+
 @query("keep_canonical_docs", _KEEP_CANONICAL_SQL)
 def q_keep_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup verb: corpus minus near-duplicates — only
