@@ -391,9 +391,15 @@ def zscore_outlier_clean(
     joined = joined.withColumns(
         {c: F.when(~is_outlier(c), F.col(c)) for c in price_cols}
         | {
-            volume_col: F.when(~is_outlier(volume_col), F.col(volume_col)).otherwise(
-                F.col("__med_vol")
-            )
+            # when(is_outlier, med).otherwise(col) — NOT the negated
+            # form: a NULL volume makes is_outlier NULL, and
+            # when(~NULL, col).otherwise(med) would smear the median
+            # over missing values (pandas comparison-with-NaN is False,
+            # so the reference leaves NaN untouched; found by
+            # tools/fuzz_oracle.py seed sweep)
+            volume_col: F.when(
+                is_outlier(volume_col), F.col("__med_vol")
+            ).otherwise(F.col(volume_col))
         }
     )
     joined = ffill(joined, price_cols, keys or [F.lit(1)])

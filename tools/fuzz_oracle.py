@@ -648,5 +648,131 @@ def main(argv):
     return 1 if n_fail else 0
 
 
+
+def check_zscore_outlier_clean(spark, seed):
+    from financial_data_pipeline_spark.operators.cleaning import (
+        zscore_outlier_clean,
+    )
+
+    pdf = make_corpus(seed)
+    pdf = (
+        pdf.sort_values("ingest_seq", kind="mergesort")
+        .drop_duplicates(subset=["symbol", "timestamp"], keep="first")
+        .reset_index(drop=True)
+    )
+    got = zscore_outlier_clean(_spark_df(spark, pdf)).toPandas()
+    want = pdf.sort_values(["symbol", "timestamp"], kind="mergesort").copy()
+    prices = ["open", "high", "low", "close"]
+
+    def per_sym(g):
+        g = g.copy()
+        for c in prices + ["volume"]:
+            mu, sd = g[c].mean(), g[c].std(ddof=1)
+            if pd.notna(sd) and sd != 0:
+                out = (g[c] - mu).abs() / sd > 3.0
+            else:  # sd null/0 → nothing flagged
+                out = pd.Series(False, index=g.index)
+            if c == "volume":
+                g.loc[out, c] = g[c].median()
+            else:
+                g.loc[out, c] = np.nan
+        g[prices] = g[prices].ffill()
+        return g
+
+    want = (
+        want.groupby("symbol", group_keys=False)[want.columns]
+        .apply(per_sym)
+        .reset_index(drop=True)
+    )
+    return diff_frames(got, want, ["symbol", "timestamp"], label="zscore")
+
+
+def check_clean_ohlcv_end_to_end(spark, seed):
+    """The frozen 13-step pipeline end-to-end, both modes, against a
+    faithful pandas replay. Duplicate keys are payload-identical here
+    (clean_ohlcv's dedup orders by timestamp only, so conflicting
+    payloads would make the keep-first winner engine-arbitrary)."""
+    from financial_data_pipeline_spark.operators.cleaning import clean_ohlcv
+
+    pdf = make_corpus(seed)
+    # collapse conflicting duplicate payloads onto the first occurrence
+    first = pdf.sort_values("ingest_seq", kind="mergesort").drop_duplicates(
+        subset=["symbol", "timestamp"], keep="first"
+    )[["symbol", "timestamp"] + OHLCV]
+    pdf = pdf[["symbol", "timestamp", "ingest_seq"]].merge(
+        first, on=["symbol", "timestamp"], how="left"
+    )
+    pdf = pdf.drop(columns="ingest_seq")
+    sdf = _spark_df(spark, pdf)
+
+    base = (
+        pdf.drop_duplicates(subset=["symbol", "timestamp"], keep="first")
+        .sort_values(["symbol", "timestamp"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    base[OHLCV] = base.groupby("symbol")[OHLCV].transform(
+        lambda g: g.ffill().bfill()
+    )
+    keep = pd.Series(True, index=base.index)
+    for c in OHLCV:
+        keep &= base[c].isna() | (base[c] >= 0)
+    base = base[keep].reset_index(drop=True)
+
+    def timefeat(p):
+        p = p.copy()
+        t = p["timestamp"]
+        p["hour"] = t.dt.hour.astype("int32")
+        p["day_of_week"] = t.dt.dayofweek.astype("int32")
+        p["month"] = t.dt.month.astype("int32")
+        p["year"] = t.dt.year.astype("int32")
+        return p
+
+    errs = []
+    # strict mode: positive prices, consistent OHLC, no nulls
+    got_s = clean_ohlcv(sdf, mode="strict").toPandas()
+    ok = (
+        (base.volume >= 0)
+        & (base.open > 0) & (base.high > 0)
+        & (base.low > 0) & (base.close > 0)
+        & (base.high >= base.low) & (base.high >= base.open)
+        & (base.high >= base.close) & (base.low <= base.open)
+        & (base.low <= base.close)
+    )
+    want_s = timefeat(base[ok.fillna(False)].dropna(subset=OHLCV))
+    errs += diff_frames(
+        got_s,
+        want_s.reset_index(drop=True),
+        ["symbol", "timestamp"],
+        label="clean_strict",
+    )
+    # repair mode: IQR winsorize then OHLC repair, nulls retained
+    got_r = clean_ohlcv(sdf, mode="repair").toPandas()
+    want_r = base.copy()
+    for c in OHLCV:
+        q1 = base.groupby("symbol")[c].transform(lambda s: s.quantile(0.25))
+        q3 = base.groupby("symbol")[c].transform(lambda s: s.quantile(0.75))
+        iqr = q3 - q1
+        want_r[c] = base[c].clip(lower=q1 - 1.5 * iqr, upper=q3 + 1.5 * iqr)
+    bad = ~(
+        (want_r.high >= want_r.low)
+        & (want_r.high >= want_r.open) & (want_r.high >= want_r.close)
+        & (want_r.low <= want_r.open) & (want_r.low <= want_r.close)
+    ).fillna(False)
+    hi = want_r[["open", "close", "high"]].max(axis=1)
+    lo = want_r[["open", "close", "low"]].min(axis=1)
+    want_r.loc[bad, "high"] = hi[bad]
+    want_r.loc[bad, "low"] = lo[bad]
+    errs += diff_frames(
+        got_r,
+        timefeat(want_r).reset_index(drop=True),
+        ["symbol", "timestamp"],
+        label="clean_repair",
+    )
+    return errs
+
+
+CHECKS["zscore_outlier_clean"] = check_zscore_outlier_clean
+CHECKS["clean_ohlcv_end_to_end"] = check_clean_ohlcv_end_to_end
+
 if __name__ == "__main__":
     raise SystemExit(main(sys.argv[1:]))
