@@ -338,6 +338,19 @@ class LakeTable:
         except FileNotFoundError:
             return 0
 
+    def _write_head(self, version: int) -> None:
+        """ATOMIC head update: dump to a uniquely-named temp file and
+        ``os.replace`` over HEAD. An in-place truncate-and-write let a
+        concurrent ``head_version()`` read a torn/empty file — found
+        live by ``tools/occ_probe.py`` at 8 racing writers (a reader
+        thread died on JSONDecodeError mid-commit). rename(2) is atomic
+        on POSIX, so readers now see either the old or the new pointer,
+        never a partial one."""
+        tmp = self._head_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._head_path())
+
     def _snapshot_path(self, version: int) -> str:
         return os.path.join(_mdir(self.root), f"v{version:06d}.json")
 
@@ -515,8 +528,7 @@ class LakeTable:
                     "HEAD and retry against the new snapshot"
                 )
             self._fault("advance:pre_head")
-            with open(self._head_path(), "w") as f:
-                json.dump({"version": version}, f)
+            self._write_head(version)
             self._fault("advance:post_head")
             # post-HEAD self-heal: a concurrent expire_snapshots that
             # classified this manifest as debris BEFORE the dump above
@@ -828,8 +840,7 @@ class LakeTable:
         if version < self.head_version():
             self._detach_above(version)
         self._fault("publish:pre_head")
-        with open(self._head_path(), "w") as f:
-            json.dump({"version": version}, f)
+        self._write_head(version)
 
     def merge(
         self,
@@ -1260,8 +1271,7 @@ class LakeTable:
                 best = v
                 lost = None
         if best != head:
-            with open(self._head_path(), "w") as f:
-                json.dump({"version": best}, f)
+            self._write_head(best)
         return best
 
     def rollback(self, version: int) -> None:
@@ -1274,8 +1284,7 @@ class LakeTable:
         if version not in self.snapshots():
             raise ValueError(f"unknown version {version}")
         self._detach_above(version)
-        with open(self._head_path(), "w") as f:
-            json.dump({"version": version}, f)
+        self._write_head(version)
 
     # -- read path ---------------------------------------------------
     def pruned_files(
