@@ -33,11 +33,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from financial_data_pipeline_spark.operators.text import ws_tokens
+
 END_OF_WORD = "</w>"
 
 
 def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
-    words = F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+    words = F.explode(ws_tokens(F.col(text_col))).alias("word")
     return (
         df.select(words)
         .filter(F.col("word") != "")
@@ -165,7 +167,7 @@ def apply_bpe(
     """
     words = (
         df.select(
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("word")
+            F.explode(ws_tokens(F.col(text_col))).alias("word")
         )
         .filter(F.col("word") != "")
         .distinct()
@@ -186,7 +188,7 @@ def apply_bpe(
     # an array_sort on (pos, tokens) structs restores document order
     exploded = df.select(
         *df.columns,
-        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+        F.posexplode(ws_tokens(F.col(text_col))).alias(
             "__p", "__w"
         ),
     ).filter(F.col("__w") != "")

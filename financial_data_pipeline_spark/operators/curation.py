@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from financial_data_pipeline_spark.operators.text import (
     ENGLISH_STOPWORDS,
     token_count_ws,
+    ws_tokens,
 )
 
 # ---------------------------------------------------------------------------
@@ -81,7 +82,7 @@ def gopher_rules(
     """
     df = df.withColumns(
         {
-            "__toks": F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            "__toks": ws_tokens(F.col(text_col)),
             "__lines": F.split(F.col(text_col), r"\n"),
         }
     )

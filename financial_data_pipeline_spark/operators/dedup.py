@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from financial_data_pipeline_spark.operators.text import ws_tokens
+
 
 def _hash60(col: Column) -> Column:
     """Portable 60-bit hash: int(md5(x)[:15], 16).
@@ -35,7 +37,7 @@ def _hash60(col: Column) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    return F.split(F.trim(F.lower(text)), r"\s+")
+    return ws_tokens(text)
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:

@@ -32,13 +32,26 @@ def table_profile(
         if approx
         else (lambda c: F.count_distinct(F.col(c)))
     )
+    dtypes = dict(df.dtypes)
+
+    def render(expr, col):
+        # float/double go through DECIMAL(38,6): a bare string cast
+        # renders engine-specifically ('1.0E9' in the JVM vs
+        # '1000000000.0' in DuckDB — fuzzed-table finding), while a
+        # fixed-scale decimal prints identically everywhere. |x| is
+        # bounded by decimal(38,6)'s 1e32 range in the profile contract.
+        # Applied AFTER the aggregate so min/max stay numeric.
+        if dtypes.get(col) in ("double", "float"):
+            return expr.cast("decimal(38,6)").cast("string")
+        return expr.cast("string")
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
             ndv(c).alias(f"__ndv_{c}"),
-            F.min(c).cast("string").alias(f"__min_{c}"),
-            F.max(c).cast("string").alias(f"__max_{c}"),
+            render(F.min(F.col(c)), c).alias(f"__min_{c}"),
+            render(F.max(F.col(c)), c).alias(f"__max_{c}"),
         ]
     row = df.agg(*aggs)
     per_col = F.array(

@@ -146,7 +146,14 @@ def volume_bars(
     """
     w = Window.partitionBy(by).orderBy(ts)
     v = F.col(volume_col)
-    cum_before = F.sum(v).over(w) - v
+    # round(cum, 3) before the floor: cumulative window sums are
+    # accumulation-ORDER-sensitive in the last ULPs (Spark sums
+    # sequentially; other engines, incl. the DuckDB oracle, use
+    # segment-tree aggregation), and a cum landing EXACTLY on a bar
+    # boundary flips floor() across engines. Pinning to a 1e-3 grain
+    # (ULP noise is ~1e-6 at realistic cums) makes bar assignment
+    # deterministic for any input — fuzzed-table finding.
+    cum_before = F.round(F.sum(v).over(w) - v, 3)
     order_key = F.unix_micros(F.col(ts))
     return (
         df.withColumn("__bar", F.floor(cum_before / F.lit(threshold)))
@@ -179,7 +186,8 @@ def dollar_bars(
     window per symbol, one (symbol, bar) aggregate."""
     w = Window.partitionBy(by).orderBy(ts)
     val = F.col(price_col) * F.col(volume_col)
-    cum_before = F.sum(val).over(w) - val
+    # grain-pinned like volume_bars (see comment there)
+    cum_before = F.round(F.sum(val).over(w) - val, 3)
     order_key = F.unix_micros(F.col(ts))
     return (
         df.withColumn("__bar", F.floor(cum_before / F.lit(threshold)))

@@ -30,7 +30,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with the zero-vector convention pinned: a
+    zero-norm side yields 0.0 (treated as orthogonal), NOT 0/0 = NaN —
+    NaN ordering is engine-specific in rank windows, so an all-zero
+    embedding made downstream ranks nondeterministic across engines
+    (fuzzed-table finding). DuckDB twin:
+    ``coalesce(list_dot_product(a,b) / nullif(sqrt(list_dot_product(a,a))
+    * sqrt(list_dot_product(b,b)), 0), 0)``."""
+    denom = norm(a) * norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
 def brute_force_topk(

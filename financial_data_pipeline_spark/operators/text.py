@@ -35,12 +35,48 @@ ENGLISH_STOPWORDS = [
 ]
 
 
-def token_count_ws(text: Column) -> Column:
-    """Whitespace token count; empty/blank text → 0."""
-    trimmed = F.trim(text)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+def ws_tokens(text: Column, lower: bool = True) -> Column:
+    """Canonical whitespace token array = ``\\S+`` runs.
+
+    NOT ``split(trim(x), '\\s+')``: trim strips only ASCII spaces, so a
+    newline-led doc keeps a phantom leading '' token under Java split
+    (which also drops trailing empties) while DuckDB's split keeps
+    both — three different token lists for the same degenerate doc
+    (fuzzed-table finding). ``\\S+`` extraction yields exactly the
+    non-whitespace runs — [] for empty/whitespace-only text — and is
+    identical in Java regex and RE2.
+
+    Case folding is ASCII-ONLY (``translate``, not ``lower``): unicode
+    lowercasing is engine-specific (U+0130 'İ' maps to i+combining-dot
+    under the JVM's full mapping but plain 'i' under utf8proc), so
+    token identity diverged across engines on non-ASCII capitals
+    (fuzzed-table finding). Non-ASCII letters keep their case — a
+    documented contract, not a lossy fold. DuckDB twin:
+    ``regexp_extract_all(translate(text, 'A..Z', 'a..z'), '\\S+')``."""
+    t = (
+        F.translate(
+            text,
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        )
+        if lower
+        else text
     )
+    return F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count = number of ``\\S+`` runs; empty/blank
+    text → 0.
+
+    NOT trim+split: Spark ``trim`` strips only ASCII spaces, so a
+    newline-led doc kept a leading '' token (Java split preserves
+    leading empties) and overcounted by one, while DuckDB's
+    ``len(string_split_regex('', ...))`` is 1 — both engines disagree
+    with each other AND with the intended semantics on degenerate docs
+    (fuzzed-table finding). Counting non-whitespace runs is 0 on
+    empty/whitespace-only text and identical in Java and RE2."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
 
 
 def token_count_bpe(text: Column) -> Column:
@@ -50,7 +86,13 @@ def token_count_bpe(text: Column) -> Column:
 
 def word_count_marker(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whitespace-delimited token."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    # ASCII fold (see ws_tokens): full-unicode lower() makes the padded
+    # string and therefore marker counts engine-specific around U+0130
+    padded = F.concat(
+        F.lit(" "),
+        F.translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+        F.lit(" "),
+    )
     needle = f" {word} "
     # (len(s) - len(replace(s, needle, ''))) / len(needle) counts
     # non-overlapping occurrences — portable to any SQL engine.
@@ -186,7 +228,7 @@ def top_ngram_stats(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     base = df.select(
         id_col, F.length(text_col).alias("__chars"), toks.alias("__toks")
     ).filter(F.size("__toks") >= n)
@@ -242,7 +284,7 @@ def unigram_logprob_score(
     toks = df.select(
         F.col(id_col),
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ws_tokens(F.col(text_col))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -273,7 +315,7 @@ def doc_fingerprint(text: Column, mod: int = FINGERPRINT_MOD) -> Column:
     arithmetic portable (no int64 overflow, identical in DuckDB:
     ``list_reduce`` with the same fold).
     """
-    tokens = F.split(F.trim(text), r"\s+")
+    tokens = ws_tokens(text, lower=False)
     tok_hash = lambda x: (
         F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long") % F.lit(mod)
     )
@@ -321,7 +363,7 @@ def nb_class_scores(
         F.col(id_col),
         label.cast("long").alias("__y"),
         F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ws_tokens(F.col(text_col))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(
@@ -375,7 +417,7 @@ def bm25_scores(
     terms = [t.lower() for t in query_terms]
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+        ws_tokens(F.col(text_col)).alias("t"),
     ).select("id", F.size("t").alias("dl"), F.explode("t").alias("tok"))
     stats = toks.groupBy("id").agg(F.first("dl").alias("dl"))
     corpus = stats.agg(
@@ -446,9 +488,7 @@ def token_entropy(text: Column) -> dict[str, Column]:
     this rides the document scan, versus the explode+groupBy form
     which shuffles one row per token (~30× row amplification on prose).
     """
-    toks = F.array_sort(
-        F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
-    )
+    toks = F.array_sort(ws_tokens(text))
     n = F.size(toks)
     # fold state: (prev token, current run length, sum of c*log2(c))
     state0 = F.struct(
@@ -500,9 +540,12 @@ def readability_features(text: Column) -> dict[str, Column]:
     FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
     empty/whitespace docs get null (no text to score).
     """
-    words = F.size(F.filter(F.split(text, r"\s+"), lambda x: x != ""))
+    words = F.size(ws_tokens(text, lower=False))
     sentences = F.greatest(F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1))
-    vowel_groups = F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+"))
+    # ASCII fold (see ws_tokens): JVM lower() of U+0130 injects a vowel
+    vowel_groups = F.regexp_count(
+        F.translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), F.lit(r"[aeiouy]+")
+    )
     syllables = F.greatest(vowel_groups, words)
     fre = (
         F.lit(206.835)
@@ -543,7 +586,7 @@ def ngram_novelty(
     Same tokenization as :func:`top_ngram_stats` (lower, trim, split
     on whitespace runs).
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     base = df.select(id_col, toks.alias("__toks")).filter(
         F.size("__toks") >= n
     )
@@ -598,7 +641,7 @@ def source_overlap(
     source count — never document-pairwise. Output one row per source
     pair with any overlap.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = ws_tokens(F.col(text_col))
     base = df.select(source_col, toks.alias("__toks")).filter(
         F.size("__toks") >= n
     )
@@ -692,7 +735,7 @@ def bigram_logprob_score(
     frames are the only shuffles and both are map-side combined.
     """
     arr = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        ws_tokens(F.col(text_col)),
         lambda x: x != "",
     )
     pairs = F.zip_with(

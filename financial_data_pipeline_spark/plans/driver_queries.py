@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from financial_data_pipeline_spark.functions.timefeatures import day_of_week_pandas
+from financial_data_pipeline_spark.operators.text import ws_tokens
 from financial_data_pipeline_spark.operators import (
     cleaning,
     indicators,
@@ -779,7 +780,11 @@ def q_date_range_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM bars
 )
 SELECT symbol, epoch_us(timestamp) AS ts_us, close,
-       CASE WHEN rn <= (n * 0.8)::BIGINT THEN 'train' ELSE 'test' END AS split
+       -- floor, NOT a bare ::BIGINT cast: DuckDB's double->int cast
+       -- ROUNDS while the engine's int(n*0.8) truncates — they agree
+       -- only when n*0.8 has fraction < .5 (true at every driver SF,
+       -- caught by the fuzzed-table sweep at arbitrary n)
+       CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT) THEN 'train' ELSE 'test' END AS split
 FROM ranked
 """,
 )
@@ -1121,7 +1126,7 @@ def q_lineage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB fragment counting whitespace-delimited occurrences of a marker
 # word — the replace-length trick, identical to text.word_count_marker.
 def _sql_count_word(w: str) -> str:
-    pad = f"(' ' || lower(text) || ' ')"
+    pad = f"(' ' || translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || ' ')"
     return (
         f"((length({pad}) - length(replace({pad}, ' {w} ', ''))) / {len(w) + 2})::INT"
     )
@@ -1155,14 +1160,14 @@ FROM mx
 WITH t AS (
   SELECT doc_id, text,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+              ELSE len(regexp_extract_all(text, '\S+')) END AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
          length(text) AS n_chars,
          length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
          ("""
     + " + ".join(
-        "((length((' ' || lower(text) || ' ')) - length(replace((' ' || lower(text) || ' '), ' %s ', ''))) / %d)::INT"
+        "((length((' ' || translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || ' ')) - length(replace((' ' || translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') || ' '), ' %s ', ''))) / %d)::INT"
         % (w, len(w) + 2)
         for w in [
             "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
@@ -1221,7 +1226,7 @@ SELECT doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
            [ (('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)
-             for t in regexp_split_to_array(trim(text), '\s+') ]),
+             for t in regexp_extract_all(text, '\S+') ]),
          (acc, x) -> (acc * 31 + x) % 2147483647
        ) AS fingerprint
 FROM documents
@@ -1324,7 +1329,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
         FROM documents)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -1375,7 +1380,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
         FROM documents)
 ), hh AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS h, s
@@ -1431,7 +1436,7 @@ def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
     )
     return rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
   FROM documents
 ), th AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
@@ -1478,9 +1483,9 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     "embedding_topk",
     """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos_sim
+SELECT vec_id, round(coalesce(list_dot_product(embedding::DOUBLE[], q.qv) / nullif(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) AS cos_sim
 FROM embeddings, q
-ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id ASC
+ORDER BY coalesce(list_dot_product(embedding::DOUBLE[], q.qv) / nullif(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC, vec_id ASC
 LIMIT 10
 """,
 )
@@ -1496,9 +1501,9 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_pairs",
     """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+       round(coalesce(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0), 0), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+WHERE coalesce(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / nullif(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 0), 0) >= 0.45
 """,
 )
 def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1510,6 +1515,22 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, threshold=0.45)
+
+
+def _table_rows(spark: SparkSession, sf_dir: str, name: str = "embeddings") -> int:
+    """Exact row count for plane-schedule sizing WITHOUT a Spark job:
+    parquet footers carry per-file row counts (the local analog of the
+    catalog/table-statistics lookup a 100 TB deployment would use), so
+    deriving the LSH schedule costs ~1 ms of driver metadata IO instead
+    of a full count() job per query. Falls back to the distributed
+    count for paths pyarrow can't reach. The DuckDB oracle's ``nb`` CTE
+    computes count(*) over the same file — identical number."""
+    try:
+        import pyarrow.parquet as _pq
+
+        return _pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+    except Exception:  # noqa: BLE001 — non-local path / no footer access
+        return load_table(spark, sf_dir, name).count()
 
 
 def _pair_block_planes(n_rows: int | None = None) -> list[list[float]]:
@@ -1569,9 +1590,9 @@ WITH nb AS {_NBITS_SQL},
 b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bb AS (SELECT vec_id, v, {_dyn_bucket_sql()} AS bucket FROM b, nb)
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+       round(coalesce(list_dot_product(a.v, c.v) / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)), 0), 0), 6) AS cos_sim
 FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE list_cosine_similarity(a.v, c.v) >= 0.45
+WHERE coalesce(list_dot_product(a.v, c.v) / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)), 0), 0) >= 0.45
 """
 
 
@@ -1587,7 +1608,7 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = _pair_block_planes(emb.count())  # corpus-derived schedule
+    planes = _pair_block_planes(_table_rows(spark, sf_dir))  # corpus-derived schedule
     emb = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     return cosine_pairs(emb, threshold=0.45, block_col="bucket")
 
@@ -1596,7 +1617,7 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob",
     r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
   FROM documents
 ), toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
 vocab AS (SELECT tok, count(*) AS tf FROM toks_ne GROUP BY tok),
@@ -1806,9 +1827,9 @@ def q_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH base AS (
   SELECT doc_id, length(text) AS chars,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
   FROM documents
-  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) >= 2
 ), grams AS (
   SELECT doc_id, chars, toks[i] || ' ' || toks[i + 1] AS ngram
   FROM (
@@ -2057,7 +2078,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 20),
 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
 s AS (SELECT query_id, neighbor_id,
-             round(list_cosine_similarity(cv, qv), 6) AS cos_sim
+             round(coalesce(list_dot_product(cv, qv) / nullif(sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)), 0), 0), 6) AS cos_sim
       FROM q, c)
 SELECT query_id, neighbor_id, cos_sim FROM s
 QUALIFY row_number() OVER (PARTITION BY query_id
@@ -2097,9 +2118,9 @@ WITH b AS (
 ), bb AS (
   SELECT vec_id, v, {bucket} AS bucket FROM b
 ), q AS (SELECT v AS qv, bucket AS qbucket FROM bb WHERE vec_id = 0)
-SELECT bb.vec_id, round(list_cosine_similarity(bb.v, q.qv), 6) AS cos_sim
+SELECT bb.vec_id, round(coalesce(list_dot_product(bb.v, q.qv) / nullif(sqrt(list_dot_product(bb.v, bb.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) AS cos_sim
 FROM bb, q WHERE bb.bucket = q.qbucket
-ORDER BY list_cosine_similarity(bb.v, q.qv) DESC, bb.vec_id ASC
+ORDER BY coalesce(list_dot_product(bb.v, q.qv) / nullif(sqrt(list_dot_product(bb.v, bb.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC, bb.vec_id ASC
 LIMIT 10
 """
 
@@ -2127,13 +2148,13 @@ exploded AS (
 cents AS (SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label),
 probe AS (
   SELECT label FROM cents, q
-  ORDER BY list_cosine_similarity(centroid, q.qv) DESC LIMIT 3
+  ORDER BY coalesce(list_dot_product(centroid, q.qv) / nullif(sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC LIMIT 3
 )
 SELECT e.vec_id,
-       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+       round(coalesce(list_dot_product(e.embedding::DOUBLE[], q.qv) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) AS cos_sim
 FROM embeddings e, q
 WHERE e.label IN (SELECT label FROM probe)
-ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+ORDER BY coalesce(list_dot_product(e.embedding::DOUBLE[], q.qv) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC, e.vec_id ASC
 LIMIT 10
 """,
 )
@@ -2517,7 +2538,7 @@ WITH RECURSIVE sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
         FROM documents)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -2619,13 +2640,16 @@ def q_keep_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH base AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         -- \S+ runs, not trim+split: split counts phantom '' tokens on
+         -- newline-led/empty docs and differs per engine (fuzz finding)
+         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks,
          str_split(text, chr(10)) AS lines
   FROM documents
 ), m AS (
   SELECT doc_id,
     len(toks) AS n_words,
-    list_sum([len(x) for x in toks])::DOUBLE / greatest(len(toks), 1) AS mwl,
+    coalesce(list_sum([len(x) for x in toks]), 0)::DOUBLE
+      / greatest(len(toks), 1) AS mwl,
     ((len(text) - len(replace(text, '#', '')))
      + (len(text) - len(replace(text, '...', ''))) // 3)::DOUBLE
       / greatest(len(toks), 1) AS sym,
@@ -2733,7 +2757,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_check",
     r"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shh
@@ -2798,7 +2822,7 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH agg AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS tokens,
+         sum(len(regexp_extract_all(text, '\S+'))) AS tokens,
          CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
                      WHEN 'src2' THEN 0.2 END AS weight
   FROM documents GROUP BY source
@@ -2908,7 +2932,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
         FROM documents)
 )
 SELECT s AS ngram, count(*) AS doc_freq
@@ -2955,8 +2979,8 @@ def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_length_stats",
     r"""
 SELECT source, count(*) AS n_docs,
-       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.5), 6) AS p50,
-       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.95), 6) AS p95
+       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5), 6) AS p50,
+       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.95), 6) AS p95
 FROM documents GROUP BY source
 """,
 )
@@ -3138,7 +3162,7 @@ def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_json",
     """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
          AS avg_k
 FROM events GROUP BY event_type
 """,
@@ -3147,9 +3171,12 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull ``k`` out of the JSON ``props``
     string per event and aggregate per type. ``get_json_object`` is a
     JVM-side path expression (codegen, no UDF); at scale, promote hot
-    JSON fields to columns at ingest — this is the query-time fallback."""
+    JSON fields to columns at ingest — this is the query-time fallback.
+    ``k`` is extracted as BIGINT, not INT: an int32 extract silently
+    nulls (Spark) or errors (DuckDB) on large-but-valid payload values
+    — found by the fuzzed-table sweep planting 1e12-scale ``k``."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 6).alias("avg_k"),
@@ -3515,9 +3542,9 @@ def q_distinct_users_weekly_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     "events_props_variant",
     """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6)
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
          AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """,
 )
@@ -3531,7 +3558,9 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side codegen."""
     ev = load_table(spark, sf_dir, "events")
     v = F.parse_json(F.col("props"))
-    k = F.variant_get(v, "$.k", "int")
+    # bigint, not int: variant_get hard-errors (INVALID_VARIANT_CAST) on
+    # an int32-overflowing payload value — fuzzed-table finding
+    k = F.variant_get(v, "$.k", "bigint")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(k), 6).alias("avg_k"),
@@ -3627,13 +3656,46 @@ def q_rolling_24h_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "edit_distance_pairs",
+    # DuckDB's built-in levenshtein counts UTF-8 BYTES while Spark's
+    # counts CODEPOINTS ('café'~'cafe' = 2 vs 1) — they agree only on
+    # ASCII, which is why this oracle was green on driver data and
+    # diverged under the fuzzed-table sweep's unicode docs. The oracle
+    # therefore computes a codepoint-true Levenshtein via a nested
+    # list_reduce DP over unicode() codepoints ('(?s).' so newlines
+    # survive the char split); Spark's native semantic is the contract.
     """
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) AS edit_dist
-FROM documents a
-JOIN documents b
-  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
- AND a.doc_id < b.doc_id
+WITH pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         substr(a.text, 1, 256) AS sa, substr(b.text, 1, 256) AS sb
+  FROM documents a
+  JOIN documents b
+    ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+   AND a.doc_id < b.doc_id
+), cp AS (
+  SELECT id_a, id_b,
+         list_transform(regexp_extract_all(sa, '(?s).'), c -> unicode(c)) AS acp,
+         list_transform(regexp_extract_all(sb, '(?s).'), c -> unicode(c)) AS bcp
+  FROM pairs
+)
+SELECT id_a, id_b,
+  CAST(CASE
+    WHEN len(acp) = 0 THEN len(bcp)
+    WHEN len(bcp) = 0 THEN len(acp)
+    ELSE (
+      list_reduce(
+        list_prepend(range(0, len(bcp) + 1), list_transform(acp, c -> [c])),
+        (prev, x) -> list_reduce(
+            list_prepend([prev[1] + 1],
+                         list_transform(range(1, len(bcp) + 1), j -> [j])),
+            (row, jx) -> row || [least(
+                prev[jx[1] + 1] + 1,
+                row[-1] + 1,
+                prev[jx[1]] + CASE WHEN bcp[jx[1]] = x[1] THEN 0 ELSE 1 END)]
+        )
+      )[-1]
+    )
+  END AS INTEGER) AS edit_dist
+FROM cp
 """,
 )
 def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3912,7 +3974,10 @@ def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH tok AS (
   SELECT doc_id, t AS token
-  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+  -- ASCII-only case fold (translate, not lower): unicode lowercasing
+  -- is engine-specific ('\u0130' maps to i+combining-dot in the JVM but
+  -- plain i in utf8proc), so tokens differed on non-ASCII caps (fuzz)
+  FROM documents, unnest(string_split_regex(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS u(t)
   WHERE length(t) >= 3
 ), tf AS (
   SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
@@ -3947,7 +4012,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.size(
                     F.filter(
-                        F.split(F.lower("text"), "[^a-z]+"),
+                        F.split(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "[^a-z]+"),
                         lambda t: F.length(t) >= 3,
                     )
                 )
@@ -3960,7 +4025,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+            F.explode(F.split(F.translate("text", "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"), "[^a-z]+")).alias("token"),
         )
         .filter(F.length("token") >= 3)
     )
@@ -3988,8 +4053,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_length_stats_approx",
     r"""
 SELECT source, count(*) AS n_docs,
-       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.5), 6) AS p50_exact,
-       round(quantile_cont(len(regexp_split_to_array(trim(text), '\s+')), 0.95), 6) AS p95_exact,
+       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5), 6) AS p50_exact,
+       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.95), 6) AS p95_exact,
        TRUE AS p50_within, TRUE AS p95_within
 FROM documents GROUP BY source
 """,
@@ -4008,7 +4073,7 @@ def q_corpus_length_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts out of tolerance — upgraded from rows-only. Same bound as
     ``tests/test_curation.py::test_approx_percentiles_close_to_exact``."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_tokens = F.size(ws_tokens(F.col("text"), lower=False))
     agg = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.percentile_approx(n_tokens, 0.5, 10000).alias("p50a"),
@@ -4672,14 +4737,14 @@ exact_k AS (
   FROM b, q
   QUALIFY row_number() OVER (
     PARTITION BY qid
-    ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC
+    ORDER BY round(coalesce(list_dot_product(b.v, q.qv) / nullif(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) DESC, b.vec_id ASC
   ) <= 10
 ), ann_k AS (
   SELECT qid, b.vec_id AS nid
   FROM b, q WHERE {probe_cond}
   QUALIFY row_number() OVER (
     PARTITION BY qid
-    ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC
+    ORDER BY round(coalesce(list_dot_product(b.v, q.qv) / nullif(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) DESC, b.vec_id ASC
   ) <= 10
 )
 SELECT e.qid AS query_id,
@@ -4738,7 +4803,7 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
   FROM documents
 ), toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
 counts AS (
@@ -5002,7 +5067,7 @@ sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
         FROM s1 WHERE doc_id IN (SELECT doc_id FROM winners))
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -5024,7 +5089,7 @@ inter AS (
   SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(d)) < s
 ), gbase AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks,
          str_split(text, chr(10)) AS lines
   FROM corpus
 ), gf AS (
@@ -5050,7 +5115,7 @@ inter AS (
       CASE WHEN len(toks) >= 3
            THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
            ELSE [array_to_string(toks, ' ')] END)) AS s
-    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
           FROM corpus))
 ), bsh AS (
   SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS shh
@@ -5059,7 +5124,7 @@ inter AS (
       CASE WHEN len(toks) >= 3
            THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
            ELSE [array_to_string(toks, ' ')] END)) AS s
-    FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM (SELECT regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
           FROM documents WHERE doc_id % 97 = 0))
 ), contam AS (
   SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.shh = b.shh
@@ -5123,7 +5188,7 @@ WITH esh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
         FROM documents)
 ), esz AS (SELECT doc_id, count(*) AS sz FROM esh GROUP BY 1),
 einter AS (
@@ -5265,14 +5330,14 @@ probes AS (
   SELECT qid, label FROM cents, q
   QUALIFY row_number() OVER (
     PARTITION BY qid
-    ORDER BY list_cosine_similarity(centroid, q.qv) DESC, label ASC
+    ORDER BY coalesce(list_dot_product(centroid, q.qv) / nullif(sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC, label ASC
   ) <= 3
 ), exact_k AS (
   SELECT qid, e.vec_id AS nid
   FROM embeddings e, q
   QUALIFY row_number() OVER (
     PARTITION BY qid
-    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+    ORDER BY round(coalesce(list_dot_product(e.embedding::DOUBLE[], q.qv) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) DESC,
              e.vec_id ASC
   ) <= 10
 ), ann_k AS (
@@ -5282,7 +5347,7 @@ probes AS (
   JOIN q ON q.qid = p.qid
   QUALIFY row_number() OVER (
     PARTITION BY q.qid
-    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+    ORDER BY round(coalesce(list_dot_product(e.embedding::DOUBLE[], q.qv) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) DESC,
              e.vec_id ASC
   ) <= 10
 )
@@ -5363,7 +5428,7 @@ bb AS (SELECT vec_id, v, {_dyn_bucket_sql()} AS bucket FROM b, nb),
 p AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b
   FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-  WHERE list_cosine_similarity(a.v, c.v) >= 0.45
+  WHERE coalesce(list_dot_product(a.v, c.v) / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v)), 0), 0) >= 0.45
 ), e AS (
   SELECT id_a AS s, id_b AS d FROM p
   UNION ALL SELECT id_b, id_a FROM p
@@ -5393,7 +5458,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     blocked = emb.withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(_table_rows(spark, sf_dir)))
     )
     return semantic_dedup(blocked, threshold=0.45, block_col="block").select(
         "vec_id"
@@ -5605,8 +5670,8 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , vb AS (
   SELECT symbol, timestamp, open, high, low, close, volume,
-         sum(volume) OVER (PARTITION BY symbol ORDER BY timestamp)
-           - volume AS cum_before
+         round(sum(volume) OVER (PARTITION BY symbol ORDER BY timestamp)
+           - volume, 3) AS cum_before
   FROM bars
 )
 SELECT symbol, floor(cum_before / 1000.0)::BIGINT AS bar_id,
@@ -5842,7 +5907,7 @@ def q_walk_forward_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_tokens",
     r"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS token
   FROM documents
 ), t AS (SELECT * FROM toks WHERE token <> '')
 SELECT token, count(*) AS freq
@@ -5865,7 +5930,7 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tokens = (
         docs.select(
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+            F.explode(ws_tokens(F.col("text"))).alias("token")
         )
         .filter(F.col("token") != "")
     )
@@ -5902,19 +5967,19 @@ cand AS (
   SELECT q.qid, d.vec_id AS nid
   FROM dq d, q
   QUALIFY row_number() OVER (PARTITION BY q.qid
-    ORDER BY round(list_cosine_similarity(d.dv, q.qdv), 6) DESC, d.vec_id ASC) <= 40
+    ORDER BY round(coalesce(list_dot_product(d.dv, q.qdv) / nullif(sqrt(list_dot_product(d.dv, d.dv)) * sqrt(list_dot_product(q.qdv, q.qdv)), 0), 0), 6) DESC, d.vec_id ASC) <= 40
 ),
 ann_k AS (
   SELECT c.qid, c.nid
   FROM cand c JOIN e be ON be.vec_id = c.nid JOIN q ON q.qid = c.qid
   QUALIFY row_number() OVER (PARTITION BY c.qid
-    ORDER BY round(list_cosine_similarity(be.v, q.qv), 6) DESC, c.nid ASC) <= 10
+    ORDER BY round(coalesce(list_dot_product(be.v, q.qv) / nullif(sqrt(list_dot_product(be.v, be.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) DESC, c.nid ASC) <= 10
 ),
 exact_k AS (
   SELECT q.qid, b.vec_id AS nid
   FROM e b, q
   QUALIFY row_number() OVER (PARTITION BY q.qid
-    ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC) <= 10
+    ORDER BY round(coalesce(list_dot_product(b.v, q.qv) / nullif(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0), 6) DESC, b.vec_id ASC) <= 10
 )
 SELECT x.qid AS query_id, count(a.nid) AS hits,
        round(count(a.nid) / 10.0, 4) AS recall
@@ -6536,7 +6601,7 @@ def _winnow_sql(k: int = 8, w: int = 4, min_shared: int = 1, cap: int = 1000) ->
     mask = shift - 1
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS t
   FROM documents
 ), sized AS (
   SELECT doc_id, t, len(t) AS nt,
@@ -6670,8 +6735,13 @@ comp AS (
 ), cent AS (
   SELECT label, list(c ORDER BY pos) AS centroid FROM comp GROUP BY label
 ), d AS (
+  -- zero-vector convention matches similarity.cosine: zero norm -> 0
   SELECT e.vec_id, e.label,
-         1.0 - list_cosine_similarity(e.v, cent.centroid) AS dist
+         1.0 - coalesce(
+           list_dot_product(e.v, cent.centroid)
+             / nullif(sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(cent.centroid, cent.centroid)), 0),
+           0) AS dist
   FROM e JOIN cent USING (label)
 ), r AS (
   SELECT vec_id, label, dist,
@@ -6743,8 +6813,8 @@ def q_return_correlation_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
 , vb AS (
   SELECT symbol, timestamp, open, high, low, close, volume,
-         sum(close * volume) OVER (PARTITION BY symbol ORDER BY timestamp)
-           - close * volume AS cum_before
+         round(sum(close * volume) OVER (PARTITION BY symbol ORDER BY timestamp)
+           - close * volume, 3) AS cum_before
   FROM bars
 )
 SELECT symbol, floor(cum_before / 100000.0)::BIGINT AS bar_id,
@@ -6813,7 +6883,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH agg AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(string_split_regex(trim(text), '\\s+'))) AS tokens
+         sum(len(regexp_extract_all(text, '\\S+'))) AS tokens
   FROM documents GROUP BY source
 ), sh AS (
   SELECT source, n_docs, tokens,
@@ -7173,8 +7243,8 @@ UNION ALL
 SELECT 'o_totalprice', base.n,
        (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
        (SELECT count(DISTINCT o_totalprice) FROM orders),
-       (SELECT min(o_totalprice)::VARCHAR FROM orders),
-       (SELECT max(o_totalprice)::VARCHAR FROM orders)
+       (SELECT min(o_totalprice)::DECIMAL(38,6)::VARCHAR FROM orders),
+       (SELECT max(o_totalprice)::DECIMAL(38,6)::VARCHAR FROM orders)
 FROM base
 """,
 )
@@ -7276,7 +7346,7 @@ def q_user_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH s AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS toks,
+         len(regexp_extract_all(text, '\\S+')) AS toks,
          ('0x' || substr(md5(doc_id::VARCHAR || '|' || '0'), 1, 15))::BIGINT
            AS h
   FROM documents
@@ -7316,7 +7386,7 @@ _BM25_TERMS = ("data", "query", "window")
     f"""
 WITH toks AS (
   SELECT doc_id, u.tok, len(t) AS dl
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS t
         FROM documents), unnest(t) AS u(tok)
 ), corpus AS (
   SELECT count(DISTINCT doc_id) AS n_docs,
@@ -7393,7 +7463,7 @@ def q_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_SQL = f"""
 WITH toks AS (
   SELECT doc_id, u.tok, len(t) AS dl
-  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS t
         FROM documents), unnest(t) AS u(tok)
 ), corpus AS (
   SELECT count(DISTINCT doc_id) AS n_docs, avg(dl) AS avgdl
@@ -7421,7 +7491,7 @@ bm AS (
 cr AS (
   SELECT e.vec_id AS doc_id,
          row_number() OVER (
-           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+           ORDER BY coalesce(list_dot_product(e.embedding::DOUBLE[], q.qv) / nullif(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) DESC,
                     e.vec_id ASC) AS r
   FROM embeddings e, q
 ), fused AS (
@@ -7876,7 +7946,7 @@ def _bpe_oracle_sql(n_merges: int = 12) -> str:
         r"""
 WITH w0 AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS weight FROM (
-    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+    SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS word
     FROM documents
   ) WHERE word <> '' GROUP BY word
 ),
@@ -8401,8 +8471,7 @@ def q_ks_drift_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                            x -> x <> '')) AS tok
+         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+')) AS tok
   FROM documents
 ), cnt AS (
   SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
@@ -8427,8 +8496,13 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     −Σ p·log2 p form."""
     from financial_data_pipeline_spark.operators.text import token_entropy
 
+    # rlike(\S), not length(trim(...)) > 0: Spark trim strips only
+    # ASCII spaces, so a newline/tab-only doc passed the old filter and
+    # produced an entropy row the oracle's tokenizer (zero tokens -> no
+    # row) never emits — fuzzed-table finding. The contract is "has at
+    # least one whitespace-delimited token".
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        F.col("text").isNotNull() & F.col("text").rlike(r"\S")
     )
     te = token_entropy(F.col("text"))
     return docs.select(
@@ -8833,7 +8907,7 @@ WITH c AS (
          len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
            AS n_words,
          greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
-         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg
+         len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS vg
   FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, n_sentences, n_words,
@@ -9852,8 +9926,7 @@ def q_black_scholes_atm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zipf_fit",
     r"""
 WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                            x -> x <> '')) AS tok
+  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
   FROM documents WHERE text IS NOT NULL
 ), tf AS (
   SELECT tok, count(*) AS c FROM toks GROUP BY tok
@@ -9887,9 +9960,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = docs.select(
         F.explode(
-            F.filter(
-                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
-            )
+            ws_tokens(F.col("text"))
         ).alias("tok")
     )
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -10456,9 +10527,9 @@ def q_hist_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_novelty",
     """
 WITH base AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS toks
   FROM documents
-  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 3
+  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+')) >= 3
 ), grams AS (
   SELECT DISTINCT doc_id,
          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
@@ -10495,9 +10566,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_overlap_jaccard",
     """
 WITH base AS (
-  SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  SELECT source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS toks
   FROM documents
-  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 5
+  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+')) >= 5
 ), grams AS (
   SELECT DISTINCT source,
          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
@@ -11936,7 +12007,7 @@ def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH t AS (
   SELECT CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws,
+              ELSE len(regexp_extract_all(text, '\S+')) END AS ws,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
            AS bpe,
          lang
@@ -13188,7 +13259,7 @@ s1 AS MATERIALIZED (
 s{n} AS MATERIALIZED (
   SELECT p.vec_id, p.rel,
          {lam} * p.rel - (1.0 - {lam})
-           * max(list_cosine_similarity(p.v, sv.v)) AS score
+           * max(coalesce(list_dot_product(p.v, sv.v) / nullif(sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(sv.v, sv.v)), 0), 0)) AS score
   FROM pool p
   JOIN pool sv ON sv.vec_id IN ({sel})
   WHERE p.vec_id NOT IN ({sel})
@@ -13209,7 +13280,7 @@ WITH e AS (
 ),
 q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
 pool AS MATERIALIZED (
-  SELECT e.vec_id, e.v, list_cosine_similarity(e.v, q.qv) AS rel
+  SELECT e.vec_id, e.v, coalesce(list_dot_product(e.v, q.qv) / nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)), 0), 0) AS rel
   FROM e, q
   ORDER BY rel DESC, e.vec_id ASC LIMIT {pool}
 ),"""
@@ -13729,7 +13800,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH arrs AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
                      x -> x <> '') AS a
   FROM documents
 ), idx AS (
@@ -13772,7 +13843,7 @@ WITH fp AS (
   SELECT doc_id,
          md5(array_to_string(
            list_sort(list_filter(
-             regexp_split_to_array(trim(lower(text)), '\s+'),
+             regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
              x -> x <> '')), ' ')) AS fp
   FROM documents
 )
@@ -13794,7 +13865,7 @@ def q_token_sort_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     arr = F.array_sort(
         F.filter(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            ws_tokens(F.col("text")),
             lambda x: x != "",
         )
     )
@@ -14637,7 +14708,7 @@ def q_lof_outliers_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(_table_rows(spark, sf_dir)))
     )
     out = lof_scores(emb, k=5, block_col="block", block_dim=64)
     return out.select(
@@ -14737,7 +14808,7 @@ def q_silhouette_by_label_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(_table_rows(spark, sf_dir)))
     )
     out = silhouette_by_label(emb, block_col="block", block_dim=64)
     return out.select(
@@ -14783,7 +14854,7 @@ def q_knn_label_accuracy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     emb = emb.withColumn(
-        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(emb.count()))
+        "block", lsh_bucket(F.col("embedding"), _pair_block_planes(_table_rows(spark, sf_dir)))
     )
     out = knn_label_accuracy(emb, k=5, block_col="block", block_dim=64)
     return out.select(
@@ -15421,7 +15492,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
         FROM documents)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -15453,7 +15524,7 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT source,
-         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), per_src AS (
@@ -15492,7 +15563,7 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                ws_tokens(F.col("text")),
                 lambda x: x != "",
             )
         ).alias("tok"),
@@ -15974,7 +16045,7 @@ def q_lang_detect_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), tf AS (
@@ -16008,7 +16079,7 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                ws_tokens(F.col("text")),
                 lambda x: x != "",
             )
         ).alias("tok"),
@@ -16044,7 +16115,7 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), tf AS (
@@ -16074,7 +16145,7 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                ws_tokens(F.col("text")),
                 lambda x: x != "",
             )
         ).alias("tok"),
@@ -16231,7 +16302,7 @@ def q_event_trigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT source,
-         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), st AS (
@@ -16268,7 +16339,7 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                ws_tokens(F.col("text")),
                 lambda x: x != "",
             )
         ).alias("tok"),
@@ -17127,7 +17198,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH arrs AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
                      x -> x <> '') AS a
   FROM documents
 ), idx AS (
@@ -17158,7 +17229,7 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-array bigram construction with ``bigram_logprob``."""
     docs = load_table(spark, sf_dir, "documents")
     arr = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        ws_tokens(F.col("text")),
         lambda x: x != "",
     )
     pairs_arr = F.zip_with(
@@ -17205,7 +17276,7 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
-         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), cnt AS (
@@ -17249,7 +17320,7 @@ def q_lang_log_odds_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("grp"),
         F.explode(
             F.filter(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                ws_tokens(F.col("text")),
                 lambda x: x != "",
             )
         ).alias("tok"),
@@ -18412,7 +18483,7 @@ def q_overnight_intraday_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type_token_ratio_by_source",
     r"""
 WITH toks AS (
-  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  SELECT source, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
   FROM documents
 ), t AS (SELECT source, tok FROM toks WHERE tok <> '')
 SELECT source,
@@ -18432,7 +18503,7 @@ def q_type_token_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source",
         F.explode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ws_tokens(F.col("text"))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     return toks.groupBy("source").agg(

@@ -100,54 +100,14 @@ def compare(name: str, sp: pd.DataFrame, ora: pd.DataFrame) -> list[str]:
     return errs
 
 
-def main() -> int:
-    argv = sys.argv[1:]
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        argv = argv[:i] + argv[i + 2:]
-    # Partitioning-invariance knobs: the whole registry must produce
-    # identical results under a hostile layout — a different shuffle
-    # width AND a prime-count repartition of every input table (ordered
-    # folds, pre-rounding pins and window tie-breaks are the engine's
-    # correctness backbone; two past bugs surfaced ONLY under layout
-    # change). Used by the committed CORRECTNESS_full_rNN_altpart.json.
-    shuffle_n = 16
-    if "--shuffle-partitions" in argv:
-        i = argv.index("--shuffle-partitions")
-        shuffle_n = int(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
-    repart_n = None
-    if "--repartition" in argv:
-        i = argv.index("--repartition")
-        repart_n = int(argv[i + 1])
-        argv = argv[:i] + argv[i + 2:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
+def sweep(spark, sf_dir: str, only=None, json_out=None, quiet=False):
+    """Run every registry query against its DuckDB oracle at ``sf_dir``
+    and return ``(results, failures)``. Reusable across callers that
+    hold one SparkSession over many table directories (the fuzzed-table
+    sweep in ``tools/fuzz_tables.py`` runs this per seed)."""
     import __spark_entry__ as entry
-    from financial_data_pipeline_spark import get_spark
 
-    spark = get_spark(shuffle_partitions=shuffle_n)
-    spark.sparkContext.setLogLevel("ERROR")
-    if repart_n is not None:
-        from financial_data_pipeline_spark.plans import driver_queries as _dq
-
-        _orig_load = _dq.load_table
-
-        def _load_repart(spark, sf_dir, name, **kw):
-            return _orig_load(spark, sf_dir, name, **kw).repartition(repart_n)
-
-        _dq.load_table = _load_repart
-        # patch EVERY namespace that resolves load_table at call time:
-        # the SQL front door (view registration) and adapters itself —
-        # events_as_ohlcv and friends call the module-global, so the
-        # whole bar-query family would otherwise dodge the repartition
-        from financial_data_pipeline_spark.plans import sql_frontdoor as _fd
-        from financial_data_pipeline_spark.sources import adapters as _ad
-
-        _fd.load_table = _load_repart
-        _ad.load_table = _load_repart
+    only = set(only or ())
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -182,7 +142,8 @@ def main() -> int:
             rec.update(
                 rows_match=True, schema_match=True, hash_match=None,
             )
-            print(f"[rows-only] {name}: {len(sp)} rows")
+            if not quiet:
+                print(f"[rows-only] {name}: {len(sp)} rows")
             continue
         try:
             ora = con.execute(oracles[name]).df()
@@ -202,13 +163,65 @@ def main() -> int:
             rec["err"] = "; ".join(errs)
             print(f"[FAIL] {name}: " + "; ".join(errs))
             failures += 1
-        else:
+        elif not quiet:
             print(f"[OK]   {name}: {len(sp)} rows")
+    con.close()
     print(f"\n{ran}/{len(qs)} queries run, {failures} failures")
     if json_out:
         with open(json_out, "w") as fh:
             json.dump(results, fh, indent=2)
         print(f"wrote {json_out}")
+    return results, failures
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    # Partitioning-invariance knobs: the whole registry must produce
+    # identical results under a hostile layout — a different shuffle
+    # width AND a prime-count repartition of every input table (ordered
+    # folds, pre-rounding pins and window tie-breaks are the engine's
+    # correctness backbone; two past bugs surfaced ONLY under layout
+    # change). Used by the committed CORRECTNESS_full_rNN_altpart.json.
+    shuffle_n = 16
+    if "--shuffle-partitions" in argv:
+        i = argv.index("--shuffle-partitions")
+        shuffle_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    repart_n = None
+    if "--repartition" in argv:
+        i = argv.index("--repartition")
+        repart_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    from financial_data_pipeline_spark import get_spark
+
+    spark = get_spark(shuffle_partitions=shuffle_n)
+    spark.sparkContext.setLogLevel("ERROR")
+    if repart_n is not None:
+        from financial_data_pipeline_spark.plans import driver_queries as _dq
+
+        _orig_load = _dq.load_table
+
+        def _load_repart(spark, sf_dir, name, **kw):
+            return _orig_load(spark, sf_dir, name, **kw).repartition(repart_n)
+
+        _dq.load_table = _load_repart
+        # patch EVERY namespace that resolves load_table at call time:
+        # the SQL front door (view registration) and adapters itself —
+        # events_as_ohlcv and friends call the module-global, so the
+        # whole bar-query family would otherwise dodge the repartition
+        from financial_data_pipeline_spark.plans import sql_frontdoor as _fd
+        from financial_data_pipeline_spark.sources import adapters as _ad
+
+        _fd.load_table = _load_repart
+        _ad.load_table = _load_repart
+    _results, failures = sweep(spark, sf_dir, only=only, json_out=json_out)
     return 1 if failures else 0
 
 
