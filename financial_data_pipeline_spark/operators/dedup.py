@@ -52,8 +52,15 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """
     idx = F.sequence(F.lit(0), F.size(toks) - k)
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    return F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", toks))
+    # zero-token docs get NO shingles (pair with nothing), mirroring the
+    # zero-vector cosine convention — the old whole-doc fallback emitted
+    # a '' shingle that near-dup-paired every empty/whitespace doc with
+    # every other one (fuzzed-table finding); short-but-nonempty docs
+    # keep the whole-doc shingle.
+    return (
+        F.when(F.size(toks) >= k, F.array_distinct(sh))
+        .when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
 
@@ -658,7 +665,12 @@ def simhash_fingerprints(
         F.col(id_col),
         F.transform(tokens(F.col(text_col)), th_fn).alias("__th"),
     )
-    return with_th.select(id_col, _kernel(F.col("__th")).alias("fp"))
+    # zero-token docs have no fingerprint: an empty fold gives fp=0 for
+    # EVERY empty/whitespace doc, hamming-0-pairing them all with each
+    # other (fuzzed-table finding; same convention as shingles/cosine)
+    return with_th.filter(F.size("__th") > 0).select(
+        id_col, _kernel(F.col("__th")).alias("fp")
+    )
 
 
 def simhash_pairs(

@@ -70,7 +70,10 @@ def kgram_rows(
     Unlike ``dedup.shingle_rows`` this keeps positions and duplicates —
     winnowing is positional. Docs shorter than ``k`` tokens contribute
     their whole text as a single gram at pos 0 (n_kgrams = 1), so every
-    non-empty doc fingerprints.
+    non-empty doc fingerprints; ZERO-token docs contribute nothing
+    (the old '' gram substring-matched every empty doc against every
+    other one — fuzzed-table finding, same convention as
+    ``dedup.shingles_from_tokens``).
     """
     toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     sized = toks.select(
@@ -86,7 +89,9 @@ def kgram_rows(
                     F.sequence(F.lit(0), F.size("t") - k),
                     lambda i: F.array_join(F.slice(F.col("t"), i + 1, k), " "),
                 ),
-            ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
+            )
+            .when(F.size("t") == 0, F.array().cast("array<string>"))
+            .otherwise(F.array(F.concat_ws(" ", F.col("t"))))
         ).alias("pos", "g"),
     )
     return grams.select("id", "pos", "n_kgrams", _hash40(F.col("g")).alias("h"))

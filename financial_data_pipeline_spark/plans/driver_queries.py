@@ -3162,7 +3162,11 @@ def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_json",
     """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+       -- sum/count, not avg(): BIGINT sums are EXACT in both engines,
+       -- so the mean is order-independent for any int64 payload; a
+       -- double avg() flips at the round-6 grain past |k| ~ 1e9 (fuzz)
+       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             / count(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 6)
          AS avg_k
 FROM events GROUP BY event_type
 """,
@@ -3177,9 +3181,10 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     — found by the fuzzed-table sweep planting 1e12-scale ``k``."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # exact integer mean (see oracle comment): long sum, then divide
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(k), 6).alias("avg_k"),
+        F.round(F.sum(k) / F.count(k).cast("double"), 6).alias("avg_k"),
     )
 
 
@@ -3542,7 +3547,8 @@ def q_distinct_users_weekly_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     "events_props_variant",
     """
 SELECT event_type, count(*) AS n,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)
+       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             / count(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 6)
          AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -3563,7 +3569,7 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.variant_get(v, "$.k", "bigint")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(k), 6).alias("avg_k"),
+        F.round(F.sum(k) / F.count(k).cast("double"), 6).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
 
@@ -13841,10 +13847,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH fp AS (
   SELECT doc_id,
-         md5(array_to_string(
+         -- coalesce: array_to_string([]) is NULL in DuckDB but the
+         -- engine md5's the empty concat — zero-token docs still share
+         -- one group, with a DEFINED fp (fuzzed-table finding)
+         md5(coalesce(array_to_string(
            list_sort(list_filter(
              regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
-             x -> x <> '')), ' ')) AS fp
+             x -> x <> '')), ' '), '')) AS fp
   FROM documents
 )
 SELECT doc_id, fp,
@@ -17639,7 +17648,12 @@ def q_win_loss_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
          epoch_us(min(timestamp)) AS start_us,
          epoch_us(max(timestamp)) AS end_us,
          round(max(1.0 - close / peak), 6) AS max_depth,
-         epoch_us(arg_max(timestamp, 1.0 - close / peak)) AS trough_us
+         -- lexicographic struct max, NOT arg_max: arg_max on tied
+         -- depths is scan-order-dependent in both engines (fuzz
+         -- finding with planted price ties); (depth, ts) max pins the
+         -- latest-timestamp-among-deepest deterministically
+         (max(struct_pack(d := 1.0 - close / peak,
+                          u := epoch_us(timestamp)))).u AS trough_us
   FROM isl WHERE under = 1
   GROUP BY 1, 2
 )
@@ -17656,9 +17670,10 @@ def q_top_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``max_drawdown``/``drawdown_durations``: spells segment
     gaps-and-islands style under the running peak, one aggregate per
     spell, then a per-symbol depth rank (ROUNDED depth + start tie-
-    break, engine-stable). The trough is the arg_max of depth within
-    the spell; depth ties inside a spell resolve to the max timestamp
-    in BOTH engines (max_by/arg_max greatest-key convention)."""
+    break, engine-stable). The trough is the lexicographic
+    (depth, timestamp) max within the spell, so depth ties resolve to
+    the latest timestamp DETERMINISTICALLY — max_by/arg_max tie
+    behavior is scan-order-dependent in both engines (fuzz finding)."""
     bars = events_as_ohlcv(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("timestamp")
     peak = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -17681,7 +17696,11 @@ def q_top_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(us).alias("start_us"),
         F.max(us).alias("end_us"),
         F.round(F.max(depth), 6).alias("max_depth"),
-        F.max_by(us, depth).alias("trough_us"),
+        # lexicographic (depth, ts) max — see the oracle comment: max_by
+        # on tied depths is scan-order-dependent
+        F.max(F.struct(depth.alias("d"), us.alias("u")))["u"].alias(
+            "trough_us"
+        ),
     )
     wr = Window.partitionBy("symbol").orderBy(
         F.desc("max_depth"), F.asc("start_us")

