@@ -37,8 +37,12 @@ def cosine(a: Column, b: Column) -> Column:
     (fuzzed-table finding). DuckDB twin:
     ``coalesce(list_dot_product(a,b) / nullif(sqrt(list_dot_product(a,a))
     * sqrt(list_dot_product(b,b)), 0), 0)``."""
-    denom = norm(a) * norm(b)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    # nullif/coalesce, not when/otherwise: higher-order aggregate folds
+    # get no common-subexpression elimination, so a WHEN guard would
+    # evaluate the two norm folds twice per row
+    return F.coalesce(
+        dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0)), F.lit(0.0)
+    )
 
 
 def brute_force_topk(

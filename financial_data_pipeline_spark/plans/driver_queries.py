@@ -42,11 +42,129 @@ ORACLES: dict[str, str] = {}
 BARS_CTE = "WITH bars AS (" + events_as_ohlcv_sql(60).strip() + ")"
 
 
+def _java_round_sql(sql: str) -> str:
+    """Rewrite every ``round(expr[, n])`` in an oracle to Java-faithful
+    rounding.
+
+    Spark's ``F.round`` goes through ``BigDecimal.valueOf(double)`` —
+    i.e. it rounds the SHORTEST DECIMAL representation of the double —
+    while DuckDB's ``round`` scales-and-rounds the raw binary. The two
+    disagree whenever the intended decimal value sits exactly on the
+    round-half grid (sum = 2586332.655 → Spark .66, DuckDB .65), which
+    real 2-4-decimal money data hits at ~1%/group (fuzzed-table
+    finding; driver data had simply never landed on a critical value).
+    The rewrite reproduces Java semantics inside DuckDB:
+
+        round(E, n)  →  coalesce(
+            round(TRY_CAST(s AS DECIMAL(38,24)), n)::DOUBLE,   -- |E| < 1e14
+            round(TRY_CAST(s AS DECIMAL(38,15)), n)::DOUBLE,   -- |E| < 1e23
+            round((E), n))          -- NaN / ±Inf / huge: binary round
+        with s = TRY_CAST((E) AS VARCHAR)
+
+    ``double::VARCHAR`` is the shortest-repr string (same algorithm as
+    ``Double.toString``), the DECIMAL parse is exact, and decimal
+    rounding is HALF_UP in both engines. The scale-24 leg keeps the
+    full 17-significant-digit repr of sub-1e-7 values (a single
+    scale-15 leg pre-rounded them — double rounding, caught by the
+    sf0.01 sweep on ``triple_barrier_labels``); magnitudes past each
+    leg's decimal range fall through via TRY_CAST → NULL, and at those
+    magnitudes the grain is below one ULP anyway (FUZZ.md's
+    dynamic-range doctrine). Applied once at registration, bottom-up
+    so nested rounds transform cleanly."""
+    MARK = "__RND@("
+
+    def find_innermost(s: str) -> int:
+        i = 0
+        while True:
+            j = s.find("round(", i)
+            if j < 0:
+                return -1
+            if j > 0 and (s[j - 1].isalnum() or s[j - 1] == "_"):
+                i = j + 6
+                continue
+            # innermost-first: skip if the argument span contains
+            # another plain round(
+            k = j + 6
+            depth = 1
+            while k < len(s) and depth:
+                if s[k] == "(":
+                    depth += 1
+                elif s[k] == ")":
+                    depth -= 1
+                elif s[k] == "'":
+                    k += 1
+                    while k < len(s) and s[k] != "'":
+                        k += 1
+                k += 1
+            inner = s[j + 6 : k - 1]
+            if "round(" in inner:
+                i = j + 6
+                continue
+            return j
+
+    def split_args(a: str) -> list[str]:
+        parts, depth, cur, i = [], 0, [], 0
+        while i < len(a):
+            c = a[i]
+            if c == "'":
+                cur.append(c)
+                i += 1
+                while i < len(a) and a[i] != "'":
+                    cur.append(a[i])
+                    i += 1
+                if i < len(a):
+                    cur.append(a[i])
+            elif c in "([":
+                depth += 1
+                cur.append(c)
+            elif c in ")]":
+                depth -= 1
+                cur.append(c)
+            elif c == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+            i += 1
+        parts.append("".join(cur))
+        return parts
+
+    while True:
+        j = find_innermost(sql)
+        if j < 0:
+            break
+        k = j + 6
+        depth = 1
+        while k < len(sql) and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            elif sql[k] == "'":
+                k += 1
+                while k < len(sql) and sql[k] != "'":
+                    k += 1
+            k += 1
+        args = split_args(sql[j + 6 : k - 1])
+        e = args[0].strip()
+        n = args[1].strip() if len(args) > 1 else None
+        tail = f", {n})" if n is not None else ")"
+        svc = f"TRY_CAST(({e}) AS VARCHAR)"
+        repl = (
+            f"coalesce("
+            f"{MARK}TRY_CAST({svc} AS DECIMAL(38,24)){tail}::DOUBLE, "
+            f"{MARK}TRY_CAST({svc} AS DECIMAL(38,15)){tail}::DOUBLE, "
+            f"{MARK}({e}){tail})"
+        )
+        sql = sql[:j] + repl + sql[k:]
+    return sql.replace(MARK, "round(")
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _java_round_sql(oracle)
         return fn
 
     return deco
@@ -3163,10 +3281,13 @@ def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type, count(*) AS n,
        -- sum/count, not avg(): BIGINT sums are EXACT in both engines,
-       -- so the mean is order-independent for any int64 payload; a
-       -- double avg() flips at the round-6 grain past |k| ~ 1e9 (fuzz)
+       -- so the mean is order-independent for any int64 payload. Grain
+       -- 2, not 6: round(x, 6) itself diverges across engines once
+       -- |x|*1e6 crosses 2^53 (the scaled integer is no longer exactly
+       -- representable, and the double's own ULP spacing exceeds the
+       -- grain) — grain 2 is deterministic to |avg| < 9e13 (fuzz)
        round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-             / count(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 6)
+             / count(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 2)
          AS avg_k
 FROM events GROUP BY event_type
 """,
@@ -3184,7 +3305,7 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact integer mean (see oracle comment): long sum, then divide
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(k) / F.count(k).cast("double"), 6).alias("avg_k"),
+        F.round(F.sum(k) / F.count(k).cast("double"), 2).alias("avg_k"),
     )
 
 
@@ -3548,7 +3669,7 @@ def q_distinct_users_weekly_sketch(spark: SparkSession, sf_dir: str) -> DataFram
     """
 SELECT event_type, count(*) AS n,
        round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-             / count(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 6)
+             / count(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 2)
          AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -3569,7 +3690,7 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.variant_get(v, "$.k", "bigint")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(k) / F.count(k).cast("double"), 6).alias("avg_k"),
+        F.round(F.sum(k) / F.count(k).cast("double"), 2).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
 
@@ -6025,8 +6146,12 @@ def q_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "min_cost_supplier_per_part",
     """
 WITH ps AS (
+  -- l_quantity > 0: a zero-quantity line has no unit cost. Unguarded,
+  -- x/0.0 is NULL in non-ANSI Spark but the engines' default NULL
+  -- ORDER differs (Spark NULLS FIRST asc, DuckDB NULLS LAST), so the
+  -- degenerate supplier won rank 1 on one side only (fuzz finding)
   SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
 )
 SELECT p.p_partkey AS partkey, s.s_name AS supplier_name,
        n.n_name AS nation, ps.unit_cost AS unit_cost
@@ -6052,7 +6177,7 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     region's suppliers before the window."""
     from pyspark.sql import Window as W
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")

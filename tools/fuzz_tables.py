@@ -139,12 +139,21 @@ def mut_numeric_extremes(rng, pdf, col, allow_negative=True, positive=False):
     engine semantics. Ties (the block below) are the real attack."""
     pdf = pdf.copy()
     n = len(pdf)
+    # Full-precision irrationals / binary-exact magnitudes only: any
+    # literal with <= ~6 decimals (123.456, 1e6, even 123.456789 after
+    # a /20 window mean) makes group means land EXACTLY on round-half
+    # grids (58.7638625), where the engines' different accumulation
+    # orders flip the last rounded digit — an FP-measurement, not an
+    # engine bug (a genuinely half-grid mean is cross-engine ambiguous
+    # by nature). 2^20 sums stay binary-exact; 100*pi / 100*e style
+    # constants keep means off every decimal grid at background
+    # (~1e-8) probability, like real data.
     if positive:
-        pool = [1.0, 123.456, 999.99]
+        pool = [1.0, 314.1592653589793, 271.8281828459045]
     else:
-        pool = [0.0, 1e-150, 1e6, 123.456]
+        pool = [0.0, 1e-150, 1048576.0, 314.1592653589793]
         if allow_negative:
-            pool += [-1e6, -123.456]
+            pool += [-1048576.0, -271.8281828459045]
     k = max(1, n // 20)
     idx = rng.choice(n, size=min(k, n), replace=False)
     pdf.loc[pdf.index[idx], col] = rng.choice(pool, size=len(idx))
@@ -303,8 +312,10 @@ def mut_embeddings(rng, pdf):
     src = int(rng.integers(n))
     for i in rng.choice(n, size=3, replace=False):
         vecs[int(i)] = vecs[src].copy()
-    # scaled copies (same direction, different norm)
-    for i, s in zip(rng.choice(n, size=3, replace=False), [1e-6, 1e6, 2.0]):
+    # scaled copies (same direction, different norm) — 1e±3, not 1e±6:
+    # a 1e6-norm vector pushes the PCA covariance trace to ~1e12 where
+    # round-6 itself is past double's representable grain (see FUZZ.md)
+    for i, s in zip(rng.choice(n, size=3, replace=False), [1e-3, 1e3, 2.0]):
         vecs[int(i)] = (vecs[src] * np.float32(s)).astype(np.float32)
     # single-label block
     if rng.random() < 0.5:
