@@ -168,7 +168,12 @@ def cosine_pairs(
 
     def to_unit_matrix(series) -> "np.ndarray":
         m = np.array([np.asarray(v, dtype=np.float64) for v in series])
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        # zero vectors normalize to NaN rows, which then fail every
+        # >= threshold / top-k comparison and exclude themselves —
+        # consistent with the cosine() zero-norm convention. errstate
+        # keeps the expected 0/0 from logging a warning per batch.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
         return m
 
     if block_col is not None:
@@ -284,7 +289,9 @@ def knn_join(
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # zero vectors -> NaN rows, self-excluding (see above)
+                mat /= np.linalg.norm(mat, axis=1, keepdims=True)
             sims = np.round(mat @ qmat.T, 6)  # (batch, nq), rank on rounded
             kk = min(k, len(ids))
             # per query: local top-k by (sim desc, id asc)

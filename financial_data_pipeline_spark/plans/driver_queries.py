@@ -14445,56 +14445,77 @@ def q_ewma_pair_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     BARS_CTE
     + """
 , d AS (
-  SELECT symbol,
+  SELECT symbol, timestamp,
          1 - close / max(close) OVER (PARTITION BY symbol ORDER BY timestamp
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW) AS dd,
          ln(close / lag(close) OVER (PARTITION BY symbol
                                      ORDER BY timestamp)) AS r
   FROM bars
+), ranked AS (
+  -- rank-based tail, NOT dd >= interpolated-quantile membership: with
+  -- near-tied order statistics the interpolation a + f*(b-a) collapses
+  -- onto a within FP error and the engines' different interpolation
+  -- expressions disagree on the boundary row (fuzz finding). The worst
+  -- ceil(5%) states by (dd DESC, ts) are deterministic for any data.
+  SELECT symbol, dd, r,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY dd DESC, timestamp ASC) AS rk,
+         count(*) OVER (PARTITION BY symbol) AS n
+  FROM d
 ), q AS (
   SELECT symbol, quantile_cont(dd, 0.95) AS dd95 FROM d GROUP BY 1
 )
-SELECT d.symbol,
+SELECT ranked.symbol,
        count(*)::BIGINT AS n_obs,
-       round(avg(d.dd), 6) AS pain_index,
-       round(CASE WHEN avg(d.dd) > 0
-             THEN sum(d.r) / avg(d.dd) END, 6) AS pain_ratio,
+       round(avg(dd), 6) AS pain_index,
+       round(CASE WHEN avg(dd) > 0
+             THEN sum(r) / avg(dd) END, 6) AS pain_ratio,
        round(max(q.dd95), 6) AS dd_q95,
-       round(avg(CASE WHEN d.dd >= q.dd95 THEN d.dd END), 6) AS cdar_95
-FROM d JOIN q USING (symbol)
+       round(avg(CASE WHEN rk <= (n + 19) // 20 THEN dd END), 6) AS cdar_95
+FROM ranked JOIN q USING (symbol)
 GROUP BY 1
 """,
 )
 def q_conditional_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drawdown-distribution risk per symbol: pain index (mean
     underwater depth), pain ratio (total log return over pain), and
-    CDaR-95 (mean of the worst 5% drawdown states, conditional on the
-    exact interpolated 95th percentile broadcast back) — the
-    path-dependent tail view that point VaR misses. Same two-stage
-    quantile-then-tail-mean shape as ``value_at_risk``; the returns
-    lag and running-max share one per-symbol sort."""
+    CDaR-95 (mean of the worst ceil(5%) drawdown states, rank-selected
+    with a timestamp tie-break — deterministic where an interpolated-
+    quantile membership test is FP-fragile under near-tied order
+    statistics; the interpolated q95 is still reported as ``dd_q95``)
+    — the path-dependent tail view that point VaR misses."""
     bars = events_as_ohlcv(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("timestamp")
     peak = w.rowsBetween(Window.unboundedPreceding, 0)
     d = bars.select(
         "symbol",
+        "timestamp",
         (1 - F.col("close") / F.max("close").over(peak)).alias("dd"),
         F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
     )
     q = d.groupBy("symbol").agg(
         F.percentile("dd", F.lit(0.95)).alias("dd95")
     )
-    j = d.join(F.broadcast(q), "symbol")
+    # rank-based tail (see oracle comment): the worst ceil(5%) states by
+    # (dd DESC, ts) — quantile-membership boundaries are FP-fragile
+    # under near-tied order statistics
+    wr = Window.partitionBy("symbol").orderBy(
+        F.desc("dd"), F.asc("timestamp")
+    )
+    wn = Window.partitionBy("symbol")
+    ranked = d.withColumn("rk", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    j = ranked.join(F.broadcast(q), "symbol")
     pain = F.avg("dd")
+    in_tail = F.col("rk") <= (F.col("n") + 19) / 20
     return j.groupBy("symbol").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.round(pain, 6).alias("pain_index"),
         F.round(F.when(pain > 0, F.sum("r") / pain), 6).alias("pain_ratio"),
         F.round(F.max("dd95"), 6).alias("dd_q95"),
-        F.round(
-            F.avg(F.when(F.col("dd") >= F.col("dd95"), F.col("dd"))), 6
-        ).alias("cdar_95"),
+        F.round(F.avg(F.when(in_tail, F.col("dd"))), 6).alias("cdar_95"),
     )
 
 
