@@ -80,13 +80,19 @@ def gopher_rules(
     would re-split once per referencing expression (same barrier trick
     as ``dedup.shingle_rows``).
     """
+    # NULL ≡ empty: features computed on coalesced text so a NULL doc
+    # gets n_words=0 / keep=false deterministically in BOTH engines
+    # instead of NULL rule columns whose filter behavior is
+    # engine-specific (NULL-text fuzz finding); the stored text column
+    # itself is left untouched.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     df = df.withColumns(
         {
-            "__toks": ws_tokens(F.col(text_col)),
-            "__lines": F.split(F.col(text_col), r"\n"),
+            "__toks": ws_tokens(txt),
+            "__lines": F.split(txt, r"\n"),
         }
     )
-    t = F.col(text_col)
+    t = txt
     toks = F.col("__toks")
     n_words = token_count_ws(t)
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
@@ -174,12 +180,19 @@ PII_PHONE_RE = r"\+\d[\d ]{5,14}\d"
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Match counts per PII class (before redaction)."""
+    """Match counts per PII class (before redaction).
+
+    NULL text counts 0 for every class (NULL ≡ empty — ``size(NULL)``
+    is -1 under ansi=false while the DuckDB oracle's ``len(NULL)`` is
+    NULL; both sides pin 0 instead, NULL-text fuzz finding). The
+    redacted TEXT still propagates NULL → NULL, matching the oracle's
+    ``regexp_replace(NULL)``."""
+    t = F.coalesce(text, F.lit(""))
     return {
-        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))),
-        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), F.lit(0))),
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))),
+        "n_ips": F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0))),
         "n_phones": F.size(
-            F.regexp_extract_all(text, F.lit(PII_PHONE_RE), F.lit(0))
+            F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))
         ),
     }
 

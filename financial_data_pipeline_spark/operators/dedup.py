@@ -37,7 +37,18 @@ def _hash60(col: Column) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    return ws_tokens(text)
+    """``ws_tokens`` with NULL text coalesced to an EMPTY array.
+
+    Without the coalesce, NULL text tokenizes to NULL and
+    ``size(NULL)`` is -1 under ansi=false, so the zero-token guards in
+    ``shingles_from_tokens`` / ``winnow.kgram_rows`` (written as
+    ``size(toks) == 0``) missed NULL docs — they fell through to the
+    whole-doc branch and emitted a '' shingle that paired every
+    NULL-text doc with every other one, while the DuckDB oracles
+    (unnest over a NULL list) emit nothing (r8 ADVICE finding).
+    NULL text ≡ empty text: no tokens, no shingles, no fingerprint.
+    """
+    return F.coalesce(ws_tokens(text), F.array().cast("array<string>"))
 
 
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:

@@ -96,14 +96,23 @@ def decode_features(
                         "real media decode requires PIL/ffmpeg; "
                         "run with fake=True in this environment"
                     )
-                feats = [
-                    _fake_decode(bytes(p), n_features) for p in chunk[payload_col]
-                ]
+                # NULL payload = failed decode (decode_ok False, no
+                # features) — not a kernel crash: bytes(None) raised
+                # out of the Python worker when the fuzzer planted
+                # NULL-text docs upstream of the encode()
+                feats, oks = [], []
+                for p in chunk[payload_col]:
+                    if p is None:
+                        feats.append([])
+                        oks.append(False)
+                    else:
+                        feats.append(_fake_decode(bytes(p), n_features))
+                        oks.append(True)
                 yield pd.DataFrame(
                     {
                         id_col: chunk[id_col].values,
                         "features": feats,
-                        "decode_ok": True,
+                        "decode_ok": oks,
                     }
                 )
 

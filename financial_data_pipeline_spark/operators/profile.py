@@ -38,11 +38,28 @@ def table_profile(
         # float/double go through DECIMAL(38,6): a bare string cast
         # renders engine-specifically ('1.0E9' in the JVM vs
         # '1000000000.0' in DuckDB — fuzzed-table finding), while a
-        # fixed-scale decimal prints identically everywhere. |x| is
-        # bounded by decimal(38,6)'s 1e32 range in the profile contract.
+        # fixed-scale decimal prints identically everywhere.
+        # Non-finite and out-of-decimal-range values are routed
+        # EXPLICITLY before the decimal cast: Spark's double→decimal
+        # cast yields NULL for NaN/±Inf/|x|>=1e32 under ansi=false
+        # while DuckDB's ::DECIMAL(38,6) raises — a single NaN in a
+        # profiled column made the oracle error rather than compare
+        # (r8 ADVICE finding). The oracle twin carries the same CASE.
+        # Parity contract: ±Inf and out-of-range values now compare
+        # exactly; NaN renders cleanly on both sides but stays OUTSIDE
+        # the cross-engine min/max parity contract — Spark orders NaN
+        # greatest while DuckDB's min/max aggregate skips it whenever
+        # another value competes (pinned in
+        # test_r8_advice_regressions.py).
         # Applied AFTER the aggregate so min/max stay numeric.
         if dtypes.get(col) in ("double", "float"):
-            return expr.cast("decimal(38,6)").cast("string")
+            return (
+                F.when(F.isnan(expr), F.lit("NaN"))
+                .when(expr == F.lit(float("inf")), F.lit("Inf"))
+                .when(expr == F.lit(float("-inf")), F.lit("-Inf"))
+                .when(F.abs(expr) >= F.lit(1e32), F.lit("out-of-range"))
+                .otherwise(expr.cast("decimal(38,6)").cast("string"))
+            )
         return expr.cast("string")
 
     aggs = [F.count(F.lit(1)).alias("__n")]

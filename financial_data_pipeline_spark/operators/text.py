@@ -28,23 +28,38 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 # A BPE-ish tokenizer regex: words, numbers, or single non-space symbols.
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The whitespace set is pinned explicitly (not `\s`): Java's \s includes
+# vertical tab \x0B but RE2/DuckDB's does not, so `\s`-based classes
+# tokenize U+000B differently across engines (r8 ADVICE finding).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 ENGLISH_STOPWORDS = [
     "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
 ]
 
 
+# The canonical whitespace-token pattern, shared by ws_tokens /
+# token_count_ws and every DuckDB oracle twin. The class is pinned
+# EXPLICITLY to Java's ASCII \s set [ \t\n\x0B\f\r] rather than written
+# as `\S+`: Java's \s includes vertical tab U+000B but RE2/DuckDB's
+# does not, so a bare `\S+` tokenizes '\x0Ba\x0Bb' as two tokens in the
+# engine and one in every oracle (r8 ADVICE finding). Spelling out the
+# complement class makes both engines agree byte-for-byte.
+WS_TOKEN_RE = r"[^ \t\n\x0B\f\r]+"
+
+
 def ws_tokens(text: Column, lower: bool = True) -> Column:
-    """Canonical whitespace token array = ``\\S+`` runs.
+    """Canonical whitespace token array = non-whitespace runs, with the
+    whitespace set pinned to Java's ASCII ``\\s`` = ``[ \\t\\n\\x0B\\f\\r]``
+    (see ``WS_TOKEN_RE`` — a bare ``\\S+`` diverges on U+000B because
+    RE2's ``\\s`` lacks vertical tab).
 
     NOT ``split(trim(x), '\\s+')``: trim strips only ASCII spaces, so a
     newline-led doc keeps a phantom leading '' token under Java split
     (which also drops trailing empties) while DuckDB's split keeps
     both — three different token lists for the same degenerate doc
-    (fuzzed-table finding). ``\\S+`` extraction yields exactly the
-    non-whitespace runs — [] for empty/whitespace-only text — and is
-    identical in Java regex and RE2.
+    (fuzzed-table finding). Run extraction yields exactly the
+    non-whitespace runs — [] for empty/whitespace-only text.
 
     Case folding is ASCII-ONLY (``translate``, not ``lower``): unicode
     lowercasing is engine-specific (U+0130 'İ' maps to i+combining-dot
@@ -52,7 +67,8 @@ def ws_tokens(text: Column, lower: bool = True) -> Column:
     token identity diverged across engines on non-ASCII capitals
     (fuzzed-table finding). Non-ASCII letters keep their case — a
     documented contract, not a lossy fold. DuckDB twin:
-    ``regexp_extract_all(translate(text, 'A..Z', 'a..z'), '\\S+')``."""
+    ``regexp_extract_all(translate(text, 'A..Z', 'a..z'),
+    '[^ \\t\\n\\x0B\\f\\r]+')``."""
     t = (
         F.translate(
             text,
@@ -62,12 +78,18 @@ def ws_tokens(text: Column, lower: bool = True) -> Column:
         if lower
         else text
     )
-    return F.regexp_extract_all(t, F.lit(r"\S+"), F.lit(0))
+    # NULL text ≡ empty text: coalesce to [] so size() is 0 (not the
+    # ansi=false size(NULL) = -1) and explode/transform emit nothing —
+    # the registry-wide NULL-doc convention (r8 ADVICE + NULL-text fuzz)
+    return F.coalesce(
+        F.regexp_extract_all(t, F.lit(WS_TOKEN_RE), F.lit(0)),
+        F.array().cast("array<string>"),
+    )
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace token count = number of ``\\S+`` runs; empty/blank
-    text → 0.
+    """Whitespace token count = number of ``WS_TOKEN_RE`` runs (the
+    pinned Java-``\\s`` complement class); empty/blank text → 0.
 
     NOT trim+split: Spark ``trim`` strips only ASCII spaces, so a
     newline-led doc kept a leading '' token (Java split preserves
@@ -75,22 +97,43 @@ def token_count_ws(text: Column) -> Column:
     ``len(string_split_regex('', ...))`` is 1 — both engines disagree
     with each other AND with the intended semantics on degenerate docs
     (fuzzed-table finding). Counting non-whitespace runs is 0 on
-    empty/whitespace-only text and identical in Java and RE2."""
-    return F.size(F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0)))
+    empty/whitespace-only text and identical in Java and RE2.
+    NULL text counts 0 (the NULL ≡ empty convention — a bare size()
+    would return -1 under ansi=false)."""
+    return F.size(
+        F.coalesce(
+            F.regexp_extract_all(text, F.lit(WS_TOKEN_RE), F.lit(0)),
+            F.array().cast("array<string>"),
+        )
+    )
 
 
 def token_count_bpe(text: Column) -> Column:
     """BPE-ish token count via the word/number/symbol regex."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    # same NULL ≡ empty coalesce as token_count_ws (size(NULL) is -1)
+    return F.size(
+        F.coalesce(
+            F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)),
+            F.array().cast("array<string>"),
+        )
+    )
 
 
 def word_count_marker(text: Column, word: str) -> Column:
     """Occurrences of ``word`` as a whitespace-delimited token."""
     # ASCII fold (see ws_tokens): full-unicode lower() makes the padded
     # string and therefore marker counts engine-specific around U+0130
+    # NULL ≡ empty: without the coalesce, concat propagates NULL and a
+    # NULL doc scores NULL for every language instead of 0 → the
+    # struct-argmax picks an arbitrary language, not 'und' (NULL-text
+    # fuzz finding: lang_detect said 'de' for a NULL doc)
     padded = F.concat(
         F.lit(" "),
-        F.translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
+        F.translate(
+            F.coalesce(text, F.lit("")),
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+            "abcdefghijklmnopqrstuvwxyz",
+        ),
         F.lit(" "),
     )
     needle = f" {word} "
@@ -140,6 +183,10 @@ def detect_language(text: Column) -> Column:
 # curation.py) so the DuckDB oracle applies the identical pipeline.
 HTML_TAG_RE = r"<[^>]+>"
 CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+# `\s+` here is exempt from the WS_TOKEN_RE \x0B pinning: the only char
+# where Java's and RE2's \s disagree (U+000B) is deleted by
+# CONTROL_CHAR_RE in the step before this collapse runs, on both the
+# engine and the oracle side, so the collapse never sees it.
 WS_RUN_RE = r"\s+"
 
 
@@ -167,12 +214,17 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     digit / uppercase / stopword ratios, mean word length.
 
     All ratios are over character or token counts as appropriate;
-    denominators guarded against zero (empty docs score 0).
+    denominators guarded against zero (empty docs score 0). NULL text
+    is coalesced to '' at entry (the registry-wide NULL ≡ empty
+    convention) — without it every length() feature is NULL and the
+    engine/oracle columns dtype-diverge (NULL-text fuzz finding).
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(t)
     n_tokens = token_count_ws(t)
-    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_punct = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^\w \t\n\x0B\f\r]", "")
+    )
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     n_stop = sum(word_count_marker(t, w) for w in ENGLISH_STOPWORDS)

@@ -1264,7 +1264,8 @@ def _lang_detect_sql() -> str:
     m = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
     case = " ".join(f"WHEN s_{la} = m THEN '{la}'" for la in langs)
     return f"""
-WITH sc AS (SELECT doc_id, lang, {scores} FROM documents),
+WITH sc AS (SELECT doc_id, lang, {scores}
+            FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) documents),
 mx AS (SELECT *, {m} AS m FROM sc)
 SELECT doc_id, lang AS lang_actual,
        CASE WHEN m <= 0 THEN 'und' {case} END AS lang_pred
@@ -1278,10 +1279,10 @@ FROM mx
 WITH t AS (
   SELECT doc_id, text,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_extract_all(text, '\S+')) END AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe,
+              ELSE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS n_tokens_bpe,
          length(text) AS n_chars,
-         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[^\w \t\n\x0B\f\r]', '', 'g')) AS n_punct,
          length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
          ("""
     + " + ".join(
@@ -1292,7 +1293,7 @@ WITH t AS (
         ]
     )
     + r""") AS n_stop
-  FROM documents
+  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) documents
 )
 SELECT doc_id, n_tokens, n_tokens_bpe,
        round(n_punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
@@ -1344,10 +1345,10 @@ SELECT doc_id,
        list_reduce(
          list_prepend(0::BIGINT,
            [ (('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)
-             for t in regexp_extract_all(text, '\S+') ]),
+             for t in regexp_extract_all(text, '[^ \t\n\x0B\f\r]+') ]),
          (acc, x) -> (acc * 31 + x) % 2147483647
        ) AS fingerprint
-FROM documents
+FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) documents
 """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,7 +1448,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
         FROM documents)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -1498,7 +1499,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
         FROM documents)
 ), hh AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_P} AS h, s
@@ -1554,7 +1555,7 @@ def _simhash_sql(bits: int = 60, max_hamming: int = 3) -> str:
     )
     return rf"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
+  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), th AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks
@@ -1735,7 +1736,7 @@ def q_embedding_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_logprob",
     r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
+  SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
 vocab AS (SELECT tok, count(*) AS tf FROM toks_ne GROUP BY tok),
@@ -1945,9 +1946,9 @@ def q_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH base AS (
   SELECT doc_id, length(text) AS chars,
-         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
   FROM documents
-  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) >= 2
+  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) >= 2
 ), grams AS (
   SELECT doc_id, chars, toks[i] || ' ' || toks[i + 1] AS ngram
   FROM (
@@ -2296,8 +2297,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT doc_id,
        octet_length(encode(text)) AS size_bytes,
-       TRUE AS decode_ok,
-       round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6) AS f0
+       -- NULL payload = failed decode: decode_ok false, no features
+       -- (engine kernel convention — NULL-text fuzz finding)
+       text IS NOT NULL AS decode_ok,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE round(('0x' || substr(sha256(text), 1, 2))::INT / 255.0, 6)
+       END AS f0
 FROM documents
 """,
 )
@@ -2656,7 +2661,7 @@ WITH RECURSIVE sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
         FROM documents)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -2758,11 +2763,11 @@ def q_keep_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH base AS (
   SELECT doc_id, text,
-         -- \S+ runs, not trim+split: split counts phantom '' tokens on
+         -- [^ \t\n\x0B\f\r]+ runs, not trim+split: split counts phantom '' tokens on
          -- newline-led/empty docs and differs per engine (fuzz finding)
-         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks,
+         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks,
          str_split(text, chr(10)) AS lines
-  FROM documents
+  FROM (SELECT * REPLACE (coalesce(text, '') AS text) FROM documents) documents
 ), m AS (
   SELECT doc_id,
     len(toks) AS n_words,
@@ -2829,9 +2834,11 @@ _PII_AUG_SQL = (
     rf"""
 WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
 SELECT doc_id,
-  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
-  len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ips,
-  len(regexp_extract_all(text, '\+\d[\d ]{{5,14}}\d')) AS n_phones,
+  -- coalesce(...,0): NULL text counts 0 PII matches (engine pins 0 via
+  -- coalesce(text,'') while len(NULL) here is NULL — NULL-text fuzz)
+  coalesce(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')), 0) AS n_emails,
+  coalesce(len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')), 0) AS n_ips,
+  coalesce(len(regexp_extract_all(text, '\+\d[\d ]{{5,14}}\d')), 0) AS n_phones,
   regexp_replace(
     regexp_replace(
       regexp_replace(text,
@@ -2875,7 +2882,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_check",
     r"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
   FROM documents
 ), sh AS (
   SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS shh
@@ -2940,7 +2947,7 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH agg AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '\S+'))) AS tokens,
+         sum(coalesce(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 0)) AS tokens,
          CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
                      WHEN 'src2' THEN 0.2 END AS weight
   FROM documents GROUP BY source
@@ -3050,7 +3057,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
         FROM documents)
 )
 SELECT s AS ngram, count(*) AS doc_freq
@@ -3097,8 +3104,8 @@ def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_length_stats",
     r"""
 SELECT source, count(*) AS n_docs,
-       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5), 6) AS p50,
-       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.95), 6) AS p95
+       round(quantile_cont(coalesce(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 0), 0.5), 6) AS p50,
+       round(quantile_cont(coalesce(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 0), 0.95), 6) AS p95
 FROM documents GROUP BY source
 """,
 )
@@ -3280,12 +3287,19 @@ def q_next_day_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_props_json",
     """
 SELECT event_type, count(*) AS n,
-       -- sum/count, not avg(): BIGINT sums are EXACT in both engines,
-       -- so the mean is order-independent for any int64 payload. Grain
-       -- 2, not 6: round(x, 6) itself diverges across engines once
-       -- |x|*1e6 crosses 2^53 (the scaled integer is no longer exactly
-       -- representable, and the double's own ULP spacing exceeds the
-       -- grain) — grain 2 is deterministic to |avg| < 9e13 (fuzz)
+       -- sum/count, not avg(): the integer sum is EXACT in both engines
+       -- (DuckDB promotes sum(BIGINT) to HUGEINT; the Spark side sums
+       -- through decimal(38,0) — a bare sum(long) would WRAP silently
+       -- on int64 overflow, r8 ADVICE finding), so the mean is
+       -- order-independent for any int64 payload with |group sum| <
+       -- 2^64 — beyond that DuckDB's hugeint->double conversion goes
+       -- through two 64-bit halves and can be 1 ULP off the correctly
+       -- rounded value (measured at 2.77e19), so the parity bound is
+       -- the double-conversion range, not decimal's 38 digits.
+       -- Grain 2, not 6: round(x, 6) itself diverges across
+       -- engines once |x|*1e6 crosses 2^53 (the scaled integer is no
+       -- longer exactly representable, and the double's own ULP spacing
+       -- exceeds the grain) — grain 2 is deterministic to |avg| < 9e13
        round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
              / count(CAST(json_extract_string(props, '$.k') AS BIGINT))::DOUBLE, 2)
          AS avg_k
@@ -3302,10 +3316,14 @@ def q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     — found by the fuzzed-table sweep planting 1e12-scale ``k``."""
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    # exact integer mean (see oracle comment): long sum, then divide
+    # exact integer mean: sum through decimal(38,0), NOT sum(long) —
+    # Spark's long sum wraps silently on int64 overflow while the
+    # DuckDB oracle promotes to HUGEINT (r8 ADVICE finding)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(k) / F.count(k).cast("double"), 2).alias("avg_k"),
+        F.round(
+            F.sum(k.cast("decimal(38,0)")) / F.count(k).cast("double"), 2
+        ).alias("avg_k"),
     )
 
 
@@ -3688,9 +3706,13 @@ def q_events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigint, not int: variant_get hard-errors (INVALID_VARIANT_CAST) on
     # an int32-overflowing payload value — fuzzed-table finding
     k = F.variant_get(v, "$.k", "bigint")
+    # decimal(38,0) sum for the same overflow-exactness reason as
+    # events_props_json (DuckDB promotes to HUGEINT; sum(long) wraps)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(k) / F.count(k).cast("double"), 2).alias("avg_k"),
+        F.round(
+            F.sum(k.cast("decimal(38,0)")) / F.count(k).cast("double"), 2
+        ).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
 
@@ -4180,8 +4202,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_length_stats_approx",
     r"""
 SELECT source, count(*) AS n_docs,
-       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.5), 6) AS p50_exact,
-       round(quantile_cont(len(regexp_extract_all(text, '\S+')), 0.95), 6) AS p95_exact,
+       round(quantile_cont(coalesce(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 0), 0.5), 6) AS p50_exact,
+       round(quantile_cont(coalesce(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')), 0), 0.95), 6) AS p95_exact,
        TRUE AS p50_within, TRUE AS p95_within
 FROM documents GROUP BY source
 """,
@@ -4930,7 +4952,7 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
+         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), toks_ne AS (SELECT * FROM toks WHERE tok <> ''),
 counts AS (
@@ -5194,7 +5216,7 @@ sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
         FROM s1 WHERE doc_id IN (SELECT doc_id FROM winners))
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -5215,9 +5237,13 @@ inter AS (
 ), losers AS (
   SELECT s AS doc_id FROM reach GROUP BY s HAVING least(s, min(d)) < s
 ), gbase AS (
-  SELECT doc_id, text,
-         regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks,
-         str_split(text, chr(10)) AS lines
+  -- coalesce(text,''): gopher features on NULL docs must evaluate to
+  -- keep=false (n_words=0) in BOTH engines, not NULL rules whose
+  -- counting is engine-specific (NULL-text fuzz; matches
+  -- curation.gopher_rules' entry coalesce)
+  SELECT doc_id, coalesce(text, '') AS text,
+         regexp_extract_all(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks,
+         str_split(coalesce(text, ''), chr(10)) AS lines
   FROM corpus
 ), gf AS (
   SELECT doc_id,
@@ -5242,7 +5268,7 @@ inter AS (
       CASE WHEN len(toks) >= 3
            THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
            ELSE [array_to_string(toks, ' ')] END)) AS s
-    FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+    FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
           FROM corpus))
 ), bsh AS (
   SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS shh
@@ -5251,7 +5277,7 @@ inter AS (
       CASE WHEN len(toks) >= 3
            THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
            ELSE [array_to_string(toks, ' ')] END)) AS s
-    FROM (SELECT regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+    FROM (SELECT regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
           FROM documents WHERE doc_id % 97 = 0))
 ), contam AS (
   SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.shh = b.shh
@@ -5315,7 +5341,7 @@ WITH esh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
         FROM documents)
 ), esz AS (SELECT doc_id, count(*) AS sz FROM esh GROUP BY 1),
 einter AS (
@@ -6034,7 +6060,7 @@ def q_walk_forward_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heavy_hitter_tokens",
     r"""
 WITH toks AS (
-  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS token
+  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) AS token
   FROM documents
 ), t AS (SELECT * FROM toks WHERE token <> '')
 SELECT token, count(*) AS freq
@@ -6732,7 +6758,7 @@ def _winnow_sql(k: int = 8, w: int = 4, min_shared: int = 1, cap: int = 1000) ->
     mask = shift - 1
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS t
+  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ), sized AS (
   SELECT doc_id, t, len(t) AS nt,
@@ -7014,7 +7040,7 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH agg AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '\\S+'))) AS tokens
+         sum(coalesce(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')), 0)) AS tokens
   FROM documents GROUP BY source
 ), sh AS (
   SELECT source, n_docs, tokens,
@@ -7374,8 +7400,19 @@ UNION ALL
 SELECT 'o_totalprice', base.n,
        (SELECT count(*) FROM orders WHERE o_totalprice IS NULL),
        (SELECT count(DISTINCT o_totalprice) FROM orders),
-       (SELECT min(o_totalprice)::DECIMAL(38,6)::VARCHAR FROM orders),
-       (SELECT max(o_totalprice)::DECIMAL(38,6)::VARCHAR FROM orders)
+       -- same non-finite/out-of-range routing as profile.render():
+       -- Spark's double->decimal cast NULLs on NaN/Inf/|x|>=1e32 where
+       -- DuckDB ::DECIMAL raises, so both engines branch BEFORE casting
+       (SELECT CASE WHEN isnan(min(o_totalprice)) THEN 'NaN'
+                    WHEN isinf(min(o_totalprice)) AND min(o_totalprice) > 0 THEN 'Inf'
+                    WHEN isinf(min(o_totalprice)) THEN '-Inf'
+                    WHEN abs(min(o_totalprice)) >= 1e32 THEN 'out-of-range'
+                    ELSE min(o_totalprice)::DECIMAL(38,6)::VARCHAR END FROM orders),
+       (SELECT CASE WHEN isnan(max(o_totalprice)) THEN 'NaN'
+                    WHEN isinf(max(o_totalprice)) AND max(o_totalprice) > 0 THEN 'Inf'
+                    WHEN isinf(max(o_totalprice)) THEN '-Inf'
+                    WHEN abs(max(o_totalprice)) >= 1e32 THEN 'out-of-range'
+                    ELSE max(o_totalprice)::DECIMAL(38,6)::VARCHAR END FROM orders)
 FROM base
 """,
 )
@@ -7477,7 +7514,7 @@ def q_user_features_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH s AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '\\S+')) AS toks,
+         coalesce(len(regexp_extract_all(text, '[^ \\t\\n\\x0B\\f\\r]+')), 0) AS toks,
          ('0x' || substr(md5(doc_id::VARCHAR || '|' || '0'), 1, 15))::BIGINT
            AS h
   FROM documents
@@ -7517,7 +7554,7 @@ _BM25_TERMS = ("data", "query", "window")
     f"""
 WITH toks AS (
   SELECT doc_id, u.tok, len(t) AS dl
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS t
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents), unnest(t) AS u(tok)
 ), corpus AS (
   SELECT count(DISTINCT doc_id) AS n_docs,
@@ -7594,7 +7631,7 @@ def q_mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_SQL = f"""
 WITH toks AS (
   SELECT doc_id, u.tok, len(t) AS dl
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS t
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents), unnest(t) AS u(tok)
 ), corpus AS (
   SELECT count(DISTINCT doc_id) AS n_docs, avg(dl) AS avgdl
@@ -8077,7 +8114,7 @@ def _bpe_oracle_sql(n_merges: int = 12) -> str:
         r"""
 WITH w0 AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS weight FROM (
-    SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS word
+    SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) AS word
     FROM documents
   ) WHERE word <> '' GROUP BY word
 ),
@@ -8602,7 +8639,7 @@ def q_ks_drift_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+')) AS tok
+         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+')) AS tok
   FROM documents
 ), cnt AS (
   SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
@@ -9035,7 +9072,7 @@ def q_value_at_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH c AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))
            AS n_words,
          greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
          len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS vg
@@ -9729,7 +9766,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH scored AS (
   SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))
            AS s
   FROM documents WHERE text IS NOT NULL
 ), ranked AS (
@@ -10057,7 +10094,7 @@ def q_black_scholes_atm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zipf_fit",
     r"""
 WITH toks AS (
-  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
+  SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) AS tok
   FROM documents WHERE text IS NOT NULL
 ), tf AS (
   SELECT tok, count(*) AS c FROM toks GROUP BY tok
@@ -10658,9 +10695,9 @@ def q_hist_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_novelty",
     """
 WITH base AS (
-  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS toks
+  SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents
-  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+')) >= 3
+  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+')) >= 3
 ), grams AS (
   SELECT DISTINCT doc_id,
          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
@@ -10697,9 +10734,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_overlap_jaccard",
     """
 WITH base AS (
-  SELECT source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+') AS toks
+  SELECT source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+') AS toks
   FROM documents
-  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\S+')) >= 5
+  WHERE len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \\t\\n\\x0B\\f\\r]+')) >= 5
 ), grams AS (
   SELECT DISTINCT source,
          toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' '
@@ -12087,7 +12124,7 @@ def q_donchian_breakout_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH scored AS (
   SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+         len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> ''))
            AS s
   FROM documents WHERE text IS NOT NULL
 ), binned AS (
@@ -12138,8 +12175,8 @@ def q_quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH t AS (
   SELECT CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_extract_all(text, '\S+')) END AS ws,
-         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+              ELSE len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) END AS ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))
            AS bpe,
          lang
   FROM documents WHERE text IS NOT NULL
@@ -13931,7 +13968,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH arrs AS (
   SELECT doc_id,
-         list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+         list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS a
   FROM documents
 ), idx AS (
@@ -13977,7 +14014,7 @@ WITH fp AS (
          -- one group, with a DEFINED fp (fuzzed-table finding)
          md5(coalesce(array_to_string(
            list_sort(list_filter(
-             regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+             regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
              x -> x <> '')), ' '), '')) AS fp
   FROM documents
 )
@@ -15647,7 +15684,7 @@ WITH sh AS (
     CASE WHEN len(toks) >= 3
          THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
          ELSE [array_to_string(toks, ' ')] END)) AS s
-  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+') AS toks
+  FROM (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+') AS toks
         FROM documents)
 ), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 inter AS (
@@ -15679,7 +15716,7 @@ def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT source,
-         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), per_src AS (
@@ -16200,7 +16237,7 @@ def q_lang_detect_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), tf AS (
@@ -16270,7 +16307,7 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), tf AS (
@@ -16457,7 +16494,7 @@ def q_event_trigram_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT source,
-         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), st AS (
@@ -17353,7 +17390,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH arrs AS (
   SELECT doc_id,
-         list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+         list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
                      x -> x <> '') AS a
   FROM documents
 ), idx AS (
@@ -17431,7 +17468,7 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
 WITH toks AS (
   SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS grp,
-         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+'),
+         unnest(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+'),
                             x -> x <> '')) AS tok
   FROM documents
 ), cnt AS (
@@ -18648,7 +18685,7 @@ def q_overnight_intraday_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "type_token_ratio_by_source",
     r"""
 WITH toks AS (
-  SELECT source, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\S+')) AS tok
+  SELECT source, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), t AS (SELECT source, tok FROM toks WHERE tok <> '')
 SELECT source,

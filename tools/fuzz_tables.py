@@ -76,7 +76,10 @@ UNICODE_MONSTERS = [
     "a​b‌c‍d﻿e",                            # zero-width chars
     "مرحبا بالعالم שלום עולם mixed rtl",                        # RTL runs
     "ß groß STRASSE İstanbul ﬁnance ﬂow",                      # casing traps
-    "x y z  tabs\tand\nnewlines\r\n",            # odd whitespace
+    "x y z  tabs\tand\nnewlines\r\n v\x0Bt",    # odd whitespace incl. U+000B
+    "\x0Blead vt\x0Bmid vt trail\x0B",         # vertical-tab monster: Java \s
+                                                # has \x0B, RE2's does not (r8
+                                                # ADVICE -> pinned WS_TOKEN_RE)
     "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕊𝕡𝕒𝕣𝕜 ｆｕｌｌｗｉｄｔｈ",                   # astral + fullwidth
     "ᚠᚢᚦᚨᚱᚲ ᛏᛖᛊᛏ runes ☃ ☄ ★",                              # runic + symbols
 ]
@@ -274,14 +277,19 @@ def mut_documents(rng, pdf):
         base = f"{_rng_text(rng, 12)} café naïve résumé coöperate"
         put(i, unicodedata.normalize("NFC", base))
         put(j, unicodedata.normalize("NFD", base))
-    # degenerate docs
-    degen = ["", " ", "\n\n\n", "a", "。", "🙂", "\t \t", "x" * 3]
+    # degenerate docs — includes NULL text: size(NULL tokens) is -1 in
+    # Spark, so every ==0 zero-token guard that forgets to coalesce
+    # pairs NULL docs with everything (r8 ADVICE -> dedup.tokens())
+    degen = ["", " ", "\n\n\n", "a", "。", "🙂", "\t \t", "x" * 3,
+             None, None, "\x0B", "\x0B\x0B \x0B"]
     for s, i in zip(degen, rng.choice(n, size=len(degen), replace=False)):
         put(int(i), s)
     # one very long doc (winnowing/token-count stress)
     put(int(rng.integers(n)), _rng_text(rng, 4000))
     # exact duplicates (dedup clusters) + near-duplicates (one token off)
     src = int(rng.integers(n))
+    if texts[src] is None:  # planted NULL can't seed the near-dup pair
+        src = next(i for i in range(n) if texts[i] is not None)
     for i in rng.choice(n, size=3, replace=False):
         put(int(i), texts[src])
     for i in rng.choice(n, size=2, replace=False):
@@ -296,7 +304,7 @@ def mut_documents(rng, pdf):
     put(i, pre + "café 漢字テキスト 𝔘𝔫𝔦 👩‍👩‍👧‍👦 tail one")
     put(j, pre + "cafe 漢字テスト 𝔘𝔫 👩‍👩‍👧 tail two")
     pdf["text"] = texts
-    pdf["n_chars"] = [len(t) for t in texts]
+    pdf["n_chars"] = [len(t) if t is not None else None for t in texts]
     return pdf
 
 
