@@ -45,6 +45,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from financial_data_pipeline_spark.sources.metastore import PosixMetaStore
+
 _MANIFEST_DIR = "_manifests"
 # an unreadable manifest older than this is a dead writer's debris
 # (the create→json-write window is milliseconds), not an in-flight
@@ -112,9 +114,12 @@ class Snapshot:
     aborted: bool = False
 
 
-def _mdir(root: str) -> str:
+def _mdir(root: str, fs=None) -> str:
     d = os.path.join(root, _MANIFEST_DIR)
-    os.makedirs(d, exist_ok=True)
+    if fs is None:
+        os.makedirs(d, exist_ok=True)
+    else:
+        fs.makedirs(d)
     return d
 
 
@@ -301,10 +306,20 @@ class LakeTable:
         root: str,
         stat_cols: list[str],
         bloom_cols: list[str] | None = None,
+        fs=None,
     ) -> None:
         self.spark = spark
         self.root = root
         self.stat_cols = stat_cols
+        # metadata-store seam (sources/metastore.py): every read/write
+        # of the tiny JSON commit metadata goes through these
+        # primitives. Default is the POSIX impl (round-8 semantics);
+        # pass MemoryObjectMetaStore (or a real object-store impl with
+        # conditional puts) to run the SAME protocol on object-store
+        # semantics — the object-store crash matrix + OCC probe verify
+        # both. Data files stay on whatever Hadoop FileSystem Spark
+        # writes to — the seam covers the commit plane only.
+        self.fs = fs if fs is not None else PosixMetaStore()
         # test-only fault-injection seam: the crash-matrix tests set
         # this to a callable that raises at a named step boundary
         # (e.g. "advance:post_create"), simulating a writer dying at
@@ -329,12 +344,11 @@ class LakeTable:
 
     # -- metadata ----------------------------------------------------
     def _head_path(self) -> str:
-        return os.path.join(_mdir(self.root), _HEAD)
+        return os.path.join(_mdir(self.root, self.fs), _HEAD)
 
     def head_version(self) -> int:
         try:
-            with open(self._head_path()) as f:
-                return json.load(f)["version"]
+            return json.loads(self.fs.get(self._head_path()))["version"]
         except FileNotFoundError:
             return 0
 
@@ -346,17 +360,15 @@ class LakeTable:
         thread died on JSONDecodeError mid-commit). rename(2) is atomic
         on POSIX, so readers now see either the old or the new pointer,
         never a partial one."""
-        tmp = self._head_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": version}, f)
-        os.replace(tmp, self._head_path())
+        self.fs.put_atomic(
+            self._head_path(), json.dumps({"version": version})
+        )
 
     def _snapshot_path(self, version: int) -> str:
-        return os.path.join(_mdir(self.root), f"v{version:06d}.json")
+        return os.path.join(_mdir(self.root, self.fs), f"v{version:06d}.json")
 
     def _load_snapshot(self, version: int) -> Snapshot:
-        with open(self._snapshot_path(version)) as f:
-            d = json.load(f)
+        d = json.loads(self.fs.get(self._snapshot_path(version)))
         return Snapshot(
             version=d["version"],
             ts=d["ts"],
@@ -369,15 +381,14 @@ class LakeTable:
         )
 
     def _detached_path(self) -> str:
-        return os.path.join(_mdir(self.root), "detached.json")
+        return os.path.join(_mdir(self.root, self.fs), "detached.json")
 
     def _detached(self) -> set[int]:
         """Versions a rollback/older-publish branched PAST — still
         readable (time travel) but no longer part of the committed
         line, so they must not trip the OCC staleness check."""
         try:
-            with open(self._detached_path()) as f:
-                return set(json.load(f))
+            return set(json.loads(self.fs.get(self._detached_path())))
         except FileNotFoundError:
             return set()
 
@@ -391,13 +402,14 @@ class LakeTable:
         if not newer:
             return
         detached = self._detached() | set(newer)
-        with open(self._detached_path(), "w") as f:
-            json.dump(sorted(detached), f)
+        self.fs.put_atomic(
+            self._detached_path(), json.dumps(sorted(detached))
+        )
 
     def snapshots(self) -> list[int]:
         return sorted(
             int(p[1:7])
-            for p in os.listdir(_mdir(self.root))
+            for p in self.fs.list_names(_mdir(self.root, self.fs))
             if p.startswith("v") and p.endswith(".json")
         )
 
@@ -472,15 +484,6 @@ class LakeTable:
         version = max(base, existing[-1] if existing else 0) + 1
         meta = dict(self._load_snapshot(base).app_meta) if base > 0 else {}
         meta.update(app_meta or {})
-        self._fault("advance:pre_create")
-        try:
-            f = open(self._snapshot_path(version), "x")
-        except FileExistsError:
-            raise CommitConflict(
-                f"version {version} was committed concurrently; re-read "
-                "HEAD and retry the commit against the new snapshot"
-            ) from None
-        self._fault("advance:post_create")  # the debris window
         payload = {
             "version": version,
             "ts": time.time(),
@@ -490,8 +493,40 @@ class LakeTable:
             "staged": not move_head,
             "base": base,
         }
-        with f:
-            json.dump(payload, f)
+        self._fault("advance:pre_create")
+        if self.fs.partial_manifest_writes:
+            # POSIX path: O_EXCL create (the commit point), THEN the
+            # payload dump — the created-but-empty manifest is visible
+            # in between (the debris window all the quarantine /
+            # self-heal machinery below exists for).
+            try:
+                f = self.fs.create_exclusive(self._snapshot_path(version))
+            except FileExistsError:
+                raise CommitConflict(
+                    f"version {version} was committed concurrently; "
+                    "re-read HEAD and retry the commit against the new "
+                    "snapshot"
+                ) from None
+            self._fault("advance:post_create")  # the debris window
+            with f:
+                json.dump(payload, f)
+        else:
+            # Object-store path: ONE conditional put carries the whole
+            # payload (If-None-Match) — the commit point and the dump
+            # are the same atomic action, so the empty-manifest debris
+            # class cannot exist. advance:post_create still fires, but
+            # a crash there leaves a COMPLETE committed manifest (HEAD
+            # lags → recover_head), not debris — the object-store
+            # crash matrix pins that difference.
+            if not self.fs.put_if_absent(
+                self._snapshot_path(version), json.dumps(payload)
+            ):
+                raise CommitConflict(
+                    f"version {version} was committed concurrently; "
+                    "re-read HEAD and retry the commit against the new "
+                    "snapshot"
+                )
+            self._fault("advance:post_create")
         self._fault("advance:post_dump")
         # post-dump liveness check: a writer stalled long enough between
         # its O_EXCL create and the json.dump (GC pause, suspended
@@ -505,7 +540,7 @@ class LakeTable:
         # and age immediately before its unlink, and the post-HEAD
         # self-heal below re-dumps the payload if the unlink still
         # slipped between this check and the HEAD move.)
-        if not os.path.exists(self._snapshot_path(version)):
+        if not self.fs.exists(self._snapshot_path(version)):
             raise CommitConflict(
                 f"manifest for version {version} was reclaimed as debris "
                 "by a concurrent expire_snapshots while this commit was "
@@ -545,11 +580,10 @@ class LakeTable:
             # readable manifest is never re-classified as debris, so
             # every interleaving ends with HEAD naming a readable
             # manifest.
-            if not os.path.exists(self._snapshot_path(version)):
-                tmp = self._snapshot_path(version) + ".heal"
-                with open(tmp, "w") as f:
-                    json.dump(payload, f)
-                os.replace(tmp, self._snapshot_path(version))
+            if not self.fs.exists(self._snapshot_path(version)):
+                self.fs.put_atomic(
+                    self._snapshot_path(version), json.dumps(payload)
+                )
         return version
 
     def _committed_past(
@@ -589,23 +623,16 @@ class LakeTable:
     def _manifest_age(self, version: int) -> float:
         """Seconds since the manifest file was last written; +inf when
         it vanished (a concurrent vacuum won — certainly not mid-write)."""
-        try:
-            return time.time() - os.path.getmtime(self._snapshot_path(version))
-        except OSError:
-            return float("inf")
+        return self.fs.age_seconds(self._snapshot_path(version))
 
     def _set_snapshot_flag(self, version: int, key: str, value) -> None:
         """Atomically rewrite one manifest field (write-temp +
         os.replace — readers see the old or the new manifest, never a
         partial one)."""
         path = self._snapshot_path(version)
-        with open(path) as f:
-            d = json.load(f)
+        d = json.loads(self.fs.get(path))
         d[key] = value
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(d, f)
-        os.replace(tmp, path)
+        self.fs.put_atomic(path, json.dumps(d))
 
     def app_meta(self) -> dict:
         """The head snapshot's app-level metadata map."""
@@ -614,13 +641,12 @@ class LakeTable:
 
     # -- CHECK constraints -------------------------------------------
     def _constraints_path(self) -> str:
-        return os.path.join(_mdir(self.root), "constraints.json")
+        return os.path.join(_mdir(self.root, self.fs), "constraints.json")
 
     def constraints(self) -> dict[str, str]:
         """Current named CHECK constraints: {name: SQL predicate}."""
         try:
-            with open(self._constraints_path()) as f:
-                return json.load(f)
+            return json.loads(self.fs.get(self._constraints_path()))
         except FileNotFoundError:
             return {}
 
@@ -640,14 +666,12 @@ class LakeTable:
         """
         cons = self.constraints()
         cons[name] = sql_predicate
-        with open(self._constraints_path(), "w") as f:
-            json.dump(cons, f)
+        self.fs.put_atomic(self._constraints_path(), json.dumps(cons))
 
     def drop_constraint(self, name: str) -> None:
         cons = self.constraints()
         cons.pop(name, None)
-        with open(self._constraints_path(), "w") as f:
-            json.dump(cons, f)
+        self.fs.put_atomic(self._constraints_path(), json.dumps(cons))
 
     def _enforce_constraints(self, df: DataFrame) -> None:
         """ONE aggregate pass counts violations for every registered
@@ -800,8 +824,7 @@ class LakeTable:
         if version not in self.snapshots():
             raise ValueError(f"unknown version {version}")
         snap_path = self._snapshot_path(version)
-        with open(snap_path) as f:
-            d = json.load(f)
+        d = json.loads(self.fs.get(snap_path))
         if d.get("aborted", False):
             raise ValueError(
                 f"version {version} is an aborted commit, not publishable"
@@ -818,11 +841,9 @@ class LakeTable:
                         "publish(force=True) to roll back over them"
                     )
             d["staged"] = False
-            tmp = snap_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(d, f)
+            flipped = json.dumps(d)
             self._fault("publish:pre_flip")
-            os.replace(tmp, snap_path)
+            self.fs.put_atomic(snap_path, flipped)
             self._fault("publish:post_flip")
             if not force:
                 # post-flip re-check: a commit whose O_EXCL create
@@ -1063,8 +1084,8 @@ class LakeTable:
         # original path when HEAD still names that version and the
         # manifest is absent — exactly mirroring the inline head==v
         # restore in the reclaim loop — and only remove otherwise.
-        mdir = _mdir(self.root)
-        for p in os.listdir(mdir):
+        mdir = _mdir(self.root, self.fs)
+        for p in self.fs.list_names(mdir):
             if p.endswith(".json.debris"):
                 full = os.path.join(mdir, p)
                 m = re.match(r"^v(\d+)\.json\.debris$", p)
@@ -1074,13 +1095,13 @@ class LakeTable:
                     if (
                         orig is not None
                         and self.head_version() == dv
-                        and not os.path.exists(orig)
+                        and not self.fs.exists(orig)
                     ):
-                        os.replace(full, orig)  # acknowledged commit
+                        self.fs.rename(full, orig)  # acknowledged commit
                         continue
-                    if time.time() - os.path.getmtime(full) > _DEBRIS_AGE_S:
-                        os.remove(full)
-                except OSError:
+                    if self.fs.age_seconds(full) > _DEBRIS_AGE_S:
+                        self.fs.remove(full)
+                except (OSError, FileNotFoundError):
                     pass  # concurrent sweep won
         versions = self.snapshots()
         snaps: dict[int, "Snapshot | None"] = {}
@@ -1114,6 +1135,8 @@ class LakeTable:
                 live.update(fs.path for fs in snaps[v].files)
         deleted = []
         for v in drop:
+            # data-plane delete: parquet files live on the real
+            # filesystem Spark wrote them to (not the metadata seam)
             for fs in snaps[v].files if snaps.get(v) is not None else []:
                 if fs.path not in live and os.path.exists(fs.path):
                     os.remove(fs.path)
@@ -1157,18 +1180,18 @@ class LakeTable:
                 self._fault("expire:pre_debris_reclaim")
                 quarantined = self._snapshot_path(v) + ".debris"
                 try:
-                    os.replace(self._snapshot_path(v), quarantined)
+                    self.fs.rename(self._snapshot_path(v), quarantined)
                 except FileNotFoundError:
                     continue  # concurrent vacuum won
                 self._fault("expire:post_debris_rename")
                 if self.head_version() == v:
-                    os.replace(quarantined, self._snapshot_path(v))
+                    self.fs.rename(quarantined, self._snapshot_path(v))
                     continue  # acknowledged commit — history, not debris
-                os.remove(quarantined)
+                self.fs.remove(quarantined)
                 self._fault("expire:post_manifest_delete")
                 continue
             try:
-                os.remove(self._snapshot_path(v))
+                self.fs.remove(self._snapshot_path(v))
             except FileNotFoundError:
                 pass  # concurrent vacuum won the race to reclaim it
             self._fault("expire:post_manifest_delete")
@@ -1227,9 +1250,9 @@ class LakeTable:
                 # (no history is lost), demotion is the last resort.
                 debris_twin = self._snapshot_path(head) + ".debris"
                 head_lost = True
-                if os.path.exists(debris_twin):
+                if self.fs.exists(debris_twin):
                     try:
-                        os.replace(debris_twin, self._snapshot_path(head))
+                        self.fs.rename(debris_twin, self._snapshot_path(head))
                         self._load_snapshot(head)
                         head_lost = False
                     except (OSError, json.JSONDecodeError, KeyError):
@@ -1330,15 +1353,17 @@ class LakeTable:
     # -- named refs (tags) --------------------------------------------
 
     def _tags_path(self) -> str:
-        return os.path.join(_mdir(self.root), "tags.json")
+        return os.path.join(_mdir(self.root, self.fs), "tags.json")
 
     def tags(self) -> dict[str, int]:
         """Name → version refs (the Iceberg tag idea): durable,
         human-named pointers into history that survive rollbacks and
         snapshot expiry checks."""
         try:
-            with open(self._tags_path()) as f:
-                return {k: int(v) for k, v in json.load(f).items()}
+            return {
+                k: int(v)
+                for k, v in json.loads(self.fs.get(self._tags_path())).items()
+            }
         except FileNotFoundError:
             return {}
 
@@ -1355,15 +1380,13 @@ class LakeTable:
             raise ValueError(f"cannot tag staged (unpublished) version {v}")
         tags = self.tags()
         tags[name] = v
-        with open(self._tags_path(), "w") as f:
-            json.dump(tags, f)
+        self.fs.put_atomic(self._tags_path(), json.dumps(tags))
         return v
 
     def drop_tag(self, name: str) -> None:
         tags = self.tags()
         tags.pop(name, None)
-        with open(self._tags_path(), "w") as f:
-            json.dump(tags, f)
+        self.fs.put_atomic(self._tags_path(), json.dumps(tags))
 
     def resolve_ref(self, ref: str) -> int:
         """Resolve a tag name to its version (ValueError if absent)."""

@@ -26,6 +26,9 @@ asserts the no-lost-commits invariant.
 Threading model: one SparkSession, one ``LakeTable`` handle per thread
 (handles are cheap; the commit protocol's shared state is the
 filesystem, which is the point). Spark job submission is thread-safe.
+``fs=`` (a sources/metastore.py store instance shared by every handle)
+runs the same probe on object-store semantics — the pytest twin runs
+BOTH stores.
 """
 
 from __future__ import annotations
@@ -46,6 +49,7 @@ def run_probe(
     n_writers: int = 8,
     n_commits: int = 5,
     mix: str = "append",
+    fs=None,
 ) -> dict:
     """Race ``n_writers`` threads × ``n_commits`` each into ``root``.
 
@@ -65,7 +69,7 @@ def run_probe(
     barrier = threading.Barrier(n_writers)
 
     def writer(w: int) -> None:
-        t = LakeTable(spark, root, stat_cols=["k"])
+        t = LakeTable(spark, root, stat_cols=["k"], fs=fs)
         barrier.wait()
         for i in range(n_commits):
             if mix == "append":
@@ -109,7 +113,7 @@ def run_probe(
     assert not errors, errors
 
     # ---- invariants -----------------------------------------------
-    t = LakeTable(spark, root, stat_cols=["k"])
+    t = LakeTable(spark, root, stat_cols=["k"], fs=fs)
     acked = [(w, i, v) for w, lst in ledger.items() for (i, v) in lst]
     versions = [v for (_, _, v) in acked]
     assert len(versions) == len(set(versions)), "version collision"
