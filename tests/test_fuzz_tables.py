@@ -16,6 +16,13 @@ fix stays pinned:
   embedding_pairs_blocked
 - payload range: events_props_json, events_props_variant
 - stringification: orders_profile
+- NULL-text convention (r9: the fuzzer plants NULL texts + vertical
+  tabs): text_stats, lang_detect, doc_fingerprint, pii_redaction,
+  curation_report, corpus_length_stats
+
+Round 9: THREE seeds (0/1/2) run under CI, not just seed 0 — the
+10-seed evidence in FUZZ.md lives in tool runs; this keeps a third of
+it re-proven by the committed suite alone (r8 verdict item 3).
 """
 
 import os
@@ -58,13 +65,21 @@ HIGH_RISK = [
     "orders_profile",
     "temperature_mixture_plan",
     "shuffle_shard_plan",
+    "text_stats",
+    "lang_detect",
+    "doc_fingerprint",
+    "pii_redaction",
+    "curation_report",
+    "corpus_length_stats",
 ]
 
+_SEEDS = [0, 1, 2]
 
-@pytest.fixture(scope="module")
-def fuzz_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("fuzz_tables") / "seed0"
-    make_tables(0, str(d))
+
+@pytest.fixture(scope="module", params=_SEEDS, ids=lambda s: f"seed{s}")
+def fuzz_dir(request, tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_tables") / f"seed{request.param}"
+    make_tables(request.param, str(d))
     return str(d)
 
 
