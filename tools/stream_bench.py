@@ -220,9 +220,9 @@ def main() -> int:
 
     n_syms = len(ref_stats)
     lines = [
-        "# STREAMBENCH — measured micro-batch throughput & state",
+        f"## {k}× point (`tools/stream_bench.py {k} {n_files}`)",
         "",
-        f"`tools/stream_bench.py {k} {n_files}`: sf0.1 amplified {k}× "
+        f"sf0.1 amplified {k}× "
         f"({k * 100_000} pseudo-bars over {n_syms} symbols / 30 days, "
         f"{k * 5_000} docs with ~20% planted duplicates), written "
         f"time-ordered into {n_files} parquet files and drained as "
@@ -266,8 +266,10 @@ def main() -> int:
         "(AvailableNow drains are deterministic end-to-end, JVM warmup "
         "rides in the first micro-batch).",
     ]
-    with open("STREAMBENCH.md", "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+    # APPEND a scale-point section — round 9 found the "w" mode here
+    # silently destroyed every historical octave section on each run
+    with open("STREAMBENCH.md", "a") as fh:
+        fh.write("\n" + "\n".join(lines) + "\n")
     print(json.dumps({"k": k, "n_files": n_files, "results": res}))
     shutil.rmtree(root, ignore_errors=True)
     return 0
