@@ -1085,11 +1085,20 @@ def _distance_pairs(
     extra_cols: "dict[str, str] | None" = None,
     max_block_rows: int | None = None,
     dim: int | None = None,
+    topk: int | None = None,
 ) -> DataFrame:
     """The shared pair frame of the all-pairs family (LOF, silhouette,
     kNN accuracy): (i, j, d[, extras]) with the Euclidean distance
     ROUNDED to 8 dp BEFORE any ranking so (d, neighbor) tie-breaks are
     engine-reproducible.
+
+    ``topk``: when the CALLER only consumes the k nearest rows per
+    ``i`` (LOF / kNN — a ``row_number() ≤ k`` window over (d, j)),
+    pass ``topk=k`` and the kernel emits only the per-``i`` candidate
+    set that can reach that window's top k (raw kth distance + a 2e-8
+    margin covering the 8-dp rounding — see ``topk_keep`` below):
+    O(n·k) rows cross the Python boundary and the downstream shuffle
+    instead of O(n²), with a provably identical window result.
 
     Two execution paths, the same split as ``cosine_pairs``:
 
@@ -1248,55 +1257,195 @@ def _distance_pairs(
             )
             block_col = "__blk_sub"
 
-    def side(tag: str, idx: int) -> DataFrame:
-        cols = [
-            F.col(id_col).alias(tag),
-            F.col(vec_col).cast("array<double>").alias(f"v{tag}"),
-        ]
-        for c, aliases in extra.items():
-            alias = aliases.split(",")[idx]
-            if alias:
-                cols.append(F.col(c).alias(alias))
-        if block_col is not None:
-            cols.append(F.col(block_col).alias(f"__blk_{tag}"))
-        return df.select(*cols)
+    # ------------------------------------------------------------------
+    # Pair generation (r9 optimization, guide §4.2): the per-pair
+    # distance used to be the JVM ``euclidean`` zip_with+aggregate fold
+    # evaluated on every row of an n² join — higher-order-function
+    # expressions are interpreted per element, so the fold dominated
+    # every all-pairs query (measured: lof_outliers 3.37 s at sf0.1,
+    # ~85% in the fold stage). Both paths now compute distances in a
+    # NumPy kernel that replays the IDENTICAL IEEE operation sequence —
+    # acc = 0.0; for each dim t in order: acc += (a_t − b_t)·(a_t − b_t);
+    # sqrt — so every raw distance double is bit-identical to the old
+    # expression (and to the DuckDB oracle's list_reduce twin), and the
+    # 8-dp rounding still happens JVM-side with Spark's own F.round.
+    # numpy ufuncs are plain IEEE double ops (no FMA contraction) and
+    # np.sqrt is correctly rounded like Math.sqrt, so the replay is
+    # exact, not approximate.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    if block_col is None:
-        cnt = df.count()
-        if cnt > max_rows:
-            raise ValueError(
-                f"{caller} is exact O(n^2); {cnt} rows exceeds max_rows="
-                f"{max_rows} — pass block_col (LSH bucket / IVF cell) "
-                "for the blocked scale path"
-            )
-        # The streamed side of the broadcast-nested-loop pair join must
-        # be spread across cores — a small parquet arrives as ONE
-        # partition, which would serialize all n² distance evaluations
-        # into a single task (measured 44s → ~2s at n=2000 on
-        # local[32]).
-        a = side("i", 0).repartition(par)
-        cond = F.col("i") != F.col("j")
-    else:
-        # equi-join on the block key — but the STREAMED side must be
-        # spread first: a corpus small enough for Catalyst to
-        # broadcast the build side arrives as few parquet partitions,
-        # and the per-pair distance fold then evaluates inside those
-        # few tasks (measured 233s → ~13s on a 2·10⁷-pair hot block).
-        # Hashing on (block, id) spreads every block's probe rows
-        # across all cores under a broadcast join; if the sides grow
-        # past broadcast the SMJ re-shuffles by the block key itself
-        # and AQE skew-join splits any hot key's partition.
-        a = side("i", 0).repartition(par, F.col("__blk_i"), F.col("i"))
-        cond = (F.col("__blk_i") == F.col("__blk_j")) & (
-            F.col("i") != F.col("j")
-        )
-    b = side("j", 1)
     keep = ["i", "j"] + [
         alias for aliases in extra.values() for alias in aliases.split(",") if alias
     ]
-    return a.join(b, cond).select(
-        *keep, F.round(euclidean(F.col("vi"), F.col("vj")), 8).alias("d")
-    )
+    a_aliases = [
+        (c, aliases.split(",")[0])
+        for c, aliases in extra.items()
+        if aliases.split(",")[0]
+    ]
+    b_aliases = [
+        (c, aliases.split(",")[1])
+        for c, aliases in extra.items()
+        if aliases.split(",")[1]
+    ]
+    id_type = df.schema[id_col].dataType
+    fields = [T.StructField("i", id_type), T.StructField("j", id_type)]
+    for c, al in a_aliases:
+        fields.append(T.StructField(al, df.schema[c].dataType))
+    for c, al in b_aliases:
+        fields.append(T.StructField(al, df.schema[c].dataType))
+    fields.append(T.StructField("__draw", T.DoubleType()))
+    out_schema = T.StructType(fields)
+
+    def fold_distances(A: "np.ndarray", B: "np.ndarray") -> "np.ndarray":
+        # left-to-right fold, dim order — bit-identical to the old
+        # zip_with/aggregate expression (0.0 + x₀ ≡ x₀ exactly)
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for t in range(A.shape[1]):
+            diff = A[:, t, None] - B[None, :, t]
+            acc += diff * diff
+        return np.sqrt(acc)
+
+    def to_matrix(series) -> "np.ndarray":
+        return np.array(
+            [np.asarray(v, dtype=np.float64) for v in series]
+        ).reshape(len(series), -1)
+
+    def topk_keep(drow: "np.ndarray", valid: "np.ndarray") -> "np.ndarray":
+        """Candidate mask for the downstream (round(d,8), j) top-k
+        window. Raw-distance selection is safe with an absolute
+        margin: rounding to 8 dp moves a value by ≤ 0.5e-8, so any row
+        that can rank ≤ k under ROUNDED order satisfies
+        d_raw ≤ kth_raw + 1e-8 (if d_raw > kth_raw + 1e-8 then every
+        one of the k rows at or below kth_raw rounds strictly smaller,
+        pushing the row past rank k). 2e-8 doubles the slack; extra
+        candidates are harmless — the JVM window truncates."""
+        dv = drow[valid]
+        if len(dv) <= topk:
+            return valid
+        kth = np.partition(dv, topk - 1)[topk - 1]
+        return valid & (drow <= kth + 2e-8)
+
+    def emit(
+        A_ids, A_extras, D, B_ids, B_extras
+    ) -> "pd.DataFrame":
+        valid = A_ids[:, None] != B_ids[None, :]
+        if topk is not None:
+            keep_mask = np.zeros_like(valid)
+            for r in range(D.shape[0]):
+                keep_mask[r] = topk_keep(D[r], valid[r])
+        else:
+            keep_mask = valid
+        ii, jj = np.nonzero(keep_mask)
+        data = {"i": A_ids[ii], "j": B_ids[jj]}
+        for _, al in a_aliases:
+            data[al] = A_extras[al][ii]
+        for _, al in b_aliases:
+            data[al] = B_extras[al][jj]
+        data["__draw"] = D[ii, jj]
+        return pd.DataFrame(data)
+
+    def chunk_rows(n_b: int) -> int:
+        # bound the chunk×n distance matrix to ~2M cells (~16 MB)
+        return max(1, 2_000_000 // max(n_b, 1))
+
+    if block_col is None:
+        # exact all-pairs: ONE bounded driver collect replaces the old
+        # count()-guard job AND serves as the broadcast comparison side
+        # (the cosine_pairs contract: ≤ max_rows · dim doubles).
+        b_pdf = (
+            df.select(id_col, vec_col, *extra.keys())
+            .limit(max_rows + 1)
+            .toPandas()
+        )
+        if len(b_pdf) > max_rows:
+            raise ValueError(
+                f"{caller} is exact O(n^2); more than max_rows="
+                f"{max_rows} rows — pass block_col (LSH bucket / IVF "
+                "cell) for the blocked scale path"
+            )
+        B_ids = b_pdf[id_col].to_numpy()
+        B_mat = to_matrix(b_pdf[vec_col])
+        B_extras = {al: b_pdf[c].to_numpy() for c, al in b_aliases}
+        sc = df.sparkSession.sparkContext
+        bc = sc.broadcast((B_ids, B_mat, B_extras))
+
+        def kernel(batches):
+            ids_b, mat_b, ext_b = bc.value
+            ch = chunk_rows(len(ids_b))
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A_ids = pdf[id_col].to_numpy()
+                A_mat = to_matrix(pdf[vec_col])
+                A_extras = {al: pdf[c].to_numpy() for c, al in a_aliases}
+                for s in range(0, len(A_ids), ch):
+                    e = s + ch
+                    D = fold_distances(A_mat[s:e], mat_b)
+                    yield emit(
+                        A_ids[s:e],
+                        {al: v[s:e] for al, v in A_extras.items()},
+                        D,
+                        ids_b,
+                        ext_b,
+                    )
+
+        # spread the streamed side across cores — a small parquet
+        # arrives as ONE partition, which would serialize every
+        # distance batch into a single task
+        raw = (
+            df.select(id_col, vec_col, *extra.keys())
+            .repartition(par)
+            .mapInPandas(kernel, out_schema)
+        )
+    else:
+        # blocked path: pairs exist only within a block, so the kernel
+        # runs per block group (applyInPandas) — the shuffle moves each
+        # vector ONCE keyed by block, instead of broadcast-joining and
+        # folding per pair; group size is bounded by the hot-block
+        # subdivision above, so the per-group matrix is bounded too.
+        def block_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            n = len(pdf)
+            if n < 2:
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype="object") for f in out_schema}
+                )
+            ids = pdf[id_col].to_numpy()
+            mat = to_matrix(pdf[vec_col])
+            extras = {al: pdf[c].to_numpy() for c, al in a_aliases} | {
+                al: pdf[c].to_numpy() for c, al in b_aliases
+            }
+            ch = chunk_rows(n)
+            outs = []
+            for s in range(0, n, ch):
+                e = s + ch
+                D = fold_distances(mat[s:e], mat)
+                outs.append(
+                    emit(
+                        ids[s:e],
+                        {al: extras[al][s:e] for _, al in a_aliases},
+                        D,
+                        ids,
+                        {al: extras[al] for _, al in b_aliases},
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        raw = (
+            df.select(
+                id_col, vec_col, *extra.keys(), F.col(block_col).alias("__blk")
+            )
+            # a NULL block key never equi-joined in the old plan — its
+            # rows pair with nothing, so drop them before grouping
+            .filter(F.col("__blk").isNotNull())
+            .groupBy("__blk")
+            .applyInPandas(
+                lambda pdf: block_kernel(pdf.drop(columns=["__blk"])),
+                out_schema,
+            )
+        )
+    return raw.select(*keep, F.round(F.col("__draw"), 8).alias("d"))
 
 
 def lof_scores(
@@ -1341,6 +1490,10 @@ def lof_scores(
         "lof_scores",
         max_block_rows=max_block_rows,
         dim=block_dim,
+        # the pair frame feeds ONLY the rn ≤ k window below — candidate
+        # pruning in the kernel (see _distance_pairs) keeps the window
+        # result identical while emitting O(n·k), not O(n²), rows
+        topk=k,
     )
     wk = Window.partitionBy("i").orderBy("d", "j")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
@@ -1453,6 +1606,7 @@ def knn_label_accuracy(
         extra_cols={label_col: "li,lj"},
         max_block_rows=max_block_rows,
         dim=block_dim,
+        topk=k,  # pair frame feeds only the rn ≤ k window (see lof)
     )
     wk = Window.partitionBy("i").orderBy("d", "j")
     knn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
