@@ -5684,9 +5684,21 @@ def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition trap — the two-pass agg+join keeps every stage
     distributed at any group cardinality."""
     li = load_table(spark, sf_dir, "lineitem")
-    cuts = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    # ONE percentile aggregate with both fractions: Spark's exact
+    # percentile buffers every group value per AGGREGATE EXPRESSION, so
+    # two separate percentile() calls built (and merged) two copies of
+    # the 200k-value buffer per group; the array form shares one
+    # buffer and computes both order statistics from one sort —
+    # identical interpolation math, half the buffer traffic (r9).
+    both = li.groupBy("l_returnflag").agg(
+        F.percentile(
+            "l_extendedprice", F.array(F.lit(0.05), F.lit(0.95))
+        ).alias("q")
+    )
+    cuts = both.select(
+        "l_returnflag",
+        F.col("q")[0].alias("lo"),
+        F.col("q")[1].alias("hi"),
     )
     return (
         li.join(F.broadcast(cuts), on="l_returnflag")
@@ -8187,20 +8199,43 @@ r{n} AS MATERIALIZED (
 
 @query("bpe_merges", _bpe_oracle_sql())
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE vocabulary induction on the documents corpus:
-    12 merge rounds over the word-frequency table (built in ONE corpus
-    pass; each round is a pair-count aggregate + 1-row argmax + a
-    codegen fold — the k-means iteration pattern). Formerly rows-only:
-    the 12-round argmax trajectory unrolls into a MATERIALIZED-CTE
-    chain the DuckDB twin replays round for round — integer counts and
-    an exact string tie-break mean no float pins at all — so the
-    driver value-checks every learned merge and its pair count; the
-    pure-Python differential in tests/test_bpe.py still covers the
-    operator directly."""
+    """BPE vocabulary induction on the documents corpus: 12 merge
+    rounds over the word-frequency table (built in ONE distributed
+    corpus pass). Size-adaptive since r9: under
+    ``driver_threshold`` distinct words the merge loop runs on the
+    driver over the collected map (identical integer counts and
+    tie-breaks — the ``dedup_clusters`` pattern); past it, the
+    distributed per-round argmax jobs (forced live by
+    ``bpe_merges_distributed`` below). The 12-round argmax trajectory
+    unrolls into a MATERIALIZED-CTE chain the DuckDB twin replays
+    round for round — integer counts and an exact string tie-break
+    mean no float pins at all — so the driver value-checks every
+    learned merge and its pair count; the pure-Python differential in
+    tests/test_bpe.py still covers the operator directly."""
     from financial_data_pipeline_spark.operators.bpe import learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     merges = learn_bpe_merges(docs, n_merges=12, checkpoint_every=4)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+@query("bpe_merges_distributed", _bpe_oracle_sql())
+def q_bpe_merges_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The past-threshold SCALE PATH of ``bpe_merges`` forced live
+    (``driver_threshold=0`` → the per-round distributed pair-count +
+    argmax jobs a web-scale vocabulary takes) against the same
+    unrolled-CTE oracle — the size-triggered branch stays
+    oracle-exercised at every SF (the ``dedup_clusters_distributed``
+    forcing-fixture clause). Must be value-identical to
+    ``bpe_merges``."""
+    from financial_data_pipeline_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = learn_bpe_merges(
+        docs, n_merges=12, checkpoint_every=4, driver_threshold=0
+    )
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )

@@ -104,11 +104,19 @@ def refresh_rollup(
         return full_rebuild()
 
     # dirty keys: bucket the changed row images (insert AND delete
-    # sides — a delete invalidates its bucket exactly like an insert)
+    # sides — a delete invalidates its bucket exactly like an insert).
+    # localCheckpoint (r9): the dirty-key frame is referenced by the
+    # emptiness probe, the broadcast semi-join pruning the recompute,
+    # the rewrite's bounds aggregate AND its anti-join — unpinned,
+    # each reference re-ran the whole CDF manifest-diff + parquet
+    # re-read. The frame is tiny by contract (keys track churn, not
+    # table size), so pinning it costs one pass and each later use
+    # reads the materialized rows.
     touched = (
         key_of(changes.drop("_change_type", "_change_copies"))
         .select(*key_cols)
         .distinct()
+        .localCheckpoint()
     )
 
     if touched.isEmpty():

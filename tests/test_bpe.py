@@ -93,6 +93,17 @@ def test_encoding_matches_reference_and_rebuilds_text(spark, docs_df):
         assert rebuilt == " ".join(text.lower().split())
 
 
+def test_driver_and_distributed_paths_agree(spark, docs_df):
+    """r9 size-adaptive learn: the driver merge loop (default, vocab
+    under threshold) and the forced distributed rounds must learn the
+    identical merge list — the branch switch is physical only."""
+    fast = learn_bpe_merges(docs_df, n_merges=12, checkpoint_every=4)
+    dist = learn_bpe_merges(
+        docs_df, n_merges=12, checkpoint_every=4, driver_threshold=0
+    )
+    assert fast == dist == _ref_learn_full(_ref_word_counts(DOCS), 12)
+
+
 def test_early_stop_on_min_count(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     merges = learn_bpe_merges(df, n_merges=10, min_count=2)

@@ -508,6 +508,34 @@ def test_dedup_clusters_driver_and_distributed_paths_agree(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_dedup_clusters_deep_chain(spark):
+    """r9 pointer-jumping escalation: a chain component whose diameter
+    EXCEEDS max_iter converges anyway once the label-of-label hop
+    engages (round >= hop_from) — plain min-propagation moves the
+    minimum one hop per round and would return unconverged labels.
+    Also pins hop-vs-plain label equality on a graph where the plain
+    path CAN converge."""
+    as_map = lambda df: {r.doc_id: r.cluster_id for r in df.collect()}
+    # 0-1-2-...-35 chain: diameter 35 > max_iter=12 plain rounds, but
+    # ~log2 rounds with the hop (engaged from round 3)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(35)], "id_a long, id_b long"
+    )
+    got = as_map(
+        dedup.dedup_clusters(chain, max_iter=12, driver_threshold=0)
+    )
+    assert got == {i: 0 for i in range(36)}
+    # hop forced from round 0 vs plain-until-converged: identical labels
+    short = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    plain = as_map(
+        dedup.dedup_clusters(short, driver_threshold=0, hop_from=99)
+    )
+    hop = as_map(dedup.dedup_clusters(short, driver_threshold=0, hop_from=0))
+    assert plain == hop == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_recall_at_k_exact_vs_itself_is_one(spark, emb):
     queries = emb.filter(F.col("vec_id") < 4)
     exact = similarity.knn_join(emb, queries, k=5)
