@@ -188,6 +188,16 @@ def run_chaos(
             expire_cycles["n"] += 1
             expire_cycles["deleted"] += len(deleted)
             time.sleep(0.2)
+        # One final drain AFTER the last writer: the in-loop cycles can
+        # all land before the final merges, in which case the files
+        # those merges superseded are never seen by the vacuum — the
+        # probe's reclaim count then depends on thread pacing, not on
+        # the reclamation machinery. The drain vacuums the COMPLETE
+        # version history once, which is also the natural end of a
+        # maintenance lifecycle.
+        deleted = t.expire_snapshots(keep_last=keep_last)
+        expire_cycles["n"] += 1
+        expire_cycles["deleted"] += len(deleted)
 
     t0 = time.monotonic()
     ths = [
