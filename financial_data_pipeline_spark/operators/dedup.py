@@ -503,21 +503,38 @@ def jaccard_pairs(
     is far above any bucket at the test SFs (max 25), so oracle
     results are exact there.
     """
-    if shingle_rows_df is not None:
-        sh = shingle_rows_df.select(id_col, "sz", "shh")
-    else:
-        sh = _sized_hashed_shingle_rows(df, text_col, id_col, k)
+    cand_ids = None
     if candidates is not None:
-        # Verify ONLY candidate pairs: semi-restrict the shingle rows to
-        # ids appearing in the candidate list before bucketing — the
-        # full inverted index never materializes. This is what makes
-        # LSH the 100 TB path.
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .unionByName(candidates.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(cand_ids, on=id_col, how="left_semi")
+    if shingle_rows_df is not None:
+        sh = shingle_rows_df.select(id_col, "sz", "shh")
+        if cand_ids is not None:
+            sh = sh.join(cand_ids, on=id_col, how="left_semi")
+    elif cand_ids is not None:
+        # Verify ONLY candidate pairs — and restrict the corpus to
+        # candidate DOCS before tokenizing (r9, guide §2.3 "project
+        # before the exchange" applied to a Generate): the former
+        # shape exploded the whole corpus into shingle rows and THEN
+        # semi-joined ids, paying tokenize+shingle+hash for every doc;
+        # a generate cannot have the join pushed below it, so the
+        # restriction must be built below the explode. Shingle rows
+        # per candidate doc are identical either way, so buckets,
+        # intersections and jaccard are unchanged. Candidates are a
+        # vanishing fraction of a 100 TB corpus — the full inverted
+        # index never materializes, and now neither does the full
+        # shingle pass.
+        sh = _sized_hashed_shingle_rows(
+            df.join(cand_ids, on=id_col, how="left_semi"),
+            text_col,
+            id_col,
+            k,
+        )
+    else:
+        sh = _sized_hashed_shingle_rows(df, text_col, id_col, k)
     buckets = (
         sh.groupBy("shh")
         .agg(

@@ -2126,25 +2126,42 @@ def american_put_binomial(
             ),
         ),
     )
-    for i in range(steps - 1, -1, -1):
+    # Backward induction as ONE aggregate fold over the step sequence
+    # (r9): the former per-step ``withColumn`` staging built 24
+    # DataFrames, each re-analyzing a growing plan — 1.9 s of
+    # driver-side plan construction per call at steps=24, more than
+    # the execution itself. The fold is a single projection; the
+    # lambda body applies the IDENTICAL per-element arithmetic in the
+    # identical order (intrinsic/continuation/greatest), so values are
+    # bit-equal (transform/aggregate HOFs were CodegenFallback in both
+    # shapes — no codegen is lost). ``i`` arrives as the sequence
+    # element instead of a Python literal; exact small-int doubles
+    # subtract identically.
+    def _step(v, i):
         cont = lambda j: F.lit(disc) * (
-            p * F.element_at(F.col("__v"), j.cast("int") + 2)
-            + (1.0 - p) * F.element_at(F.col("__v"), j.cast("int") + 1)
+            p * F.element_at(v, j.cast("int") + 2)
+            + (1.0 - p) * F.element_at(v, j.cast("int") + 1)
         )
         intrinsic = lambda j: F.greatest(
             F.lit(0.0),
             k
             - s0
             * F.pow(u, j.cast("double"))
-            * F.pow(dn, F.lit(float(i)) - j.cast("double")),
+            * F.pow(dn, i.cast("double") - j.cast("double")),
         )
-        d = d.withColumn(
-            "__v",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(i)),
-                lambda j: F.greatest(intrinsic(j), cont(j)),
-            ),
+        return F.transform(
+            F.sequence(F.lit(0), i),
+            lambda j: F.greatest(intrinsic(j), cont(j)),
         )
+
+    d = d.withColumn(
+        "__v",
+        F.aggregate(
+            F.sequence(F.lit(steps - 1), F.lit(0), F.lit(-1)),
+            F.col("__v"),
+            _step,
+        ),
+    )
     return d.withColumn(
         "american_put", F.element_at(F.col("__v"), 1)
     ).drop("__v", "__u", "__dn", "__p")

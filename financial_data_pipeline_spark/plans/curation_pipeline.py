@@ -108,7 +108,18 @@ def curation_labels(
 
     # --- stage 2: exact dedup among stage-1 survivors --------------------
     if config.exact_dedup:
-        winners = dedup.exact_dedup(s1, text_col, id_col).select(id_col)
+        # Lazy-pin the winner id set (r9, guide §5): it is consumed by
+        # TWO independent subtrees — the near-dup stage's s2 semi-join
+        # (materialized eagerly at build time inside dedup_clusters)
+        # and the exec-time __exact label anti-join — and unpinned the
+        # second consumer re-ran the whole groupBy-over-content-hash,
+        # i.e. a second full corpus scan + md5 pass. The set is one id
+        # per distinct content hash (8 bytes/row at any corpus size).
+        winners = (
+            dedup.exact_dedup(s1, text_col, id_col)
+            .select(id_col)
+            .localCheckpoint(eager=False)
+        )
         s2 = s1.join(winners, on=id_col, how="left_semi")
         exact_losers = s1.select(id_col).join(
             winners, on=id_col, how="left_anti"

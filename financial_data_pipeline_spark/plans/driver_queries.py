@@ -5377,7 +5377,19 @@ def q_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     exact = jaccard_pairs(docs, k=3, threshold=0.5)
     cand = lsh_candidates(docs, num_perm=16, bands=8)
-    lsh = jaccard_pairs(docs, k=3, threshold=0.5, candidates=cand)
+    # The verified-LSH pair set is exactly exact ∩ candidates — both
+    # are "(a,b) ∈ candidates with jaccard(a,b) ≥ t" (the candidate
+    # restriction inside jaccard_pairs only prunes WORK, never changes
+    # which candidate pairs verify; bucket caps don't differ at any
+    # size where this query computes `exact` at all). Semi-joining the
+    # already-computed exact pairs instead of re-running the verifier
+    # drops two full tokenize+shingle corpus passes from the plan (r9,
+    # guide §2.4 — this query is the one place the exact pass already
+    # exists; the production LSH path in minhash_lsh_pairs is
+    # unchanged). localCheckpoint pins `exact`: both counts reference
+    # it, and unpinned the inverted index would build twice.
+    exact = exact.localCheckpoint()
+    lsh = exact.join(cand, on=["id_a", "id_b"], how="left_semi")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     return (

@@ -384,8 +384,20 @@ def report_counters(
     the pandas differential in ``tests/test_report.py``."""
     if mode not in ("repair", "strict"):
         raise ValueError(f"mode must be 'repair' or 'strict', got {mode!r}")
+    # Lazy localCheckpoint (r9, guide §5): the counters plan crossJoins
+    # FOUR aggregates (stage counters, pre-drop outlier counts, final-
+    # frame counters, interval mode) plus the per-symbol IQR bounds,
+    # and each subtree re-derived the flag frame — the two window
+    # sorts over the corpus ran five times per report (measured: 18
+    # Spark jobs, 1.5 s at sf0.1). Pinning the frame computes it once
+    # and lets every subtree read the materialized rows; eager=False
+    # keeps this function action-free (the frame materializes on the
+    # caller's first action), and the checkpoint storage is released
+    # by the ContextCleaner when the frame is unreferenced.
     return _counters_from_flags(
-        _flag_frame(df, epoch_unit, impute_method),
+        _flag_frame(df, epoch_unit, impute_method).localCheckpoint(
+            eager=False
+        ),
         mode,
         iqr_factor,
         price_tolerance,
