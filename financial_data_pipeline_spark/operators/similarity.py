@@ -789,18 +789,33 @@ def kmeans_assign(
     (dist, index) structs so ties break on the LOWEST index
     deterministically. Adds ``cluster`` and ``sq_dist``; no shuffle,
     no Python."""
-    dists = []
-    for i, c in enumerate(centroids):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(
-                F.col(vec_col), lit_c, lambda a, b: (a - b) * (a - b)
+    # One transform over an array of k single-Literal centroid rows
+    # (r9, guide §7.3 — planning time was the bottleneck): the former
+    # per-centroid loop built k separate zip_with folds over k·dim
+    # F.lit nodes (k=8, dim=64 → ~4k expression nodes per assignment,
+    # and lloyd_kmeans builds iters+1 assignments), so driver-side
+    # construction+analysis dominated the query. Each element of the
+    # transform applies the IDENTICAL fold in the identical order
+    # ((a-b)² in dim order, summed left-to-right), and the index `i`
+    # arrives as the transform's index instead of a literal — argmin
+    # over (d, i) structs is unchanged, so assignments and distances
+    # are bit-equal (pinned by the NumPy differential test).
+    cmat = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    best = F.array_min(
+        F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), c, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                i.alias("i"),
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
         )
-        dists.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
-    best = F.array_min(F.array(*dists))
+    )
     return df.withColumn("__best", best).select(
         "*",
         F.col("__best.i").alias("cluster"),

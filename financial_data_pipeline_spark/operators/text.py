@@ -654,20 +654,29 @@ def ngram_novelty(
             )
         ).alias("__gram"),
     )
-    first_owner = grams.groupBy("__gram").agg(
-        F.min(id_col).alias("__first_doc")
-    )
+    # First-owner via a window over the gram partition instead of
+    # groupBy + join-back (r9, guide §2.4 — remove shuffles outright):
+    # the join shape planned the explode subtree TWICE (once under the
+    # aggregate, once as the probe side — no subtree sharing without a
+    # materialization) and sort-merge-joined on the gram string, i.e.
+    # two tokenize+explode passes, two gram-keyed exchanges and two
+    # sorts. min(id) OVER (PARTITION BY gram) computes the identical
+    # first owner (exact long min, same values) in ONE explode pass
+    # with ONE gram-keyed exchange+sort; per-partition window groups
+    # are doc-counts-per-gram, the same bound the join blowup had.
+    from pyspark.sql import Window as _W
+
+    first = F.min(id_col).over(_W.partitionBy("__gram"))
     return (
-        grams.join(first_owner, "__gram")
+        grams.select(
+            id_col, (first == F.col(id_col)).cast("long").alias("__novel")
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                (F.col("__first_doc") == F.col(id_col)).cast("long")
-            ).alias("n_novel"),
+            F.sum("__novel").alias("n_novel"),
             (
-                F.sum((F.col("__first_doc") == F.col(id_col)).cast("long"))
-                / F.count(F.lit(1)).cast("double")
+                F.sum("__novel") / F.count(F.lit(1)).cast("double")
             ).alias("novelty_frac"),
         )
     )

@@ -9708,9 +9708,20 @@ def q_part_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by per-basket size squared (TPC-H ~4 items/order), never
     corpus-squared; top-50 by lift via TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
+    # Lazy-pin the distinct basket items (r9, guide §5): FOUR
+    # independent subtrees consume this frame (the one-row order
+    # total, both sides of the pair self-join, and the singles
+    # counts), and unpinned each one re-ran the lineitem scan + the
+    # distinct aggregate — four full passes for one small
+    # (order, part) frame. Pinned, the scan+distinct runs once and
+    # every consumer reads the materialized rows.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # lazy ONE-row scalar (the volume_profile shape) - no eager
     # driver-side count job
     n_orders = items.agg(
@@ -15850,7 +15861,15 @@ def q_copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join is keyed on l_orderkey and never quadratic in the
     catalog."""
     li = load_table(spark, sf_dir, "lineitem")
-    pp = li.select("l_orderkey", "l_partkey").distinct()
+    # Lazy-pin the distinct (order, part) frame (r9, guide §5): both
+    # sides of the self-join consume it, and unpinned each side re-ran
+    # the lineitem scan + distinct aggregate (the before-plan shows
+    # the duplicated subtree with its own Exchange on each side).
+    pp = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     b = pp.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
     )
