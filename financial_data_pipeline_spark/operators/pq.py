@@ -149,7 +149,7 @@ def pq_topk(
     (id, adc_dist, l2_dist) top-``k``."""
     dim = len(query_vec)
     d_sub = dim // m
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = F.lit([float(v) for v in query_vec])  # one Literal node (r9)
     lut = centroids.select(
         "sub",
         "cell",
@@ -172,7 +172,7 @@ def pq_topk(
         "adc_dist",
         _sqdist(
             F.col(vec_col),
-            F.array(*[F.lit(float(v)) for v in query_vec]),
+            F.lit([float(v) for v in query_vec]),  # one Literal node (r9)
         ).alias("l2_dist"),
     )
     return exact.orderBy(F.asc("l2_dist"), F.asc(id_col)).limit(k)
@@ -245,7 +245,7 @@ def ivfpq_topk(
     q = [float(v) for v in query_vec]
     dim = len(q)
     d_sub = dim // m
-    qcol = F.array(*[F.lit(v) for v in q])
+    qcol = F.lit([float(v) for v in q])  # one Literal node (r9)
     probes = [
         r[0]
         for r in cell_centroids.select(

@@ -57,7 +57,7 @@ def brute_force_topk(
     One scan + TakeOrdered(k) — no shuffle of the embedding column.
     Deterministic tiebreak on id.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])  # one Literal node (r9)
     return (
         df.select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
@@ -107,7 +107,7 @@ def ivf_topk(
     set is computed driver-side; the big scan is pruned by a pushed-down
     ``label IN (…)`` filter before any vector math runs.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])  # one Literal node (r9)
     probe = [
         r[0]
         for r in centroids.select(
@@ -326,7 +326,7 @@ def lsh_bucket(
     """
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        pl = F.array(*[F.lit(float(x)) for x in p])
+        pl = F.lit([float(x) for x in p])  # one Literal node (r9)
         bucket = bucket + F.when(dot(vec, pl) >= 0, F.lit(1 << i)).otherwise(0)
     return bucket
 
@@ -653,7 +653,12 @@ def embedding_minmax(
 
 
 def _lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in vals])
+    # ONE Literal node holding the whole array (r9, guide §7.3): the
+    # former per-element F.array(*[F.lit(v), ...]) built dim expression
+    # nodes per use — with dim=64 and several uses per plan, literal
+    # construction+analysis was a measurable slice of plan build time.
+    # Values and element type (array<double>) are identical.
+    return F.lit([float(v) for v in vals])
 
 
 def quantize_codes(
@@ -995,7 +1000,7 @@ def mmr_diverse_topk(
     import numpy as np
     import pandas as pd
 
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])  # one Literal node (r9)
     pool_rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(

@@ -7719,7 +7719,7 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
         .alias("r_lex"),
     )
-    qv = F.array(*[F.lit(float(x)) for x in _query_vec(spark, sf_dir)])
+    qv = F.lit([float(x) for x in _query_vec(spark, sf_dir)])  # one Literal node (r9)
     cr = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.row_number()
