@@ -808,9 +808,21 @@ def bigram_logprob_score(
         df.select(F.col(id_col), F.explode(pairs).alias("p"))
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    vb = b.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    ctx = b.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("double").alias("cc")
+    # vb is pinned (r9, guide §5) because TWO consumers reference it
+    # (the context rollup below and the scoring join), and each
+    # reference re-ran the corpus tokenize+explode+count; the frame is
+    # distinct-bigram-sized. ctx then rolls up from vb instead of
+    # re-aggregating the exploded rows — count(*) by w1 over bigram
+    # rows ≡ sum(cb) by w1 over bigram counts (exact integers), one
+    # fewer corpus pass (3 → 2 explodes, and the remaining two are the
+    # floor: one to train counts, one to score rows).
+    vb = (
+        b.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = vb.groupBy("w1").agg(
+        F.sum("cb").cast("double").alias("cc")
     )
     scored = (
         b.join(vb, on=["w1", "w2"])

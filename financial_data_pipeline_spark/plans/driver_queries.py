@@ -16257,8 +16257,14 @@ def q_lang_detect_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_actual"),
         detect_language(F.col("text")).alias("lang_pred"),
     )
-    conf = pred.groupBy("lang_actual", "lang_pred").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    # Lazy-pin the confusion matrix (r9, guide §5): FOUR subtrees
+    # consume it (total, both margins, observed agreement) and each
+    # re-ran the detector pass over the whole corpus; the matrix is
+    # langs × langs rows at any corpus size.
+    conf = (
+        pred.groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False)
     )
     n = conf.agg(F.sum("c").alias("n"))
     a = conf.groupBy(F.col("lang_actual").alias("k")).agg(
@@ -17498,8 +17504,14 @@ def q_pmi_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.explode(pairs_arr).alias("p")).select(
         F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
-    bi = b.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("cb")
+    # Lazy-pin the bigram-count frame (r9, guide §5): FOUR subtrees
+    # consume it (total, both unigram margins, the support-filtered
+    # join base) and each re-ran the corpus tokenize+explode+count;
+    # the frame is distinct-bigram-sized.
+    bi = (
+        b.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("cb"))
+        .localCheckpoint(eager=False)
     )
     nb = bi.agg(F.sum("cb").alias("n"))
     u1 = bi.groupBy(F.col("w1").alias("w")).agg(F.sum("cb").alias("c1"))
