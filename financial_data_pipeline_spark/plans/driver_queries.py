@@ -16414,6 +16414,10 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     )
+    # NOT pinned (r9, measured): a lazy localCheckpoint here REGRESSED
+    # 1.1s -> 5.0s — the pin saves one tokenize pass but pays per-run
+    # materialization + an RDD boundary that breaks codegen fusion of
+    # the explode into both aggregates (see OPTIMIZATION_r09.md §15).
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
@@ -17172,6 +17176,10 @@ def q_cluster_validity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    # NOT pinned (r9, measured): lazy localCheckpoints on ex/dims/s
+    # REGRESSED 2.1s -> 3.5s — the posexplode is cheap to recompute
+    # inside fused codegen, while the pins pay per-run materialization
+    # + RDD-boundary scans (see OPTIMIZATION_r09.md §15).
     ex = e.select("vec_id", "label", F.posexplode("v").alias("i", "x"))
     dims = ex.groupBy("label", "i").agg(
         F.avg("x").alias("c"), F.count(F.lit(1)).alias("nl")
