@@ -505,6 +505,17 @@ def jaccard_pairs(
     """
     cand_ids = None
     if candidates is not None:
+        # Lazy-pin the candidate pairs (r9, guide §5): the verify plan
+        # references them THREE times (both id-projection legs of the
+        # doc restriction + the final pair semi-join), and unpinned
+        # each reference re-ran the entire candidate generator — for
+        # the LSH path that is the full minhash+banding pipeline.
+        # Candidate pairs are a vanishing fraction of the corpus by
+        # construction, and the generator is regex/md5-heavy, so this
+        # sits squarely on the win side of the pin decision rule
+        # (OPTIMIZATION_r09.md §15). Measured 2.27 → 1.24 s on
+        # minhash_lsh_pairs at sf0.1.
+        candidates = candidates.localCheckpoint(eager=False)
         cand_ids = (
             candidates.select(F.col("id_a").alias(id_col))
             .unionByName(candidates.select(F.col("id_b").alias(id_col)))
