@@ -507,15 +507,26 @@ def recall_at_k(
     query), never the corpus: cost is O(queries · k) regardless of
     corpus size, so recall can be re-measured continuously as the
     index parameters (planes, nprobe, bands) are tuned.
+
+    The ``exact`` frame is consumed by TWO subtrees (the overlap join
+    and the per-query denominator), and its generator is typically a
+    full-corpus scan (``knn_join``); unpinned, that scan plans and
+    runs twice per recall report. Lazy-pinned here (r9, guide §5 —
+    the OPTIMIZATION_r09 §15 rule: tiny frame, expensive generator,
+    ≥2 consumers): ≤ queries·k id-pair rows materialize once, both
+    consumers read them, values unchanged.
     """
-    pairs = exact.select("query_id", "neighbor_id").join(
+    exact_ids = exact.select("query_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
+    pairs = exact_ids.join(
         ann.select("query_id", "neighbor_id"),
         on=["query_id", "neighbor_id"],
     )
     hits = pairs.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("hits")
     )
-    all_q = exact.select("query_id").distinct()
+    all_q = exact_ids.select("query_id").distinct()
     return (
         all_q.join(hits, on="query_id", how="left")
         .na.fill({"hits": 0})
