@@ -223,20 +223,24 @@ def with_ema_chunked(
     ranked, _ = global_row_index(df, [*by, ts], partitions)
     gmin = ranked.groupBy(*by).agg(F.min("__rn").alias("__rn0"))
     rn_in = F.col("__rn") - F.col("__rn0")  # 0-based rank within group
-    base = ranked.join(gmin, on=by).withColumn(
-        "__chunk", F.floor(rn_in / chunk_rows)
-    )
-    real = base.withColumn("__warm", F.lit(False))
+    # ONE pass assigns every (row, chunk) replica (r9, guide §2.4 /
+    # §5): a row lands in its own chunk (__warm=False) plus every
+    # later chunk that still needs it as warmup — sequence(own,
+    # last_need) is never descending because W ≥ 1. The former
+    # real-UNION-warm staging referenced the join subtree twice, so
+    # the rank window and the gmin broadcast each ran twice per query;
+    # the (row, chunk, warm) multiset is identical.
+    own = F.floor(rn_in / chunk_rows)
     last_need = F.floor((rn_in + W) / chunk_rows)
-    warm = (
-        base.filter(last_need > F.col("__chunk"))
+    staged = (
+        ranked.join(gmin, on=by)
+        .withColumn("__chunk0", own)
         .withColumn(
-            "__chunk",
-            F.explode(F.sequence(F.col("__chunk") + 1, last_need)),
+            "__chunk", F.explode(F.sequence(F.col("__chunk0"), last_need))
         )
-        .withColumn("__warm", F.lit(True))
+        .withColumn("__warm", F.col("__chunk") != F.col("__chunk0"))
+        .drop("__chunk0")
     )
-    staged = real.unionByName(warm)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__rn")
@@ -2015,15 +2019,22 @@ def implied_volatility(
     sigma0: float = 0.5,
 ) -> DataFrame:
     """Black–Scholes implied volatility for an observed CALL price —
-    an ITERATIVE solver expressed as a FIXED unrolled expression
-    chain: ``newton_steps`` Newton–Raphson updates
-    σ ← σ − (BS(σ) − price)/vega(σ), each a staged projection (the
-    same small-codegen-unit discipline as
-    :func:`black_scholes_surface`). Six steps from σ₀ = 0.5 converge
-    to ~1e-10 across the practical surface (Newton on BS-in-σ is
+    an ITERATIVE solver expressed as a FIXED expression:
+    ``newton_steps`` Newton–Raphson updates
+    σ ← σ − (BS(σ) − price)/vega(σ) folded into ONE ``aggregate``
+    over a step sequence (r9, guide §7.3 — the former per-step
+    ``withColumns`` staging built 3 DataFrames per step, each
+    re-analyzing a growing plan: ~3.8 s of driver-side plan
+    construction per call at steps=6, 7× the execution itself; the
+    same fix as :func:`american_put_binomial`). The fold lambda
+    applies the IDENTICAL per-step arithmetic in the identical order —
+    d₁/d₂/Φ/φ are recomputed from the same doubles instead of read
+    from staged columns, which is bit-equal because double arithmetic
+    is deterministic — so values are unchanged and the oracle replays
+    the identical six steps. Six steps from σ₀ = 0.5 converge to
+    ~1e-10 across the practical surface (Newton on BS-in-σ is
     superlinear; vega > 0 makes the map monotone) — no UDF, no
-    driver loop, engine-portable arithmetic so the oracle can replay
-    the identical six steps.
+    driver loop, engine-portable arithmetic.
 
     Rows whose price violates no-arbitrage bounds (below intrinsic /
     above spot) come out null: Newton would diverge and the quote is
@@ -2039,35 +2050,27 @@ def implied_volatility(
     disc = math.exp(-rate * tau)
     intrinsic = F.greatest(s0 - k * disc, F.lit(0.0))
     valid = (p > intrinsic) & (p < s0)
-    out = df.withColumn("__iv", F.when(valid, F.lit(float(sigma0))))
     inv_sqrt2pi = 1.0 / math.sqrt(2.0 * math.pi)
-    for i in range(newton_steps):
-        sig = F.col("__iv")
+    init = F.when(valid, F.lit(float(sigma0)))
+
+    def _newton(sig: Column, _i: Column) -> Column:
         d1 = (F.log(s0 / k) + (rate + 0.5 * sig * sig) * tau) / (sig * sq_t)
-        out = out.withColumns(
-            {"__d1": d1, "__d2": d1 - sig * sq_t}
-        ).withColumns(
-            {
-                "__nd1": _norm_cdf(F.col("__d1")),
-                "__nd2": _norm_cdf(F.col("__d2")),
-                "__pdf1": inv_sqrt2pi
-                * F.exp(-0.5 * F.col("__d1") * F.col("__d1")),
-            }
+        d2 = d1 - sig * sq_t
+        nd1 = _norm_cdf(d1)
+        nd2 = _norm_cdf(d2)
+        pdf1 = inv_sqrt2pi * F.exp(-0.5 * d1 * d1)
+        bs = s0 * nd1 - k * disc * nd2
+        vega = s0 * pdf1 * sq_t
+        return F.when(
+            valid, F.greatest(F.lit(1e-4), sig - (bs - p) / vega)
         )
-        bs = s0 * F.col("__nd1") - k * disc * F.col("__nd2")
-        vega = s0 * F.col("__pdf1") * sq_t
-        out = out.withColumn(
-            "__iv",
-            F.when(
-                valid,
-                F.greatest(
-                    F.lit(1e-4), F.col("__iv") - (bs - p) / vega
-                ),
-            ),
+
+    iv = init
+    if newton_steps > 0:
+        iv = F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(newton_steps))), init, _newton
         )
-    return out.withColumnRenamed("__iv", "implied_vol").drop(
-        "__d1", "__d2", "__nd1", "__nd2", "__pdf1"
-    )
+    return df.withColumn("implied_vol", iv)
 
 
 def american_put_binomial(
