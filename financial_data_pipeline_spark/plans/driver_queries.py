@@ -1794,10 +1794,19 @@ LIMIT 10
 def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q21 shape (sole-blame supplier): late lines (shipped >60
     days after order date on finished orders) where ANOTHER supplier
-    participated in the order (left-semi on orderkey with supplier
-    inequality) but NO other supplier was also late (left-anti on the
-    late set) — the double semi/anti correlated-EXISTS pattern, both
-    decorrelated to hash joins on orderkey."""
+    participated in the order but NO other supplier was also late —
+    both correlated EXISTS decorrelated to per-order supplier-key
+    min/max (r9, guide §2.3/§3): "no other late supplier" is a
+    min(sk)=max(sk) window over the late set (the former left-anti
+    self-join re-ran the whole lineitem⋈orders subtree a second
+    time), and "another supplier participated" is min/max over the
+    per-order lineitem aggregate (map-side partials shuffle one row
+    per order where the former left-semi shuffled every lineitem
+    row). Exact integer key comparisons — EXISTS(sk' ≠ sk) ⇔
+    (min ≠ sk OR max ≠ sk) — so the surviving row multiset is
+    identical."""
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -1813,23 +1822,23 @@ def q_blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey")
     )
-    other_exists = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    wlate = W.partitionBy("l_orderkey")
+    sole_late = (
+        l1.withColumn("__lo", F.min("l_suppkey").over(wlate))
+        .withColumn("__hi", F.max("l_suppkey").over(wlate))
+        .filter(F.col("__lo") == F.col("__hi"))
+        .select("l_orderkey", "l_suppkey")
     )
-    l1_other = l1.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    oagg = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.min("l_suppkey").alias("__slo"), F.max("l_suppkey").alias("__shi")
     )
     blamed = (
-        l1.join(
-            other_exists,
-            (l1.l_orderkey == other_exists.ok) & (l1.l_suppkey != other_exists.sk),
-            "left_semi",
+        sole_late.join(oagg, sole_late.l_orderkey == oagg.ok)
+        .filter(
+            (F.col("__slo") != F.col("l_suppkey"))
+            | (F.col("__shi") != F.col("l_suppkey"))
         )
-        .join(
-            l1_other,
-            (l1.l_orderkey == l1_other.ok) & (l1.l_suppkey != l1_other.sk),
-            "left_anti",
-        )
+        .select("l_orderkey", "l_suppkey")
     )
     return (
         blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
