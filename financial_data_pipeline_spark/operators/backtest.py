@@ -488,6 +488,12 @@ def deflated_sharpe_grid(
         F.when(m2 > 0, m3 / F.pow(m2, 1.5)).alias("__g3"),
         F.when(m2 > 0, m4 / (m2 * m2)).alias("__g4"),
     )
+    # Pin the per-(symbol, trial) SR frame (r9, OPTIMIZATION_r09 §15
+    # rule: |symbols|·|grid| rows, two consumers): the per-symbol
+    # variance rollup AND the best-trial window each re-ran the whole
+    # staged grid subtree (explode + two prefix-sum joins over the
+    # corpus) without it. Values unchanged.
+    t = t.localCheckpoint(eager=False)
     per_sym = t.groupBy(by).agg(
         F.var_samp("__sr").alias("__vsr"),
         F.count("__sr").alias("n_trials_eff"),

@@ -471,9 +471,17 @@ def bm25_scores(
         F.col(id_col).alias("id"),
         ws_tokens(F.col(text_col)).alias("t"),
     ).select("id", F.size("t").alias("dl"), F.explode("t").alias("tok"))
-    stats = toks.groupBy("id").agg(F.first("dl").alias("dl"))
-    corpus = stats.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # Corpus stats WITHOUT the explode (r9, guide §2.3): N and avgdl
+    # only need per-doc token COUNTS, so tokenizing into a size() is
+    # enough — no row multiplication, no groupBy(id) shuffle. The doc
+    # set is identical to the former explode→groupBy derivation
+    # (explode emits no rows for empty/null token arrays ⇔ size <= 0
+    # filtered here), and dl are integers, so the avg's double sum is
+    # exact in any order — values unchanged.
+    corpus = (
+        df.select(F.size(ws_tokens(F.col(text_col))).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     )
     hits = toks.filter(F.col("tok").isin(terms))
     tf = hits.groupBy("id", "tok").agg(

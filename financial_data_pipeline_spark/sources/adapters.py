@@ -25,8 +25,36 @@ TS_COLUMNS: dict[str, list[str]] = {
 }
 
 
+# Schema memo (r9, guide §6.2 — declared schema beats re-inference):
+# ``spark.read.parquet`` runs a one-task schema-inference job per call
+# (~0.15-0.25 s warm); with 1-3 ``load_table`` calls in nearly every
+# registered query, that fixed cost dominated the sub-second bench
+# tail. The memo holds ONLY the inferred StructType — pure metadata,
+# the stand-in for a real deployment's catalog/metastore entry; every
+# query still builds a fresh plan and scans the parquet (no data, no
+# results, nothing persisted across processes). Keyed by the file's
+# (mtime, size) so a rewritten path (fuzz harnesses) re-infers.
+_SCHEMA_MEMO: dict[tuple, "object"] = {}
+
+
+def _parquet_with_schema(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-local / unstat-able path: fall back to plain inference
+        return spark.read.parquet(path)
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = sch
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _parquet_with_schema(spark, f"{sf_dir}/{name}.parquet")
     for c in TS_COLUMNS.get(name, []):
         if c not in df.columns:
             continue
