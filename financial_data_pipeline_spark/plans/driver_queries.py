@@ -2431,7 +2431,15 @@ def q_random_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert: sizes sum to the input, splits are disjoint)."""
     from financial_data_pipeline_spark.operators.splitter import random_split
 
-    bars = events_as_ohlcv(spark, sf_dir)
+    # persist() the bar aggregate (r9, guide §5): the three invariant
+    # actions below (overlap count + two split counts) evaluated the
+    # events→bars aggregation four times; cached, it computes once and
+    # the ContextCleaner frees it when the query's frames are released.
+    # Per-invocation — nothing survives the run. (localCheckpoint was
+    # tried and REVERTED: it materializes without AQE coalescing, 3×
+    # slower.) randomSplit's per-partition sampling sees identical
+    # partition contents, so the asserted invariants are unchanged.
+    bars = events_as_ohlcv(spark, sf_dir).persist()
     train, test = random_split(bars, test_size=0.25, seed=42)
     keys = ["symbol", "timestamp"]
     overlap = train.select(keys).join(test.select(keys), on=keys).count()
