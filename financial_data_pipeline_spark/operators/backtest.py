@@ -488,12 +488,12 @@ def deflated_sharpe_grid(
         F.when(m2 > 0, m3 / F.pow(m2, 1.5)).alias("__g3"),
         F.when(m2 > 0, m4 / (m2 * m2)).alias("__g4"),
     )
-    # Pin the per-(symbol, trial) SR frame (r9, OPTIMIZATION_r09 §15
-    # rule: |symbols|·|grid| rows, two consumers): the per-symbol
-    # variance rollup AND the best-trial window each re-ran the whole
-    # staged grid subtree (explode + two prefix-sum joins over the
-    # corpus) without it. Values unchanged.
-    t = t.localCheckpoint(eager=False)
+    # NOTE (r9): a localCheckpoint pin on `t` (two consumers: V[SR]
+    # rollup + best-trial window) was tried and REVERTED — the full
+    # bench showed 0.89→1.09 s (the materialization loses AQE), the
+    # same lesson as the recall_at_k pin. The double-planned grid
+    # subtree deduplicates well enough under AQE locally; a 100 TB
+    # caller re-running many grids should persist() `t` explicitly.
     per_sym = t.groupBy(by).agg(
         F.var_samp("__sr").alias("__vsr"),
         F.count("__sr").alias("n_trials_eff"),

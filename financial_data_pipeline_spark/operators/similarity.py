@@ -509,16 +509,15 @@ def recall_at_k(
     index parameters (planes, nprobe, bands) are tuned.
 
     The ``exact`` frame is consumed by TWO subtrees (the overlap join
-    and the per-query denominator), and its generator is typically a
-    full-corpus scan (``knn_join``); unpinned, that scan plans and
-    runs twice per recall report. Lazy-pinned here (r9, guide §5 —
-    the OPTIMIZATION_r09 §15 rule: tiny frame, expensive generator,
-    ≥2 consumers): ≤ queries·k id-pair rows materialize once, both
-    consumers read them, values unchanged.
+    and the per-query denominator), so its generator (typically the
+    ``knn_join`` corpus scan) plans twice. A localCheckpoint pin was
+    tried here (r9) and REVERTED on full-bench evidence: the pinned
+    family ran ~1.4× its unpinned steady-state (checkpoint
+    materialization loses AQE and breaks the shared python-worker
+    warm path), even though isolated cold profiles looked better —
+    the double-planned subtree deduplicates well under AQE + codegen.
     """
-    exact_ids = exact.select("query_id", "neighbor_id").localCheckpoint(
-        eager=False
-    )
+    exact_ids = exact.select("query_id", "neighbor_id")
     pairs = exact_ids.join(
         ann.select("query_id", "neighbor_id"),
         on=["query_id", "neighbor_id"],
