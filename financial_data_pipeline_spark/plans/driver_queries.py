@@ -2431,20 +2431,29 @@ def q_random_split_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert: sizes sum to the input, splits are disjoint)."""
     from financial_data_pipeline_spark.operators.splitter import random_split
 
-    # persist() the bar aggregate (r9, guide §5): the three invariant
-    # actions below (overlap count + two split counts) evaluated the
-    # events→bars aggregation four times; cached, it computes once and
-    # the ContextCleaner frees it when the query's frames are released.
-    # Per-invocation — nothing survives the run. (localCheckpoint was
-    # tried and REVERTED: it materializes without AQE coalescing, 3×
-    # slower.) randomSplit's per-partition sampling sees identical
-    # partition contents, so the asserted invariants are unchanged.
+    # persist() the bar aggregate across the three invariant actions
+    # (r9, guide §5): overlap count + two split counts evaluated the
+    # events→bars aggregation four times; cached, it computes once.
+    # UNPERSISTED before returning — the session cache substitutes
+    # InMemoryTableScan into EVERY later plan containing the same
+    # canonical bars subtree, which both changes other queries' plans
+    # (vwap_daily grew 4→6 exchanges + 3 cache scans in the audit) and
+    # violates the every-query-computes-from-parquet contract; the
+    # returned frame is a literal, so nothing references the cache.
+    # (localCheckpoint was tried and REVERTED: it materializes without
+    # AQE coalescing, 3× slower.) randomSplit's per-partition sampling
+    # sees identical partition contents, so the invariants are
+    # unchanged.
     bars = events_as_ohlcv(spark, sf_dir).persist()
-    train, test = random_split(bars, test_size=0.25, seed=42)
-    keys = ["symbol", "timestamp"]
-    overlap = train.select(keys).join(test.select(keys), on=keys).count()
+    try:
+        train, test = random_split(bars, test_size=0.25, seed=42)
+        keys = ["symbol", "timestamp"]
+        overlap = train.select(keys).join(test.select(keys), on=keys).count()
+        n_total = train.count() + test.count()
+    finally:
+        bars.unpersist()
     return spark.createDataFrame(
-        [(train.count() + test.count(), overlap)], "n_total long, overlap int"
+        [(n_total, overlap)], "n_total long, overlap int"
     )
 
 
