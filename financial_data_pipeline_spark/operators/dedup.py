@@ -574,6 +574,23 @@ def jaccard_pairs(
     inter = (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.*")
+        # Size-ratio prune (the set-similarity-join "length filter";
+        # guide §2.3 — shuffle fewer bytes): jaccard is maximal when
+        # the smaller shingle set is fully inside the larger, so
+        # J = i/(sz_a+sz_b-i) ≤ min(sz)/max(sz) for every possible
+        # intersection i. round(·,6) is monotone, so a pair whose
+        # rounded bound is below the threshold can never pass the
+        # final filter — its occurrence rows are dropped BEFORE the
+        # intersection exchange instead of after the aggregate.
+        # Output pairs are identical by the bound; only shuffle rows
+        # shrink. (containment_pairs cannot use this: containment's
+        # upper bound is always 1.0.)
+        .filter(
+            F.round(
+                F.least("sz_a", "sz_b") / F.greatest("sz_a", "sz_b"), 6
+            )
+            >= F.lit(threshold)
+        )
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),

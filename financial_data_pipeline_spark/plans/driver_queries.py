@@ -5412,23 +5412,29 @@ def q_lsh_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drops two full tokenize+shingle corpus passes from the plan (r9,
     # guide §2.4 — this query is the one place the exact pass already
     # exists; the production LSH path in minhash_lsh_pairs is
-    # unchanged). localCheckpoint pins `exact`: both counts reference
-    # it, and unpinned the inverted index would build twice.
-    exact = exact.localCheckpoint()
-    lsh = exact.join(cand, on=["id_a", "id_b"], how="left_semi")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    return (
-        n_exact.crossJoin(n_lsh)
-        .select(
-            "n_exact",
-            "n_lsh",
-            F.round(
-                F.col("n_lsh")
-                / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"),
-                4,
-            ).alias("recall"),
-        )
+    # unchanged). r10 (VERDICT r9 #4): BOTH counts come from ONE pass —
+    # a left join against the candidate pairs (distinct by
+    # construction: lsh_candidates ends in .distinct(), so the join
+    # never multiplies rows) with a match marker, then a single
+    # aggregate counting all rows (= n_exact) and matched rows
+    # (= n_lsh, exactly the former semi-join count). The plan
+    # references `exact` once, so the r9 eager localCheckpoint —
+    # which materialized the inverted index without AQE, the measured
+    # 0.90x driver regression — is gone with nothing left to pin.
+    marked = exact.join(
+        cand.withColumn("__c", F.lit(1)), on=["id_a", "id_b"], how="left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("__c").alias("n_lsh"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        F.round(
+            F.col("n_lsh")
+            / F.greatest(F.col("n_exact"), F.lit(1)).cast("double"),
+            4,
+        ).alias("recall"),
     )
 
 

@@ -31,6 +31,7 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--explain-tag", default=None)
+    ap.add_argument("--plans-dir", default="plans/r10")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
@@ -84,8 +85,8 @@ def main() -> None:
             f" jobs={best['n_jobs']}"
         )
         if args.explain_tag:
-            os.makedirs("plans/r09", exist_ok=True)
-            with open(f"plans/r09/{name}_{args.explain_tag}.txt", "w") as fh:
+            os.makedirs(args.plans_dir, exist_ok=True)
+            with open(f"{args.plans_dir}/{name}_{args.explain_tag}.txt", "w") as fh:
                 fh.write(
                     df._jdf.queryExecution().explainString(
                         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
