@@ -114,6 +114,92 @@ class Snapshot:
     aborted: bool = False
 
 
+# File-schema memo (r10, guide §6.2 — declared schema beats
+# re-inference; the lake-side twin of the adapters.load_table memo):
+# every `spark.read.parquet` call runs a one-task schema-inference job
+# (~0.1-0.2 s warm), and one lake lifecycle pays it a dozen times over
+# files THIS process just wrote. Data files are immutable by design
+# (uuid-named commit dirs, never rewritten in place), so `_write_files`
+# seeds the memo with the written frame's schema and every internal
+# read supplies it instead of re-inferring. METADATA only — the
+# stand-in for the schema a real lakehouse stores in its table
+# metadata; the data is still scanned fresh by every query. Entries
+# are validated against (mtime_ns, size) so any out-of-band rewrite
+# falls back to plain inference, as does any path set whose memoized
+# schemas disagree (additive schema evolution keeps today's
+# pick-a-footer inference behavior).
+_FILE_SCHEMA_MEMO: dict[str, tuple[int, int, "object"]] = {}
+
+
+def _as_nullable(dt):
+    """Normalize a written frame's schema to what parquet inference
+    returns: every field nullable, no field metadata."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _as_nullable(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
+def _memo_put(paths: list[str], schema) -> None:
+    ns = _as_nullable(schema)
+    for p in paths:
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        _FILE_SCHEMA_MEMO[p] = (st.st_mtime_ns, st.st_size, ns)
+
+
+def _memo_schema(paths: list[str]):
+    """The shared memoized StructType for ``paths``, or None when any
+    file is unknown, changed on disk, or the schemas disagree — the
+    caller then falls back to plain inference (exactly today's read)."""
+    out = None
+    for p in paths:
+        ent = _FILE_SCHEMA_MEMO.get(p)
+        if ent is None:
+            return None
+        try:
+            st = os.stat(p)
+        except OSError:
+            return None
+        if st.st_mtime_ns != ent[0] or st.st_size != ent[1]:
+            del _FILE_SCHEMA_MEMO[p]
+            return None
+        if out is None:
+            out = ent[2]
+        elif out != ent[2]:
+            return None
+    return out
+
+
+def _read_parquet(spark: SparkSession, paths: list[str], merge_schema: bool = False) -> DataFrame:
+    """All internal lake parquet reads go through here: memo hit →
+    declared-schema read (no inference job); miss → plain inference
+    (and a single-file miss seeds the memo for later reads)."""
+    if merge_schema:
+        # explicit footer-merge semantics — never substituted
+        return spark.read.option("mergeSchema", True).parquet(*paths)
+    sch = _memo_schema(paths)
+    if sch is not None:
+        return spark.read.schema(sch).parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if len(paths) == 1:
+        # single-file inference IS that file's schema — safe to memo
+        _memo_put(paths, df.schema)
+    return df
+
+
 def _mdir(root: str, fs=None) -> str:
     d = os.path.join(root, _MANIFEST_DIR)
     if fs is None:
@@ -143,6 +229,91 @@ def _nullsafe_key_cond(left: "DataFrame", right: "DataFrame", cols: list[str]):
     return cond
 
 
+#: parquet physical/logical types whose footer min/max are EXACT by the
+#: format spec. Strings/binary are excluded (writers may truncate),
+#: float/double are excluded (NaN handling differs: parquet writers
+#: omit NaN from stats while Spark's max() propagates it), decimals and
+#: nested paths are excluded (conversion subtleties). Anything outside
+#: this set falls back to the Spark stats job.
+_FOOTER_EXACT_PREFIXES = ("int", "date", "timestamp", "bool", "uint", "time")
+
+
+def _footer_scalar(v):
+    """Normalize a pyarrow footer statistic to the exact value the
+    Spark stats job collects: tz-aware timestamps (isAdjustedToUTC
+    parquet columns) become naive UTC wall clock — the session runs in
+    UTC, so Spark's collected datetimes are naive UTC and the manifest
+    ISO strings must match byte-for-byte or string-order range pruning
+    at equal boundaries would mis-prune."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _footer_stats(
+    files: list[str], stat_cols: list[str]
+) -> "list[FileStat] | None":
+    """Driver-side stats from parquet footers — no Spark job (r10,
+    guide §6: a lake lifecycle paid one single-purpose stats job per
+    commit). Returns None (→ caller runs the Spark job, the exact
+    pre-r10 path) unless EVERY stat column on EVERY file is a
+    top-level column of a footer-exact type with complete statistics;
+    the values produced are identical to the Spark job's by the
+    parquet format contract (exact min/max + null counts for these
+    types), pinned by test_footer_stats_match_spark_job."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return None
+    out = []
+    for path in files:
+        try:
+            md = pq.ParquetFile(path).metadata
+            arrow_schema = pq.read_schema(path)
+        except Exception:  # noqa: BLE001 — any read oddity → Spark job
+            return None
+        pq_schema = md.schema
+        col_idx = {}
+        for i in range(md.num_columns):
+            col = pq_schema.column(i)
+            # nested columns carry dotted paths — only top-level allowed
+            col_idx[col.path] = i
+        rows = md.num_rows
+        stats: dict[str, list] = {}
+        for c in stat_cols:
+            i = col_idx.get(c)
+            if i is None:
+                return None
+            try:
+                at = str(arrow_schema.field(c).type)
+            except KeyError:
+                return None
+            if not at.startswith(_FOOTER_EXACT_PREFIXES):
+                return None
+            mn = mx = None
+            nulls = 0
+            for rg in range(md.num_row_groups):
+                cm = md.row_group(rg).column(i)
+                st = cm.statistics
+                if st is None or not st.has_null_count:
+                    return None
+                nulls += st.null_count
+                n_non_null = cm.num_values - st.null_count
+                if n_non_null <= 0:
+                    continue  # all-null row group contributes no range
+                if not st.has_min_max:
+                    return None
+                lo, hi = _footer_scalar(st.min), _footer_scalar(st.max)
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            stats[c] = [_json_scalar(mn), _json_scalar(mx)]
+            stats[f"__nulls_{c}"] = int(nulls)
+        out.append(FileStat(path=path, rows=rows, stats=stats))
+    return out
+
+
 def _collect_stats(
     spark: SparkSession,
     files: list[str],
@@ -161,7 +332,12 @@ def _collect_stats(
     bloom_cols = list(bloom_cols or [])
     if not files:
         return []
-    df = spark.read.parquet(*files).withColumn(
+    if not bloom_cols:
+        # footer fast path (bloom bitmaps genuinely need a data scan)
+        fast = _footer_stats(files, stat_cols)
+        if fast is not None:
+            return fast
+    df = _read_parquet(spark, files).withColumn(
         "__file", F.input_file_name()
     )
     n_words = _BLOOM_BITS // 64
@@ -237,7 +413,13 @@ def _collect_stats(
             stats[f"__bloom_{c}"] = f"{bits:0{_BLOOM_BITS // 4}x}"
         path = r["__file"]
         if path.startswith("file:"):
+            # input_file_name() yields file:///p — reduce to the OS
+            # path (r10: the footer fast path records the raw listing
+            # path, and the two spellings must agree or the same file
+            # would carry two identities through manifest diffs)
             path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
         out.append(FileStat(path=path, rows=r["__rows"], stats=stats))
     # Zero-row part files never surface through input_file_name() —
     # record them anyway (rows=0, open stats) or they would be
@@ -423,6 +605,9 @@ class LakeTable:
             for p in os.listdir(data_dir)
             if p.endswith(".parquet")
         ]
+        # the files ARE df written out — seed the schema memo so the
+        # stats pass and every later read of them skip re-inference
+        _memo_put(files, df.schema)
         return _collect_stats(
             self.spark, files, self.stat_cols, self.bloom_cols
         )
@@ -715,7 +900,7 @@ class LakeTable:
             return
         live = {
             f.name: f.dataType
-            for f in self.spark.read.parquet(files[0].path).schema.fields
+            for f in _read_parquet(self.spark, [files[0].path]).schema.fields
         }
         clashes = [
             f"{f.name}: table={live[f.name].simpleString()} "
@@ -906,7 +1091,7 @@ class LakeTable:
         )
 
     def _split_by_key_range(
-        self, version: int, keys: DataFrame, k0: str
+        self, version: int, keys: DataFrame, k0: str, bounds=None
     ) -> tuple[list[FileStat], list[FileStat]]:
         """(touched, carried): files that can / cannot hold a row
         matching the key frame on ``k0``. Bounds are normalized through
@@ -928,15 +1113,24 @@ class LakeTable:
 
         Polarity throughout: a file we cannot PROVE cannot match must be
         REWRITTEN (touched), or a matching row in it silently dodges the
-        merge/delete/refresh anti-join."""
+        merge/delete/refresh anti-join.
+
+        ``bounds``: optional precomputed aggregate row with fields
+        (lo, hi, cnt, has_null) over ``keys`` — callers that already
+        ran the identical aggregate (refresh_rollup folds it into its
+        emptiness probe) pass it to skip the extra job."""
         from pyspark.sql import functions as F
 
-        raw = keys.agg(
-            F.min(k0).alias("lo"),
-            F.max(k0).alias("hi"),
-            F.count(F.lit(1)).alias("cnt"),
-            F.max(F.col(k0).isNull()).alias("has_null"),
-        ).first()
+        raw = (
+            bounds
+            if bounds is not None
+            else keys.agg(
+                F.min(k0).alias("lo"),
+                F.max(k0).alias("hi"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.max(F.col(k0).isNull()).alias("has_null"),
+            ).first()
+        )
         files = self._load_snapshot(version).files
         if raw["cnt"] == 0:
             return [], list(files)  # no keys → nothing can match
@@ -977,8 +1171,15 @@ class LakeTable:
         base = self.head_version()
         if base == 0:
             raise ValueError("delete on an empty table")
+        # lazy-pin the key frame (r10, guide §5): it is consumed twice
+        # inside _rewrite_keyed — the bounds aggregate (which
+        # materializes this pin as its first action) and the rewrite's
+        # anti-join — and unpinned the second consumer re-ran the whole
+        # caller-side key derivation (for a purge that is a full source
+        # scan + filter). Delete keys track the purge, not the table,
+        # so the materialized frame is tiny at any scale.
         return self._rewrite_keyed(
-            keys.select(*key_cols).distinct(),
+            keys.select(*key_cols).distinct().localCheckpoint(eager=False),
             key_cols,
             None,
             "delete",
@@ -1010,7 +1211,7 @@ class LakeTable:
                 base, anti_keys, key_cols[0]
             )
         if touched:
-            old = self.spark.read.parquet(*[fs.path for fs in touched])
+            old = _read_parquet(self.spark, [fs.path for fs in touched])
             survivors = old.join(
                 anti_keys,
                 on=_nullsafe_key_cond(old, anti_keys, key_cols),
@@ -1428,12 +1629,9 @@ class LakeTable:
                 # bloom proved the value absent from every file — an
                 # empty result, not an error (schema comes from any
                 # one real file)
-                return self.spark.read.parquet(snap_files[0].path).limit(0)
+                return _read_parquet(self.spark, [snap_files[0].path]).limit(0)
             raise ValueError("snapshot selects no files (empty table?)")
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", True)
-        return reader.parquet(*files)
+        return _read_parquet(self.spark, files, merge_schema=merge_schema)
 
 
 
@@ -1469,7 +1667,7 @@ def compact(
     carried = [fs for fs in snap.files if fs.rows >= small_file_rows]
     if len(small) < 2:
         return head  # nothing to gain
-    df = table.spark.read.parquet(*[fs.path for fs in small])
+    df = _read_parquet(table.spark, [fs.path for fs in small])
     total = sum(fs.rows for fs in small)
     n_out = max(1, total // small_file_rows + (total % small_file_rows > 0))
     if sort_col is not None:
@@ -1525,11 +1723,11 @@ def table_changes(
     reads = []
     if added:
         reads.append(
-            spark.read.parquet(*added).withColumn("__side", F.lit(1))
+            _read_parquet(spark, added).withColumn("__side", F.lit(1))
         )
     if removed:
         reads.append(
-            spark.read.parquet(*removed).withColumn("__side", F.lit(-1))
+            _read_parquet(spark, removed).withColumn("__side", F.lit(-1))
         )
     u = reads[0]
     for r in reads[1:]:

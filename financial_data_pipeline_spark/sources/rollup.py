@@ -112,14 +112,29 @@ def refresh_rollup(
     # re-read. The frame is tiny by contract (keys track churn, not
     # table size), so pinning it costs one pass and each later use
     # reads the materialized rows.
+    # lazy checkpoint (r10): the bounds aggregate right below is the
+    # first action and materializes the pin — an eager checkpoint ran
+    # that materialization as its own extra job per refresh.
     touched = (
         key_of(changes.drop("_change_type", "_change_copies"))
         .select(*key_cols)
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
-    if touched.isEmpty():
+    # ONE aggregate job answers both the emptiness probe (cnt == 0 ⇔
+    # the former isEmpty()) and the file-pruning bounds the keyed
+    # rewrite needs (r10, guide §1.2 — the two consumers previously ran
+    # two separate jobs over the pinned frame). The row is passed into
+    # _split_by_key_range below.
+    bounds = touched.agg(
+        F.min(k0).alias("lo"),
+        F.max(k0).alias("hi"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.max(F.col(k0).isNull()).alias("has_null"),
+    ).first()
+
+    if bounds["cnt"] == 0:
         # the CDF netted to zero rows (e.g. a source compaction rewrote
         # files with identical content, or every change in the interval
         # was later undone): nothing is dirty. Advance the watermark
@@ -169,12 +184,23 @@ def refresh_rollup(
     # instead of going stale; the watermark rides the same commit
     target._check_schema_compat(fresh)
     target._enforce_constraints(fresh)
+    # resolve the rewrite base here (same OCC window as _rewrite_keyed
+    # resolving it itself — _advance re-checks staleness either way)
+    # so the touched/carried split can reuse the bounds row above
+    # instead of re-aggregating the key frame.
+    rw_base = target.head_version()
+    touched_files, carried_files = target._split_by_key_range(
+        rw_base, touched, k0, bounds=bounds
+    )
     v = target._rewrite_keyed(
         touched,
         key_cols,
         fresh,
         "refresh",
         app_meta={WATERMARK_KEY: src_head},
+        base=rw_base,
+        touched=touched_files,
+        carried=carried_files,
     )
     # Watermark monotonicity repair: _rewrite_keyed resolves its own
     # base, so a slower refresher can land AFTER a faster one and merge
