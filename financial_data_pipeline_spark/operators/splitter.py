@@ -131,13 +131,21 @@ def global_row_index(
     rp = df.repartitionByRange(
         partitions or df.sparkSession.sparkContext.defaultParallelism, *cols
     ).withColumn("__pid", F.spark_partition_id())
-    # PERSIST IS CORRECTNESS, not an optimization: repartitionByRange
+    # THE PIN IS CORRECTNESS, not an optimization: repartitionByRange
     # samples its boundaries per materialization, so without pinning
     # the exchange, the size-count job and the caller's downstream
     # actions could see DIFFERENT partitionings and the offsets would
     # be stale. (RDD.zipWithIndex relies on the same materialize-then-
-    # count contract.)
-    rp = rp.persist()
+    # count contract.) localCheckpoint, NOT persist (r10, VERDICT r9
+    # #5): a persist registers the subtree with the session
+    # CacheManager and — since the returned frame references it, it
+    # can never be unpersisted inside this builder — Spark substituted
+    # the cached plan into every LATER query sharing the canonical
+    # subtree (the 49a248f leak class). The checkpoint materializes
+    # once (same partition-stability guarantee), is invisible to plan
+    # substitution, and is reclaimed by the ContextCleaner when the
+    # frame goes unreferenced.
+    rp = rp.localCheckpoint()
     sizes = dict(
         rp.groupBy("__pid").count().collect()
     )  # |partitions| rows — driver-side cumsum is O(partitions)

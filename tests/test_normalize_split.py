@@ -140,7 +140,14 @@ def test_chronological_split_distributed_exact_equivalence(spark, ohlcv_df):
     assert got_te == want_te
     plan = tr1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan
+    # r10: global_row_index pins the range-partitioned frame with a
+    # localCheckpoint (not persist — a builder-lifetime persist leaked
+    # into later queries via CacheManager plan substitution), so the
+    # range exchange runs inside the checkpoint job and the downstream
+    # plan reads the materialized RDD. The ranked scan must be the
+    # checkpoint, and the session cache must stay EMPTY.
+    assert "Scan ExistingRDD" in plan
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_kfold_split_partitions_deterministically(spark):

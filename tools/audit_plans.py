@@ -80,6 +80,16 @@ def main() -> None:
     spark = get_spark(app_name="fdp-plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Session-cache invariant (r10, VERDICT r9 #5): a builder that
+    # persists a frame consumed by the RETURNED plan can never
+    # unpersist it, and Spark's CacheManager then substitutes the
+    # cached subtree into every later query sharing the canonical plan
+    # — both a cross-query plan regression and a violation of the
+    # computes-from-parquet bench contract (the 49a248f leak class).
+    # After every builder + its action, the cache must be EMPTY.
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_leaks: list[str] = []
+
     rows = []
     for name, fn in QUERIES.items():
         try:
@@ -91,6 +101,12 @@ def main() -> None:
             rows.append(audit(name, df))
         except Exception as exc:  # noqa: BLE001
             rows.append({"query": name, "flags": f"ERROR:{exc}"[:60]})
+        if not cache_mgr.isEmpty():
+            cache_leaks.append(name)
+            rows[-1]["flags"] = (
+                rows[-1].get("flags", "-").rstrip("-") + "CACHE_LEAK"
+            )
+            spark.catalog.clearCache()  # don't cascade into later audits
 
     cols = ["query", "shuffles", "single_part", "bhj", "smj", "codegen", "arrow_py", "flags"]
     out = ["# PLANS — physical-plan audit of the driver-contract queries",
@@ -325,6 +341,16 @@ def main() -> None:
         f.write("\n".join(out))
     for r in rows:
         print(r)
+    if cache_leaks:
+        print(
+            f"FAIL: session cache non-empty after {len(cache_leaks)} "
+            f"builder(s): {cache_leaks} — every persist consumed by a "
+            "returned plan leaks into later queries via CacheManager "
+            "plan substitution",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    print("cache invariant: session cache empty after all builders")
 
 
 if __name__ == "__main__":
