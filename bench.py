@@ -76,6 +76,35 @@ def _time_one(fn, spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+#: CPU-probe sizing: rows × chained xxhash64 rounds. Fixed work, zero
+#: I/O, embarrassingly parallel over defaultParallelism range splits.
+_PROBE_ROWS = 400_000_000
+_PROBE_CHAIN = 8
+
+
+def _cpu_probe(spark) -> float:
+    """Fixed compute-bound scaling probe (r9 verdict: the 8-core bench
+    beat the 32-core bench on every query because at sf0.1 all inputs
+    are ~11 MB and every query is scheduling-overhead-bound, which is
+    indistinguishable *from the output* from the env var being
+    ignored). This probe is pure JVM compute over ``spark.range`` —
+    constant work, no input data, partitioned to defaultParallelism —
+    so its low-core/high-core runtime ratio approaches the core ratio
+    and proves the master honored ``$SPARK_GRAFT_CPUS``. Reported as
+    its own field; never part of any query total."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, _PROBE_ROWS, 1, spark.sparkContext.defaultParallelism)
+    col = F.col("id")
+    for _ in range(_PROBE_CHAIN):
+        col = F.xxhash64(col)
+    t0 = time.perf_counter()
+    df.select(F.max(col).alias("h")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return time.perf_counter() - t0
+
+
 def sweep(sf_dir: str) -> dict:
     """One full min-of-3 sweep inside THIS process's JVM. Returns the
     per-query seconds plus a calibration number (the fixed warmup
@@ -102,7 +131,17 @@ def sweep(sf_dir: str) -> dict:
     for name in headline():
         per_query[name] = round(min(run(name) for _ in range(3)), 3)
     calibration = round(min(run("symbol_stats") for _ in range(3)), 3)
-    return {"queries": per_query, "calibration": calibration}
+    # Environment proof (r9 verdict #2): the driver's CPU-scaling sweep
+    # could not adjudicate "env var ignored" vs "overhead-bound at this
+    # SF" because nothing in the output recorded which master ran.
+    return {
+        "queries": per_query,
+        "calibration": calibration,
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "cpu_probe": round(min(_cpu_probe(spark) for _ in range(3)), 3),
+    }
 
 
 def main() -> None:
@@ -226,6 +265,16 @@ def main() -> None:
             )
 
     total = round(sum(per_query.values()), 3)
+    # >=1 s band subtotal (r9 verdict #9): 317 of 361 queries sit on the
+    # sub-second scheduling/plan floor and dominate the total at sf0.1;
+    # the >=1 s band is where round-over-round signal lives. Additive —
+    # every existing field is unchanged.
+    ge1s = {k: v for k, v in per_query.items() if v >= 1.0}
+    ge1s_total = round(sum(ge1s.values()), 3)
+    env = sessions[-1]
+    cpu_probe = min(
+        (s["cpu_probe"] for s in sessions if "cpu_probe" in s), default=None
+    )
 
     # Full per-query detail goes to BENCH_DETAIL.json (the r01 lesson:
     # the driver captures only ~500 chars of stdout tail, so a 144-query
@@ -244,6 +293,13 @@ def main() -> None:
         # at sweep end): per_query above is the per-query min across
         # these sessions
         "sessions": sessions,
+        "sf_dir": sf_dir,
+        "master": env.get("master"),
+        "default_parallelism": env.get("default_parallelism"),
+        "shuffle_partitions": env.get("shuffle_partitions"),
+        "cpu_probe_sec": cpu_probe,
+        "ge1s_total": ge1s_total,
+        "ge1s_n": len(ge1s),
     }
     with open(detail_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
@@ -261,6 +317,14 @@ def main() -> None:
                 "inflation_index": inflation,
                 "regressions": regressions,
                 "detail": "BENCH_DETAIL.json",
+                # env proof + signal band (r9 verdict #2/#9; additive)
+                "sf_dir": sf_dir,
+                "master": env.get("master"),
+                "default_parallelism": env.get("default_parallelism"),
+                "shuffle_partitions": env.get("shuffle_partitions"),
+                "cpu_probe_sec": cpu_probe,
+                "ge1s_total": ge1s_total,
+                "ge1s_n": len(ge1s),
             },
             separators=(",", ":"),
         )

@@ -13,8 +13,10 @@ Scale design — the whole point of the distributed formulation:
   table. Each round is: adjacent-pair explode + one weighted count
   aggregate + a 1-row argmax collect (the k-means pattern: a tiny
   per-round driver value steering the next distributed step), then a
-  pure-codegen fold rewrites the symbol arrays. ``localCheckpoint``
-  every few rounds pins the plan depth.
+  pure-codegen fold rewrites the symbol arrays. A lazy
+  ``localCheckpoint`` after every fold pins the plan depth to one fold
+  per round (materialized by the round's own argmax job — no extra
+  job).
 - **Encoding touches each distinct word once.** ``apply_bpe`` encodes
   the distinct-word table (same fold, merges replayed in rank order)
   and broadcast-joins word → tokens back onto the corpus — the corpus
@@ -194,7 +196,12 @@ def learn_bpe_merges(
     so the learned merges are equal by construction. A web-scale
     typo-heavy vocabulary (1e9+ distinct words) exceeds the threshold
     and takes the distributed rounds unchanged; ``driver_threshold=0``
-    forces them (oracle-exercised via ``bpe_merges_distributed``)."""
+    forces them (oracle-exercised via ``bpe_merges_distributed``).
+
+    ``checkpoint_every`` is retained for API compatibility but unused
+    by the learn loop since r10: the per-round lazy checkpoint bounds
+    plan depth at one fold (``apply_bpe`` still uses the cadence — its
+    replay loop has no per-round action to piggyback on)."""
     wc = _word_counts(df, text_col)
     if driver_threshold > 0:
         rows = wc.limit(driver_threshold + 1).collect()
@@ -210,8 +217,20 @@ def learn_bpe_merges(
     # The vocab table is orders of magnitude smaller than the corpus —
     # collapse it to a few partitions so the 12+ per-round jobs don't
     # pay 32-task scheduling overhead each (size the constant up for
-    # genuinely huge vocabularies)
-    vocab = vocab.coalesce(4).localCheckpoint()
+    # genuinely huge vocabularies).
+    #
+    # Per-round LAZY checkpoint (r10, guide §2.4/§7.3): every round
+    # already runs one action (the argmax collect), so a lazy
+    # localCheckpoint after each fold is materialized BY that action —
+    # no standalone checkpoint job — while truncating the plan so each
+    # round's argmax analyzes/compiles exactly ONE fold over a
+    # LogicalRDD instead of up to ``checkpoint_every`` nested folds
+    # (the fold is a large case-when HOF; chained copies dominated the
+    # per-round driver time). Each fold now also EXECUTES exactly once
+    # (under the eager cadence, rounds between checkpoints re-ran all
+    # folds since the last one). Values are untouched: same folds, same
+    # counts, same argmax.
+    vocab = vocab.coalesce(4).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -224,9 +243,9 @@ def learn_bpe_merges(
             break
         left, right, cnt = top[0].left, top[0].right, int(top[0].cnt)
         merges.append((rank, left, right, cnt))
-        vocab = vocab.select(_merge_fold(F.col("sym"), left, right).alias("sym"), "weight")
-        if (rank + 1) % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint()
+        vocab = vocab.select(
+            _merge_fold(F.col("sym"), left, right).alias("sym"), "weight"
+        ).localCheckpoint(eager=False)
     return merges
 
 

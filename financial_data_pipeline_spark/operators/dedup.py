@@ -859,9 +859,12 @@ def dedup_clusters(
     without it the iteration re-executes all prior rounds.
     """
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Lazy checkpoint (r10, guide §2.4): the count() below materializes
+    # it — same pin-once guarantee as the eager form, one fewer job
+    # wave (the standalone checkpoint job is folded into the count).
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     if edges.count() <= driver_threshold:
         from pyspark.sql.types import StructField, StructType
 
@@ -886,7 +889,7 @@ def dedup_clusters(
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Labels are component-min candidates and strictly non-increasing, so
     # sum(label) is a monotone convergence witness: equal sum ⇔ no label
@@ -933,7 +936,9 @@ def dedup_clusters(
                     F.coalesce(F.col("hlabel"), F.col("label")),
                 ).alias("label"),
             )
-        labels = stepped.localCheckpoint()
+        # Lazy: the convergence-witness aggregate right below is the
+        # materializing action — one job per round instead of two.
+        labels = stepped.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break

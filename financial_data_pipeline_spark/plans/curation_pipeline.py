@@ -121,11 +121,9 @@ def curation_labels(
             .localCheckpoint(eager=False)
         )
         s2 = s1.join(winners, on=id_col, how="left_semi")
-        exact_losers = s1.select(id_col).join(
-            winners, on=id_col, how="left_anti"
-        )
     else:
-        s2, exact_losers = s1, None
+        winners = None
+        s2 = s1
 
     # --- stage 3: near-dup canonical keep among stage-2 survivors --------
     if config.near_dedup:
@@ -223,7 +221,19 @@ def curation_labels(
         else:
             out = out.withColumn(name, F.lit(None).cast("boolean"))
 
-    _flag(exact_losers, "__exact")
+    # __exact flags directly off the WINNERS pin (r10, guide §2.3/§2.4):
+    # the former shape joined an anti-join-derived loser-id frame, which
+    # put a second s1 id scan + an extra join in the final plan. A doc
+    # is an exact loser iff it is absent from winners — and for
+    # lang-dropped docs (never in winners, so flagged here) the
+    # ``dropped_at`` when-chain has already fired on 'lang', so the
+    # label per doc is identical by case order.
+    if winners is not None:
+        out = out.join(
+            winners.withColumn("__exact_w", F.lit(True)), on=id_col, how="left"
+        ).withColumn("__exact", F.col("__exact_w").isNull())
+    else:
+        out = out.withColumn("__exact", F.lit(None).cast("boolean"))
     _flag(near_losers, "__near")
     _flag(sub_losers, "__substr")
     _flag(clf_ids, "__clf")

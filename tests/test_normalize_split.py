@@ -128,6 +128,11 @@ def test_chronological_split_distributed_exact_equivalence(spark, ohlcv_df):
     )
 
     key = ["symbol", "timestamp"]
+    # The cache-empty invariant below is about THIS operator; other test
+    # modules' fixtures legitimately .cache() shared frames in the same
+    # session, so start from a clean cache to make it deterministic
+    # under any suite order (they recompute transparently).
+    spark.catalog.clearCache()
     tr0, te0 = splitter.chronological_split(ohlcv_df, test_size=0.25)
     tr1, te1 = chronological_split_distributed(
         ohlcv_df, test_size=0.25, partitions=7
