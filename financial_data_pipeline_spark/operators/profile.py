@@ -1,13 +1,15 @@
 """Table profiling — the ANALYZE-shaped statistics pass.
 
-One aggregate over ONE scan produces, per requested column: row count,
-null count, exact distinct count, min/max (as strings, type-erased for
-a uniform report row). This is the stats collection every planner and
-every data-quality dashboard runs first; at 100 TB the thing that
-matters is that it is a single pass (all counters are parallel
-aggregates over the same scan — Catalyst plans the multiple
-count(distinct) via one Expand, not one scan per column) and that the
-output is |columns| rows, not data.
+Two parallel aggregates over the same (column-pruned) scan produce,
+per requested column: row count, null count, exact distinct count,
+min/max (as strings, type-erased for a uniform report row). This is
+the stats collection every planner and every data-quality dashboard
+runs first; at 100 TB what matters is that it is O(1) passes — the
+plain counters are ONE keyless map-side-folding aggregate, the exact
+NDVs are ONE Expand-based multi-distinct aggregate (hash all the way:
+keeping string min/max out of the distinct rewrite is what keeps
+SortAggregate + full sorts of the expanded rows out of the plan) —
+and that the output is |columns| rows, not data.
 
 ``approx=True`` swaps exact distinct counts for HLL++
 ``approx_count_distinct`` (fixed-size sketches, no Expand fan-out) —
@@ -62,15 +64,32 @@ def table_profile(
             )
         return expr.cast("string")
 
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    plain = [F.count(F.lit(1)).alias("__n")]
+    ndvs = []
     for c in cols:
-        aggs += [
+        plain += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
-            ndv(c).alias(f"__ndv_{c}"),
             render(F.min(F.col(c)), c).alias(f"__min_{c}"),
             render(F.max(F.col(c)), c).alias(f"__max_{c}"),
         ]
-    row = df.agg(*aggs)
+        ndvs.append(ndv(c).alias(f"__ndv_{c}"))
+    if approx:
+        # HLL sketches have fixed binary buffers (ObjectHashAggregate,
+        # no Expand) — everything stays one aggregate over one scan.
+        row = df.agg(*plain, *ndvs)
+    else:
+        # Exact NDVs in their OWN aggregate (r10, guide §2.3/§7.2): a
+        # combined agg put min/max — whose STRING buffers no hash
+        # aggregate supports — into the multi-distinct Expand rewrite,
+        # forcing SortAggregate and two full sorts of the |cols|+1 ×
+        # expanded rows (the measured cost of orders_profile). Split,
+        # the plain pass is a keyless single-pass aggregate (no sort;
+        # min/max/null counters fold map-side) and the distinct pass
+        # carries pure dedup keys + count buffers → HashAggregate end
+        # to end. Costs a second (column-pruned) scan — at any scale
+        # rereading columnar data beats sorting Expand output. The
+        # cross join is 1 row × 1 row.
+        row = df.agg(*plain).crossJoin(df.agg(*ndvs))
     per_col = F.array(
         *[
             F.struct(

@@ -53,7 +53,34 @@ def _parquet_with_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Loaded-relation memo (r10, guide §6/§7.3 — the catalog pattern): a
+# warm ``load_table`` still cost ~60 py4j round trips + a JVM
+# DataSource resolution (~60 ms) PER CALL, and with 1-3 calls in nearly
+# every registered query that chatter was a large slice of the
+# sub-second bench floor. DataFrames are immutable, so the resolved
+# base relation (file index + schema + the ts conversion projection —
+# pure METADATA, exactly what a metastore catalog holds) is shared
+# per (session, path, mtime, size); every consumer still builds its own
+# downstream plan and every action scans the parquet fresh — no data,
+# no results, nothing persisted across processes. WeakKeyDictionary on
+# the session: entries die with it, and a rewritten file (fuzz
+# harnesses) changes (mtime, size) and re-resolves. Caveat (r9 ADVICE,
+# documented trade): flipping a schema-affecting read conf (e.g.
+# ``nanosAsLong``) inside ONE session will not re-resolve — call
+# ``clear_table_memo()`` in such a harness.
+import weakref
+
+_TABLE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_table_memo() -> None:
+    """Drop all memoized relations/schemas (for harnesses that rewrite
+    files in place or flip schema-affecting read configs mid-session)."""
+    _TABLE_MEMO.clear()
+    _SCHEMA_MEMO.clear()
+
+
+def _load_table_fresh(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _parquet_with_schema(spark, f"{sf_dir}/{name}.parquet")
     for c in TS_COLUMNS.get(name, []):
         if c not in df.columns:
@@ -71,6 +98,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return _load_table_fresh(spark, sf_dir, name)
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    df = per_session.get(key)
+    if df is None:
+        df = _load_table_fresh(spark, sf_dir, name)
+        per_session[key] = df
+    return df
+
+
 def events_as_ohlcv(
     spark: SparkSession, sf_dir: str, timeframe_minutes: int = 60
 ) -> DataFrame:
@@ -83,26 +127,27 @@ def events_as_ohlcv(
     ``time_bucket`` + ``arg_min``/``arg_max`` on the same tiebreaker.
     """
     ev = load_table(spark, sf_dir, "events")
-    secs = timeframe_minutes * 60
-    bucket_us = F.floor(F.unix_micros("ts") / F.lit(secs * 1_000_000)) * F.lit(
-        secs * 1_000_000
-    )
-    bucket = F.timestamp_micros(bucket_us)
+    secs_us = timeframe_minutes * 60 * 1_000_000
+    # Expressions as SQL text, ONE py4j round trip each (r10, guide
+    # §7.3 applied one level earlier: this builder runs under ~150
+    # registered queries and the per-operator py4j chatter of the
+    # Column-API form cost ~110 ms per construction on this box's
+    # ~0.6 ms round trips). Parse results are the identical resolved
+    # expressions (pinned by test_events_as_ohlcv_expr_semantics).
+    bucket_us = f"floor(unix_micros(ts) / {secs_us}) * {secs_us}"
     # Deterministic first/last: order by (offset-within-bucket, event_id)
     # encoded as one sortable int64 (offset < timeframe ≤ 2^42 µs, so
     # offset·2^20 + event_id fits with headroom).
-    order_key = (F.unix_micros("ts") - bucket_us) * F.lit(1024 * 1024) + F.col(
-        "event_id"
-    )
-    return (
-        ev.groupBy(F.col("event_type").alias("symbol"), bucket.alias("timestamp"))
-        .agg(
-            F.min_by("value", order_key).alias("open"),
-            F.max("value").alias("high"),
-            F.min("value").alias("low"),
-            F.max_by("value", order_key).alias("close"),
-            F.sum("value").alias("volume"),
-        )
+    order_key = f"(unix_micros(ts) - {bucket_us}) * 1048576 + event_id"
+    return ev.groupBy(
+        F.expr("event_type AS symbol"),
+        F.expr(f"timestamp_micros({bucket_us}) AS timestamp"),
+    ).agg(
+        F.expr(f"min_by(value, {order_key}) AS open"),
+        F.expr("max(value) AS high"),
+        F.expr("min(value) AS low"),
+        F.expr(f"max_by(value, {order_key}) AS close"),
+        F.expr("sum(value) AS volume"),
     )
 
 
