@@ -1424,8 +1424,12 @@ def ljung_box(
     """
     if n_lags % 2 != 0:
         raise ValueError("n_lags must be even for the closed-form p-value")
+    # Expressions as SQL text, one round trip per select list entry
+    # (r10, guide §7.3 applied to construction — the Column-API loops
+    # here cost ~2000 py4j round trips ≈ 1.2 s per build; pinned
+    # sameSemantics-identical in tests/test_expr_text_semantics.py).
     r = log_return(price_col, by=[by], ts=ts)
-    w = Window.partitionBy(by).orderBy(ts)
+    over = f"OVER (PARTITION BY `{by}` ORDER BY `{ts}`)"
     base = (
         df.withColumn("__r", r)
         .filter(F.col("__r").isNotNull())
@@ -1433,57 +1437,50 @@ def ljung_box(
             by,
             "__r",
             *[
-                F.lag("__r", k).over(w).alias(f"__l{k}")
+                F.expr(f"lag(__r, {k}) {over} AS __l{k}")
                 for k in range(1, n_lags + 1)
             ],
         )
     )
-    n = F.count("__r").cast("double")
-    mu = F.avg("__r")
     aggs = [
-        F.count("__r").alias("n_obs"),
-        F.avg("__r").alias("__mu"),
+        F.expr("count(__r) AS n_obs"),
+        F.expr("avg(__r) AS __mu"),
         # c0 as the biased (1/n) moment about the mean; the 1/n cancels
         # in the ratio with the ck below so raw sums suffice
-        F.sum(F.pow(F.col("__r"), 2)).alias("__ss"),
+        F.expr("sum(power(__r, 2)) AS __ss"),
     ]
     for k in range(1, n_lags + 1):
-        aggs.append(
-            F.sum(F.col("__r") * F.col(f"__l{k}")).alias(f"__cp{k}")
-        )
-        aggs.append(F.sum(f"__l{k}").alias(f"__sl{k}"))
-        aggs.append(F.sum(F.when(F.col(f"__l{k}").isNotNull(), F.col("__r"))).alias(f"__sr{k}"))
-        aggs.append(F.count(f"__l{k}").alias(f"__nk{k}"))
+        aggs += [
+            F.expr(f"sum(__r * __l{k}) AS __cp{k}"),
+            F.expr(f"sum(__l{k}) AS __sl{k}"),
+            F.expr(
+                f"sum(CASE WHEN __l{k} IS NOT NULL THEN __r END) AS __sr{k}"
+            ),
+            F.expr(f"count(__l{k}) AS __nk{k}"),
+        ]
     agg = base.groupBy(by).agg(*aggs)
-    n = F.col("n_obs").cast("double")
-    mu = F.col("__mu")
-    c0 = F.col("__ss") - n * mu * mu
-    q = F.lit(0.0)
+    n = "CAST(n_obs AS DOUBLE)"
+    c0 = f"(__ss - {n} * __mu * __mu)"
+    q = "0.0D"
     for k in range(1, n_lags + 1):
-        nk = F.col(f"__nk{k}").cast("double")
+        nk = f"CAST(__nk{k} AS DOUBLE)"
         # Σ (r_t−μ)(r_{t−k}−μ) over the nk overlapping pairs
-        ck = (
-            F.col(f"__cp{k}")
-            - mu * F.col(f"__sl{k}")
-            - mu * F.col(f"__sr{k}")
-            + nk * mu * mu
-        )
-        rho = ck / c0
-        q = q + rho * rho / (n - k)
-    q = n * (n + 2.0) * q
-    h = q / 2.0
-    terms = F.lit(1.0)
+        ck = f"(__cp{k} - __mu * __sl{k} - __mu * __sr{k} + {nk} * __mu * __mu)"
+        rho = f"({ck} / {c0})"
+        q = f"({q} + {rho} * {rho} / ({n} - {k}))"
+    q = f"({n} * ({n} + 2.0D) * {q})"
+    h = f"({q} / 2.0D)"
+    terms = "1.0D"
     fact = 1.0
-    acc = F.lit(1.0)
     for j in range(1, n_lags // 2):
         fact *= j
-        terms = terms + F.pow(h, float(j)) / F.lit(fact)
-    sf = F.exp(-h) * terms
+        terms = f"({terms} + power({h}, {float(j)!r}D) / {fact!r}D)"
+    sf = f"(exp(-{h}) * {terms})"
     return agg.select(
         by,
         "n_obs",
-        q.alias("lb_q"),
-        F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)).alias("lb_pvalue"),
+        F.expr(f"{q} AS lb_q"),
+        F.expr(f"least(1.0D, greatest(0.0D, {sf})) AS lb_pvalue"),
     )
 
 

@@ -17,7 +17,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+# Vector primitives are built as ONE SQL-text expression each (r10,
+# guide §7.3 applied to construction): the Column-API forms cost ~25
+# (dot) to ~100 (cosine) py4j round trips PER CALL — at this box's
+# ~0.6 ms round-trip latency that chatter dominated the ANN family's
+# bench floor. The text parses to the identical expressions (pinned by
+# tests/test_expr_text_semantics.py via sameSemantics against the
+# Column-API forms, which live on verbatim in that test).
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dot_api(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -25,11 +41,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
+    return _dot_api(a if not isinstance(a, str) else F.expr(a),
+                    b if not isinstance(b, str) else F.expr(b))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
+    return F.sqrt(_dot_api(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity with the zero-vector convention pinned: a
     zero-norm side yields 0.0 (treated as orthogonal), NOT 0/0 = NaN —
     NaN ordering is engine-specific in rank windows, so an all-zero
@@ -40,9 +65,20 @@ def cosine(a: Column, b: Column) -> Column:
     # nullif/coalesce, not when/otherwise: higher-order aggregate folds
     # get no common-subexpression elimination, so a WHEN guard would
     # evaluate the two norm folds twice per row
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"coalesce({_dot_sql(a, b)} / nullif(sqrt({_dot_sql(a, a)}) * "
+            f"sqrt({_dot_sql(b, b)}), 0.0D), 0.0D)"
+        )
     return F.coalesce(
         dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0)), F.lit(0.0)
     )
+
+
+def _vec_sql(v: list[float]) -> str:
+    """SQL text of a double-array literal, identical to ``F.lit([...])``
+    (the D suffix keeps each element a DOUBLE, not a decimal)."""
+    return "array(" + ", ".join(f"{float(x)!r}D" for x in v) + ")"
 
 
 def brute_force_topk(
@@ -57,10 +93,10 @@ def brute_force_topk(
     One scan + TakeOrdered(k) — no shuffle of the embedding column.
     Deterministic tiebreak on id.
     """
-    q = F.lit([float(x) for x in query_vec])  # one Literal node (r9)
     return (
         df.select(
-            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim")
+            F.col(id_col),
+            F.round(cosine(f"`{vec_col}`", _vec_sql(query_vec)), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -107,11 +143,10 @@ def ivf_topk(
     set is computed driver-side; the big scan is pruned by a pushed-down
     ``label IN (…)`` filter before any vector math runs.
     """
-    q = F.lit([float(x) for x in query_vec])  # one Literal node (r9)
     probe = [
         r[0]
         for r in centroids.select(
-            label_col, cosine(F.col("centroid"), q).alias("s")
+            label_col, cosine("centroid", _vec_sql(query_vec)).alias("s")
         )
         .orderBy(F.desc("s"))
         .limit(nprobe)
@@ -324,11 +359,21 @@ def lsh_bucket(
     ``planes`` are fixed (seeded) hyperplanes supplied by the caller so
     the bucketing is deterministic and oracle-reproducible.
     """
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        pl = F.lit([float(x) for x in p])  # one Literal node (r9)
-        bucket = bucket + F.when(dot(vec, pl) >= 0, F.lit(1 << i)).otherwise(0)
-    return bucket
+    # One expr for the whole bucket id (r10 §7.3): the per-plane
+    # Column-API loop cost ~35 py4j round trips per plane. Same tree:
+    # 0 + Σ_i CASE WHEN dot(vec, plane_i) >= 0 THEN 2^i ELSE 0 END.
+    if not isinstance(vec, str):
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            pl = F.lit([float(x) for x in p])
+            bucket = bucket + F.when(dot(vec, pl) >= 0, F.lit(1 << i)).otherwise(0)
+        return bucket
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec, _vec_sql([float(x) for x in p]))} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(f"0 + {terms}" if terms else "0")
 
 
 #: Measured base point of the LSH plane schedule (SCALING.md /
@@ -416,7 +461,7 @@ def lsh_ann_topk(
     for i, p in enumerate(planes):
         if sum(float(a) * float(b) for a, b in zip(query_vec, p)) >= 0:
             qb |= 1 << i
-    bucketed = df.filter(lsh_bucket(F.col(vec_col), planes) == F.lit(qb))
+    bucketed = df.filter(lsh_bucket(f"`{vec_col}`", planes) == F.lit(qb))
     return brute_force_topk(bucketed, query_vec, k, vec_col, id_col)
 
 
@@ -458,9 +503,9 @@ def lsh_topk_join(
     bucketed = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(f"`{vec_col}`", planes).alias("__bucket"),
     )
-    qb = lsh_bucket(F.col(vec_col), planes)
+    qb = lsh_bucket(f"`{vec_col}`", planes)
     probes = F.array(
         qb,
         *(
@@ -479,7 +524,7 @@ def lsh_topk_join(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__cv"), F.col("__qv")), 6).alias("cos_sim"),
+        F.round(cosine("__cv", "__qv"), 6).alias("cos_sim"),
     )
     from pyspark.sql import Window
 
@@ -580,7 +625,7 @@ def ivf_topk_join(
             "query_id",
             "__qv",
             "__cl",
-            cosine(F.col("__cv"), F.col("__qv")).alias("__cs"),
+            cosine("__cv", "__qv").alias("__cs"),
         )
         .withColumn("__rn", F.row_number().over(wprobe))
         .filter(F.col("__rn") <= nprobe)
@@ -591,7 +636,7 @@ def ivf_topk_join(
     ).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+        F.round(cosine(f"`{vec_col}`", "__qv"), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -745,18 +790,18 @@ def quantized_topk_join(
         dequantize(
             quantize_codes(F.col(vec_col), lo, hi), lo, hi
         ).alias("qdv"),
-    ).withColumn("qnorm", norm(F.col("qdv")))
+    ).withColumn("qnorm", norm("qdv"))
     # Decode once per corpus row (projection), not once per (row, query)
     # pair; norms are loop-invariant per side, so the only per-pair fold
     # left is the dot product.
     decoded = codes.select(
         F.col(id_col), dequantize(F.col("code"), lo, hi).alias("dv")
-    ).withColumn("dnorm", norm(F.col("dv")))
+    ).withColumn("dnorm", norm("dv"))
     approx = decoded.crossJoin(F.broadcast(qside)).select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            dot(F.col("dv"), F.col("qdv")) / (F.col("dnorm") * F.col("qnorm")), 6
+            dot("dv", "qdv") / (F.col("dnorm") * F.col("qnorm")), 6
         ).alias("approx_sim"),
     )
     wa = Window.partitionBy("query_id").orderBy(
@@ -779,7 +824,7 @@ def quantized_topk_join(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col(vec_col), F.col("qv")), 6).alias("cos_sim"),
+            F.round(cosine(f"`{vec_col}`", "qv"), 6).alias("cos_sim"),
         )
     )
     we = Window.partitionBy("query_id").orderBy(
@@ -1010,13 +1055,12 @@ def mmr_diverse_topk(
     import numpy as np
     import pandas as pd
 
-    q = F.lit([float(x) for x in query_vec])  # one Literal node (r9)
     pool_rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("__v"),
-            cosine(F.col(vec_col), q).alias("rel"),
+            cosine(f"`{vec_col}`", _vec_sql(query_vec)).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(pool)
@@ -1212,7 +1256,7 @@ def _distance_pairs(
             import math
 
             sig = lsh_bucket(
-                F.col(vec_col).cast("array<double>"),
+                f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)",
                 seeded_planes(SUBDIV_PLANES, dim, seed=SUBDIV_SEED),
             )
             if len(hot) <= HOT_COLLECT_CAP:

@@ -119,8 +119,41 @@ def token_count_bpe(text: Column) -> Column:
     )
 
 
-def word_count_marker(text: Column, word: str) -> Column:
+# The language-marker expressions are built as SQL text when the text
+# column is given by NAME (one py4j round trip per language instead of
+# ~15 per marker word — r10, guide §7.3 applied to construction; pinned
+# sameSemantics-identical in tests/test_expr_text_semantics.py).
+# Column inputs keep the original Column-API path.
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _padded_sql(t: str) -> str:
+    # ASCII fold (see ws_tokens): full-unicode lower() makes the padded
+    # string and therefore marker counts engine-specific around U+0130.
+    # NULL ≡ empty: without the coalesce, concat propagates NULL (see
+    # word_count_marker's docstring).
+    return (
+        f"concat(' ', translate(coalesce({t}, ''), "
+        f"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')"
+    )
+
+
+def _word_count_marker_sql(t: str, word: str) -> str:
+    padded = _padded_sql(t)
+    needle = f" {word} "
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, "
+        f"{_sql_str(needle)}, ''))) / {len(needle)} AS INT)"
+    )
+
+
+def word_count_marker(text: Column | str, word: str) -> Column:
     """Occurrences of ``word`` as a whitespace-delimited token."""
+    if isinstance(text, str):
+        return F.expr(_word_count_marker_sql(text, word))
     # ASCII fold (see ws_tokens): full-unicode lower() makes the padded
     # string and therefore marker counts engine-specific around U+0130
     # NULL ≡ empty: without the coalesce, concat propagates NULL and a
@@ -145,21 +178,42 @@ def word_count_marker(text: Column, word: str) -> Column:
     ).cast("int")
 
 
-def language_scores(text: Column) -> dict[str, Column]:
+def _lang_score_sql(t: str, words: list[str]) -> str:
+    # python sum() over the marker generators starts at int 0 — keep the
+    # same leading literal so the tree matches the Column-API form
+    return "(" + " + ".join(["0"] + [_word_count_marker_sql(t, w) for w in words]) + ")"
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
     """Marker-hit score per language (the n-gram heuristic)."""
+    if isinstance(text, str):
+        return {
+            lang: F.expr(_lang_score_sql(text, words))
+            for lang, words in LANG_MARKERS.items()
+        }
     return {
         lang: sum(word_count_marker(text, w) for w in words)
         for lang, words in LANG_MARKERS.items()
     }
 
 
-def detect_language(text: Column) -> Column:
+def detect_language(text: Column | str) -> Column:
     """argmax of language_scores; ties and zero-hits → 'und'.
 
     Deterministic tiebreak: language name ascending among max scores.
     """
+    langs = sorted(LANG_MARKERS)
+    if isinstance(text, str):
+        pairs = "array(" + ", ".join(
+            f"named_struct('score', {_lang_score_sql(text, LANG_MARKERS[lang])}, "
+            f"'pri', {len(langs) - 1 - i}, 'lang', {_sql_str(lang)})"
+            for i, lang in enumerate(langs)
+        ) + ")"
+        return F.expr(
+            f"CASE WHEN (array_max({pairs})).score <= 0 THEN 'und' "
+            f"ELSE (array_max({pairs})).lang END"
+        )
     scores = language_scores(text)
-    langs = sorted(scores)
     # struct compare: score first, then priority (higher = alphabetically
     # earlier) so ties resolve to the first language in sorted order —
     # same as an ordered SQL CASE chain.
@@ -227,7 +281,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
     n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
-    n_stop = sum(word_count_marker(t, w) for w in ENGLISH_STOPWORDS)
+    # one expr for the stopword sum (str fast path; the marker wraps
+    # its input in coalesce(·, '') again, matching the Column form's
+    # coalesce(coalesce(text, ''), '') tree exactly)
+    n_stop = F.expr(
+        _lang_score_sql(f"coalesce(`{text_col}`, '')", ENGLISH_STOPWORDS)
+    )
     safe_chars = F.greatest(n_chars, F.lit(1))
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     return df.withColumns(

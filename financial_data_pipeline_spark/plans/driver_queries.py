@@ -1334,7 +1334,7 @@ def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
-        detect_language(F.col("text")).alias("lang_pred"),
+        detect_language("text").alias("lang_pred"),
     )
 
 
@@ -7739,7 +7739,10 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     score."""
     from pyspark.sql import Window as W
 
-    from financial_data_pipeline_spark.operators.similarity import cosine
+    from financial_data_pipeline_spark.operators.similarity import (
+        _vec_sql,
+        cosine,
+    )
     from financial_data_pipeline_spark.operators.text import bm25_scores
 
     docs = load_table(spark, sf_dir, "documents")
@@ -7751,11 +7754,11 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
         .alias("r_lex"),
     )
-    qv = F.lit([float(x) for x in _query_vec(spark, sf_dir)])  # one Literal node (r9)
+    qv = _vec_sql(_query_vec(spark, sf_dir))
     cr = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.row_number()
-        .over(W.orderBy(F.desc(cosine(F.col("embedding"), qv)), F.asc("vec_id")))
+        .over(W.orderBy(F.desc(cosine("embedding", qv)), F.asc("vec_id")))
         .alias("r_sem"),
     )
     fused = bmr.join(cr, "doc_id", "full_outer").select(
@@ -16287,7 +16290,7 @@ def q_lang_detect_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pred = docs.select(
         F.col("lang").alias("lang_actual"),
-        detect_language(F.col("text")).alias("lang_pred"),
+        detect_language("text").alias("lang_pred"),
     )
     # Lazy-pin the confusion matrix (r9, guide §5): FOUR subtrees
     # consume it (total, both margins, observed agreement) and each

@@ -115,13 +115,19 @@ def _flag_frame(
         | {f"__c_{c}": F.col(c).cast("double") for c in cols}
     ).withColumn("__kept", F.col("__valid") & ~F.col("__dup"))
     if impute_method == "ffill":
+        # Window exprs as SQL text (r10, guide §7.3 — construction
+        # round trips; identical parse pinned by the oracle + the
+        # pandas differential in tests/test_report.py).
         # masked ffill: last non-null KEPT value at or before the row
-        wff = w.rowsBetween(Window.unboundedPreceding, 0)
+        wff = (
+            "OVER (PARTITION BY symbol ORDER BY timestamp ASC NULLS LAST "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
         out = out.withColumns(
             {
-                f"__ff_{c}": F.last(
-                    F.when(F.col("__kept"), F.col(f"__c_{c}")), ignorenulls=True
-                ).over(wff)
+                f"__ff_{c}": F.expr(
+                    f"last(CASE WHEN __kept THEN __c_{c} END, true) {wff}"
+                )
                 for c in cols
             }
         )
@@ -129,15 +135,15 @@ def _flag_frame(
         # value at or after the row — evaluated over the REVERSED sort
         # with a preceding frame (unbounded-FOLLOWING aggregate frames
         # are O(n²) in Spark; see cleaning.bfill)
-        w_rev = Window.partitionBy("symbol").orderBy(
-            F.col("timestamp").desc_nulls_first()
+        wbf = (
+            "OVER (PARTITION BY symbol ORDER BY timestamp DESC NULLS FIRST "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         )
-        wbf = w_rev.rowsBetween(Window.unboundedPreceding, 0)
         out = out.withColumns(
             {
-                f"__i_{c}": F.last(
-                    F.when(F.col("__kept"), F.col(f"__ff_{c}")), ignorenulls=True
-                ).over(wbf)
+                f"__i_{c}": F.expr(
+                    f"last(CASE WHEN __kept THEN __ff_{c} END, true) {wbf}"
+                )
                 for c in cols
             }
         )
@@ -193,29 +199,30 @@ def _counters_from_flags(
     cols = [c for c in OHLCV_COLUMNS if f"__i_{c}" in flags.columns]
     kept, kept2 = F.col("__kept"), F.col("__kept2")
 
-    # P1 — every pre-outlier counter in one aggregate pass
-    nan_cells = reduce(
-        lambda a, b: a + b,
-        [
-            F.sum((kept & F.col(f"__c_{c}").isNull()).cast("long"))
-            for c in cols
-        ],
+    # P1 — every pre-outlier counter in one aggregate pass (exprs as
+    # SQL text: one py4j round trip per aggregate instead of ~5 per
+    # operator — r10 §7.3; values pinned by the driver oracle and the
+    # pandas differential in tests/test_report.py)
+    nan_cells = " + ".join(
+        f"sum(CAST((__kept AND (__c_{c} IS NULL)) AS LONG))" for c in cols
     )
     a_stage = flags.agg(
-        F.count(F.lit(1)).alias("total_records"),
-        F.sum((~F.col("__valid")).cast("long")).alias("invalid_timestamps"),
-        F.sum(F.col("__dup").cast("long")).alias("duplicates_removed"),
-        nan_cells.alias("initial_nans"),
-        F.sum((kept & ~F.col("__nonneg")).cast("long")).alias("negative_rows"),
+        F.expr("count(1) AS total_records"),
+        F.expr("sum(CAST((NOT __valid) AS LONG)) AS invalid_timestamps"),
+        F.expr("sum(CAST(__dup AS LONG)) AS duplicates_removed"),
+        F.expr(f"{nan_cells} AS initial_nans"),
+        F.expr(
+            "sum(CAST((__kept AND (NOT __nonneg)) AS LONG)) AS negative_rows"
+        ),
     )
 
     # P2 — IQR bounds over surviving rows (scalar-dependent: own pass)
     b_aggs = []
     for c in cols:
-        masked = F.when(kept2, F.col(f"__i_{c}"))
+        masked = f"CASE WHEN __kept2 THEN __i_{c} END"
         b_aggs += [
-            F.percentile(masked, F.lit(0.25)).alias(f"__q1_{c}"),
-            F.percentile(masked, F.lit(0.75)).alias(f"__q3_{c}"),
+            F.expr(f"percentile({masked}, 0.25D) AS __q1_{c}"),
+            F.expr(f"percentile({masked}, 0.75D) AS __q3_{c}"),
         ]
     bounds = flags.groupBy("symbol").agg(*b_aggs)
 
@@ -223,55 +230,73 @@ def _counters_from_flags(
     # repair, final-frame lag counters, all coexisting per row
     surv = flags.filter(kept2).join(F.broadcast(bounds), on="symbol", how="left")
     clip_cols, out_flags = {}, {}
+    f_lit = f"{float(iqr_factor)!r}D"
     for c in cols:
-        v = F.col(f"__i_{c}")
-        q1, q3 = F.col(f"__q1_{c}"), F.col(f"__q3_{c}")
-        iqr = q3 - q1
-        lo, hi = q1 - iqr_factor * iqr, q3 + iqr_factor * iqr
-        out_flags[c] = (v < lo) | (v > hi)
+        v = f"__i_{c}"
+        iqr = f"(__q3_{c} - __q1_{c})"
+        lo = f"(__q1_{c} - {f_lit} * {iqr})"
+        hi = f"(__q3_{c} + {f_lit} * {iqr})"
+        out_flags[c] = F.expr(f"({v} < {lo}) OR ({v} > {hi})")
         clip_cols[f"__cl_{c}"] = (
-            F.when(v.isNotNull(), F.greatest(lo, F.least(hi, v)))
+            F.expr(
+                f"CASE WHEN {v} IS NOT NULL THEN "
+                f"greatest({lo}, least({hi}, {v})) END"
+            )
             if mode == "repair"
-            else v
+            else F.col(v)
         )
     surv = surv.withColumns(
         {f"__o_{c}": out_flags[c] for c in cols} | clip_cols
     )
-    h, l, o, c_ = (F.col(f"__cl_{x}") for x in ("high", "low", "open", "close"))
-    hi_t, lo_t = h * (1.0 + price_tolerance), l * (1.0 - price_tolerance)
-    consistent = (hi_t >= l) & (hi_t >= o) & (hi_t >= c_) & (lo_t <= o) & (lo_t <= c_)
-    bad = ~consistent
+    h, l, o, c_ = (f"__cl_{x}" for x in ("high", "low", "open", "close"))
+    hi_t = f"({h} * {float(1.0 + price_tolerance)!r}D)"
+    lo_t = f"({l} * {float(1.0 - price_tolerance)!r}D)"
+    consistent = (
+        f"(({hi_t} >= {l}) AND ({hi_t} >= {o}) AND ({hi_t} >= {c_}) "
+        f"AND ({lo_t} <= {o}) AND ({lo_t} <= {c_}))"
+    )
+    bad = f"(NOT {consistent})"
     if mode == "repair":
         surv = surv.withColumns(
             {
-                "__bad": bad,
-                "__f_high": F.when(bad, F.greatest(o, c_, h)).otherwise(h),
-                "__f_low": F.when(bad, F.least(o, c_, l)).otherwise(l),
-                "__f_open": o,
-                "__f_close": c_,
+                "__bad": F.expr(bad),
+                "__f_high": F.expr(
+                    f"CASE WHEN {bad} THEN greatest({o}, {c_}, {h}) "
+                    f"ELSE {h} END"
+                ),
+                "__f_low": F.expr(
+                    f"CASE WHEN {bad} THEN least({o}, {c_}, {l}) "
+                    f"ELSE {l} END"
+                ),
+                "__f_open": F.col(o),
+                "__f_close": F.col(c_),
                 "__f_volume": F.col("__cl_volume"),
                 "__final": F.lit(True),
             }
         )
     else:
-        positive = reduce(
-            lambda a, b: a & b, [(F.col(f"__cl_{x}") > 0) for x in PRICE_COLUMNS]
-        ) & (F.col("__cl_volume") >= 0)
-        no_null = reduce(
-            lambda a, b: a & b,
-            [F.col(f"__cl_{x}").isNotNull() for x in cols],
+        positive = (
+            "("
+            + " AND ".join(f"(__cl_{x} > 0)" for x in PRICE_COLUMNS)
+            + " AND (__cl_volume >= 0))"
+        )
+        no_null = (
+            "(" + " AND ".join(f"(__cl_{x} IS NOT NULL)" for x in cols) + ")"
         )
         surv = surv.withColumns(
             {
-                "__bad": bad,
-                "__f_high": h,
-                "__f_low": l,
-                "__f_open": o,
-                "__f_close": c_,
+                "__bad": F.expr(bad),
+                "__f_high": F.col(h),
+                "__f_low": F.col(l),
+                "__f_open": F.col(o),
+                "__f_close": F.col(c_),
                 "__f_volume": F.col("__cl_volume"),
                 # strict: drop positive-price failures, OHLC violations,
                 # remaining nulls (clean_ohlcv strict order)
-                "__final": F.coalesce(positive & consistent & no_null, F.lit(False)),
+                "__final": F.expr(
+                    f"coalesce({positive} AND {consistent} AND {no_null}, "
+                    "false)"
+                ),
             }
         )
     # Outlier flags and OHLC violations count over ALL survivors of the
@@ -279,45 +304,45 @@ def _counters_from_flags(
     # about to be dropped from `fin`, and the report must still count
     # them (data_cleaner.py:241-249 counts BEFORE acting).
     a_pre = surv.agg(
-        *[F.sum(F.col(f"__o_{c}").cast("long")).alias(f"outliers_{c}") for c in cols],
-        F.sum(F.col("__bad").cast("long")).alias("invalid_ohlc"),
+        *[
+            F.expr(f"sum(CAST(__o_{c} AS LONG)) AS outliers_{c}")
+            for c in cols
+        ],
+        F.expr("sum(CAST(__bad AS LONG)) AS invalid_ohlc"),
     )
 
     fin = surv.filter(F.col("__final"))
-    wf = Window.partitionBy("symbol").orderBy("timestamp")
+    wf = "OVER (PARTITION BY symbol ORDER BY timestamp)"
     fin = fin.withColumns(
         {
-            "__iv": (
-                F.unix_micros(F.col("timestamp"))
-                - F.unix_micros(F.lag("timestamp").over(wf))
-            )
-            / 1e6,
-            "__chg": F.abs(
-                F.col("__f_close") / F.lag("__f_close").over(wf) - 1.0
+            "__iv": F.expr(
+                f"(unix_micros(timestamp) - "
+                f"unix_micros(lag(timestamp) {wf})) / 1.0E6"
+            ),
+            "__chg": F.expr(
+                f"abs(__f_close / lag(__f_close) {wf} - 1.0D)"
             ),
         }
     )
     med = fin.groupBy("symbol").agg(F.median("__iv").alias("__med_iv"))
     fin = fin.join(F.broadcast(med), on="symbol", how="left")
 
-    zero_price = reduce(
-        lambda a, b: a | b, [(F.col(f"__f_{x}") == 0) for x in PRICE_COLUMNS]
+    zero_price = (
+        "(" + " OR ".join(f"(__f_{x} = 0)" for x in PRICE_COLUMNS) + ")"
     )
-    nans_after = reduce(
-        lambda a, b: a + b,
-        [F.sum(F.col(f"__f_{c}").isNull().cast("long")) for c in cols],
+    nans_after = " + ".join(
+        f"sum(CAST((__f_{c} IS NULL) AS LONG))" for c in cols
     )
     a_final = fin.agg(
-        F.sum(zero_price.cast("long")).alias("zero_price_rows"),
-        F.sum((F.col("__f_volume") == 0).cast("long")).alias("zero_volume_rows"),
-        F.sum((F.col("__chg") > extreme_change_threshold).cast("long")).alias(
-            "extreme_price_changes"
+        F.expr(f"sum(CAST({zero_price} AS LONG)) AS zero_price_rows"),
+        F.expr("sum(CAST((__f_volume = 0) AS LONG)) AS zero_volume_rows"),
+        F.expr(
+            f"sum(CAST((__chg > {float(extreme_change_threshold)!r}D) "
+            "AS LONG)) AS extreme_price_changes"
         ),
-        F.sum((F.col("__iv") > 6 * F.col("__med_iv")).cast("long")).alias(
-            "time_gaps"
-        ),
-        F.count(F.lit(1)).alias("final_rows"),
-        nans_after.alias("nans_after"),
+        F.expr("sum(CAST((__iv > 6 * __med_iv) AS LONG)) AS time_gaps"),
+        F.expr("count(1) AS final_rows"),
+        F.expr(f"{nans_after} AS nans_after"),
     )
 
     # P4 — global interval mode over the (tiny) distinct-interval
